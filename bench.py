@@ -1,0 +1,83 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect to driver),
+after a warm-up pass of one trivial action to amortize JVM/session startup
+out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rippledb_spark.registry import all_queries
+from rippledb_spark.session import get_spark
+
+# Headline set: one per operator family — scans/agg, joins, window, BGP
+# semi-join chain, BGP multi-var join, dedup (exact + LSH), similarity,
+# text, sessionization.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top3_customers_per_nation",
+    "topk_parts_by_revenue",
+    "bgp_get_building_in_nation0",
+    "bgp_get_dup_preserving",
+    "bgp_join_urgent_building_orders",
+    "triples_stats",
+    "dedup_documents_exact",
+    "dedup_minhash_lsh",
+    "knn_bruteforce_cosine",
+    "knn_blocked_top1",
+    "text_doc_stats",
+    "sessionize_events",
+    "window_tumbling_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="rippledb_spark_bench")
+
+    queries = all_queries()
+    # Warm up the session (JVM classloading, codegen caches).
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink forces FULL evaluation of every output column —
+        # a count() would let Catalyst prune the projections being timed.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

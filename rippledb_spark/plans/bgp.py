@@ -1,0 +1,137 @@
+"""BGP planner: Sparql AST → DataFrame plan (reference parity: Q2).
+
+Two evaluators:
+
+- :func:`get` — bit-for-bit the reference's ``Graph::get`` semantics
+  (src/datastore/graph.rs:333-413), which are narrower than SPARQL:
+
+  1. single result variable — projection comes from the FIRST pattern's
+     variable position only (graph.rs:361-368);
+  2. later patterns are EXISTS semi-joins that prune candidates without
+     multiplying them (graph.rs:369-403);
+  3. duplicates from pattern₀'s multiplicity are PRESERVED (the memo set at
+     graph.rs:371-387 dedups probe work, not output);
+  4. bound values match only named nodes (graph.rs:1031-1033);
+  5. a zero-variable query is ASK-style: 0 or 1 row, column ``ask`` = true
+     (the reference's usize::MAX degenerate case, graph.rs:361-368,
+     defined cleanly here per SURVEY §2.3 #6).
+
+- :func:`select_join` — the documented multi-variable superset (SURVEY
+  §4.2): chained inner equi-joins over shared variables, SPARQL-style
+  bag semantics.
+
+Physical notes: candidate sets are usually small relative to the store, so
+each semi-join broadcasts the candidate side when Spark's size estimate
+allows; with the triples table partitioned by ``p``, every pattern with a
+bound predicate prunes to one partition — the exact analogue of the
+reference's per-predicate slice selection.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rippledb_spark.operators.triple_patterns import pattern_filter, position_column
+from rippledb_spark.plans.sparql import Sparql, Val, Var
+
+
+def _bounds(cond: tuple) -> tuple[str | None, str | None, str | None]:
+    return tuple(u.value if isinstance(u, Val) else None for u in cond)  # type: ignore[return-value]
+
+
+def _var_positions(cond: tuple) -> list[tuple[int, str]]:
+    return [(i, u.name) for i, u in enumerate(cond) if isinstance(u, Var)]
+
+
+def get(triples: DataFrame, query: Sparql) -> DataFrame:
+    """Reference-exact conjunctive query (graph.rs:333-413 semantics)."""
+    if not query.conds:
+        # No patterns → no candidates (reference returns empty vec).
+        name = query.vars[0].name if query.vars else "result"
+        return triples.select(F.col("s").alias(name)).limit(0)
+
+    first = query.conds[0]
+    p0 = pattern_filter(triples, *_bounds(first))
+    vpos = _var_positions(first)
+
+    if not vpos:
+        # ASK-style: every pattern fully bound → 0/1 rows.
+        ask = p0.limit(1).select(F.lit(True).alias("ask"))
+        for cond in query.conds[1:]:
+            ci = pattern_filter(triples, *_bounds(cond)).limit(1).select(F.lit(True).alias("ask"))
+            ask = ask.intersect(ci)
+        return ask
+
+    pos0, var0 = vpos[0]  # projection: first pattern, first var (graph.rs:361-368)
+    cand = p0.select(F.col(position_column(pos0)).alias(var0))
+
+    for cond in query.conds[1:]:
+        ci = pattern_filter(triples, *_bounds(cond))
+        positions = [(i, v) for i, v in _var_positions(cond) if v == var0]
+        if not positions:
+            # Pattern without the driving var: global gate — survives iff the
+            # pattern matches anything (candidate-independent EXISTS).
+            gate = ci.limit(1).select(F.lit(1).alias("__gate"))
+            cand = cand.crossJoin(F.broadcast(gate)).drop("__gate")
+            continue
+        pos, _ = positions[0]
+        probe = ci.select(F.col(position_column(pos)).alias(var0))
+        # EXISTS semi-join: prunes candidates, preserves pattern₀ multiplicity
+        # (graph.rs:369-403).
+        cand = cand.join(probe, on=var0, how="left_semi")
+
+    return cand
+
+
+def select_join(triples: DataFrame, query: Sparql) -> DataFrame:
+    """Multi-variable BGP: inner equi-join chain over shared variables.
+
+    Each pattern projects its variable positions to columns named after the
+    variables; patterns sharing variables join on them (bag semantics), and
+    the final projection keeps ``query.vars`` order. Patterns sharing no
+    variable with the accumulated plan cross-join (rare; kept lazy so
+    Catalyst can still broadcast the small side).
+    """
+    if not query.conds:
+        raise ValueError("select_join requires at least one pattern")
+
+    plans: list[DataFrame] = []
+    for cond in query.conds:
+        ci = pattern_filter(triples, *_bounds(cond))
+        vpos = _var_positions(cond)
+        if not vpos:
+            # Fully-bound pattern acts as a gate (see get()).
+            plans.append(ci.limit(1).select(F.lit(1).alias("__gate")))
+            continue
+        # Same var twice in one pattern (e.g. [$x, p, $x]) → equality filter.
+        seen: dict[str, int] = {}
+        for i, name in vpos:
+            if name in seen:
+                ci = ci.filter(
+                    F.col(position_column(seen[name])) == F.col(position_column(i))
+                )
+            else:
+                seen[name] = i
+        plans.append(
+            ci.select(*[F.col(position_column(i)).alias(n) for n, i in seen.items()])
+        )
+
+    acc = plans[0]
+    for nxt in plans[1:]:
+        if "__gate" in nxt.columns:
+            acc = acc.crossJoin(F.broadcast(nxt)).drop("__gate")
+            continue
+        shared = sorted(set(acc.columns) & set(nxt.columns))
+        if shared:
+            acc = acc.join(nxt, on=shared, how="inner")
+        else:
+            acc = acc.crossJoin(nxt)
+    for helper in ("__gate",):
+        if helper in acc.columns:
+            acc = acc.drop(helper)
+    names = query.var_names()
+    missing = [n for n in names if n not in acc.columns]
+    if missing:
+        raise ValueError(f"selected vars {missing} not bound by any pattern")
+    return acc.select(*names)

@@ -1,0 +1,83 @@
+"""Sparql query AST + builder (reference parity: Q1).
+
+Mirrors the reference's ``Sparql`` builder (src/rdf/query.rs:27-63):
+``$``-prefixed strings are variables (src/rdf/query.rs:8-25), everything else
+is a literal value; ``select`` declares projection variables, ``filter`` adds
+basic graph patterns. The reference PANICS on a pattern variable that wasn't
+declared in ``select`` (query.rs:50-59); we raise ``ValueError`` instead —
+same contract, recoverable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str  # without the leading '$'
+
+
+@dataclass(frozen=True)
+class Val:
+    value: str
+
+
+QueryUnit = Var | Val
+
+
+def parse_unit(raw: str) -> QueryUnit:
+    """'$x' → Var('x'); anything else → Val (src/rdf/query.rs:8-25)."""
+    if raw.startswith("$"):
+        name = raw[1:]
+        if not name:
+            raise ValueError("empty variable name '$'")
+        return Var(name)
+    return Val(raw)
+
+
+class Sparql:
+    """Builder for conjunctive triple-pattern (BGP) queries.
+
+    >>> q = Sparql().select(["$name"]).filter([
+    ...     ["$name", "rdf:type", "foaf:Person"],
+    ...     ["$name", "swc:attended", "conf:www2011"],
+    ... ])
+    """
+
+    def __init__(self, strict: bool = False) -> None:
+        # strict=True reproduces the reference's contract exactly: a pattern
+        # variable not declared in select() is an error (the reference
+        # panics, query.rs:50-59). Default is permissive so the multi-var
+        # superset (plans.bgp.select_join) can use non-projected join vars.
+        self.strict = strict
+        self.vars: list[Var] = []
+        self.conds: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
+
+    def select(self, variables: list[str]) -> "Sparql":
+        for raw in variables:
+            unit = parse_unit(raw)
+            if not isinstance(unit, Var):
+                raise ValueError(f"select() takes '$var' names, got {raw!r}")
+            self.vars.append(unit)
+        return self
+
+    def filter(self, patterns: list[list[str]]) -> "Sparql":
+        declared = {v.name for v in self.vars}
+        for pat in patterns:
+            if len(pat) != 3:
+                raise ValueError(f"pattern must be [s, p, o], got {pat!r}")
+            units = tuple(parse_unit(x) for x in pat)
+            if self.strict:
+                for u in units:
+                    # Undeclared pattern var is an error (reference panics,
+                    # query.rs:50-59).
+                    if isinstance(u, Var) and u.name not in declared:
+                        raise ValueError(
+                            f"pattern variable ${u.name} not declared in select()"
+                        )
+            self.conds.append(units)  # type: ignore[arg-type]
+        return self
+
+    def var_names(self) -> list[str]:
+        return [v.name for v in self.vars]

@@ -1,0 +1,285 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — over documents/embeddings (engine tier; graded as
+first-class alongside SURVEY §2).
+
+Oracle policy: exact/deterministic-formula operators get full DuckDB
+oracles (formulas generated from shared constants in functions.text /
+functions.vector / operators.dedup). MinHash/SimHash/LSH internals use
+Spark-native xxhash64 — not reproducible in DuckDB — so those entries omit
+the oracle (driver records the weaker rows-only check) while their
+*verification* tiers (exact Jaccard, brute-force cosine) ARE oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.functions import text as TX
+from rippledb_spark.functions import vector as V
+from rippledb_spark.operators import dedup as DD
+from rippledb_spark.operators import multimodal as MM
+from rippledb_spark.operators import similarity as SIM
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Text analysis (oracle-checked formula parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_doc_stats",
+    oracle=f"""
+    SELECT doc_id,
+           {TX.token_count_sql('text')}    AS n_tokens,
+           {TX.stopword_count_sql('text')} AS n_stopwords,
+           {TX.punct_count_sql('text')}    AS n_punct,
+           {TX.quality_score_sql('text')}  AS quality,
+           {TX.fingerprint_sql('text')}    AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/quality/fingerprint stats — all JVM expressions."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.stopword_count("text").alias("n_stopwords"),
+        TX.punct_count("text").alias("n_punct"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT guessed, COUNT(*) AS n_docs
+    FROM (SELECT {TX.lang_guess_sql('text')} AS guessed FROM documents)
+    GROUP BY guessed
+    ORDER BY guessed
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID distribution (formula parity is the gate —
+    the synthetic corpus has no real language signal)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(TX.lang_guess("text").alias("guessed"))
+        .groupBy("guessed")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("guessed")
+    )
+
+
+@query(
+    "text_quality_by_source",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(AVG({TX.quality_score_sql('text')}), 4) AS avg_quality,
+           ROUND(AVG(CAST({TX.token_count_sql('text')} AS DOUBLE)), 4) AS avg_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation view: quality/length profile per source."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(TX.quality_score("text")), 4).alias("avg_quality"),
+            F.round(F.avg(TX.token_count("text").cast("double")), 4).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_documents_exact",
+    oracle="""
+    SELECT d.doc_id, d.n_chars
+    FROM documents d
+    JOIN (SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint groupBy, deterministic keep-lowest-id."""
+    d = load(spark, sf_dir, "documents")
+    return DD.exact_dedup(d, "text", "doc_id").select("doc_id", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "dedup_events_keep_first",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (SELECT event_id, user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def dedup_events_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keep-first — the deterministic form of dropDuplicates
+    (which keeps an ARBITRARY row and fails reproducibility gates)."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {DD.shingles_sql('text', 3)} AS shingles FROM documents
+    ),
+    sized AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(shared / (na.n + nb.n - shared), 4) AS jaccard
+    FROM shared
+    JOIN sized na ON na.doc_id = id_a
+    JOIN sized nb ON nb.doc_id = id_b
+    WHERE shared / (na.n + nb.n - shared) >= 0.1
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted shingle index)."""
+    d = load(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("dedup_minhash_lsh")  # xxhash64-based: rows-only check by design
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified (threshold
+    0.1 to exercise the path on this low-overlap corpus). The scale path:
+    band-bucket join instead of all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    return DD.minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.1
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash")  # xxhash64-based: rows-only check by design
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within 16-bit blocks, Hamming ≤ 12."""
+    d = load(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, "text", "doc_id", max_hamming=12, block_bits=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND({V.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vector vec_id=0 (exact baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.brute_force_topk(e, qv, k=10)
+
+
+@query(
+    "knn_blocked_top1",
+    oracle=f"""
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND({V.cosine_sql('a.embedding', 'b.embedding')}, 6) DESC, b.vec_id
+             ) AS rn
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rn = 1
+    ORDER BY id_a
+    """,
+)
+def knn_blocked_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector nearest neighbor within its label block (embedding
+    near-dup shape; block-limited self-join, never all-pairs)."""
+    e = load(spark, sf_dir, "embeddings")
+    return SIM.blocked_top1_pairs(e, "label", "vec_id", "embedding").orderBy("id_a")
+
+
+@query("knn_lsh_topk")  # bucket pruning loses exactness: rows-only check
+def knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH(random signed projections) top-k for vec_id=0 — the scale path."""
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return SIM.lsh_topk(e, qv, k=10, n_planes=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark shape real)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+           COUNT(*)                        AS n_items,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY media_type
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: synthesize payloads → Arrow-batched
+    mapInPandas feature extraction (decode stubbed) → aggregate. The
+    oracle checks the size/type accounting, which the stub preserves."""
+    d = load(spark, sf_dir, "documents")
+    media = MM.synthesize_media(d, "text", "doc_id")
+    feats = MM.extract_features(media)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -1,0 +1,171 @@
+"""Batch-equivalent forms of the streaming operators, oracle-checked.
+
+Structured Streaming plans can't run under the driver's DuckDB comparison,
+so each streaming operator in rippledb_spark.streaming has a batch twin here
+computing the IDENTICAL result on the static events table: tumbling window,
+sliding window, session windows (gap-based), stream dedup. The live
+streaming forms of the same operators are exercised in
+tests/test_streaming.py with a file-source → memory-sink harness.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "window_tumbling_events",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+           event_type,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type (streaming twin:
+    streaming.windows.tumbling_counts with a watermark)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "window_sliding_events",
+    oracle=f"""
+    WITH starts AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + (FLOOR(epoch(ts) / 1800) * 1800)::BIGINT * INTERVAL 1 SECOND AS w0,
+             ts, value
+      FROM events
+    ),
+    expanded AS (
+      SELECT w0 AS wstart, value FROM starts
+      UNION ALL
+      SELECT w0 - INTERVAL 30 MINUTE, value FROM starts
+    )
+    SELECT strftime(wstart, '{_FMT_DUCK}') AS window_start,
+           COUNT(*)             AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM expanded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min — each event lands in 2 windows.
+    (DuckDB twin expands the two covering windows explicitly.)"""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(MAX(session_seq) AS BIGINT) AS n_sessions,
+           COUNT(*)                         AS n_events
+    FROM tagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch twin of streaming session_window aggregation."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # cast("double") keeps sub-second precision so the strict > 1800s gap
+    # test agrees with DuckDB's INTERVAL comparison on ns timestamps.
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        1,
+    ).otherwise(0)
+    tagged = e.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        tagged.groupBy("user_id")
+        .agg(
+            F.max("session_seq").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_first_per_minute
+    FROM (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of dropDuplicatesWithinWatermark-style dedup: first event
+    per (user, type, minute) bucket."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("minute", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_first_per_minute"))
+        .orderBy("event_type")
+    )

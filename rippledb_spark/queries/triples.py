@@ -1,0 +1,410 @@
+"""Reference-parity BGP queries, oracle-checked (SURVEY §2.1-2.3).
+
+A deterministic ``triples`` graph is derived from the relational testdata
+(FIXTURES.md §B guidance) identically in Spark and in the DuckDB oracle CTE,
+then the reference's query surface (pattern access paths Q3-Q11, conjunctive
+``get`` Q2 with its fine-print semantics, the multi-var join superset, DML
+D1/D2, stats Q13) runs over it.
+
+Graph shape (node kinds in parens):
+
+    order:{k}    --placed_by-->     customer:{k}      (named→named)
+    order:{k}    --has_status-->    "O|F|P"           (literal)
+    order:{k}    --has_priority-->  priority:{p}      (named)
+    order:{k}    --contains_part--> part:{k}          (named, multi per order)
+    customer:{k} --in_nation-->     nation:{k}        (named)
+    customer:{k} --in_segment-->    segment:{s}       (named)
+    customer:{k} --has_name-->      "Customer#..."    (literal)
+    supplier:{k} --in_nation-->     nation:{k}        (named)
+    nation:{k}   --in_region-->     region:{k}        (named)
+    nation:{k}   --has_name-->      "ASIA..."         (literal)
+
+Predicate frequencies are Zipf-ish (contains_part ≫ in_region), matching the
+skew the reference's build path works around (graph.rs:235-305) — here AQE
+absorbs it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.registry import query
+from rippledb_spark.store import TripleStore
+from rippledb_spark.plans.sparql import Sparql
+from rippledb_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Derivation — keep the Spark and SQL forms in lock-step
+# ---------------------------------------------------------------------------
+
+TRIPLES_CTE = """
+triples AS (
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS s, 'named' AS s_kind,
+         'placed_by' AS p,
+         'customer:' || CAST(o_custkey AS VARCHAR) AS o_value, 'named' AS o_kind,
+         CAST(NULL AS VARCHAR) AS o_lang, CAST(NULL AS VARCHAR) AS o_datatype
+  FROM orders
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'named', 'has_status',
+         o_orderstatus, 'literal', NULL, NULL
+  FROM orders
+  UNION ALL
+  SELECT 'order:' || CAST(o_orderkey AS VARCHAR), 'named', 'has_priority',
+         'priority:' || o_orderpriority, 'named', NULL, NULL
+  FROM orders
+  UNION ALL
+  SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR), 'named', 'contains_part',
+         'part:' || CAST(l_partkey AS VARCHAR), 'named', NULL, NULL
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'named', 'in_nation',
+         'nation:' || CAST(c_nationkey AS VARCHAR), 'named', NULL, NULL
+  FROM customer
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'named', 'in_segment',
+         'segment:' || c_mktsegment, 'named', NULL, NULL
+  FROM customer
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'named', 'has_name',
+         c_name, 'literal', NULL, NULL
+  FROM customer
+  UNION ALL
+  SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'named', 'in_nation',
+         'nation:' || CAST(s_nationkey AS VARCHAR), 'named', NULL, NULL
+  FROM supplier
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'named', 'in_region',
+         'region:' || CAST(n_regionkey AS VARCHAR), 'named', NULL, NULL
+  FROM nation
+  UNION ALL
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 'named', 'has_name',
+         n_name, 'literal', NULL, NULL
+  FROM nation
+)
+"""
+
+
+def _tagged(prefix: str, col: str):
+    return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
+
+
+def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of TRIPLES_CTE. Rows are unique by construction
+    (the one multi-edge source, lineitem, is deduped in-branch)."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    null_s = F.lit(None).cast("string")
+
+    def t(sc, pred, oc, o_kind="named"):
+        return (
+            sc.alias("s"),
+            F.lit("named").alias("s_kind"),
+            F.lit(pred).alias("p"),
+            oc.alias("o_value"),
+            F.lit(o_kind).alias("o_kind"),
+            null_s.alias("o_lang"),
+            null_s.alias("o_datatype"),
+        )
+
+    parts = [
+        o.select(*t(_tagged("order", "o_orderkey"), "placed_by", _tagged("customer", "o_custkey"))),
+        o.select(*t(_tagged("order", "o_orderkey"), "has_status", F.col("o_orderstatus"), "literal")),
+        o.select(
+            *t(
+                _tagged("order", "o_orderkey"),
+                "has_priority",
+                F.concat(F.lit("priority:"), F.col("o_orderpriority")),
+            )
+        ),
+        l.select(
+            *t(_tagged("order", "l_orderkey"), "contains_part", _tagged("part", "l_partkey"))
+        ).distinct(),
+        c.select(*t(_tagged("customer", "c_custkey"), "in_nation", _tagged("nation", "c_nationkey"))),
+        c.select(
+            *t(
+                _tagged("customer", "c_custkey"),
+                "in_segment",
+                F.concat(F.lit("segment:"), F.col("c_mktsegment")),
+            )
+        ),
+        c.select(*t(_tagged("customer", "c_custkey"), "has_name", F.col("c_name"), "literal")),
+        s.select(*t(_tagged("supplier", "s_suppkey"), "in_nation", _tagged("nation", "s_nationkey"))),
+        n.select(*t(_tagged("nation", "n_nationkey"), "in_region", _tagged("region", "n_regionkey"))),
+        n.select(*t(_tagged("nation", "n_nationkey"), "has_name", F.col("n_name"), "literal")),
+    ]
+    acc = parts[0]
+    for pdf in parts[1:]:
+        acc = acc.unionByName(pdf)
+    return acc
+
+
+def _store(spark: SparkSession, sf_dir: str) -> TripleStore:
+    # Derivation is already duplicate-free → plain constructor, no dedup shuffle.
+    return TripleStore(spark, derive_triples(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Q13 analogue: per-predicate stats (≈ one row per reference 'slice')
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triples_stats",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT p, COUNT(*) AS n_triples FROM triples GROUP BY p ORDER BY p
+    """,
+)
+def triples_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate cardinalities — footprint/stat surface (graph.rs:1010-1027)."""
+    return _store(spark, sf_dir).stats()
+
+
+# ---------------------------------------------------------------------------
+# Access paths (Q5 _po, Q7 sp_, Q10 s__, Q11 ___ shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bgp_po_subjects",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT s AS sub FROM triples
+    WHERE p = 'in_segment' AND o_value = 'segment:BUILDING' AND o_kind = 'named'
+    ORDER BY sub
+    """,
+)
+def bgp_po_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(?, p, o) access path (graph.rs:872-891): subjects in one 'slice' row."""
+    st = _store(spark, sf_dir)
+    return st.pattern(None, "in_segment", "segment:BUILDING").select(
+        F.col("s").alias("sub")
+    ).orderBy("sub")
+
+
+@query(
+    "bgp_sp_objects",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT o_value FROM triples
+    WHERE s = 'customer:1' AND p = 'in_nation'
+    ORDER BY o_value
+    """,
+)
+def bgp_sp_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, p, ?) access path (graph.rs:910-929): one subject's objects."""
+    st = _store(spark, sf_dir)
+    return st.pattern("customer:1", "in_nation", None).select("o_value").orderBy("o_value")
+
+
+@query(
+    "bgp_s_scan",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT p, o_value FROM triples WHERE s = 'customer:1'
+    ORDER BY p, o_value
+    """,
+)
+def bgp_s_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, ?, ?) access path (graph.rs:973-992): all edges out of one node."""
+    st = _store(spark, sf_dir)
+    return st.pattern("customer:1", None, None).select("p", "o_value").orderBy("p", "o_value")
+
+
+@query(
+    "bgp_ask_absent",
+    oracle="SELECT TRUE AS ask WHERE EXISTS (SELECT 1 WHERE 1 = 0)",
+)
+def bgp_ask_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-variable (fully bound) pattern → ASK semantics (SURVEY §2.3 #6);
+    this one is necessarily absent → 0 rows."""
+    st = _store(spark, sf_dir)
+    q = Sparql().filter([["customer:1", "in_nation", "nation:9999"]])
+    return st.get(q)
+
+
+# ---------------------------------------------------------------------------
+# Conjunctive get() — reference-exact semantics (Q2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bgp_get_building_in_nation0",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS c
+    FROM triples t0
+    WHERE t0.p = 'in_segment' AND t0.o_value = 'segment:BUILDING' AND t0.o_kind = 'named'
+      AND EXISTS (SELECT 1 FROM triples t1
+                  WHERE t1.p = 'in_nation' AND t1.o_value = 'nation:0'
+                    AND t1.o_kind = 'named' AND t1.s = t0.s)
+    ORDER BY c
+    """,
+)
+def bgp_get_building_in_nation0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-condition one-variable conjunction (COOKBOOK.md:83-100 shape):
+    pattern₀ candidates pruned by an EXISTS semi-join (graph.rs:369-403)."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$c"])
+        .filter(
+            [
+                ["$c", "in_segment", "segment:BUILDING"],
+                ["$c", "in_nation", "nation:0"],
+            ]
+        )
+    )
+    return st.get(q).orderBy("c")
+
+
+@query(
+    "bgp_get_dup_preserving",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS o
+    FROM triples t0
+    WHERE t0.p = 'contains_part'
+      AND EXISTS (SELECT 1 FROM triples t1
+                  WHERE t1.p = 'has_priority' AND t1.o_value = 'priority:1-URGENT'
+                    AND t1.o_kind = 'named' AND t1.s = t0.s)
+    ORDER BY o
+    """,
+)
+def bgp_get_dup_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate preservation (SURVEY §2.3 #3): pattern₀ [$o contains_part $pt]
+    emits one candidate per lineitem, so each surviving order appears with its
+    lineitem multiplicity — the reference keeps those duplicates
+    (graph.rs:389-402) and so do we."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$o", "$pt"])
+        .filter(
+            [
+                ["$o", "contains_part", "$pt"],
+                ["$o", "has_priority", "priority:1-URGENT"],
+            ]
+        )
+    )
+    return st.get(q).orderBy("o")
+
+
+@query(
+    "bgp_get_literal_unmatchable",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS c
+    FROM triples t0
+    WHERE t0.p = 'has_status' AND t0.o_value = 'F' AND t0.o_kind = 'named'
+    ORDER BY c
+    """,
+)
+def bgp_get_literal_unmatchable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-only value matching (SURVEY §2.3 #4): 'F' exists only as a
+    LITERAL object, and bound values are lifted to Named nodes
+    (graph.rs:1031-1033) — so this query returns 0 rows, not the F orders."""
+    st = _store(spark, sf_dir)
+    q = Sparql().select(["$c"]).filter([["$c", "has_status", "F"]])
+    return st.get(q).orderBy("c")
+
+
+# ---------------------------------------------------------------------------
+# Multi-variable superset (select_join, SURVEY §4.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bgp_join_entity_region",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS ent, t1.o_value AS reg
+    FROM triples t0
+    JOIN triples t1 ON t0.o_value = t1.s
+    WHERE t0.p = 'in_nation' AND t1.p = 'in_region'
+    ORDER BY ent, reg
+    """,
+)
+def bgp_join_entity_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop path query: [$ent in_nation $n] ⋈ [$n in_region $reg].
+    Catches customers AND suppliers — shared subject/object node space,
+    the role of the reference's single s/o dictionary (graph.rs:33)."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$ent", "$reg"])
+        .filter(
+            [
+                ["$ent", "in_nation", "$n"],
+                ["$n", "in_region", "$reg"],
+            ]
+        )
+    )
+    return st.select_join(q).orderBy("ent", "reg")
+
+
+@query(
+    "bgp_join_urgent_building_orders",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS o, t0.o_value AS c
+    FROM triples t0
+    JOIN triples t1 ON t1.s = t0.o_value
+    JOIN triples t2 ON t2.s = t0.s
+    WHERE t0.p = 'placed_by'
+      AND t1.p = 'in_segment' AND t1.o_value = 'segment:BUILDING' AND t1.o_kind = 'named'
+      AND t2.p = 'has_priority' AND t2.o_value = 'priority:1-URGENT' AND t2.o_kind = 'named'
+    ORDER BY o, c
+    """,
+)
+def bgp_join_urgent_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-pattern, two-variable BGP join across both directions."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$o", "$c"])
+        .filter(
+            [
+                ["$o", "placed_by", "$c"],
+                ["$c", "in_segment", "segment:BUILDING"],
+                ["$o", "has_priority", "priority:1-URGENT"],
+            ]
+        )
+    )
+    return st.select_join(q).orderBy("o", "c")
+
+
+# ---------------------------------------------------------------------------
+# DML through the oracle gate (D1 + D2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dml_insert_remove_stats",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    after_remove AS (SELECT * FROM triples WHERE p <> 'in_segment'),
+    after_insert AS (
+      SELECT * FROM after_remove
+      UNION ALL
+      SELECT 'meta:engine', 'named', 'meta:name', 'rippledb_spark', 'literal', NULL, NULL
+    )
+    SELECT p, COUNT(*) AS n_triples FROM after_insert GROUP BY p ORDER BY p
+    """,
+)
+def dml_insert_remove_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DML: remove every in_segment triple (D2 anti-join,
+    graph.rs:510-629 value semantics), insert one new triple (D1 idempotent
+    union, graph.rs:414-509), then count per predicate."""
+    st = _store(spark, sf_dir)
+    seg = st.df.filter(F.col("p") == "in_segment")
+    st2 = st.remove(seg)
+    st3 = st2.insert(
+        [("meta:engine", "named", "meta:name", "rippledb_spark", "literal", None, None)]
+    )
+    return st3.stats()

@@ -1,0 +1,73 @@
+"""Query registry: the single source of truth wired into ``__spark_entry__.py``.
+
+Each registered query is a named (spark_fn, oracle_sql) pair. The driver runs
+the Spark side and the DuckDB oracle side-by-side at sf0.01 and compares
+row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically in both;
+- floating-point aggregates are rounded identically in both (fp addition is
+  not associative — a 32-way partial agg and DuckDB's single-threaded sum
+  differ in the last ulps);
+- DuckDB-specific type quirks (HUGEINT sums) are cast back in the SQL.
+
+Queries with ``oracle=None`` (streaming, iterative, RNG-free approximations)
+get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_query_modules()
+    return {n: q.fn for n, q in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _load_query_modules()
+    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_query_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    import rippledb_spark.queries.relational  # noqa: F401
+    import rippledb_spark.queries.triples  # noqa: F401
+    import rippledb_spark.queries.pipeline  # noqa: F401
+    import rippledb_spark.queries.streaming_batch  # noqa: F401
+
+    _LOADED = True

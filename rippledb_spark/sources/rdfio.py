@@ -1,0 +1,315 @@
+"""RDF/XML + N-Triples ingest and export (reference parity: S2, S3, S8).
+
+The reference parses RDF/XML with rio_xml (src/rdf/parser.rs:88-122) and maps
+terms to its five node kinds (parser.rs:102-117); export serializes back to
+RDF/XML, silently dropping triples whose subject is a literal or whose
+predicate is not a named node (src/rdf/builder.rs:15-31).
+
+Here ingest is Spark-distributed per FILE: ``spark.read.format("binaryFile")``
+lists the input glob, and a ``mapInPandas`` stage parses each document into
+triple rows — on a cluster, 10k RDF files fan out across all executors with
+no driver bottleneck (the reference's hand-rolled thread pool,
+graph.rs:235-305, is replaced by Spark task scheduling).
+
+The XML subset covers what the reference's corpus (models/*.rdf — typed node
+elements, rdf:about/resource/nodeID/datatype, xml:lang, nested anonymous
+descriptions) exercises; N-Triples is supported as the scale-friendly
+line-oriented format (one ``spark.read.text`` → regex split, fully parallel
+WITHIN a file too).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark import model
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+_RDF_TYPE = RDF_NS + "type"
+
+# Attributes that are structural, not properties.
+_STRUCTURAL = {
+    RDF_NS + a for a in ("about", "ID", "nodeID", "resource", "datatype", "parseType")
+}
+
+
+def _expand(tag: str) -> str:
+    """'{ns}local' → 'nslocal' (concatenation is how RDF/XML QNames expand)."""
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag
+
+
+def _attr(el: ET.Element, ns: str, name: str) -> str | None:
+    """Namespaced attribute lookup — ElementTree keys use '{ns}name' form."""
+    return el.get("{" + ns + "}" + name)
+
+
+def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
+    """Parse one RDF/XML document → list of TRIPLES_SCHEMA row tuples.
+
+    Term-kind mapping mirrors src/rdf/parser.rs:102-117:
+    NamedNode→named, BlankNode→blank, plain literal→literal,
+    lang-tagged→lang_literal, typed→typed_literal.
+    """
+    root = ET.fromstring(data)
+    rows: list[tuple] = []
+    counter = [0]
+
+    def fresh_blank() -> str:
+        counter[0] += 1
+        return f"_:{blank_prefix}{counter[0]}"
+
+    def node_elements(parent: ET.Element) -> Iterator[ET.Element]:
+        yield from parent
+
+    def subject_of(el: ET.Element) -> tuple[str, str]:
+        about = _attr(el, RDF_NS, "about")
+        if about is not None:
+            return about, model.NAMED
+        rid = _attr(el, RDF_NS, "ID")
+        if rid is not None:
+            return "#" + rid, model.NAMED
+        node_id = _attr(el, RDF_NS, "nodeID")
+        if node_id is not None:
+            return "_:" + node_id, model.BLANK
+        return fresh_blank(), model.BLANK
+
+    def walk_node(el: ET.Element) -> tuple[str, str]:
+        """Process one node element; returns (subject, subject_kind)."""
+        s, s_kind = subject_of(el)
+        tag = _expand(el.tag)
+        if tag != RDF_NS + "Description":
+            # Typed node element ≡ rdf:type triple.
+            rows.append((s, s_kind, _RDF_TYPE, tag, model.NAMED, None, None))
+        # Non-structural attributes are string-literal properties.
+        for attr, val in el.attrib.items():
+            a = _expand(attr)
+            if a in _STRUCTURAL or a.startswith(XML_NS):
+                continue
+            rows.append((s, s_kind, a, val, model.LITERAL, None, None))
+        for prop in node_elements(el):
+            walk_property(s, s_kind, prop)
+        return s, s_kind
+
+    def walk_property(s: str, s_kind: str, prop: ET.Element) -> None:
+        p = _expand(prop.tag)
+        resource = _attr(prop, RDF_NS, "resource")
+        node_id = _attr(prop, RDF_NS, "nodeID")
+        datatype = _attr(prop, RDF_NS, "datatype")
+        lang = _attr(prop, XML_NS, "lang")
+        children = list(prop)
+        if resource is not None:
+            rows.append((s, s_kind, p, resource, model.NAMED, None, None))
+        elif node_id is not None:
+            rows.append((s, s_kind, p, "_:" + node_id, model.BLANK, None, None))
+        elif children:
+            # Nested node element → object is its subject.
+            o, o_kind = walk_node(children[0])
+            rows.append((s, s_kind, p, o, o_kind, None, None))
+        else:
+            text = prop.text or ""
+            if datatype is not None:
+                rows.append((s, s_kind, p, text, model.TYPED_LITERAL, None, datatype))
+            elif lang is not None:
+                rows.append((s, s_kind, p, text, model.LANG_LITERAL, lang, None))
+            else:
+                rows.append((s, s_kind, p, text, model.LITERAL, None, None))
+
+    for el in node_elements(root):
+        walk_node(el)
+    return rows
+
+
+def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed RDF/XML scan: one task per file (S2).
+
+    ``path`` may be a single file, directory, or glob. Each file parses
+    independently inside a mapInPandas stage; blank-node ids are prefixed
+    with a per-file hash so graphs merge without collisions.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in model.TRIPLES_SCHEMA.fields]
+        for pdf in batches:
+            out: list[tuple] = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                prefix = hashlib.md5(str(fpath).encode()).hexdigest()[:8]
+                out.extend(parse_rdfxml(bytes(content), blank_prefix=prefix))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.mapInPandas(parse_batch, schema=model.TRIPLES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# N-Triples — the scale-path line format (SURVEY §7 risk register fallback)
+# --------------------------------------------------------------------------
+
+_NT_LINE = re.compile(
+    r"""^\s*
+        (<(?P<s_iri>[^>]*)>|(?P<s_blank>_:\S+))\s+
+        <(?P<p>[^>]*)>\s+
+        (<(?P<o_iri>[^>]*)>
+         |(?P<o_blank>_:\S+)
+         |"(?P<o_lit>(?:[^"\\]|\\.)*)"
+          (?:@(?P<lang>[A-Za-z0-9-]+)|\^\^<(?P<dtype>[^>]*)>)?
+        )\s*\.\s*$""",
+    re.VERBOSE,
+)
+
+
+def _unescape_nt(s: str) -> str:
+    return (
+        s.replace("\\\\", "\x00")
+        .replace('\\"', '"')
+        .replace("\\n", "\n")
+        .replace("\\t", "\t")
+        .replace("\\r", "\r")
+        .replace("\x00", "\\")
+    )
+
+
+def parse_ntriples_line(line: str) -> Optional[tuple]:
+    m = _NT_LINE.match(line)
+    if not m:
+        return None
+    g = m.groupdict()
+    if g["s_iri"] is not None:
+        s, s_kind = g["s_iri"], model.NAMED
+    else:
+        s, s_kind = g["s_blank"], model.BLANK
+    p = g["p"]
+    if g["o_iri"] is not None:
+        return (s, s_kind, p, g["o_iri"], model.NAMED, None, None)
+    if g["o_blank"] is not None:
+        return (s, s_kind, p, g["o_blank"], model.BLANK, None, None)
+    lit = _unescape_nt(g["o_lit"])
+    if g["lang"] is not None:
+        return (s, s_kind, p, lit, model.LANG_LITERAL, g["lang"], None)
+    if g["dtype"] is not None:
+        return (s, s_kind, p, lit, model.TYPED_LITERAL, None, g["dtype"])
+    return (s, s_kind, p, lit, model.LITERAL, None, None)
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """N-Triples scan: line-parallel (splittable within a file, unlike XML)."""
+    import pandas as pd
+
+    lines = spark.read.text(path)
+
+    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in model.TRIPLES_SCHEMA.fields]
+        for pdf in batches:
+            out = [
+                row
+                for row in (parse_ntriples_line(v) for v in pdf["value"])
+                if row is not None
+            ]
+            yield pd.DataFrame(out, columns=cols)
+
+    return lines.mapInPandas(parse_batch, schema=model.TRIPLES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Export (S8)
+# --------------------------------------------------------------------------
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace('"', "&quot;")
+    )
+
+
+def _split_iri(iri: str) -> tuple[str, str]:
+    """IRI → (namespace, local) at the last #, / or :."""
+    for sep in ("#", "/"):
+        idx = iri.rfind(sep)
+        if 0 < idx < len(iri) - 1:
+            return iri[: idx + 1], iri[idx + 1 :]
+    idx = iri.rfind(":")
+    if 0 < idx < len(iri) - 1:
+        return iri[: idx + 1], iri[idx + 1 :]
+    return "", iri
+
+
+def to_rdfxml(triples: DataFrame) -> bytes:
+    """Serialize a triples DataFrame to RDF/XML bytes (S8).
+
+    Matches builder.rs:15-31 semantics: subjects are grouped into
+    rdf:Description elements; any triple whose predicate cannot form a QName
+    is (like the reference's non-named-predicate case) dropped silently.
+    Collects to the driver — export is a terminal, driver-side sink exactly
+    as in the reference (``to_rdf`` returns in-memory bytes,
+    graph.rs:707-712).
+    """
+    rows = triples.select(
+        "s", "s_kind", "p", "o_value", "o_kind", "o_lang", "o_datatype"
+    ).collect()
+
+    ns_map: dict[str, str] = {}
+
+    def ns_prefix(ns: str) -> str:
+        if ns not in ns_map:
+            ns_map[ns] = f"ns{len(ns_map)}"
+        return ns_map[ns]
+
+    by_subject: dict[tuple[str, str], list] = {}
+    for r in rows:
+        by_subject.setdefault((r["s"], r["s_kind"]), []).append(r)
+
+    body_parts: list[str] = []
+    for (s, s_kind), props in sorted(by_subject.items()):
+        attr = (
+            f'rdf:about="{_xml_escape(s)}"'
+            if s_kind == model.NAMED
+            else f'rdf:nodeID="{_xml_escape(s.removeprefix("_:"))}"'
+        )
+        lines = [f"  <rdf:Description {attr}>"]
+        for r in sorted(props, key=lambda r: (r["p"], r["o_value"])):
+            ns, local = _split_iri(r["p"])
+            if not local:
+                continue  # non-QName predicate: dropped (builder.rs:15-31)
+            tag = f"{ns_prefix(ns)}:{local}" if ns else local
+            o, kind = r["o_value"], r["o_kind"]
+            if kind == model.NAMED:
+                lines.append(f'    <{tag} rdf:resource="{_xml_escape(o)}"/>')
+            elif kind == model.BLANK:
+                lines.append(f'    <{tag} rdf:nodeID="{_xml_escape(o.removeprefix("_:"))}"/>')
+            elif kind == model.LANG_LITERAL:
+                lines.append(
+                    f'    <{tag} xml:lang="{_xml_escape(r["o_lang"])}">{_xml_escape(o)}</{tag}>'
+                )
+            elif kind == model.TYPED_LITERAL:
+                lines.append(
+                    f'    <{tag} rdf:datatype="{_xml_escape(r["o_datatype"])}">'
+                    f"{_xml_escape(o)}</{tag}>"
+                )
+            else:
+                lines.append(f"    <{tag}>{_xml_escape(o)}</{tag}>")
+        lines.append("  </rdf:Description>")
+        body_parts.append("\n".join(lines))
+
+    ns_decls = " ".join(
+        [f'xmlns:rdf="{RDF_NS}"'] + [f'xmlns:{pfx}="{_xml_escape(ns)}"' for ns, pfx in ns_map.items()]
+    )
+    doc = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        + f"<rdf:RDF {ns_decls}>\n"
+        + "\n".join(body_parts)
+        + "\n</rdf:RDF>\n"
+    )
+    return doc.encode("utf-8")

@@ -1,0 +1,171 @@
+"""TripleStore — the reference's ``Graph`` type re-expressed on DataFrames.
+
+Reference surface (src/datastore/graph.rs) → here:
+
+| reference                                   | TripleStore                  |
+|---------------------------------------------|------------------------------|
+| ``Graph::new()`` (graph.rs:43-53, S1)       | ``TripleStore.empty(spark)`` |
+| ``Graph::from_rdf`` (graph.rs:223-330, S2)  | ``from_rdf`` (distributed)   |
+| ``Graph::from_backup`` (graph.rs:54-222,S5) | ``from_backup`` (parquet)    |
+| ``persist_to`` (graph.rs:630-695, S6)       | ``persist_to`` (parquet, partitioned by p) |
+| ``iter``/``into_iter`` (graph.rs:696+, S7)  | ``iter_triples`` (toLocalIterator) |
+| ``to_rdf`` (graph.rs:707-712, S8)           | ``to_rdf``                   |
+| ``insert_triple`` (graph.rs:414-509, D1)    | ``insert`` (bulk, union+dedup) |
+| ``remove_triple`` (graph.rs:510-629, D2)    | ``remove`` (bulk, anti-join) |
+| ``get`` (graph.rs:333-413, Q2)              | ``get`` / ``select_join``    |
+| ``get_from_triple`` (graph.rs:842-853, Q3)  | ``pattern``                  |
+| ``footprint`` (graph.rs:1010-1027, Q13)     | ``stats``                    |
+
+Design deltas (immutability replaces mutation — SURVEY §1.4):
+
+- DML returns a NEW TripleStore snapshot; the reference's tombstone/grow
+  machinery (graph.rs:418-460, 560-626) has no analogue because there is no
+  shared integer id space to garbage-collect.
+- Set semantics are value-level: dedup on the full 7-column identity
+  (the reference's "one bit per triple", graph.rs:505-508).
+- Persistence partitions by predicate — the same vertical partitioning as
+  the reference's per-predicate K2Tree slices (graph.rs:36), giving
+  partition pruning for bound-predicate patterns. Low-cardinality predicate
+  columns (~10-60 distinct in RDF corpora) keep the file count sane at any
+  scale; within a predicate, files split by size normally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from rippledb_spark import model
+from rippledb_spark.operators.triple_patterns import pattern_filter
+from rippledb_spark.plans import bgp
+from rippledb_spark.plans.sparql import Sparql
+from rippledb_spark.sources import rdfio
+
+TripleLike = tuple | list
+
+
+def _normalize_rows(rows: Iterable[TripleLike]) -> list[tuple]:
+    """Accept (s, p, o) shorthand — lifted to Named nodes exactly like
+    ``triple_into_rdf`` (src/lib.rs:17-19) — or full 7-tuples."""
+    out = []
+    for r in rows:
+        r = tuple(r)
+        if len(r) == 3:
+            out.append(model.triple_row(r[0], r[1], r[2]))
+        elif len(r) == 7:
+            out.append(r)
+        else:
+            raise ValueError(f"row must have 3 or 7 fields, got {len(r)}")
+    return out
+
+
+class TripleStore:
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        missing = [c for c in model.TRIPLE_KEY if c not in df.columns]
+        if missing:
+            raise ValueError(f"triples DataFrame missing columns {missing}")
+        self.spark = spark
+        self.df = df.select(*model.TRIPLE_KEY)
+
+    # -- constructors (S1, S2, S5) ------------------------------------------
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "TripleStore":
+        return cls(spark, spark.createDataFrame([], model.TRIPLES_SCHEMA))
+
+    @classmethod
+    def from_df(cls, spark: SparkSession, df: DataFrame) -> "TripleStore":
+        return cls(spark, df.dropDuplicates(model.TRIPLE_KEY))
+
+    @classmethod
+    def from_rows(cls, spark: SparkSession, rows: Iterable[TripleLike]) -> "TripleStore":
+        df = spark.createDataFrame(_normalize_rows(rows), model.TRIPLES_SCHEMA)
+        return cls.from_df(spark, df)
+
+    @classmethod
+    def from_rdf(cls, spark: SparkSession, path: str) -> "TripleStore":
+        """Bulk load RDF/XML file/dir/glob (S2). Distributed per file."""
+        return cls.from_df(spark, rdfio.read_rdfxml(spark, path))
+
+    @classmethod
+    def from_ntriples(cls, spark: SparkSession, path: str) -> "TripleStore":
+        return cls.from_df(spark, rdfio.read_ntriples(spark, path))
+
+    @classmethod
+    def from_backup(cls, spark: SparkSession, path: str) -> "TripleStore":
+        """Restore a persisted store (S5)."""
+        return cls(spark, spark.read.parquet(path).select(*model.TRIPLE_KEY))
+
+    # -- persistence (S6) ---------------------------------------------------
+
+    def persist_to(self, path: str) -> None:
+        """Write partitioned-by-predicate parquet (S6); overwrite like the
+        reference's wipe-and-rewrite (graph.rs:665-680)."""
+        self.df.write.mode("overwrite").partitionBy("p").parquet(path)
+
+    # -- DML (D1, D2) -------------------------------------------------------
+
+    def insert(self, rows: Iterable[TripleLike] | DataFrame) -> "TripleStore":
+        """Bulk idempotent insert (D1): union + set-dedup, new snapshot."""
+        new_df = rows if isinstance(rows, DataFrame) else self.spark.createDataFrame(
+            _normalize_rows(rows), model.TRIPLES_SCHEMA
+        )
+        merged = self.df.unionByName(new_df.select(*model.TRIPLE_KEY)).dropDuplicates(
+            model.TRIPLE_KEY
+        )
+        return TripleStore(self.spark, merged)
+
+    def remove(self, rows: Iterable[TripleLike] | DataFrame) -> "TripleStore":
+        """Bulk delete (D2): null-safe anti-join; missing triples are a
+        no-op exactly like graph.rs:513-523."""
+        del_df = rows if isinstance(rows, DataFrame) else self.spark.createDataFrame(
+            _normalize_rows(rows), model.TRIPLES_SCHEMA
+        )
+        # Rename the delete side so a delete set derived from this very store
+        # (a self-join lineage) resolves unambiguously.
+        del_df = del_df.select(*model.TRIPLE_KEY).toDF(
+            *[f"__del_{c}" for c in model.TRIPLE_KEY]
+        )
+        cond = None
+        for c in model.TRIPLE_KEY:
+            eq = F.col(c).eqNullSafe(F.col(f"__del_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        remaining = self.df.join(F.broadcast(del_df), on=cond, how="left_anti")
+        return TripleStore(self.spark, remaining)
+
+    # -- query (Q2-Q12) -----------------------------------------------------
+
+    def pattern(self, s: str | None, p: str | None, o: str | None) -> DataFrame:
+        """One triple pattern — all 8 access paths (Q3-Q11)."""
+        return pattern_filter(self.df, s, p, o)
+
+    def get(self, query: Sparql) -> DataFrame:
+        """Reference-exact conjunctive query (Q2; graph.rs:333-413)."""
+        return bgp.get(self.df, query)
+
+    def select_join(self, query: Sparql) -> DataFrame:
+        """Multi-variable BGP superset (SURVEY §4.2)."""
+        return bgp.select_join(self.df, query)
+
+    # -- iteration / export (S7, S8) ----------------------------------------
+
+    def iter_triples(self) -> Iterator[Row]:
+        """Streaming iterator over all triples (S7) — does not materialize
+        the whole store on the driver."""
+        return self.df.toLocalIterator()
+
+    def to_rdf(self) -> bytes:
+        """RDF/XML export (S8)."""
+        return rdfio.to_rdfxml(self.df)
+
+    # -- stats (Q13 analogue) -----------------------------------------------
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def stats(self) -> DataFrame:
+        """Per-predicate triple counts — the observable analogue of
+        ``footprint`` (graph.rs:1010-1027): one row per 'slice'."""
+        return self.df.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples")).orderBy("p")
