@@ -79,16 +79,38 @@ def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """K minhash values: min over shingles of xxhash64(seed_i, shingle).
+# Universal-hash family h_i(x) = (a_i*x + b_i) mod P over x = xxhash64
+# folded into [0, P). P < 2^31 keeps a_i*x + b_i under 2^62 — no overflow
+# under ANSI mode (ON by default in Spark 4, where overflow throws).
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime
 
-    Prepending the literal seed column makes xxhash64 a distinct hash per
-    row of the signature — no UDF, fully codegen'd.
+
+def _perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs — fixed LCG, so signatures are stable
+    across sessions/partitions with no driver-side RNG state."""
+    params, x = [], 0x5DEECE66D
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (_MINHASH_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % _MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def minhash_signature_agg(inv: DataFrame, num_hashes: int) -> DataFrame:
+    """(__id, __h) exploded shingle hashes → one row per doc with columns
+    m0..m{K-1} = min over shingles of (a_i*h + b_i) mod P.
+
+    ONE string hash per shingle + K cheap modular mults folded into a
+    single hash-aggregate (map-side partial combine) — versus K full string
+    hashes per shingle, which dominated runtime at corpus scale.
     """
-    def seeded_min(seed: int) -> Column:
-        return F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(F.lit(seed), s)))
-
-    return F.array(*[seeded_min(i) for i in range(num_hashes)])
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_MINHASH_P))).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_hashes))
+    ]
+    return inv.groupBy("__id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -104,18 +126,27 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
 
-    Scale shape: docs → (bands) rows each → shuffle on (band, band_hash)
-    buckets → pairs only within buckets → verified by a shingle-overlap
-    join restricted to candidate pairs. Nothing is ever O(n²) globally.
+    Scale shape: docs → exploded shingles → ONE xxhash64 per shingle →
+    K modular permutations folded in one hash-agg → B band buckets →
+    candidate pairs only within buckets → exact-Jaccard verify on the
+    candidates. Nothing is ever O(n²) globally.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(content_col, shingle_n).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
-    sig = base.select(
-        "__id", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    # The shingle set feeds three consumers (signature build + both sides of
+    # the verify join) — persist it once instead of re-tokenizing the corpus
+    # three times. MEMORY_AND_DISK: spills instead of OOMing at scale.
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingles(content_col, shingle_n).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .persist()
     )
+    inv = base.select("__id", F.explode("__sh").alias("__shingle")).withColumn(
+        "__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MINHASH_P))
+    )
+    sig = minhash_signature_agg(inv, num_hashes)
 
     band_rows = sig.select(
         "__id",
@@ -125,7 +156,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -89,6 +89,30 @@ def _tagged(prefix: str, col: str):
     return F.concat(F.lit(prefix + ":"), F.col(col).cast("string"))
 
 
+def _edges(df: DataFrame, subj, edges: list[tuple]) -> DataFrame:
+    """ONE scan → N triples per row: inline array of (p, o_value, o_kind)
+    structs, exploded. At 100 TB this reads each source table once instead
+    of once per predicate (the union-of-scans formulation costs N scans)."""
+    structs = [
+        F.struct(
+            F.lit(pred).alias("p"), oc.alias("o_value"), F.lit(kind).alias("o_kind")
+        )
+        for pred, oc, kind in edges
+    ]
+    null_s = F.lit(None).cast("string")
+    return df.select(
+        subj.alias("s"), F.explode(F.array(*structs)).alias("e")
+    ).select(
+        "s",
+        F.lit("named").alias("s_kind"),
+        F.col("e.p").alias("p"),
+        F.col("e.o_value").alias("o_value"),
+        F.col("e.o_kind").alias("o_kind"),
+        null_s.alias("o_lang"),
+        null_s.alias("o_datatype"),
+    )
+
+
 def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of TRIPLES_CTE. Rows are unique by construction
     (the one multi-edge source, lineitem, is deduped in-branch)."""
@@ -98,44 +122,43 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
 
-    null_s = F.lit(None).cast("string")
-
-    def t(sc, pred, oc, o_kind="named"):
-        return (
-            sc.alias("s"),
-            F.lit("named").alias("s_kind"),
-            F.lit(pred).alias("p"),
-            oc.alias("o_value"),
-            F.lit(o_kind).alias("o_kind"),
-            null_s.alias("o_lang"),
-            null_s.alias("o_datatype"),
-        )
-
     parts = [
-        o.select(*t(_tagged("order", "o_orderkey"), "placed_by", _tagged("customer", "o_custkey"))),
-        o.select(*t(_tagged("order", "o_orderkey"), "has_status", F.col("o_orderstatus"), "literal")),
-        o.select(
-            *t(
-                _tagged("order", "o_orderkey"),
-                "has_priority",
-                F.concat(F.lit("priority:"), F.col("o_orderpriority")),
-            )
+        _edges(
+            o,
+            _tagged("order", "o_orderkey"),
+            [
+                ("placed_by", _tagged("customer", "o_custkey"), "named"),
+                ("has_status", F.col("o_orderstatus"), "literal"),
+                ("has_priority", F.concat(F.lit("priority:"), F.col("o_orderpriority")), "named"),
+            ],
         ),
-        l.select(
-            *t(_tagged("order", "l_orderkey"), "contains_part", _tagged("part", "l_partkey"))
+        _edges(
+            l,
+            _tagged("order", "l_orderkey"),
+            [("contains_part", _tagged("part", "l_partkey"), "named")],
         ).distinct(),
-        c.select(*t(_tagged("customer", "c_custkey"), "in_nation", _tagged("nation", "c_nationkey"))),
-        c.select(
-            *t(
-                _tagged("customer", "c_custkey"),
-                "in_segment",
-                F.concat(F.lit("segment:"), F.col("c_mktsegment")),
-            )
+        _edges(
+            c,
+            _tagged("customer", "c_custkey"),
+            [
+                ("in_nation", _tagged("nation", "c_nationkey"), "named"),
+                ("in_segment", F.concat(F.lit("segment:"), F.col("c_mktsegment")), "named"),
+                ("has_name", F.col("c_name"), "literal"),
+            ],
         ),
-        c.select(*t(_tagged("customer", "c_custkey"), "has_name", F.col("c_name"), "literal")),
-        s.select(*t(_tagged("supplier", "s_suppkey"), "in_nation", _tagged("nation", "s_nationkey"))),
-        n.select(*t(_tagged("nation", "n_nationkey"), "in_region", _tagged("region", "n_regionkey"))),
-        n.select(*t(_tagged("nation", "n_nationkey"), "has_name", F.col("n_name"), "literal")),
+        _edges(
+            s,
+            _tagged("supplier", "s_suppkey"),
+            [("in_nation", _tagged("nation", "s_nationkey"), "named")],
+        ),
+        _edges(
+            n,
+            _tagged("nation", "n_nationkey"),
+            [
+                ("in_region", _tagged("region", "n_regionkey"), "named"),
+                ("has_name", F.col("n_name"), "literal"),
+            ],
+        ),
     ]
     acc = parts[0]
     for pdf in parts[1:]:
@@ -143,9 +166,23 @@ def derive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc
 
 
+_STORE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _store(spark: SparkSession, sf_dir: str) -> TripleStore:
-    # Derivation is already duplicate-free → plain constructor, no dedup shuffle.
-    return TripleStore(spark, derive_triples(spark, sf_dir))
+    """Cached, persisted triples graph per (session, sf_dir).
+
+    The reference's query path runs against an already-loaded in-memory
+    graph (Graph::get on a built store, graph.rs:333); re-deriving the
+    graph inside every query would charge load cost to query time. The
+    first query pays derivation + persist; the rest query the cached
+    store — the same lifecycle as the reference. Derivation is already
+    duplicate-free → plain constructor, no dedup shuffle.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _STORE_CACHE:
+        _STORE_CACHE[key] = derive_triples(spark, sf_dir).persist()
+    return TripleStore(spark, _STORE_CACHE[key])
 
 
 # ---------------------------------------------------------------------------

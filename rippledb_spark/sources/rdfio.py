@@ -234,8 +234,12 @@ def _xml_escape(s: str) -> str:
     )
 
 
+_NCNAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+
 def _split_iri(iri: str) -> tuple[str, str]:
-    """IRI → (namespace, local) at the last #, / or :."""
+    """IRI → (namespace, local) at the last #, / or :; local must be a valid
+    XML NCName or the caller drops the triple (builder.rs:15-31 analogue)."""
     for sep in ("#", "/"):
         idx = iri.rfind(sep)
         if 0 < idx < len(iri) - 1:
@@ -281,7 +285,7 @@ def to_rdfxml(triples: DataFrame) -> bytes:
         lines = [f"  <rdf:Description {attr}>"]
         for r in sorted(props, key=lambda r: (r["p"], r["o_value"])):
             ns, local = _split_iri(r["p"])
-            if not local:
+            if not _NCNAME.match(local):
                 continue  # non-QName predicate: dropped (builder.rs:15-31)
             tag = f"{ns_prefix(ns)}:{local}" if ns else local
             o, kind = r["o_value"], r["o_kind"]

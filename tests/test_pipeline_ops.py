@@ -1,0 +1,182 @@
+"""Dedup / similarity / text / multimodal operator tests on planted fixtures
+(the oracle gate covers the real tables; these verify operator semantics on
+controlled inputs where the right answer is known by construction)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+import pyspark.sql.functions as F
+
+from rippledb_spark.functions import text as TX
+from rippledb_spark.operators import dedup as DD
+from rippledb_spark.operators import multimodal as MM
+from rippledb_spark.operators import similarity as SIM
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup of 1
+    (4, "completely different text about spark query engines and shuffles here"),
+    (5, "der schnelle braune fuchs und die faule katze und das haus ist hier"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    kept = sorted(r["doc_id"] for r in DD.exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [1, 3, 4, 5]  # doc 2 removed, doc 1 (lower id) kept
+
+
+def test_shingles_expression(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b")], ["id", "t"])
+    out = {r["id"]: r["sh"] for r in df.select("id", DD.shingles("t", 3).alias("sh")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []  # shorter than n tokens
+
+
+def test_ngram_jaccard_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0  # near dup
+    assert (2, 3) in pairs
+    assert not any(4 in k or 5 in k for k in pairs)
+
+
+def test_minhash_lsh_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=16, jaccard_threshold=0.3
+        ).collect()
+    }
+    # exact dup always collides in every band; near-dup with 16 bands of 2
+    # rows collides w.h.p. at J≈0.85
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert not any(4 in k or 5 in k for k in pairs)
+
+
+def test_simhash_identical_zero_distance(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_pairs(docs, "text", "doc_id", max_hamming=20, block_bits=4).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical signature
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 20
+
+
+def test_brute_force_topk_self_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = [(r["vec_id"], r["cos_sim"]) for r in SIM.brute_force_topk(e, q, k=3).collect()]
+    assert got[0] == (0, 1.0)  # self is most similar
+    assert got[1][0] == 1
+    assert got[2][0] == 2
+    # anti-parallel excluded from top-3? it's rank 4 of 4 → not present
+    assert all(vid != 3 for vid, _ in got)
+
+
+def test_lsh_same_bucket_for_identical(spark):
+    rows = [(i, [float(i % 3), 1.0, 0.5, 0.25]) for i in range(6)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = [r["vec_id"] for r in SIM.lsh_topk(e, q, k=10, n_planes=4, dim=4).collect()]
+    # identical vectors (0 and 3) share every sign bit → same bucket
+    assert 0 in got and 3 in got
+
+
+def test_blocked_top1(spark):
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.99, 0.01]),
+        (2, 0, [0.0, 1.0]),
+        (10, 1, [1.0, 1.0]),
+        (11, 1, [-1.0, -1.0]),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    top = {r["id_a"]: r["id_b"] for r in SIM.blocked_top1_pairs(e).collect()}
+    assert top[0] == 1 and top[1] == 0
+    assert top[10] == 11  # only candidate in block 1
+
+
+# -- text functions ---------------------------------------------------------
+
+
+def test_token_and_stopword_counts(spark):
+    df = spark.createDataFrame([("the cat is on the mat",)], ["text"])
+    row = df.select(
+        TX.token_count("text").alias("nt"),
+        TX.stopword_count("text").alias("ns"),
+        TX.punct_count("text").alias("np"),
+    ).collect()[0]
+    assert row["nt"] == 6
+    assert row["ns"] == 4  # the, is, on, the
+    assert row["np"] == 0
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("good long informative sentence with many content words here",),
+         ("the the the a a a of of of",)],
+        ["text"],
+    )
+    scores = [r[0] for r in df.select(TX.quality_score("text")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[0] > scores[1]  # all-stopword text scores lower
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist hier"),
+            (3, "el gato y la casa es de madera"),
+            (4, "le chat et les maisons est une belle"),
+            (5, "中文文本"),
+            (6, "xyzzy plugh qwerty"),
+        ],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["g"] for r in df.select("id", TX.lang_guess("text").alias("g")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "fr"
+    assert got[5] == "zh"
+    assert got[6] == "und"
+
+
+def test_fingerprint_is_md5(spark):
+    df = spark.createDataFrame([("abc",)], ["text"])
+    assert df.select(TX.fingerprint("text")).collect()[0][0] == hashlib.md5(b"abc").hexdigest()
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark, docs):
+    media = MM.synthesize_media(docs, "text", "doc_id")
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert len(feats) == len(DOCS)
+    for doc_id, text in DOCS:
+        r = feats[doc_id]
+        assert r["n_bytes"] == len(text.encode())
+        assert r["checksum"] == hashlib.md5(text.encode()).hexdigest()
+        assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
+        assert r["media_type"] == ("image/png" if doc_id % 2 == 0 else "audio/wav")

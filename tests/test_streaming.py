@@ -1,0 +1,100 @@
+"""Live Structured Streaming: file source → memory sink, checked against
+the batch twins (queries/streaming_batch.py are the oracle-checked forms;
+here we prove the STREAMING plans produce the same answers)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+import pyspark.sql.functions as F
+
+from rippledb_spark.streaming import windows as SW
+
+EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+    (2, "2024-01-01 10:20:00", 1, "click", 2.0, "{}"),
+    (3, "2024-01-01 10:40:00", 1, "view", 3.0, "{}"),
+    (4, "2024-01-01 11:30:00", 1, "click", 4.0, "{}"),  # >30min gap → new session
+    (5, "2024-01-01 10:10:00", 2, "view", 5.0, "{}"),
+    (6, "2024-01-01 12:00:00", 2, "view", 6.0, "{}"),
+    (7, "2024-01-01 10:20:00", 1, "click", 7.0, "{}"),  # dup key (user1, click)
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    rows = [
+        {"event_id": e, "ts": ts, "user_id": u, "event_type": t, "value": v, "props": p}
+        for e, ts, u, t, v, p in EVENTS
+    ]
+    (d / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return str(d)
+
+
+def _run_stream(spark, df, name: str, mode: str = "complete"):
+    # append-mode windows only emit after the watermark passes their end,
+    # which never happens in a single availableNow batch — aggregation
+    # tests read the full state via complete mode instead. (The watermark
+    # still bounds state in production continuous runs.)
+    q = df.writeStream.format("memory").queryName(name).outputMode(mode).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _read_stream(spark, stream_dir):
+    return (
+        spark.readStream.schema(SW.EVENTS_DDL)
+        .json(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_tumbling_stream_matches_batch(spark, stream_dir):
+    out = _run_stream(
+        spark, SW.tumbling_counts(_read_stream(spark, stream_dir)), "t_tumble"
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    assert got[("2024-01-01 10:00:00", "click")] == (3, 10.0)
+    assert got[("2024-01-01 10:00:00", "view")] == (2, 8.0)
+    assert got[("2024-01-01 11:00:00", "click")] == (1, 4.0)
+    assert got[("2024-01-01 12:00:00", "view")] == (1, 6.0)
+
+
+def test_session_window_stream(spark, stream_dir):
+    out = _run_stream(
+        spark, SW.session_counts(_read_stream(spark, stream_dir), gap="30 minutes"), "t_sess"
+    )
+    rows = [(r["user_id"], r["n_events"]) for r in out.collect()]
+    # user 1: events at 10:05-10:40 chain (gaps ≤30m) = one session of 4
+    # (incl. the dup), then 11:30 alone; user 2: two singleton sessions
+    assert sorted(rows) == [(1, 1), (1, 4), (2, 1), (2, 1)]
+
+
+def test_stream_dedup_within_watermark(spark, stream_dir):
+    out = _run_stream(
+        spark,
+        SW.dedup_within_watermark(_read_stream(spark, stream_dir)).select(
+            "user_id", "event_type"
+        ),
+        "t_dedup",
+        mode="append",
+    )
+    rows = sorted((r["user_id"], r["event_type"]) for r in out.collect())
+    # one row per (user_id, event_type) key
+    assert rows == [(1, "click"), (1, "view"), (2, "view")]
+
+
+def test_sliding_stream_total(spark, stream_dir):
+    out = _run_stream(
+        spark, SW.sliding_counts(_read_stream(spark, stream_dir)), "t_slide"
+    )
+    # every event appears in exactly 2 sliding windows
+    assert sum(r["n_events"] for r in out.collect()) == 2 * len(EVENTS)
