@@ -1,0 +1,90 @@
+"""As-of join: for each left row, the most recent right row with the same
+key and right_ts <= left_ts (backward-looking temporal join).
+
+Spark has no native ASOF JOIN (DuckDB does). The naive formulation —
+range-condition join then per-left-row max — explodes to O(|L|·|R|) pairs
+per key before pruning. This implementation is the scale-correct one:
+
+    union(tag L/R) → ONE shuffle on the key → per-key sort by (ts, tag) →
+    last_value(right attrs, ignorenulls) over rows-unbounded-preceding →
+    keep L rows.
+
+Cost is a single hash partition + per-partition sort — identical shape to
+any windowed aggregation, no pair blow-up, no skew amplification beyond
+what the key distribution already has. This mirrors how streaming systems
+implement temporal joins (sorted merge per key).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join (right_ts <= left_ts, latest wins).
+
+    Returns every LEFT row with ``{col}{suffix}`` columns holding the
+    matched right row's values (null when no right row precedes it).
+    Ties on timestamp resolve to the right row (tag order sorts right
+    rows first at equal ts, so an equal-ts right row IS visible to the
+    left row — the conventional `<=` asof semantics).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c) for c in right_cols],
+    )
+    # align schemas for the union: left gets null right-cols, right gets
+    # null left-cols
+    for c in right_cols:
+        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(rt.schema[c].dataType))
+    rt_aligned = rt.select(
+        on,
+        "__ts",
+        "__tag",
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    left_cols = [c for c in left.columns]
+    lt_aligned = lt.select(
+        on if on in left_cols else F.col(on),
+        "__ts",
+        "__tag",
+        *[F.col(f"__r_{c}") for c in right_cols],
+        *[F.col(c) for c in left_cols if c != on],
+    )
+    # pad right side with null left columns
+    for c in left_cols:
+        if c == on:
+            continue
+        rt_aligned = rt_aligned.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+
+    unioned = lt_aligned.unionByName(rt_aligned)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__tag") == 1).select(
+        *left_cols, *[f"{c}{suffix}" for c in right_cols]
+    )

@@ -1,0 +1,277 @@
+"""Advanced join / reshaping / UDF-surface queries (engine tier, part 2):
+as-of join, range (non-equi) join, outer joins, pivot, pandas-UDAF, approx
+distinct. Complements queries/relational.py."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from rippledb_spark.operators.asof import asof_join
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "asof_error_to_click",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '{_FMT_DUCK}')  AS error_ts,
+           c.event_id                      AS click_id_asof,
+           ROUND(c.value, 4)               AS click_value_asof
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+)
+def asof_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: for each error event, the user's most recent click at or
+    before it. Spark lacks the operator; rippledb_spark.operators.asof
+    implements it as union→single-shuffle→window (no pair blow-up) —
+    DuckDB's native ASOF JOIN is the oracle."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.round("value", 4).alias("click_value")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    clicks = clicks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id", "click_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT_SPARK).alias("error_ts"),
+        F.col("click_id_asof"),
+        F.col("click_value_asof"),
+    ).orderBy("event_id")
+
+
+@query(
+    "range_join_quantity_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('tiny', 0.0, 10.0), ('small', 10.0, 20.0), ('medium', 20.0, 35.0), ('large', 35.0, 51.0))
+    SELECT band,
+           COUNT(*)                      AS n_items,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny in-plan band dimension —
+    broadcast nested-loop on 4 rows, i.e. O(|fact|·4) predicate evals with
+    zero shuffle of the fact side. (A large band table would instead be
+    bucketized to an equi-join on a computed band key.)"""
+    l = load(spark, sf_dir, "lineitem")
+    bands = F.broadcast(
+        load(spark, sf_dir, "region").sparkSession.createDataFrame(
+            [("tiny", 0.0, 10.0), ("small", 10.0, 20.0), ("medium", 20.0, 35.0), ("large", 35.0, 51.0)],
+            ["band", "lo", "hi"],
+        )
+    )
+    return (
+        l.join(bands, (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "left_outer_customer_orders_1996",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(n_orders, 0)        AS n_orders,
+           ROUND(COALESCE(spent, 0), 2) AS spent
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders, SUM(o_totalprice) AS spent
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY o_custkey
+    ) o ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def left_outer_customer_orders_1996(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with no 1996 orders (agg-first:
+    the join input is one row per customer, not one per order)."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("spent"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .select(
+            "c_custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("spent", F.lit(0.0)), 2).alias("spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "full_outer_nation_activity",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cust.nk, supp.nk)  AS nationkey,
+           COALESCE(n_cust, 0)         AS n_customers,
+           COALESCE(n_supp, 0)         AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (nations may have customers but no
+    suppliers or vice versa)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.snk, "full_outer")
+        .select(
+            F.coalesce("nk", "snk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (explicit value list → single-pass conditional aggregation;
+    an unlisted pivot would need a distinct-values pre-pass)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "udaf_weighted_avg_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udaf_weighted_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF surface: quantity-weighted average price per return flag as an
+    Arrow-batched applyInPandas aggregation (grouped-map, one row out per
+    group). The equivalent built-in expression exists — the point is the
+    exercised custom-aggregate path for logic Spark can't express."""
+    import pandas as pd
+
+    l = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice", "l_quantity")
+
+    def wavg(pdf: pd.DataFrame) -> pd.DataFrame:
+        num = (pdf["l_extendedprice"] * pdf["l_quantity"]).sum()
+        den = pdf["l_quantity"].sum()
+        return pd.DataFrame(
+            {"l_returnflag": [pdf["l_returnflag"].iloc[0]], "weighted_avg_price": [round(num / den, 4)]}
+        )
+
+    return (
+        l.groupBy("l_returnflag")
+        .applyInPandas(wavg, schema="l_returnflag string, weighted_avg_price double")
+        .orderBy("l_returnflag")
+    )
+
+
+@query("approx_distinct_parts")  # HLL sketch ≠ exact oracle: rows-only check
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per brand — the sketch tier for
+    100 TB cardinality estimation (exact distinct shuffles every value; the
+    sketch shuffles fixed-size registers)."""
+    p = load(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.approx_count_distinct("p_type", 0.02).alias("approx_types"),
+            F.approx_count_distinct("p_partkey", 0.02).alias("approx_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY returnflag, linestatus
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube shapes)."""
+    from rippledb_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY returnflag, linestatus
+        """
+    )

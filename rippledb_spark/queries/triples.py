@@ -445,3 +445,51 @@ def dml_insert_remove_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("meta:engine", "named", "meta:name", "rippledb_spark", "literal", None, None)]
     )
     return st3.stats()
+
+
+@query(
+    "bgp_o_scan",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT s, p FROM triples WHERE o_value = 'region:0' AND o_kind = 'named'
+    ORDER BY s, p
+    """,
+)
+def bgp_o_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(?, ?, o) access path (graph.rs:930-949): every edge INTO one node —
+    a row scan across all predicate 'slices'."""
+    st = _store(spark, sf_dir)
+    return st.pattern(None, None, "region:0").select("s", "p").orderBy("s", "p")
+
+
+@query(
+    "bgp_s_o_predicates",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT p FROM triples
+    WHERE s = 'customer:1' AND o_value = 'segment:BUILDING' AND o_kind = 'named'
+    ORDER BY p
+    """,
+)
+def bgp_s_o_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, ?, o) access path (graph.rs:892-909): which predicates connect
+    two given nodes — the reference probes every slice's bit (s_id, o_id)."""
+    st = _store(spark, sf_dir)
+    return st.pattern("customer:1", None, "segment:BUILDING").select("p").orderBy("p")
+
+
+@query(
+    "bgp_spo_point",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT TRUE AS ask WHERE EXISTS (
+      SELECT 1 FROM triples
+      WHERE s = 'customer:1' AND p = 'in_nation' AND o_value = 'nation:0'
+        AND o_kind = 'named')
+    """,
+)
+def bgp_spo_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, p, o) point lookup (graph.rs:854-871): single bit test →
+    ASK-style 0/1 rows."""
+    st = _store(spark, sf_dir)
+    return st.get(Sparql().filter([["customer:1", "in_nation", "nation:0"]]))

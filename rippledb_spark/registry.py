@@ -66,6 +66,7 @@ def _load_query_modules() -> None:
     if _LOADED:
         return
     import rippledb_spark.queries.relational  # noqa: F401
+    import rippledb_spark.queries.relational2  # noqa: F401
     import rippledb_spark.queries.triples  # noqa: F401
     import rippledb_spark.queries.pipeline  # noqa: F401
     import rippledb_spark.queries.streaming_batch  # noqa: F401

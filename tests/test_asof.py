@@ -1,0 +1,53 @@
+"""As-of join operator semantics on a hand-checkable fixture."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from rippledb_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_latest_wins(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 100, _ts("2024-01-01 10:30:00")),
+            (2, 100, _ts("2024-01-01 11:30:00")),
+            (3, 200, _ts("2024-01-01 10:00:00")),  # no prior right row
+            (4, 100, _ts("2024-01-01 10:00:00")),  # exactly equal ts → match
+        ],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:00:00"), "a"),
+            (100, _ts("2024-01-01 11:00:00"), "b"),
+            (200, _ts("2024-01-01 12:00:00"), "c"),  # after left row 3
+        ],
+        ["key", "ts", "val"],
+    )
+    out = {
+        r["id"]: r["val_asof"]
+        for r in asof_join(left, right, on="key", left_ts="ts", right_ts="ts").collect()
+    }
+    assert out[1] == "a"  # 10:30 sees 10:00
+    assert out[2] == "b"  # 11:30 sees 11:00 (latest wins)
+    assert out[3] is None  # nothing at or before 10:00 for key 200
+    assert out[4] == "a"  # equal timestamps match (<= semantics)
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left = spark.createDataFrame(
+        [(i, i % 3, _ts("2024-01-01 10:00:00")) for i in range(30)],
+        ["id", "key", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(0, _ts("2024-01-01 09:00:00"), 1.5)], ["key", "ts", "v"]
+    )
+    out = asof_join(left, right, on="key", left_ts="ts", right_ts="ts")
+    assert out.count() == 30
+    matched = out.filter(out.v_asof.isNotNull()).count()
+    assert matched == 10  # only key 0 rows

@@ -98,3 +98,15 @@ def test_sliding_stream_total(spark, stream_dir):
     )
     # every event appears in exactly 2 sliding windows
     assert sum(r["n_events"] for r in out.collect()) == 2 * len(EVENTS)
+
+
+def test_stateful_running_user_stats(spark, stream_dir):
+    from rippledb_spark.streaming.stateful import running_user_stats
+
+    out = _run_stream(
+        spark, running_user_stats(_read_stream(spark, stream_dir)), "t_state", mode="update"
+    )
+    # update mode with one batch: final state per user
+    rows = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"]) for r in out.collect()}
+    assert rows[1] == (5, 17.0, 7.0)   # events 1,2,3,4,7
+    assert rows[2] == (2, 11.0, 6.0)   # events 5,6

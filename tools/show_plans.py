@@ -1,0 +1,36 @@
+"""Print formatted physical plans for the headline queries (the source of
+docs/PLANS.md). Usage: python tools/show_plans.py [query ...]"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rippledb_spark.registry import all_queries
+from rippledb_spark.session import get_spark
+
+DEFAULT = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "bgp_get_building_in_nation0",
+    "dedup_minhash_lsh",
+    "knn_blocked_top1",
+    "asof_error_to_click",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names = sys.argv[1:] or DEFAULT
+    spark = get_spark(app_name="show_plans")
+    qs = all_queries()
+    for name in names:
+        print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
+        qs[name](spark, sf_dir).explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
