@@ -42,8 +42,12 @@ HEADLINE = [
     "knn_bruteforce_cosine",
     "knn_blocked_top1",
     "text_doc_stats",
+    "text_bpe_token_estimate",
     "sessionize_events",
     "window_tumbling_events",
+    "asof_error_to_click",
+    "graph_pagerank",
+    "udaf_weighted_avg_price",
 ]
 
 

@@ -96,6 +96,68 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    search only the ``n_probe`` clusters nearest the query.
+
+    The 100 TB shape: centroids are tiny (broadcast); the scan prunes to
+    the probed clusters' partitions when the table is stored partitioned by
+    cluster id. Training runs on a sample — the quantizer doesn't need the
+    full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = embeddings.select(array_to_vector(V.as_double_array(vec_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(train)
+    centroids = model.clusterCenters()
+
+    def nearest_clusters(vec: Column, n: int) -> Column:
+        # distance² to each centroid as literal arrays; pick n smallest ids
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centroids
+            ]
+        )
+        idx = F.array_sort(
+            F.transform(dists, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        return F.transform(F.slice(idx, 1, n), lambda s: s["i"])
+
+    e = embeddings.select(F.col(id_col), V.as_double_array(vec_col).alias("__e"))
+    e = e.withColumn("__cluster", nearest_clusters(F.col("__e"), 1)[0])
+    q = query_vec.select(V.as_double_array("q").alias("__q")).withColumn(
+        "__probe", nearest_clusters(F.col("__q"), n_probe)
+    )
+    return (
+        e.join(F.broadcast(q), F.array_contains(F.col("__probe"), F.col("__cluster")))
+        .select(
+            id_col,
+            F.round(V.cosine(F.col("__e"), F.col("__q")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def blocked_top1_pairs(
     embeddings: DataFrame,
     block_col: str = "label",

@@ -1,0 +1,89 @@
+"""Skew and co-location utilities for the 100 TB tier.
+
+AQE (`spark.sql.adaptive.skewJoin.enabled`, on in our session factory)
+splits oversized sort-merge partitions automatically at runtime — that is
+the first line of defense and needs no code. The helpers here cover what
+AQE does not:
+
+- ``salted_join``: explicit N-way salt for a shuffle join whose hot keys
+  are known to dwarf everything (AQE splits a partition, but a single
+  monster KEY still lands in one task per split boundary);
+- ``two_phase_agg``: pre-aggregate under a salt before the final combine,
+  for aggregations whose group count is tiny but per-group volume is huge
+  (partial aggregation already handles the map side; this also spreads the
+  REDUCE side);
+- ``bucketed_table``: persist with ``bucketBy`` so later equi-joins on the
+  bucket key are exchange-free (co-located) — the storage-level analogue of
+  the reference's per-predicate partitioning.
+
+Salting never changes results — only placement — so these wrappers are
+drop-in equivalents of the unsalted plans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt in [0, n_salts) from a full-row hash —
+    no RNG state, stable across retries (important for task re-execution)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side salted N ways and the RIGHT side
+    replicated N times, shuffling on (key, salt): a hot key spreads across
+    N tasks instead of one. Use when `right` is too big to broadcast and
+    `left`'s key histogram has monster keys."""
+    l_salted = left.withColumn("__salt", _salt(left, n_salts))
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = l_salted.join(r_replicated, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted two-phase sum/count: groupBy(keys+salt) partial → groupBy(keys)
+    final. ``sums`` maps value column → output alias; a __count phase pair
+    rides along as ``n_rows``."""
+    salt = _salt(df, n_salts)
+    partial = df.groupBy(*keys, salt.alias("__salt")).agg(
+        *[F.sum(c).alias(f"__p_{c}") for c in sums],
+        F.count(F.lit(1)).alias("__p_n"),
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"__p_{c}").alias(alias) for c, alias in sums.items()],
+        F.sum("__p_n").alias("n_rows"),
+    )
+
+
+def bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a bucketed (and optionally sorted) table and return
+    the re-read handle. Joins/aggregations between tables bucketed the same
+    way on the same key are EXCHANGE-FREE — the shuffle happened once at
+    write time and is amortized over every later query."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)

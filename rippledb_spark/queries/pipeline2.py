@@ -1,0 +1,213 @@
+"""Pipeline queries, part 2: BPE-ish token estimation, winnowing
+fingerprints, embedding centroids, exact percentiles, SQL-subquery surface,
+range-frame windows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load, register_temp_views
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
+# standard coarse estimate of subword token count when the real tokenizer
+# isn't available. Same regex string works in Java regex and RE2.
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH}'))) AS BIGINT) AS est_tokens,
+           CAST(SUM(LENGTH(text)) AS BIGINT)                               AS n_chars,
+           ROUND(SUM(LENGTH(text)) / SUM(len(regexp_extract_all(text, '{BPE_ISH}'))), 4)
+               AS chars_per_token
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting with a BPE-ish regex tokenizer — the
+    budget-estimation pass every training-data pipeline runs."""
+    d = load(spark, sf_dir, "documents")
+    est = F.regexp_count(F.col("text"), F.lit(BPE_ISH)).cast("bigint")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(est).alias("est_tokens"),
+            F.sum(F.length("text").cast("bigint")).alias("n_chars"),
+            F.round(
+                F.sum(F.length("text").cast("bigint"))
+                / F.sum(est),
+                4,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(string_split(text, ' ')) - 2),
+                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' ')))
+               AS shingle
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 4
+    )
+    SELECT doc_id,
+           MIN(md5(shingle))                 AS winnow_min,
+           CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingles
+    FROM sh
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimal md5 over 4-token
+    rolling windows (md5 = engine-portable hash; near-dup docs share the
+    min w.h.p. — select-min is the 1-fingerprint degenerate of winnowing)."""
+    d = load(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    sh = F.expr(
+        f"transform(sequence(1, size({toks}) - 3), i -> concat_ws(' ', slice({toks}, i, 4)))"
+    )
+    return (
+        d.filter(F.expr(f"size({toks}) >= 4"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.md5("shingle")).alias("winnow_min"),
+            F.countDistinct("shingle").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS INTEGER)                     AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid
+    FROM embeddings, generate_series(1, 8) AS s(i)
+    GROUP BY label, i
+    ORDER BY label, dim
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the first 8 embedding dimensions (posexplode →
+    grouped mean — the building block of IVF coarse quantization / k-means).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "events_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (interpolating) per event type. The
+    approx tier (approx_percentile sketches) is the 100 TB path; exact is
+    the oracle-checkable one."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "scalar_subquery_parts",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_above_avg
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def scalar_subquery_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL surface (Catalyst rewrites it to a
+    broadcast of the 1-row aggregate)."""
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above_avg
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """
+    )
+
+
+@query(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window: per customer, total spend in the trailing 30
+    days (range on epoch seconds — value-based frames, not row counts)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        # parquet gives TIMESTAMP_NTZ; cast via TIMESTAMP (session is UTC,
+        # values unchanged) since NTZ→long directly is not a legal cast
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2592000, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query("knn_ivf_topk")  # k-means quantizer + probe pruning: rows-only
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k for vec_id=0: k-means coarse quantizer,
+    probe the 2 nearest clusters only (the partition-pruned scale path
+    next to brute force's exact baseline)."""
+    from rippledb_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ivf_topk(e, qv, k=10, n_clusters=8, n_probe=2)

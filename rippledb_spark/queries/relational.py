@@ -501,7 +501,7 @@ def set_ops_buyer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            UPPER(p_brand)                                   AS brand_upper,
-           LENGTH(p_name)                                   AS name_len,
+           CAST(LENGTH(p_name) AS INTEGER)                  AS name_len,
            SUBSTRING(p_type, 1, 5)                          AS type_prefix,
            CONCAT(p_brand, ':', CAST(p_size AS VARCHAR))    AS brand_size,
            ROUND(SQRT(p_retailprice), 4)                    AS price_sqrt,

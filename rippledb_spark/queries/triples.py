@@ -493,3 +493,49 @@ def bgp_spo_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASK-style 0/1 rows."""
     st = _store(spark, sf_dir)
     return st.get(Sparql().filter([["customer:1", "in_nation", "nation:0"]]))
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (engine tier — absent from the reference, SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_degrees",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    edges AS (SELECT s, o_value FROM triples WHERE o_kind = 'named'),
+    outd AS (SELECT s AS node, COUNT(*) AS out_degree FROM edges GROUP BY 1),
+    ind  AS (SELECT o_value AS node, COUNT(*) AS in_degree FROM edges GROUP BY 1)
+    SELECT COALESCE(outd.node, ind.node) AS node,
+           COALESCE(out_degree, 0) AS out_degree,
+           COALESCE(in_degree, 0)  AS in_degree
+    FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+    ORDER BY node
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality over the entity graph (named→named edges only)."""
+    from rippledb_spark.operators.graph import degrees
+
+    st = _store(spark, sf_dir)
+    return degrees(st.df).orderBy("node")
+
+
+@query("graph_pagerank")  # iterative fp accumulation: rows-only by design
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (6 iterations, d=0.85) over the order→part containment
+    graph — the iterative-DataFrame operator class (non-SQL-expressible;
+    SURVEY §2.4 engine tier)."""
+    from rippledb_spark.operators.graph import pagerank
+
+    st = _store(spark, sf_dir)
+    edges = st.pattern(None, "contains_part", None).select(
+        F.col("s").alias("src"), F.col("o_value").alias("dst")
+    )
+    return (
+        pagerank(edges, iterations=6)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(100)
+    )

@@ -11,8 +11,9 @@ def test_registry_shape():
     qs, os_ = all_queries(), all_oracles()
     assert len(qs) >= 40
     assert set(os_) <= set(qs)
-    # the vast majority must be oracle-checked, not rows-only
-    assert len(os_) >= len(qs) - 5
+    # the vast majority must be oracle-checked, not rows-only (rows-only is
+    # reserved for Spark-native-hash / iterative / sketch ops by design)
+    assert len(os_) >= len(qs) - 8
     for name, sql in os_.items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 

@@ -1,0 +1,56 @@
+"""Scale patterns: salting equivalence + bucketed co-located joins.
+
+These assert PLAN PROPERTIES (what ships to a cluster), not just values."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rippledb_spark.operators.skew import bucketed_table, salted_join, two_phase_agg
+from rippledb_spark.tables import load
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of rows share key 0 — a monster key.
+    return spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dim = spark.range(0, 2000, 10).select(F.col("id").alias("k"), F.concat(F.lit("n"), "id").alias("name"))
+    plain = skewed.join(dim, "k").select("k", "v", "name")
+    salted = salted_join(skewed, dim, on="k", n_salts=8).select("k", "v", "name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_two_phase_agg_matches_plain_agg(spark, skewed):
+    plain = {
+        (r["k"]): (r["s"], r["n"])
+        for r in skewed.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["k"]): (r["total_v"], r["n_rows"])
+        for r in two_phase_agg(skewed, ["k"], {"v": "total_v"}, n_salts=8).collect()
+    }
+    assert plain == salted
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    bo = bucketed_table(o, "b_orders", "o_orderkey", n_buckets=4)
+    bl = bucketed_table(l, "b_lineitem", "l_orderkey", n_buckets=4)
+    joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-located: no hash-partitioning exchange feeds the join
+    assert "Exchange hashpartitioning" not in plan
+    # sanity: result matches the unbucketed join
+    assert joined.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
