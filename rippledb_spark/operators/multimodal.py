@@ -58,6 +58,48 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 240, 16 + h[1] % 240
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, resize_to: int = 64) -> DataFrame:
+    """Frame sampling + resize for video payloads — 1→N row expansion via
+    mapInPandas (NOT a driver-side loop; each batch expands inside its
+    task, so a 100 TB video corpus fans out by partition).
+
+    Decode/resize are STUBBED (no codec libs in this container): "frames"
+    are deterministic byte slices and "resize" rewrites the metadata — the
+    plumbing (schema, batching, row expansion, binary handling) is the real
+    production shape; swap _decode_stub/slicing for a codec call to go live.
+    """
+    import pandas as pd
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_no", "frame_bytes", "width", "height")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                # stub "frames": 16-byte strides standing in for decoded frames
+                n_frames = max(1, len(data) // 16)
+                for frame_no in range(0, n_frames, every_n):
+                    chunk = data[frame_no * 16 : frame_no * 16 + 16]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(frame_no)
+                    out["frame_bytes"].append(chunk)
+                    out["width"].append(resize_to)
+                    out["height"].append(resize_to)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batch_fn, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

@@ -84,7 +84,36 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
     return cand
 
 
-def select_join(triples: DataFrame, query: Sparql) -> DataFrame:
+def _order_patterns(conds: list) -> list:
+    """Selectivity-guided, connectivity-aware pattern order (SURVEY §4.2 —
+    the one planning decision Catalyst can't make for us, since the fold
+    order fixes the join tree's leaves).
+
+    Heuristic: more bound positions → more selective (a (s,p,o) point beats
+    a (?,p,?) dump); start with the most selective pattern, then greedily
+    append the most selective pattern CONNECTED to the variables seen so
+    far — keeping the chain connected avoids accidental cross-joins that a
+    naive sort by selectivity alone would create."""
+
+    def selectivity(cond) -> int:
+        return sum(1 for u in cond if not isinstance(u, Var))
+
+    remaining = list(conds)
+    remaining.sort(key=selectivity, reverse=True)
+    ordered = [remaining.pop(0)]
+    seen_vars = {u.name for u in ordered[0] if isinstance(u, Var)}
+    while remaining:
+        connected = [
+            c for c in remaining if any(isinstance(u, Var) and u.name in seen_vars for u in c)
+        ]
+        nxt = connected[0] if connected else remaining[0]
+        remaining.remove(nxt)
+        ordered.append(nxt)
+        seen_vars |= {u.name for u in nxt if isinstance(u, Var)}
+    return ordered
+
+
+def select_join(triples: DataFrame, query: Sparql, optimize: bool = True) -> DataFrame:
     """Multi-variable BGP: inner equi-join chain over shared variables.
 
     Each pattern projects its variable positions to columns named after the
@@ -92,12 +121,18 @@ def select_join(triples: DataFrame, query: Sparql) -> DataFrame:
     the final projection keeps ``query.vars`` order. Patterns sharing no
     variable with the accumulated plan cross-join (rare; kept lazy so
     Catalyst can still broadcast the small side).
+
+    With ``optimize`` (default) patterns are reordered by the selectivity
+    heuristic in :func:`_order_patterns`; bag-join results are order-
+    independent, so this changes the plan, never the answer. Pass
+    optimize=False for the reference's literal textual order.
     """
     if not query.conds:
         raise ValueError("select_join requires at least one pattern")
 
+    conds = _order_patterns(query.conds) if optimize else list(query.conds)
     plans: list[DataFrame] = []
-    for cond in query.conds:
+    for cond in conds:
         ci = pattern_filter(triples, *_bounds(cond))
         vpos = _var_positions(cond)
         if not vpos:

@@ -211,3 +211,39 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return ivf_topk(e, qv, k=10, n_clusters=8, n_probe=2)
+
+
+@query(
+    "udtf_token_frequencies",
+    oracle="""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def udtf_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY §2.4: the reference has no UDF/UDAF/UDTF tier):
+    a Python table function exploding documents into tokens, consumed via
+    SQL LATERAL join. The UDTF row-multiplies inside the scan stage —
+    no driver round-trip, no collect."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string")
+    class Tokenize:
+        def eval(self, text: str):
+            for t in (text or "").split(" "):
+                yield (t,)
+
+    spark.udtf.register("tokenize", Tokenize)
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT token, COUNT(*) AS n
+        FROM documents, LATERAL tokenize(text)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+        """
+    )

@@ -180,3 +180,18 @@ def test_multimodal_feature_extraction(spark, docs):
         assert r["checksum"] == hashlib.md5(text.encode()).hexdigest()
         assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
         assert r["media_type"] == ("image/png" if doc_id % 2 == 0 else "audio/wav")
+
+
+def test_multimodal_frame_sampling(spark, docs):
+    media = MM.synthesize_media(docs, "text", "doc_id")
+    frames = MM.sample_frames(media, every_n=2, resize_to=32).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == {d[0] for d in DOCS}
+    for rows in by_media.values():
+        assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+        assert [r["frame_no"] for r in rows] == sorted(r["frame_no"] for r in rows)
+        assert all(len(r["frame_bytes"]) > 0 for r in rows)
+    # 1→N expansion really happened
+    assert len(frames) > len(DOCS)

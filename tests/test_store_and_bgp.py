@@ -249,3 +249,18 @@ def test_pattern_filter_equals_manual_filter(spark, store):
     )
     auto = pattern_filter(store.df, None, "knows", "person:carol")
     assert sorted(map(tuple, manual.collect())) == sorted(map(tuple, auto.collect()))
+
+
+def test_select_join_optimize_equivalence(store):
+    # reordering is plan-only: optimized and literal-order answers match
+    q = (
+        Sparql()
+        .select(["$a", "$c"])
+        .filter([["$a", "knows", "$b"], ["$b", "knows", "$c"],
+                 ["$a", "attended", "conf:www2011"]])
+    )
+    from rippledb_spark.plans import bgp
+
+    opt = sorted(map(tuple, bgp.select_join(store.df, q, optimize=True).collect()))
+    lit = sorted(map(tuple, bgp.select_join(store.df, q, optimize=False).collect()))
+    assert opt == lit and len(opt) > 0
