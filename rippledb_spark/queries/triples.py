@@ -522,11 +522,41 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(st.df).orderBy("node")
 
 
-@query("graph_pagerank")  # iterative fp accumulation: rows-only by design
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+                              'part:' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+    contrib_edges AS (
+      SELECT src, dst, 1.0 AS w FROM edges
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes
+    ),
+    pr AS (
+      SELECT node, CAST(1.0 AS DOUBLE) AS rank, 0 AS iter FROM nodes
+      UNION ALL
+      SELECT ce.dst,
+             0.15 + 0.85 * SUM(ce.w * p.rank / COALESCE(o.od, 1)),
+             ANY_VALUE(p.iter) + 1
+      FROM pr p
+      JOIN contrib_edges ce ON p.node = ce.src
+      LEFT JOIN outd o ON ce.src = o.src
+      WHERE p.iter < 6
+      GROUP BY ce.dst
+    )
+    SELECT node, ROUND(rank, 4) AS rank FROM pr WHERE iter = 6
+    ORDER BY rank DESC, node LIMIT 100
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (6 iterations, d=0.85) over the order→part containment
-    graph — the iterative-DataFrame operator class (non-SQL-expressible;
-    SURVEY §2.4 engine tier)."""
+    graph — the iterative-DataFrame operator class (SURVEY §2.4 engine
+    tier). Oracle: a DuckDB recursive CTE with zero-weight self-edges so
+    every node survives each iteration (contribution-less nodes keep the
+    teleport term)."""
     from rippledb_spark.operators.graph import pagerank
 
     st = _store(spark, sf_dir)
@@ -535,7 +565,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pagerank(edges, iterations=6)
-        .select("node", F.round("rank", 6).alias("rank"))
+        .select("node", F.round("rank", 4).alias("rank"))
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(100)
     )

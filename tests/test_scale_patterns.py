@@ -54,3 +54,21 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path_factory):
     assert joined.count() == o.join(l, o.o_orderkey == l.l_orderkey).count()
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_persisted_store_prunes_predicate_partitions(spark, tmp_path_factory):
+    """A bound-predicate pattern on a persisted store must read ONE
+    partition — the storage analogue of the reference's per-predicate
+    K2Tree slice selection (graph.rs:36, SURVEY §1.4)."""
+    from rippledb_spark import TripleStore
+
+    rows = [(f"s{i}", f"p{i % 5}", f"o{i}") for i in range(100)]
+    st = TripleStore.from_rows(spark, rows)
+    path = str(tmp_path_factory.mktemp("store") / "triples")
+    st.persist_to(path)
+    restored = TripleStore.from_backup(spark, path)
+    df = restored.pattern(None, "p3", None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan.replace("#", "").replace("\n", " ") or \
+           "PartitionFilters" in plan and "p3" in plan
+    assert df.count() == 20
