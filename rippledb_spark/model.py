@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
+from rippledb_spark.errors import SchemaError
+
 NAMED = "named"
 BLANK = "blank"
 LITERAL = "literal"
@@ -59,11 +61,11 @@ def triple_row(
     Named nodes by default.
     """
     if s_kind not in (NAMED, BLANK):
-        raise ValueError(f"subject kind must be named|blank, got {s_kind!r}")
+        raise SchemaError(f"subject kind must be named|blank, got {s_kind!r}")
     if o_kind not in NODE_KINDS:
-        raise ValueError(f"bad object kind {o_kind!r}")
+        raise SchemaError(f"bad object kind {o_kind!r}")
     if (o_lang is not None) != (o_kind == LANG_LITERAL):
-        raise ValueError("o_lang set iff o_kind=lang_literal")
+        raise SchemaError("o_lang set iff o_kind=lang_literal")
     if (o_datatype is not None) != (o_kind == TYPED_LITERAL):
-        raise ValueError("o_datatype set iff o_kind=typed_literal")
+        raise SchemaError("o_datatype set iff o_kind=typed_literal")
     return (s, s_kind, p, o_value, o_kind, o_lang, o_datatype)

@@ -32,6 +32,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from rippledb_spark.errors import QueryError
 from rippledb_spark.operators.triple_patterns import pattern_filter, position_column
 from rippledb_spark.plans.sparql import Sparql, Val, Var
 
@@ -128,7 +129,7 @@ def select_join(triples: DataFrame, query: Sparql, optimize: bool = True) -> Dat
     optimize=False for the reference's literal textual order.
     """
     if not query.conds:
-        raise ValueError("select_join requires at least one pattern")
+        raise QueryError("select_join requires at least one pattern")
 
     conds = _order_patterns(query.conds) if optimize else list(query.conds)
     plans: list[DataFrame] = []
@@ -168,5 +169,5 @@ def select_join(triples: DataFrame, query: Sparql, optimize: bool = True) -> Dat
     names = query.var_names()
     missing = [n for n in names if n not in acc.columns]
     if missing:
-        raise ValueError(f"selected vars {missing} not bound by any pattern")
+        raise QueryError(f"selected vars {missing} not bound by any pattern")
     return acc.select(*names)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from rippledb_spark.errors import QueryError
+
 
 @dataclass(frozen=True)
 class Var:
@@ -31,7 +33,7 @@ def parse_unit(raw: str) -> QueryUnit:
     if raw.startswith("$"):
         name = raw[1:]
         if not name:
-            raise ValueError("empty variable name '$'")
+            raise QueryError("empty variable name '$'")
         return Var(name)
     return Val(raw)
 
@@ -58,7 +60,7 @@ class Sparql:
         for raw in variables:
             unit = parse_unit(raw)
             if not isinstance(unit, Var):
-                raise ValueError(f"select() takes '$var' names, got {raw!r}")
+                raise QueryError(f"select() takes '$var' names, got {raw!r}")
             self.vars.append(unit)
         return self
 
@@ -66,14 +68,14 @@ class Sparql:
         declared = {v.name for v in self.vars}
         for pat in patterns:
             if len(pat) != 3:
-                raise ValueError(f"pattern must be [s, p, o], got {pat!r}")
+                raise QueryError(f"pattern must be [s, p, o], got {pat!r}")
             units = tuple(parse_unit(x) for x in pat)
             if self.strict:
                 for u in units:
                     # Undeclared pattern var is an error (reference panics,
                     # query.rs:50-59).
                     if isinstance(u, Var) and u.name not in declared:
-                        raise ValueError(
+                        raise QueryError(
                             f"pattern variable ${u.name} not declared in select()"
                         )
             self.conds.append(units)  # type: ignore[arg-type]

@@ -263,6 +263,12 @@ def to_rdfxml(triples: DataFrame) -> bytes:
     rows = triples.select(
         "s", "s_kind", "p", "o_value", "o_kind", "o_lang", "o_datatype"
     ).collect()
+    return serialize_rows(rows)
+
+
+def serialize_rows(rows) -> bytes:
+    """Pure-Python serializer core (rows: any mapping with the 7 triple
+    fields) — separable so property tests roundtrip without a SparkSession."""
 
     ns_map: dict[str, str] = {}
 

@@ -38,6 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
 
 from rippledb_spark import model
+from rippledb_spark.errors import SchemaError
 from rippledb_spark.operators.triple_patterns import pattern_filter
 from rippledb_spark.plans import bgp
 from rippledb_spark.plans.sparql import Sparql
@@ -57,7 +58,7 @@ def _normalize_rows(rows: Iterable[TripleLike]) -> list[tuple]:
         elif len(r) == 7:
             out.append(r)
         else:
-            raise ValueError(f"row must have 3 or 7 fields, got {len(r)}")
+            raise SchemaError(f"row must have 3 or 7 fields, got {len(r)}")
     return out
 
 
@@ -65,7 +66,7 @@ class TripleStore:
     def __init__(self, spark: SparkSession, df: DataFrame):
         missing = [c for c in model.TRIPLE_KEY if c not in df.columns]
         if missing:
-            raise ValueError(f"triples DataFrame missing columns {missing}")
+            raise SchemaError(f"triples DataFrame missing columns {missing}")
         self.spark = spark
         self.df = df.select(*model.TRIPLE_KEY)
 

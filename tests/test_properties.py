@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis) — pure-Python core functions, no
+SparkSession needed, so hundreds of examples run in seconds.
+
+SURVEY §5 calls these out as the cheap high-value additions the reference
+lacks entirely: roundtrip invariants for the I/O layer and planner
+invariants for the pattern ordering.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rippledb_spark import model
+from rippledb_spark.plans.bgp import _order_patterns
+from rippledb_spark.plans.sparql import Sparql, Val, Var, parse_unit
+from rippledb_spark.sources.rdfio import parse_rdfxml, serialize_rows
+
+# --------------------------------------------------------------------------
+# RDF/XML serialize → parse roundtrip
+# --------------------------------------------------------------------------
+
+_iri = st.from_regex(r"http://ex\.org/[A-Za-z0-9]{1,10}", fullmatch=True)
+_pred = st.from_regex(r"http://ex\.org/ns#[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+_blank = st.from_regex(r"_:[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True)
+# literal text excluding control chars (XML 1.0 cannot carry them)
+_lit = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cc", "Cs"), exclude_characters="\x00"
+    ),
+    max_size=40,
+)
+_lang = st.from_regex(r"[a-z]{2}(-[A-Z]{2})?", fullmatch=True)
+
+
+@st.composite
+def triple_rows(draw):
+    s_kind = draw(st.sampled_from([model.NAMED, model.BLANK]))
+    s = draw(_iri if s_kind == model.NAMED else _blank)
+    p = draw(_pred)
+    o_kind = draw(st.sampled_from(model.NODE_KINDS))
+    o_lang = o_datatype = None
+    if o_kind == model.NAMED:
+        o = draw(_iri)
+    elif o_kind == model.BLANK:
+        o = draw(_blank)
+    else:
+        o = draw(_lit)
+        if o_kind == model.LANG_LITERAL:
+            o_lang = draw(_lang)
+        elif o_kind == model.TYPED_LITERAL:
+            o_datatype = draw(_iri)
+    return (s, s_kind, p, o, o_kind, o_lang, o_datatype)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(triple_rows(), min_size=0, max_size=12, unique=True))
+def test_rdfxml_serialize_parse_roundtrip(rows):
+    cols = ["s", "s_kind", "p", "o_value", "o_kind", "o_lang", "o_datatype"]
+    dict_rows = [dict(zip(cols, r)) for r in rows]
+    xml = serialize_rows(dict_rows)
+    back = parse_rdfxml(xml)
+    assert sorted(back) == sorted(set(rows))
+
+
+# --------------------------------------------------------------------------
+# Sparql parsing invariants
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=1, max_size=20).filter(lambda s: "\x00" not in s))
+def test_parse_unit_total(raw):
+    unit = parse_unit(raw) if not (raw == "$") else None
+    if raw.startswith("$") and len(raw) > 1:
+        assert unit == Var(raw[1:])
+    elif not raw.startswith("$"):
+        assert unit == Val(raw)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["$a", "$b", "$c", "v1", "v2"]),
+            st.sampled_from(["$a", "$p", "knows", "type"]),
+            st.sampled_from(["$b", "$c", "x", "y"]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_order_patterns_is_permutation(pats):
+    q = Sparql().filter([list(p) for p in pats])
+    ordered = _order_patterns(q.conds)
+    assert sorted(map(repr, ordered)) == sorted(map(repr, q.conds))
+    # first pattern is maximally selective
+    def sel(c):
+        return sum(1 for u in c if not isinstance(u, Var))
+
+    assert sel(ordered[0]) == max(sel(c) for c in q.conds)
+
+
+# --------------------------------------------------------------------------
+# N-Triples line format roundtrip
+# --------------------------------------------------------------------------
+
+
+def _nt_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(triple_rows())
+def test_ntriples_line_roundtrip(row):
+    from rippledb_spark.sources.rdfio import parse_ntriples_line
+
+    s, s_kind, p, o, o_kind, o_lang, o_datatype = row
+    subj = s if s_kind == model.BLANK else f"<{s}>"
+    if o_kind == model.NAMED:
+        obj = f"<{o}>"
+    elif o_kind == model.BLANK:
+        obj = o
+    elif o_kind == model.LANG_LITERAL:
+        obj = f'"{_nt_escape(o)}"@{o_lang}'
+    elif o_kind == model.TYPED_LITERAL:
+        obj = f'"{_nt_escape(o)}"^^<{o_datatype}>'
+    else:
+        obj = f'"{_nt_escape(o)}"'
+    line = f"{subj} <{p}> {obj} ."
+    assert parse_ntriples_line(line) == row
