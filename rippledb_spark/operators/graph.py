@@ -36,6 +36,47 @@ def degrees(triples: DataFrame) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Connected components by min-label propagation over UNDIRECTED edges.
+
+    comp(v) ← min(comp(v), min comp over neighbors), iterated; labels are
+    the node strings themselves (min = lexicographic), so the result is
+    deterministic with no id assignment step. ``iterations`` bounds work —
+    it must be ≥ the graph diameter for full convergence (the registered
+    query uses a fixed count so the DuckDB recursive-CTE oracle computes
+    the identical partial fixpoint).
+
+    Same localCheckpoint-per-iteration discipline as :func:`pagerank`.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    e = und.localCheckpoint()
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    comp = nodes.withColumn("comp", F.col("node"))
+
+    for _ in range(iterations):
+        neighbor_min = (
+            e.join(comp, e.b == comp.node)
+            .select(F.col("a").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        comp = (
+            comp.join(neighbor_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+    return comp
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
@@ -53,8 +94,11 @@ def pagerank(
     from 3→6 iterations before truncation). Checkpointing makes each
     iteration's plan a leaf, keeping per-iteration cost flat.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    # out_degree rides on the edge list (computed once) — one join per
+    # iteration instead of two.
+    e2 = e.join(out_deg, "src").localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -65,13 +109,12 @@ def pagerank(
 
     for _ in range(iterations):
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(out_deg, "src")
+            e2.join(ranks, e2.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_degree")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("csum"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, "node", "left_outer")
             .select(
                 "node",
@@ -81,5 +124,19 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # Exact-fixpoint early exit: identical inputs recompute bit-identical
+        # ranks, so delta hits exactly 0 once converged (e.g. a bipartite DAG
+        # converges in depth+1 rounds) — the remaining iterations are no-ops
+        # and skipping them cannot change the result.
+        old = ranks.select(F.col("node"), F.col("rank").alias("old_rank"))
+        changed = (
+            new_ranks.join(old, "node")
+            .filter(F.col("rank") != F.col("old_rank"))
+            .limit(1)
+            .count()
+        )
+        ranks = new_ranks
+        if changed == 0:
+            break
 
     return ranks

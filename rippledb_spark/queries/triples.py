@@ -569,3 +569,52 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(100)
     )
+
+
+@query(
+    "graph_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    raw_edges AS (
+      SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS a,
+             'nation:' || CAST(c_nationkey AS VARCHAR) AS b FROM customer
+      UNION ALL
+      SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+             'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ),
+    und AS (SELECT a, b FROM raw_edges UNION ALL SELECT b, a FROM raw_edges),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    -- self-loops let the recursive term reference cc exactly once while
+    -- still folding each node's own label into the min (cf. pagerank CTE)
+    edges2 AS (SELECT a, b FROM und UNION ALL SELECT node, node FROM nodes),
+    cc AS (
+      SELECT node, node AS comp, 0 AS iter FROM nodes
+      UNION ALL
+      SELECT e.a, MIN(c.comp), ANY_VALUE(c.iter) + 1
+      FROM cc c JOIN edges2 e ON c.node = e.b
+      WHERE c.iter < 8
+      GROUP BY e.a
+    )
+    SELECT comp, COUNT(*) AS n_nodes FROM cc WHERE iter = 8
+    GROUP BY comp ORDER BY comp
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (8 rounds of min-label propagation) over the
+    undirected membership graph (customers/suppliers–nations–regions) —
+    converges to one component per region."""
+    from rippledb_spark.operators.graph import connected_components
+
+    st = _store(spark, sf_dir)
+    edges = st.df.filter(
+        F.col("p").isin("in_nation", "in_region") & (F.col("o_kind") == "named")
+    ).select(F.col("s").alias("src"), F.col("o_value").alias("dst"))
+    return (
+        connected_components(edges, iterations=8)
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("comp")
+    )

@@ -136,6 +136,30 @@ class TripleStore:
         remaining = self.df.join(F.broadcast(del_df), on=cond, how="left_anti")
         return TripleStore(self.spark, remaining)
 
+    # -- graph set algebra (engine tier: set ops over whole graphs) ---------
+
+    def union(self, other: "TripleStore") -> "TripleStore":
+        """Graph merge — set semantics (dedup on full identity)."""
+        return TripleStore(
+            self.spark,
+            self.df.unionByName(other.df).dropDuplicates(model.TRIPLE_KEY),
+        )
+
+    def intersect(self, other: "TripleStore") -> "TripleStore":
+        """Triples present in BOTH graphs."""
+        return TripleStore(self.spark, self.df.intersect(other.df))
+
+    def difference(self, other: "TripleStore") -> "TripleStore":
+        """Triples in this graph but not in ``other`` (≡ bulk remove)."""
+        return TripleStore(self.spark, self.df.exceptAll(other.df).distinct())
+
+    # -- SQL surface --------------------------------------------------------
+
+    def create_view(self, name: str = "triples") -> None:
+        """Register the store as a temp view → full spark.sql over triples
+        (the SQL escape hatch the reference's builder-only API lacks)."""
+        self.df.createOrReplaceTempView(name)
+
     # -- query (Q2-Q12) -----------------------------------------------------
 
     def pattern(self, s: str | None, p: str | None, o: str | None) -> DataFrame:

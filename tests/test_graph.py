@@ -55,3 +55,14 @@ def test_ivf_topk_contains_self(spark):
     got = [(r["vec_id"], r["cos_sim"]) for r in ivf_topk(e, qv, k=5, n_clusters=4).collect()]
     # the query vector's own cluster is always probed → self is rank 1
     assert got[0][0] == 0 and got[0][1] == 1.0
+
+
+def test_connected_components_two_islands(spark):
+    from rippledb_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges, iterations=4).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"

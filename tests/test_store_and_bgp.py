@@ -264,3 +264,25 @@ def test_select_join_optimize_equivalence(store):
     opt = sorted(map(tuple, bgp.select_join(store.df, q, optimize=True).collect()))
     lit = sorted(map(tuple, bgp.select_join(store.df, q, optimize=False).collect()))
     assert opt == lit and len(opt) > 0
+
+
+# -- graph set algebra / SQL view -------------------------------------------
+
+
+def test_graph_set_algebra(spark):
+    a = TripleStore.from_rows(spark, [("x", "p", "y"), ("x", "p", "z")])
+    b = TripleStore.from_rows(spark, [("x", "p", "z"), ("w", "p", "x")])
+    assert a.union(b).count() == 3
+    assert a.intersect(b).count() == 1
+    only_a = a.difference(b)
+    assert [(r.s, r.o_value) for r in only_a.df.collect()] == [("x", "y")]
+    # union is idempotent (set semantics)
+    assert a.union(a).count() == a.count()
+
+
+def test_sql_view_over_store(spark, store):
+    store.create_view("t_view")
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM t_view WHERE p = 'knows' AND o_kind = 'named'"
+    ).collect()[0]["n"]
+    assert n == 4
