@@ -117,15 +117,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — the batch twin of streaming session_window aggregation."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ts = F.lag("ts").over(w)
-    # cast("double") keeps sub-second precision so the strict > 1800s gap
-    # test agrees with DuckDB's INTERVAL comparison on ns timestamps.
+    # microsecond-exact gap (NTZ can't cast to double; timestampdiff at
+    # MICROSECOND keeps the strict >30min test aligned with DuckDB's
+    # INTERVAL comparison on sub-second timestamps)
+    with_prev = e.withColumn("prev_ts", F.lag("ts").over(w))
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        F.col("prev_ts").isNull()
+        | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > 1800 * 1_000_000),
         1,
     ).otherwise(0)
-    tagged = e.withColumn(
+    tagged = with_prev.withColumn(
         "session_seq",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )

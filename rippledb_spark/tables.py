@@ -30,6 +30,11 @@ BROADCAST_TABLES = {"region", "nation"}
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; have {TABLE_NAMES}")
+    if name == "events":
+        # The driver may hand us a session built WITHOUT this flag; it is
+        # runtime-settable, and without it the NANOS timestamp column makes
+        # the read throw PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) in parquet; with
@@ -40,9 +45,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer DIV — a double intermediate would lose precision at
-            # 1e18-scale nanosecond values (double mantissa is 53 bits)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # Rebuild as TIMESTAMP_NTZ by pure arithmetic: integer DIV (a
+            # double intermediate loses precision at 1e18 ns) added onto an
+            # NTZ epoch literal — timezone-independent, so the result
+            # matches DuckDB's naive timestamps even if the driver's session
+            # timezone is not UTC, and the column type lines up with the
+            # other tables' NTZ timestamps.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
     return df
 
 
