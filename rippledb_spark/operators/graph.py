@@ -97,17 +97,19 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # out_degree rides on the edge list (computed once) — one join per
-    # iteration instead of two.
-    e2 = e.join(out_deg, "src").localCheckpoint()
+    # iteration instead of two. e2/nodes have STATIC lineage, so lazy
+    # persist suffices (materialized inside iteration 1's job); only the
+    # iteratively-growing `ranks` needs eager localCheckpoint truncation.
+    e2 = e.join(out_deg, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .persist()
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             e2.join(ranks, e2.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_degree")).alias("c"))
@@ -127,16 +129,19 @@ def pagerank(
         # Exact-fixpoint early exit: identical inputs recompute bit-identical
         # ranks, so delta hits exactly 0 once converged (e.g. a bipartite DAG
         # converges in depth+1 rounds) — the remaining iterations are no-ops
-        # and skipping them cannot change the result.
-        old = ranks.select(F.col("node"), F.col("rank").alias("old_rank"))
-        changed = (
-            new_ranks.join(old, "node")
-            .filter(F.col("rank") != F.col("old_rank"))
-            .limit(1)
-            .count()
-        )
+        # and skipping them cannot change the result. Iteration 1 always
+        # changes (init is uniform 1.0) — skip its check.
+        if it > 0:
+            old = ranks.select(F.col("node"), F.col("rank").alias("old_rank"))
+            changed = (
+                new_ranks.join(old, "node")
+                .filter(F.col("rank") != F.col("old_rank"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                ranks = new_ranks
+                break
         ranks = new_ranks
-        if changed == 0:
-            break
 
     return ranks

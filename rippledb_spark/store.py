@@ -106,6 +106,48 @@ class TripleStore:
         reference's wipe-and-rewrite (graph.rs:665-680)."""
         self.df.write.mode("overwrite").partitionBy("p").parquet(path)
 
+    # -- versioned persistence (extension over the reference's single-slot
+    #    backup: snapshots are immutable, so versions are free) -------------
+
+    @staticmethod
+    def list_versions(base_path: str) -> list[int]:
+        import os
+
+        if not os.path.isdir(base_path):
+            return []
+        out = []
+        for name in os.listdir(base_path):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def persist_version(self, base_path: str) -> int:
+        """Append a new immutable snapshot under ``{base}/v{n}``; returns n.
+
+        The reference's backup is destructive single-slot (persist wipes and
+        rewrites, graph.rs:665-680); with immutable snapshots, retaining
+        history costs only storage — the natural extension.
+        """
+        versions = self.list_versions(base_path)
+        n = (versions[-1] + 1) if versions else 1
+        self.df.write.mode("errorifexists").partitionBy("p").parquet(
+            f"{base_path}/v{n}"
+        )
+        return n
+
+    @classmethod
+    def from_version(
+        cls, spark: SparkSession, base_path: str, version: int | None = None
+    ) -> "TripleStore":
+        """Load a specific snapshot (default: latest)."""
+        versions = cls.list_versions(base_path)
+        if not versions:
+            raise SchemaError(f"no versions under {base_path!r}")
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise SchemaError(f"version {v} not in {versions}")
+        return cls.from_backup(spark, f"{base_path}/v{v}")
+
     # -- DML (D1, D2) -------------------------------------------------------
 
     def insert(self, rows: Iterable[TripleLike] | DataFrame) -> "TripleStore":

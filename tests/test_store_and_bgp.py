@@ -286,3 +286,20 @@ def test_sql_view_over_store(spark, store):
         "SELECT COUNT(*) AS n FROM t_view WHERE p = 'knows' AND o_kind = 'named'"
     ).collect()[0]["n"]
     assert n == 4
+
+
+def test_versioned_persistence(spark, store, tmp_path):
+    base = str(tmp_path / "versions")
+    assert TripleStore.list_versions(base) == []
+    v1 = store.persist_version(base)
+    bigger = store.insert([("person:extra", "knows", "person:alice")])
+    v2 = bigger.persist_version(base)
+    assert (v1, v2) == (1, 2)
+    assert TripleStore.list_versions(base) == [1, 2]
+    # latest by default; explicit version addressable; history immutable
+    assert TripleStore.from_version(spark, base).count() == bigger.count()
+    assert TripleStore.from_version(spark, base, 1).count() == store.count()
+    import pytest as _pytest
+    from rippledb_spark.errors import SchemaError
+    with _pytest.raises(SchemaError):
+        TripleStore.from_version(spark, base, 99)
