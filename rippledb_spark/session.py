@@ -50,6 +50,11 @@ def get_spark(
         # converted back to timestamp in tables.load (truncation to micros
         # matches DuckDB's ns→us handling).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Iterative operators (pagerank, connected components) leave
+        # unreferenced localCheckpoint blocks behind; the context cleaner
+        # only frees them after a driver GC, and the default periodic GC is
+        # 30 min — far too lazy for a long-lived analytics session.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
