@@ -87,18 +87,36 @@ def main() -> None:
         print(f"# warm {name}: {v:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_sec": round(sum(cold.values()), 3),
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_sec": round(sum(cold.values()), 3),
+    }
+
+    # Bulk-load vs BASELINE.md's only published reference numbers
+    # (benches/graph_bench.rs:47-51): time from_rdf on the same corpora.
+    # ref_sec is the reference's wall-time on the identical file.
+    ref_models = "/root/reference/models"
+    published = {"www-2011-complete.rdf": 4.55, "lrec-2008-complete.rdf": 34.94}
+    if all(os.path.exists(f"{ref_models}/{f}") for f in published):
+        from rippledb_spark.store import TripleStore
+
+        bulk = {}
+        for fname, ref_sec in published.items():
+            t0 = time.perf_counter()
+            n = TripleStore.from_rdf(spark, f"{ref_models}/{fname}").df.count()
+            bulk[fname] = {
+                "triples": n,
+                "sec": round(time.perf_counter() - t0, 3),
+                "ref_sec": ref_sec,
             }
-        )
-    )
+            print(f"# bulk_load {fname}: {bulk[fname]['sec']}s (ref {ref_sec}s)", file=sys.stderr)
+        record["bulk_load"] = bulk
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
