@@ -275,3 +275,78 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY returnflag, linestatus
         """
     )
+
+
+@query(
+    "unpivot_brand_measures",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand,
+             ROUND(CAST(SUM(p_retailprice) AS DOUBLE), 2) AS sum_retail,
+             ROUND(AVG(CAST(p_size AS DOUBLE)), 4)        AS avg_size
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, measure, value FROM (
+      SELECT p_brand, 'sum_retail' AS measure, sum_retail AS value FROM m
+      UNION ALL
+      SELECT p_brand, 'avg_size'  AS measure, avg_size  AS value FROM m
+    ) ORDER BY p_brand, measure
+    """,
+)
+def unpivot_brand_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-brand measures reshaped to long
+    (brand, measure, value) rows via the native `DataFrame.unpivot` —
+    a per-row expression expansion (zero shuffle beyond the feeding agg).
+    The reference has no reshaping ops (SURVEY §2.4); oracle is the
+    portable UNION ALL formulation."""
+    p = load(spark, sf_dir, "part")
+    m = p.groupBy("p_brand").agg(
+        F.round(F.sum("p_retailprice").cast("double"), 2).alias("sum_retail"),
+        F.round(F.avg(F.col("p_size").cast("double")), 4).alias("avg_size"),
+    )
+    return (
+        m.unpivot(
+            ids=["p_brand"],
+            values=["sum_retail", "avg_size"],
+            variableColumnName="measure",
+            valueColumnName="value",
+        )
+        .orderBy("p_brand", "measure")
+    )
+
+
+@query(
+    "ntile_customer_balance_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT quartile,
+           COUNT(*)                                  AS n_customers,
+           ROUND(CAST(MIN(c_acctbal) AS DOUBLE), 2)  AS min_bal,
+           ROUND(CAST(MAX(c_acctbal) AS DOUBLE), 2)  AS max_bal
+    FROM t GROUP BY quartile ORDER BY quartile
+    """,
+)
+def ntile_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (equi-height quartiles) over a total order.
+    Tie-broken by c_custkey so bucket assignment is deterministic — NTILE
+    semantics (floor/ceil split with remainder to leading buckets) are
+    standard SQL, identical in Spark and DuckDB. A global ORDER BY window
+    is single-partition by nature; at 100 TB the scale path is
+    approx_percentile cut-points + a broadcast range join instead
+    (see events_value_percentiles for the sketch tier)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    t = c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return (
+        t.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal").cast("double"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal").cast("double"), 2).alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
