@@ -350,3 +350,39 @@ def ntile_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("quartile")
     )
+
+
+@query(
+    "multiset_ops_priority_years",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS priority FROM orders WHERE YEAR(o_orderdate) = 1996),
+         b AS (SELECT o_orderpriority AS priority FROM orders WHERE YEAR(o_orderdate) = 1997)
+    SELECT 'except_all' AS op, priority, COUNT(*) AS n
+    FROM (SELECT priority FROM a EXCEPT ALL SELECT priority FROM b) GROUP BY priority
+    UNION ALL
+    SELECT 'intersect_all' AS op, priority, COUNT(*) AS n
+    FROM (SELECT priority FROM a INTERSECT ALL SELECT priority FROM b) GROUP BY priority
+    ORDER BY op, priority
+    """,
+)
+def multiset_ops_priority_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set ops — EXCEPT ALL / INTERSECT ALL preserve
+    duplicate counts, a distinct operator family from the distinct-set ops
+    in set_ops_buyer_segments (`exceptAll`/`intersectAll` plan as
+    count-differencing aggregations, not semi/anti joins)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_orderpriority").alias("priority"))
+    b = o.filter(F.year("o_orderdate") == 1997).select(F.col("o_orderpriority").alias("priority"))
+    diff = (
+        a.exceptAll(b)
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "priority", "n")
+    )
+    inter = (
+        a.intersectAll(b)
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "priority", "n")
+    )
+    return diff.unionByName(inter).orderBy("op", "priority")
