@@ -6,8 +6,8 @@ range-condition join then per-left-row max — explodes to O(|L|·|R|) pairs
 per key before pruning. This implementation is the scale-correct one:
 
     union(tag L/R) → ONE shuffle on the key → per-key sort by (ts, tag) →
-    last_value(right attrs, ignorenulls) over rows-unbounded-preceding →
-    keep L rows.
+    last(struct-of-right-attrs, ignorenulls) over rows-unbounded-preceding →
+    keep L rows, project the matched struct's fields.
 
 Cost is a single hash partition + per-partition sort — identical shape to
 any windowed aggregation, no pair blow-up, no skew amplification beyond
@@ -42,28 +42,24 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
     lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = right.select(
+    # All right attributes travel as ONE struct so the window backfill picks
+    # the whole matched row atomically. Filling each column independently
+    # with last(ignorenulls) would stitch values from DIFFERENT right rows
+    # whenever the matched row holds a NULL in one column (the older row's
+    # value would bleed through) — the struct is NULL-or-whole-row.
+    rt_aligned = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
-    # align schemas for the union: left gets null right-cols, right gets
-    # null left-cols
-    for c in right_cols:
-        lt = lt.withColumn(f"__r_{c}", F.lit(None).cast(rt.schema[c].dataType))
-    rt_aligned = rt.select(
-        on,
-        "__ts",
-        "__tag",
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    )
+    r_struct_type = rt_aligned.schema["__r"].dataType
     left_cols = [c for c in left.columns]
     lt_aligned = lt.select(
-        on if on in left_cols else F.col(on),
+        F.col(on),
         "__ts",
         "__tag",
-        *[F.col(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         *[F.col(c) for c in left_cols if c != on],
     )
     # pad right side with null left columns
@@ -79,12 +75,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__match")
     )
     return filled.filter(F.col("__tag") == 1).select(
-        *left_cols, *[f"{c}{suffix}" for c in right_cols]
+        *left_cols,
+        *[F.col("__match")[c].alias(f"{c}{suffix}") for c in right_cols],
     )

@@ -24,6 +24,19 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
+# Cached shingle DataFrames from prior minhash_lsh_pairs calls. Each call
+# retires its predecessor, so repeated invocations never accumulate cached
+# blocks in the block manager (the result DataFrame stays consumable: at
+# most ONE shingle cache is live at a time). release_caches() frees that
+# last one too, for callers that are fully done.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist any shingle cache still held by minhash_lsh_pairs."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking=False)
+
 
 def shingles(col: str, n: int = 3) -> Column:
     """Token n-gram shingles (distinct), tokenized on single spaces.
@@ -134,7 +147,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # The shingle set feeds three consumers (signature build + both sides of
     # the verify join) — persist it once instead of re-tokenizing the corpus
-    # three times. MEMORY_AND_DISK: spills instead of OOMing at scale.
+    # three times. MEMORY_AND_DISK: spills instead of OOMing at scale. The
+    # previous call's cache is retired first (see _LIVE_CACHES) so repeated
+    # calls hold at most one shingle cache.
+    release_caches()
     base = (
         df.select(
             F.col(id_col).alias("__id"),
@@ -143,6 +159,7 @@ def minhash_lsh_pairs(
         .filter(F.size("__sh") > 0)
         .persist()
     )
+    _LIVE_CACHES.append(base)
     inv = base.select("__id", F.explode("__sh").alias("__shingle")).withColumn(
         "__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MINHASH_P))
     )

@@ -46,7 +46,18 @@ def _var_positions(cond: tuple) -> list[tuple[int, str]]:
 
 
 def get(triples: DataFrame, query: Sparql) -> DataFrame:
-    """Reference-exact conjunctive query (graph.rs:333-413 semantics)."""
+    """Conjunctive query with graph.rs:333-413 semantics (first-pattern
+    projection, EXISTS pruning, duplicate preservation, Named-only values).
+
+    One DELIBERATE deviation from the reference: for a candidate value that
+    appears more than once in pattern₀'s output AND fails a later pattern,
+    the reference's used_vars_vals memo (graph.rs:371-387) removes only the
+    FIRST occurrence — [A, A] with A failing returns [A]. That is a
+    reference bug (the memo is meant to skip re-probing, not re-removal);
+    this semi-join removes every occurrence of a failing value, returning
+    []. All surviving values keep full pattern₀ multiplicity, matching the
+    reference on every non-failing path.
+    """
     if not query.conds:
         # No patterns → no candidates (reference returns empty vec).
         name = query.vars[0].name if query.vars else "result"

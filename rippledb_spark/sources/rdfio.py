@@ -171,15 +171,32 @@ _NT_LINE = re.compile(
 )
 
 
+_NT_CHAR_ESCAPES = {
+    "\\": "\\",
+    '"': '"',
+    "n": "\n",
+    "t": "\t",
+    "r": "\r",
+    "b": "\b",
+    "f": "\f",
+    "'": "'",
+}
+_NT_ESC_RE = re.compile(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)")
+
+
 def _unescape_nt(s: str) -> str:
-    return (
-        s.replace("\\\\", "\x00")
-        .replace('\\"', '"')
-        .replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace("\\r", "\r")
-        .replace("\x00", "\\")
-    )
+    """Full N-Triples string unescape, incl. \\uXXXX / \\UXXXXXXXX.
+
+    Processes escapes left-to-right in one pass, so ``\\\\u0041`` stays a
+    literal backslash + "u0041" (not "A")."""
+
+    def _sub(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] in "uU" and len(e) > 1:
+            return chr(int(e[1:], 16))
+        return _NT_CHAR_ESCAPES.get(e, "\\" + e)
+
+    return _NT_ESC_RE.sub(_sub, s)
 
 
 def parse_ntriples_line(line: str) -> Optional[tuple]:

@@ -163,9 +163,18 @@ class TripleStore:
     def remove(self, rows: Iterable[TripleLike] | DataFrame) -> "TripleStore":
         """Bulk delete (D2): null-safe anti-join; missing triples are a
         no-op exactly like graph.rs:513-523."""
-        del_df = rows if isinstance(rows, DataFrame) else self.spark.createDataFrame(
-            _normalize_rows(rows), model.TRIPLES_SCHEMA
-        )
+        # Broadcast only the local-row-list case (provably small: it was
+        # materialized on the driver already). An arbitrary caller-supplied
+        # DataFrame — e.g. a delete set derived from the store itself — may
+        # be huge; forcing broadcast would collect it to the driver, so
+        # there Catalyst/AQE picks the join strategy.
+        if isinstance(rows, DataFrame):
+            del_df, hint = rows, lambda d: d
+        else:
+            del_df = self.spark.createDataFrame(
+                _normalize_rows(rows), model.TRIPLES_SCHEMA
+            )
+            hint = F.broadcast
         # Rename the delete side so a delete set derived from this very store
         # (a self-join lineage) resolves unambiguously.
         del_df = del_df.select(*model.TRIPLE_KEY).toDF(
@@ -175,7 +184,7 @@ class TripleStore:
         for c in model.TRIPLE_KEY:
             eq = F.col(c).eqNullSafe(F.col(f"__del_{c}"))
             cond = eq if cond is None else (cond & eq)
-        remaining = self.df.join(F.broadcast(del_df), on=cond, how="left_anti")
+        remaining = self.df.join(hint(del_df), on=cond, how="left_anti")
         return TripleStore(self.spark, remaining)
 
     # -- graph set algebra (engine tier: set ops over whole graphs) ---------

@@ -39,6 +39,24 @@ def test_asof_backward_latest_wins(spark):
     assert out[4] == "a"  # equal timestamps match (<= semantics)
 
 
+def test_asof_matched_row_nulls_stay_null(spark):
+    """A NULL column in the MATCHED right row must come back NULL — not be
+    backfilled from an older right row (the per-column-last frankenstein)."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 12:00:00"))], ["id", "key", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts("2024-01-01 10:00:00"), "old-a", "old-b"),
+            (100, _ts("2024-01-01 11:00:00"), None, "new-b"),  # the match
+        ],
+        ["key", "ts", "a", "b"],
+    )
+    row = asof_join(left, right, on="key", left_ts="ts", right_ts="ts").collect()[0]
+    assert row["b_asof"] == "new-b"
+    assert row["a_asof"] is None  # NOT "old-a"
+
+
 def test_asof_preserves_left_rowcount(spark):
     left = spark.createDataFrame(
         [(i, i % 3, _ts("2024-01-01 10:00:00")) for i in range(30)],

@@ -115,6 +115,46 @@ def test_blocked_top1(spark):
     assert top[10] == 11  # only candidate in block 1
 
 
+def test_blocked_top1_chunked_matches_unchunked(spark):
+    """A block LARGER than the chunk size must produce the same winners as
+    the single-matmul path (chunk covers everything) — exercises diagonal
+    masking and the cross-chunk lower-id tie-break."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, 0, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(23)
+    ]
+    # plant an exact tie: ids 30 and 31 (in later chunks) duplicate id 1's
+    # vector, so id 20's best has multiple equal candidates
+    rows += [(30, 0, list(rows[1][2])), (31, 0, list(rows[1][2]))]
+    e = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    small = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SIM.blocked_top1_pairs(e, chunk=4).collect()
+    }
+    big = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in SIM.blocked_top1_pairs(e, chunk=10_000).collect()
+    }
+    assert small == big
+    assert len(small) == 25
+
+
+def test_ivf_bounded_sample_fit(spark):
+    """When the corpus exceeds max_train the quantizer fits on a bounded,
+    value-deterministic sample — and the probe output is stable."""
+    from rippledb_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(4)]) for i in range(300)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = e.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("q"))
+    a = [r["vec_id"] for r in ivf_topk(e, q, k=5, n_clusters=3, max_train=50).collect()]
+    b = [r["vec_id"] for r in ivf_topk(e, q, k=5, n_clusters=3, max_train=50).collect()]
+    assert a == b  # deterministic sample → deterministic centroids → stable probe
+    assert len(a) == 5 and 5 in a  # self lands in its own probed cluster
+
+
 # -- text functions ---------------------------------------------------------
 
 
