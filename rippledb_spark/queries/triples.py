@@ -618,3 +618,61 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("comp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed export sink accounting — the N-Triples line formatting that
+# write_ntriples streams to files, verified value-for-value by the oracle
+# ---------------------------------------------------------------------------
+
+
+_NT_ESC_SQL = (
+    "replace(replace(replace(replace(replace(o_value,"
+    " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'),"
+    " chr(9), '\\t')"
+)
+
+_NT_LINE_SQL = f"""
+    (CASE WHEN s_kind = 'named' THEN '<' || s || '>' ELSE s END)
+    || ' <' || p || '> ' ||
+    (CASE o_kind
+       WHEN 'named' THEN '<' || o_value || '>'
+       WHEN 'blank' THEN o_value
+       WHEN 'lang_literal' THEN '"' || {_NT_ESC_SQL} || '"@' || o_lang
+       WHEN 'typed_literal' THEN '"' || {_NT_ESC_SQL} || '"^^<' || o_datatype || '>'
+       ELSE '"' || {_NT_ESC_SQL} || '"' END)
+    || ' .'
+"""
+
+
+@query(
+    "ntriples_export_accounting",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    lines AS (SELECT p, {_NT_LINE_SQL} AS line FROM triples)
+    SELECT p, COUNT(*) AS n_lines,
+           CAST(SUM(LENGTH(line)) AS BIGINT) AS total_chars,
+           MIN(line) AS first_line
+    FROM lines GROUP BY p ORDER BY p
+    """,
+)
+def ntriples_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate accounting of the DISTRIBUTED N-Triples sink's output
+    (rdfio.write_ntriples): the exact line expression the sink writes,
+    aggregated instead of written so the oracle can value-check the
+    serialization byte-for-byte. Pure JVM expressions — the sink itself is
+    df.write.text, executor-parallel, no driver collect (the scale path
+    the reference's in-memory to_rdf bytes contract lacks)."""
+    from rippledb_spark.sources.rdfio import ntriples_line_expr
+
+    st = _store(spark, sf_dir)
+    return (
+        st.df.select("p", ntriples_line_expr().alias("line"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("line")).alias("total_chars"),
+            F.min("line").alias("first_line"),
+        )
+        .orderBy("p")
+    )

@@ -53,13 +53,29 @@ def _attr(el: ET.Element, ns: str, name: str) -> str | None:
     return el.get("{" + ns + "}" + name)
 
 
+_RDF_NIL = RDF_NS + "nil"
+_XML_LITERAL = RDF_NS + "XMLLiteral"
+
+
 def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
     """Parse one RDF/XML document → list of TRIPLES_SCHEMA row tuples.
 
     Term-kind mapping mirrors src/rdf/parser.rs:102-117:
     NamedNode→named, BlankNode→blank, plain literal→literal,
     lang-tagged→lang_literal, typed→typed_literal.
+
+    Beyond the corpus subset (typed node elements, rdf:about/ID/nodeID/
+    resource/datatype, xml:lang, nested descriptions) this also handles the
+    constructs the reference's rio_xml covers (src/rdf/parser.rs:88-122):
+    ``rdf:li`` list items (→ rdf:_1, rdf:_2, … per node element),
+    ``rdf:parseType="Resource"`` (inline blank node), ``"Collection"``
+    (rdf:first/rdf:rest cons list), ``"Literal"`` (XML-literal payload),
+    ``xml:base`` scoping for relative IRI resolution, and MULTIPLE nested
+    node elements under one property element (one triple per child — the
+    single-child-only form silently dropped siblings).
     """
+    from urllib.parse import urljoin
+
     root = ET.fromstring(data)
     rows: list[tuple] = []
     counter = [0]
@@ -68,27 +84,39 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
         counter[0] += 1
         return f"_:{blank_prefix}{counter[0]}"
 
-    def node_elements(parent: ET.Element) -> Iterator[ET.Element]:
-        yield from parent
+    def scoped_base(el: ET.Element, base: str | None) -> str | None:
+        b = _attr(el, XML_NS, "base")
+        if b is None:
+            return base
+        return urljoin(base, b) if base else b
 
-    def subject_of(el: ET.Element) -> tuple[str, str]:
+    def resolve(iri: str, base: str | None) -> str:
+        # No xml:base in scope → leave the value verbatim (corpus behavior).
+        return urljoin(base, iri) if base else iri
+
+    def subject_of(el: ET.Element, base: str | None) -> tuple[str, str]:
         about = _attr(el, RDF_NS, "about")
         if about is not None:
-            return about, model.NAMED
+            return resolve(about, base), model.NAMED
         rid = _attr(el, RDF_NS, "ID")
         if rid is not None:
-            return "#" + rid, model.NAMED
+            return resolve("#" + rid, base), model.NAMED
         node_id = _attr(el, RDF_NS, "nodeID")
         if node_id is not None:
             return "_:" + node_id, model.BLANK
         return fresh_blank(), model.BLANK
 
-    def walk_node(el: ET.Element) -> tuple[str, str]:
+    def walk_node(
+        el: ET.Element, base: str | None, in_lang: str | None = None
+    ) -> tuple[str, str]:
         """Process one node element; returns (subject, subject_kind)."""
-        s, s_kind = subject_of(el)
+        base = scoped_base(el, base)
+        in_lang = _attr(el, XML_NS, "lang") or in_lang
+        s, s_kind = subject_of(el, base)
         tag = _expand(el.tag)
         if tag != RDF_NS + "Description":
-            # Typed node element ≡ rdf:type triple.
+            # Typed node element ≡ rdf:type triple (containers rdf:Bag/Seq/
+            # Alt land here too — they're ordinary typed nodes).
             rows.append((s, s_kind, _RDF_TYPE, tag, model.NAMED, None, None))
         # Non-structural attributes are string-literal properties.
         for attr, val in el.attrib.items():
@@ -96,25 +124,78 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
             if a in _STRUCTURAL or a.startswith(XML_NS):
                 continue
             rows.append((s, s_kind, a, val, model.LITERAL, None, None))
-        for prop in node_elements(el):
-            walk_property(s, s_kind, prop)
+        li_counter = [0]
+        for prop in el:
+            walk_property(s, s_kind, prop, base, li_counter, in_lang)
         return s, s_kind
 
-    def walk_property(s: str, s_kind: str, prop: ET.Element) -> None:
+    def emit_collection(
+        s: str, s_kind: str, p: str, items: list[tuple[str, str]]
+    ) -> None:
+        """rdf:parseType="Collection": cons-cell list of the child nodes."""
+        if not items:
+            rows.append((s, s_kind, p, _RDF_NIL, model.NAMED, None, None))
+            return
+        cells = [fresh_blank() for _ in items]
+        rows.append((s, s_kind, p, cells[0], model.BLANK, None, None))
+        for i, ((o, o_kind), cell) in enumerate(zip(items, cells)):
+            rows.append((cell, model.BLANK, RDF_NS + "first", o, o_kind, None, None))
+            rest, rest_kind = (
+                (cells[i + 1], model.BLANK) if i + 1 < len(cells) else (_RDF_NIL, model.NAMED)
+            )
+            rows.append((cell, model.BLANK, RDF_NS + "rest", rest, rest_kind, None, None))
+
+    def inner_xml(el: ET.Element) -> str:
+        parts = [el.text or ""]
+        for child in el:
+            parts.append(ET.tostring(child, encoding="unicode"))
+        return "".join(parts)
+
+    def walk_property(
+        s: str,
+        s_kind: str,
+        prop: ET.Element,
+        base: str | None,
+        li_counter: list[int],
+        in_lang: str | None = None,
+    ) -> None:
+        base = scoped_base(prop, base)
         p = _expand(prop.tag)
+        if p == RDF_NS + "li":
+            # rdf:li numbers per PARENT node element: rdf:_1, rdf:_2, …
+            li_counter[0] += 1
+            p = f"{RDF_NS}_{li_counter[0]}"
+        parse_type = _attr(prop, RDF_NS, "parseType")
         resource = _attr(prop, RDF_NS, "resource")
         node_id = _attr(prop, RDF_NS, "nodeID")
         datatype = _attr(prop, RDF_NS, "datatype")
-        lang = _attr(prop, XML_NS, "lang")
+        # xml:lang scopes like xml:base: the nearest ancestor's tag applies.
+        lang = _attr(prop, XML_NS, "lang") or in_lang
         children = list(prop)
-        if resource is not None:
-            rows.append((s, s_kind, p, resource, model.NAMED, None, None))
+        if parse_type == "Resource":
+            # Inline anonymous node: children are ITS property elements.
+            b = fresh_blank()
+            rows.append((s, s_kind, p, b, model.BLANK, None, None))
+            inner_li = [0]
+            for child in children:
+                walk_property(b, model.BLANK, child, base, inner_li, lang)
+        elif parse_type == "Collection":
+            emit_collection(
+                s, s_kind, p, [walk_node(c, base, lang) for c in children]
+            )
+        elif parse_type == "Literal":
+            rows.append(
+                (s, s_kind, p, inner_xml(prop), model.TYPED_LITERAL, None, _XML_LITERAL)
+            )
+        elif resource is not None:
+            rows.append((s, s_kind, p, resolve(resource, base), model.NAMED, None, None))
         elif node_id is not None:
             rows.append((s, s_kind, p, "_:" + node_id, model.BLANK, None, None))
         elif children:
-            # Nested node element → object is its subject.
-            o, o_kind = walk_node(children[0])
-            rows.append((s, s_kind, p, o, o_kind, None, None))
+            # Nested node element(s) → one triple per child subject.
+            for child in children:
+                o, o_kind = walk_node(child, base, lang)
+                rows.append((s, s_kind, p, o, o_kind, None, None))
         else:
             text = prop.text or ""
             if datatype is not None:
@@ -124,8 +205,9 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
             else:
                 rows.append((s, s_kind, p, text, model.LITERAL, None, None))
 
-    for el in node_elements(root):
-        walk_node(el)
+    doc_base = scoped_base(root, None)
+    for el in root:
+        walk_node(el, doc_base)
     return rows
 
 
@@ -238,6 +320,55 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return lines.mapInPandas(parse_batch, schema=model.TRIPLES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# N-Triples export — the DISTRIBUTED sink (scale path for S8)
+# --------------------------------------------------------------------------
+
+
+def nt_escape_expr(c) -> "F.Column":
+    """N-Triples literal escaping as a pure column expression (the inverse
+    of :func:`_unescape_nt` for the chars the format requires)."""
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def ntriples_line_expr() -> "F.Column":
+    """One N-Triples line per triples-schema row, all JVM expressions —
+    no UDF, no collect; stays inside whole-stage codegen."""
+    subj = F.when(
+        F.col("s_kind") == model.NAMED, F.concat(F.lit("<"), F.col("s"), F.lit(">"))
+    ).otherwise(F.col("s"))  # blank nodes carry their _: prefix already
+    lit = F.concat(F.lit('"'), nt_escape_expr(F.col("o_value")), F.lit('"'))
+    obj = (
+        F.when(
+            F.col("o_kind") == model.NAMED,
+            F.concat(F.lit("<"), F.col("o_value"), F.lit(">")),
+        )
+        .when(F.col("o_kind") == model.BLANK, F.col("o_value"))
+        .when(
+            F.col("o_kind") == model.LANG_LITERAL,
+            F.concat(lit, F.lit("@"), F.col("o_lang")),
+        )
+        .when(
+            F.col("o_kind") == model.TYPED_LITERAL,
+            F.concat(lit, F.lit("^^<"), F.col("o_datatype"), F.lit(">")),
+        )
+        .otherwise(lit)
+    )
+    pred = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    return F.concat_ws(" ", subj, pred, obj, F.lit("."))
+
+
+def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed N-Triples sink: every executor writes its partitions
+    directly (``df.write.text``) — exports a store bigger than driver
+    memory, unlike the parity-faithful driver-side ``to_rdfxml``
+    (graph.rs:707-712 returns in-memory bytes, so that one stays
+    collect-based by contract)."""
+    triples.select(ntriples_line_expr().alias("value")).write.mode(mode).text(path)
 
 
 # --------------------------------------------------------------------------

@@ -233,8 +233,16 @@ class TripleStore:
         return self.df.toLocalIterator()
 
     def to_rdf(self) -> bytes:
-        """RDF/XML export (S8)."""
+        """RDF/XML export (S8) — driver-side bytes, matching the reference's
+        ``to_rdf`` contract (graph.rs:707-712). For stores bigger than
+        driver memory use :meth:`to_ntriples`."""
         return rdfio.to_rdfxml(self.df)
+
+    def to_ntriples(self, path: str, mode: str = "overwrite") -> None:
+        """Distributed N-Triples export — executors write their partitions
+        in parallel; no driver collect (the scale-path sink the reference
+        lacks)."""
+        rdfio.write_ntriples(self.df, path, mode=mode)
 
     # -- stats (Q13 analogue) -----------------------------------------------
 

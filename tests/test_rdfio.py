@@ -66,6 +66,99 @@ def test_parse_reference_corpus_file():
     assert {"named", "literal"} <= kinds
 
 
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+RDFXML_CORNERS = b"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/" xml:base="http://base.org/dir/doc">
+  <rdf:Seq rdf:about="seq1">
+    <rdf:li rdf:resource="a"/>
+    <rdf:li rdf:resource="b"/>
+  </rdf:Seq>
+  <rdf:Description rdf:about="r1" xml:lang="en">
+    <ex:label>hello</ex:label>
+    <ex:meta rdf:parseType="Resource">
+      <ex:width rdf:datatype="http://www.w3.org/2001/XMLSchema#int">5</ex:width>
+    </ex:meta>
+    <ex:items rdf:parseType="Collection">
+      <rdf:Description rdf:about="i1"/>
+      <rdf:Description rdf:about="i2"/>
+    </ex:items>
+    <ex:empty rdf:parseType="Collection"/>
+    <ex:xml rdf:parseType="Literal"><b>bold</b></ex:xml>
+    <ex:kids>
+      <rdf:Description rdf:about="k1"/>
+      <rdf:Description rdf:about="k2"/>
+    </ex:kids>
+    <ex:tagged xml:lang="fr">bonjour</ex:tagged>
+  </rdf:Description>
+  <rdf:Description rdf:ID="frag"><ex:v>x</ex:v></rdf:Description>
+</rdf:RDF>
+"""
+
+
+def test_parse_rdfxml_container_li_numbering():
+    rows = parse_rdfxml(RDFXML_CORNERS)
+    seq = [(r[2], r[3]) for r in rows if r[0] == "http://base.org/dir/seq1"]
+    assert (RDF_NS + "type", RDF_NS + "Seq") in seq
+    # rdf:li expands to rdf:_1, rdf:_2 in document order, base-resolved
+    assert (RDF_NS + "_1", "http://base.org/dir/a") in seq
+    assert (RDF_NS + "_2", "http://base.org/dir/b") in seq
+
+
+def test_parse_rdfxml_parsetype_resource():
+    rows = parse_rdfxml(RDFXML_CORNERS)
+    meta = [r for r in rows if r[2] == "http://ex.org/meta"]
+    assert len(meta) == 1 and meta[0][4] == "blank"
+    blank = meta[0][3]
+    inner = [r for r in rows if r[0] == blank]
+    assert inner == [
+        (blank, "blank", "http://ex.org/width", "5", "typed_literal", None,
+         "http://www.w3.org/2001/XMLSchema#int")
+    ]
+
+
+def test_parse_rdfxml_parsetype_collection():
+    rows = parse_rdfxml(RDFXML_CORNERS)
+    head = next(r for r in rows if r[2] == "http://ex.org/items")
+    assert head[4] == "blank"
+    # walk the cons list
+    firsts, cell = [], head[3]
+    while cell != RDF_NS + "nil":
+        cell_rows = {r[2]: r[3] for r in rows if r[0] == cell}
+        firsts.append(cell_rows[RDF_NS + "first"])
+        cell = cell_rows[RDF_NS + "rest"]
+    assert firsts == ["http://base.org/dir/i1", "http://base.org/dir/i2"]
+    # empty collection points straight at rdf:nil
+    empty = next(r for r in rows if r[2] == "http://ex.org/empty")
+    assert (empty[3], empty[4]) == (RDF_NS + "nil", "named")
+
+
+def test_parse_rdfxml_parsetype_literal_and_multichild():
+    rows = parse_rdfxml(RDFXML_CORNERS)
+    xml = next(r for r in rows if r[2] == "http://ex.org/xml")
+    assert xml[3] == "<b>bold</b>" and xml[6] == RDF_NS + "XMLLiteral"
+    # multiple nested node elements → one triple per child (none dropped)
+    kids = sorted(r[3] for r in rows if r[2] == "http://ex.org/kids")
+    assert kids == ["http://base.org/dir/k1", "http://base.org/dir/k2"]
+
+
+def test_parse_rdfxml_base_and_lang_scoping():
+    rows = parse_rdfxml(RDFXML_CORNERS)
+    # xml:lang inherits from the node element; local override wins
+    label = next(r for r in rows if r[2] == "http://ex.org/label")
+    assert (label[4], label[5]) == ("lang_literal", "en")
+    tagged = next(r for r in rows if r[2] == "http://ex.org/tagged")
+    assert (tagged[4], tagged[5]) == ("lang_literal", "fr")
+    # rdf:ID resolves as a fragment against xml:base
+    assert any(r[0] == "http://base.org/dir/doc#frag" for r in rows)
+
+
+def test_ntriples_unicode_escapes():
+    line = '<http://a> <http://p> "uni\\u0041 \\U0001F600 \\\\u0042" .'
+    assert parse_ntriples_line(line)[3] == "uniA \U0001F600 \\u0042"
+
+
 def test_ntriples_parsing():
     assert parse_ntriples_line("<http://a> <http://p> <http://b> .") == (
         "http://a", "named", "http://p", "http://b", "named", None, None
@@ -100,6 +193,24 @@ def test_ntriples_spark_roundtrip(spark, tmp_path):
     f.write_text(nt)
     st = TripleStore.from_ntriples(spark, str(f))
     assert st.count() == 3
+
+
+def test_write_ntriples_roundtrip(spark, tmp_path):
+    """Distributed sink → reader round-trip preserves every triple,
+    including literals needing escapes and all five term kinds."""
+    rows = [
+        ("http://ex/a", "named", "http://ex/p", "http://ex/b", "named", None, None),
+        ("_:x", "blank", "http://ex/p", "_:y", "blank", None, None),
+        ("http://ex/a", "named", "http://ex/q", 'quote " back \\ nl \n tab \t', "literal", None, None),
+        ("http://ex/a", "named", "http://ex/q", "salut", "lang_literal", "fr", None),
+        ("http://ex/a", "named", "http://ex/q", "7", "typed_literal", None,
+         "http://www.w3.org/2001/XMLSchema#int"),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    out = str(tmp_path / "export_nt")
+    st.to_ntriples(out)
+    back = TripleStore.from_ntriples(spark, out)
+    assert sorted(map(tuple, back.df.collect())) == sorted(rows)
 
 
 def test_rdfxml_spark_roundtrip(spark, store_rows=None):
