@@ -240,28 +240,72 @@ def simhash64(token_col: Column) -> Column:
     return out
 
 
+def _rotl64(c: Column, k: int) -> Column:
+    """Bitwise rotate-left of a 64-bit signature (shifts are mask-defined —
+    no ANSI overflow surface)."""
+    k %= 64
+    if k == 0:
+        return c
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
 def simhash_pairs(
     df: DataFrame,
     content_col: str,
     id_col: str,
     max_hamming: int = 8,
     block_bits: int = 16,
+    rotations: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, blocked on the top
-    ``block_bits`` bits so the self-join only meets within blocks.
+    """Near-dup pairs by SimHash Hamming distance with MULTI-ROTATION
+    blocking: each signature lands in ``rotations`` buckets, one per
+    rotated view, so a pair whose differing bits fall inside one view's
+    block prefix still collides in another view. With r rotations and
+    Hamming distance d, a pair is missed only if every rotation's
+    ``block_bits`` window contains a differing bit — for d < r the pigeonhole
+    guarantees at least one clean window when the windows tile the word.
 
-    Returns (id_a, id_b, hamming). A production variant uses multiple
-    rotated blockings to avoid near-misses across block boundaries; one
-    blocking keeps the demo honest about the shuffle shape.
+    Returns (id_a, id_b, hamming), deduped across rotations. The self-join
+    meets only within (rotation, block) buckets — still never all-pairs;
+    candidate volume scales linearly in ``rotations``.
     """
     sigs = df.select(
         F.col(id_col).alias("__id"),
         simhash64(F.split(F.col(content_col), " ")).alias("__sim"),
-    ).withColumn("__block", F.shiftrightunsigned("__sim", 64 - block_bits))
-    a = sigs.toDF("id_a", "sim_a", "block")
-    b = sigs.toDF("id_b", "sim_b", "block")
+    )
+    return simhash_pairs_from_sigs(sigs, max_hamming, block_bits, rotations)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    block_bits: int = 16,
+    rotations: int = 4,
+) -> DataFrame:
+    """Pairing stage over precomputed (__id, __sim) signatures — separable
+    so tests can plant adversarial signatures straddling block boundaries."""
+    step = 64 // max(rotations, 1)
+    blocked = sigs.select(
+        "__id",
+        "__sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rot"),
+                        F.shiftrightunsigned(
+                            _rotl64(F.col("__sim"), r * step), 64 - block_bits
+                        ).alias("block"),
+                    )
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("rb"),
+    ).select("__id", "__sim", "rb.rot", "rb.block")
+    a = blocked.toDF("id_a", "sim_a", "rot", "block")
+    b = blocked.toDF("id_b", "sim_b", "rot", "block")
     return (
-        a.join(b, "block")
+        a.join(b, ["rot", "block"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -269,6 +313,7 @@ def simhash_pairs(
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide in several rotations
     )
 
 

@@ -75,6 +75,27 @@ def test_simhash_identical_zero_distance(docs):
         assert pairs[(1, 3)] <= 20
 
 
+def test_simhash_multirotation_catches_boundary_pair(spark):
+    """Signatures differing ONLY in the top bit sit in different top-16-bit
+    blocks — the single-blocking miss. A rotated view must catch them."""
+    from rippledb_spark.operators.dedup import simhash_pairs_from_sigs
+
+    sigs = spark.createDataFrame(
+        [(1, -(2**63)), (2, 0), (3, 0x0000FFFF00000000)],  # 1 vs 2: hamming 1
+        ["__id", "__sim"],
+    )
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=2, rotations=1).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=2, rotations=4).collect()
+    }
+    assert (1, 2) not in single  # the boundary miss the docstring warned about
+    assert (1, 2) in multi  # rotation moves the differing bit out of the prefix
+
+
 def test_brute_force_topk_self_first(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
