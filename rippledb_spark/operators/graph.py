@@ -34,6 +34,22 @@ def _release_iteration_garbage(df: DataFrame) -> None:
         pass  # non-JVM-backed session (e.g. Spark Connect): cleaner handles it
 
 
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Cut the iterative plan's lineage.
+
+    ``checkpoint_dir=None`` → ``localCheckpoint`` (executor-local blocks;
+    fast, but on a real cluster an executor loss makes iteration state
+    unrecoverable). A directory → RELIABLE ``checkpoint()`` to that path
+    (HDFS/S3/...), the 100×-safe form for long iterative jobs: state
+    survives executor churn at the cost of a filesystem write per round.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
+
+
 def degrees(triples: DataFrame) -> DataFrame:
     """Per-node out/in degree over named→named edges (entity graph only —
     literal objects are attributes, not edges)."""
@@ -59,6 +75,7 @@ def connected_components(
     iterations: int = 8,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation over UNDIRECTED edges.
 
@@ -69,12 +86,13 @@ def connected_components(
     query uses a fixed count so the DuckDB recursive-CTE oracle computes
     the identical partial fixpoint).
 
-    Same localCheckpoint-per-iteration discipline as :func:`pagerank`.
+    Same checkpoint-per-iteration discipline as :func:`pagerank`;
+    ``checkpoint_dir`` switches to reliable checkpoints (see _truncate).
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = und.localCheckpoint()
-    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    e = _truncate(und, checkpoint_dir)
+    nodes = _truncate(e.select(F.col("a").alias("node")).distinct(), checkpoint_dir)
     comp = nodes.withColumn("comp", F.col("node"))
 
     for _ in range(iterations):
@@ -84,13 +102,12 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("nmin"))
         )
-        comp = (
-            comp.join(neighbor_min, "node", "left_outer")
-            .select(
+        comp = _truncate(
+            comp.join(neighbor_min, "node", "left_outer").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
     _release_iteration_garbage(comp)
     return comp
@@ -102,6 +119,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank via iterative joins (ranks initialized to 1.0).
 
@@ -150,8 +168,8 @@ def pagerank(
                 ),
                 "old_rank",
             )
-            .localCheckpoint()
         )
+        new_ranks = _truncate(new_ranks, checkpoint_dir)
         # Exact-fixpoint early exit: identical inputs recompute bit-identical
         # ranks, so delta hits exactly 0 once converged (e.g. a bipartite DAG
         # converges in depth+1 rounds) — the remaining iterations are no-ops
@@ -173,3 +191,50 @@ def pagerank(
     nodes.unpersist(blocking=False)
     _release_iteration_garbage(ranks)
     return ranks
+
+
+def bfs_reachability(
+    edges: DataFrame,
+    sources: DataFrame | list[str],
+    iterations: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: (node, dist) for every node reachable from the
+    source set within ``iterations`` hops, dist = exact shortest hop count
+    (min-distance propagation — the transitive-closure / reachability tier
+    the reference's fixed-shape Graph::get cannot express).
+
+    Scale shape mirrors :func:`pagerank`: the frontier expansion is one
+    shuffle-join per round against a checkpointed distance table; GROUP BY
+    node keeps state one row per reached node (never per-path — path
+    enumeration explodes combinatorially on dense graphs). Exact-fixpoint
+    early exit: once (row count, dist sum) repeats, further rounds are
+    no-ops.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame([(s,) for s in sources], ["node"])
+    reached = sources.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    )
+    prev_stats = None
+    for _ in range(iterations):
+        step = e.join(reached, e.a == reached.node).select(
+            F.col("b").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+        )
+        reached = _truncate(
+            reached.unionByName(step).groupBy("node").agg(F.min("dist").alias("dist")),
+            checkpoint_dir,
+        )
+        row = reached.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        stats = (row["n"], row["s"])
+        if stats == prev_stats:
+            break  # distances only shrink and nodes only accrue → fixpoint
+        prev_stats = stats
+    _release_iteration_garbage(reached)
+    return reached

@@ -676,3 +676,37 @@ def ntriples_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+@query(
+    "graph_reachability",
+    oracle=f"""
+    WITH RECURSIVE {TRIPLES_CTE.strip()},
+    redges AS (
+      SELECT o_value AS a, s AS b FROM triples WHERE o_kind = 'named'
+    ),
+    reach AS (
+      SELECT 'region:0' AS node, 0 AS dist, 0 AS iter
+      UNION ALL
+      SELECT e.b, MIN(r.dist) + 1, ANY_VALUE(r.iter) + 1
+      FROM reach r JOIN redges e ON r.node = e.a
+      WHERE r.iter < 8
+      GROUP BY e.b
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM reach GROUP BY node ORDER BY node
+    """,
+)
+def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability (BFS transitive closure) from region:0 over
+    the REVERSED entity graph: region → its nations → their customers and
+    suppliers → those customers' orders, with exact hop distances — the
+    iterative-join tier beside pagerank/connected_components, hash-matched
+    against a DuckDB recursive CTE."""
+    from rippledb_spark.operators.graph import bfs_reachability
+
+    st = _store(spark, sf_dir)
+    redges = st.df.filter(F.col("o_kind") == "named").select(
+        F.col("o_value").alias("src"), F.col("s").alias("dst")
+    )
+    return bfs_reachability(redges, ["region:0"], iterations=8).orderBy("node")

@@ -66,3 +66,63 @@ def test_connected_components_two_islands(spark):
     comp = {r["node"]: r["comp"] for r in connected_components(edges, iterations=4).collect()}
     assert comp["a"] == comp["b"] == comp["c"] == "a"
     assert comp["x"] == comp["y"] == "x"
+
+
+def test_bfs_reachability_distances(spark):
+    from rippledb_spark.operators.graph import bfs_reachability
+
+    # diamond + unreachable island; shortest path wins (s->d is 2 via
+    # either arm, not 3), cycle back-edge does not inflate distances
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "d"), ("b", "d"), ("d", "s"),
+         ("b", "c"), ("c", "d"), ("x", "y")],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["dist"] for r in bfs_reachability(edges, ["s"], iterations=8).collect()}
+    assert got == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 2}
+
+
+def test_bfs_multi_source(spark):
+    from rippledb_spark.operators.graph import bfs_reachability
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("z", "c")], ["src", "dst"])
+    got = {r["node"]: r["dist"] for r in bfs_reachability(edges, ["a", "z"], iterations=4).collect()}
+    assert got == {"a": 0, "z": 0, "b": 1, "c": 1}  # c: min(2 via a, 1 via z)
+
+
+def test_iterative_ops_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint → reliable checkpoint();
+    results must be identical in both modes and checkpoint files written."""
+    import os
+
+    from rippledb_spark.operators.graph import (
+        bfs_reachability,
+        connected_components,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y")], ["src", "dst"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    pr_local = sorted((r["node"], round(r["rank"], 9)) for r in pagerank(edges, iterations=5).collect())
+    pr_rel = sorted(
+        (r["node"], round(r["rank"], 9))
+        for r in pagerank(edges, iterations=5, checkpoint_dir=ckpt).collect()
+    )
+    assert pr_local == pr_rel
+
+    cc_local = sorted(map(tuple, connected_components(edges, iterations=4).collect()))
+    cc_rel = sorted(
+        map(tuple, connected_components(edges, iterations=4, checkpoint_dir=ckpt).collect())
+    )
+    assert cc_local == cc_rel
+
+    bfs_local = sorted(map(tuple, bfs_reachability(edges, ["a"], iterations=4).collect()))
+    bfs_rel = sorted(
+        map(tuple, bfs_reachability(edges, ["a"], iterations=4, checkpoint_dir=ckpt).collect())
+    )
+    assert bfs_local == bfs_rel
+
+    assert os.listdir(ckpt)  # reliable checkpoints actually hit the directory
