@@ -386,3 +386,39 @@ def multiset_ops_priority_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "priority", "n")
     )
     return diff.unionByName(inter).orderBy("op", "priority")
+
+
+@query(
+    "skew_salted_join_equivalence",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def skew_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew toolkit REGISTERED THROUGH THE GATE: salted_join (left side
+    salted 8 ways, right replicated) + two_phase_agg (salted partial →
+    final combine), with the ORACLE being the plain unsalted join+groupby —
+    the driver itself proves salting is result-identical (it changes
+    placement, never values)."""
+    from rippledb_spark.operators.skew import salted_join, two_phase_agg
+
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    joined = salted_join(l, o, on="okey", n_salts=8)
+    agg = two_phase_agg(
+        joined.withColumnRenamed("o_orderpriority", "priority"),
+        keys=["priority"],
+        sums={"l_extendedprice": "revenue_raw"},
+        n_salts=8,
+    )
+    return agg.select(
+        "priority", F.round("revenue_raw", 2).alias("revenue"), "n_rows"
+    ).orderBy("priority")

@@ -110,3 +110,77 @@ def test_stateful_running_user_stats(spark, stream_dir):
     rows = {r["user_id"]: (r["n_events"], r["total_value"], r["max_value"]) for r in out.collect()}
     assert rows[1] == (5, 17.0, 7.0)   # events 1,2,3,4,7
     assert rows[2] == (2, 11.0, 6.0)   # events 5,6
+
+
+def test_late_data_past_watermark_dropped(spark, tmp_path):
+    """Out-of-order events arriving after their window's state was EVICTED
+    are dropped — proven with three micro-batches (maxFilesPerTrigger=1):
+
+    - batch 0 fills the 10:00 window and advances the watermark to 13:00;
+    - batch 1 (any on-time row) finalizes + evicts the 10:00 window under
+      that watermark (append emits it once, with batch-0 counts);
+    - batch 2 injects a click at 10:30 — behind the watermark, state gone.
+
+    The watermark filter must drop it (numRowsDroppedByWatermark=1) and the
+    sink must NOT grow a second, resurrected 10:00 row. Watermark dropping
+    is best-effort only UNTIL eviction (a late row landing in the same
+    batch as the eviction may still merge — observed Spark behavior, and
+    why the late row here arrives one batch after)."""
+    import os
+    import time
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+
+    def write(name, rows, mtime):
+        f = d / name
+        f.write_text("\n".join(json.dumps(r) for r in rows))
+        os.utime(f, (mtime, mtime))
+
+    def ev(eid, ts, etype, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": 1,
+            "event_type": etype, "value": value, "props": "{}",
+        }
+
+    now = time.time()
+    write("part-000.json", [
+        ev(1, "2024-01-01 10:15:00", "click", 1.0),
+        ev(2, "2024-01-01 10:45:00", "click", 2.0),
+        ev(3, "2024-01-01 15:00:00", "view", 3.0),   # watermark → 13:00
+    ], now - 30)
+    write("part-001.json", [
+        ev(4, "2024-01-01 15:10:00", "view", 4.0),   # evicts 10:00 window
+    ], now - 20)
+    write("part-002.json", [
+        ev(5, "2024-01-01 10:30:00", "click", 10.0),  # LATE: 10:30 < 13:00
+    ], now - 10)
+
+    stream = (
+        spark.readStream.schema(SW.EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        SW.tumbling_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        so["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    rows = [
+        (str(r["window_start"]), r["event_type"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_late").collect()
+    ]
+    assert dropped == 1  # the late click hit the watermark filter
+    # exactly one finalized 10:00 row, with batch-0 counts only — the late
+    # row neither merged nor resurrected the evicted window
+    assert rows == [("2024-01-01 10:00:00", "click", 2, 3.0)]
