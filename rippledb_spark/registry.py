@@ -67,6 +67,7 @@ def _load_query_modules() -> None:
         return
     import rippledb_spark.queries.relational  # noqa: F401
     import rippledb_spark.queries.relational2  # noqa: F401
+    import rippledb_spark.queries.relational3  # noqa: F401
     import rippledb_spark.queries.triples  # noqa: F401
     import rippledb_spark.queries.pipeline  # noqa: F401
     import rippledb_spark.queries.pipeline2  # noqa: F401
