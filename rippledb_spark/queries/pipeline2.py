@@ -247,3 +247,50 @@ def udtf_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, lower(t.token) AS token
+      FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.token AS token, ANY_VALUE(dfreq.doc_freq) AS doc_freq,
+           ROUND(SUM(tf.tf * ln(n.n_docs / dfreq.doc_freq)), 4) AS tfidf_total
+    FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+    GROUP BY tf.token
+    HAVING ANY_VALUE(dfreq.doc_freq) >= 2
+    ORDER BY tfidf_total DESC, tf.token LIMIT 20
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the documents corpus: explode → per-doc term counts →
+    document frequency → idf-weighted total per term, top 20. Two shuffles
+    (doc,token agg then token agg); the doc-count is a 1-row broadcast.
+    The canonical 'which terms characterize this corpus' pipeline op."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("token")
+        .agg(
+            F.first("doc_freq").alias("doc_freq"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq"))), 4
+            ).alias("tfidf_total"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+        .orderBy(F.desc("tfidf_total"), F.asc("token"))
+        .limit(20)
+    )

@@ -170,3 +170,55 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_first_per_minute"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "interval_join_error_clicks",
+    oracle=f"""
+    SELECT e.event_id AS error_id,
+           c.event_id AS click_id,
+           e.user_id,
+           strftime(e.ts, '{_FMT_DUCK}') AS error_ts,
+           strftime(c.ts, '{_FMT_DUCK}') AS click_ts
+    FROM events e
+    JOIN events c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    ORDER BY error_id, click_id
+    """,
+)
+def interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM interval join
+    (streaming.windows.error_click_followups): per error, the same user's
+    clicks within the following 10 minutes. The equi key (user_id) drives a
+    hash/SMJ join with the time bounds as residual — NOT a broadcast nested
+    loop; in the streaming form the same bounds are what expire join
+    state."""
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        errors.join(
+            clicks,
+            (F.col("e_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("e_ts"))
+            & (F.col("c_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "error_id",
+            "click_id",
+            F.col("e_user").alias("user_id"),
+            F.date_format("e_ts", _FMT_SPARK).alias("error_ts"),
+            F.date_format("c_ts", _FMT_SPARK).alias("click_ts"),
+        )
+        .orderBy("error_id", "click_id")
+    )

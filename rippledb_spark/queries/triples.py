@@ -710,3 +710,22 @@ def graph_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_value").alias("src"), F.col("s").alias("dst")
     )
     return bfs_reachability(redges, ["region:0"], iterations=8).orderBy("node")
+
+
+@query(
+    "triples_footprint",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT p, COUNT(*) AS n_triples,
+           CAST(SUM(strlen(s) + strlen(p) + strlen(o_value)
+                    + COALESCE(strlen(o_lang), 0)
+                    + COALESCE(strlen(o_datatype), 0)) AS BIGINT) AS payload_bytes
+    FROM triples GROUP BY p ORDER BY p
+    """,
+)
+def triples_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 byte accounting (graph.rs:1010-1027): UTF-8 payload bytes per
+    predicate 'slice', oracle-checked — the reference's footprint() is a
+    physical-layout byte count; the value-model observable is payload
+    bytes, and parquet owns the physical bytes."""
+    return _store(spark, sf_dir).footprint()

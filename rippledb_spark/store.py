@@ -253,3 +253,32 @@ class TripleStore:
         """Per-predicate triple counts — the observable analogue of
         ``footprint`` (graph.rs:1010-1027): one row per 'slice'."""
         return self.df.groupBy("p").agg(F.count(F.lit(1)).alias("n_triples")).orderBy("p")
+
+    def footprint(self) -> DataFrame:
+        """Byte accounting per predicate (graph.rs:1010-1027's footprint,
+        re-expressed for the value model): UTF-8 payload bytes of every
+        term column, summed per 'slice'. The reference counts dict +
+        bitvec bytes of its physical layout; here the observable unit is
+        payload bytes (the physical bytes are parquet's business). One
+        aggregate over one scan — no collect."""
+        payload = (
+            F.octet_length("s")
+            + F.octet_length("p")
+            + F.octet_length("o_value")
+            + F.coalesce(F.octet_length("o_lang"), F.lit(0))
+            + F.coalesce(F.octet_length("o_datatype"), F.lit(0))
+        )
+        return (
+            self.df.groupBy("p")
+            .agg(
+                F.count(F.lit(1)).alias("n_triples"),
+                F.sum(payload.cast("long")).alias("payload_bytes"),
+            )
+            .orderBy("p")
+        )
+
+    def footprint_bytes(self) -> int:
+        """Total payload bytes — the scalar the reference's ``footprint()``
+        returns (graph.rs:1010)."""
+        row = self.footprint().agg(F.sum("payload_bytes").alias("b")).collect()[0]
+        return int(row["b"] or 0)

@@ -72,3 +72,41 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> 
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def error_click_followups(
+    events: DataFrame, horizon: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAM-STREAM inner join: for each error, the same user's clicks
+    within ``horizon`` AFTER it. Both sides carry watermarks and the join
+    condition bounds event time from both directions — that pair is what
+    lets Spark expire join state (an unbounded stream-stream join is a
+    state leak; the time bound makes state ∝ users active within the
+    horizon).
+
+    Batch twin (oracle-checked): queries/streaming_batch.interval_join_error_clicks.
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return errors.join(
+        clicks,
+        (F.col("e_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("e_ts"))
+        & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("error_id", "click_id", F.col("e_user").alias("user_id"), "e_ts", "c_ts")

@@ -184,3 +184,28 @@ def test_late_data_past_watermark_dropped(spark, tmp_path):
     # exactly one finalized 10:00 row, with batch-0 counts only — the late
     # row neither merged nor resurrected the evicted window
     assert rows == [("2024-01-01 10:00:00", "click", 2, 3.0)]
+
+
+def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
+    """Live stream-stream join: error followed by same-user clicks within
+    10 minutes. Inner joins emit matches eagerly (no watermark wait)."""
+    d = tmp_path / "ss_join"
+    d.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "error", "value": 0.0, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01 10:20:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},  # >10min
+        {"event_id": 4, "ts": "2024-01-01 10:05:00", "user_id": 2, "event_type": "click", "value": 1.0, "props": "{}"},  # other user
+        {"event_id": 5, "ts": "2024-01-01 09:59:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},  # before error
+    ]
+    (d / "part1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema(SW.EVENTS_DDL)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = _run_stream(
+        spark, SW.error_click_followups(stream), "t_ssjoin", mode="append"
+    )
+    pairs = sorted((r["error_id"], r["click_id"]) for r in out.collect())
+    assert pairs == [(1, 2)]  # only the in-horizon, same-user, after-error click
