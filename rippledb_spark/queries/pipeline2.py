@@ -294,3 +294,80 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf_total"), F.asc("token"))
         .limit(20)
     )
+
+
+@query(
+    "train_test_split_documents",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '3'
+                  THEN 'test' ELSE 'train' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY source, split ORDER BY source, split
+    """,
+)
+def train_test_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split — the pipeline op every training-data
+    build needs: membership is a pure function of the DOC ID (first md5 hex
+    digit 0-3 → test ≈ 25%), so the split is stable across runs, partition
+    layouts, and engines — which is exactly what the oracle proves. No RNG,
+    no sampling state; at 100 TB the split predicate evaluates in the scan."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).between("0", "3"),
+        "test",
+    ).otherwise("train")
+    return (
+        d.select("source", split.alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "array_hof_embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(list_aggregate(
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             'sum'))), 4) AS avg_norm,
+           ROUND(AVG(len(list_filter(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0.0))), 4)
+             AS avg_n_positive
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def array_hof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as first-class operators (transform /
+    filter / aggregate over array<float>): per-label mean L2 norm and mean
+    positive-component count. Pure expression tree — the lambdas run inside
+    codegen, no UDF, one aggregation shuffle on the tiny label key."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    n_pos = F.size(F.filter(dbl, lambda x: x > 0.0))
+    return (
+        e.select("label", norm.alias("__norm"), n_pos.alias("__np"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("__norm"), 4).alias("avg_norm"),
+            F.round(F.avg("__np"), 4).alias("avg_n_positive"),
+        )
+        .orderBy("label")
+    )

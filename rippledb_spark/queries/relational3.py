@@ -257,3 +257,133 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    s AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+    ),
+    merged AS (
+      SELECT * FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.o_orderkey = t.o_orderkey)
+      UNION ALL
+      SELECT * FROM s
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (whole-row upsert) semantics: 1996 orders as the target;
+    the source re-prices urgent 1996 orders (+10%, the UPDATE arm) and
+    brings 1997-Q1 orders (the INSERT arm). Accounting per status proves
+    source-wins/insert/pass-through row routing against a pure-SQL twin."""
+    from rippledb_spark.operators.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders")
+    t = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    updates = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        ).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+    )
+    inserts = o.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    merged = merge_upsert(t, updates.unionByName(inserts), key="o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "resample_hourly_fill_users",
+    oracle="""
+    WITH RECURSIVE span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT (SELECT lo FROM span) AS bucket_start
+      UNION ALL
+      SELECT bucket_start + INTERVAL 1 HOUR FROM hours
+      WHERE bucket_start < (SELECT hi FROM span)
+    ),
+    spine AS (
+      SELECT u.user_id, h.bucket_start
+      FROM (SELECT DISTINCT user_id FROM events) u, hours h
+    ),
+    actual AS (
+      SELECT user_id, date_trunc('hour', ts) AS b, AVG(value) AS v
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    filled AS (
+      SELECT s.user_id, s.bucket_start,
+             ROUND(last_value(a.v IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_start
+               ROWS UNBOUNDED PRECEDING), 6) AS value_filled,
+             a.v IS NULL AS is_gap
+      FROM spine s LEFT JOIN actual a
+        ON a.user_id = s.user_id AND a.b = s.bucket_start
+    )
+    SELECT user_id,
+           COUNT(*) AS n_buckets,
+           CAST(SUM(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(ROUND(SUM(CAST(value_filled AS DECIMAL(18,6))), 2) AS DOUBLE) AS filled_sum
+    FROM filled GROUP BY user_id ORDER BY user_id
+    """,
+)
+def resample_hourly_fill_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable rollup family):
+    hourly buckets per user over the global span, forward-filled with the
+    last seen hourly average. Summarized per user (bucket count, gap count,
+    filled sum) so the oracle hash-checks the whole fill surface. Spine is
+    sequence+explode (no driver loop); the fill window rides the join's
+    partitioning."""
+    from rippledb_spark.operators.timeseries import resample_fill
+
+    e = load(spark, sf_dir, "events")
+    hourly = resample_fill(
+        e.select("user_id", "ts", F.col("value").alias("v")),
+        key="user_id",
+        ts="ts",
+        value="v",
+        step="1 hour",
+        agg="avg",
+    )
+    return (
+        hourly.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+            F.round(F.sum(F.col("value_filled").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("filled_sum"),
+        )
+        .orderBy("user_id")
+    )

@@ -256,3 +256,51 @@ def test_multimodal_frame_sampling(spark, docs):
         assert all(len(r["frame_bytes"]) > 0 for r in rows)
     # 1→N expansion really happened
     assert len(frames) > len(DOCS)
+
+
+# -- merge / timeseries operators -------------------------------------------
+
+
+def test_merge_upsert_routing(spark):
+    from rippledb_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "tag", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], ["id", "tag", "v"]
+    )
+    got = {r["id"]: (r["tag"], r["v"]) for r in merge_upsert(target, source, "id").collect()}
+    assert got == {
+        1: ("a", 10.0),   # target-only passes through
+        2: ("B", 99.0),   # collision: source wins
+        3: ("c", 30.0),
+        4: ("d", 40.0),   # source-only inserts
+    }
+
+
+def test_resample_fill_forward_fills_gaps(spark):
+    from datetime import datetime
+
+    from rippledb_spark.operators.timeseries import resample_fill
+
+    rows = [
+        ("k1", datetime(2024, 1, 1, 10, 15), 4.0),
+        ("k1", datetime(2024, 1, 1, 10, 45), 6.0),   # hour 10 avg = 5.0
+        ("k1", datetime(2024, 1, 1, 13, 0), 7.0),    # hours 11,12 are gaps
+        ("k2", datetime(2024, 1, 1, 12, 30), 1.0),   # first seen hour 12
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {
+        (r["k"], str(r["bucket_start"])): (r["value_filled"], r["is_gap"])
+        for r in resample_fill(df, "k", "ts", "v").collect()
+    }
+    # spine spans the GLOBAL range 10:00..13:00 for both keys
+    assert len(out) == 8
+    assert out[("k1", "2024-01-01 10:00:00")] == (5.0, False)
+    assert out[("k1", "2024-01-01 11:00:00")] == (5.0, True)   # forward-filled
+    assert out[("k1", "2024-01-01 12:00:00")] == (5.0, True)
+    assert out[("k1", "2024-01-01 13:00:00")] == (7.0, False)
+    assert out[("k2", "2024-01-01 10:00:00")] == (None, True)  # before first obs
+    assert out[("k2", "2024-01-01 12:00:00")] == (1.0, False)
+    assert out[("k2", "2024-01-01 13:00:00")] == (1.0, True)
