@@ -371,3 +371,49 @@ def array_hof_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "hypertable_daily_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def hypertable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: per (day, type) rollup with
+    exact interpolating percentiles alongside the additive stats. ONE
+    aggregation shuffle on the (bucket, type) key; counts/sums combine
+    map-side, the percentile state is the per-group value multiset — at
+    100 TB you materialize this rollup incrementally per closed bucket
+    (the streaming tumbling-window twin) instead of rescanning history."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").alias("__d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(
+            F.date_format("__d", "yyyy-MM-dd HH:mm:ss").alias("day_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "p50",
+            "p95",
+            "max_value",
+        )
+        .orderBy("day_start", "event_type")
+    )
