@@ -387,3 +387,47 @@ def resample_hourly_fill_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH parts AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS block
+      FROM part
+    )
+    SELECT a.block, COUNT(*) AS n_close_pairs,
+           CAST(MIN(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS min_dist,
+           ROUND(AVG(levenshtein(a.p_name, b.p_name)), 4) AS avg_dist
+    FROM parts a JOIN parts b
+      ON a.block = b.block AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3 AND a.p_name <> b.p_name
+    GROUP BY a.block ORDER BY a.block
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance ≤ 2) with BLOCKED candidate
+    generation: the self-join meets only within first-token blocks — the
+    same never-all-pairs discipline as the minhash/simhash dedup tier,
+    since levenshtein over the full n² is a non-starter at scale.
+    levenshtein is a JVM built-in on both engines."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("block")
+    )
+    a = p.toDF("key_a", "name_a", "block")
+    b = p.toDF("key_b", "name_b", "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select("block", F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 3)
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_close_pairs"),
+            F.min("edit_dist").alias("min_dist"),
+            F.round(F.avg("edit_dist"), 4).alias("avg_dist"),
+        )
+        .orderBy("block")
+    )
