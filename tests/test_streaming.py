@@ -209,3 +209,50 @@ def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
     )
     pairs = sorted((r["error_id"], r["click_id"]) for r in out.collect())
     assert pairs == [(1, 2)]  # only the in-horizon, same-user, after-error click
+
+
+def test_foreachbatch_upsert_parquet_sink(spark, tmp_path):
+    """foreachBatch upsert sink: micro-batches MERGE into a parquet
+    snapshot by key — a key re-delivered in a later batch UPDATES its row
+    instead of duplicating it (exactly-once-by-key semantics)."""
+    import os
+    import time
+
+    from rippledb_spark.streaming.sinks import start_upsert_parquet_sink
+
+    d = tmp_path / "sink_src"
+    d.mkdir()
+
+    def ev(eid, ts, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": 1,
+            "event_type": "click", "value": value, "props": "{}",
+        }
+
+    now = time.time()
+    f0 = d / "part-000.json"
+    f0.write_text(json.dumps(ev(1, "2024-01-01 10:00:00", 1.0)) + "\n"
+                  + json.dumps(ev(2, "2024-01-01 10:01:00", 2.0)))
+    os.utime(f0, (now - 20, now - 20))
+    f1 = d / "part-001.json"
+    f1.write_text(json.dumps(ev(2, "2024-01-01 10:05:00", 99.0)) + "\n"  # re-delivery of key 2
+                  + json.dumps(ev(3, "2024-01-01 10:06:00", 3.0)))
+    os.utime(f1, (now - 10, now - 10))
+
+    stream = (
+        spark.readStream.schema(SW.EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out_path = str(tmp_path / "sink_out")
+    q = start_upsert_parquet_sink(
+        stream, out_path, key="event_id", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: r["value"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert got == {1: 1.0, 2: 99.0, 3: 3.0}  # key 2 updated, not duplicated
