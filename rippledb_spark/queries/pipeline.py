@@ -283,3 +283,71 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@query(
+    "corpus_cleaning_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text, source,
+             {TX.token_count_sql('text')} AS n_tokens
+      FROM documents
+      WHERE ROUND({TX.quality_score_sql('text')}, 4) >= 0.3
+    ),
+    exact_kept AS (
+      SELECT doc_id, text, source, n_tokens FROM quality q
+      WHERE doc_id = (SELECT MIN(doc_id) FROM quality q2 WHERE md5(q2.text) = md5(q.text))
+    ),
+    sh AS (
+      SELECT doc_id, {DD.shingles_sql('text', 3)} AS shingles FROM exact_kept
+    ),
+    sized AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh WHERE len(shingles) > 0),
+    near_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    near_dups AS (
+      SELECT DISTINCT id_b AS doc_id FROM near_pairs
+      JOIN sized na ON na.doc_id = id_a
+      JOIN sized nb ON nb.doc_id = id_b
+      WHERE shared / (na.n + nb.n - shared) >= 0.8
+    ),
+    survivors AS (
+      SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT doc_id FROM near_dups)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM survivors GROUP BY source ORDER BY source
+    """,
+)
+def corpus_cleaning_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus cleaning composition — what all the
+    pipeline operators exist FOR, composed and oracle-checked as one unit:
+
+        quality gate (score ≥ 0.3) → exact dedup (keep lowest id per md5)
+        → near-dup removal (exact Jaccard ≥ 0.8, keep lower id)
+        → per-source document + token budget accounting.
+
+    Each stage is the registered operator (functions/text.quality_score,
+    operators/dedup.exact_dedup / ngram_jaccard_pairs) — at 100 TB the
+    near-dup stage swaps to minhash_lsh_pairs (same pair contract, bucketed
+    candidates) with this exact form as its verifier."""
+    d = load(spark, sf_dir, "documents")
+    quality = d.filter(F.round(TX.quality_score("text"), 4) >= 0.3).select(
+        "doc_id", "text", "source", TX.token_count("text").alias("n_tokens")
+    )
+    exact_kept = DD.exact_dedup(quality, "text", "doc_id")
+    near = DD.ngram_jaccard_pairs(exact_kept, "text", "doc_id", shingle_n=3, threshold=0.8)
+    dup_ids = near.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = exact_kept.join(dup_ids, "doc_id", "left_anti")
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
