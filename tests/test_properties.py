@@ -135,3 +135,54 @@ def test_ntriples_line_roundtrip(row):
         obj = f'"{_nt_escape(o)}"'
     line = f"{subj} <{p}> {obj} ."
     assert parse_ntriples_line(line) == row
+
+
+# --------------------------------------------------------------------------
+# N-Triples escape → unescape inverse (the write_ntriples sink's contract)
+# --------------------------------------------------------------------------
+
+
+def _escape_nt_py(s: str) -> str:
+    """Pure-Python mirror of rdfio.nt_escape_expr's replace chain (same
+    order: backslash first, then quote/newline/CR/tab)."""
+    for raw, esc in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        s = s.replace(raw, esc)
+    return s
+
+
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=60,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_nt_escape_unescape_inverse(s):
+    from rippledb_spark.sources.rdfio import _unescape_nt
+
+    assert _unescape_nt(_escape_nt_py(s)) == s
+
+
+@given(st.integers(min_value=0, max_value=0x10FFFF))
+@settings(max_examples=200, deadline=None)
+def test_nt_unicode_escape_forms(cp):
+    from rippledb_spark.sources.rdfio import _unescape_nt
+
+    if 0xD800 <= cp <= 0xDFFF:  # surrogates aren't scalar values
+        return
+    assert _unescape_nt(f"\\u{cp:04X}" if cp <= 0xFFFF else f"\\U{cp:08X}") == chr(cp)
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_nt_line_roundtrip_via_parser(s):
+    """Full line-level roundtrip: escape a literal into an N-Triples line,
+    parse it back with the production regex + unescaper."""
+    from hypothesis import assume
+
+    from rippledb_spark.sources.rdfio import parse_ntriples_line
+
+    assume("\x00" not in s)
+    line = f'<http://ex/s> <http://ex/p> "{_escape_nt_py(s)}" .'
+    row = parse_ntriples_line(line)
+    assert row is not None and row[3] == s
