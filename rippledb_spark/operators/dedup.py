@@ -25,28 +25,42 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 # Cached shingle DataFrame from the prior minhash_lsh_pairs call, keyed by
-# the plan's semantic hash. A repeated call over the SAME input reuses the
-# live cache (warm path — the common benchmark/driver pattern); a call over
-# a DIFFERENT input retires the predecessor first, so the block manager
-# never accumulates more than one shingle cache. release_caches() frees
-# that last one too, for callers that are fully done.
-_LIVE_CACHE: dict[int, DataFrame] = {}
+# (SparkSession id, plan semantic hash). A repeated call over the SAME
+# input in the SAME session reuses the live cache (warm path — the common
+# benchmark/driver pattern); a call over a DIFFERENT input retires the
+# predecessor first, so the block manager never accumulates more than one
+# shingle cache. release_caches() frees that last one too.
+#
+# The semantic hash is PLAN-based, not data-based: if the files under the
+# same path change between calls, the cache would serve stale rows. Pass
+# ``cache=False`` to minhash_lsh_pairs in that case (or call
+# release_caches() between datasets).
+_LIVE_CACHE: dict[tuple[int, int], DataFrame] = {}
 
 
 def release_caches() -> None:
     """Unpersist any shingle cache still held by minhash_lsh_pairs."""
     for df in _LIVE_CACHE.values():
-        df.unpersist(blocking=False)
+        try:
+            df.unpersist(blocking=False)
+        except Exception:  # pragma: no cover — owning session already gone
+            pass
     _LIVE_CACHE.clear()
 
 
 def _cached_base(base: DataFrame) -> DataFrame:
     try:
-        key = base.semanticHash()
+        key = (id(base.sparkSession), base.semanticHash())
     except Exception:  # pragma: no cover — e.g. Connect without the API
-        key = 0
+        key = (0, 0)
     if key in _LIVE_CACHE:
-        return _LIVE_CACHE[key]
+        cached = _LIVE_CACHE[key]
+        try:  # liveness check: a stopped session leaves a dead handle
+            if not cached.sparkSession.sparkContext._jsc.sc().isStopped():
+                return cached
+        except Exception:
+            pass
+        _LIVE_CACHE.pop(key, None)
     release_caches()
     base = base.persist()
     _LIVE_CACHE[key] = base
@@ -149,10 +163,15 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash with exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4dp.
+
+    ``cache=False`` skips the cross-call shingle cache (use when re-reading
+    a path whose underlying files may have changed — the cache key is the
+    logical plan, not the data).
 
     Scale shape: docs → exploded shingles → ONE xxhash64 per shingle →
     K modular permutations folded in one hash-agg → B band buckets →
@@ -166,12 +185,13 @@ def minhash_lsh_pairs(
     # Same-input repeat calls reuse the live cache; a different input
     # retires it first (see _cached_base) so at most one shingle cache is
     # ever held.
-    base = _cached_base(
-        df.select(
-            F.col(id_col).alias("__id"),
-            shingles(content_col, shingle_n).alias("__sh"),
-        ).filter(F.size("__sh") > 0)
-    )
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(content_col, shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    # cache=False recomputes the shingles per consumer (3×) instead of
+    # holding a persist handle nobody would release.
+    base = _cached_base(shingled) if cache else shingled
     inv = base.select("__id", F.explode("__sh").alias("__shingle")).withColumn(
         "__h", F.pmod(F.xxhash64("__shingle"), F.lit(_MINHASH_P))
     )

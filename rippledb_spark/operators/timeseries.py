@@ -28,9 +28,15 @@ def resample_fill(
 
     Returns (key, bucket_start, value_filled, is_gap). ``step`` must be a
     single-unit interval ("1 hour", "1 day", ...) — the truncation unit is
-    derived from it.
+    derived from it, so a multi-count step like "15 minutes" would silently
+    bucket actuals per minute while the spine strides 15; reject it.
     """
-    unit = step.split()[-1].rstrip("s")
+    parts = step.split()
+    if len(parts) != 2 or parts[0] != "1":
+        raise ValueError(
+            f"resample_fill step must be a count-1 interval like '1 hour', got {step!r}"
+        )
+    unit = parts[-1].rstrip("s")
     bucket = F.date_trunc(unit, F.col(ts)).alias("__b")
     agg_fn = getattr(F, agg)
     actual = df.groupBy(F.col(key).alias("__k"), bucket).agg(

@@ -58,8 +58,8 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_item_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
            c.c_acctbal
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -68,7 +68,9 @@ def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1996-04-01'
       AND l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal
-    ORDER BY revenue DESC, c_custkey LIMIT 20
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+    LIMIT 20
     """,
 )
 def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,9 +80,10 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then one agg shuffle on custkey. TakeOrderedAndProject caps the
     result driver-side at 20 rows.
 
-    Revenue sums in DECIMAL: prices/discounts are 2dp values, so decimal
-    arithmetic is EXACT and the sum is order-independent — double sums land
-    on 2dp rounding boundaries and flip the last cent between engines."""
+    Revenue sums in DECIMAL (exact, order-independent), orders by the exact
+    sum, then emits the repo-conventional ROUND(.., 2)::DOUBLE (registry fp
+    policy) so the driver's value hasher sees one canonical representation
+    instead of engine-specific DECIMAL(38,4) renderings."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
@@ -95,10 +98,15 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal")
-        .agg(F.sum(rev).alias("revenue"))
-        .select("c_custkey", "c_name", "revenue", "c_acctbal")
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .agg(F.sum(rev).alias("revenue_exact"))
+        .orderBy(F.desc("revenue_exact"), F.asc("c_custkey"))
         .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("revenue_exact"), 2).cast("double").alias("revenue"),
+            "c_acctbal",
+        )
     )
 
 

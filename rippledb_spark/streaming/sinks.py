@@ -33,12 +33,17 @@ def start_upsert_parquet_sink(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # Probe for the target via the JVM Hadoop FileSystem (works for any
+        # scheme the session can read, not just local paths). Only a truly
+        # absent target means "first batch"; a transient read error must
+        # propagate — swallowing it here would overwrite the snapshot with
+        # just the current micro-batch (silent data loss).
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             target = spark.read.parquet(path)
-            exists = True
-        except Exception:
-            exists = False
-        if exists:
             merged = merge_upsert(target, batch_df.select(*target.columns), key)
         else:
             merged = batch_df
