@@ -70,9 +70,11 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
     ``rdf:li`` list items (→ rdf:_1, rdf:_2, … per node element),
     ``rdf:parseType="Resource"`` (inline blank node), ``"Collection"``
     (rdf:first/rdf:rest cons list), ``"Literal"`` (XML-literal payload),
-    ``xml:base`` scoping for relative IRI resolution, and MULTIPLE nested
+    ``xml:base`` scoping for relative IRI resolution, MULTIPLE nested
     node elements under one property element (one triple per child — the
-    single-child-only form silently dropped siblings).
+    single-child-only form silently dropped siblings), and ``rdf:ID`` on
+    property elements (statement reification: rdf:type rdf:Statement +
+    rdf:subject/predicate/object quads).
     """
     from urllib.parse import urljoin
 
@@ -172,38 +174,68 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
         # xml:lang scopes like xml:base: the nearest ancestor's tag applies.
         lang = _attr(prop, XML_NS, "lang") or in_lang
         children = list(prop)
+        # stmt = the statement triple this property element asserts,
+        # kept for rdf:ID reification below.
+        stmt: tuple | None = None
         if parse_type == "Resource":
             # Inline anonymous node: children are ITS property elements.
             b = fresh_blank()
-            rows.append((s, s_kind, p, b, model.BLANK, None, None))
+            stmt = (s, s_kind, p, b, model.BLANK, None, None)
+            rows.append(stmt)
             inner_li = [0]
             for child in children:
                 walk_property(b, model.BLANK, child, base, inner_li, lang)
         elif parse_type == "Collection":
+            before = len(rows)
             emit_collection(
                 s, s_kind, p, [walk_node(c, base, lang) for c in children]
             )
-        elif parse_type == "Literal":
-            rows.append(
-                (s, s_kind, p, inner_xml(prop), model.TYPED_LITERAL, None, _XML_LITERAL)
+            # emit_collection's list-head triple is the asserted statement;
+            # it is the first row whose subject is ``s`` (child walk_node
+            # rows precede it).
+            stmt = next(
+                (r for r in rows[before:] if r[0] == s and r[2] == p), None
             )
+        elif parse_type == "Literal":
+            stmt = (s, s_kind, p, inner_xml(prop), model.TYPED_LITERAL, None, _XML_LITERAL)
+            rows.append(stmt)
         elif resource is not None:
-            rows.append((s, s_kind, p, resolve(resource, base), model.NAMED, None, None))
+            stmt = (s, s_kind, p, resolve(resource, base), model.NAMED, None, None)
+            rows.append(stmt)
         elif node_id is not None:
-            rows.append((s, s_kind, p, "_:" + node_id, model.BLANK, None, None))
+            stmt = (s, s_kind, p, "_:" + node_id, model.BLANK, None, None)
+            rows.append(stmt)
         elif children:
             # Nested node element(s) → one triple per child subject.
             for child in children:
                 o, o_kind = walk_node(child, base, lang)
                 rows.append((s, s_kind, p, o, o_kind, None, None))
+                if stmt is None:
+                    stmt = (s, s_kind, p, o, o_kind, None, None)
         else:
             text = prop.text or ""
             if datatype is not None:
-                rows.append((s, s_kind, p, text, model.TYPED_LITERAL, None, datatype))
+                stmt = (s, s_kind, p, text, model.TYPED_LITERAL, None, datatype)
             elif lang is not None:
-                rows.append((s, s_kind, p, text, model.LANG_LITERAL, lang, None))
+                stmt = (s, s_kind, p, text, model.LANG_LITERAL, lang, None)
             else:
-                rows.append((s, s_kind, p, text, model.LITERAL, None, None))
+                stmt = (s, s_kind, p, text, model.LITERAL, None, None)
+            rows.append(stmt)
+        # rdf:ID on a PROPERTY element reifies the statement it asserts
+        # (RDF/XML §7.3 — the construct rio_xml handles via the rio crate,
+        # src/rdf/parser.rs:88-122): four triples typing #ID as
+        # rdf:Statement with subject/predicate/object. The object triple
+        # carries the statement object's exact kind/lang/datatype.
+        rid = _attr(prop, RDF_NS, "ID")
+        if rid is not None and stmt is not None:
+            w = resolve("#" + rid, base)
+            _s, _sk, _p, _o, _ok, _lang, _dt = stmt
+            rows.append(
+                (w, model.NAMED, _RDF_TYPE, RDF_NS + "Statement", model.NAMED, None, None)
+            )
+            rows.append((w, model.NAMED, RDF_NS + "subject", _s, _sk, None, None))
+            rows.append((w, model.NAMED, RDF_NS + "predicate", _p, model.NAMED, None, None))
+            rows.append((w, model.NAMED, RDF_NS + "object", _o, _ok, _lang, _dt))
 
     doc_base = scoped_base(root, None)
     for el in root:

@@ -236,3 +236,42 @@ def test_export_drops_non_qname_predicate(spark):
     back = parse_rdfxml(to_rdfxml(st.df))
     assert len(back) == 1
     assert back[0][2] == "http://ex/p#ok"
+
+
+RDFXML_REIFIED = b"""<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/" xml:base="http://base.org/doc">
+  <rdf:Description rdf:about="http://ex.org/alice">
+    <ex:age rdf:ID="st1" rdf:datatype="http://www.w3.org/2001/XMLSchema#int">30</ex:age>
+    <ex:knows rdf:ID="st2" rdf:resource="http://ex.org/bob"/>
+    <ex:nick rdf:ID="st3" xml:lang="en">ali</ex:nick>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+
+def test_parse_rdfxml_property_id_reification():
+    """rdf:ID on a property element emits the asserted triple PLUS the four
+    reification triples (rdf:type Statement, subject, predicate, object),
+    with the statement IRI resolved against xml:base and the object quad
+    carrying the statement object's exact kind/lang/datatype."""
+    rows = parse_rdfxml(RDFXML_REIFIED)
+    a = "http://ex.org/alice"
+    xsd_int = "http://www.w3.org/2001/XMLSchema#int"
+    # asserted triples still present
+    assert (a, "named", "http://ex.org/age", "30", "typed_literal", None, xsd_int) in rows
+    assert (a, "named", "http://ex.org/knows", "http://ex.org/bob", "named", None, None) in rows
+    assert (a, "named", "http://ex.org/nick", "ali", "lang_literal", "en", None) in rows
+    for frag, pred, obj in [
+        ("st1", "http://ex.org/age", ("30", "typed_literal", None, xsd_int)),
+        ("st2", "http://ex.org/knows", ("http://ex.org/bob", "named", None, None)),
+        ("st3", "http://ex.org/nick", ("ali", "lang_literal", "en", None)),
+    ]:
+        w = f"http://base.org/doc#{frag}"  # xml:base-resolved statement IRI
+        quads = {(r[2], r[3], r[4], r[5], r[6]) for r in rows if r[0] == w}
+        assert (RDF_NS + "type", RDF_NS + "Statement", "named", None, None) in quads
+        assert (RDF_NS + "subject", a, "named", None, None) in quads
+        assert (RDF_NS + "predicate", pred, "named", None, None) in quads
+        o, o_kind, lang, dt = obj
+        assert (RDF_NS + "object", o, o_kind, lang, dt) in quads
+        assert len(quads) == 4
