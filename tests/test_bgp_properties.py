@@ -1,0 +1,152 @@
+"""Property-based check of the BGP planner (plans/bgp.py:get) against a
+brute-force Python evaluator implementing the reference's Graph::get fine
+print (SURVEY §2.3, src/datastore/graph.rs:333-413):
+
+1. projection = FIRST pattern's first variable position;
+2. later patterns are EXISTS semi-joins (prune, never multiply);
+3. pattern₀ duplicates are preserved;
+4. bound values match only ``named`` nodes;
+5. zero-variable query → ASK-style 0/1 rows;
+plus the documented deviation: a failing candidate value is removed at
+EVERY occurrence (graph.rs's memo bug removes only the first).
+
+Random tiny graphs over a small vocabulary (so patterns collide often) ×
+random 1-3-pattern queries. Spark runs per example, so example counts are
+deliberately small; the naive evaluator is the spec.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from rippledb_spark import model
+from rippledb_spark.plans.bgp import get
+from rippledb_spark.plans.sparql import Sparql, Var
+
+IRIS = ["http://ex/a", "http://ex/b", "http://ex/c"]
+PREDS = ["http://ex/p", "http://ex/q"]
+LITS = ["x", "y"]
+BLANKS = ["_:b1", "_:b2"]
+VARS = ["$v", "$w"]
+
+_VAL_IDX = {0: 0, 1: 2, 2: 3}  # pattern position → row value index
+_KIND_IDX = {0: 1, 1: None, 2: 4}
+
+
+def _random_row(rng: random.Random) -> tuple:
+    s_kind = rng.choice([model.NAMED, model.BLANK])
+    s = rng.choice(IRIS if s_kind == model.NAMED else BLANKS)
+    p = rng.choice(PREDS)
+    o_kind = rng.choice(model.NODE_KINDS)
+    lang = dt = None
+    if o_kind == model.NAMED:
+        o = rng.choice(IRIS)
+    elif o_kind == model.BLANK:
+        o = rng.choice(BLANKS)
+    else:
+        o = rng.choice(LITS)
+        if o_kind == model.LANG_LITERAL:
+            lang = "en"
+        elif o_kind == model.TYPED_LITERAL:
+            dt = "http://www.w3.org/2001/XMLSchema#string"
+    return (s, s_kind, p, o, o_kind, lang, dt)
+
+
+def _random_pattern(rng: random.Random) -> list[str]:
+    pat = []
+    for pos, pool in ((0, IRIS + BLANKS), (1, PREDS), (2, IRIS + LITS)):
+        if rng.random() < 0.45:
+            pat.append(rng.choice(VARS))
+        else:
+            pat.append(rng.choice(pool))
+    return pat
+
+
+def _matches(row: tuple, cond) -> bool:
+    """Reference pattern match: bound elements hit named nodes only
+    (graph.rs:1031-1033); the predicate column has no kind."""
+    for pos, unit in enumerate(cond):
+        if isinstance(unit, Var):
+            continue
+        if row[_VAL_IDX[pos]] != unit.value:
+            return False
+        k = _KIND_IDX[pos]
+        if k is not None and row[k] != model.NAMED:
+            return False
+    return True
+
+
+def naive_get(rows: list[tuple], conds) -> list:
+    """Brute-force graph.rs:333-413 semantics (see module docstring)."""
+    if not conds:
+        return []
+    first = conds[0]
+    m0 = [r for r in rows if _matches(r, first)]
+    vpos = [(i, u.name) for i, u in enumerate(first) if isinstance(u, Var)]
+    if not vpos:
+        # ASK: 0/1 rows — true iff every pattern matches something.
+        ok = all(any(_matches(r, c) for r in rows) for c in conds)
+        return [True] if ok else []
+    pos0, var0 = vpos[0]
+    cand = [r[_VAL_IDX[pos0]] for r in m0]
+    for cond in conds[1:]:
+        mi = [r for r in rows if _matches(r, cond)]
+        positions = [
+            i for i, u in enumerate(cond) if isinstance(u, Var) and u.name == var0
+        ]
+        if not positions:
+            # Pattern not sharing the driving var: global EXISTS gate.
+            if not mi:
+                cand = []
+            continue
+        probe = {r[_VAL_IDX[positions[0]]] for r in mi}
+        cand = [v for v in cand if v in probe]
+    return cand
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_get_matches_naive_evaluator(spark, seed):
+    rng = random.Random(1000 + seed)
+    rows = [_random_row(rng) for _ in range(rng.randint(0, 14))]
+    conds = [_random_pattern(rng) for _ in range(rng.randint(1, 3))]
+    q = Sparql().filter(conds)
+
+    df = spark.createDataFrame(rows, schema=model.TRIPLES_SCHEMA)
+    got = [r[0] for r in get(df, q).collect()]
+    want = naive_get(rows, q.conds)
+    assert sorted(map(str, got)) == sorted(map(str, want)), (
+        f"seed={seed} rows={rows} conds={conds}"
+    )
+
+
+def test_get_duplicate_preservation_and_total_removal(spark):
+    """Pinned example of fine print #3 + the documented deviation: a value
+    with multiplicity 2 in pattern₀ keeps BOTH rows when it survives, and
+    loses BOTH when a later pattern rejects it."""
+    rows = [
+        ("http://ex/a", model.NAMED, "http://ex/p", "x", model.LITERAL, None, None),
+        ("http://ex/a", model.NAMED, "http://ex/p", "y", model.LITERAL, None, None),
+        ("http://ex/b", model.NAMED, "http://ex/p", "x", model.LITERAL, None, None),
+        # probe target must be a NAMED node: bound values can't reach
+        # literals (fine print #4), which is itself part of this pin
+        ("http://ex/a", model.NAMED, "http://ex/q", "http://ex/z", model.NAMED, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema=model.TRIPLES_SCHEMA)
+    # a matches twice in pattern₀ and survives the $v q z probe → [a, a]
+    q = Sparql().filter(
+        [["$v", "http://ex/p", "$o"], ["$v", "http://ex/q", "http://ex/z"]]
+    )
+    got = sorted(r[0] for r in get(df, q).collect())
+    assert got == ["http://ex/a", "http://ex/a"]
+    assert naive_get(rows, q.conds) == ["http://ex/a", "http://ex/a"]
+    # with the probe rejecting everything (no named z2 triple), BOTH of
+    # a's pattern₀ occurrences are removed — the documented deviation
+    # from the reference's first-occurrence-only memo removal
+    q2 = Sparql().filter(
+        [["$v", "http://ex/p", "$o"], ["$v", "http://ex/q", "http://ex/z2"]]
+    )
+    got2 = [r[0] for r in get(df, q2).collect()]
+    assert got2 == []
+    assert naive_get(rows, q2.conds) == []

@@ -31,3 +31,33 @@ def test_sample_queries_run_at_smoke_sf(spark, sf_dir, name):
     fn = all_queries()[name]
     df = fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_rotation_prefers_uncertified_queries(monkeypatch):
+    """queries()/oracle_sql() order feeds the driver's 50-query
+    certification window: never-certified (and failed) queries must sort
+    ahead of already-green ones, stable on registration order within a
+    tier."""
+    import rippledb_spark.registry as R
+
+    names = list(R.all_queries())
+    counts = R._green_counts()
+    green_ranks = [counts.get(n, 0) for n in names]
+    # non-decreasing green counts: uncertified first, most-certified last
+    assert green_ranks == sorted(green_ranks)
+    # the first 50 (the driver window) contain every zero-count query
+    # (or are all zero-count, if more than 50 are pending)
+    window = set(names[:50])
+    pending = [n for n in names if counts.get(n, 0) == 0]
+    if len(pending) <= 50:
+        assert set(pending) <= window
+
+
+def test_resample_fill_rejects_multi_count_step(spark):
+    from rippledb_spark.operators.timeseries import resample_fill
+
+    df = spark.range(1).selectExpr(
+        "1 as k", "timestamp'2024-01-01' as ts", "1.0 as v"
+    )
+    with __import__("pytest").raises(ValueError, match="count-1 interval"):
+        resample_fill(df, "k", "ts", "v", step="15 minutes")

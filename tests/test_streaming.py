@@ -256,3 +256,55 @@ def test_foreachbatch_upsert_parquet_sink(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     }
     assert got == {1: 1.0, 2: 99.0, 3: 3.0}  # key 2 updated, not duplicated
+
+
+def test_foreachbatch_upsert_sink_replay_idempotent(spark, tmp_path):
+    """Replay durability: re-delivering the SAME batches (fresh checkpoint
+    → Structured Streaming re-runs every epoch, exactly what a failure/
+    retry does) leaves the snapshot byte-for-byte equivalent — the
+    idempotence property that lets the upsert sink stand in for a
+    transactional sink at scale."""
+    import os
+    import time
+
+    from rippledb_spark.streaming.sinks import start_upsert_parquet_sink
+
+    d = tmp_path / "replay_src"
+    d.mkdir()
+
+    def ev(eid, ts, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": 1,
+            "event_type": "click", "value": value, "props": "{}",
+        }
+
+    now = time.time()
+    f0 = d / "part-000.json"
+    f0.write_text(json.dumps(ev(1, "2024-01-01 10:00:00", 1.0)) + "\n"
+                  + json.dumps(ev(2, "2024-01-01 10:01:00", 2.0)))
+    os.utime(f0, (now - 20, now - 20))
+    f1 = d / "part-001.json"
+    f1.write_text(json.dumps(ev(2, "2024-01-01 10:05:00", 99.0)) + "\n"
+                  + json.dumps(ev(3, "2024-01-01 10:06:00", 3.0)))
+    os.utime(f1, (now - 10, now - 10))
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(SW.EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = start_upsert_parquet_sink(
+            stream, out_path, key="event_id", checkpoint_dir=ckpt
+        )
+        q.awaitTermination(120)
+
+    out_path = str(tmp_path / "replay_out")
+    run(str(tmp_path / "ckpt_a"))
+    first = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    # full replay of the same epochs against the EXISTING snapshot
+    run(str(tmp_path / "ckpt_b"))
+    second = sorted(map(tuple, spark.read.parquet(out_path).collect()))
+    assert first == second
+    assert {r[0] for r in first} == {1, 2, 3}
