@@ -56,7 +56,12 @@ def get_spark(
         # 30 min — far too lazy for a long-lived analytics session.
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[32] drives executor + driver work from one JVM: 21-query
+        # bench sessions accumulate broadcasts/blocks, and an 8g heap was
+        # measurably GC-bound by the tail queries (pagerank 2× slower
+        # in-bench than standalone). The box has 128 GiB; 16g is still
+        # conservative.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
