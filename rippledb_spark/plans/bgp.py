@@ -96,36 +96,70 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
     return cand
 
 
-def _order_patterns(conds: list) -> list:
+def predicate_counts(triples: DataFrame) -> dict[str, int]:
+    """Per-predicate cardinalities for cost-based pattern ordering.
+
+    One aggregation over the store; the result is small by the vertical-
+    partitioning assumption (predicates number in the hundreds, not the
+    billions — the same assumption behind the reference's one-K2Tree-per-
+    predicate layout, graph.rs:36). Collected to the driver ONCE and
+    reused across queries — the analogue of ANALYZE statistics, not a
+    per-query collect."""
+    return {r["p"]: r["count"] for r in triples.groupBy("p").count().collect()}
+
+
+def _order_patterns(conds: list, stats: dict[str, int] | None = None) -> list:
     """Selectivity-guided, connectivity-aware pattern order (SURVEY §4.2 —
     the one planning decision Catalyst can't make for us, since the fold
     order fixes the join tree's leaves).
 
-    Heuristic: more bound positions → more selective (a (s,p,o) point beats
-    a (?,p,?) dump); start with the most selective pattern, then greedily
-    append the most selective pattern CONNECTED to the variables seen so
-    far — keeping the chain connected avoids accidental cross-joins that a
-    naive sort by selectivity alone would create."""
+    Without ``stats``: more bound positions → more selective (a (s,p,o)
+    point beats a (?,p,?) dump). With ``stats`` (per-predicate counts from
+    :func:`predicate_counts`), the estimate sharpens to cardinality-based:
+    a pattern's base row count is its predicate's count (total for unbound
+    predicates), discounted 100× per additional bound position — so a
+    bound-s pattern over a 10-row predicate now correctly beats one over a
+    10M-row predicate, which the bound-count heuristic ties. Start with
+    the cheapest pattern, then greedily append the cheapest pattern
+    CONNECTED to the variables seen so far — keeping the chain connected
+    avoids accidental cross-joins that a naive global sort would create."""
 
-    def selectivity(cond) -> int:
+    def bound_count(cond) -> int:
         return sum(1 for u in cond if not isinstance(u, Var))
 
+    if stats is None:
+        def cost(cond) -> float:
+            return -bound_count(cond)
+    else:
+        total = max(sum(stats.values()), 1)
+
+        def cost(cond) -> float:
+            p = cond[1]
+            base = stats.get(p.value, 0) if isinstance(p, Val) else total
+            extra = bound_count(cond) - (0 if isinstance(p, Var) else 1)
+            return base / (100.0 ** extra)
+
     remaining = list(conds)
-    remaining.sort(key=selectivity, reverse=True)
+    remaining.sort(key=cost)
     ordered = [remaining.pop(0)]
     seen_vars = {u.name for u in ordered[0] if isinstance(u, Var)}
     while remaining:
         connected = [
             c for c in remaining if any(isinstance(u, Var) and u.name in seen_vars for u in c)
         ]
-        nxt = connected[0] if connected else remaining[0]
+        nxt = min(connected, key=cost) if connected else remaining[0]
         remaining.remove(nxt)
         ordered.append(nxt)
         seen_vars |= {u.name for u in nxt if isinstance(u, Var)}
     return ordered
 
 
-def select_join(triples: DataFrame, query: Sparql, optimize: bool = True) -> DataFrame:
+def select_join(
+    triples: DataFrame,
+    query: Sparql,
+    optimize: bool = True,
+    stats: dict[str, int] | None = None,
+) -> DataFrame:
     """Multi-variable BGP: inner equi-join chain over shared variables.
 
     Each pattern projects its variable positions to columns named after the
@@ -135,14 +169,16 @@ def select_join(triples: DataFrame, query: Sparql, optimize: bool = True) -> Dat
     Catalyst can still broadcast the small side).
 
     With ``optimize`` (default) patterns are reordered by the selectivity
-    heuristic in :func:`_order_patterns`; bag-join results are order-
-    independent, so this changes the plan, never the answer. Pass
+    heuristic in :func:`_order_patterns`; pass ``stats`` (from
+    :func:`predicate_counts`, typically via ``TripleStore.analyze()``) to
+    upgrade it to cardinality-based cost ordering. Bag-join results are
+    order-independent, so this changes the plan, never the answer. Pass
     optimize=False for the reference's literal textual order.
     """
     if not query.conds:
         raise QueryError("select_join requires at least one pattern")
 
-    conds = _order_patterns(query.conds) if optimize else list(query.conds)
+    conds = _order_patterns(query.conds, stats) if optimize else list(query.conds)
     plans: list[DataFrame] = []
     for cond in conds:
         ci = pattern_filter(triples, *_bounds(cond))

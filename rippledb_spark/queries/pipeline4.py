@@ -1,0 +1,241 @@
+"""LLM training-data pipeline queries, part 4: sequence packing,
+deterministic stratified sampling, benchmark-contamination detection,
+character-entropy quality scoring, and stutter (repeated-token) stats.
+
+Engine-tier surface (SURVEY §2.4 — the reference has no pipeline tier).
+Same design rules as pipeline/pipeline2/pipeline3: pure JVM expression
+trees, DuckDB oracle twins from shared constants, no RNG anywhere —
+sampling and splits are hash-of-id functions so every engine and every
+run agrees row-for-row.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from rippledb_spark.operators.dedup import shingles, shingles_sql
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+@query(
+    "pack_documents_token_budget",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks
+    )
+    SELECT lang, CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+    """,
+)
+def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget packs per
+    language (the standard pretraining batch-construction op). The pack id
+    is floor(exclusive-running-token-total / budget) — the deterministic
+    streaming approximation of greedy bin packing, computable as ONE
+    window pass. The window partitions by lang and orders by doc_id, so
+    at 100 TB each language packs independently (parallel across
+    partitions); integer token counts keep the division exact on both
+    engines."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return (
+        d.select("doc_id", "lang", n_tok.alias("n_tok"))
+        .withColumn("pack_id", F.floor(cum_before / float(PACK_BUDGET)).cast("bigint"))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@query(
+    "stratified_sample_by_lang",
+    oracle="""
+    WITH sampled AS (
+      SELECT lang, n_chars
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+            <= CASE WHEN lang = 'en' THEN '3f' ELSE '7f' END
+    )
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+    FROM sampled GROUP BY lang ORDER BY lang
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates (en ≈
+    25%, others ≈ 50% — downsampling the over-represented stratum is the
+    classic data-mix rebalance) decided by the first md5 hex byte of the
+    doc id. No RNG and no sampleBy() state: membership is a pure function
+    of the id, reproducible across engines/runs/partitionings, and the
+    predicate evaluates in the scan (no shuffle to sample)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = bucket <= F.when(F.col("lang") == "en", "3f").otherwise("7f")
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "benchmark_contamination_4gram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({shingles_sql('text', 4)}) AS g FROM documents
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+    SELECT s.doc_id, COUNT(DISTINCT s.g) AS n_shared
+    FROM sh s JOIN bench b ON s.g = b.g
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def benchmark_contamination_4gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing any token
+    4-gram with the held-out benchmark slice (doc_id % 50 = 0 stands in
+    for the eval set), with the shared-shingle count as evidence. The
+    benchmark side is tiny by construction → its distinct shingle set
+    broadcasts; the scan side explodes shingles once and hash-joins —
+    never doc×doc. This is the decontamination pass every pretraining
+    pipeline runs before training."""
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 4)).alias("g"))
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "char_entropy_quality",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(list_transform(range(1, LENGTH(text) + 1),
+                            i -> substring(text, i, 1))) AS ch
+      FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    probs AS (
+      SELECT doc_id, c / (SUM(c) OVER (PARTITION BY doc_id)) AS p FROM freq
+    ),
+    ent AS (
+      SELECT doc_id, -SUM(p * LOG2(p)) AS h FROM probs GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(ROUND(h, 4) AS DOUBLE) AS entropy
+    FROM ent ORDER BY ROUND(h, 4), doc_id LIMIT 10
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram character entropy per document, 10 lowest — the
+    perplexity-proxy quality screen (low-entropy text = repetitive
+    boilerplate/garbage). Chars explode through a generated sequence (no
+    UDF), entropy is two aggregation levels: (doc, char) counts, then the
+    -Σ p·log₂p fold per doc. Both engines compute p from integer counts,
+    so the only fp nondeterminism is sub-ulp summation order, absorbed by
+    the 4dp round (ordering uses the rounded value on both sides)."""
+    d = load(spark, sf_dir, "documents")
+    ch = F.expr(
+        "explode(transform(sequence(1, length(text)), i -> substring(text, i, 1)))"
+    )
+    freq = (
+        d.select("doc_id", ch.alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(total)
+    ent = (
+        freq.select("doc_id", (p * F.log2(p)).alias("term"))
+        .groupBy("doc_id")
+        .agg((-F.sum("term")).alias("h"))
+    )
+    return (
+        ent.select("doc_id", F.round("h", 4).cast("double").alias("entropy"))
+        .orderBy("entropy", "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "repeated_token_stats",
+    oracle="""
+    WITH reps AS (
+      SELECT source,
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               CAST(len(list_filter(
+                 list_transform(range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] = string_split(text, ' ')[i + 1]),
+                 x -> x)) AS BIGINT)
+             ELSE 0 END AS n_rep
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_repeats,
+           CAST(SUM(n_rep) AS BIGINT) AS total_repeats
+    FROM reps GROUP BY source ORDER BY source
+    """,
+)
+def repeated_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent repeated-token (stutter) accounting per source — the
+    cleaning heuristic that catches low-quality generation/scrape
+    artifacts ('the the'). The pairwise comparison is a generated index
+    sequence over the token array (codegen, no UDF); the ≥2-token guard
+    exists because Spark's sequence(1, 0) DESCENDS instead of returning
+    empty. One agg on the small source key."""
+    d = load(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    n_rep = F.expr(
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"CAST(size(filter(transform(sequence(1, size({toks}) - 1), "
+        f"i -> element_at({toks}, i) = element_at({toks}, i + 1)), x -> x)) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        d.select("source", n_rep.alias("n_rep"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_rep") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_with_repeats"),
+            F.sum("n_rep").alias("total_repeats"),
+        )
+        .orderBy("source")
+    )

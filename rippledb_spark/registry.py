@@ -122,6 +122,7 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.pipeline  # noqa: F401
     import rippledb_spark.queries.pipeline2  # noqa: F401
     import rippledb_spark.queries.pipeline3  # noqa: F401
+    import rippledb_spark.queries.pipeline4  # noqa: F401
     import rippledb_spark.queries.streaming_batch  # noqa: F401
 
     _LOADED = True

@@ -221,9 +221,22 @@ class TripleStore:
         """Reference-exact conjunctive query (Q2; graph.rs:333-413)."""
         return bgp.get(self.df, query)
 
-    def select_join(self, query: Sparql) -> DataFrame:
-        """Multi-variable BGP superset (SURVEY §4.2)."""
-        return bgp.select_join(self.df, query)
+    def analyze(self) -> dict[str, int]:
+        """Compute + cache per-predicate cardinalities (ANALYZE statistics)
+        for cost-based BGP pattern ordering. One aggregation; the map is
+        small by the vertical-partitioning assumption. Invalidated
+        implicitly because every DML op returns a NEW TripleStore."""
+        if getattr(self, "_pred_stats", None) is None:
+            self._pred_stats = bgp.predicate_counts(self.df)
+        return self._pred_stats
+
+    def select_join(self, query: Sparql, use_stats: bool = False) -> DataFrame:
+        """Multi-variable BGP superset (SURVEY §4.2). ``use_stats=True``
+        orders patterns by analyzed predicate cardinality instead of the
+        bound-position heuristic (plan change only — bag-join results are
+        order-independent)."""
+        stats = self.analyze() if use_stats else None
+        return bgp.select_join(self.df, query, stats=stats)
 
     # -- iteration / export (S7, S8) ----------------------------------------
 

@@ -150,3 +150,46 @@ def test_get_duplicate_preservation_and_total_removal(spark):
     got2 = [r[0] for r in get(df, q2).collect()]
     assert got2 == []
     assert naive_get(rows, q2.conds) == []
+
+
+def test_order_patterns_stats_cost_ordering():
+    """With ANALYZE stats, a bound-s pattern over a huge predicate must
+    yield to a bare (?,p,?) dump over a tiny one — the case the
+    bound-count heuristic gets backwards."""
+    from rippledb_spark.plans.bgp import _order_patterns
+    from rippledb_spark.plans.sparql import Sparql
+
+    q = Sparql().filter(
+        [
+            ["http://ex/a", "http://ex/huge", "$x"],   # 1 bound pos beyond p
+            ["$x", "http://ex/tiny", "$y"],            # predicate-only
+        ]
+    )
+    stats = {"http://ex/huge": 10_000_000, "http://ex/tiny": 10}
+    ordered = _order_patterns(q.conds, stats)
+    assert ordered[0][1].value == "http://ex/tiny"
+    # without stats the heuristic picks the more-bound pattern first
+    assert _order_patterns(q.conds)[0][1].value == "http://ex/huge"
+    # either way it is a permutation
+    assert sorted(map(repr, ordered)) == sorted(map(repr, q.conds))
+
+
+def test_select_join_stats_plan_is_result_identical(spark):
+    """Cost-based ordering changes the join tree, never the bag result."""
+    from rippledb_spark.plans.sparql import Sparql
+    from rippledb_spark.store import TripleStore
+
+    rows = [
+        ("http://ex/a", "named", "http://ex/p", "http://ex/b", "named", None, None),
+        ("http://ex/b", "named", "http://ex/q", "http://ex/c", "named", None, None),
+        ("http://ex/a", "named", "http://ex/p", "http://ex/c", "named", None, None),
+        ("http://ex/c", "named", "http://ex/q", "http://ex/d", "named", None, None),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    q = Sparql().select(["$x", "$z"]).filter(
+        [["$x", "http://ex/p", "$y"], ["$y", "http://ex/q", "$z"]]
+    )
+    plain = sorted(map(tuple, st.select_join(q).collect()))
+    stat = sorted(map(tuple, st.select_join(q, use_stats=True).collect()))
+    assert plain == stat and len(plain) == 2
+    assert st.analyze() == {"http://ex/p": 2, "http://ex/q": 2}
