@@ -48,6 +48,10 @@ HEADLINE = [
     "asof_error_to_click",
     "graph_pagerank",
     "udaf_weighted_avg_price",
+    # round-3 additions: 7-table star (broadcast-chain family) and
+    # window-pass sequence packing (LLM-pipeline batch construction)
+    "q8_market_share",
+    "pack_documents_token_budget",
 ]
 
 

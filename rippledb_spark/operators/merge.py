@@ -13,9 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, source: DataFrame, key: str | list[str]
+) -> DataFrame:
     """Whole-row upsert: for key collisions the SOURCE row replaces the
     target row; source-only keys insert; target-only keys pass through.
-    Columns must match by name (unionByName)."""
-    unchanged = target.join(source.select(key), on=key, how="left_anti")
+    Columns must match by name (unionByName). ``key`` may be one column
+    or a composite key list."""
+    keys = [key] if isinstance(key, str) else list(key)
+    unchanged = target.join(source.select(*keys), on=keys, how="left_anti")
     return unchanged.unionByName(source.select(*target.columns))

@@ -222,3 +222,48 @@ def interval_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("error_id", "click_id")
     )
+
+
+@query(
+    "window_topk_users",
+    oracle=f"""
+    WITH totals AS (
+      SELECT strftime(date_trunc('hour', ts), '{_FMT_DUCK}') AS window_start,
+             user_id,
+             ROUND(SUM(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, user_id, total_value, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT window_start, user_id, total_value,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY total_value DESC, user_id) AS rnk
+      FROM totals
+    ) WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+)
+def window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by value per 1-hour tumbling window — the batch twin of
+    streaming.windows.start_windowed_topk_sink (watermarked update-mode
+    aggregation + foreachBatch merge-and-rank; live form in
+    tests/test_streaming.py). The rank window partitions by the same key
+    the aggregation shuffled on, so no extra exchange."""
+    e = load(spark, sf_dir, "events")
+    totals = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "user_id",
+            "total_value",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
+    )

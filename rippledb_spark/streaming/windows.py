@@ -110,3 +110,79 @@ def error_click_followups(
         & (F.col("c_ts") >= F.col("e_ts"))
         & (F.col("c_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("error_id", "click_id", F.col("e_user").alias("user_id"), "e_ts", "c_ts")
+
+
+def windowed_user_totals(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window per-user value totals — the streaming aggregate feeding
+    :func:`start_windowed_topk_sink`. State is one row per (window, user)
+    inside the watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "total_value")
+    )
+
+
+def start_windowed_topk_sink(
+    events: DataFrame,
+    path: str,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming windowed top-k: maintain per-(window, user) totals as an
+    upserted snapshot, re-rank per micro-batch, write the top-k per window
+    to ``path``.
+
+    Rank-over-window is not expressible inside a streaming plan (no
+    ordered state), so this is the canonical two-stage pattern: the
+    STREAMING stage is an incremental watermarked aggregation in UPDATE
+    mode (state bounded by the watermark horizon — complete mode would
+    pin every window ever seen), and foreachBatch MERGEs the changed
+    (window, user) rows into a totals snapshot (``path + "_totals"``)
+    before ranking it. Both writes are per-batch recomputations of
+    snapshots from merged state, so epoch replay is idempotent like
+    sinks.start_upsert_parquet_sink.
+    """
+    from pyspark.sql import Window as W
+
+    from rippledb_spark.operators.merge import merge_upsert
+
+    agg = windowed_user_totals(events, window, watermark)
+    totals_path = path + "_totals"
+    keys = ["window_start", "user_id"]
+
+    def _merge_rank_write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(totals_path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            target = spark.read.parquet(totals_path)
+            totals = merge_upsert(target, batch_df.select(*target.columns), keys)
+        else:
+            totals = batch_df
+        totals = totals.localCheckpoint(eager=True)
+        totals.write.mode("overwrite").parquet(totals_path)
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("total_value"), F.asc("user_id")
+        )
+        (
+            totals.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    writer = agg.writeStream.outputMode("update").foreachBatch(_merge_rank_write)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

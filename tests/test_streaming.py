@@ -308,3 +308,75 @@ def test_foreachbatch_upsert_sink_replay_idempotent(spark, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(out_path).collect()))
     assert first == second
     assert {r[0] for r in first} == {1, 2, 3}
+
+
+def test_windowed_topk_sink_matches_batch(spark, tmp_path):
+    """Live windowed top-k (update-mode agg + foreachBatch merge-rank):
+    after replaying all files, the snapshot equals the batch rank over the
+    same events, including totals merged ACROSS micro-batches."""
+    import os
+    import time
+
+    from pyspark.sql import Window as W
+    from rippledb_spark.streaming.windows import start_windowed_topk_sink
+
+    d = tmp_path / "topk_src"
+    d.mkdir()
+
+    def ev(eid, ts, uid, value):
+        return {
+            "event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": "click", "value": value, "props": "{}",
+        }
+
+    now = time.time()
+    # user 1 accumulates across BOTH batches within one window
+    f0 = d / "b0.json"
+    f0.write_text("\n".join(json.dumps(r) for r in [
+        ev(1, "2024-01-01 10:05:00", 1, 5.0),
+        ev(2, "2024-01-01 10:10:00", 2, 7.0),
+        ev(3, "2024-01-01 10:15:00", 3, 6.0),
+        ev(4, "2024-01-01 11:05:00", 4, 1.0),
+    ]))
+    os.utime(f0, (now - 20, now - 20))
+    f1 = d / "b1.json"
+    f1.write_text("\n".join(json.dumps(r) for r in [
+        ev(5, "2024-01-01 10:20:00", 1, 4.0),   # lifts user 1 to 9.0 → top
+        ev(6, "2024-01-01 10:25:00", 5, 0.5),
+    ]))
+    os.utime(f1, (now - 10, now - 10))
+
+    stream = (
+        spark.readStream.schema(SW.EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = str(tmp_path / "topk_out")
+    q = start_windowed_topk_sink(
+        stream, out, k=2, checkpoint_dir=str(tmp_path / "topk_ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["window_start"], r["user_id"], r["total_value"], r["rnk"])
+        for r in spark.read.parquet(out).collect()
+    )
+    batch = (
+        spark.read.json(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "total_value")
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("total_value"), F.asc("user_id"))
+    want = sorted(
+        (r["window_start"], r["user_id"], r["total_value"], r["rnk"])
+        for r in batch.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .collect()
+    )
+    assert got == want
+    # cross-batch merge actually happened: user 1's 10:00 window total is 9.0
+    by_user = {(r[0].hour, r[1]): r[2] for r in got}
+    assert by_user[(10, 1)] == 9.0
