@@ -95,6 +95,14 @@ class TripleStore:
         return cls.from_df(spark, rdfio.read_ntriples(spark, path))
 
     @classmethod
+    def from_turtle(cls, spark: SparkSession, path: str) -> "TripleStore":
+        """Bulk load Turtle file/dir/glob (engine-tier format; the
+        reference reads RDF/XML only). Distributed per file."""
+        from rippledb_spark.sources.turtle import read_turtle
+
+        return cls.from_df(spark, read_turtle(spark, path))
+
+    @classmethod
     def from_backup(cls, spark: SparkSession, path: str) -> "TripleStore":
         """Restore a persisted store (S5)."""
         return cls(spark, spark.read.parquet(path).select(*model.TRIPLE_KEY))

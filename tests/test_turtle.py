@@ -1,0 +1,100 @@
+"""Turtle ingest (engine-tier source format; sources/turtle.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rippledb_spark import TripleStore
+from rippledb_spark.errors import RdfParseError
+from rippledb_spark.sources.turtle import parse_turtle
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+TTL = """@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@base <http://base.org/> .
+ex:alice a ex:Person ;
+    ex:name "Alice" ;
+    ex:nick "ali"@en ;
+    ex:age "30"^^xsd:int ;
+    ex:score 3.5 ;
+    ex:ok true ;
+    ex:knows ex:bob , <rel/carol> , _:dave ;
+    ex:addr [ ex:city "Rome" ] ;
+    ex:list ( ex:bob 2 ) .
+<#frag> ex:v 'single quotes' .
+ex:esc ex:q "tab\\tnl\\nuni\\u0041" .
+"""
+
+
+def test_parse_turtle_term_kinds():
+    rows = parse_turtle(TTL, blank_prefix="x")
+    a = "http://ex.org/alice"
+    assert (a, "named", RDF_NS + "type", "http://ex.org/Person", "named", None, None) in rows
+    assert (a, "named", "http://ex.org/name", "Alice", "literal", None, None) in rows
+    assert (a, "named", "http://ex.org/nick", "ali", "lang_literal", "en", None) in rows
+    assert (a, "named", "http://ex.org/age", "30", "typed_literal", None, XSD + "int") in rows
+    # numeric/boolean abbreviations become xsd typed literals, verbatim value
+    assert (a, "named", "http://ex.org/score", "3.5", "typed_literal", None, XSD + "decimal") in rows
+    assert (a, "named", "http://ex.org/ok", "true", "typed_literal", None, XSD + "boolean") in rows
+    # object list: pname, base-resolved relative IRI, labeled blank
+    knows = {(r[3], r[4]) for r in rows if r[2] == "http://ex.org/knows"}
+    assert knows == {
+        ("http://ex.org/bob", "named"),
+        ("http://base.org/rel/carol", "named"),
+        ("_:xdave", "blank"),
+    }
+    # anonymous [ ... ] node carries its inline property
+    (addr,) = [r[3] for r in rows if r[2] == "http://ex.org/addr"]
+    assert (addr, "blank", "http://ex.org/city", "Rome", "literal", None, None) in rows
+    # @base applies to <#frag>
+    assert ("http://base.org/#frag", "named", "http://ex.org/v", "single quotes", "literal", None, None) in rows
+    # escapes unescaped
+    assert ("http://ex.org/esc", "named", "http://ex.org/q", "tab\tnl\nuniA", "literal", None, None) in rows
+
+
+def test_parse_turtle_collection_cons_list():
+    rows = parse_turtle(TTL, blank_prefix="x")
+    (head,) = [r[3] for r in rows if r[2] == "http://ex.org/list"]
+    firsts = {r[0]: (r[3], r[4]) for r in rows if r[2] == RDF_NS + "first"}
+    rests = {r[0]: r[3] for r in rows if r[2] == RDF_NS + "rest"}
+    assert firsts[head] == ("http://ex.org/bob", "named")
+    second = rests[head]
+    assert firsts[second] == ("2", "typed_literal")
+    assert rests[second] == RDF_NS + "nil"
+
+
+def test_parse_turtle_sparql_style_directives_and_empty_collection():
+    rows = parse_turtle(
+        "PREFIX ex: <http://e/>\nBASE <http://b/>\n"
+        "ex:s ex:p () .\nex:s ex:q <x> ."
+    )
+    assert ("http://e/s", "named", "http://e/p", RDF_NS + "nil", "named", None, None) in rows
+    assert ("http://e/s", "named", "http://e/q", "http://b/x", "named", None, None) in rows
+
+
+def test_parse_turtle_errors():
+    with pytest.raises(RdfParseError, match="undefined prefix"):
+        parse_turtle("nope:s <http://e/p> 1 .")
+    with pytest.raises(RdfParseError):
+        parse_turtle("<http://e/s> <http://e/p> 1 ")  # missing final '.'
+
+
+def test_from_turtle_distributed(spark, tmp_path):
+    """Two files → one store; per-file blank prefixes keep anonymous nodes
+    distinct; set semantics dedup the shared named triple."""
+    (tmp_path / "a.ttl").write_text(
+        "@prefix ex: <http://e/> .\nex:s ex:p ex:o .\nex:s ex:b [ ex:k 1 ] ."
+    )
+    (tmp_path / "b.ttl").write_text(
+        "@prefix ex: <http://e/> .\nex:s ex:p ex:o .\nex:s ex:b [ ex:k 2 ] ."
+    )
+    st = TripleStore.from_turtle(spark, str(tmp_path / "*.ttl"))
+    rows = [tuple(r) for r in st.df.collect()]
+    named = [r for r in rows if r[2] == "http://e/p"]
+    assert len(named) == 1  # deduped across files
+    blanks = {r[3] for r in rows if r[2] == "http://e/b"}
+    assert len(blanks) == 2  # per-file prefixes kept them apart
+    ks = sorted(r[3] for r in rows if r[2] == "http://e/k")
+    assert ks == ["1", "2"]

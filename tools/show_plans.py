@@ -19,6 +19,13 @@ DEFAULT = [
     "dedup_minhash_lsh",
     "knn_blocked_top1",
     "asof_error_to_click",
+    # round-3 representatives (receipts in docs/PLANS.md §round-3)
+    "q8_market_share",
+    "q21_waiting_suppliers",
+    "embedding_near_dup_pairs",
+    "char_trigram_lang_profile",
+    "q13_customer_order_distribution",
+    "pack_documents_token_budget",
 ]
 
 
