@@ -114,15 +114,21 @@ def _load_query_modules() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order = registration order = the tiebreak inside the
+    # rotation's least-certified-first sort (_ordered_defs). Keep the
+    # modules whose queries have waited longest for a driver row AHEAD of
+    # newly added modules, so a round's new queries never starve the
+    # existing certification backlog out of the 50-query window.
     import rippledb_spark.queries.relational  # noqa: F401
     import rippledb_spark.queries.relational2  # noqa: F401
     import rippledb_spark.queries.relational3  # noqa: F401
-    import rippledb_spark.queries.relational4  # noqa: F401
     import rippledb_spark.queries.triples  # noqa: F401
     import rippledb_spark.queries.pipeline  # noqa: F401
     import rippledb_spark.queries.pipeline2  # noqa: F401
+    import rippledb_spark.queries.streaming_batch  # noqa: F401
+    import rippledb_spark.queries.relational4  # noqa: F401
     import rippledb_spark.queries.pipeline3  # noqa: F401
     import rippledb_spark.queries.pipeline4  # noqa: F401
-    import rippledb_spark.queries.streaming_batch  # noqa: F401
+    import rippledb_spark.queries.relational5  # noqa: F401
 
     _LOADED = True
