@@ -186,3 +186,34 @@ def test_nt_line_roundtrip_via_parser(s):
     line = f'<http://ex/s> <http://ex/p> "{_escape_nt_py(s)}" .'
     row = parse_ntriples_line(line)
     assert row is not None and row[3] == s
+
+
+# --------------------------------------------------------------------------
+# N-Triples ⊂ Turtle: serialized lines must parse identically in the
+# Turtle parser (cross-parser consistency, sources/turtle.py)
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(triple_rows(), min_size=0, max_size=8, unique=True))
+def test_turtle_parses_ntriples_lines(rows):
+    from rippledb_spark.sources.turtle import parse_turtle
+
+    def term(o, kind, lang, dt):
+        if kind == model.NAMED:
+            return f"<{o}>"
+        if kind == model.BLANK:
+            return o
+        lit = f'"{_nt_escape(o)}"'
+        if kind == model.LANG_LITERAL:
+            return f"{lit}@{lang}"
+        if kind == model.TYPED_LITERAL:
+            return f"{lit}^^<{dt}>"
+        return lit
+
+    doc = "\n".join(
+        f"{term(s, sk, None, None)} <{p}> {term(o, ok, lang, dt)} ."
+        for s, sk, p, o, ok, lang, dt in rows
+    )
+    back = parse_turtle(doc, blank_prefix="")
+    assert sorted(back) == sorted(rows)
