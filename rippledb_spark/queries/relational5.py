@@ -191,3 +191,25 @@ def boolean_aggregates_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@query("approx_percentile_event_values")  # quantile sketch ≠ exact oracle: rows-only
+def approx_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) of event values
+    per type — the scale path beside the exact percentile query
+    (events_value_percentiles, which IS oracle-checked and serves as this
+    sketch's verifier). accuracy=10000 bounds the rank error at 1/10000;
+    sketches merge associatively, so the agg is one map-side-combinable
+    shuffle at any scale — exact percentiles at 100 TB would need a full
+    sort per group."""
+    e = load(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            pcts.getItem(0).alias("p50"),
+            pcts.getItem(1).alias("p90"),
+            pcts.getItem(2).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
