@@ -15,10 +15,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from rippledb_spark.operators.dedup import shingles, shingles_sql
+from rippledb_spark.operators.packing import pack_by_token_budget
 from rippledb_spark.registry import query
 from rippledb_spark.tables import load
 
 PACK_BUDGET = 256  # tokens per packed training sequence
+PACK_SHARDS = 8  # hash shards per language — bounds any one window partition
 
 
 @query(
@@ -26,47 +28,58 @@ PACK_BUDGET = 256  # tokens per packed training sequence
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               % {PACK_SHARDS} AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
       FROM documents
     ),
     packed AS (
-      SELECT lang, doc_id, n_tok,
-             COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      SELECT lang, shard, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before
       FROM toks
     )
-    SELECT lang, CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+    SELECT lang, shard,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
-    FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id
+    FROM packed GROUP BY lang, shard, pack_id ORDER BY lang, shard, pack_id
     """,
 )
 def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed token-budget packs per
-    language (the standard pretraining batch-construction op). The pack id
-    is floor(exclusive-running-token-total / budget) — the deterministic
-    streaming approximation of greedy bin packing, computable as ONE
-    window pass. The window partitions by lang and orders by doc_id, so
-    at 100 TB each language packs independently (parallel across
-    partitions); integer token counts keep the division exact on both
-    engines."""
+    (language, hash-shard) — the standard pretraining batch-construction
+    op. The pack id is floor(exclusive-running-token-total / budget), the
+    deterministic streaming approximation of greedy bin packing, in ONE
+    window pass.
+
+    Scale shape: the window partitions by (lang, shard) where shard =
+    md5(doc_id) % PACK_SHARDS. Partitioning by lang alone would put a
+    dominant language (English is routinely >40% of a pretraining mix)
+    on ONE task at 100 TB; sharding bounds every window partition at
+    ~1/PACK_SHARDS of a language. Cost: at most one under-filled pack
+    per shard boundary — the standard packing trade. The shard hash is
+    md5-prefix (not Spark's murmur3 `hash`) so the DuckDB oracle twin
+    computes the identical assignment; in production PACK_SHARDS scales
+    with cluster size. Integer token counts keep the division exact on
+    both engines."""
     d = load(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " ")).cast("bigint")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    packed = pack_by_token_budget(
+        d.select("doc_id", "lang", n_tok.alias("n_tok")),
+        token_col="n_tok",
+        order_col="doc_id",
+        group_cols=["lang"],
+        budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS,
     )
-    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
     return (
-        d.select("doc_id", "lang", n_tok.alias("n_tok"))
-        .withColumn("pack_id", F.floor(cum_before / float(PACK_BUDGET)).cast("bigint"))
-        .groupBy("lang", "pack_id")
+        packed.groupBy("lang", "shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("pack_tokens"),
         )
-        .orderBy("lang", "pack_id")
+        .orderBy("lang", "shard", "pack_id")
     )
 
 

@@ -304,3 +304,48 @@ def test_resample_fill_forward_fills_gaps(spark):
     assert out[("k2", "2024-01-01 10:00:00")] == (None, True)  # before first obs
     assert out[("k2", "2024-01-01 12:00:00")] == (1.0, False)
     assert out[("k2", "2024-01-01 13:00:00")] == (1.0, True)
+
+
+class TestPacking:
+    """pack_by_token_budget: sharded equals per-shard single-stream."""
+
+    @pytest.fixture(scope="class")
+    def packs(self, spark):
+        from rippledb_spark.operators.packing import pack_by_token_budget
+
+        rows = [(i, "en" if i % 3 else "de", 10 + (i * 7) % 50) for i in range(1, 101)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+        single = pack_by_token_budget(df, "n_tok", "doc_id", ["lang"], 100, n_shards=0)
+        sharded = pack_by_token_budget(df, "n_tok", "doc_id", ["lang"], 100, n_shards=4)
+        return single.collect(), sharded.collect()
+
+    def test_single_stream_is_exclusive_running_sum(self, packs):
+        single, _ = packs
+        by_lang = {}
+        for r in sorted(single, key=lambda r: (r["lang"], r["doc_id"])):
+            cum = by_lang.get(r["lang"], 0)
+            assert r["pack_id"] == cum // 100
+            assert r["shard"] == 0
+            by_lang[r["lang"]] = cum + r["n_tok"]
+
+    def test_sharded_partitions_rows_and_packs_within_shard(self, packs):
+        single, sharded = packs
+        assert len(sharded) == len(single)
+        # Within every (lang, shard) stream the pack id is the same
+        # exclusive-running-sum function, independently per shard.
+        streams = {}
+        for r in sorted(sharded, key=lambda r: (r["lang"], r["shard"], r["doc_id"])):
+            key = (r["lang"], r["shard"])
+            cum = streams.get(key, 0)
+            assert 0 <= r["shard"] < 4
+            assert r["pack_id"] == cum // 100
+            streams[key] = cum + r["n_tok"]
+        assert len(streams) > 2  # the hash actually spreads rows
+
+    def test_shard_assignment_matches_duckdb_md5(self, packs):
+        import hashlib as _h
+
+        _, sharded = packs
+        for r in sharded:
+            expect = int(_h.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 4
+            assert r["shard"] == expect
