@@ -16,7 +16,6 @@ get the driver's weaker rows-only check.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -48,62 +47,21 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def _green_counts() -> dict[str, int]:
-    """How many driver rounds certified each query green.
-
-    The driver certifies only the FIRST 50 entries of ``queries()`` per
-    round (observed in CORRECTNESS_r01/r02: exactly registration order), so
-    with 90+ registered queries a fixed order starves the tail forever.
-    We read the driver's own CORRECTNESS_r*.json receipts from the repo
-    root and count, per query, the rounds whose row was green — a value
-    hash match, or a rows-only pass for oracle-less queries. A red row
-    (hash_match false / an error) counts as zero so the query re-enters
-    the front of the window next round.
-    """
-    import glob
-    import json
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    counts: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                rows = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if not isinstance(rows, dict):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            green = row.get("hash_match") is True or (
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if green:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
-
-
-def _ordered_defs() -> list[QueryDef]:
-    """Registry entries, least-certified first (stable on registration order).
-
-    This is the rotation that feeds the driver's 50-query certification
-    window: never-certified and previously-failed queries sort to the
-    front, already-green queries rotate in round-robin behind them.
-    """
+def registered_defs() -> list[QueryDef]:
+    """Every registered QueryDef, in registration (import) order —
+    deterministic across checkouts and environments. Scheduling concerns
+    (the driver's 50-query certification window) live in the driver-facing
+    adapter (``__spark_entry__.ordered_defs``), not in the library API."""
     _load_query_modules()
-    counts = _green_counts()
-    defs = list(REGISTRY.values())
-    index = {q.name: i for i, q in enumerate(defs)}
-    return sorted(defs, key=lambda q: (counts.get(q.name, 0), index[q.name]))
+    return list(REGISTRY.values())
 
 
 def all_queries() -> dict[str, QueryFn]:
-    return {q.name: q.fn for q in _ordered_defs()}
+    return {q.name: q.fn for q in registered_defs()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {q.name: q.oracle for q in _ordered_defs() if q.oracle is not None}
+    return {q.name: q.oracle for q in registered_defs() if q.oracle is not None}
 
 
 _LOADED = False
@@ -115,7 +73,7 @@ def _load_query_modules() -> None:
     if _LOADED:
         return
     # Import order = registration order = the tiebreak inside the
-    # rotation's least-certified-first sort (_ordered_defs). Keep the
+    # rotation's least-certified-first sort (__spark_entry__.ordered_defs). Keep the
     # modules whose queries have waited longest for a driver row AHEAD of
     # newly added modules, so a round's new queries never starve the
     # existing certification backlog out of the 50-query window.

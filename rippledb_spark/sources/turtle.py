@@ -44,7 +44,7 @@ _TOKEN = re.compile(
   | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<long_str>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"|'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<string>"(?:[^"\\\n]|\\.)*"|'(?:[^'\\\n]|\\.)*')
-  | (?P<prefix_kw>(?:@prefix|@base|PREFIX|BASE)(?=\s))
+  | (?P<prefix_kw>(?:@prefix|@base|[Pp][Rr][Ee][Ff][Ii][Xx]|[Bb][Aa][Ss][Ee])(?=\s))
   | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
   | (?P<dtype_sep>\^\^)
   | (?P<blank>_:[A-Za-z0-9][A-Za-z0-9_.-]*)
@@ -71,7 +71,20 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
         kind = m.lastgroup
         if kind == "ws":
             continue
-        out.append((kind, m.group()))
+        val = m.group()
+        # Turtle PN_LOCAL / blank-node labels cannot END with '.', but the
+        # greedy token regexes swallow a statement-terminating dot written
+        # without a space ('ex:s ex:p ex:o.'). Re-emit trailing dots as
+        # punct so compact documents parse.
+        if kind in ("pname", "blank"):
+            stripped = 0
+            while val.endswith("."):
+                val = val[:-1]
+                stripped += 1
+            out.append((kind, val))
+            out.extend([("punct", ".")] * stripped)
+        else:
+            out.append((kind, val))
     return out
 
 
@@ -209,9 +222,11 @@ class _Parser:
                 break
             nxt = self.peek()
             if nxt and nxt[0] == "punct" and nxt[1] == ";":
-                self.next()
-                # trailing ';' before '.' or ']' is legal
-                nxt = self.peek()
+                # grammar: (';' (verb objectList)?)* — consecutive and
+                # trailing ';' before '.' or ']' are both legal
+                while nxt and nxt[0] == "punct" and nxt[1] == ";":
+                    self.next()
+                    nxt = self.peek()
                 if nxt and (nxt[0] == "kw_a" or nxt[0] in ("iriref", "pname")):
                     continue
             break

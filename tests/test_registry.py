@@ -33,14 +33,26 @@ def test_sample_queries_run_at_smoke_sf(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_library_order_is_registration_order():
+    """all_queries() must be deterministic (registration order), with the
+    driver-window rotation living only in the __spark_entry__ adapter."""
+    import __spark_entry__ as E
+    import rippledb_spark.registry as R
+
+    lib_names = list(R.all_queries())
+    assert lib_names == [q.name for q in R.registered_defs()]
+    # the adapter reorders but never adds/drops
+    assert sorted(lib_names) == sorted(E.queries())
+
+
 def test_rotation_prefers_uncertified_queries(monkeypatch):
-    """queries()/oracle_sql() order feeds the driver's 50-query
+    """__spark_entry__.queries() order feeds the driver's 50-query
     certification window: never-certified (and failed) queries must sort
     ahead of already-green ones, stable on registration order within a
     tier."""
-    import rippledb_spark.registry as R
+    import __spark_entry__ as R
 
-    names = list(R.all_queries())
+    names = list(R.queries())
     counts = R._green_counts()
     green_ranks = [counts.get(n, 0) for n in names]
     # non-decreasing green counts: uncertified first, most-certified last

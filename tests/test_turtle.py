@@ -98,3 +98,25 @@ def test_from_turtle_distributed(spark, tmp_path):
     assert len(blanks) == 2  # per-file prefixes kept them apart
     ks = sorted(r[3] for r in rows if r[2] == "http://e/k")
     assert ks == ["1", "2"]
+
+
+def test_parse_turtle_compact_forms():
+    """Grammar-legal compactions real-world Turtle uses (ADVICE r3):
+    no space before the statement dot, repeated ';', mixed-case
+    SPARQL directives."""
+    rows = parse_turtle(
+        "PrEfIx ex: <http://e/>\nBaSe <http://b/>\nex:s ex:p ex:o.", blank_prefix="x"
+    )
+    assert rows == [("http://e/s", "named", "http://e/p", "http://e/o", "named", None, None)]
+
+    rows = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p ex:o ;; ex:q ex:r .")
+    assert len(rows) == 2
+    assert rows[1][2] == "http://e/q"
+
+    # blank label before the dot, and a pname local containing dots
+    rows = parse_turtle("@prefix ex: <http://e/> . ex:a.b ex:p _:c.", blank_prefix="z")
+    assert rows == [("http://e/a.b", "named", "http://e/p", "_:zc", "blank", None, None)]
+
+    # trailing ';' then immediate '.' still fine alongside the new loop
+    rows = parse_turtle("@prefix ex: <http://e/> . ex:s ex:p ex:o ; .")
+    assert len(rows) == 1

@@ -8,7 +8,7 @@ rounds plus the local-gate waiver status:
              (documented waiver: streaming/approx/iterative, see registry)
 - FAILED     latest driver row was red (hash mismatch or error)
 - QUEUED     never had a driver row; the registry rotation
-             (registry._ordered_defs) pushes these into the next round's
+             (__spark_entry__.ordered_defs) pushes these into the next round's
              50-query window
 
 Exit status: 1 if any query's LATEST driver row is a failure, or (with
