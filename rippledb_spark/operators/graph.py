@@ -72,7 +72,7 @@ def degrees(triples: DataFrame) -> DataFrame:
 
 def connected_components(
     edges: DataFrame,
-    iterations: int = 8,
+    iterations: int | None = None,
     src: str = "src",
     dst: str = "dst",
     checkpoint_dir: str | None = None,
@@ -81,10 +81,16 @@ def connected_components(
 
     comp(v) ← min(comp(v), min comp over neighbors), iterated; labels are
     the node strings themselves (min = lexicographic), so the result is
-    deterministic with no id assignment step. ``iterations`` bounds work —
-    it must be ≥ the graph diameter for full convergence (the registered
-    query uses a fixed count so the DuckDB recursive-CTE oracle computes
-    the identical partial fixpoint).
+    deterministic with no id assignment step.
+
+    ``iterations=None`` (default) iterates to the exact fixpoint —
+    min-propagation terminates in ≤ diameter rounds, and the exit test is
+    exact (count of changed labels == 0), not a sampled heuristic, so an
+    under-provisioned bound can't silently return partial components.
+    Passing an int bounds work at that many rounds (the registered query
+    uses a fixed count so the DuckDB recursive-CTE oracle computes the
+    identical partial fixpoint); the early exit still fires if the graph
+    converges sooner, which by exactness cannot change the result.
 
     Same checkpoint-per-iteration discipline as :func:`pagerank`;
     ``checkpoint_dir`` switches to reliable checkpoints (see _truncate).
@@ -95,20 +101,32 @@ def connected_components(
     nodes = _truncate(e.select(F.col("a").alias("node")).distinct(), checkpoint_dir)
     comp = nodes.withColumn("comp", F.col("node"))
 
-    for _ in range(iterations):
+    it = 0
+    while iterations is None or it < iterations:
+        it += 1
         neighbor_min = (
             e.join(comp, e.b == comp.node)
             .select(F.col("a").alias("node"), F.col("comp"))
             .groupBy("node")
             .agg(F.min("comp").alias("nmin"))
         )
-        comp = _truncate(
+        # Keep the pre-update label alongside (same trick as pagerank's
+        # old_rank): the convergence test is then a filter over the
+        # already-checkpointed result, not a second join job.
+        new_comp = _truncate(
             comp.join(neighbor_min, "node", "left_outer").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                F.col("comp").alias("old_comp"),
             ),
             checkpoint_dir,
         )
+        comp = new_comp.drop("old_comp")
+        changed = (
+            new_comp.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+        )
+        if changed == 0:
+            break  # labels only decrease → exact fixpoint reached
     _release_iteration_garbage(comp)
     return comp
 

@@ -126,3 +126,52 @@ def test_iterative_ops_reliable_checkpoint_mode(spark, tmp_path):
     assert bfs_local == bfs_rel
 
     assert os.listdir(ckpt)  # reliable checkpoints actually hit the directory
+
+
+def test_connected_components_converges_past_small_iteration_default(spark):
+    """Long path (diameter 20) + random extra graphs: iterations=None must
+    reach the exact fixpoint a union-find computes, where a small fixed
+    bound would silently return partial labels (ADVICE r3)."""
+    import random
+
+    from rippledb_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    path = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(20)]
+    extra = [
+        (f"m{rng.randrange(12):02d}", f"m{rng.randrange(12):02d}") for _ in range(15)
+    ]
+    edges = path + extra
+
+    # ground truth: union-find
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min label per component
+    truth = {}
+    for n in parent:
+        root = find(n)
+        truth.setdefault(root, []).append(n)
+    want = {n: min(members) for root, members in truth.items() for n in members}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want
+
+    # an under-provisioned bound really is partial on the path graph —
+    # the convergence default is what protects users from this
+    partial = {
+        r["node"]: r["comp"]
+        for r in connected_components(df, iterations=2).collect()
+    }
+    assert partial != want
