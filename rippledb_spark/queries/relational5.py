@@ -213,3 +213,40 @@ def approx_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "percentile_rank_customers_bucketed",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6)
+                AS DOUBLE) AS bal_pct_rank,
+           CAST(ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 6)
+                AS DOUBLE) AS bal_cume_dist
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def percentile_rank_customers_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist via the SCALED composition (operators/
+    distribution.py): approx-percentile cut-points → bucket → rank within
+    bucket + offset. Exactly equal to the global-window form (the oracle
+    IS the global-window SQL) but with no single-partition WindowExec —
+    each of the 16 quantile buckets windows independently, so the plan
+    survives a fact-sized input where `percentile_rank_suppliers`'s
+    dimension-sized global window would serialize."""
+    from rippledb_spark.operators.distribution import bucketed_percent_rank
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = bucketed_percent_rank(
+        c, "c_acctbal", ["c_custkey"], n_buckets=16,
+        rank_col="bal_pct_rank", cume_col="bal_cume_dist",
+    )
+    return (
+        ranked.select(
+            "c_custkey",
+            F.round("bal_pct_rank", 6).cast("double").alias("bal_pct_rank"),
+            F.round("bal_cume_dist", 6).cast("double").alias("bal_cume_dist"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -72,3 +72,30 @@ def test_persisted_store_prunes_predicate_partitions(spark, tmp_path_factory):
     assert "PartitionFilters: [isnotnull(p" in plan.replace("#", "").replace("\n", " ") or \
            "PartitionFilters" in plan and "p3" in plan
     assert df.count() == 20
+
+
+def test_bucketed_percent_rank_exact_with_duplicates(spark):
+    """The bucketed composition must equal the global-window definition
+    exactly, including duplicated values that straddle quantile cuts."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from rippledb_spark.operators.distribution import bucketed_percent_rank
+
+    rows = [(i, float(v)) for i, v in enumerate([5, 5, 5, 1, 2, 2, 9, 9, 9, 9, 3, 7] * 5)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = {
+        r["id"]: (r["pct_rank"], r["cume_dist"])
+        for r in bucketed_percent_rank(df, "v", ["id"], n_buckets=4).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: (r["pr"], r["cd"])
+        for r in df.select(
+            "id", F.percent_rank().over(w).alias("pr"), F.cume_dist().over(w).alias("cd")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-12, k
+        assert abs(got[k][1] - want[k][1]) < 1e-12, k
