@@ -729,3 +729,73 @@ def triples_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical-layout byte count; the value-model observable is payload
     bytes, and parquet owns the physical bytes."""
     return _store(spark, sf_dir).footprint()
+
+
+# ---------------------------------------------------------------------------
+# Turtle sink accounting — mirrors ntriples_export_accounting for the third
+# export format (sources/turtle.py:write_turtle). The SQL twin reproduces
+# the sink's prefix compaction + literal escaping character-for-character.
+# ---------------------------------------------------------------------------
+
+_TTL_PREFIXES = {"nat": "nation:", "cust": "customer:"}
+_TTL_SAFE_LOCAL = "^[A-Za-z0-9][A-Za-z0-9_-]*$"
+
+
+def _ttl_compact_sql(col: str) -> str:
+    cases = "".join(
+        f"WHEN starts_with({col}, '{ns}') AND "
+        f"regexp_matches(substr({col}, {len(ns) + 1}), '{_TTL_SAFE_LOCAL}') "
+        f"THEN '{pfx}:' || substr({col}, {len(ns) + 1}) "
+        for pfx, ns in _TTL_PREFIXES.items()
+    )
+    return f"(CASE {cases}ELSE '<' || {col} || '>' END)"
+
+
+_TTL_LINE_SQL = f"""
+    (CASE WHEN s_kind = 'named' THEN {_ttl_compact_sql('s')} ELSE s END)
+    || ' ' ||
+    (CASE WHEN p = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+          THEN 'a' ELSE {_ttl_compact_sql('p')} END)
+    || ' ' ||
+    (CASE o_kind
+       WHEN 'named' THEN {_ttl_compact_sql('o_value')}
+       WHEN 'blank' THEN o_value
+       WHEN 'lang_literal' THEN '"' || {_NT_ESC_SQL} || '"@' || o_lang
+       WHEN 'typed_literal' THEN '"' || {_NT_ESC_SQL} || '"^^'
+                                 || {_ttl_compact_sql('o_datatype')}
+       ELSE '"' || {_NT_ESC_SQL} || '"' END)
+    || ' .'
+"""
+
+
+@query(
+    "turtle_export_accounting",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    lines AS (SELECT p, {_TTL_LINE_SQL} AS line FROM triples)
+    SELECT p, COUNT(*) AS n_lines,
+           CAST(SUM(LENGTH(line)) AS BIGINT) AS total_chars,
+           MIN(line) AS first_line
+    FROM lines GROUP BY p ORDER BY p
+    """,
+)
+def turtle_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate accounting of the distributed Turtle sink's output
+    (turtle.write_turtle): the exact statement expression the sink writes
+    — prefix compaction into pnames, rdf:type→'a', short-string literal
+    escapes — aggregated instead of written so the oracle value-checks
+    the serialization byte-for-byte. The sink itself is df.write.text
+    with a per-partition @prefix header, executor-parallel."""
+    from rippledb_spark.sources.turtle import turtle_line_expr
+
+    st = _store(spark, sf_dir)
+    return (
+        st.df.select("p", turtle_line_expr(_TTL_PREFIXES).alias("line"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("line")).alias("total_chars"),
+            F.min("line").alias("first_line"),
+        )
+        .orderBy("p")
+    )

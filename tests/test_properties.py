@@ -217,3 +217,52 @@ def test_turtle_parses_ntriples_lines(rows):
     )
     back = parse_turtle(doc, blank_prefix="")
     assert sorted(back) == sorted(rows)
+
+
+# --------------------------------------------------------------------------
+# Turtle sink → Turtle parser roundtrip (sources/turtle.py:write_turtle).
+# The serializer twin mirrors turtle_line_expr exactly (compaction order,
+# safe-local regex, rdf:type→'a', NT escape chain).
+# --------------------------------------------------------------------------
+
+_TTL_TEST_PREFIXES = {"ex": "http://ex.org/", "ns": "http://ex.org/ns#"}
+_SAFE_LOCAL_RE = __import__("re").compile(r"^[A-Za-z0-9][A-Za-z0-9_-]*$")
+
+
+def _ttl_compact_py(iri: str, prefixes: dict[str, str]) -> str:
+    for pfx, ns in prefixes.items():
+        local = iri[len(ns):]
+        if iri.startswith(ns) and _SAFE_LOCAL_RE.match(local):
+            return f"{pfx}:{local}"
+    return f"<{iri}>"
+
+
+def _ttl_line_py(row, prefixes: dict[str, str]) -> str:
+    s, s_kind, p, o, o_kind, o_lang, o_dt = row
+    subj = _ttl_compact_py(s, prefixes) if s_kind == model.NAMED else s
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    pred = "a" if p == rdf_type else _ttl_compact_py(p, prefixes)
+    if o_kind == model.NAMED:
+        obj = _ttl_compact_py(o, prefixes)
+    elif o_kind == model.BLANK:
+        obj = o
+    elif o_kind == model.LANG_LITERAL:
+        obj = f'"{_nt_escape(o)}"@{o_lang}'
+    elif o_kind == model.TYPED_LITERAL:
+        obj = f'"{_nt_escape(o)}"^^{_ttl_compact_py(o_dt, prefixes)}'
+    else:
+        obj = f'"{_nt_escape(o)}"'
+    return f"{subj} {pred} {obj} ."
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(triple_rows(), min_size=0, max_size=8, unique=True))
+def test_turtle_sink_parser_roundtrip(rows):
+    from rippledb_spark.sources.turtle import parse_turtle, turtle_header
+
+    doc = "\n".join(
+        turtle_header(_TTL_TEST_PREFIXES)
+        + [_ttl_line_py(r, _TTL_TEST_PREFIXES) for r in rows]
+    )
+    back = parse_turtle(doc, blank_prefix="")
+    assert sorted(back) == sorted(set(rows))
