@@ -81,14 +81,26 @@ def main() -> None:
         return t
 
     # Pass 1 warms codegen/JIT and the page cache (cold numbers reported as
-    # cold_sec); pass 2 is the steady-state measurement — the number that
-    # projects to a long-running cluster.
+    # cold_sec); then THREE warm passes, reported per-query as the median
+    # (and min). This host shows 3-5× same-code wall-time swings under CPU
+    # steal (docs/SCALING.md variance note) — a single warm pass nearly
+    # mis-flagged a regression in r02 and muddied r03; median-of-3 makes
+    # round-over-round deltas signal instead of noise.
     cold = run_pass()
     for name, v in cold.items():
         print(f"# cold {name}: {v:.3f}s", file=sys.stderr)
-    timings = run_pass()
-    for name, v in timings.items():
-        print(f"# warm {name}: {v:.3f}s", file=sys.stderr)
+    warm_passes = [run_pass() for _ in range(3)]
+    timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    for name in HEADLINE:
+        samples = sorted(p[name] for p in warm_passes)
+        timings[name] = samples[len(samples) // 2]
+        mins[name] = samples[0]
+        print(
+            f"# warm {name}: median {timings[name]:.3f}s min {mins[name]:.3f}s"
+            f" (runs: {', '.join(f'{s:.3f}' for s in samples)})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     record = {
@@ -96,6 +108,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "min_sec": round(sum(mins.values()), 3),
         "sf": sf,
         "cold_sec": round(sum(cold.values()), 3),
     }

@@ -179,6 +179,32 @@ def select_join(
         raise QueryError("select_join requires at least one pattern")
 
     conds = _order_patterns(query.conds, stats) if optimize else list(query.conds)
+    acc = _join_group(triples, conds)
+
+    # OPTIONAL groups (SPARQL superset — the reference is conjunctive-only):
+    # each group is evaluated as its own BGP join, then LEFT-OUTER joined
+    # onto the required solution on the shared variables; unmatched rows
+    # NULL-extend the group's variables.
+    for group in getattr(query, "optionals", []):
+        gconds = _order_patterns(group, stats) if optimize else list(group)
+        gplan = _join_group(triples, gconds)
+        shared = sorted(set(acc.columns) & set(gplan.columns))
+        if not shared:
+            raise QueryError(
+                "OPTIONAL group shares no variable with the required patterns"
+            )
+        acc = acc.join(gplan, on=shared, how="left_outer")
+
+    names = query.var_names()
+    missing = [n for n in names if n not in acc.columns]
+    if missing:
+        raise QueryError(f"selected vars {missing} not bound by any pattern")
+    return acc.select(*names)
+
+
+def _join_group(triples: DataFrame, conds: list) -> DataFrame:
+    """Inner equi-join chain for one pattern group (shared-variable
+    columns join; gates broadcast; disconnected patterns cross-join)."""
     plans: list[DataFrame] = []
     for cond in conds:
         ci = pattern_filter(triples, *_bounds(cond))
@@ -210,11 +236,6 @@ def select_join(
             acc = acc.join(nxt, on=shared, how="inner")
         else:
             acc = acc.crossJoin(nxt)
-    for helper in ("__gate",):
-        if helper in acc.columns:
-            acc = acc.drop(helper)
-    names = query.var_names()
-    missing = [n for n in names if n not in acc.columns]
-    if missing:
-        raise QueryError(f"selected vars {missing} not bound by any pattern")
-    return acc.select(*names)
+    if "__gate" in acc.columns:
+        acc = acc.drop("__gate")
+    return acc

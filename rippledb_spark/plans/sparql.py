@@ -55,6 +55,7 @@ class Sparql:
         self.strict = strict
         self.vars: list[Var] = []
         self.conds: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
+        self.optionals: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
 
     def select(self, variables: list[str]) -> "Sparql":
         for raw in variables:
@@ -79,6 +80,30 @@ class Sparql:
                             f"pattern variable ${u.name} not declared in select()"
                         )
             self.conds.append(units)  # type: ignore[arg-type]
+        return self
+
+    def optional(self, patterns: list[list[str]]) -> "Sparql":
+        """Add an OPTIONAL group: its patterns left-outer-join onto the
+        required BGP — rows keep required bindings and NULL-extend the
+        group's variables when the group has no compatible match. An
+        engine-tier SPARQL superset: the reference's builder is
+        conjunctive-only (query.rs:27-63). Only honored by the multi-var
+        evaluator (plans.bgp.select_join); ``get`` ignores optionals by
+        contract (graph.rs parity)."""
+        declared = {v.name for v in self.vars}
+        group: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
+        for pat in patterns:
+            if len(pat) != 3:
+                raise QueryError(f"pattern must be [s, p, o], got {pat!r}")
+            units = tuple(parse_unit(x) for x in pat)
+            if self.strict:
+                for u in units:
+                    if isinstance(u, Var) and u.name not in declared:
+                        raise QueryError(
+                            f"pattern variable ${u.name} not declared in select()"
+                        )
+            group.append(units)  # type: ignore[arg-type]
+        self.optionals.append(group)
         return self
 
     def var_names(self) -> list[str]:

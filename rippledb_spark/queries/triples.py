@@ -799,3 +799,43 @@ def turtle_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+@query(
+    "bgp_optional_order_parts",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    urgent AS (
+      SELECT s AS o FROM triples
+      WHERE p = 'has_priority' AND o_value = 'priority:1-URGENT'
+        AND o_kind = 'named'
+    ),
+    placed AS (SELECT s AS o, o_value AS c FROM triples WHERE p = 'placed_by'),
+    parts AS (SELECT s AS o, o_value AS pt FROM triples WHERE p = 'contains_part')
+    SELECT u.o AS o, p.c AS c, pr.pt AS pt
+    FROM urgent u JOIN placed p ON u.o = p.o
+    LEFT JOIN parts pr ON u.o = pr.o
+    ORDER BY o, c, pt
+    """,
+)
+def bgp_optional_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL (engine-tier superset — the reference's builder is
+    conjunctive-only, query.rs:27-63): urgent orders with their customer,
+    left-outer-extended by the parts they contain. Orders with no
+    lineitems (a real slice of the synthetic data) come back with pt =
+    NULL instead of vanishing — the first feature a SPARQL user misses
+    after conjunctive BGP. Plan: the required two-pattern join, then one
+    left-outer hash join per OPTIONAL group on the shared variable."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$o", "$c", "$pt"])
+        .filter(
+            [
+                ["$o", "has_priority", "priority:1-URGENT"],
+                ["$o", "placed_by", "$c"],
+            ]
+        )
+        .optional([["$o", "contains_part", "$pt"]])
+    )
+    return st.select_join(q).orderBy("o", "c", "pt")

@@ -193,3 +193,94 @@ def test_select_join_stats_plan_is_result_identical(spark):
     stat = sorted(map(tuple, st.select_join(q, use_stats=True).collect()))
     assert plain == stat and len(plain) == 2
     assert st.analyze() == {"http://ex/p": 2, "http://ex/q": 2}
+
+
+# --------------------------------------------------------------------------
+# OPTIONAL (left-join) superset: select_join with optional groups vs a
+# brute-force bag-semantics evaluator (SPARQL LeftJoin on shared vars).
+# --------------------------------------------------------------------------
+
+
+def _pattern_solutions(rows, cond):
+    sols = []
+    for r in rows:
+        binding, ok = {}, True
+        for pos, u in enumerate(cond):
+            v = r[_VAL_IDX[pos]]
+            if isinstance(u, Var):
+                if u.name in binding and binding[u.name] != v:
+                    ok = False
+                    break
+                binding[u.name] = v
+            else:
+                if v != u.value:
+                    ok = False
+                    break
+                k = _KIND_IDX[pos]
+                if k is not None and r[k] != model.NAMED:
+                    ok = False
+                    break
+        if ok:
+            sols.append(binding)
+    return sols
+
+
+def _bag_join(a_sols, b_sols):
+    out = []
+    for a in a_sols:
+        for b in b_sols:
+            if all(a[k] == b[k] for k in a.keys() & b.keys()):
+                out.append({**a, **b})
+    return out
+
+
+def naive_select_join_optional(rows, conds, optionals, names):
+    acc = _pattern_solutions(rows, conds[0])
+    for c in conds[1:]:
+        acc = _bag_join(acc, _pattern_solutions(rows, c))
+    for group in optionals:
+        g = _pattern_solutions(rows, group[0])
+        for c in group[1:]:
+            g = _bag_join(g, _pattern_solutions(rows, c))
+        out = []
+        for a in acc:
+            matches = [
+                {**a, **b}
+                for b in g
+                if all(a[k] == b[k] for k in a.keys() & b.keys())
+            ]
+            out.extend(matches if matches else [a])  # NULL-extend
+        acc = out
+    return sorted(
+        tuple(sol.get(n) for n in names) for sol in acc
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_select_join_optional_matches_naive(spark, seed):
+    from rippledb_spark.plans.bgp import select_join
+
+    rng = random.Random(1000 + seed)
+    rows = [_random_row(rng) for _ in range(rng.randint(4, 14))]
+
+    def pattern_with(var, rng):
+        pat = _random_pattern(rng)
+        if not any(p == var for p in pat):
+            pat[rng.choice([0, 2])] = var
+        return pat
+
+    required = [pattern_with("$v", rng) for _ in range(rng.randint(1, 2))]
+    optional = [pattern_with("$v", rng) for _ in range(rng.randint(1, 2))]
+    # second optional var for NULL-extension visibility
+    if not any("$w" in p for p in optional):
+        optional[0][2] = "$w"
+
+    q = Sparql().select(["$v", "$w"]).filter(required).optional(optional)
+    df = spark.createDataFrame(rows, model.TRIPLES_SCHEMA)
+    got = sorted(map(tuple, select_join(df, q).collect()))
+
+    conds = q.conds
+    want = naive_select_join_optional(rows, conds, q.optionals, ["v", "w"])
+    # None sorts: normalize via tuple of (is_none, value)
+    key = lambda t: tuple((x is None, x if x is not None else "") for x in t)
+    assert sorted(got, key=key) == sorted(want, key=key)
