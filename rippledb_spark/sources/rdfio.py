@@ -39,6 +39,25 @@ _STRUCTURAL = {
     RDF_NS + a for a in ("about", "ID", "nodeID", "resource", "datatype", "parseType")
 }
 
+# Withdrawn in the RDF/XML 2004 REC (they only ever existed in the 1999
+# M&S draft); modern parsers (incl. the reference's rio_xml) reject them.
+# We raise a typed error rather than silently emitting them as literal
+# property triples — distributive rdf:aboutEach semantics cannot be
+# approximated without corrupting the graph.
+_OBSOLETE = {RDF_NS + a for a in ("aboutEach", "aboutEachPrefix", "bagID")}
+
+
+def _reject_obsolete(el: ET.Element) -> None:
+    from rippledb_spark.errors import RdfParseError
+
+    for attr in el.attrib:
+        a = _expand(attr)
+        if a in _OBSOLETE:
+            raise RdfParseError(
+                f"rdfxml: obsolete attribute rdf:{a.removeprefix(RDF_NS)} "
+                "(withdrawn in the RDF/XML 2004 REC) is not supported"
+            )
+
 
 def _expand(tag: str) -> str:
     """'{ns}local' → 'nslocal' (concatenation is how RDF/XML QNames expand)."""
@@ -74,7 +93,9 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
     node elements under one property element (one triple per child — the
     single-child-only form silently dropped siblings), and ``rdf:ID`` on
     property elements (statement reification: rdf:type rdf:Statement +
-    rdf:subject/predicate/object quads).
+    rdf:subject/predicate/object quads). The withdrawn 1999-draft
+    attributes (rdf:aboutEach / rdf:aboutEachPrefix / rdf:bagID) raise
+    RdfParseError — see _OBSOLETE.
     """
     from urllib.parse import urljoin
 
@@ -112,6 +133,7 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
         el: ET.Element, base: str | None, in_lang: str | None = None
     ) -> tuple[str, str]:
         """Process one node element; returns (subject, subject_kind)."""
+        _reject_obsolete(el)
         base = scoped_base(el, base)
         in_lang = _attr(el, XML_NS, "lang") or in_lang
         s, s_kind = subject_of(el, base)
@@ -133,19 +155,23 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
 
     def emit_collection(
         s: str, s_kind: str, p: str, items: list[tuple[str, str]]
-    ) -> None:
-        """rdf:parseType="Collection": cons-cell list of the child nodes."""
+    ) -> tuple:
+        """rdf:parseType="Collection": cons-cell list of the child nodes.
+        Returns the asserted list-head triple (for rdf:ID reification)."""
         if not items:
-            rows.append((s, s_kind, p, _RDF_NIL, model.NAMED, None, None))
-            return
+            head = (s, s_kind, p, _RDF_NIL, model.NAMED, None, None)
+            rows.append(head)
+            return head
         cells = [fresh_blank() for _ in items]
-        rows.append((s, s_kind, p, cells[0], model.BLANK, None, None))
+        head = (s, s_kind, p, cells[0], model.BLANK, None, None)
+        rows.append(head)
         for i, ((o, o_kind), cell) in enumerate(zip(items, cells)):
             rows.append((cell, model.BLANK, RDF_NS + "first", o, o_kind, None, None))
             rest, rest_kind = (
                 (cells[i + 1], model.BLANK) if i + 1 < len(cells) else (_RDF_NIL, model.NAMED)
             )
             rows.append((cell, model.BLANK, RDF_NS + "rest", rest, rest_kind, None, None))
+        return head
 
     def inner_xml(el: ET.Element) -> str:
         parts = [el.text or ""]
@@ -161,6 +187,7 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
         li_counter: list[int],
         in_lang: str | None = None,
     ) -> None:
+        _reject_obsolete(prop)
         base = scoped_base(prop, base)
         p = _expand(prop.tag)
         if p == RDF_NS + "li":
@@ -186,15 +213,11 @@ def parse_rdfxml(data: bytes | str, blank_prefix: str = "b") -> list[tuple]:
             for child in children:
                 walk_property(b, model.BLANK, child, base, inner_li, lang)
         elif parse_type == "Collection":
-            before = len(rows)
-            emit_collection(
+            # emit_collection returns the asserted list-head triple
+            # directly — scanning rows for (s, p) could mis-pick a
+            # self-referential nested child's triple.
+            stmt = emit_collection(
                 s, s_kind, p, [walk_node(c, base, lang) for c in children]
-            )
-            # emit_collection's list-head triple is the asserted statement;
-            # it is the first row whose subject is ``s`` (child walk_node
-            # rows precede it).
-            stmt = next(
-                (r for r in rows[before:] if r[0] == s and r[2] == p), None
             )
         elif parse_type == "Literal":
             stmt = (s, s_kind, p, inner_xml(prop), model.TYPED_LITERAL, None, _XML_LITERAL)

@@ -275,3 +275,57 @@ def test_parse_rdfxml_property_id_reification():
         o, o_kind, lang, dt = obj
         assert (RDF_NS + "object", o, o_kind, lang, dt) in quads
         assert len(quads) == 4
+
+
+def test_parse_rdfxml_rejects_obsolete_attributes():
+    """rdf:aboutEach / rdf:aboutEachPrefix / rdf:bagID were withdrawn in
+    the 2004 REC; distributive semantics can't be approximated, so the
+    parser raises a typed error instead of silently emitting them as
+    literal-property triples."""
+    import pytest
+
+    from rippledb_spark.errors import RdfParseError
+
+    for attr in ('rdf:aboutEach="#b"', 'rdf:aboutEachPrefix="http://e/"', 'rdf:bagID="b"'):
+        doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/">
+          <rdf:Description {attr}><ex:p>v</ex:p></rdf:Description>
+        </rdf:RDF>"""
+        with pytest.raises(RdfParseError, match="obsolete"):
+            parse_rdfxml(doc)
+    # on property elements too
+    doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/">
+      <rdf:Description rdf:about="http://e/s">
+        <ex:p rdf:bagID="b2" rdf:resource="http://e/o"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    with pytest.raises(RdfParseError, match="obsolete"):
+        parse_rdfxml(doc)
+
+
+def test_collection_reification_self_referential_child():
+    """rdf:ID on parseType=Collection must reify the LIST-HEAD triple even
+    when a nested collection item re-asserts the same (subject,
+    predicate) pair — the row-scan approach picked the child's triple."""
+    doc = f"""<rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:ex="http://e/"
+                   xml:base="http://base.org/doc">
+      <rdf:Description rdf:about="http://e/s">
+        <ex:p rdf:ID="st" rdf:parseType="Collection">
+          <rdf:Description rdf:about="http://e/s">
+            <ex:p rdf:resource="http://e/x"/>
+          </rdf:Description>
+        </ex:p>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = parse_rdfxml(doc, blank_prefix="z")
+    w = "http://base.org/doc#st"
+    obj_quads = [r for r in rows if r[0] == w and r[2] == RDF_NS + "object"]
+    assert len(obj_quads) == 1
+    # the reified object is the blank cons-cell head, not http://e/x
+    assert obj_quads[0][4] == "blank"
+    assert obj_quads[0][3].startswith("_:z")
+    # and that head really is the asserted list head for subject s
+    heads = [
+        r for r in rows
+        if r[0] == "http://e/s" and r[2] == "http://e/p" and r[4] == "blank"
+    ]
+    assert obj_quads[0][3] in {h[3] for h in heads}
