@@ -49,14 +49,21 @@ def release_caches() -> None:
 
 
 def _cached_base(base: DataFrame) -> DataFrame:
+    sess = base.sparkSession
     try:
-        key = (id(base.sparkSession), base.semanticHash())
+        # applicationId is a stable per-context identifier — unlike
+        # id(session), which CPython can reuse after GC, letting a new
+        # session at a dead session's address hit a stale entry.
+        key = (sess.sparkContext.applicationId, base.semanticHash())
     except Exception:  # pragma: no cover — e.g. Connect without the API
-        key = (0, 0)
+        key = ("", 0)
     if key in _LIVE_CACHE:
         cached = _LIVE_CACHE[key]
-        try:  # liveness check: a stopped session leaves a dead handle
-            if not cached.sparkSession.sparkContext._jsc.sc().isStopped():
+        try:
+            # The cached DataFrame must be bound to the CALLER's live
+            # session — a same-app sibling session's handle would return
+            # a DataFrame the caller can't safely compose with.
+            if cached.sparkSession is sess and not sess.sparkContext._jsc.sc().isStopped():
                 return cached
         except Exception:
             pass

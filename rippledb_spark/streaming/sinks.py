@@ -11,9 +11,35 @@ transactions (JDBC upserts, Delta MERGE, parquet snapshots).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from rippledb_spark.operators.merge import merge_upsert
+
+
+def snapshot_ready(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a COMPLETE parquet snapshot.
+
+    Completeness = the committer's ``_SUCCESS`` marker exists, not bare
+    directory existence: a crash mid-``mode('overwrite')`` leaves a
+    directory that exists yet fails ``spark.read.parquet``, which would
+    make every retry of the batch fail permanently. A torn snapshot is
+    treated as absent, so the replayed batch rebuilds it (foreachBatch
+    re-runs the same batch id — the sink's idempotence contract).
+
+    Probes via the JVM Hadoop FileSystem (any scheme the session can
+    read); under Spark Connect (no ``_jvm``) falls back to a local-path
+    check.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+    except Exception:  # Spark Connect session: no JVM gateway
+        import os
+
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+    marker = jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    fs = marker.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(marker))
 
 
 def start_upsert_parquet_sink(
@@ -33,16 +59,12 @@ def start_upsert_parquet_sink(
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Probe for the target via the JVM Hadoop FileSystem (works for any
-        # scheme the session can read, not just local paths). Only a truly
-        # absent target means "first batch"; a transient read error must
-        # propagate — swallowing it here would overwrite the snapshot with
-        # just the current micro-batch (silent data loss).
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(hpath):
+        # Only a COMPLETE snapshot means "merge"; an absent or torn target
+        # (see snapshot_ready) means "first/rebuilt batch". A transient
+        # read error past the probe must still propagate — swallowing it
+        # would overwrite the snapshot with just the current micro-batch
+        # (silent data loss).
+        if snapshot_ready(spark, path):
             target = spark.read.parquet(path)
             merged = merge_upsert(target, batch_df.select(*target.columns), key)
         else:

@@ -158,12 +158,12 @@ def start_windowed_topk_sink(
     keys = ["window_start", "user_id"]
 
     def _merge_rank_write(batch_df: DataFrame, batch_id: int) -> None:
+        from rippledb_spark.streaming.sinks import snapshot_ready
+
         spark = batch_df.sparkSession
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        hpath = jvm.org.apache.hadoop.fs.Path(totals_path)
-        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(hpath):
+        # _SUCCESS-gated probe: a torn overwrite reads as absent and the
+        # replayed batch rebuilds it (see sinks.snapshot_ready).
+        if snapshot_ready(spark, totals_path):
             target = spark.read.parquet(totals_path)
             totals = merge_upsert(target, batch_df.select(*target.columns), keys)
         else:

@@ -380,3 +380,20 @@ def test_windowed_topk_sink_matches_batch(spark, tmp_path):
     # cross-batch merge actually happened: user 1's 10:00 window total is 9.0
     by_user = {(r[0].hour, r[1]): r[2] for r in got}
     assert by_user[(10, 1)] == 9.0
+
+
+def test_snapshot_ready_treats_torn_overwrite_as_absent(spark, tmp_path):
+    """A directory without the committer's _SUCCESS marker (torn
+    mode('overwrite') crash) must read as 'absent' so the replayed batch
+    rebuilds it instead of failing forever (ADVICE r3)."""
+    import os
+
+    from rippledb_spark.streaming.sinks import snapshot_ready
+
+    p = str(tmp_path / "snap")
+    assert not snapshot_ready(spark, p)  # truly absent
+    os.makedirs(p)
+    open(os.path.join(p, "part-00000.parquet"), "wb").close()
+    assert not snapshot_ready(spark, p)  # torn: files but no marker
+    spark.range(3).write.mode("overwrite").parquet(p)
+    assert snapshot_ready(spark, p)  # complete snapshot
