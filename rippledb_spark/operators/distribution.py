@@ -90,3 +90,63 @@ def bucketed_percent_rank(
         .withColumn(cume_col, rank / F.lit(float(n_total)))
         .drop(_BUCKET)
     )
+
+
+def banded_range_count(
+    df: DataFrame,
+    value_col: str,
+    radius: float,
+    out_col: str = "n_in_band",
+) -> DataFrame:
+    """Count, for each row, the rows whose ``value_col`` lies within
+    ``±radius`` — the numeric RANGE-frame window (`RANGE BETWEEN r
+    PRECEDING AND r FOLLOWING`) without its global single-partition sort.
+
+    Composition: band id = floor(value / radius); a value's ±radius
+    neighborhood can only contain rows from its own band or the two
+    adjacent bands, so each row joins exactly 3 band partitions of
+    band-level COUNTS plus an in-band refinement. Implemented as an
+    aggregate-then-join: per-band row multiset (value, count) is tiny
+    relative to the data when values cluster (band cardinality =
+    distinct values per band), and the join key is the band id — an
+    equi-join Spark hash-partitions; nothing ever sorts globally.
+    Exact for any distribution; skew in one band only grows that band's
+    dictionary, not a single window partition.
+
+    The final per-row regroup keys on ALL of ``df``'s columns, so the
+    input must be row-unique (carry an id column); duplicate rows would
+    collapse.
+    """
+    band = F.floor(F.col(value_col) / F.lit(float(radius))).cast("bigint")
+    with_band = df.withColumn("__band", band)
+    # distinct-value dictionary per band: (band, value) → count
+    dict_df = (
+        with_band.groupBy("__band", F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # each dictionary entry is probed by its own and both adjacent bands
+    exploded = dict_df.select(
+        F.explode(
+            F.array(
+                F.col("__band") - 1, F.col("__band"), F.col("__band") + 1
+            )
+        ).alias("__probe_band"),
+        "__v",
+        "__c",
+    )
+    joined = with_band.join(
+        exploded, with_band["__band"] == exploded["__probe_band"], "left"
+    )
+    in_range = (
+        (F.col("__v") >= F.col(value_col) - F.lit(float(radius)))
+        & (F.col("__v") <= F.col(value_col) + F.lit(float(radius)))
+    )
+    group_cols = [F.col(c) for c in df.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(in_range, F.col("__c")).otherwise(0))
+            .cast("bigint")
+            .alias(out_col)
+        )
+    )

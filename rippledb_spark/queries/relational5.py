@@ -250,3 +250,33 @@ def percentile_rank_customers_bucketed(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "price_band_neighbors_banded",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           COUNT(*) OVER (ORDER BY p_retailprice
+                          RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING)
+             AS n_in_band
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 200
+    """,
+)
+def price_band_neighbors_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric RANGE frame via the SCALED composition (operators/
+    distribution.py:banded_range_count): floor(value/50) band id → ±1
+    band dictionary join → refinement sum. Same oracle as
+    `price_band_neighbors` (the global-window form), proving the banded
+    plan exact; but the only shuffles are an aggregate and an equi-join
+    on the band id — no global sort, no single-partition WindowExec, so
+    the plan survives a fact-sized input."""
+    from rippledb_spark.operators.distribution import banded_range_count
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    return (
+        banded_range_count(p, "p_retailprice", 50.0)
+        .orderBy("p_partkey")
+        .limit(200)
+    )

@@ -99,3 +99,28 @@ def test_bucketed_percent_rank_exact_with_duplicates(spark):
     for k in want:
         assert abs(got[k][0] - want[k][0]) < 1e-12, k
         assert abs(got[k][1] - want[k][1]) < 1e-12, k
+
+
+def test_banded_range_count_matches_window(spark):
+    """banded_range_count == the RANGE-frame window definition, including
+    duplicate values and band-boundary values (exact multiples of the
+    radius land on a band edge)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from rippledb_spark.operators.distribution import banded_range_count
+
+    vals = [0.0, 10.0, 10.0, 49.9, 50.0, 50.1, 99.9, 100.0, 150.0, 155.5, 250.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    got = {
+        r["id"]: r["n_in_band"]
+        for r in banded_range_count(df, "v", 50.0).collect()
+    }
+    w = Window.orderBy("v").rangeBetween(-50, 50)
+    want = {
+        r["id"]: r["n"]
+        for r in df.select("id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert got == want
