@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 
 from rippledb_spark.errors import QueryError
 from rippledb_spark.operators.triple_patterns import pattern_filter, position_column
-from rippledb_spark.plans.sparql import Sparql, Val, Var
+from rippledb_spark.plans.sparql import Sparql, SparqlUnion, Val, Var
 
 
 def _bounds(cond: tuple) -> tuple[str | None, str | None, str | None]:
@@ -200,6 +200,27 @@ def select_join(
     if missing:
         raise QueryError(f"selected vars {missing} not bound by any pattern")
     return acc.select(*names)
+
+
+def select_union(
+    triples: DataFrame,
+    query: SparqlUnion,
+    optimize: bool = True,
+    stats: dict[str, int] | None = None,
+) -> DataFrame:
+    """SPARQL UNION: bag-union of both arms' solutions (SPARQL superset —
+    the reference is conjunctive-only). Arms evaluate independently
+    (each its own join plan, so Catalyst optimizes them separately) and
+    unionByName concatenates — no shuffle beyond what the arms need.
+    Both arms must project identical variable sets."""
+    lnames, rnames = query.left.var_names(), query.right.var_names()
+    if set(lnames) != set(rnames):
+        raise QueryError(
+            f"UNION arms project different variables: {lnames} vs {rnames}"
+        )
+    left = select_join(triples, query.left, optimize=optimize, stats=stats)
+    right = select_join(triples, query.right, optimize=optimize, stats=stats)
+    return left.unionByName(right)
 
 
 def _join_group(triples: DataFrame, conds: list) -> DataFrame:

@@ -106,5 +106,19 @@ class Sparql:
         self.optionals.append(group)
         return self
 
+    def union(self, other: "Sparql") -> "SparqlUnion":
+        """SPARQL UNION (engine-tier superset, like :meth:`optional`):
+        bag-union of this query's solutions with ``other``'s. Both arms
+        must project the same variables (checked at plan time)."""
+        return SparqlUnion(self, other)
+
     def var_names(self) -> list[str]:
         return [v.name for v in self.vars]
+
+
+@dataclass(frozen=True)
+class SparqlUnion:
+    """Two-arm UNION of BGP queries (evaluated by plans.bgp.select_union)."""
+
+    left: Sparql
+    right: Sparql

@@ -839,3 +839,36 @@ def bgp_optional_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .optional([["$o", "contains_part", "$pt"]])
     )
     return st.select_join(q).orderBy("o", "c", "pt")
+
+
+@query(
+    "bgp_union_priority_orders",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    placed AS (SELECT s AS o, o_value AS c FROM triples WHERE p = 'placed_by'),
+    pri AS (
+      SELECT s AS o, o_value AS pr FROM triples
+      WHERE p = 'has_priority' AND o_kind = 'named'
+    )
+    SELECT p.o AS o, p.c AS c
+    FROM placed p JOIN pri ON p.o = pri.o AND pri.pr = 'priority:1-URGENT'
+    UNION ALL
+    SELECT p.o AS o, p.c AS c
+    FROM placed p JOIN pri ON p.o = pri.o AND pri.pr = 'priority:2-HIGH'
+    ORDER BY o, c
+    """,
+)
+def bgp_union_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION (engine-tier superset beside OPTIONAL): urgent-order
+    solutions bag-unioned with high-priority-order solutions, duplicates
+    preserved (UNION ALL semantics — SPARQL union is a bag op). Each arm
+    is its own independently-optimized BGP join; the union is a
+    zero-shuffle concatenation."""
+    st = _store(spark, sf_dir)
+    arm = lambda pri: (
+        Sparql()
+        .select(["$o", "$c"])
+        .filter([["$o", "has_priority", pri], ["$o", "placed_by", "$c"]])
+    )
+    q = arm("priority:1-URGENT").union(arm("priority:2-HIGH"))
+    return st.select_union(q).orderBy("o", "c")

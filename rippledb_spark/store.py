@@ -246,6 +246,12 @@ class TripleStore:
         stats = self.analyze() if use_stats else None
         return bgp.select_join(self.df, query, stats=stats)
 
+    def select_union(self, query, use_stats: bool = False) -> DataFrame:
+        """SPARQL UNION superset: bag-union of two BGP arms (built via
+        ``Sparql.union``); each arm plans independently."""
+        stats = self.analyze() if use_stats else None
+        return bgp.select_union(self.df, query, stats=stats)
+
     # -- iteration / export (S7, S8) ----------------------------------------
 
     def iter_triples(self) -> Iterator[Row]:
@@ -264,6 +270,19 @@ class TripleStore:
         in parallel; no driver collect (the scale-path sink the reference
         lacks)."""
         rdfio.write_ntriples(self.df, path, mode=mode)
+
+    def to_turtle(
+        self,
+        path: str,
+        prefixes: dict[str, str] | None = None,
+        mode: str = "overwrite",
+    ) -> None:
+        """Distributed Turtle export — executor-parallel like
+        :meth:`to_ntriples`, with prefix compaction and a per-part-file
+        @prefix header so each part is a standalone Turtle document."""
+        from rippledb_spark.sources.turtle import write_turtle
+
+        write_turtle(self.df, path, prefixes=prefixes, mode=mode)
 
     # -- stats (Q13 analogue) -----------------------------------------------
 
