@@ -1,6 +1,7 @@
 """LLM training-data pipeline queries, part 4: sequence packing,
 deterministic stratified sampling, benchmark-contamination detection,
-character-entropy quality scoring, and stutter (repeated-token) stats.
+character-entropy quality scoring, stutter (repeated-token) stats,
+data-mixture rebalancing weights, and the Zipf vocabulary profile.
 
 Engine-tier surface (SURVEY §2.4 — the reference has no pipeline tier).
 Same design rules as pipeline/pipeline2/pipeline3: pure JVM expression
@@ -251,4 +252,109 @@ def repeated_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rep").alias("total_repeats"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "source_mix_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT COUNT(*) AS n_langs, SUM(n_tok) AS all_tok FROM toks)
+    SELECT lang, n_tok,
+           CAST(ROUND(LEAST(1.0,
+             (all_tok / CAST(n_langs AS DOUBLE)) / n_tok), 6) AS DOUBLE)
+             AS sample_weight,
+           CAST(FLOOR(n_tok * ROUND(LEAST(1.0,
+             (all_tok / CAST(n_langs AS DOUBLE)) / n_tok), 6)) AS BIGINT)
+             AS expected_tokens
+    FROM toks, tot
+    ORDER BY lang
+    """,
+)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing: per-language sampling weights that move
+    the corpus toward an equal-share token mix, downsample-only (weight
+    capped at 1.0 — upsampling is a training-time repeat factor, not a
+    data op). The whole computation is two tiny aggregates (per-lang
+    token totals + the grand total broadcast back); at 100 TB the only
+    data-sized pass is the one token-count scan. The weight is the
+    number every `stratified_sample_by_lang`-style hash filter needs as
+    its keep-rate input."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tok"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).alias("n_langs"), F.sum("n_tok").alias("all_tok")
+    )
+    weight = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.col("all_tok") / F.col("n_langs").cast("double")) / F.col("n_tok"),
+        ),
+        6,
+    )
+    return (
+        toks.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tok",
+            weight.cast("double").alias("sample_weight"),
+            F.floor(F.col("n_tok") * weight).cast("bigint").alias("expected_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "zipf_token_rank_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    counts AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT SUM(c) AS n FROM counts),
+    ranked AS (
+      SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk FROM counts
+    )
+    SELECT rnk, t AS token, CAST(c AS BIGINT) AS n_occurrences,
+           CAST(ROUND(c / CAST(n AS DOUBLE), 6) AS DOUBLE) AS share
+    FROM ranked, tot
+    WHERE rnk <= 20
+    ORDER BY rnk
+    """,
+)
+def zipf_token_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency profile: the top-20 tokens by corpus count
+    with rank and corpus share — the Zipf-curve head every tokenizer/
+    vocab analysis starts from. Explode + one hash-agg on the token key;
+    the rank is a TakeOrderedAndProject over the AGGREGATED vocabulary
+    (orders of magnitude smaller than the corpus), never a sort of the
+    token stream; (count DESC, token) total order keeps ranks
+    engine-deterministic."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    top = counts.orderBy(F.desc("c"), F.asc("t")).limit(20)
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rnk",
+            F.col("t").alias("token"),
+            F.col("c").cast("bigint").alias("n_occurrences"),
+            F.round(F.col("c") / F.col("n").cast("double"), 6)
+            .cast("double")
+            .alias("share"),
+        )
+        .orderBy("rnk")
     )
