@@ -4,16 +4,17 @@ reference reads RDF/XML only (src/rdf/parser.rs:88-122); Turtle is the
 format most public RDF is actually published in, so a user switching to
 this engine gets it as an engine-tier extension.
 
-Supported subset (covers everything short of RDF-star and nested
-collections): ``@prefix``/``@base`` (and SPARQL-style ``PREFIX``/``BASE``),
+Supported subset (covers everything short of RDF-star):
+``@prefix``/``@base`` (and SPARQL-style ``PREFIX``/``BASE``),
 IRIs + prefixed names, ``a``, blank node labels and anonymous
 ``[ ... ]`` property lists, object lists (``,``), predicate lists (``;``),
 string literals (single/double/long quotes, escapes incl. \\uXXXX), lang
 tags, ``^^`` datatypes, and the numeric/boolean abbreviations (mapped to
 xsd:integer/decimal/double/boolean typed literals, value kept verbatim —
 the engine's literal model is uninterpreted strings, SURVEY §1.2).
-RDF collections ``( ... )`` are parsed into rdf:first/rdf:rest cons lists
-matching the RDF/XML parseType="Collection" handling.
+RDF collections ``( ... )`` — including nested ones — are parsed into
+rdf:first/rdf:rest cons lists matching the RDF/XML
+parseType="Collection" handling.
 
 Scale shape: one task per file via binaryFile + mapInPandas, exactly like
 rdfio.read_rdfxml — Turtle is not line-splittable (multi-line statements),
