@@ -52,6 +52,10 @@ HEADLINE = [
     # window-pass sequence packing (LLM-pipeline batch construction)
     "q8_market_share",
     "pack_documents_token_budget",
+    # round-4 additions: SPARQL OPTIONAL (left-outer BGP superset) and the
+    # bucketed distribution-window composition (no single-partition window)
+    "bgp_optional_order_parts",
+    "percentile_rank_customers_bucketed",
 ]
 
 
