@@ -358,3 +358,68 @@ def zipf_token_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+@query(
+    "near_dup_clusters_canonical",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {shingles_sql('text', 3)} AS shingles FROM documents
+    ),
+    sized AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            WHERE len(shingles) > 0),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sized na ON na.doc_id = id_a JOIN sized nb ON nb.doc_id = id_b
+      WHERE shared / (na.n + nb.n - shared) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.b AS node, r.r FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT CAST(comp AS BIGINT) AS cluster_id,
+           COUNT(*) AS n_docs,
+           CAST(MAX(node) AS BIGINT) AS max_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+    FROM comp GROUP BY comp ORDER BY cluster_id
+    """,
+)
+def near_dup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: near-dup PAIRS (exact 3-gram Jaccard ≥ 0.5,
+    inverted-index join) chained into CLUSTERS via min-label connected
+    components iterated to the exact fixpoint, with the lowest doc_id as
+    each cluster's canonical representative — keep 1, drop n_removable.
+    This is the transitive step pair-level dedup misses (A~B, B~C but
+    A≁C still must collapse to ONE kept doc). Scale shape: the pair
+    graph is orders of magnitude smaller than the corpus (near-dup
+    pairs only), so the CC loop runs on edges ∝ duplicates, not docs;
+    at 100 TB the minhash-LSH tier replaces the exact pair join in
+    front (same composition, `dedup.py` banding), and CC's per-round
+    shuffles stay proportional to the near-dup subgraph. Oracle: DuckDB
+    recursive transitive closure computes the identical fixpoint."""
+    from rippledb_spark.operators.dedup import ngram_jaccard_pairs
+    from rippledb_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b", iterations=None)
+    return (
+        cc.groupBy(F.col("comp").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("node").cast("bigint").alias("max_doc"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_id")
+    )
