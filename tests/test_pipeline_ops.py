@@ -349,3 +349,18 @@ class TestPacking:
         for r in sharded:
             expect = int(_h.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 4
             assert r["shard"] == expect
+
+
+def test_near_dup_cluster_transitivity(spark):
+    """Pair-level dedup misses A~B~C transitivity; the cluster op must
+    collapse the planted trio (1 exact-dup-of-2, 3 near-dup-of-1) into
+    ONE cluster with doc 1 canonical."""
+    from rippledb_spark.operators.graph import connected_components
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    clusters = {}
+    for r in cc.collect():
+        clusters.setdefault(r["comp"], set()).add(r["node"])
+    assert clusters == {1: {1, 2, 3}}  # docs 4, 5 have no near-dups
