@@ -58,6 +58,11 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
     []. All surviving values keep full pattern₀ multiplicity, matching the
     reference on every non-failing path.
     """
+    if getattr(query, "optionals", []):
+        # get() is the reference-parity conjunctive evaluator
+        # (graph.rs:333-413 has no OPTIONAL); silently dropping a group
+        # would change semantics behind the caller's back.
+        raise QueryError("get() is conjunctive-only; use select_join for OPTIONAL")
     if not query.conds:
         # No patterns → no candidates (reference returns empty vec).
         name = query.vars[0].name if query.vars else "result"

@@ -87,9 +87,9 @@ class Sparql:
         required BGP — rows keep required bindings and NULL-extend the
         group's variables when the group has no compatible match. An
         engine-tier SPARQL superset: the reference's builder is
-        conjunctive-only (query.rs:27-63). Only honored by the multi-var
-        evaluator (plans.bgp.select_join); ``get`` ignores optionals by
-        contract (graph.rs parity)."""
+        conjunctive-only (query.rs:27-63). Only the multi-var evaluator
+        (plans.bgp.select_join) honors optionals; ``get`` raises on them
+        (graph.rs parity — it must not silently drop a group)."""
         declared = {v.name for v in self.vars}
         group: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
         for pat in patterns:

@@ -335,7 +335,9 @@ def zipf_token_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank is a TakeOrderedAndProject over the AGGREGATED vocabulary
     (orders of magnitude smaller than the corpus), never a sort of the
     token stream; (count DESC, token) total order keeps ranks
-    engine-deterministic."""
+    engine-deterministic. The unpartitioned row_number window runs AFTER
+    the limit — its input is k=20 rows by construction at any corpus
+    size (bounded, unlike a data-proportional global window)."""
     d = load(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("t"))

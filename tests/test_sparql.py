@@ -80,3 +80,24 @@ def test_union_preserves_duplicates(spark):
     arm = lambda: Sparql().select(["$s"]).filter([["$s", "http://e/p", "$v"]])
     got = [tuple(r) for r in select_union(df, arm().union(arm())).collect()]
     assert got == [("http://e/a",), ("http://e/a",)]
+
+
+def test_get_rejects_optionals(spark):
+    """get() is graph.rs-parity conjunctive: an OPTIONAL group must raise,
+    not be silently dropped."""
+    import pytest
+
+    from rippledb_spark import model
+    from rippledb_spark.errors import QueryError
+    from rippledb_spark.plans.bgp import get
+    from rippledb_spark.plans.sparql import Sparql
+
+    df = spark.createDataFrame([], model.TRIPLES_SCHEMA)
+    q = (
+        Sparql()
+        .select(["$v"])
+        .filter([["$v", "http://e/p", "x"]])
+        .optional([["$v", "http://e/q", "$w"]])
+    )
+    with pytest.raises(QueryError, match="conjunctive-only"):
+        get(df, q)
