@@ -124,3 +124,23 @@ def test_banded_range_count_matches_window(spark):
         for r in df.select("id", F.count(F.lit(1)).over(w).alias("n")).collect()
     }
     assert got == want
+
+
+def test_scaled_compositions_have_no_single_partition_exchange(spark):
+    """Plan-shape regression guard: the r4 scaled compositions exist
+    precisely to avoid the global-window SinglePartition exchange — lock
+    that property so a refactor can't silently reintroduce it."""
+    from rippledb_spark.queries.pipeline4 import pack_documents_token_budget
+    from rippledb_spark.queries.relational5 import (
+        percentile_rank_customers_bucketed,
+        price_band_neighbors_banded,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    for fn in (
+        percentile_rank_customers_bucketed,
+        price_band_neighbors_banded,
+        pack_documents_token_budget,
+    ):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, fn.__name__
