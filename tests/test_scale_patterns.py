@@ -144,3 +144,59 @@ def test_scaled_compositions_have_no_single_partition_exchange(spark):
     ):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan, fn.__name__
+
+
+def test_banded_range_count_negative_values(spark):
+    """floor(v/r) banding must stay correct across zero and for negative
+    values (floor, not truncate-toward-zero)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from rippledb_spark.operators.distribution import banded_range_count
+
+    vals = [-120.0, -50.0, -49.9, -0.1, 0.0, 0.1, 49.9, 50.0, 120.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["id", "v"])
+    got = {
+        r["id"]: r["n_in_band"] for r in banded_range_count(df, "v", 50.0).collect()
+    }
+    w = Window.orderBy("v").rangeBetween(-50, 50)
+    want = {
+        r["id"]: r["n"]
+        for r in df.select("id", F.count(F.lit(1)).over(w).alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_percent_rank_random_seeds(spark):
+    """A few random shapes (heavy duplicates, skew, tiny n) against the
+    global-window definition."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from rippledb_spark.operators.distribution import bucketed_percent_rank
+
+    for seed in range(3):
+        rng = random.Random(seed)
+        n = rng.choice([1, 7, 60])
+        vals = [float(rng.choice([1, 2, 2, 2, 5, 100])) for _ in range(n)]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+        )
+        got = {
+            r["id"]: (r["pct_rank"], r["cume_dist"])
+            for r in bucketed_percent_rank(df, "v", ["id"], n_buckets=4).collect()
+        }
+        w = Window.orderBy("v", "id")
+        want = {
+            r["id"]: (r["pr"], r["cd"])
+            for r in df.select(
+                "id",
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd"),
+            ).collect()
+        }
+        for k in want:
+            assert abs(got[k][0] - want[k][0]) < 1e-12, (seed, k)
+            assert abs(got[k][1] - want[k][1]) < 1e-12, (seed, k)

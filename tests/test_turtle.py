@@ -205,3 +205,8 @@ def test_turtle_roundtrip_reference_corpus(spark, tmp_path):
         map(tuple, df.groupBy("p", "s_kind", "o_kind").count().collect())
     )
     assert counts(back) == counts(src.df)
+
+
+def test_parse_turtle_empty_prefix():
+    rows = parse_turtle("@prefix : <http://d/> . :a :b :c .")
+    assert rows == [("http://d/a", "named", "http://d/b", "http://d/c", "named", None, None)]
