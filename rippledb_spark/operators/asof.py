@@ -29,6 +29,7 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join (right_ts <= left_ts, latest wins).
 
@@ -37,6 +38,14 @@ def asof_join(
     Ties on timestamp resolve to the right row (tag order sorts right
     rows first at equal ts, so an equal-ts right row IS visible to the
     left row — the conventional `<=` asof semantics).
+
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity)
+    nulls out matches older than the given gap: left_ts − right_ts must
+    be ≤ tolerance. Units are whatever a ``double`` cast of the ts
+    column yields — seconds (with fraction) for timestamps, the raw
+    value for numeric ts columns. Same plan either way: the matched
+    row's ts travels inside the backfill struct, so tolerance is a
+    post-window filter, not a second join.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
@@ -51,7 +60,10 @@ def asof_join(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c) for c in right_cols],
+            F.col(right_ts).alias("__mts"),  # matched ts, for tolerance
+        ).alias("__r"),
     )
     r_struct_type = rt_aligned.schema["__r"].dataType
     left_cols = [c for c in left.columns]
@@ -77,7 +89,22 @@ def asof_join(
     filled = unioned.select(
         "*", F.last("__r", ignorenulls=True).over(w).alias("__match")
     )
+    match = F.col("__match")
+    if tolerance_seconds is not None:
+        # TIMESTAMP_NTZ refuses a direct double cast (Spark 4); routing
+        # through TIMESTAMP first works for every temporal type and is a
+        # no-op for numeric ts columns (session tz is pinned UTC, and the
+        # same interpretation applies to both sides, so gaps are exact).
+        ts_type = filled.schema["__ts"].dataType.typeName()
+        def _secs(c):
+            return (
+                c.cast("timestamp").cast("double")
+                if ts_type.startswith("timestamp")
+                else c.cast("double")
+            )
+        gap = _secs(F.col("__ts")) - _secs(match["__mts"])
+        match = F.when(gap <= F.lit(float(tolerance_seconds)), match)
     return filled.filter(F.col("__tag") == 1).select(
         *left_cols,
-        *[F.col("__match")[c].alias(f"{c}{suffix}") for c in right_cols],
+        *[match[c].alias(f"{c}{suffix}") for c in right_cols],
     )

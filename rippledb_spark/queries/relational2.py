@@ -422,3 +422,57 @@ def skew_salted_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "priority", F.round("revenue_raw", 2).alias("revenue"), "n_rows"
     ).orderBy("priority")
+
+
+@query(
+    "asof_error_to_click_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '{_FMT_DUCK}')  AS error_ts,
+           c2.event_id                     AS click_id_asof,
+           ROUND(c2.value, 4)              AS click_value_asof
+    FROM errors e LEFT JOIN LATERAL (
+      SELECT event_id, value FROM clicks c
+      WHERE c.user_id = e.user_id AND c.ts <= e.ts
+        AND e.ts - c.ts <= INTERVAL 15 MINUTE
+      ORDER BY c.ts DESC LIMIT 1
+    ) c2 ON TRUE
+    ORDER BY e.event_id
+    """,
+)
+def asof_error_to_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN with a 15-minute tolerance (pandas merge_asof parity):
+    a click older than the gap no longer explains the error and the
+    match nulls out. Same single-shuffle union→window plan as the plain
+    as-of — the matched row's timestamp rides inside the backfill
+    struct, so tolerance is a post-window comparison, not a second
+    join. Oracle: DuckDB LEFT JOIN LATERAL with the interval predicate
+    (its native ASOF JOIN has no tolerance clause)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.round("value", 4).alias("click_value")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("click_id"))
+    clicks = clicks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["click_id", "click_value"],
+        tolerance_seconds=15 * 60,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT_SPARK).alias("error_ts"),
+        F.col("click_id_asof"),
+        F.col("click_value_asof"),
+    ).orderBy("event_id")

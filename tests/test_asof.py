@@ -69,3 +69,27 @@ def test_asof_preserves_left_rowcount(spark):
     assert out.count() == 30
     matched = out.filter(out.v_asof.isNotNull()).count()
     assert matched == 10  # only key 0 rows
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance_seconds: a right row older than the gap must null out,
+    an in-gap one must match, equal-ts still matches (gap 0)."""
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 500.0), (3, "k", 1000.0)],
+        ["lid", "k", "lts"],
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 100.0), (20, "k", 450.0)], ["rid", "k", "rts"]
+    )
+    out = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"], tolerance_seconds=60.0,
+        ).collect()
+    }
+    assert out == {1: 10, 2: 20, 3: None}  # 1000-450=550 > 60 → stale
