@@ -30,6 +30,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Backward as-of join (right_ts <= left_ts, latest wins).
 
@@ -40,13 +41,18 @@ def asof_join(
     left row — the conventional `<=` asof semantics).
 
     ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity)
-    nulls out matches older than the given gap: left_ts − right_ts must
-    be ≤ tolerance. Units are whatever a ``double`` cast of the ts
-    column yields — seconds (with fraction) for timestamps, the raw
-    value for numeric ts columns. Same plan either way: the matched
-    row's ts travels inside the backfill struct, so tolerance is a
-    post-window filter, not a second join.
+    nulls out matches further than the given gap. Units are whatever a
+    ``double`` cast of the ts column yields — seconds (with fraction)
+    for timestamps, the raw value for numeric ts columns. Same plan
+    either way: the matched row's ts travels inside the backfill
+    struct, so tolerance is a post-window filter, not a second join.
+
+    ``direction="forward"`` (merge_asof parity) matches the EARLIEST
+    right row with right_ts >= left_ts instead — the identical plan
+    with the per-key sort reversed (ts DESC), so cost is unchanged.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -81,9 +87,14 @@ def asof_join(
         rt_aligned = rt_aligned.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
 
     unioned = lt_aligned.unionByName(rt_aligned)
+    # backward: ascending ts — the last right row at-or-before each left
+    # row. forward: descending ts — the "last preceding" row in DESC order
+    # is the earliest right row at-or-after. Tag asc keeps the equal-ts
+    # right row visible to the left row in both directions.
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
+        .orderBy(ts_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
@@ -103,6 +114,8 @@ def asof_join(
                 else c.cast("double")
             )
         gap = _secs(F.col("__ts")) - _secs(match["__mts"])
+        if direction == "forward":
+            gap = -gap
         match = F.when(gap <= F.lit(float(tolerance_seconds)), match)
     return filled.filter(F.col("__tag") == 1).select(
         *left_cols,

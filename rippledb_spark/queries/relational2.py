@@ -476,3 +476,55 @@ def asof_error_to_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("click_id_asof"),
         F.col("click_value_asof"),
     ).orderBy("event_id")
+
+
+@query(
+    "asof_forward_error_to_click",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '{_FMT_DUCK}')  AS error_ts,
+           c2.event_id                     AS next_click_id_asof,
+           ROUND(c2.value, 4)              AS next_click_value_asof
+    FROM errors e LEFT JOIN LATERAL (
+      SELECT event_id, value FROM clicks c
+      WHERE c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.ts ASC LIMIT 1
+    ) c2 ON TRUE
+    ORDER BY e.event_id
+    """,
+)
+def asof_forward_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (merge_asof direction='forward'): for each
+    error, the user's EARLIEST click at or after it — "what did the user
+    do next". Identical single-shuffle union→window plan with the
+    per-key sort reversed; DuckDB LEFT JOIN LATERAL is the oracle (its
+    ASOF JOIN is backward-only)."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("next_click_id"),
+        F.round("value", 4).alias("next_click_value"),
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("next_click_id"))
+    clicks = clicks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["next_click_id", "next_click_value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT_SPARK).alias("error_ts"),
+        F.col("next_click_id_asof"),
+        F.col("next_click_value_asof"),
+    ).orderBy("event_id")

@@ -93,3 +93,33 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         ).collect()
     }
     assert out == {1: 10, 2: 20, 3: None}  # 1000-450=550 > 60 → stale
+
+
+def test_asof_forward_direction(spark):
+    """forward: earliest right at-or-after; equal ts matches; tolerance
+    measures the forward gap."""
+    from rippledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 450.0), (3, "k", 2000.0)], ["lid", "k", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 100.0), (20, "k", 500.0)], ["rid", "k", "rts"]
+    )
+    out = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"], direction="forward",
+        ).collect()
+    }
+    assert out == {1: 10, 2: 20, 3: None}  # equal-ts hit, next hit, nothing after
+
+    out_tol = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["rid"], direction="forward", tolerance_seconds=40.0,
+        ).collect()
+    }
+    assert out_tol == {1: 10, 2: None, 3: None}  # 500-450=50 > 40 → stale
