@@ -31,6 +31,7 @@ def asof_join(
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Backward as-of join (right_ts <= left_ts, latest wins).
 
@@ -50,9 +51,19 @@ def asof_join(
     ``direction="forward"`` (merge_asof parity) matches the EARLIEST
     right row with right_ts >= left_ts instead — the identical plan
     with the per-key sort reversed (ts DESC), so cost is unchanged.
+    ``direction="nearest"`` takes whichever of the backward/forward
+    candidates is closer in absolute gap (ties prefer backward); both
+    fills share one shuffle (two sorts over the same Exchange).
+
+    ``allow_exact_matches=False`` (merge_asof parity) makes the
+    comparison strict (< / >): an equal-ts right row is invisible.
+    Implemented purely in the tie-break order — at equal ts the left
+    row sorts BEFORE the right row, so the backfill can't see it.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward', or 'nearest', got {direction!r}"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -89,34 +100,67 @@ def asof_join(
     unioned = lt_aligned.unionByName(rt_aligned)
     # backward: ascending ts — the last right row at-or-before each left
     # row. forward: descending ts — the "last preceding" row in DESC order
-    # is the earliest right row at-or-after. Tag asc keeps the equal-ts
-    # right row visible to the left row in both directions.
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    w = (
+    # is the earliest right row at-or-after. Tag asc (right=0 first) keeps
+    # the equal-ts right row visible; tag desc hides it (strict < / >).
+    tag_order = F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()
+    wb = (
         Window.partitionBy(on)
-        .orderBy(ts_order, F.col("__tag").asc())
+        .orderBy(F.col("__ts").asc(), tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*", F.last("__r", ignorenulls=True).over(w).alias("__match")
+    wf = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").desc(), tag_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    match = F.col("__match")
-    if tolerance_seconds is not None:
+
+    ts_type = unioned.schema["__ts"].dataType.typeName()
+
+    def _secs(c):
         # TIMESTAMP_NTZ refuses a direct double cast (Spark 4); routing
         # through TIMESTAMP first works for every temporal type and is a
         # no-op for numeric ts columns (session tz is pinned UTC, and the
         # same interpretation applies to both sides, so gaps are exact).
-        ts_type = filled.schema["__ts"].dataType.typeName()
-        def _secs(c):
-            return (
-                c.cast("timestamp").cast("double")
-                if ts_type.startswith("timestamp")
-                else c.cast("double")
-            )
+        return (
+            c.cast("timestamp").cast("double")
+            if ts_type.startswith("timestamp")
+            else c.cast("double")
+        )
+
+    def _gated(match, forward: bool):
+        """Null out a match beyond the tolerance gap (directional)."""
+        if tolerance_seconds is None:
+            return match
         gap = _secs(F.col("__ts")) - _secs(match["__mts"])
-        if direction == "forward":
+        if forward:
             gap = -gap
-        match = F.when(gap <= F.lit(float(tolerance_seconds)), match)
+        return F.when(gap <= F.lit(float(tolerance_seconds)), match)
+
+    if direction == "nearest":
+        # Both fills share the Exchange on `on` (two sorts, one shuffle);
+        # per row the smaller absolute gap wins, ties prefer backward
+        # (merge_asof convention).
+        filled = unioned.select(
+            "*",
+            F.last("__r", ignorenulls=True).over(wb).alias("__mb"),
+            F.last("__r", ignorenulls=True).over(wf).alias("__mf"),
+        )
+        mb = _gated(F.col("__mb"), forward=False)
+        mf = _gated(F.col("__mf"), forward=True)
+        gb = _secs(F.col("__ts")) - _secs(mb["__mts"])
+        gf = _secs(mf["__mts"]) - _secs(F.col("__ts"))
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(gb <= gf, mb)
+            .otherwise(mf)
+        )
+    else:
+        w = wb if direction == "backward" else wf
+        filled = unioned.select(
+            "*", F.last("__r", ignorenulls=True).over(w).alias("__match")
+        )
+        match = _gated(F.col("__match"), forward=direction == "forward")
     return filled.filter(F.col("__tag") == 1).select(
         *left_cols,
         *[match[c].alias(f"{c}{suffix}") for c in right_cols],

@@ -123,3 +123,37 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert out_tol == {1: 10, 2: None, 3: None}  # 500-450=50 > 40 → stale
+
+
+def test_asof_nearest_and_strict(spark):
+    from rippledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 490.0), (3, "k", 300.0)], ["lid", "k", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 100.0), (20, "k", 500.0)], ["rid", "k", "rts"]
+    )
+
+    def run(**kw):
+        return {
+            r["lid"]: r["rid_asof"]
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts",
+                right_cols=["rid"], **kw,
+            ).collect()
+        }
+
+    # nearest: 490 is 10 from 500 vs 390 from 100 → forward wins;
+    # 300 ties at 200 both ways → backward preferred
+    assert run(direction="nearest") == {1: 10, 2: 20, 3: 10}
+    # strict (<): the equal-ts right row at 100 is invisible backward
+    assert run(allow_exact_matches=False) == {1: None, 2: 10, 3: 10}
+    # strict forward (>): lid 1 skips rid 10, takes the next one
+    assert run(direction="forward", allow_exact_matches=False) == {
+        1: 20, 2: 20, 3: 20,
+    }
+    # nearest + tolerance: only gaps <= 50 survive
+    assert run(direction="nearest", tolerance_seconds=50.0) == {
+        1: 10, 2: 20, 3: None,
+    }
