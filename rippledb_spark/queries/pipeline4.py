@@ -425,3 +425,74 @@ def near_dup_clusters_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@query(
+    "dedup_incremental_new_batch",
+    oracle=f"""
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+    batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+    exact_survivors AS (
+      SELECT b.doc_id, b.text FROM batch b
+      WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)
+    ),
+    bsh AS (
+      SELECT doc_id, unnest({shingles_sql('text', 3)}) AS g
+      FROM exact_survivors
+    ),
+    csh AS (
+      SELECT DISTINCT unnest({shingles_sql('text', 3)}) AS g FROM corpus
+    ),
+    bsz AS (SELECT doc_id, COUNT(DISTINCT g) AS n FROM bsh GROUP BY doc_id),
+    overlap AS (
+      SELECT b.doc_id, COUNT(DISTINCT b.g) AS shared
+      FROM bsh b JOIN csh c ON b.g = c.g GROUP BY b.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COALESCE(o.shared, 0) AS BIGINT) AS shared_shingles,
+           CAST(ROUND(COALESCE(o.shared, 0) / CAST(z.n AS DOUBLE), 4) AS DOUBLE)
+             AS containment
+    FROM exact_survivors s
+    JOIN bsz z ON z.doc_id = s.doc_id
+    LEFT JOIN overlap o ON o.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape: a NEW batch (doc_id %
+    10 >= 8 stands in for today's crawl) deduped AGAINST the existing
+    corpus without re-deduping the corpus itself. Two tiers in one
+    pass: exact (md5 LEFT ANTI join against the corpus's fingerprint
+    set — at 100 TB that set is a bucketed table or Bloom filter, the
+    anti-join shape is identical), then shingle CONTAINMENT of each
+    surviving doc in the corpus's shingle vocabulary (containment, not
+    Jaccard: against a corpus-sized reference the right measure is
+    |B∩C| / |B|). Only the batch explodes per-doc shingles — corpus
+    shingles reduce to a DISTINCT vocabulary, shuffled once on the
+    shingle key; nothing is ever batch×corpus pairwise."""
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 8)
+    batch = d.filter(F.col("doc_id") % 10 >= 8)
+    corpus_md5 = corpus.select(F.md5("text").alias("__h")).distinct()
+    survivors = batch.join(
+        corpus_md5, F.md5(batch["text"]) == corpus_md5["__h"], "left_anti"
+    ).select("doc_id", "text")
+    bsh = survivors.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", 3))).alias("g")
+    )
+    csh = corpus.select(F.explode(shingles("text", 3)).alias("g")).distinct()
+    bsz = bsh.groupBy("doc_id").agg(F.countDistinct("g").alias("n"))
+    overlap = (
+        bsh.join(csh, "g").groupBy("doc_id").agg(F.countDistinct("g").alias("shared"))
+    )
+    return (
+        bsz.join(overlap, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.coalesce("shared", F.lit(0)).cast("bigint").alias("shared_shingles"),
+            F.round(
+                F.coalesce("shared", F.lit(0)) / F.col("n").cast("double"), 4
+            ).cast("double").alias("containment"),
+        )
+        .orderBy("doc_id")
+    )
