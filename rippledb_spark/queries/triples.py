@@ -872,3 +872,31 @@ def bgp_union_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = arm("priority:1-URGENT").union(arm("priority:2-HIGH"))
     return st.select_union(q).orderBy("o", "c")
+
+
+@query(
+    "bgp_filter_name_pattern",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t.s AS c, t.o_value AS name
+    FROM triples t
+    WHERE t.p = 'has_name' AND t.s LIKE 'customer:%'
+      AND regexp_matches(t.o_value, '[13579]$')
+    ORDER BY c, name
+    """,
+)
+def bgp_filter_name_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER (the third superset feature beside OPTIONAL/UNION):
+    customer name bindings kept only where the literal matches a regex
+    (odd final digit). FILTER needs NO bespoke machinery in this engine —
+    select_join returns a DataFrame, so a FILTER clause IS a native
+    .filter over the bound-variable columns, fully visible to Catalyst
+    (pushed through the join when referencing one side, as here). The
+    subject restriction shows the same idea on a var bound to IRIs."""
+    st = _store(spark, sf_dir)
+    q = Sparql().select(["$c", "$name"]).filter([["$c", "has_name", "$name"]])
+    return (
+        st.select_join(q)
+        .filter(F.col("c").startswith("customer:") & F.col("name").rlike("[13579]$"))
+        .orderBy("c", "name")
+    )
