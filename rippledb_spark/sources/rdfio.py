@@ -285,7 +285,14 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
             out: list[tuple] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 prefix = hashlib.md5(str(fpath).encode()).hexdigest()[:8]
-                out.extend(parse_rdfxml(bytes(content), blank_prefix=prefix))
+                try:
+                    out.extend(parse_rdfxml(bytes(content), blank_prefix=prefix))
+                except (ET.ParseError, ValueError) as ex:
+                    from rippledb_spark.errors import RdfParseError
+
+                    # name the failing file — in a multi-thousand-file
+                    # load the bare XML offset is undebuggable
+                    raise RdfParseError(f"{fpath}: {ex}") from ex
             yield pd.DataFrame(out, columns=cols)
 
     return files.mapInPandas(parse_batch, schema=model.TRIPLES_SCHEMA)

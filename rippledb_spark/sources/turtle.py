@@ -300,7 +300,12 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
             out: list[tuple] = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 prefix = hashlib.md5(str(fpath).encode()).hexdigest()[:8]
-                out.extend(parse_turtle(bytes(content), blank_prefix=prefix))
+                try:
+                    out.extend(parse_turtle(bytes(content), blank_prefix=prefix))
+                except ParseError as ex:
+                    # name the failing file — in a 10k-file load the bare
+                    # offset message is undebuggable
+                    raise ParseError(f"{fpath}: {ex}") from ex
             yield pd.DataFrame(out, columns=cols)
 
     return files.mapInPandas(parse_batch, schema=model.TRIPLES_SCHEMA)

@@ -329,3 +329,23 @@ def test_collection_reification_self_referential_child():
         if r[0] == "http://e/s" and r[2] == "http://e/p" and r[4] == "blank"
     ]
     assert obj_quads[0][3] in {h[3] for h in heads}
+
+
+def test_distributed_parse_errors_name_the_file(spark, tmp_path):
+    """A malformed file in a multi-file load must fail with the file path
+    in the message (bare offsets are undebuggable at 10k files)."""
+    import pytest
+
+    from rippledb_spark.errors import RdfParseError
+    from rippledb_spark.sources.rdfio import read_rdfxml
+    from rippledb_spark.sources.turtle import read_turtle
+
+    bad_xml = tmp_path / "bad.rdf"
+    bad_xml.write_text("<rdf:RDF xmlns:rdf='x'><unclosed></rdf:RDF")
+    with pytest.raises(Exception, match="bad.rdf"):
+        read_rdfxml(spark, str(bad_xml)).count()
+
+    bad_ttl = tmp_path / "bad.ttl"
+    bad_ttl.write_text("@prefix ex: <http://e/> . ex:s ex:p %%% .")
+    with pytest.raises(Exception, match="bad.ttl"):
+        read_turtle(spark, str(bad_ttl)).count()
