@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     right_cols: list[str] | None = None,
@@ -59,13 +59,17 @@ def asof_join(
     comparison strict (< / >): an equal-ts right row is invisible.
     Implemented purely in the tie-break order — at equal ts the left
     row sorts BEFORE the right row, so the backfill can't see it.
+
+    ``on`` may be a list of key columns (merge_asof ``by=[...]``); the
+    single shuffle then partitions on the composite key.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be 'backward', 'forward', or 'nearest', got {direction!r}"
         )
+    keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
-        right_cols = [c for c in right.columns if c not in (on, right_ts)]
+        right_cols = [c for c in right.columns if c not in (*keys, right_ts)]
 
     lt = left.withColumn("__tag", F.lit(1)).withColumn("__ts", F.col(left_ts))
     # All right attributes travel as ONE struct so the window backfill picks
@@ -74,7 +78,7 @@ def asof_join(
     # whenever the matched row holds a NULL in one column (the older row's
     # value would bleed through) — the struct is NULL-or-whole-row.
     rt_aligned = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__tag"),
         F.struct(
@@ -85,15 +89,15 @@ def asof_join(
     r_struct_type = rt_aligned.schema["__r"].dataType
     left_cols = [c for c in left.columns]
     lt_aligned = lt.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         "__ts",
         "__tag",
         F.lit(None).cast(r_struct_type).alias("__r"),
-        *[F.col(c) for c in left_cols if c != on],
+        *[F.col(c) for c in left_cols if c not in keys],
     )
     # pad right side with null left columns
     for c in left_cols:
-        if c == on:
+        if c in keys:
             continue
         rt_aligned = rt_aligned.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
 
@@ -104,12 +108,12 @@ def asof_join(
     # the equal-ts right row visible; tag desc hides it (strict < / >).
     tag_order = F.col("__tag").asc() if allow_exact_matches else F.col("__tag").desc()
     wb = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col("__ts").asc(), tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wf = (
-        Window.partitionBy(on)
+        Window.partitionBy(*keys)
         .orderBy(F.col("__ts").desc(), tag_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -157,3 +157,24 @@ def test_asof_nearest_and_strict(spark):
     assert run(direction="nearest", tolerance_seconds=50.0) == {
         1: 10, 2: 20, 3: None,
     }
+
+
+def test_asof_composite_keys(spark):
+    """on=[...] (merge_asof by=[...]): matches partition on the composite
+    key — same-key1 rows with different key2 never match."""
+    from rippledb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", "x", 100.0), (2, "a", "y", 100.0)], ["lid", "k1", "k2", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(10, "a", "x", 50.0), (20, "a", "z", 40.0)], ["rid", "k1", "k2", "rts"]
+    )
+    out = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            left, right, on=["k1", "k2"], left_ts="lts", right_ts="rts",
+            right_cols=["rid"],
+        ).collect()
+    }
+    assert out == {1: 10, 2: None}
