@@ -63,6 +63,10 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         # (graph.rs:333-413 has no OPTIONAL); silently dropping a group
         # would change semantics behind the caller's back.
         raise QueryError("get() is conjunctive-only; use select_join for OPTIONAL")
+    if getattr(query, "paths", []):
+        raise QueryError(
+            "get() evaluates fixed-shape patterns only; use select_join for paths"
+        )
     if not query.conds:
         # No patterns → no candidates (reference returns empty vec).
         name = query.vars[0].name if query.vars else "result"
@@ -180,11 +184,30 @@ def select_join(
     order-independent, so this changes the plan, never the answer. Pass
     optimize=False for the reference's literal textual order.
     """
-    if not query.conds:
+    paths = list(getattr(query, "paths", []))
+    if not query.conds and not paths:
         raise QueryError("select_join requires at least one pattern")
 
-    conds = _order_patterns(query.conds, stats) if optimize else list(query.conds)
-    acc = _join_group(triples, conds)
+    if query.conds:
+        conds = _order_patterns(query.conds, stats) if optimize else list(query.conds)
+        acc = _join_group(triples, conds)
+    else:
+        acc = None
+
+    # Property-path patterns (SPARQL 1.1 superset — plans.paths): each
+    # evaluates to a (src, dst) pair set, renamed/filtered to its variable
+    # bindings, then joined like any other pattern group. A bound subject
+    # becomes the closure's seed set (frontier-only expansion).
+    for s_u, expr, o_u in paths:
+        plan = _path_plan(triples, s_u, expr, o_u)
+        if acc is None:
+            acc = plan
+            continue
+        if "__gate" in plan.columns:
+            acc = acc.crossJoin(F.broadcast(plan.limit(1))).drop("__gate")
+            continue
+        shared = sorted(set(acc.columns) & set(plan.columns))
+        acc = acc.join(plan, on=shared, how="inner") if shared else acc.crossJoin(plan)
 
     # OPTIONAL groups (SPARQL superset — the reference is conjunctive-only):
     # each group is evaluated as its own BGP join, then LEFT-OUTER joined
@@ -226,6 +249,37 @@ def select_union(
     left = select_join(triples, query.left, optimize=optimize, stats=stats)
     right = select_join(triples, query.right, optimize=optimize, stats=stats)
     return left.unionByName(right)
+
+
+def _path_plan(triples: DataFrame, s_u, expr: str, o_u) -> DataFrame:
+    """One property-path pattern → a joinable variable-column plan.
+
+    Bound subject seeds the evaluator (closures expand only from it);
+    bound object is a post-filter (paths evaluate forward; an inverse-heavy
+    path with only the object bound can be written with ``^`` instead).
+    Both ends bound → a gate row, like a fully-bound triple pattern."""
+    from rippledb_spark.plans.paths import path_pairs
+
+    spark = triples.sparkSession
+    srcs = None
+    if isinstance(s_u, Val):
+        srcs = spark.createDataFrame([(s_u.value,)], ["node"])
+    pairs = path_pairs(triples, expr, srcs=srcs)
+    if isinstance(o_u, Val):
+        pairs = pairs.filter(F.col("dst") == F.lit(o_u.value))
+    if isinstance(s_u, Var) and isinstance(o_u, Var):
+        if s_u.name == o_u.name:
+            return pairs.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(s_u.name)
+            )
+        return pairs.select(
+            F.col("src").alias(s_u.name), F.col("dst").alias(o_u.name)
+        )
+    if isinstance(s_u, Var):
+        return pairs.select(F.col("src").alias(s_u.name))
+    if isinstance(o_u, Var):
+        return pairs.select(F.col("dst").alias(o_u.name))
+    return pairs.limit(1).select(F.lit(1).alias("__gate"))
 
 
 def _join_group(triples: DataFrame, conds: list) -> DataFrame:

@@ -1,0 +1,311 @@
+"""SPARQL 1.1 property paths over the triples store (engine-tier superset).
+
+The reference's query surface is conjunctive BGP only (src/rdf/query.rs:27-63
+has no path operators; src/datastore/graph.rs:333-413 evaluates fixed-shape
+patterns), so paths extend the documented superset the way OPTIONAL and UNION
+already do. Grammar (the core of W3C SPARQL 1.1 §9.1):
+
+    path     := alt
+    alt      := seq ('|' seq)*
+    seq      := step ('/' step)*
+    step     := '^' step | primary ('+' | '*' | '?')*
+    primary  := '(' path ')' | predicate-name
+
+Semantics follow the spec's ALP evaluation:
+
+- ``p``        — all (s, o) pairs of predicate ``p`` (bag).
+- ``p1/p2``    — relational join on the intermediate node (bag).
+- ``p1|p2``    — bag union.
+- ``^p``       — inverse: swap src/dst.
+- ``p+``       — transitive closure, DISTINCT node pairs (the spec's
+                 OneOrMorePath is set-valued precisely so cyclic data
+                 terminates).
+- ``p*``       — ``p+`` ∪ zero-length pairs, distinct.
+- ``p?``       — ``p`` ∪ zero-length pairs, distinct.
+
+Zero-length paths: the spec matches every term in the graph; here that is
+the store's node universe (distinct ``s`` ∪ ``o_value``) — identical, since
+a term "in the graph" is exactly one appearing in some triple. When a
+source-seed DataFrame is supplied (the bound-subject case), zero-length
+pairs restrict to the seeds, matching the spec's evaluation from a bound
+end.
+
+Scale shape: closure is evaluated like :func:`operators.graph.bfs_reachability`
+— one shuffle-join per round between a checkpoint-truncated frontier and the
+(optionally cached) step relation, with a left-anti against the accumulated
+pair set so each round ships only NEW pairs; never per-path enumeration
+(which diverges on cycles and explodes on dense graphs). Inside a sequence,
+a closure step is seeded with the distinct frontier of the prefix, so
+``placed_by/within+`` expands only from reachable nodes instead of
+materializing the global closure. Node identity joins on the value column
+(the engine-wide flattened-model convention — see plans.bgp.select_join).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rippledb_spark.errors import QueryError
+from rippledb_spark.operators.graph import _release_iteration_garbage, _truncate
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Pred:
+    name: str
+
+
+@dataclass(frozen=True)
+class Inv:
+    inner: "PathExpr"
+
+
+@dataclass(frozen=True)
+class Seq:
+    steps: tuple["PathExpr", ...]
+
+
+@dataclass(frozen=True)
+class Alt:
+    arms: tuple["PathExpr", ...]
+
+
+@dataclass(frozen=True)
+class Plus:
+    inner: "PathExpr"
+
+
+@dataclass(frozen=True)
+class Star:
+    inner: "PathExpr"
+
+
+@dataclass(frozen=True)
+class Maybe:
+    inner: "PathExpr"
+
+
+PathExpr = Pred | Inv | Seq | Alt | Plus | Star | Maybe
+
+_TOKEN = re.compile(r"\s*(?:([/|^+*?()])|([^/|^+*?()\s]+))")
+
+
+def parse_path(text: str) -> PathExpr:
+    """Parse the compact path syntax above into a PathExpr."""
+    tokens: list[str] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m or m.end() == pos:
+            raise QueryError(f"bad path syntax at offset {pos}: {text!r}")
+        tokens.append(m.group(1) or m.group(2))
+        pos = m.end()
+    if not tokens:
+        raise QueryError("empty path expression")
+
+    idx = 0
+
+    def peek() -> str | None:
+        return tokens[idx] if idx < len(tokens) else None
+
+    def take() -> str:
+        nonlocal idx
+        tok = tokens[idx]
+        idx += 1
+        return tok
+
+    def parse_alt() -> PathExpr:
+        arms = [parse_seq()]
+        while peek() == "|":
+            take()
+            arms.append(parse_seq())
+        return arms[0] if len(arms) == 1 else Alt(tuple(arms))
+
+    def parse_seq() -> PathExpr:
+        steps = [parse_step()]
+        while peek() == "/":
+            take()
+            steps.append(parse_step())
+        return steps[0] if len(steps) == 1 else Seq(tuple(steps))
+
+    def parse_step() -> PathExpr:
+        if peek() == "^":
+            take()
+            return Inv(parse_step())
+        expr = parse_primary()
+        while peek() in ("+", "*", "?"):
+            tok = take()
+            expr = {"+": Plus, "*": Star, "?": Maybe}[tok](expr)
+        return expr
+
+    def parse_primary() -> PathExpr:
+        tok = peek()
+        if tok == "(":
+            take()
+            expr = parse_alt()
+            if peek() != ")":
+                raise QueryError(f"unclosed '(' in path {text!r}")
+            take()
+            return expr
+        if tok is None or tok in "/|^+*?)":
+            raise QueryError(f"expected predicate or '(' in path {text!r}, got {tok!r}")
+        return Pred(take())
+
+    expr = parse_alt()
+    if idx != len(tokens):
+        raise QueryError(f"trailing tokens in path {text!r}: {tokens[idx:]}")
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+
+def _node_universe(triples: DataFrame) -> DataFrame:
+    return (
+        triples.select(F.col("s").alias("node"))
+        .unionByName(triples.select(F.col("o_value").alias("node")))
+        .distinct()
+    )
+
+
+def _zero_length(triples: DataFrame, srcs: DataFrame | None) -> DataFrame:
+    base = srcs.select("node").distinct() if srcs is not None else _node_universe(triples)
+    return base.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+
+
+def _seed(pairs: DataFrame, srcs: DataFrame | None) -> DataFrame:
+    if srcs is None:
+        return pairs
+    return pairs.join(
+        srcs.select("node").distinct(), pairs["src"] == F.col("node"), "left_semi"
+    )
+
+
+def _closure(
+    step: DataFrame,
+    srcs: DataFrame | None,
+    checkpoint_dir: str | None,
+    max_iterations: int | None,
+) -> DataFrame:
+    """Distinct transitive closure of the ``step`` pair relation, optionally
+    restricted to sources in ``srcs``. Frontier-only expansion to an exact
+    fixpoint (every round's frontier is the pairs not yet seen; empty
+    frontier ⇒ converged, no iteration-count guessing)."""
+    base = step.select("src", "dst").distinct()
+    # The step relation is probed once per round — cache it so round k
+    # doesn't recompute the (possibly join-heavy) step plan k times.
+    base.persist()
+    # Semi-naive evaluation via a first-seen-round column: the accumulated
+    # pair set carries the round each pair was first derived in, so the
+    # next round's frontier is a FILTER on the accumulator (pairs with
+    # r == current round) instead of a growing anti-join — each round
+    # ships one join + one min-aggregate, the same union/groupBy/checkpoint
+    # shape as operators.graph.bfs_reachability. Fixpoint is exact: when a
+    # round adds no first-seen pairs the frontier empties and the loop
+    # stops; cyclic data terminates because the distinct pair set is
+    # finite and monotone.
+    acc = _truncate(
+        _seed(base, srcs).distinct().withColumn("r", F.lit(0)), checkpoint_dir
+    )
+    frontier = acc
+    rounds = 0
+    while True:
+        if max_iterations is not None and rounds >= max_iterations:
+            break
+        rounds += 1
+        grown = (
+            frontier.alias("f")
+            .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                F.lit(rounds).alias("r"),
+            )
+        )
+        acc = _truncate(
+            acc.unionByName(grown).groupBy("src", "dst").agg(F.min("r").alias("r")),
+            checkpoint_dir,
+        )
+        frontier = acc.filter(F.col("r") == F.lit(rounds))
+        if frontier.limit(1).count() == 0:
+            break
+    base.unpersist(blocking=False)
+    out = acc.select("src", "dst")
+    _release_iteration_garbage(out)
+    return out
+
+
+def path_pairs(
+    triples: DataFrame,
+    path: PathExpr | str,
+    srcs: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    max_iterations: int | None = None,
+) -> DataFrame:
+    """Evaluate ``path`` over the store → DataFrame(src, dst).
+
+    ``srcs`` (a DataFrame with a ``node`` column) restricts evaluation to
+    paths starting at those nodes — the bound-subject case; closures then
+    expand only the reachable frontier instead of the global relation.
+    ``max_iterations`` caps closure rounds (None = run to the exact
+    fixpoint; closures over finite stores always terminate because the
+    distinct pair set is bounded).
+    """
+    if isinstance(path, str):
+        path = parse_path(path)
+
+    def ev(expr: PathExpr, seeds: DataFrame | None) -> DataFrame:
+        if isinstance(expr, Pred):
+            pairs = triples.filter(F.col("p") == F.lit(expr.name)).select(
+                F.col("s").alias("src"), F.col("o_value").alias("dst")
+            )
+            return _seed(pairs, seeds)
+        if isinstance(expr, Inv):
+            pairs = ev(expr.inner, None).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+            return _seed(pairs, seeds)
+        if isinstance(expr, Alt):
+            out = ev(expr.arms[0], seeds)
+            for arm in expr.arms[1:]:
+                out = out.unionByName(ev(arm, seeds))
+            return out
+        if isinstance(expr, Seq):
+            acc = ev(expr.steps[0], seeds)
+            for step in expr.steps[1:]:
+                # Seed closure steps with the prefix's frontier so p+ inside
+                # a sequence never materializes the global closure.
+                if isinstance(step, (Plus, Star, Maybe)):
+                    mid = acc.select(F.col("dst").alias("node")).distinct()
+                    nxt = ev(step, mid)
+                else:
+                    nxt = ev(step, None)
+                acc = (
+                    acc.alias("l")
+                    .join(nxt.alias("r"), F.col("l.dst") == F.col("r.src"))
+                    .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
+                )
+            return acc
+        if isinstance(expr, Plus):
+            step = ev(expr.inner, None)
+            return _closure(step, seeds, checkpoint_dir, max_iterations)
+        if isinstance(expr, Star):
+            step = ev(expr.inner, None)
+            plus = _closure(step, seeds, checkpoint_dir, max_iterations)
+            return plus.unionByName(_zero_length(triples, seeds)).distinct()
+        if isinstance(expr, Maybe):
+            one = ev(expr.inner, seeds).distinct()
+            return one.unionByName(_zero_length(triples, seeds)).distinct()
+        raise QueryError(f"unknown path expression {expr!r}")
+
+    return ev(path, srcs)

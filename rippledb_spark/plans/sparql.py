@@ -56,6 +56,7 @@ class Sparql:
         self.vars: list[Var] = []
         self.conds: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
         self.optionals: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
+        self.paths: list[tuple[QueryUnit, str, QueryUnit]] = []
 
     def select(self, variables: list[str]) -> "Sparql":
         for raw in variables:
@@ -104,6 +105,26 @@ class Sparql:
                         )
             group.append(units)  # type: ignore[arg-type]
         self.optionals.append(group)
+        return self
+
+    def path(self, s: str, expr: str, o: str) -> "Sparql":
+        """Add a property-path pattern (engine-tier SPARQL 1.1 superset,
+        like :meth:`optional`): ``s`` and ``o`` are '$var' or bound values,
+        ``expr`` is a path expression (``p1/p2``, ``p|q``, ``^p``, ``p+``,
+        ``p*``, ``p?`` — grammar in plans.paths). Explicit method rather
+        than operator sniffing inside :meth:`filter` because real predicate
+        IRIs legitimately contain '/'. Only the multi-var evaluator
+        (plans.bgp.select_join) honors paths; ``get`` raises on them
+        (graph.rs:333-413 parity — fixed-shape patterns only)."""
+        su, ou = parse_unit(s), parse_unit(o)
+        if self.strict:
+            declared = {v.name for v in self.vars}
+            for u in (su, ou):
+                if isinstance(u, Var) and u.name not in declared:
+                    raise QueryError(
+                        f"pattern variable ${u.name} not declared in select()"
+                    )
+        self.paths.append((su, expr, ou))
         return self
 
     def union(self, other: "Sparql") -> "SparqlUnion":

@@ -1,0 +1,103 @@
+"""Property-path queries over the derived triples graph (SPARQL 1.1
+superset — plans.paths; the reference's query surface is conjunctive BGP
+only, src/rdf/query.rs:27-63).
+
+Each query's DuckDB oracle re-derives the same pair semantics with plain
+joins (sequence) or a recursive CTE (closure) over the shared TRIPLES_CTE,
+so the path evaluator is value-hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.plans.paths import path_pairs
+from rippledb_spark.plans.sparql import Sparql
+from rippledb_spark.registry import query
+from rippledb_spark.queries.triples import TRIPLES_CTE, _store
+
+
+@query(
+    "path_order_to_region",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t2.o_value AS region, COUNT(*) AS order_count
+    FROM triples t0
+    JOIN triples t1 ON t1.s = t0.o_value AND t1.p = 'in_nation'
+    JOIN triples t2 ON t2.s = t1.o_value AND t2.p = 'in_region'
+    WHERE t0.p = 'placed_by'
+    GROUP BY t2.o_value
+    ORDER BY region
+    """,
+)
+def path_order_to_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence path ``placed_by/in_nation/in_region``: every order routed
+    to its customer's region in one path pattern (bag semantics — one row
+    per order), then counted per region. The path plan is the same join
+    chain a hand-written BGP would produce; Catalyst broadcasts the small
+    nation/region hops."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$ord", "$region"])
+        .path("$ord", "placed_by/in_nation/in_region", "$region")
+    )
+    return (
+        st.select_join(q)
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("region")
+    )
+
+
+@query(
+    "path_within_closure",
+    oracle=f"""
+    WITH RECURSIVE {TRIPLES_CTE.strip()},
+    wedges AS (
+      SELECT s AS src, o_value AS dst FROM triples
+      WHERE p IN ('in_nation', 'in_region')
+    ),
+    closure AS (
+      SELECT src, dst FROM wedges
+      UNION
+      SELECT c.src, w.dst FROM closure c JOIN wedges w ON c.dst = w.src
+    )
+    SELECT src, dst FROM closure ORDER BY src, dst
+    """,
+)
+def path_within_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure path ``(in_nation|in_region)+``: all distinct
+    containment pairs — customer/supplier→nation, nation→region, and the
+    derived customer/supplier→region hops. Frontier-only fixpoint
+    expansion (plans.paths._closure) vs a DuckDB recursive CTE; the UNION
+    (not UNION ALL) in the oracle mirrors the spec's distinct-pairs
+    OneOrMorePath semantics."""
+    st = _store(spark, sf_dir)
+    return path_pairs(st.df, "(in_nation|in_region)+").orderBy("src", "dst")
+
+
+@query(
+    "path_nation_region_maybe",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    nations AS (SELECT DISTINCT s FROM triples WHERE p = 'in_region')
+    SELECT src, dst FROM (
+      SELECT s AS src, s AS dst FROM nations
+      UNION
+      SELECT s AS src, o_value AS dst FROM triples WHERE p = 'in_region'
+    ) ORDER BY src, dst
+    """,
+)
+def path_nation_region_maybe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-or-one path ``in_region?`` seeded at the nation nodes: each
+    nation paired with itself (zero-length arm, restricted to the seed set
+    per the spec's bound-end evaluation) and with its region. Exercises
+    the seeded-evaluation fast path that keeps ``?``/``*`` from
+    materializing the store-wide node universe."""
+    st = _store(spark, sf_dir)
+    nations = st.df.filter(F.col("p") == "in_region").select(
+        F.col("s").alias("node")
+    )
+    return path_pairs(st.df, "in_region?", srcs=nations).orderBy("src", "dst")
