@@ -1,0 +1,86 @@
+"""Change-data-capture operators: latest-wins apply-changes and SCD type-2
+history (engine-tier; the reference's only DML is single-triple insert/
+remove, src/datastore/graph.rs:414-629 — ordered change streams are the
+relational generalization a warehouse user expects).
+
+Semantics follow the public Debezium/Delta-Lake APPLY CHANGES model:
+
+- :func:`apply_changes` — fold an ordered change feed into a snapshot:
+  per key, the change with the highest sequence wins; a winning delete
+  removes the key, a winning upsert replaces (or inserts) the row.
+- :func:`scd2` — expand a change feed into slowly-changing-dimension
+  type-2 history: one row per change with ``valid_from``/``valid_to``
+  half-open intervals, a per-key ``version`` ordinal, and ``is_current``.
+
+Scale shape: both are ONE shuffle on the key columns (window + filter /
+window + lead); apply_changes adds one key-equi join against the snapshot.
+No collects, no per-key loops; skewed keys fall to AQE like any other
+window. Ties on the sequence break deterministically by the supplied
+tiebreaker columns — callers must pass enough columns to totalize the
+order or the winner is undefined (same contract as any CDC consumer).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _latest(
+    changes: DataFrame, keys: list[str], sequence_cols: list[str]
+) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in sequence_cols])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sequence_cols: list[str],
+    op_col: str,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """New snapshot after folding ``changes`` in: latest change per key
+    (by ``sequence_cols`` descending) wins; ``op_col == delete_op`` drops
+    the key, anything else upserts the change row (minus ``op_col``).
+
+    ``changes`` must contain ``snapshot``'s columns plus ``op_col``.
+    Keys untouched by any change pass through unchanged.
+    """
+    latest = _latest(changes, keys, sequence_cols)
+    # Every changed key leaves the snapshot (one anti-join), then winning
+    # upserts re-enter with their new row — a delete is simply a change
+    # that never re-enters.
+    survivors = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
+        *snapshot.columns
+    )
+    return survivors.unionByName(upserts)
+
+
+def scd2(
+    changes: DataFrame,
+    keys: list[str],
+    sequence_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """SCD type-2 history: every change becomes a version row with
+    ``valid_from`` (its sequence value), ``valid_to`` (the NEXT change's
+    sequence value, NULL while current — half-open intervals, so an as-of
+    probe is ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``),
+    ``version`` (1-based per key) and ``is_current``."""
+    order = [F.col(sequence_col).asc()] + [
+        F.col(c).asc() for c in (tiebreakers or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("valid_from", F.col(sequence_col))
+        .withColumn("valid_to", F.lead(sequence_col).over(w))
+        .withColumn("version", F.row_number().over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -67,6 +67,15 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         raise QueryError(
             "get() evaluates fixed-shape patterns only; use select_join for paths"
         )
+    if (
+        getattr(query, "is_distinct", False)
+        or getattr(query, "order_keys", [])
+        or getattr(query, "row_limit", None) is not None
+    ):
+        # The reference returns raw candidates in dictionary-id order with
+        # full multiplicity (graph.rs:389-402) — honoring modifiers here
+        # would silently change the parity surface.
+        raise QueryError("get() has no solution modifiers; use select_join")
     if not query.conds:
         # No patterns → no candidates (reference returns empty vec).
         name = query.vars[0].name if query.vars else "result"
@@ -227,7 +236,25 @@ def select_join(
     missing = [n for n in names if n not in acc.columns]
     if missing:
         raise QueryError(f"selected vars {missing} not bound by any pattern")
-    return acc.select(*names)
+    out = acc.select(*names)
+
+    # Solution modifiers (SPARQL §15, engine-tier superset), in spec order:
+    # DISTINCT on the projected solutions, then ORDER BY, then OFFSET/LIMIT.
+    if getattr(query, "is_distinct", False):
+        out = out.dropDuplicates()
+    order_keys = getattr(query, "order_keys", [])
+    if order_keys:
+        bad = [n for n, _ in order_keys if n not in names]
+        if bad:
+            raise QueryError(f"order_by vars {bad} not in select()")
+        out = out.orderBy(
+            *[F.col(n).desc() if d else F.col(n).asc() for n, d in order_keys]
+        )
+    if getattr(query, "row_offset", 0):
+        out = out.offset(query.row_offset)
+    if getattr(query, "row_limit", None) is not None:
+        out = out.limit(query.row_limit)
+    return out
 
 
 def select_union(

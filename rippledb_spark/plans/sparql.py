@@ -57,6 +57,10 @@ class Sparql:
         self.conds: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
         self.optionals: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.paths: list[tuple[QueryUnit, str, QueryUnit]] = []
+        self.is_distinct = False
+        self.order_keys: list[tuple[str, bool]] = []  # (var, descending)
+        self.row_limit: int | None = None
+        self.row_offset: int = 0
 
     def select(self, variables: list[str]) -> "Sparql":
         for raw in variables:
@@ -125,6 +129,33 @@ class Sparql:
                         f"pattern variable ${u.name} not declared in select()"
                     )
         self.paths.append((su, expr, ou))
+        return self
+
+    def distinct(self) -> "Sparql":
+        """SPARQL DISTINCT solution modifier (engine-tier superset — the
+        reference returns raw candidate multiplicity, graph.rs:389-402):
+        deduplicate complete solution rows after projection."""
+        self.is_distinct = True
+        return self
+
+    def order_by(self, keys: list[str]) -> "Sparql":
+        """SPARQL ORDER BY: '$var' ascending, '-$var' descending. Applies
+        after projection; keys must be selected variables."""
+        for raw in keys:
+            desc = raw.startswith("-")
+            unit = parse_unit(raw[1:] if desc else raw)
+            if not isinstance(unit, Var):
+                raise QueryError(f"order_by() takes '$var' / '-$var', got {raw!r}")
+            self.order_keys.append((unit.name, desc))
+        return self
+
+    def limit(self, n: int, offset: int = 0) -> "Sparql":
+        """SPARQL LIMIT/OFFSET. Deterministic only under a total
+        order_by — same contract as SQL."""
+        if n < 0 or offset < 0:
+            raise QueryError("limit/offset must be non-negative")
+        self.row_limit = n
+        self.row_offset = offset
         return self
 
     def union(self, other: "Sparql") -> "SparqlUnion":

@@ -79,6 +79,34 @@ def path_within_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bgp_modifiers_entities_page",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT DISTINCT s AS ent, o_value AS nat
+    FROM triples WHERE p = 'in_nation'
+    ORDER BY ent DESC
+    LIMIT 40 OFFSET 10
+    """,
+)
+def bgp_modifiers_entities_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL solution modifiers (DISTINCT / ORDER BY / LIMIT / OFFSET —
+    engine-tier superset; the reference returns raw candidates in
+    dictionary-id order, graph.rs:389-402): a deterministic page of
+    entity→nation bindings. The ORDER BY key is unique per row, so the
+    OFFSET/LIMIT slice is well-defined on both engines."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$ent", "$nat"])
+        .filter([["$ent", "in_nation", "$nat"]])
+        .distinct()
+        .order_by(["-$ent"])
+        .limit(40, offset=10)
+    )
+    return st.select_join(q)
+
+
+@query(
     "path_nation_region_maybe",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()},
