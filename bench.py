@@ -56,6 +56,9 @@ HEADLINE = [
     # bucketed distribution-window composition (no single-partition window)
     "bgp_optional_order_parts",
     "percentile_rank_customers_bucketed",
+    # property-path transitive closure (iterative fixpoint family, beside
+    # graph_pagerank) — times the semi-naive frontier loop end to end
+    "path_within_closure",
 ]
 
 

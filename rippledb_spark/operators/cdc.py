@@ -12,10 +12,12 @@ Semantics follow the public Debezium/Delta-Lake APPLY CHANGES model:
   type-2 history: one row per change with ``valid_from``/``valid_to``
   half-open intervals, a per-key ``version`` ordinal, and ``is_current``.
 
-Scale shape: both are ONE shuffle on the key columns (window + filter /
-window + lead); apply_changes adds one key-equi join against the snapshot.
-No collects, no per-key loops; skewed keys fall to AQE like any other
-window. Ties on the sequence break deterministically by the supplied
+Scale shape: apply_changes is one map-side-combinable ``max_by``
+aggregation on the keys (a hot key reduces to one candidate row per task
+before the shuffle) plus one key-equi anti-join; scd2 is one key window
+(lead needs every version row, so per-key volume is inherently the key's
+history length). No collects, no per-key loops. Ties on the sequence
+break deterministically by the supplied
 tiebreaker columns — callers must pass enough columns to totalize the
 order or the winner is undefined (same contract as any CDC consumer).
 """
@@ -29,11 +31,16 @@ from pyspark.sql import DataFrame, Window
 def _latest(
     changes: DataFrame, keys: list[str], sequence_cols: list[str]
 ) -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in sequence_cols])
+    """Highest-sequence change per key as ONE hash aggregation:
+    ``max_by(row-struct, sequence-struct)`` partial-aggregates map-side,
+    so the shuffle carries one candidate row per key per task — a
+    row_number window would shuffle EVERY change and sort per key."""
+    row = F.struct(*[F.col(c) for c in changes.columns]).alias("__row")
+    seq = F.struct(*[F.col(c) for c in sequence_cols])
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*keys)
+        .agg(F.max_by(row, seq).alias("__r"))
+        .select("__r.*")
     )
 
 
