@@ -278,6 +278,72 @@ def select_union(
     return left.unionByName(right)
 
 
+def construct(
+    triples: DataFrame,
+    query: Sparql,
+    template: list[list[str]],
+    optimize: bool = True,
+    stats: dict[str, int] | None = None,
+) -> DataFrame:
+    """SPARQL CONSTRUCT (engine-tier superset): instantiate ``template``
+    triple patterns once per solution of ``query``, returning a
+    triples-schema DataFrame with set semantics (a CONSTRUCT result is an
+    RDF graph — W3C SPARQL 1.1 §16.2).
+
+    Terms are lifted as named nodes — the reference's own plain-string
+    lift (``triple_into_rdf``, src/lib.rs:17-19) — since solution rows
+    carry values, not kinds (the engine-wide flattened-model convention).
+    Solutions leaving a template variable unbound (possible under
+    OPTIONAL) skip that template pattern for that solution, per spec.
+    The plan is the solution join followed by one projection per template
+    pattern, one union, and one set-dedup shuffle."""
+    from rippledb_spark import model
+    from rippledb_spark.plans.sparql import parse_unit
+
+    units = []
+    for pat in template:
+        if len(pat) != 3:
+            raise QueryError(f"template pattern must be [s, p, o], got {pat!r}")
+        units.append(tuple(parse_unit(x) for x in pat))
+
+    tmpl_vars = {u.name for t in units for u in t if isinstance(u, Var)}
+    # Project every template var (without mutating the caller's query).
+    import copy
+
+    q = copy.copy(query)
+    q.vars = list(query.vars)
+    for v in sorted(tmpl_vars - set(query.var_names())):
+        q.vars.append(Var(v))
+    sol = select_join(triples, q, optimize=optimize, stats=stats)
+
+    def term(u) -> F.Column:
+        return F.col(u.name) if isinstance(u, Var) else F.lit(u.value)
+
+    null_s = F.lit(None).cast("string")
+    parts = []
+    for s_u, p_u, o_u in units:
+        row = sol.select(
+            term(s_u).alias("s"),
+            F.lit(model.NAMED).alias("s_kind"),
+            term(p_u).alias("p"),
+            term(o_u).alias("o_value"),
+            F.lit(model.NAMED).alias("o_kind"),
+            null_s.alias("o_lang"),
+            null_s.alias("o_datatype"),
+        )
+        parts.append(
+            row.filter(
+                F.col("s").isNotNull()
+                & F.col("p").isNotNull()
+                & F.col("o_value").isNotNull()
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["s", "p", "o_value"])
+
+
 def _path_plan(triples: DataFrame, s_u, expr: str, o_u) -> DataFrame:
     """One property-path pattern → a joinable variable-column plan.
 

@@ -107,6 +107,41 @@ def bgp_modifiers_entities_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "construct_region_membership",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT s, p, o_value FROM (
+      SELECT DISTINCT t0.s AS s, 'in_region_direct' AS p, t1.o_value AS o_value
+      FROM triples t0
+      JOIN triples t1 ON t1.s = t0.o_value AND t1.p = 'in_region'
+      WHERE t0.p = 'in_nation'
+      UNION
+      SELECT DISTINCT t1.o_value, 'has_member', t0.s
+      FROM triples t0
+      JOIN triples t1 ON t1.s = t0.o_value AND t1.p = 'in_region'
+      WHERE t0.p = 'in_nation'
+    ) ORDER BY s, p, o_value
+    """,
+)
+def construct_region_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (graph-producing superset): from the two-hop
+    entity→nation→region solutions, build a NEW graph with derived
+    ``in_region_direct`` edges and their ``has_member`` inverses — the
+    materialized-view pattern for RDF (derive once, then query the derived
+    graph with bound-predicate pruning). Result is a set (one dedup
+    shuffle); the solution join is the same broadcast chain as the BGP."""
+    st = _store(spark, sf_dir)
+    q = Sparql().filter(
+        [["$e", "in_nation", "$n"], ["$n", "in_region", "$r"]]
+    )
+    derived = st.construct(
+        q,
+        [["$e", "in_region_direct", "$r"], ["$r", "has_member", "$e"]],
+    )
+    return derived.df.select("s", "p", "o_value").orderBy("s", "p", "o_value")
+
+
+@query(
     "path_nation_region_maybe",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()},

@@ -252,6 +252,18 @@ class TripleStore:
         stats = self.analyze() if use_stats else None
         return bgp.select_union(self.df, query, stats=stats)
 
+    def construct(
+        self, query: Sparql, template: list[list[str]], use_stats: bool = False
+    ) -> "TripleStore":
+        """SPARQL CONSTRUCT superset: instantiate ``template`` patterns per
+        solution → a NEW TripleStore (a CONSTRUCT result is an RDF graph
+        with set semantics; terms lift as named nodes, the reference's
+        plain-string lift, src/lib.rs:17-19)."""
+        stats = self.analyze() if use_stats else None
+        return TripleStore(
+            self.spark, bgp.construct(self.df, query, template, stats=stats)
+        )
+
     # -- iteration / export (S7, S8) ----------------------------------------
 
     def iter_triples(self) -> Iterator[Row]:

@@ -215,3 +215,53 @@ def test_get_raises_on_paths(store):
     q = Sparql().select(["$end"]).path("a", "next+", "$end")
     with pytest.raises(QueryError):
         store.get(q)
+
+
+# -- CONSTRUCT --------------------------------------------------------------
+
+
+def test_construct_builds_new_graph(store):
+    q = Sparql().filter([["$a", "next", "$b"]])
+    derived = store.construct(q, [["$b", "prev", "$a"]])
+    rows = {(r["s"], r["p"], r["o_value"]) for r in derived.df.collect()}
+    assert rows == {
+        ("b", "prev", "a"),
+        ("c", "prev", "b"),
+        ("d", "prev", "c"),
+        ("b", "prev", "d"),
+    }
+    # result is a queryable TripleStore with named-node lift
+    assert derived.df.filter("s_kind <> 'named' OR o_kind <> 'named'").count() == 0
+    assert derived.pattern("b", "prev", None).count() == 2
+
+
+def test_construct_set_semantics_and_multi_template(store):
+    # r has two children → two solutions, but the constant triple
+    # (r, type, parent) must appear once (graph set semantics).
+    q = Sparql().filter([["r", "child", "$c"]])
+    derived = store.construct(q, [["r", "type", "parent"], ["$c", "childOf", "r"]])
+    rows = sorted((r["s"], r["p"], r["o_value"]) for r in derived.df.collect())
+    assert rows == [
+        ("c1", "childOf", "r"),
+        ("c2", "childOf", "r"),
+        ("r", "type", "parent"),
+    ]
+
+
+def test_construct_skips_unbound_optional_bindings(store):
+    # OPTIONAL leaves $g NULL for c2 (no grandchild) → its template
+    # triple is skipped, not emitted with a NULL term.
+    q = (
+        Sparql()
+        .filter([["r", "child", "$c"]])
+        .optional([["$c", "child", "$g"]])
+    )
+    derived = store.construct(q, [["$c", "hasGrandchild", "$g"]])
+    rows = {(r["s"], r["p"], r["o_value"]) for r in derived.df.collect()}
+    assert rows == {("c1", "hasGrandchild", "g1")}
+
+
+def test_construct_does_not_mutate_query(store):
+    q = Sparql().select(["$a"]).filter([["$a", "next", "$b"]])
+    store.construct(q, [["$b", "prev", "$a"]])
+    assert q.var_names() == ["a"]
