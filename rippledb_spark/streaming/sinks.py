@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rippledb_spark.operators.cdc import apply_changes
 from rippledb_spark.operators.merge import merge_upsert
 
 
@@ -74,6 +75,55 @@ def start_upsert_parquet_sink(
 
     writer = (
         stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_cdc_parquet_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    sequence_cols: list[str],
+    op_col: str,
+    checkpoint_dir: str,
+    delete_op: str = "delete",
+    trigger_available_now: bool = True,
+):
+    """Stream a CHANGE FEED (upserts + deletes, ordered by
+    ``sequence_cols``) into a parquet snapshot: each micro-batch folds via
+    :func:`operators.cdc.apply_changes` — latest change per key wins,
+    winning deletes remove the key. Returns the StreamingQuery.
+
+    Exactly-once by key under the foreachBatch replay contract: batches
+    replay in order and only the last uncommitted batch re-runs, and
+    re-folding a batch into the already-folded snapshot is a no-op
+    (upserts rewrite the same rows, deletes re-drop absent keys — the
+    incremental-equals-refold property tested in test_cdc). The snapshot
+    schema is the change schema minus ``op_col``; torn overwrites read as
+    absent via :func:`snapshot_ready` and the replayed batch rebuilds.
+    """
+
+    def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if snapshot_ready(spark, path):
+            target = spark.read.parquet(path)
+        else:
+            target = batch_df.drop(op_col).limit(0)
+        folded = apply_changes(
+            target,
+            batch_df,
+            keys=keys,
+            sequence_cols=sequence_cols,
+            op_col=op_col,
+            delete_op=delete_op,
+        )
+        folded.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_fold_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now:

@@ -512,3 +512,79 @@ def test_upsert_sink_recovers_from_torn_overwrite(spark, tmp_path):
     # committed); the rebuilt snapshot holds the new batch — and the
     # query completed instead of erroring permanently
     assert 2 in got
+
+
+def test_foreachbatch_cdc_sink_folds_change_feed(spark, tmp_path):
+    """Streaming CDC: a change feed (upserts + deletes ordered by seq)
+    folds into a parquet snapshot micro-batch by micro-batch — latest
+    change per key wins ACROSS batches, a winning delete removes the key,
+    and a later re-insert brings it back."""
+    import os
+    import time
+
+    from rippledb_spark.streaming.sinks import start_cdc_parquet_sink
+
+    d = tmp_path / "cdc_src"
+    d.mkdir()
+
+    def ch(cid, seq, name, op):
+        return json.dumps({"id": cid, "seq": seq, "name": name, "op": op})
+
+    now = time.time()
+    f0 = d / "b0.json"
+    f0.write_text("\n".join([
+        ch(1, 1, "alice", "insert"),
+        ch(2, 1, "bob", "insert"),
+        ch(3, 1, "carol", "insert"),
+    ]))
+    os.utime(f0, (now - 30, now - 30))
+    f1 = d / "b1.json"
+    f1.write_text("\n".join([
+        ch(2, 2, "bob2", "update"),     # update across batches
+        ch(3, 2, "x", "delete"),        # delete across batches
+        ch(4, 2, "dave", "insert"),
+        ch(4, 3, "x", "delete"),        # insert+delete within one batch → gone
+    ]))
+    os.utime(f1, (now - 20, now - 20))
+    f2 = d / "b2.json"
+    f2.write_text(ch(3, 3, "carol2", "insert"))  # re-insert after delete
+    os.utime(f2, (now - 10, now - 10))
+
+    stream = (
+        spark.readStream.schema("id long, seq long, name string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = start_cdc_parquet_sink(
+        stream,
+        str(tmp_path / "cdc_out"),
+        keys=["id"],
+        sequence_cols=["seq"],
+        op_col="op",
+        checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["id"]: (r["name"], r["seq"])
+        for r in spark.read.parquet(str(tmp_path / "cdc_out")).collect()
+    }
+    assert got == {1: ("alice", 1), 2: ("bob2", 2), 3: ("carol2", 3)}
+
+    # replay from a fresh checkpoint over the SAME feed → identical snapshot
+    q2 = start_cdc_parquet_sink(
+        spark.readStream.schema("id long, seq long, name string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d)),
+        str(tmp_path / "cdc_out"),
+        keys=["id"],
+        sequence_cols=["seq"],
+        op_col="op",
+        checkpoint_dir=str(tmp_path / "cdc_ckpt2"),
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["id"]: (r["name"], r["seq"])
+        for r in spark.read.parquet(str(tmp_path / "cdc_out")).collect()
+    }
+    assert got2 == got
