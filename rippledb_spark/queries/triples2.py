@@ -142,6 +142,28 @@ def construct_region_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "describe_nation_node",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT s, p, o_value FROM triples
+    WHERE s = 'nation:0'
+       OR (o_value = 'nation:0' AND o_kind = 'named')
+    ORDER BY s, p, o_value
+    """,
+)
+def describe_nation_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE of nation:0 — every triple touching the node in
+    subject or (named) object position: its region edge and name literal,
+    plus every customer/supplier pointing at it. The cross-predicate probe
+    the reference serves with its s__/__o access paths (graph.rs:930-992),
+    here one OR-filter scan."""
+    st = _store(spark, sf_dir)
+    return st.describe("nation:0").select("s", "p", "o_value").orderBy(
+        "s", "p", "o_value"
+    )
+
+
+@query(
     "path_nation_region_maybe",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()},

@@ -252,6 +252,22 @@ class TripleStore:
         stats = self.analyze() if use_stats else None
         return bgp.select_union(self.df, query, stats=stats)
 
+    def describe(self, node: str) -> DataFrame:
+        """SPARQL DESCRIBE (superset; completes the SELECT / ASK /
+        CONSTRUCT / DESCRIBE query-form quartet — the reference has only
+        its single-var SELECT, query.rs:27-63): every triple where
+        ``node`` appears as subject or as a NAMED object — the simple
+        symmetric description (the spec leaves DESCRIBE's extent
+        implementation-defined; named-only object matching follows the
+        engine's bound-value rule, graph.rs:1031-1033). One scan, one
+        OR-filter; with the store partitioned by ``p`` this reads every
+        predicate partition by design — a description IS a cross-predicate
+        probe, the reference's s_o/__o access-path family."""
+        return self.df.filter(
+            (F.col("s") == F.lit(node))
+            | ((F.col("o_value") == F.lit(node)) & (F.col("o_kind") == model.NAMED))
+        )
+
     def construct(
         self, query: Sparql, template: list[list[str]], use_stats: bool = False
     ) -> "TripleStore":

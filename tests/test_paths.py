@@ -265,3 +265,58 @@ def test_construct_does_not_mutate_query(store):
     q = Sparql().select(["$a"]).filter([["$a", "next", "$b"]])
     store.construct(q, [["$b", "prev", "$a"]])
     assert q.var_names() == ["a"]
+
+
+# -- DESCRIBE ---------------------------------------------------------------
+
+
+def test_describe_subject_and_object_sides(store):
+    rows = {(r["s"], r["p"], r["o_value"]) for r in store.describe("b").collect()}
+    assert rows == {
+        ("a", "next", "b"),
+        ("b", "next", "c"),
+        ("d", "next", "b"),
+    }
+
+
+def test_describe_excludes_literal_object_matches(spark):
+    st = TripleStore.from_rows(
+        spark,
+        [
+            ("n1", "named", "label", "b", "literal", None, None),
+            ("b", "p", "c"),
+        ],
+    )
+    rows = {(r["s"], r["p"]) for r in st.describe("b").collect()}
+    # the literal "b" is not the node b (named-only bound matching)
+    assert rows == {("b", "p")}
+
+
+# -- randomized cross-check vs the naive evaluator --------------------------
+
+
+def _random_graph(seed, n_nodes=8, n_edges=18):
+    import random
+
+    rng = random.Random(seed)
+    preds = ["p", "q"]
+    return sorted(
+        {
+            (f"v{rng.randrange(n_nodes)}", rng.choice(preds), f"v{rng.randrange(n_nodes)}")
+            for _ in range(n_edges)
+        }
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+@pytest.mark.parametrize("expr", ["p+", "(p|q)+", "p/q*", "^p+/q"])
+def test_random_graphs_match_naive(spark, seed, expr):
+    edges = _random_graph(seed)
+    st = TripleStore.from_rows(spark, edges)
+    got = {(r["src"], r["dst"]) for r in path_pairs(st.df, expr).collect()}
+    want = naive(expr, edges)
+    if any(m in expr for m in "+*?"):
+        # closure semantics are set-valued; plain seq/alt keep bags —
+        # compare as sets either way (naive is set-based)
+        got = set(got)
+    assert got == want, f"seed={seed} expr={expr}"
