@@ -252,6 +252,32 @@ class TripleStore:
         stats = self.analyze() if use_stats else None
         return bgp.select_union(self.df, query, stats=stats)
 
+    def persist_bucketed(
+        self, table_name: str, n_buckets: int = 64
+    ) -> "TripleStore":
+        """Persist as a SUBJECT-BUCKETED (+ predicate-partitioned) table
+        and return a store reading from it. Star-shaped BGPs — multiple
+        patterns sharing the subject variable, the dominant SPARQL shape —
+        then join EXCHANGE-FREE: every pattern's scan of the same table
+        carries identical hash-partitioning on ``s``, so the shuffle
+        happened once at write time and is amortized over every later
+        query (the relational analogue is operators.skew.bucketed_table;
+        the reference has no cross-pattern co-location at all — each
+        K²-Tree probe is independent, graph.rs:854-1009). Predicate
+        partitioning (pruning) is preserved: layout is one directory per
+        predicate × ``n_buckets`` files."""
+        (
+            self.df.write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("p")
+            .bucketBy(n_buckets, "s")
+            .sortBy("s")
+            .saveAsTable(table_name)
+        )
+        return TripleStore(
+            self.spark, self.spark.table(table_name).select(*model.TRIPLE_KEY)
+        )
+
     def describe(self, node: str) -> DataFrame:
         """SPARQL DESCRIBE (superset; completes the SELECT / ASK /
         CONSTRUCT / DESCRIBE query-form quartet — the reference has only

@@ -200,3 +200,38 @@ def test_bucketed_percent_rank_random_seeds(spark):
         for k in want:
             assert abs(got[k][0] - want[k][0]) < 1e-12, (seed, k)
             assert abs(got[k][1] - want[k][1]) < 1e-12, (seed, k)
+
+
+def test_bucketed_store_star_bgp_exchange_free(spark):
+    """A subject-bucketed store evaluates star BGPs (patterns sharing the
+    subject var) without a hash-partitioning exchange feeding the join —
+    the write-time shuffle is amortized across queries."""
+    from rippledb_spark import Sparql, TripleStore
+
+    spark.sql("DROP TABLE IF EXISTS b_triples")
+    rows = []
+    for i in range(200):
+        rows.append((f"e{i}", "type", f"t{i % 3}"))
+        rows.append((f"e{i}", "in_group", f"g{i % 7}"))
+    st = TripleStore.from_rows(spark, rows)
+    bst = st.persist_bucketed("b_triples", n_buckets=4)
+
+    q = (
+        Sparql()
+        .select(["$s", "$t", "$g"])
+        .filter([["$s", "type", "$t"], ["$s", "in_group", "$g"]])
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so co-location is what's under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bst.select_join(q)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        # results identical to the unbucketed store
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, st.select_join(q).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_triples")
