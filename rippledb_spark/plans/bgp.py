@@ -67,6 +67,8 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         raise QueryError(
             "get() evaluates fixed-shape patterns only; use select_join for paths"
         )
+    if getattr(query, "minuses", []):
+        raise QueryError("get() is conjunctive-only; use select_join for MINUS")
     if (
         getattr(query, "is_distinct", False)
         or getattr(query, "order_keys", [])
@@ -231,6 +233,18 @@ def select_join(
                 "OPTIONAL group shares no variable with the required patterns"
             )
         acc = acc.join(gplan, on=shared, how="left_outer")
+
+    # MINUS groups (SPARQL §8.3): drop solutions with a compatible match
+    # on the shared variables — a LEFT ANTI join, the same EXISTS engine
+    # as get()'s pruning but negated. A group sharing no variable removes
+    # nothing (per spec), so it's skipped rather than an error.
+    for group in getattr(query, "minuses", []):
+        gconds = _order_patterns(group, stats) if optimize else list(group)
+        gplan = _join_group(triples, gconds)
+        shared = sorted(set(acc.columns) & set(gplan.columns))
+        if not shared:
+            continue
+        acc = acc.join(gplan.select(*shared), on=shared, how="left_anti")
 
     names = query.var_names()
     missing = [n for n in names if n not in acc.columns]

@@ -57,6 +57,7 @@ class Sparql:
         self.conds: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
         self.optionals: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.paths: list[tuple[QueryUnit, str, QueryUnit]] = []
+        self.minuses: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.is_distinct = False
         self.order_keys: list[tuple[str, bool]] = []  # (var, descending)
         self.row_limit: int | None = None
@@ -109,6 +110,28 @@ class Sparql:
                         )
             group.append(units)  # type: ignore[arg-type]
         self.optionals.append(group)
+        return self
+
+    def minus(self, patterns: list[list[str]]) -> "Sparql":
+        """SPARQL MINUS (negation — engine-tier superset like
+        :meth:`optional`): remove solutions for which the group has a
+        compatible match on the shared variables (a LEFT ANTI join). Per
+        spec §8.3, a group sharing NO variable with the solution removes
+        nothing. Only the multi-var evaluator honors it; ``get`` raises."""
+        group: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
+        declared = {v.name for v in self.vars}
+        for pat in patterns:
+            if len(pat) != 3:
+                raise QueryError(f"pattern must be [s, p, o], got {pat!r}")
+            units = tuple(parse_unit(x) for x in pat)
+            if self.strict:
+                for u in units:
+                    if isinstance(u, Var) and u.name not in declared:
+                        raise QueryError(
+                            f"pattern variable ${u.name} not declared in select()"
+                        )
+            group.append(units)  # type: ignore[arg-type]
+        self.minuses.append(group)
         return self
 
     def path(self, s: str, expr: str, o: str) -> "Sparql":

@@ -142,6 +142,36 @@ def construct_region_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bgp_minus_nonurgent_orders",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    placed AS (SELECT s AS o, o_value AS c FROM triples WHERE p = 'placed_by'),
+    urgent AS (
+      SELECT s AS o FROM triples
+      WHERE p = 'has_priority' AND o_value = 'priority:1-URGENT'
+        AND o_kind = 'named'
+    )
+    SELECT p.o AS o, p.c AS c
+    FROM placed p ANTI JOIN urgent u ON p.o = u.o
+    ORDER BY o, c
+    """,
+)
+def bgp_minus_nonurgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS (negation superset — the reference is conjunctive-
+    only): orders and their customers, minus every order with URGENT
+    priority. Plans as one LEFT ANTI hash join on the shared variable —
+    the negated form of the semi-join engine get() uses for pruning."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$o", "$c"])
+        .filter([["$o", "placed_by", "$c"]])
+        .minus([["$o", "has_priority", "priority:1-URGENT"]])
+    )
+    return st.select_join(q).orderBy("o", "c")
+
+
+@query(
     "describe_nation_node",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()}

@@ -320,3 +320,52 @@ def test_random_graphs_match_naive(spark, seed, expr):
         # compare as sets either way (naive is set-based)
         got = set(got)
     assert got == want, f"seed={seed} expr={expr}"
+
+
+# -- MINUS ------------------------------------------------------------------
+
+
+def test_minus_removes_matching_solutions(store):
+    # all next-edges minus those whose source also has an alt edge (only a)
+    q = (
+        Sparql()
+        .select(["$s", "$o"])
+        .filter([["$s", "next", "$o"]])
+        .minus([["$s", "alt", "$x"]])
+    )
+    rows = {(r["s"], r["o"]) for r in store.select_join(q).collect()}
+    assert rows == {("b", "c"), ("c", "d"), ("d", "b")}
+
+
+def test_minus_disjoint_group_removes_nothing(store):
+    # MINUS group sharing no variable with the solution → no-op (spec §8.3)
+    q = (
+        Sparql()
+        .select(["$s", "$o"])
+        .filter([["$s", "next", "$o"]])
+        .minus([["$z", "child", "$w"]])
+    )
+    assert store.select_join(q).count() == 4
+
+
+def test_minus_after_optional_sees_extended_vars(store):
+    # OPTIONAL binds $g; MINUS on $g then removes the extended rows only.
+    q = (
+        Sparql()
+        .select(["$c", "$g"])
+        .filter([["r", "child", "$c"]])
+        .optional([["$c", "child", "$g"]])
+        .minus([["$g", "child", "$z"]])
+    )
+    rows = {(r["c"], r["g"]) for r in store.select_join(q).collect()}
+    # c1's grandchild g1 has no children → kept; c2 row has NULL g → kept
+    # (NULL joins nothing in the anti probe)
+    assert rows == {("c1", "g1"), ("c2", None)}
+
+
+def test_get_raises_on_minus(store):
+    q = Sparql().select(["$s"]).filter([["$s", "next", "$o"]]).minus(
+        [["$s", "alt", "$x"]]
+    )
+    with pytest.raises(QueryError):
+        store.get(q)
