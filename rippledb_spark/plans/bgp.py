@@ -69,6 +69,8 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         )
     if getattr(query, "minuses", []):
         raise QueryError("get() is conjunctive-only; use select_join for MINUS")
+    if getattr(query, "values_blocks", []):
+        raise QueryError("get() is conjunctive-only; use select_join for VALUES")
     if (
         getattr(query, "is_distinct", False)
         or getattr(query, "order_keys", [])
@@ -234,6 +236,13 @@ def select_join(
             )
         acc = acc.join(gplan, on=shared, how="left_outer")
 
+    # VALUES blocks (SPARQL §10.2): join the solutions against inline
+    # bindings. Rows are grouped by their UNDEF mask — each group joins on
+    # its DEFINED columns only (UNDEF is compatible with anything);
+    # variables not bound by any pattern extend the solutions.
+    for names, vrows in getattr(query, "values_blocks", []):
+        acc = _values_join(triples.sparkSession, acc, names, vrows)
+
     # MINUS groups (SPARQL §8.3): drop solutions with a compatible match
     # on the shared variables — a LEFT ANTI join, the same EXISTS engine
     # as get()'s pruning but negated. A group sharing no variable removes
@@ -290,6 +299,40 @@ def select_union(
     left = select_join(triples, query.left, optimize=optimize, stats=stats)
     right = select_join(triples, query.right, optimize=optimize, stats=stats)
     return left.unionByName(right)
+
+
+def _values_join(spark, acc: DataFrame, names: list[str], rows: list[tuple]) -> DataFrame:
+    """Join ``acc`` with a VALUES block. Inline tables are tiny by nature
+    (driver-supplied parameter lists), so every group joins broadcast."""
+    from collections import defaultdict
+
+    from pyspark.sql import types as T
+
+    groups: dict[tuple, list[tuple]] = defaultdict(list)
+    for row in rows:
+        groups[tuple(v is not None for v in row)].append(row)
+
+    outs = []
+    for mask, rws in groups.items():
+        # UNDEF columns the solution already binds add no constraint —
+        # drop them from the inline table; UNDEF columns the solution
+        # does NOT bind extend it with NULL (spec-compatible).
+        keep = [n for n, m in zip(names, mask) if m or n not in acc.columns]
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        vdf = spark.createDataFrame(
+            [tuple(None if v is None else str(v) for v in r) for r in rws], schema
+        ).select(*keep) if keep else None
+        on = [n for n, m in zip(names, mask) if m and n in acc.columns]
+        if vdf is None:
+            outs.append(acc)  # every column UNDEF-and-bound: row matches all
+        elif on:
+            outs.append(acc.join(F.broadcast(vdf), on=on, how="inner"))
+        else:
+            outs.append(acc.crossJoin(F.broadcast(vdf)))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt, allowMissingColumns=True)
+    return out
 
 
 def construct(

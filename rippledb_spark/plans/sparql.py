@@ -58,6 +58,7 @@ class Sparql:
         self.optionals: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.paths: list[tuple[QueryUnit, str, QueryUnit]] = []
         self.minuses: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
+        self.values_blocks: list[tuple[list[str], list[tuple]]] = []
         self.is_distinct = False
         self.order_keys: list[tuple[str, bool]] = []  # (var, descending)
         self.row_limit: int | None = None
@@ -132,6 +133,29 @@ class Sparql:
                         )
             group.append(units)  # type: ignore[arg-type]
         self.minuses.append(group)
+        return self
+
+    def values(self, variables: list[str], rows: list[tuple | list]) -> "Sparql":
+        """SPARQL VALUES (inline data, spec §10.2 — engine-tier superset):
+        join the solutions against a literal table of bindings. ``None``
+        in a row is the spec's UNDEF — that position matches anything
+        (the join for that row constrains only the defined columns).
+        The canonical use is parameterizing a query with a driver-side
+        list (entity ids, a date batch) without string-building."""
+        names = []
+        for raw in variables:
+            unit = parse_unit(raw)
+            if not isinstance(unit, Var):
+                raise QueryError(f"values() takes '$var' names, got {raw!r}")
+            names.append(unit.name)
+        checked = []
+        for row in rows:
+            if len(row) != len(names):
+                raise QueryError(
+                    f"values row {row!r} arity != variables {variables!r}"
+                )
+            checked.append(tuple(row))
+        self.values_blocks.append((names, checked))
         return self
 
     def path(self, s: str, expr: str, o: str) -> "Sparql":

@@ -172,6 +172,30 @@ def bgp_minus_nonurgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bgp_values_segment_page",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT s AS c, o_value AS seg FROM triples
+    WHERE p = 'in_segment'
+      AND o_value IN ('segment:BUILDING', 'segment:MACHINERY')
+    ORDER BY c, seg
+    """,
+)
+def bgp_values_segment_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES (inline bindings, spec §10.2): customers restricted
+    to a driver-supplied segment list — the parameterized-query shape.
+    The inline table broadcasts into the join; no string-built SQL."""
+    st = _store(spark, sf_dir)
+    q = (
+        Sparql()
+        .select(["$c", "$seg"])
+        .filter([["$c", "in_segment", "$seg"]])
+        .values(["$seg"], [("segment:BUILDING",), ("segment:MACHINERY",)])
+    )
+    return st.select_join(q).orderBy("c", "seg")
+
+
+@query(
     "describe_nation_node",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()}

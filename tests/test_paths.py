@@ -369,3 +369,60 @@ def test_get_raises_on_minus(store):
     )
     with pytest.raises(QueryError):
         store.get(q)
+
+
+# -- VALUES -----------------------------------------------------------------
+
+
+def test_values_filters_solutions(store):
+    q = (
+        Sparql()
+        .select(["$s", "$o"])
+        .filter([["$s", "next", "$o"]])
+        .values(["$s"], [("a",), ("c",)])
+    )
+    rows = {(r["s"], r["o"]) for r in store.select_join(q).collect()}
+    assert rows == {("a", "b"), ("c", "d")}
+
+
+def test_values_multi_column_and_duplicates(store):
+    # duplicate VALUES row multiplies the matching solution (bag join)
+    q = (
+        Sparql()
+        .select(["$s", "$o"])
+        .filter([["$s", "next", "$o"]])
+        .values(["$s", "$o"], [("a", "b"), ("a", "b"), ("b", "c")])
+    )
+    rows = sorted((r["s"], r["o"]) for r in store.select_join(q).collect())
+    assert rows == [("a", "b"), ("a", "b"), ("b", "c")]
+
+
+def test_values_undef_matches_anything(store):
+    q = (
+        Sparql()
+        .select(["$s", "$o"])
+        .filter([["$s", "next", "$o"]])
+        .values(["$s", "$o"], [("a", None), (None, "d")])
+    )
+    rows = sorted((r["s"], r["o"]) for r in store.select_join(q).collect())
+    assert rows == [("a", "b"), ("c", "d")]
+
+
+def test_values_extends_with_new_variable(store):
+    # $label is bound only by VALUES — solutions extend with it
+    q = (
+        Sparql()
+        .select(["$s", "$o", "$label"])
+        .filter([["$s", "next", "$o"]])
+        .values(["$s", "$label"], [("a", "start"), ("d", "loop")])
+    )
+    rows = {(r["s"], r["o"], r["label"]) for r in store.select_join(q).collect()}
+    assert rows == {("a", "b", "start"), ("d", "b", "loop")}
+
+
+def test_get_raises_on_values(store):
+    q = Sparql().select(["$s"]).filter([["$s", "next", "$o"]]).values(
+        ["$s"], [("a",)]
+    )
+    with pytest.raises(QueryError):
+        store.get(q)
