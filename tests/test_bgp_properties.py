@@ -284,3 +284,117 @@ def test_select_join_optional_matches_naive(spark, seed):
     # None sorts: normalize via tuple of (is_none, value)
     key = lambda t: tuple((x is None, x if x is not None else "") for x in t)
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+# -- select_join with OPTIONAL + MINUS vs a naive evaluator ------------------
+#
+# The engine's multi-var evaluator uses SQL-style column joins (NULL joins
+# nothing), so the naive model below implements exactly that contract:
+# group solutions merge on equality over shared vars, OPTIONAL
+# NULL-extends, MINUS removes on an all-shared-vars match (NULL never
+# matches).
+
+
+def _group_solutions(rows, conds):
+    """All bag solutions of a conjunctive pattern group."""
+    sols = [dict()]
+    for cond in conds:
+        nxt = []
+        for r in rows:
+            if not _matches(r, cond):
+                continue
+            binding = {}
+            ok = True
+            for pos, unit in enumerate(cond):
+                if not isinstance(unit, Var):
+                    continue
+                v = r[_VAL_IDX[pos]]
+                if unit.name in binding and binding[unit.name] != v:
+                    ok = False
+                    break
+                binding[unit.name] = v
+            if ok:
+                nxt.append(binding)
+        merged = []
+        for s in sols:
+            for b in nxt:
+                shared = set(s) & set(b)
+                if all(s[k] == b[k] for k in shared):
+                    merged.append({**s, **b})
+        sols = merged
+    return sols
+
+
+def naive_select_join(rows, query):
+    sols = _group_solutions(rows, query.conds)
+    for group in query.optionals:
+        gsols = _group_solutions(rows, group)
+        gvars = {u.name for c in group for u in c if isinstance(u, Var)}
+        out = []
+        for s in sols:
+            shared = set(s) & gvars
+            hits = [
+                g for g in gsols
+                if all(s[k] is not None and s[k] == g[k] for k in shared)
+            ]
+            if hits:
+                out.extend({**s, **g} for g in hits)
+            else:
+                out.append({**s, **{v: None for v in gvars - set(s)}})
+        sols = out
+    for group in query.minuses:
+        gsols = _group_solutions(rows, group)
+        gvars = {u.name for c in group for u in c if isinstance(u, Var)}
+        kept = []
+        for s in sols:
+            shared = set(s) & gvars
+            if not shared:
+                kept.append(s)
+                continue
+            removed = any(
+                all(s[k] is not None and s[k] == g[k] for k in shared)
+                for g in gsols
+            )
+            if not removed:
+                kept.append(s)
+        sols = kept
+    names = query.var_names()
+    return sorted(tuple(str(s.get(n)) for n in names) for s in sols)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_select_join_optional_minus_matches_naive(spark, seed):
+    from rippledb_spark.plans.bgp import select_join
+
+    rng = random.Random(7000 + seed)
+    rows = [_random_row(rng) for _ in range(rng.randint(4, 14))]
+
+    def pattern_with(var):
+        pat = _random_pattern(rng)
+        if not any(p in VARS for p in pat):
+            pat[0] = var
+        elif var not in pat:
+            pat[rng.choice([i for i, p in enumerate(pat) if p in VARS])] = var
+        return pat
+
+    conds = [pattern_with("$v") for _ in range(rng.randint(1, 2))]
+    q = Sparql().select(["$v"]).filter(conds)
+    # OPTIONAL group introducing $u, sharing $v with the base
+    opt = [pattern_with("$v")]
+    opt[0][2] = "$u" if opt[0][2] not in VARS else opt[0][2]
+    q.optional(opt)
+    q.vars.append(Var("u")) if "u" not in q.var_names() else None
+    # MINUS group sharing $v
+    q.minus([pattern_with("$v")])
+
+    df = spark.createDataFrame(rows, schema=model.TRIPLES_SCHEMA)
+    try:
+        got = sorted(
+            tuple(str(x) for x in r) for r in select_join(df, q, optimize=False).collect()
+        )
+    except Exception as e:
+        # only acceptable structured failure: select var unbound
+        assert "not bound" in str(e) or "selected vars" in str(e)
+        return
+    want = naive_select_join(rows, q)
+    assert got == want, f"seed={seed} rows={rows}"
