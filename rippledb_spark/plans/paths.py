@@ -31,10 +31,12 @@ pairs restrict to the seeds, matching the spec's evaluation from a bound
 end.
 
 Scale shape: closure is evaluated like :func:`operators.graph.bfs_reachability`
-— one shuffle-join per round between a checkpoint-truncated frontier and the
-(optionally cached) step relation, with a left-anti against the accumulated
-pair set so each round ships only NEW pairs; never per-path enumeration
-(which diverges on cycles and explodes on dense graphs). Inside a sequence,
+— each round joins ONLY the frontier against the (cached) step relation
+(frontier×degree work, never accumulated-pairs×edges), then folds the grown
+pairs into the checkpoint-truncated accumulator with a min-aggregate (the
+dedup pass is O(accumulated pairs) per round — the standard semi-naive
+trade); never per-path enumeration (which diverges on cycles and explodes
+on dense graphs). Inside a sequence,
 a closure step is seeded with the distinct frontier of the prefix, so
 ``placed_by/within+`` expands only from reachable nodes instead of
 materializing the global closure. Node identity joins on the value column
