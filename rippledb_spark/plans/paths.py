@@ -97,7 +97,7 @@ class Maybe:
 
 PathExpr = Pred | Inv | Seq | Alt | Plus | Star | Maybe
 
-_TOKEN = re.compile(r"\s*(?:([/|^+*?()])|([^/|^+*?()\s]+))")
+_TOKEN = re.compile(r"\s*(?:(<[^<>]*>)|([/|^+*?()])|([^/|^+*?()\s]+))")
 
 
 def parse_path(text: str) -> PathExpr:
@@ -108,7 +108,14 @@ def parse_path(text: str) -> PathExpr:
         m = _TOKEN.match(text, pos)
         if not m or m.end() == pos:
             raise QueryError(f"bad path syntax at offset {pos}: {text!r}")
-        tokens.append(m.group(1) or m.group(2))
+        if m.group(1) is not None:
+            # <iri> — full IRIs contain '/' (and may contain '+' etc.), so
+            # SPARQL's angle-bracket form is the way to use them in paths;
+            # the brackets are stripped, the IRI becomes one predicate
+            # token. Bare names remain fine for bracket-free vocabularies.
+            tokens.append(("IRI", m.group(1)[1:-1]))
+        else:
+            tokens.append(m.group(2) or m.group(3))
         pos = m.end()
     if not tokens:
         raise QueryError("empty path expression")
@@ -150,6 +157,9 @@ def parse_path(text: str) -> PathExpr:
 
     def parse_primary() -> PathExpr:
         tok = peek()
+        if isinstance(tok, tuple):  # ("IRI", value) from <...>
+            take()
+            return Pred(tok[1])
         if tok == "(":
             take()
             expr = parse_alt()

@@ -426,3 +426,45 @@ def test_get_raises_on_values(store):
     )
     with pytest.raises(QueryError):
         store.get(q)
+
+
+# -- real-corpus integration (reference models/) ----------------------------
+
+
+def test_paths_on_reference_corpus(spark):
+    """Property paths over the reference's own published test corpus
+    (models/www-2011-complete.rdf — the file its benchmarks load,
+    benches/graph_bench.rs:6-15): the swc:isSuperEventOf hierarchy's
+    transitive closure matches a driver-side python closure of the same
+    edges, and an inverse path round-trips."""
+    st = TripleStore.from_rdf(spark, "/root/reference/models/www-2011-complete.rdf")
+    SUPER = "<http://data.semanticweb.org/ns/swc/ontology#isSuperEventOf>"
+
+    base = {
+        (r["src"], r["dst"]) for r in path_pairs(st.df, SUPER).collect()
+    }
+    assert len(base) > 100  # the hierarchy is real
+
+    # python closure of the collected base = the spec answer
+    want = set(base)
+    while True:
+        grown = {(s, d2) for s, d in want for d1, d2 in base if d == d1}
+        if grown <= want:
+            break
+        want |= grown
+    got = {(r["src"], r["dst"]) for r in path_pairs(st.df, f"{SUPER}+").collect()}
+    assert got == want
+
+    # inverse: ^p swaps every pair
+    inv = {(r["src"], r["dst"]) for r in path_pairs(st.df, f"^{SUPER}").collect()}
+    assert inv == {(d, s) for s, d in base}
+
+    # sequence + inverse on real FOAF data: doc —maker→ person —^maker→ doc
+    # (documents sharing an author, incl. self-pairs), checked against the
+    # python join of the collected maker edges
+    MAKER = "<http://xmlns.com/foaf/0.1/maker>"
+    mk = [(r["src"], r["dst"]) for r in path_pairs(st.df, MAKER).collect()]
+    coauth = {(r["src"], r["dst"])
+              for r in path_pairs(st.df, f"{MAKER}/^{MAKER}").distinct().collect()}
+    want_co = {(d1, d2) for d1, a1 in mk for d2, a2 in mk if a1 == a2}
+    assert coauth == want_co and len(coauth) > 0
