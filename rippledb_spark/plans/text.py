@@ -1,0 +1,339 @@
+"""SPARQL text frontend: parse a query string into the Sparql builder.
+
+The reference exposes only the builder API — its ``sparql!`` text macro is
+an unimplemented stub (src/rdf/query.rs:74-77) — so this is the engine-tier
+completion of that surface: a recursive-descent parser for the SPARQL
+subset the engine evaluates, lowering onto :class:`plans.sparql.Sparql`
+(and thus :func:`plans.bgp.select_join` / :func:`select_union`).
+
+Supported grammar (W3C SPARQL 1.1 subset)::
+
+    PREFIX pname: <iri>                       -- prologue, any number
+    SELECT [DISTINCT] (?v... | *) WHERE {
+        triple blocks:  s p o .               -- ';' predicate lists and
+                                              -- ',' object lists supported
+        property paths in predicate position: p1/p2, p|q, ^p, p+, p*, p?,
+                                              <iri> path atoms
+        OPTIONAL { ... }   MINUS { ... }
+        { ... } UNION { ... }                 -- as the whole group body
+        VALUES (?v ...) { (val ...) ... }     -- UNDEF supported
+    }
+    ORDER BY [ASC(?v)|DESC(?v)|?v]...  LIMIT n  OFFSET n
+
+Terms: ``?var``/``$var``, ``<iri>``, ``prefix:local`` (expanded via the
+prologue), ``"literal"``, bare tokens (kept verbatim — the engine's node
+values are plain strings). Engine conventions apply: bound values match
+named nodes only (graph.rs:1031-1033) and literals are matched by their
+string value. FILTER expressions are out of scope — apply ``.filter`` on
+the returned DataFrame (see the bgp_filter_name_pattern query) — and the
+parser says so rather than mis-parsing.
+"""
+
+from __future__ import annotations
+
+import re
+
+from rippledb_spark.errors import QueryError
+from rippledb_spark.plans.sparql import Sparql, SparqlUnion
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<iri><[^<>]*>)
+      | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+      | (?P<punct>[{}().;,])
+      | (?P<word>[^\s{}();,]+)
+    )""",
+    re.VERBOSE,
+)
+
+_PATH_OPS = set("/|^+*?")
+
+
+class _Tokens:
+    def __init__(self, text: str) -> None:
+        self.toks: list[str] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN.match(text, pos)
+            if not m or m.end() == pos:
+                raise QueryError(f"bad SPARQL syntax at offset {pos}: {text[pos:pos+30]!r}")
+            tok = m.group(0).strip()
+            # compact style: 'ex:o.' — the statement terminator binds to
+            # the word token; re-emit it as punctuation (names may still
+            # contain interior dots)
+            if m.group("word") and tok.endswith(".") and len(tok) > 1:
+                self.toks.append(tok[:-1])
+                tok = "."
+            self.toks.append(tok)
+            pos = m.end()
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def take(self) -> str:
+        if self.i >= len(self.toks):
+            raise QueryError("unexpected end of query")
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, want: str) -> None:
+        tok = self.take()
+        if tok.upper() != want.upper():
+            raise QueryError(f"expected {want!r}, got {tok!r}")
+
+
+def _is_kw(tok: str | None, kw: str) -> bool:
+    return tok is not None and tok.upper() == kw.upper()
+
+
+def parse_sparql(text: str) -> Sparql | SparqlUnion:
+    """Parse a SPARQL query string (subset above) into a builder query."""
+    t = _Tokens(text)
+    prefixes: dict[str, str] = {}
+    while _is_kw(t.peek(), "PREFIX"):
+        t.take()
+        pname = t.take()
+        if not pname.endswith(":"):
+            raise QueryError(f"PREFIX name must end with ':', got {pname!r}")
+        iri = t.take()
+        if not (iri.startswith("<") and iri.endswith(">")):
+            raise QueryError(f"PREFIX expansion must be an <iri>, got {iri!r}")
+        prefixes[pname[:-1]] = iri[1:-1]
+
+    t.expect("SELECT")
+    distinct = False
+    if _is_kw(t.peek(), "DISTINCT"):
+        t.take()
+        distinct = True
+    sel_vars: list[str] = []
+    while True:
+        tok = t.peek()
+        if tok is None:
+            raise QueryError("unexpected end after SELECT")
+        if tok == "*":
+            t.take()  # SELECT *: sel_vars stays empty → expand from group
+            continue
+        if tok.startswith("?") or tok.startswith("$"):
+            sel_vars.append("$" + t.take()[1:])
+            continue
+        break
+    t.expect("WHERE")
+    t.expect("{")
+
+    def term(tok: str) -> str:
+        """Lower one term token to the engine's string value / $var form."""
+        if tok.startswith("?") or tok.startswith("$"):
+            return "$" + tok[1:]
+        if tok.startswith("<") and tok.endswith(">"):
+            return tok[1:-1]
+        if tok.startswith('"'):
+            body = tok[1:-1]
+            return re.sub(r"\\(.)", r"\1", body)
+        if ":" in tok:
+            pfx, local = tok.split(":", 1)
+            if pfx in prefixes:
+                return prefixes[pfx] + local
+        return tok
+
+    def path_expr(tok: str) -> str | None:
+        """If the predicate token is a property path, return the path
+        expression with prefixed names expanded; else None."""
+        if tok.startswith("?") or tok.startswith("$"):
+            return None
+        if not any(c in tok for c in _PATH_OPS):
+            return None
+        if tok.startswith("<") and tok.endswith(">") and not any(
+            c in _PATH_OPS for c in re.sub(r"<[^<>]*>", "", tok)
+        ):
+            return None  # a plain <iri> whose ops are all inside brackets
+        # expand prefixed names inside the path (outside <...> spans)
+        def expand(seg: str) -> str:
+            def repl(m: re.Match) -> str:
+                word = m.group(0)
+                if ":" in word:
+                    pfx, local = word.split(":", 1)
+                    if pfx in prefixes:
+                        return f"<{prefixes[pfx] + local}>"
+                return word
+            return re.sub(r"[^/|^+*?()<>\s]+", repl, seg)
+
+        out, i = [], 0
+        while i < len(tok):
+            if tok[i] == "<":
+                j = tok.index(">", i)
+                out.append(tok[i : j + 1])
+                i = j + 1
+            else:
+                j = tok.find("<", i)
+                j = len(tok) if j == -1 else j
+                out.append(expand(tok[i:j]))
+                i = j
+        return "".join(out)
+
+    def parse_group(q: Sparql) -> None:
+        """Parse statements until the matching '}' (consumed)."""
+        while True:
+            tok = t.peek()
+            if tok is None:
+                raise QueryError("unclosed '{' in group")
+            if tok == "}":
+                t.take()
+                return
+            if _is_kw(tok, "OPTIONAL") or _is_kw(tok, "MINUS"):
+                kw = t.take().upper()
+                t.expect("{")
+                sub = Sparql()
+                parse_group(sub)
+                if sub.paths or sub.optionals or sub.minuses or sub.values_blocks:
+                    raise QueryError(f"{kw} groups support plain triples only")
+                if kw == "OPTIONAL":
+                    q.optionals.append(sub.conds)
+                else:
+                    q.minuses.append(sub.conds)
+                if t.peek() == ".":
+                    t.take()
+                continue
+            if _is_kw(tok, "VALUES"):
+                t.take()
+                t.expect("(")
+                names = []
+                while t.peek() != ")":
+                    v = t.take()
+                    if not (v.startswith("?") or v.startswith("$")):
+                        raise QueryError(f"VALUES takes variables, got {v!r}")
+                    names.append("$" + v[1:])
+                t.take()  # ')'
+                t.expect("{")
+                rows = []
+                while t.peek() != "}":
+                    t.expect("(")
+                    row = []
+                    while t.peek() != ")":
+                        v = t.take()
+                        row.append(None if _is_kw(v, "UNDEF") else term(v))
+                    t.take()
+                    rows.append(tuple(row))
+                t.take()  # '}'
+                q.values(names, rows)
+                if t.peek() == ".":
+                    t.take()
+                continue
+            if _is_kw(tok, "FILTER"):
+                raise QueryError(
+                    "FILTER expressions are not part of the text subset; "
+                    "apply .filter() on the result DataFrame instead"
+                )
+            # triple block: subject, then ';'-separated predicate lists,
+            # each with ','-separated object lists
+            s = term(t.take())
+            while True:
+                p_tok = t.take()
+                path = path_expr(p_tok)
+                if path is None and p_tok == "a":
+                    # 'a' is the rdf:type keyword in PREDICATE position
+                    # only (SPARQL grammar: Verb := VarOrIri | 'a')
+                    p = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+                elif path is None:
+                    p = term(p_tok)
+                else:
+                    p = None
+                while True:
+                    o = term(t.take())
+                    if path is not None:
+                        q.path(s, path, o)
+                    else:
+                        q.filter([[s, p, o]])
+                    if t.peek() == ",":
+                        t.take()
+                        continue
+                    break
+                if t.peek() == ";":
+                    t.take()
+                    if t.peek() in ("}", ".", None):  # dangling ';'
+                        break
+                    continue
+                break
+            if t.peek() == ".":
+                t.take()
+
+    # UNION at the top of the group body: { A } UNION { B }
+    if t.peek() == "{":
+        t.take()
+        left = Sparql()
+        parse_group(left)
+        t.expect("UNION")
+        t.expect("{")
+        right = Sparql()
+        parse_group(right)
+        t.expect("}")  # close WHERE
+        left.select(sel_vars or [f"${n}" for n in _pattern_vars(left)])
+        right.select(sel_vars or [f"${n}" for n in _pattern_vars(right)])
+        if distinct or t.peek() is not None:
+            # per-arm application would silently change semantics
+            raise QueryError(
+                "DISTINCT/ORDER/LIMIT with UNION is not in the text subset; "
+                "apply them on the returned DataFrame"
+            )
+        return left.union(right)
+
+    q = Sparql()
+    parse_group(q)
+    q.select(sel_vars if sel_vars else [f"${n}" for n in _pattern_vars(q)])
+    if distinct:
+        q.distinct()
+    _apply_modifiers(t, q)
+    if t.peek() is not None:
+        raise QueryError(f"trailing tokens: {t.toks[t.i:]}")
+    return q
+
+
+def _pattern_vars(q: Sparql) -> list[str]:
+    """SELECT * expansion: every variable, in first-appearance order."""
+    from rippledb_spark.plans.sparql import Var
+
+    seen: list[str] = []
+    for cond in q.conds:
+        for u in cond:
+            if isinstance(u, Var) and u.name not in seen:
+                seen.append(u.name)
+    for s_u, _, o_u in q.paths:
+        for u in (s_u, o_u):
+            if isinstance(u, Var) and u.name not in seen:
+                seen.append(u.name)
+    if not seen:
+        raise QueryError("SELECT * found no variables in the group")
+    return seen
+
+
+def _apply_modifiers(t: _Tokens, q: Sparql) -> None:
+    while t.peek() is not None:
+        tok = t.take()
+        if _is_kw(tok, "ORDER"):
+            t.expect("BY")
+            keys = []
+            while t.peek() is not None and (
+                t.peek().startswith("?")
+                or t.peek().startswith("$")
+                or _is_kw(t.peek(), "ASC")
+                or _is_kw(t.peek(), "DESC")
+            ):
+                k = t.take()
+                if _is_kw(k, "ASC") or _is_kw(k, "DESC"):
+                    desc = _is_kw(k, "DESC")
+                    t.expect("(")
+                    v = t.take()
+                    t.expect(")")
+                    keys.append(("-" if desc else "") + "$" + v[1:])
+                else:
+                    keys.append("$" + k[1:])
+            q.order_by(keys)
+        elif _is_kw(tok, "LIMIT"):
+            n = int(t.take())
+            q.row_limit = n
+        elif _is_kw(tok, "OFFSET"):
+            q.row_offset = int(t.take())
+        else:
+            raise QueryError(f"unexpected token after group: {tok!r}")

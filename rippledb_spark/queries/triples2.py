@@ -196,6 +196,33 @@ def bgp_values_segment_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sparql_text_building_regions",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS c, t2.o_value AS r
+    FROM triples t0
+    JOIN triples t1 ON t1.s = t0.s AND t1.p = 'in_nation'
+    JOIN triples t2 ON t2.s = t1.o_value AND t2.p = 'in_region'
+    WHERE t0.p = 'in_segment' AND t0.o_value = 'segment:BUILDING'
+      AND t0.o_kind = 'named'
+    ORDER BY c, r
+    """,
+)
+def sparql_text_building_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPARQL TEXT frontend end-to-end (plans/text.py — the surface
+    the reference stubs at query.rs:74-77): a query string mixing a plain
+    pattern, a sequence property path, and ORDER BY, parsed and evaluated
+    against the same oracle a builder query would use."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?c ?r WHERE {"
+        "  ?c in_segment segment:BUILDING ."
+        "  ?c in_nation/in_region ?r ."
+        "} ORDER BY ?c ?r"
+    )
+
+
+@query(
     "describe_nation_node",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()}

@@ -278,6 +278,19 @@ class TripleStore:
             self.spark, self.spark.table(table_name).select(*model.TRIPLE_KEY)
         )
 
+    def sparql(self, text: str, use_stats: bool = False) -> DataFrame:
+        """Evaluate a SPARQL query STRING (the text frontend —
+        plans/text.py; grammar subset documented there). The reference's
+        text surface is an unimplemented macro stub (query.rs:74-77), so
+        this completes it: parse → Sparql builder → select_join /
+        select_union."""
+        from rippledb_spark.plans.text import parse_sparql
+
+        q = parse_sparql(text)
+        if isinstance(q, Sparql):
+            return self.select_join(q, use_stats=use_stats)
+        return self.select_union(q, use_stats=use_stats)
+
     def describe(self, node: str) -> DataFrame:
         """SPARQL DESCRIBE (superset; completes the SELECT / ASK /
         CONSTRUCT / DESCRIBE query-form quartet — the reference has only

@@ -1,0 +1,168 @@
+"""SPARQL text frontend (plans/text.py): parse → builder → DataFrame,
+checked against the equivalent builder-constructed queries."""
+
+from __future__ import annotations
+
+import pytest
+
+from rippledb_spark import Sparql, TripleStore
+from rippledb_spark.errors import QueryError
+from rippledb_spark.plans.text import parse_sparql
+
+EDGES = [
+    ("a", "next", "b"),
+    ("b", "next", "c"),
+    ("c", "next", "d"),
+    ("d", "next", "b"),
+    ("a", "alt", "x"),
+    ("r", "child", "c1"),
+    ("r", "child", "c2"),
+    ("c1", "child", "g1"),
+    ("a", "named", "label", "node a", "literal", None, None),
+]
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    return TripleStore.from_rows(spark, EDGES)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_basic_select(store):
+    df = store.sparql("SELECT ?s ?o WHERE { ?s next ?o . }")
+    assert rows(df, "s", "o") == [("a", "b"), ("b", "c"), ("c", "d"), ("d", "b")]
+
+
+def test_select_star_and_join(store):
+    df = store.sparql("SELECT * WHERE { ?x next ?y . ?y next ?z . }")
+    assert set(df.columns) == {"x", "y", "z"}
+    assert ("a", "b", "c") in set(rows(df, "x", "y", "z"))
+
+
+def test_predicate_and_object_lists(store):
+    # ';' shares the subject, ',' shares subject+predicate
+    df = store.sparql("SELECT ?o WHERE { a next ?o ; alt ?o2 . }")
+    assert rows(df, "o") == [("b",)]
+    df2 = store.sparql("SELECT ?s WHERE { ?s next b , c . }")
+    # no node points to both b and c → empty; a→b only fails c
+    assert df2.count() == 0
+
+
+def test_property_path_in_predicate_position(store):
+    df = store.sparql("SELECT ?e WHERE { a next+ ?e . }")
+    assert rows(df, "e") == [("b",), ("c",), ("d",)]
+    df2 = store.sparql("SELECT ?g WHERE { r child/child ?g . }")
+    assert rows(df2, "g") == [("g1",)]
+
+
+def test_optional_and_minus(store):
+    df = store.sparql(
+        "SELECT ?c ?g WHERE { r child ?c . OPTIONAL { ?c child ?g } }"
+    )
+    assert rows(df, "c", "g") == [("c1", "g1"), ("c2", None)]
+    df2 = store.sparql(
+        "SELECT ?s ?o WHERE { ?s next ?o . MINUS { ?s alt ?x } }"
+    )
+    assert rows(df2, "s", "o") == [("b", "c"), ("c", "d"), ("d", "b")]
+
+
+def test_values_block(store):
+    df = store.sparql(
+        'SELECT ?s ?o WHERE { ?s next ?o . VALUES (?s) { ("a") ("c") } }'
+    )
+    assert rows(df, "s", "o") == [("a", "b"), ("c", "d")]
+    df2 = store.sparql(
+        "SELECT ?s ?o WHERE { ?s next ?o . VALUES (?s ?o) { (a UNDEF) (UNDEF d) } }"
+    )
+    assert rows(df2, "s", "o") == [("a", "b"), ("c", "d")]
+
+
+def test_union(store):
+    df = store.sparql(
+        "SELECT ?s ?o WHERE { { ?s next ?o } UNION { ?s child ?o } }"
+    )
+    assert len(rows(df, "s", "o")) == 7
+
+
+def test_modifiers(store):
+    df = store.sparql(
+        "SELECT DISTINCT ?s WHERE { ?s next ?o . } ORDER BY DESC(?s) LIMIT 2 OFFSET 1"
+    )
+    assert [r["s"] for r in df.collect()] == ["c", "b"]
+
+
+def test_prefix_expansion(spark):
+    st = TripleStore.from_rows(
+        spark,
+        [
+            ("http://ex/a", "http://xmlns.com/foaf/0.1/knows", "http://ex/b"),
+            ("http://ex/a", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "http://xmlns.com/foaf/0.1/Person"),
+        ],
+    )
+    df = st.sparql(
+        "PREFIX foaf: <http://xmlns.com/foaf/0.1/> "
+        "PREFIX ex: <http://ex/> "
+        "SELECT ?w WHERE { ex:a foaf:knows ?w . ?x a foaf:Person . }"
+    )
+    assert [r["w"] for r in df.collect()] == ["http://ex/b"]
+
+
+def test_prefixed_names_inside_paths(spark):
+    st = TripleStore.from_rows(
+        spark,
+        [
+            ("http://ex/a", "http://ex/p", "http://ex/b"),
+            ("http://ex/b", "http://ex/p", "http://ex/c"),
+        ],
+    )
+    df = st.sparql(
+        "PREFIX ex: <http://ex/> SELECT ?e WHERE { ex:a ex:p+ ?e . }"
+    )
+    assert sorted(r["e"] for r in df.collect()) == ["http://ex/b", "http://ex/c"]
+
+
+def test_string_literal_term(store):
+    # literal in VALUES binds by string value
+    df = store.sparql(
+        'SELECT ?s ?v WHERE { ?s label ?v . VALUES (?v) { ("node a") } }'
+    )
+    assert rows(df, "s", "v") == [("a", "node a")]
+
+
+def test_compact_trailing_dot(store):
+    df = store.sparql("SELECT ?o WHERE { a next ?o. }")
+    assert rows(df, "o") == [("b",)]
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("SELECT ?s { ?s next ?o }", "expected 'WHERE'"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER(?s = 1) }", "FILTER"),
+        ("SELECT ?s WHERE { ?s next ?o", "unclosed"),
+        ("SELECT ?s WHERE { { ?s next ?o } UNION { ?s child ?o } } LIMIT 2", "UNION"),
+        ("PREFIX ex <http://e/> SELECT ?s WHERE { ?s next ?o }", "PREFIX"),
+    ],
+)
+def test_errors_are_loud(store, bad, msg):
+    with pytest.raises(QueryError, match=msg):
+        q = parse_sparql(bad)
+        store.select_join(q) if isinstance(q, Sparql) else store.select_union(q)
+
+
+def test_text_equals_builder(store):
+    text = store.sparql(
+        "SELECT ?c ?g WHERE { r child ?c . OPTIONAL { ?c child ?g } } ORDER BY ?c"
+    )
+    built = store.select_join(
+        Sparql()
+        .select(["$c", "$g"])
+        .filter([["r", "child", "$c"]])
+        .optional([["$c", "child", "$g"]])
+        .order_by(["$c"])
+    )
+    assert [tuple(r) for r in text.collect()] == [tuple(r) for r in built.collect()]
