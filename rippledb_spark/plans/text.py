@@ -53,6 +53,7 @@ _PATH_OPS = set("/|^+*?")
 class _Tokens:
     def __init__(self, text: str) -> None:
         self.toks: list[str] = []
+        text = text.strip()
         pos = 0
         while pos < len(text):
             m = _TOKEN.match(text, pos)
