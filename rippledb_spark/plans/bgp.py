@@ -212,7 +212,18 @@ def select_join(
     # bindings, then joined like any other pattern group. A bound subject
     # becomes the closure's seed set (frontier-only expansion).
     for s_u, expr, o_u in paths:
-        plan = _path_plan(triples, s_u, expr, o_u)
+        # If the required patterns already bind the path's subject var,
+        # seed the evaluator with those bindings — closures then expand
+        # only from reachable nodes instead of materializing globally
+        # (the same seeding Seq applies internally).
+        seeds = None
+        if (
+            acc is not None
+            and isinstance(s_u, Var)
+            and s_u.name in acc.columns
+        ):
+            seeds = acc.select(F.col(s_u.name).alias("node")).distinct()
+        plan = _path_plan(triples, s_u, expr, o_u, seeds=seeds)
         if acc is None:
             acc = plan
             continue
@@ -401,17 +412,21 @@ def construct(
     return out.dropDuplicates(["s", "p", "o_value"])
 
 
-def _path_plan(triples: DataFrame, s_u, expr: str, o_u) -> DataFrame:
+def _path_plan(
+    triples: DataFrame, s_u, expr: str, o_u, seeds: DataFrame | None = None
+) -> DataFrame:
     """One property-path pattern → a joinable variable-column plan.
 
-    Bound subject seeds the evaluator (closures expand only from it);
-    bound object is a post-filter (paths evaluate forward; an inverse-heavy
-    path with only the object bound can be written with ``^`` instead).
-    Both ends bound → a gate row, like a fully-bound triple pattern."""
+    Bound subject (or ``seeds`` — subject bindings already produced by the
+    required patterns) seeds the evaluator, so closures expand only from
+    it; bound object is a post-filter (paths evaluate forward; an
+    inverse-heavy path with only the object bound can be written with
+    ``^`` instead). Both ends bound → a gate row, like a fully-bound
+    triple pattern."""
     from rippledb_spark.plans.paths import path_pairs
 
     spark = triples.sparkSession
-    srcs = None
+    srcs = seeds
     if isinstance(s_u, Val):
         srcs = spark.createDataFrame([(s_u.value,)], ["node"])
     pairs = path_pairs(triples, expr, srcs=srcs)
