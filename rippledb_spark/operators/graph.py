@@ -138,6 +138,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_dir: str | None = None,
+    convergence_check_every: int = 3,
 ) -> DataFrame:
     """PageRank via iterative joins (ranks initialized to 1.0).
 
@@ -191,10 +192,15 @@ def pagerank(
         # Exact-fixpoint early exit: identical inputs recompute bit-identical
         # ranks, so delta hits exactly 0 once converged (e.g. a bipartite DAG
         # converges in depth+1 rounds) — the remaining iterations are no-ops
-        # and skipping them cannot change the result. Iteration 1 always
-        # changes (init is uniform 1.0) — skip its check.
+        # and skipping them cannot change the result. The probe is one Spark
+        # job per check, which on a non-converging graph is pure overhead —
+        # so it runs on a cadence (every ``convergence_check_every``-th
+        # iteration), trading at most cadence−1 no-op iterations after the
+        # true fixpoint for cadence× fewer probe jobs. Iteration 1 always
+        # changes (init is uniform 1.0); the final iteration's probe is
+        # pointless (the loop ends regardless).
         ranks = new_ranks.drop("old_rank")
-        if it > 0:
+        if 0 < it < iterations - 1 and (it + 1) % convergence_check_every == 0:
             changed = (
                 new_ranks.filter(F.col("rank") != F.col("old_rank")).limit(1).count()
             )
