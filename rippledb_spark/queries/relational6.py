@@ -98,3 +98,76 @@ def scd2_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "value", "valid_from", "valid_to", "version",
         "is_current",
     ).orderBy("user_id", "version")
+
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "asof_nearest_error_to_click",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '{_FMT_DUCK}') AS error_ts,
+           CASE WHEN b.event_id IS NOT NULL AND (
+                  f.event_id IS NULL
+                  OR epoch_us(e.ts) - epoch_us(b.ts) <= epoch_us(f.ts) - epoch_us(e.ts)
+                ) THEN b.event_id ELSE f.event_id
+           END AS near_click_id_asof
+    FROM errors e
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM clicks c
+      WHERE c.user_id = e.user_id AND c.ts <= e.ts
+      ORDER BY c.ts DESC LIMIT 1
+    ) b ON TRUE
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM clicks c
+      WHERE c.user_id = e.user_id AND c.ts >= e.ts
+      ORDER BY c.ts ASC LIMIT 1
+    ) f ON TRUE
+    ORDER BY e.event_id
+    """,
+)
+def asof_nearest_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (merge_asof direction='nearest'): each error
+    matched to the user's click with the smallest absolute time gap,
+    ties preferring the earlier (backward) click. One shuffle carries
+    both the backward and forward fills (two sorts over the same
+    Exchange — operators/asof.py); the oracle reconstructs the same
+    choice from two LATERAL probes and a gap comparison."""
+    from pyspark.sql import Window
+
+    from rippledb_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("near_click_id")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("near_click_id"))
+    clicks = (
+        clicks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["near_click_id"], direction="nearest",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT_SPARK).alias("error_ts"),
+        F.col("near_click_id_asof"),
+    ).orderBy("event_id")
