@@ -171,3 +171,62 @@ def asof_nearest_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _FMT_SPARK).alias("error_ts"),
         F.col("near_click_id_asof"),
     ).orderBy("event_id")
+
+
+@query(
+    "asof_strict_error_to_click",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id,
+           e.user_id,
+           strftime(e.ts, '{_FMT_DUCK}') AS error_ts,
+           b.event_id AS prev_click_id_asof
+    FROM errors e
+    LEFT JOIN LATERAL (
+      SELECT event_id FROM clicks c
+      WHERE c.user_id = e.user_id AND c.ts < e.ts
+      ORDER BY c.ts DESC LIMIT 1
+    ) b ON TRUE
+    ORDER BY e.event_id
+    """,
+)
+def asof_strict_error_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICT backward as-of (merge_asof allow_exact_matches=False): the
+    latest click strictly BEFORE each error — an equal-timestamp click is
+    invisible. Same single-shuffle plan; strictness lives entirely in the
+    union's tie-break sort order (operators/asof.py), so the oracle's
+    '<' LATERAL probe is the exact twin."""
+    from pyspark.sql import Window
+
+    from rippledb_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("prev_click_id")
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("prev_click_id"))
+    clicks = (
+        clicks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["prev_click_id"], allow_exact_matches=False,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT_SPARK).alias("error_ts"),
+        F.col("prev_click_id_asof"),
+    ).orderBy("event_id")
