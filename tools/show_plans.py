@@ -26,6 +26,12 @@ DEFAULT = [
     "char_trigram_lang_profile",
     "q13_customer_order_distribution",
     "pack_documents_token_budget",
+    # round-4 representatives
+    "path_order_to_region",
+    "path_within_closure",
+    "cdc_latest_user_state",
+    "scd2_purchase_history",
+    "sparql_text_building_regions",
 ]
 
 
