@@ -31,10 +31,13 @@ from pyspark.sql import DataFrame, Window
 def _latest(
     changes: DataFrame, keys: list[str], sequence_cols: list[str]
 ) -> DataFrame:
-    """Highest-sequence change per key as ONE hash aggregation:
+    """Highest-sequence change per key as ONE aggregation:
     ``max_by(row-struct, sequence-struct)`` partial-aggregates map-side,
-    so the shuffle carries one candidate row per key per task — a
-    row_number window would shuffle EVERY change and sort per key."""
+    so the shuffle carries one candidate row per key per task and no
+    per-key sort runs. (Spark 4's WindowGroupLimit gives the row_number
+    formulation the same map-side pruning — tools/scale_probe_cdc.py
+    measures both — but the aggregation still skips the sort and does
+    not depend on that rewrite firing.)"""
     row = F.struct(*[F.col(c) for c in changes.columns]).alias("__row")
     seq = F.struct(*[F.col(c) for c in sequence_cols])
     return (
