@@ -9,6 +9,10 @@ subset the engine evaluates, lowering onto :class:`plans.sparql.Sparql`
 Supported grammar (W3C SPARQL 1.1 subset)::
 
     PREFIX pname: <iri>                       -- prologue, any number
+    ASK [WHERE] { group }                     -- 0/1 rows, column ask=true
+    CONSTRUCT { triples } WHERE { group }     -- derived graph (plain
+                                              -- triples in the template)
+    DESCRIBE <node>                           -- bound node neighborhood
     SELECT [DISTINCT] (?v... | *) WHERE {
         triple blocks:  s p o .               -- ';' predicate lists and
                                               -- ',' object lists supported
@@ -33,8 +37,33 @@ from __future__ import annotations
 
 import re
 
+from dataclasses import dataclass
+
 from rippledb_spark.errors import QueryError
 from rippledb_spark.plans.sparql import Sparql, SparqlUnion
+
+
+@dataclass(frozen=True)
+class SparqlAsk:
+    """ASK form: evaluates to 0/1 rows, column ``ask`` = true (the
+    engine's ASK convention — plans.bgp.get's zero-variable branch)."""
+
+    query: Sparql
+
+
+@dataclass(frozen=True)
+class SparqlConstruct:
+    """CONSTRUCT form: template patterns + the WHERE query."""
+
+    query: Sparql
+    template: list
+
+
+@dataclass(frozen=True)
+class SparqlDescribe:
+    """DESCRIBE form: a single bound node."""
+
+    node: str
 
 _TOKEN = re.compile(
     r"""\s*(?:
@@ -104,25 +133,26 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             raise QueryError(f"PREFIX expansion must be an <iri>, got {iri!r}")
         prefixes[pname[:-1]] = iri[1:-1]
 
-    t.expect("SELECT")
+    form = t.take().upper()
+    if form not in ("SELECT", "ASK", "CONSTRUCT", "DESCRIBE"):
+        raise QueryError(f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {form!r}")
     distinct = False
-    if _is_kw(t.peek(), "DISTINCT"):
-        t.take()
-        distinct = True
     sel_vars: list[str] = []
-    while True:
-        tok = t.peek()
-        if tok is None:
-            raise QueryError("unexpected end after SELECT")
-        if tok == "*":
-            t.take()  # SELECT *: sel_vars stays empty → expand from group
-            continue
-        if tok.startswith("?") or tok.startswith("$"):
-            sel_vars.append("$" + t.take()[1:])
-            continue
-        break
-    t.expect("WHERE")
-    t.expect("{")
+    if form == "SELECT":
+        if _is_kw(t.peek(), "DISTINCT"):
+            t.take()
+            distinct = True
+        while True:
+            tok = t.peek()
+            if tok is None:
+                raise QueryError("unexpected end after SELECT")
+            if tok == "*":
+                t.take()  # SELECT *: sel_vars stays empty → expand from group
+                continue
+            if tok.startswith("?") or tok.startswith("$"):
+                sel_vars.append("$" + t.take()[1:])
+                continue
+            break
 
     def term(tok: str) -> str:
         """Lower one term token to the engine's string value / $var form."""
@@ -259,6 +289,49 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 break
             if t.peek() == ".":
                 t.take()
+
+    def unit_to_str(u) -> str:
+        from rippledb_spark.plans.sparql import Var
+
+        return ("$" + u.name) if isinstance(u, Var) else u.value
+
+    if form == "DESCRIBE":
+        node = term(t.take())
+        if node.startswith("$"):
+            raise QueryError("DESCRIBE takes a bound node in the text subset")
+        if t.peek() is not None:
+            raise QueryError(f"trailing tokens after DESCRIBE: {t.toks[t.i:]}")
+        return SparqlDescribe(node)
+
+    if form == "CONSTRUCT":
+        t.expect("{")
+        tq = Sparql()
+        parse_group(tq)
+        if tq.paths or tq.optionals or tq.minuses or tq.values_blocks:
+            raise QueryError("CONSTRUCT templates take plain triples only")
+        template = [[unit_to_str(u) for u in cond] for cond in tq.conds]
+        if not template:
+            raise QueryError("empty CONSTRUCT template")
+        t.expect("WHERE")
+        t.expect("{")
+        q = Sparql()
+        parse_group(q)
+        if t.peek() is not None:
+            raise QueryError("modifiers after CONSTRUCT are not in the text subset")
+        return SparqlConstruct(q, template)
+
+    if form == "ASK":
+        if _is_kw(t.peek(), "WHERE"):
+            t.take()
+        t.expect("{")
+        q = Sparql()
+        parse_group(q)
+        if t.peek() is not None:
+            raise QueryError("ASK takes no solution modifiers")
+        return SparqlAsk(q)
+
+    t.expect("WHERE")
+    t.expect("{")
 
     # UNION at the top of the group body: { A } UNION { B }
     if t.peek() == "{":

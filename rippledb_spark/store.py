@@ -284,9 +284,25 @@ class TripleStore:
         text surface is an unimplemented macro stub (query.rs:74-77), so
         this completes it: parse → Sparql builder → select_join /
         select_union."""
-        from rippledb_spark.plans.text import parse_sparql
+        from rippledb_spark.plans.text import (
+            SparqlAsk,
+            SparqlConstruct,
+            SparqlDescribe,
+            _pattern_vars,
+            parse_sparql,
+        )
 
         q = parse_sparql(text)
+        if isinstance(q, SparqlDescribe):
+            return self.describe(q.node)
+        if isinstance(q, SparqlConstruct):
+            return self.construct(q.query, q.template, use_stats=use_stats).df
+        if isinstance(q, SparqlAsk):
+            inner = q.query
+            inner.select([f"${n}" for n in _pattern_vars(inner)])
+            sols = self.select_join(inner, use_stats=use_stats)
+            # the engine's ASK convention: 0/1 rows, column ask = true
+            return sols.limit(1).select(F.lit(True).alias("ask"))
         if isinstance(q, Sparql):
             return self.select_join(q, use_stats=use_stats)
         return self.select_union(q, use_stats=use_stats)

@@ -166,3 +166,54 @@ def test_text_equals_builder(store):
         .order_by(["$c"])
     )
     assert [tuple(r) for r in text.collect()] == [tuple(r) for r in built.collect()]
+
+
+# -- ASK / CONSTRUCT / DESCRIBE query forms ---------------------------------
+
+
+def test_text_ask(store):
+    hit = store.sparql("ASK { a next ?o . }").collect()
+    assert [r["ask"] for r in hit] == [True]
+    assert store.sparql("ASK WHERE { zz next ?o . }").count() == 0
+
+
+def test_text_construct(store):
+    df = store.sparql(
+        "CONSTRUCT { ?o prev ?s . } WHERE { ?s next ?o . }"
+    )
+    got = {(r["s"], r["p"], r["o_value"]) for r in df.collect()}
+    assert got == {
+        ("b", "prev", "a"),
+        ("c", "prev", "b"),
+        ("d", "prev", "c"),
+        ("b", "prev", "d"),
+    }
+
+
+def test_text_construct_with_prefixes(spark):
+    st = TripleStore.from_rows(
+        spark, [("http://ex/a", "http://ex/p", "http://ex/b")]
+    )
+    df = st.sparql(
+        "PREFIX ex: <http://ex/> "
+        "CONSTRUCT { ?y ex:q ?x . } WHERE { ?x ex:p ?y . }"
+    )
+    assert [(r["s"], r["p"], r["o_value"]) for r in df.collect()] == [
+        ("http://ex/b", "http://ex/q", "http://ex/a")
+    ]
+
+
+def test_text_describe(store):
+    got = {(r["s"], r["p"], r["o_value"]) for r in store.sparql("DESCRIBE b").collect()}
+    assert got == {("a", "next", "b"), ("b", "next", "c"), ("d", "next", "b")}
+
+
+def test_text_form_errors(store):
+    with pytest.raises(QueryError, match="DESCRIBE takes a bound node"):
+        store.sparql("DESCRIBE ?x")
+    with pytest.raises(QueryError, match="plain triples only"):
+        store.sparql("CONSTRUCT { ?s next+ ?o . } WHERE { ?s next ?o . }")
+    with pytest.raises(QueryError, match="no solution modifiers"):
+        store.sparql("ASK { ?s next ?o . } LIMIT 1")
+    with pytest.raises(QueryError, match="SELECT/ASK/CONSTRUCT/DESCRIBE"):
+        store.sparql("INSERT { a b c } WHERE { ?s next ?o }")
