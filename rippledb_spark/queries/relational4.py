@@ -163,7 +163,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle=f"""
     SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
-           CAST(ROUND(SUM({_REV} - 0.4 * p.p_retailprice * l.l_quantity), 2)
+           CAST(SUM({_REV} - 0.4 * p.p_retailprice * l.l_quantity)
                 AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -203,7 +203,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        # no ROUND: rounding a float sum AMPLIFIES partial-agg ordering
+        # noise (an ulp at a .005 boundary becomes a whole cent, seen at
+        # sf0.001); the gate's 1e-9 relative tolerance absorbs raw ulps
+        .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 

@@ -7,7 +7,12 @@ row-count + schema + order-insensitive value hash, so:
 - every computed column is aliased identically in both;
 - floating-point aggregates are rounded identically in both (fp addition is
   not associative — a 32-way partial agg and DuckDB's single-threaded sum
-  differ in the last ulps);
+  differ in the last ulps). Identical rounding is still not sufficient when
+  a group's sum lands within an ulp of a rounding boundary: ROUND then
+  amplifies the ulp to a full unit-in-last-place of the rounded scale
+  (q9_product_profit hit this at sf0.001). For NEW queries prefer returning
+  the RAW sum — the gate's 1e-9 relative tolerance absorbs ulp noise that
+  rounding would amplify;
 - DuckDB-specific type quirks (HUGEINT sums) are cast back in the SQL.
 
 Queries with ``oracle=None`` (streaming, iterative, RNG-free approximations)
