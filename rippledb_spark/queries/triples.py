@@ -467,15 +467,19 @@ def bgp_o_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {TRIPLES_CTE.strip()}
     SELECT p FROM triples
-    WHERE s = 'customer:1' AND o_value = 'segment:BUILDING' AND o_kind = 'named'
+    WHERE s = 'nation:0' AND o_value = 'region:0' AND o_kind = 'named'
     ORDER BY p
     """,
 )
 def bgp_s_o_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(s, ?, o) access path (graph.rs:892-909): which predicates connect
-    two given nodes — the reference probes every slice's bit (s_id, o_id)."""
+    two given nodes — the reference probes every slice's bit (s_id, o_id).
+
+    Probes nation:0 -> region:0, a pair present at every scale factor, so the
+    certification row attests real data rather than a vacuous 0 == 0 match
+    (round-4 verdict item 2)."""
     st = _store(spark, sf_dir)
-    return st.pattern("customer:1", None, "segment:BUILDING").select("p").orderBy("p")
+    return st.pattern("nation:0", None, "region:0").select("p").orderBy("p")
 
 
 @query(
