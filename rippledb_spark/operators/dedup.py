@@ -162,6 +162,22 @@ def minhash_signature_agg(inv: DataFrame, num_hashes: int) -> DataFrame:
     return inv.groupBy("__id").agg(*aggs)
 
 
+def shingled_base(
+    df: DataFrame, content_col: str, id_col: str, shingle_n: int = 3, cache: bool = False
+) -> DataFrame:
+    """(__id, __sh) shingle-array base shared by the dedup tiers — build it
+    once per corpus and pass it to ``minhash_lsh_pairs`` /
+    ``ngram_jaccard_pairs`` via ``shingled=`` when a job runs several tiers
+    over the same input (e.g. an approximate pass plus its exact
+    certification twin), so the corpus is tokenized once. ``cache=True``
+    additionally persists it through the session-scoped shingle cache."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(content_col, shingle_n).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    return _cached_base(base) if cache else base
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     content_col: str,
@@ -171,6 +187,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     cache: bool = True,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash with exact-Jaccard verify.
 
@@ -192,10 +209,8 @@ def minhash_lsh_pairs(
     # Same-input repeat calls reuse the live cache; a different input
     # retires it first (see _cached_base) so at most one shingle cache is
     # ever held.
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(content_col, shingle_n).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    if shingled is None:
+        shingled = shingled_base(df, content_col, id_col, shingle_n)
     # cache=False recomputes the shingles per consumer (3×) instead of
     # holding a persist handle nobody would release.
     base = _cached_base(shingled) if cache else shingled
@@ -367,19 +382,52 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.1,
+    max_df: int | None = 1024,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via an inverted shingle index (explode + self-join
     on shingle, count shared, |A∪B| = |A|+|B|−shared).
 
-    The shingle join is the scale-limiting step — at 100 TB you'd put the
-    minhash bands in front (``minhash_lsh_pairs``); this exact form is the
-    verifier and the DuckDB-oracle-checkable tier.
+    ``max_df`` is the frequent-shingle guard: shingles appearing in more
+    than that many documents are dropped from the index AND the size terms
+    before the pair join, because the self-join goes quadratic *per shingle*
+    in its document frequency — one boilerplate shingle shared by a million
+    docs is 5e11 candidate rows. With the cap, per-shingle join work is
+    bounded by ``max_df²`` regardless of corpus size, and the computed value
+    is the Jaccard over the sub-cap shingle universe — identical to the true
+    Jaccard whenever nothing crosses the cap (the certification corpora top
+    out at DF 25, so the default 1024 drops nothing there; the equivalence
+    is asserted in tests and probed in tools/scale_probe_ngram.py). Pairs
+    whose overlap is ONLY boilerplate above the cap are by design not
+    surfaced — at scale those are exact_dedup's or minhash's to catch.
+    ``max_df=None`` disables the guard (the pure exact form).
+
+    The shingle join is still the scale-limiting step — at 100 TB you'd put
+    the minhash bands in front (``minhash_lsh_pairs``); this exact form is
+    the verifier and the DuckDB-oracle-checkable tier.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"), shingles(content_col, shingle_n).alias("__sh")
-    ).filter(F.size("__sh") > 0)
-    sizes = base.select("__id", F.size("__sh").alias("__n"))
+    if shingled is None:
+        shingled = shingled_base(df, content_col, id_col, shingle_n)
+    base = shingled
     inv = base.select("__id", F.explode("__sh").alias("__shingle"))
+    if max_df is not None:
+        # Shingle arrays are distinct per doc, so count(*) per shingle IS
+        # its document frequency. The frequent set is tiny by construction
+        # (only shingles in >max_df docs) — broadcast the anti-join.
+        frequent = (
+            inv.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__shingle")
+        )
+        # USING-join output puts the key column first — reselect so the
+        # positional toDF renames below stay (id, shingle).
+        inv = inv.join(F.broadcast(frequent), "__shingle", "left_anti").select(
+            "__id", "__shingle"
+        )
+        sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    else:
+        sizes = base.select("__id", F.size("__sh").alias("__n"))
     ia = inv.toDF("id_a", "sh")
     ib = inv.toDF("id_b", "sh")
     shared = (

@@ -223,11 +223,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan (there, minhash runs alone and this query is the audit you run on
     a sampled slice)."""
     d = load(spark, sf_dir, "documents")
-    exact = DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1).select(
-        "id_a", "id_b", F.lit(1).alias("__e")
-    )
+    sh = DD.shingled_base(d, "text", "doc_id", 3, cache=True)
+    exact = DD.ngram_jaccard_pairs(
+        d, "text", "doc_id", shingle_n=3, threshold=0.1, shingled=sh
+    ).select("id_a", "id_b", F.lit(1).alias("__e"))
     lsh = DD.minhash_lsh_pairs(
-        d, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.1
+        d, "text", "doc_id", num_hashes=32, bands=8, jaccard_threshold=0.1, shingled=sh
     ).select("id_a", "id_b", F.lit(1).alias("__l"))
     both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     return both.agg(

@@ -51,6 +51,46 @@ def test_ngram_jaccard_finds_planted_near_dup(docs):
     assert not any(4 in k or 5 in k for k in pairs)
 
 
+def test_ngram_jaccard_df_cap_equivalent_below_cap(docs):
+    """With every shingle under the cap, the guarded and unguarded forms
+    return identical pair sets (the default-cap contract)."""
+    capped = sorted(
+        map(tuple, DD.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).collect())
+    )
+    uncapped = sorted(
+        map(
+            tuple,
+            DD.ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold=0.3, max_df=None
+            ).collect(),
+        )
+    )
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_only_overlap(spark):
+    """Docs whose ONLY overlap is a super-cap boilerplate shingle produce no
+    pair under the guard; docs with sub-cap real overlap still pair."""
+    rows = [
+        # all four docs share the boilerplate prefix "terms of service apply"
+        (1, "terms of service apply unique alpha beta gamma one"),
+        (2, "terms of service apply unique alpha beta gamma two"),
+        (3, "terms of service apply other delta epsilon zeta three"),
+        (4, "terms of service apply other delta epsilon zeta four"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap=3 < DF(boilerplate)=4, so boilerplate shingles drop; the
+    # "unique alpha beta gamma" / "other delta epsilon zeta" runs (DF 2) stay
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", threshold=0.1, max_df=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert (1, 3) not in pairs and (2, 4) not in pairs  # boilerplate-only
+
+
 def test_minhash_lsh_finds_planted_near_dup(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
