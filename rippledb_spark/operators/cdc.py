@@ -67,9 +67,54 @@ def apply_changes(
     # upserts re-enter with their new row — a delete is simply a change
     # that never re-enters.
     survivors = snapshot.join(latest.select(*keys), on=keys, how="left_anti")
-    upserts = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
-        *snapshot.columns
+    # Null-safe: a NULL op is an upsert, not a silent delete — a plain
+    # `op != delete_op` evaluates to NULL for NULL ops and the filter would
+    # drop the row, turning malformed feeds into data loss.
+    upserts = latest.filter(
+        F.coalesce(F.col(op_col) != F.lit(delete_op), F.lit(True))
+    ).select(*snapshot.columns)
+    return survivors.unionByName(upserts)
+
+
+def apply_changes_guarded(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    sequence_cols: list[str],
+    op_col: str,
+    delete_op: str = "delete",
+) -> DataFrame:
+    """:func:`apply_changes` plus the cross-batch out-of-order guard: an
+    incoming winner applies only when the snapshot has no row for its key
+    or the winner's sequence is >= the stored row's (the Delta APPLY
+    CHANGES ``WHEN MATCHED AND source.seq >= target.seq`` pattern).
+
+    Plain :func:`apply_changes` assumes the feed is globally ordered by
+    batch — a late change arriving in a LATER batch with a LOWER sequence
+    would silently overwrite newer state. This form compares against the
+    stored sequence, so stale stragglers are discarded; ``>=`` (not ``>``)
+    keeps batch replay idempotent (re-applying the already-stored winner
+    rewrites the identical row). Requires ``snapshot`` to retain
+    ``sequence_cols`` — true for any sink whose snapshot schema is the
+    change schema minus ``op_col``.
+
+    Scale shape: adds ONE key-equi left join of the per-key winners
+    against the snapshot's (key, sequence) projection — no windows, no
+    extra shuffle beyond the join.
+    """
+    latest = _latest(changes, keys, sequence_cols)
+    seq = lambda: F.struct(*[F.col(c) for c in sequence_cols])  # noqa: E731
+    stored = snapshot.select(*keys, seq().alias("__stored_seq"))
+    admitted = (
+        latest.withColumn("__seq", seq())
+        .join(stored, on=keys, how="left")
+        .filter(F.col("__stored_seq").isNull() | (F.col("__seq") >= F.col("__stored_seq")))
+        .drop("__seq", "__stored_seq")
     )
+    survivors = snapshot.join(admitted.select(*keys), on=keys, how="left_anti")
+    upserts = admitted.filter(
+        F.coalesce(F.col(op_col) != F.lit(delete_op), F.lit(True))
+    ).select(*snapshot.columns)
     return survivors.unionByName(upserts)
 
 

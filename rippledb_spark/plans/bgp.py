@@ -412,6 +412,62 @@ def construct(
     return out.dropDuplicates(["s", "p", "o_value"])
 
 
+def ask_ground(triples: DataFrame, query: Sparql) -> DataFrame:
+    """Variable-free ASK (the canonical ``ASK { a next b }`` form): every
+    pattern — fixed-shape or path — is fully bound, so each evaluates to a
+    0/1-row gate; the ASK holds iff every gate holds. Returns the engine's
+    ASK convention: 0 or 1 rows, column ``ask`` = true. An empty group
+    matches with one empty solution (SPARQL spec), i.e. ask = true."""
+    if getattr(query, "optionals", []) or getattr(query, "minuses", []) or getattr(
+        query, "values_blocks", []
+    ):
+        raise QueryError("ask_ground() evaluates ground patterns and paths only")
+    gates: list[DataFrame] = []
+    for cond in query.conds:
+        if _var_positions(cond):
+            raise QueryError(f"ask_ground() requires fully-bound patterns: {cond!r}")
+        gates.append(
+            pattern_filter(triples, *_bounds(cond)).limit(1).select(F.lit(True).alias("ask"))
+        )
+    for s_u, expr, o_u in getattr(query, "paths", []):
+        if isinstance(s_u, Var) or isinstance(o_u, Var):
+            raise QueryError(f"ask_ground() requires fully-bound path ends: {expr!r}")
+        gates.append(
+            _path_plan(triples, s_u, expr, o_u).limit(1).select(F.lit(True).alias("ask"))
+        )
+    if not gates:
+        return triples.sparkSession.createDataFrame([(True,)], "ask boolean")
+    out = gates[0]
+    for g in gates[1:]:
+        out = out.intersect(g)
+    return out
+
+
+def _named_node_gate(triples: DataFrame, value: str) -> DataFrame:
+    """0/1-row gate: does ``value`` denote a NAMED node in the store (it
+    appears as some subject, or as an object with o_kind = named)?  Bound
+    pattern values match named nodes only (``pattern_filter``'s rule,
+    graph.rs:1031-1033); this extends the same rule to bound path ends,
+    which otherwise compare by string value alone. Residual: the check is
+    per-NODE, not per-edge — if the same string occurs both as a named
+    node and as a literal object on a matched predicate (pathological in
+    RDF), a path ending at the literal twin still matches; exact per-edge
+    kind would have to thread o_kind through every closure round."""
+    from rippledb_spark import model
+
+    return (
+        triples.filter(
+            (F.col("s") == F.lit(value))
+            | (
+                (F.col("o_value") == F.lit(value))
+                & (F.col("o_kind") == F.lit(model.NAMED))
+            )
+        )
+        .limit(1)
+        .select(F.lit(1).alias("__ng"))
+    )
+
+
 def _path_plan(
     triples: DataFrame, s_u, expr: str, o_u, seeds: DataFrame | None = None
 ) -> DataFrame:
@@ -422,16 +478,22 @@ def _path_plan(
     it; bound object is a post-filter (paths evaluate forward; an
     inverse-heavy path with only the object bound can be written with
     ``^`` instead). Both ends bound → a gate row, like a fully-bound
-    triple pattern."""
+    triple pattern. Bound ends follow the engine's named-only matching
+    rule via :func:`_named_node_gate`."""
     from rippledb_spark.plans.paths import path_pairs
 
     spark = triples.sparkSession
     srcs = seeds
+    gates: list[DataFrame] = []
     if isinstance(s_u, Val):
         srcs = spark.createDataFrame([(s_u.value,)], ["node"])
+        gates.append(_named_node_gate(triples, s_u.value))
     pairs = path_pairs(triples, expr, srcs=srcs)
     if isinstance(o_u, Val):
         pairs = pairs.filter(F.col("dst") == F.lit(o_u.value))
+        gates.append(_named_node_gate(triples, o_u.value))
+    for g in gates:
+        pairs = pairs.crossJoin(F.broadcast(g)).drop("__ng")
     if isinstance(s_u, Var) and isinstance(o_u, Var):
         if s_u.name == o_u.name:
             return pairs.filter(F.col("src") == F.col("dst")).select(

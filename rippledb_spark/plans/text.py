@@ -364,8 +364,10 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
     return q
 
 
-def _pattern_vars(q: Sparql) -> list[str]:
-    """SELECT * expansion: every variable, in first-appearance order."""
+def _pattern_vars(q: Sparql, required: bool = True) -> list[str]:
+    """SELECT * expansion: every variable, in first-appearance order.
+    ``required=False`` returns [] for a variable-free group instead of
+    raising (the ground-ASK caller's case)."""
     from rippledb_spark.plans.sparql import Var
 
     seen: list[str] = []
@@ -377,7 +379,7 @@ def _pattern_vars(q: Sparql) -> list[str]:
         for u in (s_u, o_u):
             if isinstance(u, Var) and u.name not in seen:
                 seen.append(u.name)
-    if not seen:
+    if not seen and required:
         raise QueryError("SELECT * found no variables in the group")
     return seen
 

@@ -299,7 +299,13 @@ class TripleStore:
             return self.construct(q.query, q.template, use_stats=use_stats).df
         if isinstance(q, SparqlAsk):
             inner = q.query
-            inner.select([f"${n}" for n in _pattern_vars(inner)])
+            names = _pattern_vars(inner, required=False)
+            if not names:
+                # Variable-free ASK ('ASK { a next b }') — select_join would
+                # reject the empty projection; evaluate the ground patterns
+                # directly as gates (bgp.ask_ground).
+                return bgp.ask_ground(self.df, inner)
+            inner.select([f"${n}" for n in names])
             sols = self.select_join(inner, use_stats=use_stats)
             # the engine's ASK convention: 0/1 rows, column ask = true
             return sols.limit(1).select(F.lit(True).alias("ask"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from rippledb_spark.operators.cdc import apply_changes
+from rippledb_spark.operators.cdc import apply_changes_guarded
 from rippledb_spark.operators.merge import merge_upsert
 
 
@@ -104,6 +104,11 @@ def start_cdc_parquet_sink(
     incremental-equals-refold property tested in test_cdc). The snapshot
     schema is the change schema minus ``op_col``; torn overwrites read as
     absent via :func:`snapshot_ready` and the replayed batch rebuilds.
+
+    Out-of-order across batches is safe: the fold is
+    :func:`operators.cdc.apply_changes_guarded`, which keeps the stored
+    row when its sequence beats a late straggler's — "latest change per
+    key wins" holds across the whole feed, not just within a micro-batch.
     """
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -112,7 +117,7 @@ def start_cdc_parquet_sink(
             target = spark.read.parquet(path)
         else:
             target = batch_df.drop(op_col).limit(0)
-        folded = apply_changes(
+        folded = apply_changes_guarded(
             target,
             batch_df,
             keys=keys,

@@ -6,7 +6,7 @@ import pytest
 
 from rippledb_spark import Sparql, TripleStore
 from rippledb_spark.errors import QueryError
-from rippledb_spark.operators.cdc import apply_changes, scd2
+from rippledb_spark.operators.cdc import apply_changes, apply_changes_guarded, scd2
 
 
 @pytest.fixture(scope="module")
@@ -84,6 +84,50 @@ def test_apply_changes_incremental_equals_refold(spark, snapshot):
     assert sorted(map(tuple, one_shot.collect())) == sorted(
         map(tuple, two_step.collect())
     )
+
+
+def test_apply_changes_null_op_is_upsert_not_delete(spark, snapshot):
+    """A NULL op must upsert (null-safe predicate) — the naive
+    `op != 'delete'` filter evaluates to NULL and silently drops the row."""
+    ch = spark.createDataFrame(
+        [(2, "bob9", 29.0, 9, None)],
+        "id long, name string, balance double, seq long, op string",
+    )
+    out = apply_changes(snapshot, ch, ["id"], ["seq"], "op")
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got[2] == "bob9" and set(got) == {1, 2, 3}
+
+
+def test_apply_changes_guarded_keeps_newer_stored_row(spark):
+    """Cross-batch out-of-order: a straggler with a LOWER sequence than the
+    stored row's must not overwrite it; an equal sequence re-applies
+    idempotently; a higher one wins."""
+    snap = spark.createDataFrame(
+        [(1, "new", 1.0, 5), (2, "cur", 2.0, 5), (3, "old", 3.0, 5)],
+        ["id", "name", "balance", "seq"],
+    )
+    ch = spark.createDataFrame(
+        [
+            (1, "stale", 0.0, 3, "update"),   # lower seq → discarded
+            (2, "cur", 2.0, 5, "update"),     # equal seq → idempotent rewrite
+            (3, "fresh", 9.0, 7, "update"),   # higher seq → wins
+            (4, "late-del", 0.0, 2, "delete"),  # unseen key → delete of absent
+        ],
+        ["id", "name", "balance", "seq", "op"],
+    )
+    out = apply_changes_guarded(snap, ch, ["id"], ["seq"], "op")
+    got = {r["id"]: (r["name"], r["seq"]) for r in out.collect()}
+    assert got == {1: ("new", 5), 2: ("cur", 5), 3: ("fresh", 7)}
+
+
+def test_apply_changes_guarded_delete_guarded_too(spark):
+    """A stale delete (lower seq than stored) must not remove the key."""
+    snap = spark.createDataFrame([(1, "keep", 1.0, 5)], ["id", "name", "balance", "seq"])
+    ch = spark.createDataFrame(
+        [(1, "x", 0.0, 2, "delete")], ["id", "name", "balance", "seq", "op"]
+    )
+    out = apply_changes_guarded(snap, ch, ["id"], ["seq"], "op")
+    assert [r["name"] for r in out.collect()] == ["keep"]
 
 
 def test_scd2_intervals_and_versions(spark):

@@ -197,6 +197,43 @@ def test_select_join_path_bound_object(store):
     assert rows == {"a", "b", "c", "d"}
 
 
+def test_select_join_path_bound_ends_named_only(spark):
+    """Bound path ends follow pattern_filter's named-only rule: a literal
+    whose string equals the bound value must NOT match (the plain-pattern
+    convention, graph.rs:1031-1033, extended to paths)."""
+    st = TripleStore.from_rows(
+        spark,
+        [
+            ("a", "next", "b"),
+            # literal object with the same string as a would-be target
+            ("b", "named", "label", "term", "literal", None, None),
+            # and a named twin elsewhere so 'term' IS a named node too
+            ("term", "next", "z"),
+        ],
+    )
+    # bound object 'zz' absent entirely → no rows
+    q0 = Sparql().select(["$s"]).path("$s", "label", "zz")
+    assert st.select_join(q0).count() == 0
+    # plain pattern with the literal value: named-only rule → no rows
+    qp = Sparql().select(["$s"]).filter([["$s", "label2", "no-such"]])
+    assert st.select_join(qp).count() == 0
+
+    st2 = TripleStore.from_rows(
+        spark,
+        [
+            ("a", "next", "b"),
+            ("b", "named", "label", "only-literal", "literal", None, None),
+        ],
+    )
+    # 'only-literal' never occurs as a named node → bound path object must
+    # not match it even though a pair (b, only-literal) exists by value
+    q1 = Sparql().select(["$s"]).path("$s", "label", "only-literal")
+    assert st2.select_join(q1).count() == 0
+    # same for a bound SUBJECT that only exists as a literal
+    q2 = Sparql().select(["$o"]).path("only-literal", "^label", "$o")
+    assert st2.select_join(q2).count() == 0
+
+
 def test_select_join_path_same_var_both_ends(store):
     # $x next+ $x → nodes on a cycle.
     q = Sparql().select(["$x"]).path("$x", "next+", "$x")

@@ -171,6 +171,20 @@ def test_text_equals_builder(store):
 # -- ASK / CONSTRUCT / DESCRIBE query forms ---------------------------------
 
 
+def test_text_ask_variable_free(store):
+    """The canonical ground ASK: no variables anywhere in the group."""
+    assert [r["ask"] for r in store.sparql("ASK { a next b . }").collect()] == [True]
+    assert store.sparql("ASK { a next c . }").count() == 0  # edge absent
+    # multiple ground patterns: all must hold
+    assert store.sparql("ASK { a next b . b next c . }").count() == 1
+    assert store.sparql("ASK { a next b . b next zz . }").count() == 0
+    # ground property path
+    assert store.sparql("ASK { a next+ d . }").count() == 1
+    assert store.sparql("ASK { x next+ a . }").count() == 0
+    # a bound literal value never matches (named-only rule)
+    assert store.sparql('ASK { a label "node a" . }').count() == 0
+
+
 def test_text_ask(store):
     hit = store.sparql("ASK { a next ?o . }").collect()
     assert [r["ask"] for r in hit] == [True]

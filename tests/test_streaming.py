@@ -588,3 +588,45 @@ def test_foreachbatch_cdc_sink_folds_change_feed(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "cdc_out")).collect()
     }
     assert got2 == got
+
+
+def test_foreachbatch_cdc_sink_discards_cross_batch_straggler(spark, tmp_path):
+    """A late change arriving in a LATER micro-batch with a LOWER sequence
+    than the stored row's must NOT overwrite newer state — the sink folds
+    with the sequence guard, so 'latest per key wins' holds across the
+    whole feed, not just within a batch."""
+    import os
+    import time
+
+    from rippledb_spark.streaming.sinks import start_cdc_parquet_sink
+
+    d = tmp_path / "cdc_ooo_src"
+    d.mkdir()
+    now = time.time()
+    f0 = d / "b0.json"
+    f0.write_text(json.dumps({"id": 1, "seq": 5, "name": "newer", "op": "insert"}))
+    os.utime(f0, (now - 30, now - 30))
+    f1 = d / "b1.json"  # straggler batch: lower seq for key 1, stale delete for 2
+    f1.write_text("\n".join([
+        json.dumps({"id": 1, "seq": 3, "name": "stale", "op": "update"}),
+        json.dumps({"id": 2, "seq": 1, "name": "ghost", "op": "insert"}),
+    ]))
+    os.utime(f1, (now - 20, now - 20))
+
+    q = start_cdc_parquet_sink(
+        spark.readStream.schema("id long, seq long, name string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d)),
+        str(tmp_path / "cdc_ooo_out"),
+        keys=["id"],
+        sequence_cols=["seq"],
+        op_col="op",
+        checkpoint_dir=str(tmp_path / "cdc_ooo_ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["name"], r["seq"])
+        for r in spark.read.parquet(str(tmp_path / "cdc_ooo_out")).collect()
+    }
+    # key 1 keeps the seq-5 row; key 2 (never seen before) inserts normally
+    assert got == {1: ("newer", 5), 2: ("ghost", 1)}
