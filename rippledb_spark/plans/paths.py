@@ -9,7 +9,9 @@ already do. Grammar (the core of W3C SPARQL 1.1 §9.1):
     alt      := seq ('|' seq)*
     seq      := step ('/' step)*
     step     := '^' step | primary ('+' | '*' | '?')*
-    primary  := '(' path ')' | predicate-name
+    primary  := '(' path ')' | '!' negated | predicate-name
+    negated  := negmember | '(' negmember ('|' negmember)* ')'
+    negmember:= '^'? predicate-name
 
 Semantics follow the spec's ALP evaluation:
 
@@ -22,6 +24,10 @@ Semantics follow the spec's ALP evaluation:
                  terminates).
 - ``p*``       — ``p+`` ∪ zero-length pairs, distinct.
 - ``p?``       — ``p`` ∪ zero-length pairs, distinct.
+- ``!(p1|^p2)`` — negated property set (spec §18.2.2.3): the forward
+                 members exclude predicates over (s, o) pairs, the inverse
+                 members exclude predicates over swapped (o, s) pairs, and
+                 the two parts union. ``!p`` is shorthand for ``!(p)``.
 
 Zero-length paths: the spec matches every term in the graph; here that is
 the store's node universe (distinct ``s`` ∪ ``o_value``) — identical, since
@@ -95,9 +101,18 @@ class Maybe:
     inner: "PathExpr"
 
 
-PathExpr = Pred | Inv | Seq | Alt | Plus | Star | Maybe
+@dataclass(frozen=True)
+class Neg:
+    """Negated property set: predicates NOT to match. ``forward`` members
+    match (s, o); ``inverse`` members (written ``^p``) match (o, s)."""
 
-_TOKEN = re.compile(r"\s*(?:(<[^<>]*>)|([/|^+*?()])|([^/|^+*?()\s]+))")
+    forward: tuple[str, ...]
+    inverse: tuple[str, ...]
+
+
+PathExpr = Pred | Inv | Seq | Alt | Plus | Star | Maybe | Neg
+
+_TOKEN = re.compile(r"\s*(?:(<[^<>]*>)|([/|^+*?()!])|([^/|^+*?()!\s]+))")
 
 
 def parse_path(text: str) -> PathExpr:
@@ -155,11 +170,47 @@ def parse_path(text: str) -> PathExpr:
             expr = {"+": Plus, "*": Star, "?": Maybe}[tok](expr)
         return expr
 
+    def parse_negmember(fwd: list[str], inv: list[str]) -> None:
+        inverse = False
+        if peek() == "^":
+            take()
+            inverse = True
+        tok = peek()
+        if isinstance(tok, tuple):
+            take()
+            name = tok[1]
+        elif tok is None or tok in "/|^+*?()!":
+            raise QueryError(
+                f"expected predicate in negated property set of {text!r}, got {tok!r}"
+            )
+        else:
+            name = take()
+        (inv if inverse else fwd).append(name)
+
+    def parse_negated() -> PathExpr:
+        fwd: list[str] = []
+        inv: list[str] = []
+        if peek() == "(":
+            take()
+            parse_negmember(fwd, inv)
+            while peek() == "|":
+                take()
+                parse_negmember(fwd, inv)
+            if peek() != ")":
+                raise QueryError(f"unclosed '(' in negated property set of {text!r}")
+            take()
+        else:
+            parse_negmember(fwd, inv)
+        return Neg(tuple(fwd), tuple(inv))
+
     def parse_primary() -> PathExpr:
         tok = peek()
         if isinstance(tok, tuple):  # ("IRI", value) from <...>
             take()
             return Pred(tok[1])
+        if tok == "!":
+            take()
+            return parse_negated()
         if tok == "(":
             take()
             expr = parse_alt()
@@ -287,6 +338,28 @@ def path_pairs(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
             return _seed(pairs, seeds)
+        if isinstance(expr, Neg):
+            # Spec §18.2.2.3: NPS(forward) ∪ inv(NPS(inverse)); each part
+            # excludes only its own member list. One predicate-isin filter
+            # per part — Catalyst pushes NOT IN to the scan like any other
+            # predicate filter.
+            parts: list[DataFrame] = []
+            if expr.forward:
+                parts.append(
+                    triples.filter(~F.col("p").isin(list(expr.forward))).select(
+                        F.col("s").alias("src"), F.col("o_value").alias("dst")
+                    )
+                )
+            if expr.inverse:
+                parts.append(
+                    triples.filter(~F.col("p").isin(list(expr.inverse))).select(
+                        F.col("o_value").alias("src"), F.col("s").alias("dst")
+                    )
+                )
+            out = parts[0]
+            for part in parts[1:]:
+                out = out.unionByName(part)
+            return _seed(out, seeds)
         if isinstance(expr, Alt):
             out = ev(expr.arms[0], seeds)
             for arm in expr.arms[1:]:

@@ -267,3 +267,42 @@ def path_nation_region_maybe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("node")
     )
     return path_pairs(st.df, "in_region?", srcs=nations).orderBy("src", "dst")
+
+
+@query(
+    "path_negated_nation_edges",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    pairs AS (
+      SELECT s AS src, o_value AS dst FROM triples
+      WHERE p <> 'has_name' AND s LIKE 'nation:%'
+      UNION ALL
+      SELECT o_value AS src, s AS dst FROM triples
+      WHERE p <> 'placed_by' AND o_value LIKE 'nation:%'
+    )
+    SELECT src, COUNT(*) AS edge_count
+    FROM pairs GROUP BY src ORDER BY src
+    """,
+)
+def path_negated_nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated property set ``!(has_name|^placed_by)`` seeded at the nation
+    nodes (SPARQL 1.1 §18.2.2.3, beyond the reference's BGP surface —
+    src/rdf/query.rs:27-63): the forward member excludes nation name
+    literals, keeping ``in_region`` hops; the inverse member keeps every
+    edge INTO a nation (the customer/supplier ``in_nation`` memberships)
+    as swapped (nation, member) pairs. Counted per nation so the bag
+    semantics — one row per matching triple, both parts unioned with ALL —
+    are what the hash check attests. Both parts are single NOT-IN filter
+    scans; no join beyond the seed semi-join."""
+    st = _store(spark, sf_dir)
+    nations = (
+        st.df.filter(F.col("s").startswith("nation:"))
+        .select(F.col("s").alias("node"))
+        .distinct()
+    )
+    return (
+        path_pairs(st.df, "!(has_name|^placed_by)", srcs=nations)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("edge_count"))
+        .orderBy("src")
+    )

@@ -68,6 +68,13 @@ def naive(expr, edges=EDGES):
         return naive(P.Plus(expr.inner), edges) | {(n, n) for n in nodes}
     if isinstance(expr, P.Maybe):
         return naive(expr.inner, edges) | {(n, n) for n in nodes}
+    if isinstance(expr, P.Neg):
+        out = set()
+        if expr.forward:
+            out |= {(s, o) for s, p, o in edges if p not in expr.forward}
+        if expr.inverse:
+            out |= {(o, s) for s, p, o in edges if p not in expr.inverse}
+        return out
     raise AssertionError(expr)
 
 
@@ -95,7 +102,18 @@ def test_parse_parens_and_nested_modifiers():
     assert parse_path("a+?") == P.Maybe(P.Plus(P.Pred("a")))
 
 
-@pytest.mark.parametrize("bad", ["", "a/", "|a", "(a", "a)", "+", "a//b"])
+def test_parse_negated_property_sets():
+    assert parse_path("!a") == P.Neg(("a",), ())
+    assert parse_path("!(a|^b|c)") == P.Neg(("a", "c"), ("b",))
+    assert parse_path("!(^a)") == P.Neg((), ("a",))
+    # '!' produces a primary: modifiers and sequence steps compose around it.
+    assert parse_path("!(a|b)+") == P.Plus(P.Neg(("a", "b"), ()))
+    assert parse_path("x/!y") == P.Seq((P.Pred("x"), P.Neg(("y",), ())))
+
+
+@pytest.mark.parametrize(
+    "bad", ["", "a/", "|a", "(a", "a)", "+", "a//b", "!", "!(a", "!()", "!(a|)"]
+)
 def test_parse_rejects_malformed(bad):
     with pytest.raises(QueryError):
         parse_path(bad)
@@ -118,6 +136,11 @@ def test_parse_rejects_malformed(bad):
         "^child/child",  # siblings incl. self
         "child/child",
         "alt/label",
+        "!next",
+        "!(next|alt|label)",
+        "!(^next)",
+        "!(label|^child)",
+        "alt/!child",
     ],
 )
 def test_path_pairs_match_naive(store, expr):
