@@ -71,6 +71,8 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         raise QueryError("get() is conjunctive-only; use select_join for MINUS")
     if getattr(query, "values_blocks", []):
         raise QueryError("get() is conjunctive-only; use select_join for VALUES")
+    if getattr(query, "filters", []):
+        raise QueryError("get() is conjunctive-only; use select_join for FILTER")
     if (
         getattr(query, "is_distinct", False)
         or getattr(query, "order_keys", [])
@@ -266,6 +268,19 @@ def select_join(
             continue
         acc = acc.join(gplan.select(*shared), on=shared, how="left_anti")
 
+    # FILTER constraints (SPARQL §17, engine-tier superset — plans.filters):
+    # applied to the group's full solution set (after OPTIONAL/VALUES/MINUS,
+    # per the spec's group scoping), before projection so they may reference
+    # non-projected variables. Lowering is an ordinary Catalyst predicate —
+    # pushed through the join chain like a hand-written DataFrame.filter.
+    for fexpr in getattr(query, "filters", []):
+        from rippledb_spark.plans.filters import filter_vars, to_column
+
+        unbound = sorted(v for v in filter_vars(fexpr) if v not in acc.columns)
+        if unbound:
+            raise QueryError(f"FILTER references unbound variables {unbound}")
+        acc = acc.filter(to_column(fexpr))
+
     names = query.var_names()
     missing = [n for n in names if n not in acc.columns]
     if missing:
@@ -418,8 +433,11 @@ def ask_ground(triples: DataFrame, query: Sparql) -> DataFrame:
     0/1-row gate; the ASK holds iff every gate holds. Returns the engine's
     ASK convention: 0 or 1 rows, column ``ask`` = true. An empty group
     matches with one empty solution (SPARQL spec), i.e. ask = true."""
-    if getattr(query, "optionals", []) or getattr(query, "minuses", []) or getattr(
-        query, "values_blocks", []
+    if (
+        getattr(query, "optionals", [])
+        or getattr(query, "minuses", [])
+        or getattr(query, "values_blocks", [])
+        or getattr(query, "filters", [])
     ):
         raise QueryError("ask_ground() evaluates ground patterns and paths only")
     gates: list[DataFrame] = []

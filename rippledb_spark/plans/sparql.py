@@ -59,6 +59,7 @@ class Sparql:
         self.paths: list[tuple[QueryUnit, str, QueryUnit]] = []
         self.minuses: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.values_blocks: list[tuple[list[str], list[tuple]]] = []
+        self.filters: list = []  # FilterExpr ASTs (plans.filters)
         self.is_distinct = False
         self.order_keys: list[tuple[str, bool]] = []  # (var, descending)
         self.row_limit: int | None = None
@@ -176,6 +177,22 @@ class Sparql:
                         f"pattern variable ${u.name} not declared in select()"
                     )
         self.paths.append((su, expr, ou))
+        return self
+
+    def filter_expr(self, expr) -> "Sparql":
+        """SPARQL FILTER constraint (engine-tier superset, spec §17 —
+        grammar subset in plans.filters): keep only solutions for which
+        the expression holds. ``expr`` is a plans.filters AST or a string
+        (``"?x > 5 && REGEX(?name, \\"x$\\")"``). Applies to the whole
+        group's solutions (after OPTIONAL/VALUES/MINUS, before
+        projection), lowering to an ordinary Catalyst predicate — an
+        erroring comparison (e.g. numeric cast of a non-number) drops the
+        row, matching the spec's type-error elimination."""
+        if isinstance(expr, str):
+            from rippledb_spark.plans.filters import parse_filter_text
+
+            expr = parse_filter_text(expr)
+        self.filters.append(expr)
         return self
 
     def distinct(self) -> "Sparql":

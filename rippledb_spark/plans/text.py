@@ -17,10 +17,13 @@ Supported grammar (W3C SPARQL 1.1 subset)::
         triple blocks:  s p o .               -- ';' predicate lists and
                                               -- ',' object lists supported
         property paths in predicate position: p1/p2, p|q, ^p, p+, p*, p?,
-                                              <iri> path atoms
+                                              (p|q)+ grouping, !(p|^q)
+                                              negated sets, <iri> path atoms
         OPTIONAL { ... }   MINUS { ... }
         { ... } UNION { ... }                 -- as the whole group body
         VALUES (?v ...) { (val ...) ... }     -- UNDEF supported
+        FILTER ( expr )                       -- =, !=, <, >, <=, >=, &&,
+                                              -- ||, !, REGEX, BOUND
     }
     ORDER BY [ASC(?v)|DESC(?v)|?v]...  LIMIT n  OFFSET n
 
@@ -28,9 +31,9 @@ Terms: ``?var``/``$var``, ``<iri>``, ``prefix:local`` (expanded via the
 prologue), ``"literal"``, bare tokens (kept verbatim — the engine's node
 values are plain strings). Engine conventions apply: bound values match
 named nodes only (graph.rs:1031-1033) and literals are matched by their
-string value. FILTER expressions are out of scope — apply ``.filter`` on
-the returned DataFrame (see the bgp_filter_name_pattern query) — and the
-parser says so rather than mis-parsing.
+string value. FILTER grammar and typing rules live in plans.filters;
+anything outside that subset (arithmetic, IN, function calls beyond
+REGEX/BOUND) raises QueryError rather than mis-parsing.
 """
 
 from __future__ import annotations
@@ -67,7 +70,7 @@ class SparqlDescribe:
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<iri><[^<>]*>)
+        (?P<iri><[^<>\s]*>)
       | (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
       | (?P<punct>[{}().;,])
@@ -169,12 +172,49 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 return prefixes[pfx] + local
         return tok
 
+    def collect_path(first: str) -> str:
+        """Greedily reassemble a property path split across tokens: the
+        tokenizer treats '(' and ')' as punctuation, so grouped paths like
+        ``(p|q)+`` and negated sets like ``!(p|^q)`` arrive as several
+        tokens. Continue while parens are unbalanced, while the collected
+        text ends in a binary/prefix operator, or while a bare modifier
+        run (+ * ?) follows a closing paren. A plain predicate token
+        passes through untouched (no continuation condition fires — the
+        next token is the object, never '(' or a bare modifier)."""
+        parts = [first]
+        while True:
+            joined = "".join(parts)
+            nxt = t.peek()
+            if nxt is None or not isinstance(nxt, str):
+                break
+            if nxt[0] in "?$\"" and joined.count("(") <= joined.count(")"):
+                break  # a variable/string term is never part of a path
+            if joined.count("(") > joined.count(")"):
+                parts.append(t.take())
+                continue
+            if joined[-1] in "/|^!(":
+                parts.append(t.take())
+                continue
+            if joined.endswith(")") and nxt and all(c in "+*?" for c in nxt):
+                parts.append(t.take())
+                continue
+            # a ')' or modifier can only end a path PREFIX when the next
+            # token continues with an operator run: '(child)/child' splits
+            # as '(child)' + '/child', '(a|b)+/c' as '(a|b)' + '+/c'.
+            # Plain predicates never end in these chars, so this fires
+            # only mid-path.
+            if joined[-1] in ")+*?" and nxt[0] in "/|+*?":
+                parts.append(t.take())
+                continue
+            break
+        return "".join(parts)
+
     def path_expr(tok: str) -> str | None:
         """If the predicate token is a property path, return the path
         expression with prefixed names expanded; else None."""
         if tok.startswith("?") or tok.startswith("$"):
             return None
-        if not any(c in tok for c in _PATH_OPS):
+        if tok[0] not in "(!" and not any(c in tok for c in _PATH_OPS):
             return None
         if tok.startswith("<") and tok.endswith(">") and not any(
             c in _PATH_OPS for c in re.sub(r"<[^<>]*>", "", tok)
@@ -189,7 +229,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     if pfx in prefixes:
                         return f"<{prefixes[pfx] + local}>"
                 return word
-            return re.sub(r"[^/|^+*?()<>\s]+", repl, seg)
+            return re.sub(r"[^/|^+*?()<>!\s]+", repl, seg)
 
         out, i = [], 0
         while i < len(tok):
@@ -218,7 +258,13 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 t.expect("{")
                 sub = Sparql()
                 parse_group(sub)
-                if sub.paths or sub.optionals or sub.minuses or sub.values_blocks:
+                if (
+                    sub.paths
+                    or sub.optionals
+                    or sub.minuses
+                    or sub.values_blocks
+                    or sub.filters
+                ):
                     raise QueryError(f"{kw} groups support plain triples only")
                 if kw == "OPTIONAL":
                     q.optionals.append(sub.conds)
@@ -253,15 +299,20 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     t.take()
                 continue
             if _is_kw(tok, "FILTER"):
-                raise QueryError(
-                    "FILTER expressions are not part of the text subset; "
-                    "apply .filter() on the result DataFrame instead"
-                )
+                from rippledb_spark.plans.filters import parse_filter
+
+                t.take()
+                q.filter_expr(parse_filter(t, term))
+                if t.peek() == ".":
+                    t.take()
+                continue
             # triple block: subject, then ';'-separated predicate lists,
             # each with ','-separated object lists
             s = term(t.take())
             while True:
                 p_tok = t.take()
+                if not (p_tok.startswith("?") or p_tok.startswith("$")):
+                    p_tok = collect_path(p_tok)
                 path = path_expr(p_tok)
                 if path is None and p_tok == "a":
                     # 'a' is the rdf:type keyword in PREDICATE position
@@ -307,7 +358,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         t.expect("{")
         tq = Sparql()
         parse_group(tq)
-        if tq.paths or tq.optionals or tq.minuses or tq.values_blocks:
+        if tq.paths or tq.optionals or tq.minuses or tq.values_blocks or tq.filters:
             raise QueryError("CONSTRUCT templates take plain triples only")
         template = [[unit_to_str(u) for u in cond] for cond in tq.conds]
         if not template:

@@ -306,3 +306,36 @@ def path_negated_nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("edge_count"))
         .orderBy("src")
     )
+
+
+@query(
+    "sparql_text_filter_customers",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS c, t0.o_value AS name
+    FROM triples t0
+    JOIN triples t1 ON t1.s = t0.s AND t1.p = 'in_segment'
+      AND t1.o_value = 'segment:MACHINERY' AND t1.o_kind = 'named'
+    WHERE t0.p = 'has_name'
+      AND regexp_matches(t0.o_value, '[02468]$')
+      AND t0.o_value > 'Customer#000000100'
+    ORDER BY c, name
+    """,
+)
+def sparql_text_filter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER in the SPARQL text frontend (plans/filters.py — closes the
+    top round-4 gap: a query STRING with FILTER(...) previously raised).
+    MACHINERY customers whose name matches a regex AND clears a
+    lexicographic threshold; the constraint lowers to ordinary Catalyst
+    predicates on the bound columns, pushed through the segment semi-join
+    exactly like the hand-written bgp_filter_name_pattern plan. Extends
+    the engine's realization of the reference's unimplemented ``sparql!``
+    macro (src/rdf/query.rs:74-77)."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        'SELECT ?c ?name WHERE {'
+        '  ?c in_segment segment:MACHINERY .'
+        '  ?c has_name ?name .'
+        '  FILTER(REGEX(?name, "[02468]$") && ?name > "Customer#000000100")'
+        '} ORDER BY ?c ?name'
+    )

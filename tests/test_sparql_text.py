@@ -142,7 +142,11 @@ def test_compact_trailing_dot(store):
     "bad,msg",
     [
         ("SELECT ?s { ?s next ?o }", "expected 'WHERE'"),
-        ("SELECT ?s WHERE { ?s next ?o . FILTER(?s = 1) }", "FILTER"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER(?s + 1 > 2) }", "comparison"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER(?zzz = b) }", "unbound"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER(STRLEN(?s) > 1) }", "comparison|STRLEN"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER(?o>1&&?s) }", "whitespace"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER REGEX(?o, b) }", "string literal"),
         ("SELECT ?s WHERE { ?s next ?o", "unclosed"),
         ("SELECT ?s WHERE { { ?s next ?o } UNION { ?s child ?o } } LIMIT 2", "UNION"),
         ("PREFIX ex <http://e/> SELECT ?s WHERE { ?s next ?o }", "PREFIX"),
@@ -231,3 +235,82 @@ def test_text_form_errors(store):
         store.sparql("ASK { ?s next ?o . } LIMIT 1")
     with pytest.raises(QueryError, match="SELECT/ASK/CONSTRUCT/DESCRIBE"):
         store.sparql("INSERT { a b c } WHERE { ?s next ?o }")
+
+
+# -- FILTER expressions (plans.filters) -------------------------------------
+
+
+def test_filter_comparison_and_regex(store):
+    df = store.sparql(
+        'SELECT ?s ?o WHERE { ?s next ?o . FILTER(?o != "b" && REGEX(?s, "^[ab]")) }'
+    )
+    assert rows(df, "s", "o") == [("b", "c")]
+
+
+def test_filter_numeric_cast_drops_non_numbers(spark):
+    st = TripleStore.from_rows(
+        spark, [("x", "v", "10"), ("y", "v", "3"), ("z", "v", "n/a")]
+    )
+    df = st.sparql("SELECT ?s WHERE { ?s v ?n . FILTER(?n >= 4) }")
+    # numeric comparison: "3" fails, "n/a" casts to NULL → dropped (the
+    # spec's type-error elimination), "10" passes (not lexicographic).
+    assert rows(df, "s") == [("x",)]
+
+
+def test_filter_lexicographic_when_both_strings(store):
+    df = store.sparql('SELECT ?s WHERE { ?s next ?o . FILTER(?o < "c") }')
+    assert rows(df, "s") == [("a",), ("d",)]
+
+
+def test_filter_bound_after_optional(store):
+    df = store.sparql(
+        "SELECT ?c WHERE { r child ?c . OPTIONAL { ?c child ?g } . FILTER(!BOUND(?g)) }"
+    )
+    assert rows(df, "c") == [("c2",)]
+
+
+def test_filter_regex_case_flag_and_or(store):
+    df = store.sparql(
+        'SELECT ?s WHERE { ?s next ?o . FILTER(REGEX(?s, "^A$", "i") || ?o = "d") }'
+    )
+    assert rows(df, "s") == [("a",), ("c",)]
+
+
+def test_filter_builder_string_equivalence(store):
+    text = store.sparql('SELECT ?s WHERE { ?s next ?o . FILTER(?o != "b") }')
+    built = store.select_join(
+        Sparql().select(["$s"]).filter([["$s", "next", "$o"]]).filter_expr('?o != "b"')
+    )
+    assert rows(text, "s") == rows(built, "s")
+
+
+def test_filter_in_ask_and_union_arms(store):
+    assert store.sparql('ASK { ?s next ?o . FILTER(?o = "zzz") }').count() == 0
+    assert store.sparql('ASK { ?s next ?o . FILTER(?o = "b") }').count() == 1
+    df = store.sparql(
+        'SELECT ?s WHERE { { ?s next ?o . FILTER(?o = "b") } UNION '
+        '{ ?s child ?o . FILTER(?o = "g1") } }'
+    )
+    assert rows(df, "s") == [("a",), ("c1",), ("d",)]
+
+
+# -- grouped / negated property paths in text -------------------------------
+
+
+def test_text_grouped_path_with_parens(store):
+    df = store.sparql("SELECT ?e WHERE { a (next|alt)+ ?e . }")
+    assert rows(df, "e") == [("b",), ("c",), ("d",), ("x",)]
+
+
+def test_text_negated_property_set(store):
+    df = store.sparql("SELECT ?o WHERE { a !(next|label) ?o . }")
+    assert rows(df, "o") == [("x",)]
+    # inverse-only set: pairs are (object, subject) for p ∉ {child}, so
+    # 'b !(^child) ?x' finds the nodes pointing INTO b via next.
+    df2 = store.sparql("SELECT ?x WHERE { b !(^child) ?x . }")
+    assert rows(df2, "x") == [("a",), ("d",)]
+
+
+def test_text_path_group_then_step(store):
+    df = store.sparql("SELECT ?g WHERE { r (child)/child ?g . }")
+    assert rows(df, "g") == [("g1",)]
