@@ -277,10 +277,60 @@ def test_multimodal_feature_extraction(spark, docs):
     assert len(feats) == len(DOCS)
     for doc_id, text in DOCS:
         r = feats[doc_id]
-        assert r["n_bytes"] == len(text.encode())
-        assert r["checksum"] == hashlib.md5(text.encode()).hexdigest()
-        assert 16 <= r["width"] < 256 and 16 <= r["height"] < 256
-        assert r["media_type"] == ("image/png" if doc_id % 2 == 0 else "audio/wav")
+        assert r["decode_ok"] is True
+        if doc_id % 2 == 0:
+            assert r["media_type"] == "image/png"
+            assert (r["width"], r["height"]) == MM.synth_dims(doc_id)
+            assert r["bit_depth"] == 8
+            assert r["sample_rate"] is None and r["n_samples"] is None
+            # checksum/n_bytes are over the REAL container payload
+            payload = MM.encode_png(*MM.synth_dims(doc_id), text.encode())
+        else:
+            assert r["media_type"] == "audio/wav"
+            rate, n = MM.synth_audio(doc_id)
+            assert (r["sample_rate"], r["n_samples"]) == (rate, n)
+            assert r["bit_depth"] == 16
+            assert r["width"] is None and r["height"] is None
+            data = text.encode()
+            samples = (data * (2 * n // len(data) + 1))[: 2 * n]
+            payload = MM.encode_wav(rate, samples)
+        assert r["n_bytes"] == len(payload)
+        assert r["checksum"] == hashlib.md5(payload).hexdigest()
+
+
+def test_png_codec_roundtrip_and_validation(spark):
+    png = MM.encode_png(7, 5, b"pixels")
+    assert MM.decode_png_header(png) == (7, 5, 8, 0)
+    with pytest.raises(ValueError, match="signature"):
+        MM.decode_png_header(b"JFIF" + png)
+    # flip one IHDR byte → CRC must catch it
+    corrupt = png[:18] + bytes([png[18] ^ 0xFF]) + png[19:]
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png_header(corrupt)
+
+
+def test_wav_codec_roundtrip_and_validation(spark):
+    wav = MM.encode_wav(11000, b"\x01\x02" * 40)
+    assert MM.decode_wav_header(wav) == (11000, 1, 16, 40)
+    with pytest.raises(ValueError, match="magic"):
+        MM.decode_wav_header(wav[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_wav_header(wav[:-10])
+
+
+def test_corrupt_payload_survives_as_decode_ok_false(spark):
+    good = MM.encode_png(4, 4, b"x")
+    rows = [
+        (1, bytearray(good), "image/png"),
+        (2, bytearray(b"\x00garbage\x01"), "image/png"),
+        (3, bytearray(MM.encode_wav(8000, b"ab")), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    assert feats[1]["decode_ok"] and feats[3]["decode_ok"]
+    assert feats[2]["decode_ok"] is False
+    assert feats[2]["width"] is None and feats[2]["bit_depth"] is None
+    assert feats[2]["n_bytes"] == 9  # accounting still real for bad rows
 
 
 def test_multimodal_frame_sampling(spark, docs):
