@@ -434,6 +434,145 @@ def write_ntriples(triples: DataFrame, path: str, mode: str = "overwrite") -> No
 
 
 # --------------------------------------------------------------------------
+# RDF/XML export — the DISTRIBUTED form (completes the format matrix: every
+# format the engine reads also round-trips out executor-parallel; the
+# driver-side to_rdfxml below stays as the reference-parity in-memory form,
+# graph.rs:707-712)
+# --------------------------------------------------------------------------
+
+
+def xml_escape_expr(c) -> "F.Column":
+    """XML escaping as a pure column expression (& first, then the markup
+    chars; the column twin of :func:`_xml_escape`)."""
+    for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        c = F.replace(c, F.lit(raw), F.lit(esc))
+    return c
+
+
+def rdfxml_element_expr() -> "F.Column":
+    """One self-contained RDF/XML ``rdf:Description`` element per
+    triples-schema row, all JVM expressions — no UDF, no collect.
+
+    Per-subject grouping (the driver-side serializer's cosmetic choice) is
+    deliberately NOT reproduced: RDF/XML permits repeated Description
+    elements per subject, and per-row elements keep the expression
+    stateless so it parallelizes like :func:`ntriples_line_expr`.
+    Namespaces need no cross-partition prefix coordination either — each
+    property element carries its namespace as a default ``xmlns``, which
+    any namespace-aware XML parser (including :func:`parse_rdfxml`'s
+    ElementTree) expands identically to a prefixed form. The predicate
+    QName split mirrors :func:`_split_iri` branch-for-branch (last '#',
+    else last '/', else last ':', separator index > 0); a local name
+    failing NCName yields NULL — the writer drops it, the reference's
+    non-QName-predicate semantics (builder.rs:15-31)."""
+    p = F.col("p")
+    pats = [r"^(..*#)([^#]+)$", r"^(..*/)([^/]+)$", r"^(..*:)([^:]+)$"]
+    ns, local = F.lit(""), p
+    for pat in reversed(pats):
+        hit = F.regexp_extract(p, pat, 2) != F.lit("")
+        ns = F.when(hit, F.regexp_extract(p, pat, 1)).otherwise(ns)
+        local = F.when(hit, F.regexp_extract(p, pat, 2)).otherwise(local)
+    valid = local.rlike(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+    subj_attr = F.when(
+        F.col("s_kind") == model.NAMED,
+        F.concat(F.lit('rdf:about="'), xml_escape_expr(F.col("s")), F.lit('"')),
+    ).otherwise(
+        F.concat(
+            F.lit('rdf:nodeID="'),
+            xml_escape_expr(F.regexp_replace(F.col("s"), "^_:", "")),
+            F.lit('"'),
+        )
+    )
+    open_tag = F.concat(
+        F.lit("<"),
+        local,
+        F.when(
+            ns != F.lit(""),
+            F.concat(F.lit(' xmlns="'), xml_escape_expr(ns), F.lit('"')),
+        ).otherwise(F.lit("")),
+    )
+    text = xml_escape_expr(F.col("o_value"))
+    close = F.concat(F.lit("</"), local, F.lit(">"))
+    prop = (
+        F.when(
+            F.col("o_kind") == model.NAMED,
+            F.concat(
+                open_tag,
+                F.lit(' rdf:resource="'),
+                xml_escape_expr(F.col("o_value")),
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            F.col("o_kind") == model.BLANK,
+            F.concat(
+                open_tag,
+                F.lit(' rdf:nodeID="'),
+                xml_escape_expr(F.regexp_replace(F.col("o_value"), "^_:", "")),
+                F.lit('"/>'),
+            ),
+        )
+        .when(
+            F.col("o_kind") == model.LANG_LITERAL,
+            F.concat(
+                open_tag,
+                F.lit(' xml:lang="'),
+                xml_escape_expr(F.col("o_lang")),
+                F.lit('">'),
+                text,
+                close,
+            ),
+        )
+        .when(
+            F.col("o_kind") == model.TYPED_LITERAL,
+            F.concat(
+                open_tag,
+                F.lit(' rdf:datatype="'),
+                xml_escape_expr(F.col("o_datatype")),
+                F.lit('">'),
+                text,
+                close,
+            ),
+        )
+        .otherwise(F.concat(open_tag, F.lit(">"), text, close))
+    )
+    line = F.concat(
+        F.lit("  <rdf:Description "), subj_attr, F.lit(">"), prop,
+        F.lit("</rdf:Description>"),
+    )
+    return F.when(valid, line)
+
+
+def write_rdfxml(triples: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed RDF/XML sink: every executor writes its partitions
+    directly (``df.write.text``). Each part file is wrapped into a
+    complete well-formed document (XML declaration + ``rdf:RDF`` root,
+    prepended/appended per-partition through a pass-through mapInPandas),
+    so every part is independently parseable — exactly what the
+    binaryFile + :func:`parse_rdfxml` scan expects back. Non-QName
+    predicates are dropped (reference semantics, builder.rs:15-31)."""
+    import pandas as pd
+
+    lines = triples.select(rdfxml_element_expr().alias("value")).where(
+        F.col("value").isNotNull()
+    )
+    header = [
+        '<?xml version="1.0" encoding="utf-8"?>',
+        f'<rdf:RDF xmlns:rdf="{RDF_NS}">',
+    ]
+    footer = ["</rdf:RDF>"]
+
+    def wrap(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield pd.DataFrame({"value": header})
+        for b in batches:
+            yield b
+        yield pd.DataFrame({"value": footer})
+
+    lines.mapInPandas(wrap, schema="value string").write.mode(mode).text(path)
+
+
+# --------------------------------------------------------------------------
 # Export (S8)
 # --------------------------------------------------------------------------
 

@@ -373,6 +373,14 @@ class TripleStore:
 
         write_turtle(self.df, path, prefixes=prefixes, mode=mode)
 
+    def to_rdfxml_dir(self, path: str, mode: str = "overwrite") -> None:
+        """Distributed RDF/XML export — executor-parallel like
+        :meth:`to_ntriples`; each part file is a complete well-formed
+        RDF/XML document (root element wrapped per partition), readable
+        back via :meth:`from_rdf`. The driver-side byte-exact form stays
+        :meth:`to_rdf` (reference parity, graph.rs:707-712)."""
+        rdfio.write_rdfxml(self.df, path, mode=mode)
+
     # -- stats (Q13 analogue) -----------------------------------------------
 
     def count(self) -> int:

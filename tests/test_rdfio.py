@@ -349,3 +349,63 @@ def test_distributed_parse_errors_name_the_file(spark, tmp_path):
     bad_ttl.write_text("@prefix ex: <http://e/> . ex:s ex:p %%% .")
     with pytest.raises(Exception, match="bad.ttl"):
         read_turtle(spark, str(bad_ttl)).count()
+
+
+def test_write_rdfxml_distributed_roundtrip(spark, tmp_path):
+    """Distributed RDF/XML sink → binaryFile scan round-trip: every part
+    file is a self-contained document; namespaced predicates come back
+    identical via the per-element default xmlns; all literal kinds and
+    XML-special characters survive; non-QName predicates are dropped
+    (builder.rs:15-31 semantics)."""
+    rows = [
+        ("http://ex/a", "named", "http://ex/p#knows", "http://ex/b", "named", None, None),
+        ("http://ex/a", "named", "http://ex/p#label", 'he & <said> "hi"', "literal", None, None),
+        ("http://ex/a", "named", "http://ex/p#nick", "ali", "lang_literal", "en", None),
+        ("http://ex/a", "named", "http://ex/p#age", "30", "typed_literal", None,
+         "http://www.w3.org/2001/XMLSchema#int"),
+        ("http://ex/b", "named", "bare_pred", "v", "literal", None, None),
+        ("http://ex/b", "named", "urn:x:local", "http://ex/a", "named", None, None),
+        ("http://ex/b", "named", "http://bad.example/", "dropped", "literal", None, None),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    out = str(tmp_path / "export_xml")
+    st.to_rdfxml_dir(out)
+    back = TripleStore.from_rdf(spark, out + "/part-*")
+    got = sorted(map(tuple, back.df.collect()))
+    want = sorted(r for r in rows if r[2] != "http://bad.example/")
+    assert got == want
+
+
+def test_write_rdfxml_blank_nodes_survive(spark, tmp_path):
+    rows = [
+        ("_:x", "blank", "http://ex/p#knows", "_:y", "blank", None, None),
+        ("_:y", "blank", "http://ex/p#label", "inner", "literal", None, None),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    out = str(tmp_path / "export_xml_blank")
+    st.to_rdfxml_dir(out)
+    back = TripleStore.from_rdf(spark, out + "/part-*").df.collect()
+    # labels are re-prefixed per file on read (merge-safety), but kinds,
+    # predicates, and the blank-to-blank link structure survive
+    assert sorted((r["s_kind"], r["p"], r["o_kind"]) for r in back) == [
+        ("blank", "http://ex/p#knows", "blank"),
+        ("blank", "http://ex/p#label", "literal"),
+    ]
+    link = {r["o_value"]: r["s"] for r in back if r["p"].endswith("#knows")}
+    inner = [r["s"] for r in back if r["p"].endswith("#label")]
+    assert inner == list(link.keys())
+
+
+def test_write_rdfxml_driver_and_distributed_agree(spark, tmp_path):
+    """Same store → the driver-side serializer and the distributed sink
+    parse back to the same triple set."""
+    rows = [
+        ("http://ex/s%d" % i, "named", "http://ex/p#v", "val%d & x" % i, "literal", None, None)
+        for i in range(20)
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    via_driver = sorted(parse_rdfxml(to_rdfxml(st.df)))
+    out = str(tmp_path / "xml_agree")
+    st.to_rdfxml_dir(out)
+    via_dist = sorted(map(tuple, TripleStore.from_rdf(spark, out + "/part-*").df.collect()))
+    assert via_driver == via_dist
