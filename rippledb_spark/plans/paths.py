@@ -58,7 +58,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rippledb_spark.errors import QueryError
-from rippledb_spark.operators.graph import _release_iteration_garbage, _truncate
+from rippledb_spark.operators.graph import (
+    _iteration_conf,
+    _release_iteration_garbage,
+    _truncate,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -266,8 +270,23 @@ def _closure(
     frontier ⇒ converged, no iteration-count guessing)."""
     base = step.select("src", "dst").distinct()
     # The step relation is probed once per round — cache it so round k
-    # doesn't recompute the (possibly join-heavy) step plan k times.
+    # doesn't recompute the (possibly join-heavy) step plan k times. The
+    # count materializes the cache AND sizes the round shuffles
+    # (graph._iteration_conf: AQE off + cardinality-derived partitions
+    # for the loop's duration). The probed copy is then re-cached
+    # HASH-PARTITIONED ON src — the frontier-join key — so every round
+    # shuffles only the frontier, never the step relation (see
+    # graph.pagerank's e2 rationale).
     base.persist()
+    n_base = base.count()
+    from rippledb_spark.operators.graph import _iteration_partitions
+
+    repart = base.repartition(
+        _iteration_partitions(step.sparkSession, n_base), "src"
+    ).persist()
+    repart.count()  # materialize from the cached distinct, then drop it
+    base.unpersist(blocking=False)
+    base = repart
     # Semi-naive evaluation via a first-seen-round column: the accumulated
     # pair set carries the round each pair was first derived in, so the
     # next round's frontier is a FILTER on the accumulator (pairs with
@@ -282,26 +301,27 @@ def _closure(
     )
     frontier = acc
     rounds = 0
-    while True:
-        if max_iterations is not None and rounds >= max_iterations:
-            break
-        rounds += 1
-        grown = (
-            frontier.alias("f")
-            .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
-            .select(
-                F.col("f.src").alias("src"),
-                F.col("b.dst").alias("dst"),
-                F.lit(rounds).alias("r"),
+    with _iteration_conf(step.sparkSession, n_base):
+        while True:
+            if max_iterations is not None and rounds >= max_iterations:
+                break
+            rounds += 1
+            grown = (
+                frontier.alias("f")
+                .join(base.alias("b"), F.col("f.dst") == F.col("b.src"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                    F.lit(rounds).alias("r"),
+                )
             )
-        )
-        acc = _truncate(
-            acc.unionByName(grown).groupBy("src", "dst").agg(F.min("r").alias("r")),
-            checkpoint_dir,
-        )
-        frontier = acc.filter(F.col("r") == F.lit(rounds))
-        if frontier.limit(1).count() == 0:
-            break
+            acc = _truncate(
+                acc.unionByName(grown).groupBy("src", "dst").agg(F.min("r").alias("r")),
+                checkpoint_dir,
+            )
+            frontier = acc.filter(F.col("r") == F.lit(rounds))
+            if frontier.limit(1).count() == 0:
+                break
     base.unpersist(blocking=False)
     out = acc.select("src", "dst")
     _release_iteration_garbage(out)
