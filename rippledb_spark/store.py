@@ -266,6 +266,22 @@ class TripleStore:
         K²-Tree probe is independent, graph.rs:854-1009). Predicate
         partitioning (pruning) is preserved: layout is one directory per
         predicate × ``n_buckets`` files."""
+        # A managed table's LOCATION can outlive the catalog entry (a new
+        # session starts with a fresh in-memory catalog but the warehouse
+        # directory persists) — Spark then refuses the saveAsTable with
+        # LOCATION_ALREADY_EXISTS even under mode("overwrite"). Drop the
+        # catalog entry if present AND clear a leftover untracked location
+        # so persist is idempotent across sessions.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(
+                os.path.join(wh.path, table_name.lower()), ignore_errors=True
+            )
         (
             self.df.write.mode("overwrite")
             .format("parquet")
