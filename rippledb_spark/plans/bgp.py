@@ -74,6 +74,12 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
     if getattr(query, "filters", []):
         raise QueryError("get() is conjunctive-only; use select_join for FILTER")
     if (
+        getattr(query, "group_vars", [])
+        or getattr(query, "aggregates", [])
+        or getattr(query, "having", [])
+    ):
+        raise QueryError("get() is conjunctive-only; use select_join for GROUP BY")
+    if (
         getattr(query, "is_distinct", False)
         or getattr(query, "order_keys", [])
         or getattr(query, "row_limit", None) is not None
@@ -281,9 +287,32 @@ def select_join(
             raise QueryError(f"FILTER references unbound variables {unbound}")
         acc = acc.filter(to_column(fexpr))
 
+    # GROUP BY + aggregates (SPARQL §11, engine-tier superset): one
+    # hash-aggregate over the solution set — map-side combinable, the
+    # same physical shape as any relational groupBy. HAVING is a filter
+    # over the aggregated frame (aliases are ordinary columns by then).
+    group_vars = getattr(query, "group_vars", [])
+    aggregates = getattr(query, "aggregates", [])
+    if group_vars or aggregates:
+        acc = _aggregate_solutions(acc, group_vars, aggregates)
+        for hexpr in getattr(query, "having", []):
+            from rippledb_spark.plans.filters import filter_vars, to_column
+
+            unbound = sorted(v for v in filter_vars(hexpr) if v not in acc.columns)
+            if unbound:
+                raise QueryError(f"HAVING references unbound variables {unbound}")
+            acc = acc.filter(to_column(hexpr))
+    elif getattr(query, "having", []):
+        raise QueryError("HAVING requires GROUP BY or aggregates")
+
     names = query.var_names()
     missing = [n for n in names if n not in acc.columns]
     if missing:
+        if group_vars or aggregates:
+            raise QueryError(
+                f"selected vars {missing} must be GROUP BY variables or "
+                f"aggregate aliases (SPARQL §11 projection restriction)"
+            )
         raise QueryError(f"selected vars {missing} not bound by any pattern")
     out = acc.select(*names)
 
@@ -304,6 +333,50 @@ def select_join(
     if getattr(query, "row_limit", None) is not None:
         out = out.limit(query.row_limit)
     return out
+
+
+def _aggregate_solutions(
+    acc: DataFrame, group_vars: list[str], aggregates: list[tuple]
+) -> DataFrame:
+    """Lower the builder's aggregate specs onto one groupBy().agg().
+    Typing rules documented on Sparql.aggregate: SUM/AVG numeric via
+    try_cast (non-numbers ignored as NULL), MIN/MAX/SAMPLE lexicographic,
+    GROUP_CONCAT sorted for determinism."""
+    missing = [v for v in group_vars if v not in acc.columns]
+    if missing:
+        raise QueryError(f"GROUP BY variables {missing} not bound by any pattern")
+    exprs = []
+    for func, var, alias, distinct in aggregates:
+        if var is not None and var not in acc.columns:
+            raise QueryError(f"aggregate over unbound variable ${var}")
+        col = F.col(var) if var is not None else None
+        num = col.try_cast("double") if col is not None else None
+        if func == "count":
+            if var is None:
+                expr = F.count(F.lit(1))
+            elif distinct:
+                expr = F.count_distinct(col)
+            else:
+                expr = F.count(col)  # non-NULL count, per spec
+        elif func == "sum":
+            expr = F.sum_distinct(num) if distinct else F.sum(num)
+        elif func == "avg":
+            expr = F.avg(num)
+        elif func == "min":
+            expr = F.min(col)
+        elif func == "max":
+            expr = F.max(col)
+        elif func == "sample":
+            expr = F.min(col)  # deterministic 'any value'
+        elif func == "group_concat":
+            expr = F.array_join(F.array_sort(F.collect_list(col)), " ")
+        else:  # pragma: no cover — builder validates
+            raise QueryError(f"unknown aggregate {func!r}")
+        exprs.append(expr.alias(alias))
+    if not exprs:
+        # bare GROUP BY with no aggregates: distinct groups
+        return acc.select(*group_vars).dropDuplicates()
+    return acc.groupBy(*group_vars).agg(*exprs)
 
 
 def select_union(

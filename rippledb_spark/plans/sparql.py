@@ -60,6 +60,10 @@ class Sparql:
         self.minuses: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.values_blocks: list[tuple[list[str], list[tuple]]] = []
         self.filters: list = []  # FilterExpr ASTs (plans.filters)
+        self.group_vars: list[str] = []  # GROUP BY variable names
+        # (func, var-or-None, alias, distinct) — see aggregate()
+        self.aggregates: list[tuple[str, str | None, str, bool]] = []
+        self.having: list = []  # FilterExpr ASTs over group/alias columns
         self.is_distinct = False
         self.order_keys: list[tuple[str, bool]] = []  # (var, descending)
         self.row_limit: int | None = None
@@ -177,6 +181,63 @@ class Sparql:
                         f"pattern variable ${u.name} not declared in select()"
                     )
         self.paths.append((su, expr, ou))
+        return self
+
+    _AGG_FUNCS = ("count", "sum", "avg", "min", "max", "sample", "group_concat")
+
+    def group_by(self, variables: list[str]) -> "Sparql":
+        """SPARQL GROUP BY (spec §11 — engine-tier superset like
+        :meth:`optional`): group solutions on these variables before
+        aggregation. With aggregates or grouping present, every selected
+        variable must be a group variable or an aggregate alias (the
+        spec's projection restriction, enforced at plan time)."""
+        for raw in variables:
+            unit = parse_unit(raw)
+            if not isinstance(unit, Var):
+                raise QueryError(f"group_by() takes '$var' names, got {raw!r}")
+            self.group_vars.append(unit.name)
+        return self
+
+    def aggregate(
+        self, func: str, var: str | None = None, alias: str = "", distinct: bool = False
+    ) -> "Sparql":
+        """SPARQL aggregate (spec §11.4): ``func`` ∈ COUNT SUM AVG MIN MAX
+        SAMPLE GROUP_CONCAT, over variable ``var`` (None = COUNT(*)),
+        projected as ``alias``. Typing (the engine stores node values as
+        strings): SUM/AVG try_cast to double — a non-numeric value
+        becomes NULL and is ignored, the SQL convention both engines
+        share; MIN/MAX compare lexicographically (the engine-wide string
+        order); SAMPLE is implemented as MIN, a deterministic choice the
+        spec's 'any value' contract allows; GROUP_CONCAT concatenates the
+        SORTED values (space-separated) so results are reproducible under
+        Spark's nondeterministic row order."""
+        f = func.lower()
+        if f not in self._AGG_FUNCS:
+            raise QueryError(f"unknown aggregate {func!r}; one of {self._AGG_FUNCS}")
+        if var is None and f != "count":
+            raise QueryError(f"{func}(*) is only valid for COUNT")
+        if var is not None:
+            v = parse_unit(var)
+            if not isinstance(v, Var):
+                raise QueryError(f"aggregate() takes a '$var' argument, got {var!r}")
+            var = v.name
+        a = parse_unit(alias)
+        if not isinstance(a, Var):
+            raise QueryError(f"aggregate() alias must be a '$var' name, got {alias!r}")
+        if distinct and f not in ("count", "sum"):
+            raise QueryError(f"DISTINCT is supported for COUNT/SUM, not {func}")
+        self.aggregates.append((f, var, a.name, distinct))
+        return self
+
+    def having_expr(self, expr) -> "Sparql":
+        """SPARQL HAVING (spec §11.5): a FILTER over the AGGREGATED
+        solutions — same expression subset as :meth:`filter_expr`, with
+        aggregate aliases available as variables."""
+        if isinstance(expr, str):
+            from rippledb_spark.plans.filters import parse_filter_text
+
+            expr = parse_filter_text(expr)
+        self.having.append(expr)
         return self
 
     def filter_expr(self, expr) -> "Sparql":

@@ -141,6 +141,9 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         raise QueryError(f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {form!r}")
     distinct = False
     sel_vars: list[str] = []
+    # (func, var-or-None, alias, distinct) from '(FUNC(?v) AS ?alias)'
+    sel_aggs: list[tuple[str, str | None, str, bool]] = []
+    _AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
     if form == "SELECT":
         if _is_kw(t.peek(), "DISTINCT"):
             t.take()
@@ -154,6 +157,37 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 continue
             if tok.startswith("?") or tok.startswith("$"):
                 sel_vars.append("$" + t.take()[1:])
+                continue
+            if tok == "(":
+                # aggregate projection: ( FUNC([DISTINCT] ?v | *) AS ?alias )
+                t.take()
+                fn = t.take().upper()
+                if fn not in _AGGS:
+                    raise QueryError(
+                        f"expected an aggregate ({'/'.join(_AGGS)}) in the "
+                        f"SELECT list, got {fn!r}"
+                    )
+                t.expect("(")
+                agg_distinct = False
+                arg: str | None = None
+                if t.peek() == "*":
+                    t.take()
+                else:
+                    if _is_kw(t.peek(), "DISTINCT"):
+                        t.take()
+                        agg_distinct = True
+                    v = t.take()
+                    if not (v.startswith("?") or v.startswith("$")):
+                        raise QueryError(f"{fn} takes a variable or *, got {v!r}")
+                    arg = "$" + v[1:]
+                t.expect(")")
+                t.expect("AS")
+                a = t.take()
+                if not (a.startswith("?") or a.startswith("$")):
+                    raise QueryError(f"AS takes a variable alias, got {a!r}")
+                t.expect(")")
+                sel_aggs.append((fn.lower(), arg, "$" + a[1:], agg_distinct))
+                sel_vars.append("$" + a[1:])
                 continue
             break
 
@@ -385,6 +419,8 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
     t.expect("{")
 
     # UNION at the top of the group body: { A } UNION { B }
+    if t.peek() == "{" and sel_aggs:
+        raise QueryError("aggregates with UNION are not in the text subset")
     if t.peek() == "{":
         t.take()
         left = Sparql()
@@ -407,6 +443,8 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
     q = Sparql()
     parse_group(q)
     q.select(sel_vars if sel_vars else [f"${n}" for n in _pattern_vars(q)])
+    for fn, arg, alias, agg_distinct in sel_aggs:
+        q.aggregate(fn, arg, alias, agg_distinct)
     if distinct:
         q.distinct()
     _apply_modifiers(t, q)
@@ -438,7 +476,23 @@ def _pattern_vars(q: Sparql, required: bool = True) -> list[str]:
 def _apply_modifiers(t: _Tokens, q: Sparql) -> None:
     while t.peek() is not None:
         tok = t.take()
-        if _is_kw(tok, "ORDER"):
+        if _is_kw(tok, "GROUP"):
+            t.expect("BY")
+            gvars = []
+            while t.peek() is not None and (
+                t.peek().startswith("?") or t.peek().startswith("$")
+            ):
+                gvars.append("$" + t.take()[1:])
+            if not gvars:
+                raise QueryError("GROUP BY needs at least one variable")
+            q.group_by(gvars)
+        elif _is_kw(tok, "HAVING"):
+            from rippledb_spark.plans.filters import parse_filter
+
+            # prefixed-name operands are not expanded here (HAVING compares
+            # aggregate aliases and group keys, not graph terms)
+            q.having_expr(parse_filter(t, str))
+        elif _is_kw(tok, "ORDER"):
             t.expect("BY")
             keys = []
             while t.peek() is not None and (

@@ -393,3 +393,53 @@ def rdfxml_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p")
     )
+
+
+@query(
+    "sparql_agg_members_per_nation",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT o_value AS nat, COUNT(*) AS n_members, MIN(s) AS first_member
+    FROM triples WHERE p = 'in_nation'
+    GROUP BY o_value HAVING COUNT(*) >= 60
+    ORDER BY nat
+    """,
+)
+def sparql_agg_members_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GROUP BY + aggregates end-to-end through the TEXT frontend
+    (spec §11 — the r5 aggregation superset; the reference's query surface
+    is conjunctive BGP only, src/rdf/query.rs:27-63): nation membership
+    counts with a HAVING threshold and a lexicographic MIN. Lowers to one
+    map-side-combinable hash aggregate over the pattern scan; HAVING is a
+    post-aggregation Catalyst filter on the alias column."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?nat (COUNT(?m) AS ?n_members) (MIN(?m) AS ?first_member) "
+        "WHERE { ?m in_nation ?nat } "
+        "GROUP BY ?nat HAVING(?n_members >= 60) ORDER BY ?nat"
+    )
+
+
+@query(
+    "sparql_agg_distinct_segments",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t1.o_value AS nat, COUNT(DISTINCT t2.o_value) AS n_segments
+    FROM triples t1
+    JOIN triples t2 ON t2.s = t1.s AND t2.p = 'in_segment'
+    WHERE t1.p = 'in_nation'
+    GROUP BY t1.o_value ORDER BY nat
+    """,
+)
+def sparql_agg_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ?v) over a two-pattern join through the text
+    frontend: distinct market segments represented in each nation. The
+    distinct aggregate rewrites to Spark's two-phase count_distinct —
+    partial per-partition dedup before the shuffle, the same plan a
+    hand-written relational query gets."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?nat (COUNT(DISTINCT ?seg) AS ?n_segments) "
+        "WHERE { ?c in_nation ?nat . ?c in_segment ?seg } "
+        "GROUP BY ?nat ORDER BY ?nat"
+    )

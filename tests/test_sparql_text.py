@@ -314,3 +314,101 @@ def test_text_negated_property_set(store):
 def test_text_path_group_then_step(store):
     df = store.sparql("SELECT ?g WHERE { r (child)/child ?g . }")
     assert rows(df, "g") == [("g1",)]
+
+
+# -- GROUP BY + aggregates (SPARQL §11) -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def agg_store(spark):
+    rows = (
+        [(f"c{i}", "in_nation", f"n{i % 3}") for i in range(10)]
+        + [(f"c{i}", "spent", str(10 * i)) for i in range(10)]
+        + [("c3", "spent", "not-a-number")]
+    )
+    return TripleStore.from_rows(spark, rows)
+
+
+def test_group_by_count_and_order(agg_store):
+    df = agg_store.sparql(
+        "SELECT ?nat (COUNT(?c) AS ?n) WHERE { ?c in_nation ?nat } "
+        "GROUP BY ?nat ORDER BY ?nat"
+    )
+    assert [tuple(r) for r in df.collect()] == [("n0", 4), ("n1", 3), ("n2", 3)]
+
+
+def test_sum_ignores_non_numeric_and_having(agg_store):
+    df = agg_store.sparql(
+        "SELECT ?nat (SUM(?s) AS ?total) WHERE { ?c in_nation ?nat . ?c spent ?s } "
+        "GROUP BY ?nat HAVING(?total > 130) ORDER BY ?nat"
+    )
+    # n0 = 0+30+60+90 (the 'not-a-number' spent row is NULL → ignored),
+    # n1 = 10+40+70 = 120 (dropped by HAVING), n2 = 20+50+80 = 150
+    assert [tuple(r) for r in df.collect()] == [("n0", 180.0), ("n2", 150.0)]
+
+
+def test_global_aggregate_and_count_distinct(agg_store):
+    df = agg_store.sparql(
+        "SELECT (COUNT(*) AS ?n) (COUNT(DISTINCT ?nat) AS ?nats) "
+        "WHERE { ?c in_nation ?nat }"
+    )
+    assert [tuple(r) for r in df.collect()] == [(10, 3)]
+
+
+def test_group_concat_sorted_and_sample_min(agg_store):
+    df = agg_store.sparql(
+        "SELECT ?nat (GROUP_CONCAT(?c) AS ?members) (SAMPLE(?c) AS ?one) "
+        "WHERE { ?c in_nation ?nat } GROUP BY ?nat ORDER BY ?nat"
+    )
+    rows_ = [tuple(r) for r in df.collect()]
+    assert rows_[0] == ("n0", "c0 c3 c6 c9", "c0")
+    assert rows_[1] == ("n1", "c1 c4 c7", "c1")
+
+
+def test_builder_aggregate_equivalence(agg_store):
+    text = agg_store.sparql(
+        "SELECT ?nat (COUNT(?c) AS ?n) WHERE { ?c in_nation ?nat } "
+        "GROUP BY ?nat HAVING(?n >= 4) ORDER BY ?nat"
+    )
+    built = agg_store.select_join(
+        Sparql()
+        .select(["$nat", "$n"])
+        .filter([["$c", "in_nation", "$nat"]])
+        .group_by(["$nat"])
+        .aggregate("count", "$c", "$n")
+        .having_expr("?n >= 4")
+        .order_by(["$nat"])
+    )
+    assert [tuple(r) for r in text.collect()] == [tuple(r) for r in built.collect()]
+
+
+def test_min_max_are_lexicographic(agg_store):
+    df = agg_store.sparql(
+        "SELECT (MIN(?s) AS ?lo) (MAX(?s) AS ?hi) WHERE { ?c spent ?s }"
+    )
+    # string order: '0' < ... < '90' < 'not-a-number'
+    assert [tuple(r) for r in df.collect()] == [("0", "not-a-number")]
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("SELECT ?c (COUNT(?c) AS ?n) WHERE { ?c in_nation ?nat } GROUP BY ?nat",
+         "GROUP BY variables or"),
+        ("SELECT ?nat WHERE { ?c in_nation ?nat } HAVING(?nat > 1)", "HAVING requires"),
+        ("SELECT (FOO(?c) AS ?n) WHERE { ?c in_nation ?nat }", "aggregate"),
+        ("SELECT (AVG(DISTINCT ?c) AS ?n) WHERE { ?c in_nation ?nat }", "DISTINCT"),
+        ("SELECT (SUM(*) AS ?n) WHERE { ?c in_nation ?nat }", "COUNT"),
+        ("SELECT (COUNT(?c) AS ?n) WHERE { { ?c a ?x } UNION { ?c a ?y } }", "UNION"),
+    ],
+)
+def test_aggregate_errors_are_loud(agg_store, bad, msg):
+    with pytest.raises(QueryError, match=msg):
+        agg_store.sparql(bad).collect()
+
+
+def test_get_rejects_aggregates(agg_store):
+    q = (Sparql().select(["$n"]).filter([["$c", "in_nation", "$nat"]])
+         .aggregate("count", "$c", "$n"))
+    with pytest.raises(QueryError, match="conjunctive-only"):
+        agg_store.get(q)
