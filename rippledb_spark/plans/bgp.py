@@ -73,6 +73,8 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         raise QueryError("get() is conjunctive-only; use select_join for VALUES")
     if getattr(query, "filters", []):
         raise QueryError("get() is conjunctive-only; use select_join for FILTER")
+    if getattr(query, "exists_groups", []):
+        raise QueryError("get() is conjunctive-only; use select_join for EXISTS")
     if (
         getattr(query, "group_vars", [])
         or getattr(query, "aggregates", [])
@@ -273,6 +275,23 @@ def select_join(
         if not shared:
             continue
         acc = acc.join(gplan.select(*shared), on=shared, how="left_anti")
+
+    # FILTER EXISTS / NOT EXISTS groups (SPARQL §8.1): a LEFT SEMI / LEFT
+    # ANTI join on the shared variables — the same EXISTS engine as get()'s
+    # pruning. A group sharing NO variable is a GLOBAL gate (survive iff
+    # the group matches anything / nothing) — the documented divergence
+    # from MINUS (spec §8.3.3), expressed as a constant-true join
+    # condition so the anti/semi forms stay symmetric.
+    for positive, group in getattr(query, "exists_groups", []):
+        gconds = _order_patterns(group, stats) if optimize else list(group)
+        gplan = _join_group(triples, gconds)
+        shared = sorted(set(acc.columns) & set(gplan.columns))
+        how = "left_semi" if positive else "left_anti"
+        if shared:
+            acc = acc.join(gplan.select(*shared), on=shared, how=how)
+        else:
+            gate = F.broadcast(gplan.limit(1).select(F.lit(1).alias("__gate")))
+            acc = acc.join(gate, on=F.lit(True), how=how)
 
     # FILTER constraints (SPARQL §17, engine-tier superset — plans.filters):
     # applied to the group's full solution set (after OPTIONAL/VALUES/MINUS,
@@ -511,6 +530,7 @@ def ask_ground(triples: DataFrame, query: Sparql) -> DataFrame:
         or getattr(query, "minuses", [])
         or getattr(query, "values_blocks", [])
         or getattr(query, "filters", [])
+        or getattr(query, "exists_groups", [])
     ):
         raise QueryError("ask_ground() evaluates ground patterns and paths only")
     gates: list[DataFrame] = []

@@ -60,6 +60,8 @@ class Sparql:
         self.minuses: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.values_blocks: list[tuple[list[str], list[tuple]]] = []
         self.filters: list = []  # FilterExpr ASTs (plans.filters)
+        # (positive, patterns): FILTER EXISTS / FILTER NOT EXISTS groups
+        self.exists_groups: list[tuple[bool, list]] = []
         self.group_vars: list[str] = []  # GROUP BY variable names
         # (func, var-or-None, alias, distinct) — see aggregate()
         self.aggregates: list[tuple[str, str | None, str, bool]] = []
@@ -102,20 +104,7 @@ class Sparql:
         conjunctive-only (query.rs:27-63). Only the multi-var evaluator
         (plans.bgp.select_join) honors optionals; ``get`` raises on them
         (graph.rs parity — it must not silently drop a group)."""
-        declared = {v.name for v in self.vars}
-        group: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
-        for pat in patterns:
-            if len(pat) != 3:
-                raise QueryError(f"pattern must be [s, p, o], got {pat!r}")
-            units = tuple(parse_unit(x) for x in pat)
-            if self.strict:
-                for u in units:
-                    if isinstance(u, Var) and u.name not in declared:
-                        raise QueryError(
-                            f"pattern variable ${u.name} not declared in select()"
-                        )
-            group.append(units)  # type: ignore[arg-type]
-        self.optionals.append(group)
+        self.optionals.append(self._pattern_group(patterns))
         return self
 
     def minus(self, patterns: list[list[str]]) -> "Sparql":
@@ -124,6 +113,10 @@ class Sparql:
         compatible match on the shared variables (a LEFT ANTI join). Per
         spec §8.3, a group sharing NO variable with the solution removes
         nothing. Only the multi-var evaluator honors it; ``get`` raises."""
+        self.minuses.append(self._pattern_group(patterns))
+        return self
+
+    def _pattern_group(self, patterns: list[list[str]]) -> list:
         group: list[tuple[QueryUnit, QueryUnit, QueryUnit]] = []
         declared = {v.name for v in self.vars}
         for pat in patterns:
@@ -137,7 +130,25 @@ class Sparql:
                             f"pattern variable ${u.name} not declared in select()"
                         )
             group.append(units)  # type: ignore[arg-type]
-        self.minuses.append(group)
+        return group
+
+    def exists(self, patterns: list[list[str]]) -> "Sparql":
+        """SPARQL FILTER EXISTS (spec §8.1 — engine-tier superset): keep
+        only solutions for which the group has a compatible match — a
+        LEFT SEMI join on the shared variables. Unlike :meth:`minus`, a
+        group sharing NO variable acts as a global gate: solutions
+        survive iff the group matches anything at all (the two negation
+        forms' documented divergence, spec §8.3.3)."""
+        self.exists_groups.append((True, self._pattern_group(patterns)))
+        return self
+
+    def not_exists(self, patterns: list[list[str]]) -> "Sparql":
+        """SPARQL FILTER NOT EXISTS (spec §8.1): drop solutions for which
+        the group has a compatible match — a LEFT ANTI join on shared
+        variables; with no shared variable, solutions survive iff the
+        group matches nothing (contrast minus(), which removes nothing
+        then)."""
+        self.exists_groups.append((False, self._pattern_group(patterns)))
         return self
 
     def values(self, variables: list[str], rows: list[tuple | list]) -> "Sparql":

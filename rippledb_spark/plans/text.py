@@ -298,6 +298,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     or sub.minuses
                     or sub.values_blocks
                     or sub.filters
+                    or sub.exists_groups
                 ):
                     raise QueryError(f"{kw} groups support plain triples only")
                 if kw == "OPTIONAL":
@@ -336,7 +337,34 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 from rippledb_spark.plans.filters import parse_filter
 
                 t.take()
-                q.filter_expr(parse_filter(t, term))
+                nxt = t.peek()
+                if _is_kw(nxt, "EXISTS") or _is_kw(nxt, "NOT"):
+                    positive = True
+                    if _is_kw(nxt, "NOT"):
+                        t.take()
+                        if not _is_kw(t.peek(), "EXISTS"):
+                            raise QueryError(
+                                f"expected EXISTS after FILTER NOT, got {t.peek()!r}"
+                            )
+                        positive = False
+                    t.take()  # EXISTS
+                    t.expect("{")
+                    sub = Sparql()
+                    parse_group(sub)
+                    if (
+                        sub.paths
+                        or sub.optionals
+                        or sub.minuses
+                        or sub.values_blocks
+                        or sub.filters
+                        or sub.exists_groups
+                    ):
+                        raise QueryError(
+                            "EXISTS groups support plain triples only"
+                        )
+                    q.exists_groups.append((positive, sub.conds))
+                else:
+                    q.filter_expr(parse_filter(t, term))
                 if t.peek() == ".":
                     t.take()
                 continue
@@ -392,7 +420,14 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         t.expect("{")
         tq = Sparql()
         parse_group(tq)
-        if tq.paths or tq.optionals or tq.minuses or tq.values_blocks or tq.filters:
+        if (
+            tq.paths
+            or tq.optionals
+            or tq.minuses
+            or tq.values_blocks
+            or tq.filters
+            or tq.exists_groups
+        ):
             raise QueryError("CONSTRUCT templates take plain triples only")
         template = [[unit_to_str(u) for u in cond] for cond in tq.conds]
         if not template:

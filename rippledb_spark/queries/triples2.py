@@ -443,3 +443,37 @@ def sparql_agg_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE { ?c in_nation ?nat . ?c in_segment ?seg } "
         "GROUP BY ?nat ORDER BY ?nat"
     )
+
+
+@query(
+    "sparql_exists_no_urgent_customers",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT t0.s AS c
+    FROM triples t0
+    WHERE t0.p = 'in_segment' AND t0.o_value = 'segment:FURNITURE'
+      AND t0.o_kind = 'named'
+      AND NOT EXISTS (
+        SELECT 1 FROM triples t1
+        JOIN triples t2 ON t2.s = t1.s AND t2.p = 'has_priority'
+          AND t2.o_value = 'priority:1-URGENT' AND t2.o_kind = 'named'
+        WHERE t1.p = 'placed_by' AND t1.o_value = t0.s
+      )
+    ORDER BY c
+    """,
+)
+def sparql_exists_no_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER NOT EXISTS through the text frontend (spec §8.1 — the
+    second negation form beside MINUS, r5): FURNITURE customers with no
+    1-URGENT order. A NON-EMPTY probe by construction (priorities are
+    uniformly spread, so a real fraction of customers has none — the
+    bgp_s_o_predicates lesson: a green row must attest data, not
+    absence). The two-pattern inner group joins on the order variable,
+    then anti-joins the outer solutions on the shared customer variable;
+    both pattern scans prune to single predicate partitions."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?c WHERE { ?c in_segment segment:FURNITURE . "
+        "FILTER NOT EXISTS { ?o placed_by ?c . ?o has_priority priority:1-URGENT } "
+        "} ORDER BY ?c"
+    )

@@ -412,3 +412,62 @@ def test_get_rejects_aggregates(agg_store):
          .aggregate("count", "$c", "$n"))
     with pytest.raises(QueryError, match="conjunctive-only"):
         agg_store.get(q)
+
+
+# -- FILTER EXISTS / NOT EXISTS (SPARQL §8.1) -------------------------------
+
+
+def test_filter_exists_and_not_exists(store):
+    df = store.sparql(
+        "SELECT ?s WHERE { ?s next ?o . FILTER EXISTS { ?s alt ?x } }"
+    )
+    assert rows(df, "s") == [("a",)]
+    df2 = store.sparql(
+        "SELECT ?s WHERE { ?s next ?o . FILTER NOT EXISTS { ?s alt ?x } }"
+    )
+    assert rows(df2, "s") == [("b",), ("c",), ("d",)]
+
+
+def test_exists_disjoint_group_is_global_gate(store):
+    # the documented EXISTS/MINUS divergence (spec §8.3.3): a group
+    # sharing no variable gates ALL solutions on whether it matches
+    matching = store.sparql(
+        "SELECT ?c WHERE { r child ?c . FILTER EXISTS { a alt ?z } }"
+    )
+    assert rows(matching, "c") == [("c1",), ("c2",)]
+    empty_gate = store.sparql(
+        "SELECT ?c WHERE { r child ?c . FILTER EXISTS { a zz ?z } }"
+    )
+    assert empty_gate.count() == 0
+    not_exists_match = store.sparql(
+        "SELECT ?c WHERE { r child ?c . FILTER NOT EXISTS { a alt ?z } }"
+    )
+    assert not_exists_match.count() == 0
+    # MINUS on the same disjoint group removes nothing
+    minus_same = store.sparql(
+        "SELECT ?c WHERE { r child ?c . MINUS { a alt ?z } }"
+    )
+    assert rows(minus_same, "c") == [("c1",), ("c2",)]
+
+
+def test_exists_builder_equivalence(store):
+    text = store.sparql(
+        "SELECT ?s WHERE { ?s next ?o . FILTER NOT EXISTS { ?s alt ?x } }"
+    )
+    built = store.select_join(
+        Sparql().select(["$s"]).filter([["$s", "next", "$o"]])
+        .not_exists([["$s", "alt", "$x"]])
+    )
+    assert rows(text, "s") == rows(built, "s")
+
+
+def test_exists_errors_are_loud(store):
+    with pytest.raises(QueryError, match="EXISTS after FILTER NOT"):
+        store.sparql("SELECT ?s WHERE { ?s next ?o . FILTER NOT THERE { a alt ?z } }")
+    with pytest.raises(QueryError, match="plain triples only"):
+        store.sparql(
+            "SELECT ?s WHERE { ?s next ?o . FILTER EXISTS { ?s alt+ ?x } }"
+        )
+    q = Sparql().select(["$s"]).filter([["$s", "next", "$o"]]).exists([["$s", "alt", "$x"]])
+    with pytest.raises(QueryError, match="conjunctive-only"):
+        store.get(q)
