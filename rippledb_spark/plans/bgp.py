@@ -586,12 +586,15 @@ def _path_plan(
 
     Bound subject (or ``seeds`` — subject bindings already produced by the
     required patterns) seeds the evaluator, so closures expand only from
-    it; bound object is a post-filter (paths evaluate forward; an
-    inverse-heavy path with only the object bound can be written with
-    ``^`` instead). Both ends bound → a gate row, like a fully-bound
-    triple pattern. Bound ends follow the engine's named-only matching
-    rule via :func:`_named_node_gate`."""
-    from rippledb_spark.plans.paths import path_pairs
+    it. A bound OBJECT with an unseeded subject evaluates the REVERSED
+    path seeded at the object and swaps the pairs back
+    (paths.reverse_path) — closures then expand the reachable frontier
+    from the bound end instead of materializing the global relation (the
+    symmetric optimization; a post-filter on the forward evaluation would
+    be a full-closure scan at 100 TB). Both ends bound → a gate row, like
+    a fully-bound triple pattern. Bound ends follow the engine's
+    named-only matching rule via :func:`_named_node_gate`."""
+    from rippledb_spark.plans.paths import path_pairs, reverse_path
 
     spark = triples.sparkSession
     srcs = seeds
@@ -599,10 +602,17 @@ def _path_plan(
     if isinstance(s_u, Val):
         srcs = spark.createDataFrame([(s_u.value,)], ["node"])
         gates.append(_named_node_gate(triples, s_u.value))
-    pairs = path_pairs(triples, expr, srcs=srcs)
-    if isinstance(o_u, Val):
-        pairs = pairs.filter(F.col("dst") == F.lit(o_u.value))
+    if isinstance(o_u, Val) and srcs is None:
+        dsts = spark.createDataFrame([(o_u.value,)], ["node"])
+        pairs = path_pairs(triples, reverse_path(expr), srcs=dsts).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
         gates.append(_named_node_gate(triples, o_u.value))
+    else:
+        pairs = path_pairs(triples, expr, srcs=srcs)
+        if isinstance(o_u, Val):
+            pairs = pairs.filter(F.col("dst") == F.lit(o_u.value))
+            gates.append(_named_node_gate(triples, o_u.value))
     for g in gates:
         pairs = pairs.crossJoin(F.broadcast(g)).drop("__ng")
     if isinstance(s_u, Var) and isinstance(o_u, Var):

@@ -232,6 +232,35 @@ def parse_path(text: str) -> PathExpr:
     return expr
 
 
+def reverse_path(expr: PathExpr | str) -> PathExpr:
+    """The path matching exactly the swapped pairs: (x, y) ∈ expr ⇔
+    (y, x) ∈ reverse_path(expr). Used to evaluate a bound-OBJECT path as
+    a seeded forward evaluation from the object (closures then expand the
+    reachable frontier instead of the global relation — the same
+    optimization bound subjects get)."""
+    if isinstance(expr, str):
+        expr = parse_path(expr)
+    if isinstance(expr, Pred):
+        return Inv(expr)
+    if isinstance(expr, Inv):
+        return expr.inner
+    if isinstance(expr, Seq):
+        return Seq(tuple(reverse_path(s) for s in reversed(expr.steps)))
+    if isinstance(expr, Alt):
+        return Alt(tuple(reverse_path(a) for a in expr.arms))
+    if isinstance(expr, Plus):
+        return Plus(reverse_path(expr.inner))
+    if isinstance(expr, Star):
+        return Star(reverse_path(expr.inner))
+    if isinstance(expr, Maybe):
+        return Maybe(reverse_path(expr.inner))
+    if isinstance(expr, Neg):
+        # forward members exclude (s,o) edges → reversed they exclude the
+        # swapped pairs, i.e. become inverse members, and vice versa.
+        return Neg(expr.inverse, expr.forward)
+    raise QueryError(f"unknown path expression {expr!r}")
+
+
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------

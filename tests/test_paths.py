@@ -528,3 +528,38 @@ def test_paths_on_reference_corpus(spark):
               for r in path_pairs(st.df, f"{MAKER}/^{MAKER}").distinct().collect()}
     want_co = {(d1, d2) for d1, a1 in mk for d2, a2 in mk if a1 == a2}
     assert coauth == want_co and len(coauth) > 0
+
+
+# -- reverse_path / bound-object seeding ------------------------------------
+
+
+@pytest.mark.parametrize(
+    "expr",
+    ["next", "^next", "next/next", "next|alt", "next+", "next*", "alt?",
+     "(next|child)+", "child/child", "alt/label", "!next", "!(label|^child)"],
+)
+def test_reverse_path_swaps_pairs(store, expr):
+    fwd = naive(expr)
+    rev = {(y, x) for x, y in spark_pairs(store, P.reverse_path(expr))}
+    assert rev == fwd
+
+
+def test_bound_object_closure_matches_postfilter(store):
+    """.path with only the object bound evaluates the reversed path seeded
+    at the object — results must equal the naive forward-and-filter."""
+    from rippledb_spark.plans.sparql import Sparql
+
+    for expr, obj in [("next+", "d"), ("child/child", "g1"), ("(next|alt)+", "x")]:
+        q = Sparql().select(["$s"]).path("$s", expr, obj)
+        got = sorted(r["s"] for r in store.select_join(q).collect())
+        want = sorted(s for s, o in naive(expr) if o == obj)
+        assert got == want, (expr, obj, got, want)
+
+
+def test_bound_object_star_zero_length(store):
+    from rippledb_spark.plans.sparql import Sparql
+
+    q = Sparql().select(["$s"]).path("$s", "next*", "c")
+    got = sorted(r["s"] for r in store.select_join(q).collect())
+    # zero-length contributes (c, c); closure contributes a, b, d (cycle)
+    assert got == sorted({s for s, o in naive("next*") if o == "c"})
