@@ -59,6 +59,12 @@ HEADLINE = [
     # property-path transitive closure (iterative fixpoint family, beside
     # graph_pagerank) — times the semi-naive frontier loop end to end
     "path_within_closure",
+    # round-5 additions: SPARQL aggregation through the text frontend,
+    # the real PNG/WAV decode kernel (Arrow mapInPandas family), and the
+    # distributed RDF/XML serialization expression
+    "sparql_agg_members_per_nation",
+    "multimodal_features",
+    "rdfxml_export_accounting",
 ]
 
 

@@ -32,6 +32,12 @@ DEFAULT = [
     "cdc_latest_user_state",
     "scd2_purchase_history",
     "sparql_text_building_regions",
+    # round-5 representatives
+    "sparql_agg_members_per_nation",
+    "sparql_text_filter_customers",
+    "sparql_exists_no_urgent_customers",
+    "path_negated_nation_edges",
+    "rdfxml_export_accounting",
 ]
 
 
