@@ -75,6 +75,8 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         raise QueryError("get() is conjunctive-only; use select_join for FILTER")
     if getattr(query, "exists_groups", []):
         raise QueryError("get() is conjunctive-only; use select_join for EXISTS")
+    if getattr(query, "binds", []):
+        raise QueryError("get() is conjunctive-only; use select_join for BIND")
     if (
         getattr(query, "group_vars", [])
         or getattr(query, "aggregates", [])
@@ -275,6 +277,19 @@ def select_join(
         if not shared:
             continue
         acc = acc.join(gplan.select(*shared), on=shared, how="left_anti")
+
+    # BIND extensions (SPARQL §10.1): computed columns over the solution
+    # set — available to EXISTS/FILTER/GROUP BY/ORDER BY below. Rebinding
+    # is a spec error; unbound references are too.
+    for alias, vexpr in getattr(query, "binds", []):
+        from rippledb_spark.plans.filters import filter_vars, value_to_column
+
+        if alias in acc.columns:
+            raise QueryError(f"BIND would rebind already-bound variable ${alias}")
+        unbound = sorted(v for v in filter_vars(vexpr) if v not in acc.columns)
+        if unbound:
+            raise QueryError(f"BIND references unbound variables {unbound}")
+        acc = acc.withColumn(alias, value_to_column(vexpr))
 
     # FILTER EXISTS / NOT EXISTS groups (SPARQL §8.1): a LEFT SEMI / LEFT
     # ANTI join on the shared variables — the same EXISTS engine as get()'s

@@ -1,35 +1,41 @@
-"""SPARQL FILTER expressions (engine-tier superset, W3C SPARQL 1.1 §17).
+"""SPARQL FILTER and value expressions (engine-tier superset, spec §17).
 
 The reference's query surface has no FILTER (src/rdf/query.rs:27-63 is
 conjunctive BGP only), and the engine's builder answer so far was "call
 ``.filter`` on the returned DataFrame" (the bgp_filter_name_pattern query).
 That works for the library surface but not the text frontend — a query
 STRING with ``FILTER(...)`` had to be rewritten by hand. This module closes
-that gap with a small expression AST + parser + Column lowering covering
-the comparison/regex subset:
+that gap with an expression AST + parser + Column lowering:
 
-    expr    := or
+    filter  := or
     or      := and ('||' and)*
     and     := unary ('&&' unary)*
-    unary   := '!' unary | primary
-    primary := '(' expr ')'
-             | REGEX(?var, "pattern" [, "flags"])   -- partial match, rlike
+    unary   := '!' unary | fprimary
+    fprimary:= REGEX(?var, "pattern" [, "flags"])   -- partial match, rlike
              | BOUND(?var)                          -- OPTIONAL null probe
-             | operand cmp operand                  -- cmp ∈ = != < > <= >=
-    operand := ?var | "string" | number | bare-word (resolved as a term)
+             | value cmp value                      -- cmp ∈ = != < > <= >=
+             | '(' filter ')'
+    value   := product (('+' | '-') product)*       -- BIND/operand grammar
+    product := vprimary (('*' | '/') vprimary)*
+    vprimary:= ?var | "string" | number | bare-word (resolved as a term)
+             | CONCAT(value, ...) | STR(value) | STRLEN(value)
+             | UCASE(value) | LCASE(value) | SUBSTR(value, start [, len])
+             | IF(filter, value, value) | '(' value ')'
 
-Typing rule (the engine stores all node values as strings): a comparison
-with a NUMERIC literal operand casts the other side to double — a value
-that does not parse as a number yields NULL, and Spark's filter drops
-NULL rows, which matches SPARQL's type-error semantics (an erroring FILTER
-eliminates the solution, §17.2). All-string comparisons are lexicographic
-(codepoint string order, the engine-wide convention). ``REGEX`` lowers to
-``rlike`` (both are partial-match); only the ``i`` flag is supported.
+Typing rules (the engine stores all node values as strings): arithmetic
+and STRLEN produce numbers; a comparison with a numeric side try_casts
+the other side to double — a value that does not parse as a number
+becomes NULL, and Spark's filter drops NULL rows, which matches SPARQL's
+type-error semantics (an erroring FILTER eliminates the solution, §17.2).
+All-string comparisons are lexicographic (codepoint order, the
+engine-wide convention). ``REGEX`` lowers to ``rlike`` (both are
+partial-match); only the ``i`` flag is supported. ``SUBSTR`` is 1-based
+with an inclusive length, the SPARQL (and Spark) convention.
 
-Scale shape: lowering produces ordinary Catalyst predicates over the
-bound-variable columns, so FILTER costs nothing beyond the comparison —
-pushed through joins / into scans exactly like a hand-written
-``DataFrame.filter`` (see bgp_filter_name_pattern's plan).
+Scale shape: lowering produces ordinary Catalyst expressions over the
+bound-variable columns, so FILTER/BIND cost nothing beyond the
+computation itself — predicates push through joins / into scans exactly
+like a hand-written ``DataFrame.filter``.
 """
 
 from __future__ import annotations
@@ -64,10 +70,30 @@ class FNum:
 
 
 @dataclass(frozen=True)
+class VArith:
+    op: str  # '+', '-', '*', '/'
+    left: "ValueExpr"
+    right: "ValueExpr"
+
+
+@dataclass(frozen=True)
+class VFunc:
+    name: str  # 'concat', 'str', 'strlen', 'ucase', 'lcase', 'substr'
+    args: tuple
+
+
+@dataclass(frozen=True)
+class VIf:
+    cond: "FilterExpr"
+    then: "ValueExpr"
+    other: "ValueExpr"
+
+
+@dataclass(frozen=True)
 class FCmp:
     op: str  # '=', '!=', '<', '>', '<=', '>='
-    left: "FOperand"
-    right: "FOperand"
+    left: "ValueExpr"
+    right: "ValueExpr"
 
 
 @dataclass(frozen=True)
@@ -99,21 +125,31 @@ class FOr:
     right: "FilterExpr"
 
 
-FOperand = FVar | FStr | FNum
+ValueExpr = FVar | FStr | FNum | VArith | VFunc | VIf
 FilterExpr = FCmp | FRegex | FBound | FNot | FAnd | FOr
 
 _CMP_OPS = ("<=", ">=", "!=", "=", "<", ">")
+_ARITH_ADD = ("+", "-")
+_ARITH_MUL = ("*", "/")
+_VALUE_FUNCS = ("CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "IF")
 _NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
-def filter_vars(expr: FilterExpr) -> set[str]:
-    """Every variable name the expression references."""
+def filter_vars(expr) -> set[str]:
+    """Every variable name the (filter or value) expression references."""
     if isinstance(expr, FVar):
         return {expr.name}
     if isinstance(expr, (FStr, FNum)):
         return set()
-    if isinstance(expr, FCmp):
+    if isinstance(expr, (FCmp, VArith)):
         return filter_vars(expr.left) | filter_vars(expr.right)
+    if isinstance(expr, VFunc):
+        out: set[str] = set()
+        for a in expr.args:
+            out |= filter_vars(a)
+        return out
+    if isinstance(expr, VIf):
+        return filter_vars(expr.cond) | filter_vars(expr.then) | filter_vars(expr.other)
     if isinstance(expr, (FRegex, FBound)):
         return {expr.var.name}
     if isinstance(expr, FNot):
@@ -128,24 +164,63 @@ def filter_vars(expr: FilterExpr) -> set[str]:
 # ---------------------------------------------------------------------------
 
 
+def _is_numeric(expr) -> bool:
+    return isinstance(expr, (FNum, VArith)) or (
+        isinstance(expr, VFunc) and expr.name == "strlen"
+    )
+
+
+def value_to_column(expr: ValueExpr) -> Column:
+    """Lower a value expression to a Spark Column."""
+    if isinstance(expr, FVar):
+        return F.col(expr.name)
+    if isinstance(expr, FStr):
+        return F.lit(expr.value)
+    if isinstance(expr, FNum):
+        return F.lit(expr.value)
+    if isinstance(expr, VArith):
+        l = value_to_column(expr.left).try_cast("double")
+        r = value_to_column(expr.right).try_cast("double")
+        return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[expr.op]
+    if isinstance(expr, VFunc):
+        cols = [value_to_column(a) for a in expr.args]
+        if expr.name == "concat":
+            return F.concat(*[c.cast("string") for c in cols])
+        if expr.name == "str":
+            return cols[0].cast("string")
+        if expr.name == "strlen":
+            return F.length(cols[0].cast("string"))
+        if expr.name == "ucase":
+            return F.upper(cols[0].cast("string"))
+        if expr.name == "lcase":
+            return F.lower(cols[0].cast("string"))
+        if expr.name == "substr":
+            start = value_to_column(expr.args[1]).try_cast("int")
+            if len(expr.args) == 3:
+                return cols[0].cast("string").substr(
+                    start, value_to_column(expr.args[2]).try_cast("int")
+                )
+            return F.substring(cols[0].cast("string"), start, F.lit(2**31 - 1))
+        raise QueryError(f"unknown value function {expr.name!r}")
+    if isinstance(expr, VIf):
+        return F.when(to_column(expr.cond), value_to_column(expr.then)).otherwise(
+            value_to_column(expr.other)
+        )
+    raise QueryError(f"unknown value expression {expr!r}")
+
+
 def to_column(expr: FilterExpr) -> Column:
     """Lower a FilterExpr to a Spark Column predicate over the solution's
     variable columns (bare variable names, the select_join convention)."""
     if isinstance(expr, FCmp):
-        numeric = isinstance(expr.left, FNum) or isinstance(expr.right, FNum)
+        numeric = _is_numeric(expr.left) or _is_numeric(expr.right)
 
-        def side(op: FOperand) -> Column:
+        def side(op) -> Column:
             # try_cast, not cast: ANSI mode (Spark 4 default) throws on a
             # malformed number, but SPARQL type errors must ELIMINATE the
             # solution (§17.2) — try_cast's NULL does exactly that.
-            if isinstance(op, FVar):
-                col = F.col(op.name)
-                return col.try_cast("double") if numeric else col
-            if isinstance(op, FNum):
-                return F.lit(op.value)
-            return (
-                F.lit(op.value).try_cast("double") if numeric else F.lit(op.value)
-            )
+            col = value_to_column(op)
+            return col.try_cast("double") if numeric else col
 
         l, r = side(expr.left), side(expr.right)
         return {
@@ -180,8 +255,8 @@ def to_column(expr: FilterExpr) -> Column:
 def _split_head(tokens, heads: tuple[str, ...]) -> str | None:
     """If the next token starts with one of ``heads``, consume and return
     that head, pushing any fused remainder back onto the stream (the
-    tokenizer keeps '?x>5'-style runs as one word; comparison operators
-    and '!' legitimately fuse with their operand)."""
+    tokenizer keeps '?x>5'-style runs as one word; operators legitimately
+    fuse with their operand)."""
     tok = tokens.peek()
     if tok is None or not isinstance(tok, str):
         return None
@@ -190,75 +265,106 @@ def _split_head(tokens, heads: tuple[str, ...]) -> str | None:
             tokens.take()
             return head
         if tok.startswith(head) and len(tok) > len(head):
-            # don't split '!=' into '!' + '='
+            # don't split '!=' into '!' + '=', or '<=' into '<' + '='
             if head in ("!", "=", "<", ">") and tok[len(head)] == "=":
                 continue
+            # don't split a negative number '-3' used as an operand — the
+            # caller only probes for '-' when an operator is expected, so
+            # splitting is correct there; numbers keep working because
+            # '3' parses as the right-hand operand.
             tokens.take()
             tokens.toks.insert(tokens.i, tok[len(head):])
             return head
     return None
 
 
-def parse_filter(tokens, term) -> FilterExpr:
-    """Parse one FILTER constraint from ``tokens`` (a plans.text._Tokens —
-    any object with peek/take/expect and a ``toks``/``i`` stream). Accepts
-    both SPARQL constraint forms: ``FILTER ( expr )`` (bracketted
-    expression — the keyword itself is consumed by the caller) and
-    ``FILTER REGEX(...)`` / ``FILTER BOUND(...)`` (bare function call).
-    ``term`` resolves a bare-word operand to its engine value (the text
-    frontend's prefixed-name expansion); pass ``str`` when no prologue
-    applies."""
-
-    def parse_or() -> FilterExpr:
-        left = parse_and()
-        while _split_head(tokens, ("||",)):
-            left = FOr(left, parse_and())
-        return left
-
-    def parse_and() -> FilterExpr:
-        left = parse_unary()
-        while _split_head(tokens, ("&&",)):
-            left = FAnd(left, parse_unary())
-        return left
-
-    def parse_unary() -> FilterExpr:
-        if _split_head(tokens, ("!",)):
-            return FNot(parse_unary())
-        return parse_primary()
-
-    def parse_call(name: str) -> FilterExpr:
-        tokens.take()  # the function-name word
-        tokens.expect("(")
-        v = tokens.take()
-        if not (isinstance(v, str) and (v.startswith("?") or v.startswith("$"))):
-            raise QueryError(f"{name}() takes a variable, got {v!r}")
-        var = FVar(v[1:])
-        if name == "BOUND":
-            tokens.expect(")")
-            return FBound(var)
-        if tokens.peek() != ",":
-            raise QueryError("REGEX takes (?var, \"pattern\" [, \"flags\"])")
-        tokens.take()
-        pat = tokens.take()
-        if not (isinstance(pat, str) and pat.startswith('"')):
-            raise QueryError(f"REGEX pattern must be a string literal, got {pat!r}")
-        pattern = re.sub(r"\\(.)", r"\1", pat[1:-1])
-        flags = ""
-        if tokens.peek() == ",":
-            tokens.take()
-            fl = tokens.take()
-            if not (isinstance(fl, str) and fl.startswith('"')):
-                raise QueryError(f"REGEX flags must be a string literal, got {fl!r}")
-            flags = fl[1:-1]
-            if flags not in ("", "i"):
-                raise QueryError(f"unsupported REGEX flags {flags!r} (only 'i')")
+def _parse_call(tokens, term, name: str):
+    """REGEX(...) / BOUND(...) — the boolean function constraints."""
+    tokens.take()  # the function-name word
+    tokens.expect("(")
+    v = tokens.take()
+    if not (isinstance(v, str) and (v.startswith("?") or v.startswith("$"))):
+        raise QueryError(f"{name}() takes a variable, got {v!r}")
+    var = FVar(v[1:])
+    if name == "BOUND":
         tokens.expect(")")
-        return FRegex(var, pattern, flags)
+        return FBound(var)
+    if tokens.peek() != ",":
+        raise QueryError("REGEX takes (?var, \"pattern\" [, \"flags\"])")
+    tokens.take()
+    pat = tokens.take()
+    if not (isinstance(pat, str) and pat.startswith('"')):
+        raise QueryError(f"REGEX pattern must be a string literal, got {pat!r}")
+    pattern = re.sub(r"\\(.)", r"\1", pat[1:-1])
+    flags = ""
+    if tokens.peek() == ",":
+        tokens.take()
+        fl = tokens.take()
+        if not (isinstance(fl, str) and fl.startswith('"')):
+            raise QueryError(f"REGEX flags must be a string literal, got {fl!r}")
+        flags = fl[1:-1]
+        if flags not in ("", "i"):
+            raise QueryError(f"unsupported REGEX flags {flags!r} (only 'i')")
+    tokens.expect(")")
+    return FRegex(var, pattern, flags)
 
-    def operand() -> FOperand:
+
+def parse_value(tokens, term) -> ValueExpr:
+    """Parse one value expression (the BIND / comparison-operand grammar)."""
+
+    def add() -> ValueExpr:
+        left = mul()
+        while True:
+            op = _split_head(tokens, _ARITH_ADD)
+            if op is None:
+                return left
+            left = VArith(op, left, mul())
+
+    def mul() -> ValueExpr:
+        left = vprimary()
+        while True:
+            op = _split_head(tokens, _ARITH_MUL)
+            if op is None:
+                return left
+            left = VArith(op, left, vprimary())
+
+    def vprimary() -> ValueExpr:
+        tok = tokens.peek()
+        if tok is None:
+            raise QueryError("unexpected end of value expression")
+        if isinstance(tok, str) and tok.upper() in _VALUE_FUNCS:
+            name = tokens.take().upper()
+            tokens.expect("(")
+            if name == "IF":
+                cond = _parse_or(tokens, term)
+                tokens.expect(",")
+                then = add()
+                tokens.expect(",")
+                other = add()
+                tokens.expect(")")
+                return VIf(cond, then, other)
+            args = [add()]
+            while tokens.peek() == ",":
+                tokens.take()
+                args.append(add())
+            tokens.expect(")")
+            lo = name.lower()
+            n = len(args)
+            if lo == "concat" and n < 1:
+                raise QueryError("CONCAT takes at least one argument")
+            if lo in ("str", "strlen", "ucase", "lcase") and n != 1:
+                raise QueryError(f"{name} takes exactly one argument")
+            if lo == "substr" and n not in (2, 3):
+                raise QueryError("SUBSTR takes (value, start [, length])")
+            return VFunc(lo, tuple(args))
+        if tok == "(":
+            tokens.take()
+            inner = add()
+            tokens.expect(")")
+            return inner
         tok = tokens.take()
         if not isinstance(tok, str):
-            raise QueryError(f"bad FILTER operand {tok!r}")
+            raise QueryError(f"bad value operand {tok!r}")
         if tok.startswith("?") or tok.startswith("$"):
             return FVar(tok[1:])
         if tok.startswith('"'):
@@ -272,37 +378,84 @@ def parse_filter(tokens, term) -> FilterExpr:
             # characters inside words; refuse loudly rather than treat the
             # run as a string operand (the parser-says-so principle).
             raise QueryError(
-                f"cannot parse FILTER operand {tok!r}; "
+                f"cannot parse operand {tok!r}; "
                 "separate operators with whitespace"
+            )
+        if tokens.peek() == "(":
+            raise QueryError(
+                f"unknown function {tok!r}; supported: "
+                f"{', '.join(_VALUE_FUNCS)}, REGEX, BOUND"
             )
         # bare word / <iri> / prefixed name → engine term value
         return FStr(term(tok))
 
-    def parse_primary() -> FilterExpr:
-        tok = tokens.peek()
-        if tok is None:
-            raise QueryError("unexpected end of FILTER expression")
-        if isinstance(tok, str) and tok.upper() in ("REGEX", "BOUND"):
-            return parse_call(tok.upper())
-        if tok == "(":
-            tokens.take()
-            inner = parse_or()
-            tokens.expect(")")
-            return inner
-        left = operand()
+    return add()
+
+
+def _parse_or(tokens, term) -> FilterExpr:
+    left = _parse_and(tokens, term)
+    while _split_head(tokens, ("||",)):
+        left = FOr(left, _parse_and(tokens, term))
+    return left
+
+
+def _parse_and(tokens, term) -> FilterExpr:
+    left = _parse_unary(tokens, term)
+    while _split_head(tokens, ("&&",)):
+        left = FAnd(left, _parse_unary(tokens, term))
+    return left
+
+
+def _parse_unary(tokens, term) -> FilterExpr:
+    if _split_head(tokens, ("!",)):
+        return FNot(_parse_unary(tokens, term))
+    return _parse_fprimary(tokens, term)
+
+
+def _parse_fprimary(tokens, term) -> FilterExpr:
+    tok = tokens.peek()
+    if tok is None:
+        raise QueryError("unexpected end of FILTER expression")
+    if isinstance(tok, str) and tok.upper() in ("REGEX", "BOUND"):
+        return _parse_call(tokens, term, tok.upper())
+    # A '(' is ambiguous: '(?a + 1) > 2' is a parenthesized VALUE, while
+    # '(?a > 1 || ?b > 2)' is a boolean group. Try the value-comparison
+    # parse first and backtrack (restoring the token stream, which
+    # _split_head may have mutated) if no comparison follows.
+    save_i, save_toks = tokens.i, list(tokens.toks)
+    try:
+        left = parse_value(tokens, term)
         op = _split_head(tokens, _CMP_OPS)
         if op is None:
             raise QueryError(
                 f"FILTER operand {left!r} needs a comparison "
                 f"(=, !=, <, >, <=, >=) or REGEX/BOUND"
             )
-        return FCmp(op, left, operand())
+        return FCmp(op, left, parse_value(tokens, term))
+    except QueryError:
+        if tok != "(":
+            raise
+        tokens.i, tokens.toks = save_i, save_toks
+    tokens.take()  # '('
+    inner = _parse_or(tokens, term)
+    tokens.expect(")")
+    return inner
 
+
+def parse_filter(tokens, term) -> FilterExpr:
+    """Parse one FILTER constraint from ``tokens`` (a plans.text._Tokens —
+    any object with peek/take/expect and a ``toks``/``i`` stream). Accepts
+    both SPARQL constraint forms: ``FILTER ( expr )`` (bracketted
+    expression — the keyword itself is consumed by the caller) and
+    ``FILTER REGEX(...)`` / ``FILTER BOUND(...)`` (bare function call).
+    ``term`` resolves a bare-word operand to its engine value (the text
+    frontend's prefixed-name expansion); pass ``str`` when no prologue
+    applies."""
     tok = tokens.peek()
     if isinstance(tok, str) and tok.upper() in ("REGEX", "BOUND"):
-        return parse_call(tok.upper())
+        return _parse_call(tokens, term, tok.upper())
     tokens.expect("(")
-    expr = parse_or()
+    expr = _parse_or(tokens, term)
     tokens.expect(")")
     return expr
 
@@ -324,4 +477,16 @@ def parse_filter_text(text: str) -> FilterExpr:
         expr = parse_filter(t, str)
     if t.peek() is not None:
         raise QueryError(f"trailing tokens in FILTER expression: {t.toks[t.i:]}")
+    return expr
+
+
+def parse_value_text(text: str) -> ValueExpr:
+    """Parse a standalone value expression string (builder convenience:
+    ``Sparql().bind("$label", 'CONCAT(?name, "-", ?nat)')``)."""
+    from rippledb_spark.plans.text import _Tokens
+
+    t = _Tokens(text)
+    expr = parse_value(t, str)
+    if t.peek() is not None:
+        raise QueryError(f"trailing tokens in value expression: {t.toks[t.i:]}")
     return expr

@@ -60,6 +60,7 @@ class Sparql:
         self.minuses: list[list[tuple[QueryUnit, QueryUnit, QueryUnit]]] = []
         self.values_blocks: list[tuple[list[str], list[tuple]]] = []
         self.filters: list = []  # FilterExpr ASTs (plans.filters)
+        self.binds: list[tuple[str, object]] = []  # (alias, ValueExpr)
         # (positive, patterns): FILTER EXISTS / FILTER NOT EXISTS groups
         self.exists_groups: list[tuple[bool, list]] = []
         self.group_vars: list[str] = []  # GROUP BY variable names
@@ -249,6 +250,27 @@ class Sparql:
 
             expr = parse_filter_text(expr)
         self.having.append(expr)
+        return self
+
+    def bind(self, alias: str, expr) -> "Sparql":
+        """SPARQL BIND (expr AS ?alias) (spec §10.1 — engine-tier
+        superset): extend every solution with a computed value. ``expr``
+        is a plans.filters VALUE expression — arithmetic (+ - * /, double
+        semantics via try_cast), CONCAT/STR/STRLEN/UCASE/LCASE/SUBSTR,
+        IF(condition, then, else) — as an AST or a string
+        (``'CONCAT(?name, "-", ?nat)'``). Scope note: binds apply after
+        the group's patterns evaluate (the bound variable is available to
+        FILTER/EXISTS/GROUP BY/ORDER BY and the projection, but not as a
+        join variable for earlier patterns — the common SPARQL uses);
+        rebinding an existing variable is an error, per spec."""
+        a = parse_unit(alias)
+        if not isinstance(a, Var):
+            raise QueryError(f"bind() alias must be a '$var' name, got {alias!r}")
+        if isinstance(expr, str):
+            from rippledb_spark.plans.filters import parse_value_text
+
+            expr = parse_value_text(expr)
+        self.binds.append((a.name, expr))
         return self
 
     def filter_expr(self, expr) -> "Sparql":

@@ -22,18 +22,25 @@ Supported grammar (W3C SPARQL 1.1 subset)::
         OPTIONAL { ... }   MINUS { ... }
         { ... } UNION { ... }                 -- as the whole group body
         VALUES (?v ...) { (val ...) ... }     -- UNDEF supported
-        FILTER ( expr )                       -- =, !=, <, >, <=, >=, &&,
-                                              -- ||, !, REGEX, BOUND
+        FILTER ( expr )                       -- comparisons, arithmetic,
+                                              -- &&, ||, !, REGEX, BOUND
+        FILTER [NOT] EXISTS { triples }       -- §8.1 negation/assertion
+        BIND ( value AS ?v )                  -- §10.1 computed extension
     }
+    GROUP BY ?v...  HAVING ( expr )
     ORDER BY [ASC(?v)|DESC(?v)|?v]...  LIMIT n  OFFSET n
+
+SELECT lists also take aggregate projections ``(COUNT([DISTINCT] ?v | *)
+AS ?alias)`` (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT — spec §11).
 
 Terms: ``?var``/``$var``, ``<iri>``, ``prefix:local`` (expanded via the
 prologue), ``"literal"``, bare tokens (kept verbatim — the engine's node
 values are plain strings). Engine conventions apply: bound values match
 named nodes only (graph.rs:1031-1033) and literals are matched by their
-string value. FILTER grammar and typing rules live in plans.filters;
-anything outside that subset (arithmetic, IN, function calls beyond
-REGEX/BOUND) raises QueryError rather than mis-parsing.
+string value. FILTER/BIND expression grammar and typing rules live in
+plans.filters (comparisons, + - * / arithmetic, CONCAT/STR/STRLEN/UCASE/
+LCASE/SUBSTR/IF); anything outside that subset (IN, unknown functions)
+raises QueryError rather than mis-parsing.
 """
 
 from __future__ import annotations
@@ -299,6 +306,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     or sub.values_blocks
                     or sub.filters
                     or sub.exists_groups
+                    or sub.binds
                 ):
                     raise QueryError(f"{kw} groups support plain triples only")
                 if kw == "OPTIONAL":
@@ -358,6 +366,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                         or sub.values_blocks
                         or sub.filters
                         or sub.exists_groups
+                        or sub.binds
                     ):
                         raise QueryError(
                             "EXISTS groups support plain triples only"
@@ -365,6 +374,21 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     q.exists_groups.append((positive, sub.conds))
                 else:
                     q.filter_expr(parse_filter(t, term))
+                if t.peek() == ".":
+                    t.take()
+                continue
+            if _is_kw(tok, "BIND"):
+                from rippledb_spark.plans.filters import parse_value
+
+                t.take()
+                t.expect("(")
+                vexpr = parse_value(t, term)
+                t.expect("AS")
+                a = t.take()
+                if not (a.startswith("?") or a.startswith("$")):
+                    raise QueryError(f"BIND ... AS takes a variable, got {a!r}")
+                t.expect(")")
+                q.bind("$" + a[1:], vexpr)
                 if t.peek() == ".":
                     t.take()
                 continue
@@ -427,6 +451,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             or tq.values_blocks
             or tq.filters
             or tq.exists_groups
+            or tq.binds
         ):
             raise QueryError("CONSTRUCT templates take plain triples only")
         template = [[unit_to_str(u) for u in cond] for cond in tq.conds]
@@ -503,6 +528,9 @@ def _pattern_vars(q: Sparql, required: bool = True) -> list[str]:
         for u in (s_u, o_u):
             if isinstance(u, Var) and u.name not in seen:
                 seen.append(u.name)
+    for alias, _ in getattr(q, "binds", []):
+        if alias not in seen:
+            seen.append(alias)
     if not seen and required:
         raise QueryError("SELECT * found no variables in the group")
     return seen

@@ -477,3 +477,32 @@ def sparql_exists_no_urgent_customers(spark: SparkSession, sf_dir: str) -> DataF
         "FILTER NOT EXISTS { ?o placed_by ?c . ?o has_priority priority:1-URGENT } "
         "} ORDER BY ?c"
     )
+
+
+@query(
+    "sparql_bind_nation_region_label",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT substr(t1.o_value, 8) || '@' || substr(t2.o_value, 8) AS label,
+           COUNT(*) AS n_members
+    FROM triples t1
+    JOIN triples t2 ON t2.s = t1.o_value AND t2.p = 'in_region'
+    WHERE t1.p = 'in_nation'
+    GROUP BY 1 HAVING COUNT(*) >= 60
+    ORDER BY label
+    """,
+)
+def sparql_bind_nation_region_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIND + value expressions through the text frontend (spec §10.1,
+    r5): a computed nation@region label (CONCAT over 1-based SUBSTR
+    slices) grouped and thresholded with an ARITHMETIC HAVING
+    (``120 / 2``) — exercising the full plans/filters value grammar as
+    ordinary Catalyst projections: the BIND is one withColumn, visible
+    to GROUP BY like any pattern variable."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?label (COUNT(?m) AS ?n_members) WHERE { "
+        "  ?m in_nation ?nat . ?nat in_region ?r . "
+        '  BIND(CONCAT(SUBSTR(?nat, 8), "@", SUBSTR(?r, 8)) AS ?label) '
+        "} GROUP BY ?label HAVING(?n_members >= 120 / 2) ORDER BY ?label"
+    )

@@ -142,9 +142,8 @@ def test_compact_trailing_dot(store):
     "bad,msg",
     [
         ("SELECT ?s { ?s next ?o }", "expected 'WHERE'"),
-        ("SELECT ?s WHERE { ?s next ?o . FILTER(?s + 1 > 2) }", "comparison"),
         ("SELECT ?s WHERE { ?s next ?o . FILTER(?zzz = b) }", "unbound"),
-        ("SELECT ?s WHERE { ?s next ?o . FILTER(STRLEN(?s) > 1) }", "comparison|STRLEN"),
+        ("SELECT ?s WHERE { ?s next ?o . FILTER(NOSUCH(?s) > 1) }", "unknown function"),
         ("SELECT ?s WHERE { ?s next ?o . FILTER(?o>1&&?s) }", "whitespace"),
         ("SELECT ?s WHERE { ?s next ?o . FILTER REGEX(?o, b) }", "string literal"),
         ("SELECT ?s WHERE { ?s next ?o", "unclosed"),
@@ -471,3 +470,85 @@ def test_exists_errors_are_loud(store):
     q = Sparql().select(["$s"]).filter([["$s", "next", "$o"]]).exists([["$s", "alt", "$x"]])
     with pytest.raises(QueryError, match="conjunctive-only"):
         store.get(q)
+
+
+# -- BIND + value expressions (SPARQL §10.1) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def bind_store(spark):
+    rows = [(f"c{i}", "in_nation", f"n{i % 3}") for i in range(6)] + [
+        (f"c{i}", "spent", str(10 * i)) for i in range(6)
+    ]
+    return TripleStore.from_rows(spark, rows)
+
+
+def test_bind_arithmetic_and_if(bind_store):
+    df = bind_store.sparql(
+        "SELECT ?c ?k ?tier WHERE { ?c spent ?s . BIND(?s * 2 + 1 AS ?k) "
+        '. BIND(IF(?s >= 30, "high", "low") AS ?tier) } ORDER BY ?c'
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got[0] == ("c0", 1.0, "low")
+    assert got[5] == ("c5", 101.0, "high")
+
+
+def test_bind_concat_and_string_funcs(bind_store):
+    df = bind_store.sparql(
+        'SELECT ?label WHERE { ?c in_nation ?n . '
+        'BIND(CONCAT(UCASE(?c), "@", SUBSTR(?n, 2)) AS ?label) } '
+        "ORDER BY ?label LIMIT 2"
+    )
+    assert [r["label"] for r in df.collect()] == ["C0@0", "C1@1"]
+
+
+def test_bind_feeds_group_by_and_filter(bind_store):
+    df = bind_store.sparql(
+        'SELECT ?tier (COUNT(?c) AS ?n) WHERE { ?c spent ?s . '
+        'BIND(IF(?s >= 30, "high", "low") AS ?tier) } '
+        "GROUP BY ?tier ORDER BY ?tier"
+    )
+    assert [tuple(r) for r in df.collect()] == [("high", 3), ("low", 3)]
+    df2 = bind_store.sparql(
+        "SELECT ?c WHERE { ?c spent ?s . BIND(?s / 10 AS ?d) . FILTER(?d >= 4) }"
+    )
+    assert sorted(r["c"] for r in df2.collect()) == ["c4", "c5"]
+
+
+def test_filter_arithmetic_and_strlen(bind_store):
+    df = bind_store.sparql(
+        "SELECT ?c WHERE { ?c spent ?s . FILTER((?s + 10) * 2 > 90) } ORDER BY ?c"
+    )
+    assert [r["c"] for r in df.collect()] == ["c4", "c5"]
+    df2 = bind_store.sparql(
+        'SELECT ?c WHERE { ?c in_nation ?n . FILTER(STRLEN(?c) = 2 && LCASE(?n) = "n1") }'
+    )
+    assert sorted(r["c"] for r in df2.collect()) == ["c1", "c4"]
+
+
+def test_bind_select_star_includes_alias(bind_store):
+    df = bind_store.sparql(
+        "SELECT * WHERE { ?c spent ?s . BIND(?s + 0 AS ?num) }"
+    )
+    assert set(df.columns) == {"c", "s", "num"}
+
+
+def test_bind_builder_equivalence(bind_store):
+    text = bind_store.sparql(
+        'SELECT ?c ?lab WHERE { ?c in_nation ?n . BIND(CONCAT(?c, "-", ?n) AS ?lab) } ORDER BY ?c'
+    )
+    built = bind_store.select_join(
+        Sparql().select(["$c", "$lab"]).filter([["$c", "in_nation", "$n"]])
+        .bind("$lab", 'CONCAT(?c, "-", ?n)').order_by(["$c"])
+    )
+    assert [tuple(r) for r in text.collect()] == [tuple(r) for r in built.collect()]
+
+
+def test_bind_errors_are_loud(bind_store):
+    with pytest.raises(QueryError, match="rebind"):
+        bind_store.sparql("SELECT ?c WHERE { ?c spent ?s . BIND(?s AS ?s) }")
+    with pytest.raises(QueryError, match="unbound"):
+        bind_store.sparql("SELECT ?c WHERE { ?c spent ?s . BIND(?zz + 1 AS ?k) }")
+    with pytest.raises(QueryError, match="conjunctive-only"):
+        bind_store.get(Sparql().select(["$c"]).filter([["$c", "spent", "$s"]])
+                       .bind("$k", "?s + 1"))
