@@ -496,3 +496,55 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CHUNK_TOKENS = 32  # context-window tokens per chunk
+CHUNK_OVERLAP = 8  # tokens shared between consecutive chunks
+
+
+@query(
+    "chunk_documents_overlapping",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    dims AS (
+      SELECT doc_id, t,
+             (1 + CAST(ceil(GREATEST(len(t) - {CHUNK_TOKENS}, 0)
+                            / {CHUNK_TOKENS - CHUNK_OVERLAP}.0) AS BIGINT)) AS k
+      FROM toks
+    ),
+    nums AS (
+      SELECT doc_id, t, UNNEST(range(k)) AS chunk_no FROM dims
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+             list_slice(t, chunk_no * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1,
+                        chunk_no * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}) AS piece
+      FROM nums
+    )
+    SELECT doc_id, chunk_no,
+           CAST(len(piece) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(piece, ' ')) AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_no
+    """,
+)
+def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators.chunking — the step between raw
+    documents and sequence packing): every 7th document split into
+    32-token windows with 8-token overlap, every chunk's token count and
+    content hash checked against the DuckDB list_slice twin. The plan is
+    a flatMap-shaped projection — tokenize, posexplode a computed chunk
+    index, slice — no UDF, no shuffle before the display sort."""
+    from rippledb_spark.operators.chunking import chunk_by_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    chunks = chunk_by_tokens(d, "text", "doc_id", CHUNK_TOKENS, CHUNK_OVERLAP)
+    return chunks.select(
+        "doc_id",
+        "chunk_no",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_no")

@@ -454,3 +454,54 @@ def test_near_dup_cluster_transitivity(spark):
     for r in cc.collect():
         clusters.setdefault(r["comp"], set()).add(r["node"])
     assert clusters == {1: {1, 2, 3}}  # docs 4, 5 have no near-dups
+
+
+# -- chunking ---------------------------------------------------------------
+
+
+def test_chunk_by_tokens_windows_and_overlap(spark):
+    from rippledb_spark.operators.chunking import chunk_by_tokens
+
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = sorted(
+        (r["chunk_no"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_by_tokens(df, "text", "doc_id", 4, 1).collect()
+    )
+    # stride 3: windows [0:4) [3:7) [6:10) [9:10) — 1+ceil((10-4)/3)=3 → wait
+    assert out == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_by_tokens_short_doc_single_chunk(spark):
+    from rippledb_spark.operators.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a b"), (2, "x")], ["doc_id", "text"])
+    rows = chunk_by_tokens(df, "text", "doc_id", 8, 2).collect()
+    got = {r["doc_id"]: (r["chunk_no"], r["n_chunk_tokens"], r["chunk_text"]) for r in rows}
+    assert len(rows) == 2
+    assert got[1] == (0, 2, "a b")
+    assert got[2] == (0, 1, "x")
+
+
+def test_chunk_by_tokens_exact_multiple_no_empty_tail(spark):
+    from rippledb_spark.operators.chunking import chunk_by_tokens
+
+    text = " ".join(f"t{i}" for i in range(8))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_by_tokens(df, "text", "doc_id", 4, 0).collect()
+    assert sorted(r["chunk_no"] for r in rows) == [0, 1]
+    assert all(r["n_chunk_tokens"] == 4 for r in rows)
+
+
+def test_chunk_by_tokens_validates_params(spark):
+    from rippledb_spark.operators.chunking import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "text", "doc_id", 0)
+    with pytest.raises(ValueError):
+        chunk_by_tokens(df, "text", "doc_id", 4, 4)
