@@ -77,6 +77,8 @@ def get(triples: DataFrame, query: Sparql) -> DataFrame:
         raise QueryError("get() is conjunctive-only; use select_join for EXISTS")
     if getattr(query, "binds", []):
         raise QueryError("get() is conjunctive-only; use select_join for BIND")
+    if getattr(query, "subqueries", []):
+        raise QueryError("get() is conjunctive-only; use select_join for subqueries")
     if (
         getattr(query, "group_vars", [])
         or getattr(query, "aggregates", [])
@@ -210,7 +212,8 @@ def select_join(
     optimize=False for the reference's literal textual order.
     """
     paths = list(getattr(query, "paths", []))
-    if not query.conds and not paths:
+    subqueries = list(getattr(query, "subqueries", []))
+    if not query.conds and not paths and not subqueries:
         raise QueryError("select_join requires at least one pattern")
 
     if query.conds:
@@ -218,6 +221,18 @@ def select_join(
         acc = _join_group(triples, conds)
     else:
         acc = None
+
+    # Nested SELECTs (SPARQL §12): each evaluates bottom-up to its own
+    # projected solution set (its aggregates/modifiers are internal), then
+    # joins the group on shared variable names — exactly the relational
+    # derived-table shape, so Catalyst plans it like any subquery join.
+    for sub in subqueries:
+        splan = select_join(triples, sub, optimize=optimize, stats=stats)
+        if acc is None:
+            acc = splan
+            continue
+        shared = sorted(set(acc.columns) & set(splan.columns))
+        acc = acc.join(splan, on=shared, how="inner") if shared else acc.crossJoin(splan)
 
     # Property-path patterns (SPARQL 1.1 superset — plans.paths): each
     # evaluates to a (src, dst) pair set, renamed/filtered to its variable
@@ -546,6 +561,7 @@ def ask_ground(triples: DataFrame, query: Sparql) -> DataFrame:
         or getattr(query, "values_blocks", [])
         or getattr(query, "filters", [])
         or getattr(query, "exists_groups", [])
+        or getattr(query, "subqueries", [])
     ):
         raise QueryError("ask_ground() evaluates ground patterns and paths only")
     gates: list[DataFrame] = []

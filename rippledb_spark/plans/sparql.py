@@ -63,6 +63,7 @@ class Sparql:
         self.binds: list[tuple[str, object]] = []  # (alias, ValueExpr)
         # (positive, patterns): FILTER EXISTS / FILTER NOT EXISTS groups
         self.exists_groups: list[tuple[bool, list]] = []
+        self.subqueries: list["Sparql"] = []  # nested SELECTs (spec §12)
         self.group_vars: list[str] = []  # GROUP BY variable names
         # (func, var-or-None, alias, distinct) — see aggregate()
         self.aggregates: list[tuple[str, str | None, str, bool]] = []
@@ -250,6 +251,21 @@ class Sparql:
 
             expr = parse_filter_text(expr)
         self.having.append(expr)
+        return self
+
+    def subquery(self, sub: "Sparql") -> "Sparql":
+        """Nested SELECT (spec §12 — engine-tier superset): evaluate
+        ``sub`` independently (its own patterns, aggregates, modifiers)
+        and join its PROJECTED variables into this group's solutions on
+        the shared names — the canonical per-group-aggregate-then-join
+        shape (e.g. each customer with its nation's member count). A
+        subquery sharing no variable cross-joins, per the spec's
+        join-of-multisets semantics."""
+        if not isinstance(sub, Sparql):
+            raise QueryError(f"subquery() takes a Sparql query, got {sub!r}")
+        if not sub.vars:
+            raise QueryError("subqueries must project explicit variables")
+        self.subqueries.append(sub)
         return self
 
     def bind(self, alias: str, expr) -> "Sparql":

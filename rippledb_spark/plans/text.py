@@ -26,6 +26,8 @@ Supported grammar (W3C SPARQL 1.1 subset)::
                                               -- &&, ||, !, REGEX, BOUND
         FILTER [NOT] EXISTS { triples }       -- §8.1 negation/assertion
         BIND ( value AS ?v )                  -- §10.1 computed extension
+        { SELECT ... WHERE { ... } ... }      -- §12 subquery (own
+                                              -- aggregates/modifiers)
     }
     GROUP BY ?v...  HAVING ( expr )
     ORDER BY [ASC(?v)|DESC(?v)|?v]...  LIMIT n  OFFSET n
@@ -129,6 +131,65 @@ def _is_kw(tok: str | None, kw: str) -> bool:
     return tok is not None and tok.upper() == kw.upper()
 
 
+_AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+
+
+def _parse_select_list(t: _Tokens) -> tuple[bool, list[str], list[tuple]]:
+    """Parse '[DISTINCT] (?v | * | (FUNC([DISTINCT] ?v | *) AS ?alias))...'
+    after a SELECT keyword → (distinct, sel_vars, sel_aggs). Shared by the
+    top-level SELECT form and nested subqueries (spec §12)."""
+    distinct = False
+    sel_vars: list[str] = []
+    # (func, var-or-None, alias, distinct) from '(FUNC(?v) AS ?alias)'
+    sel_aggs: list[tuple[str, str | None, str, bool]] = []
+    if _is_kw(t.peek(), "DISTINCT"):
+        t.take()
+        distinct = True
+    while True:
+        tok = t.peek()
+        if tok is None:
+            raise QueryError("unexpected end after SELECT")
+        if tok == "*":
+            t.take()  # SELECT *: sel_vars stays empty → expand from group
+            continue
+        if tok.startswith("?") or tok.startswith("$"):
+            sel_vars.append("$" + t.take()[1:])
+            continue
+        if tok == "(":
+            # aggregate projection: ( FUNC([DISTINCT] ?v | *) AS ?alias )
+            t.take()
+            fn = t.take().upper()
+            if fn not in _AGGS:
+                raise QueryError(
+                    f"expected an aggregate ({'/'.join(_AGGS)}) in the "
+                    f"SELECT list, got {fn!r}"
+                )
+            t.expect("(")
+            agg_distinct = False
+            arg: str | None = None
+            if t.peek() == "*":
+                t.take()
+            else:
+                if _is_kw(t.peek(), "DISTINCT"):
+                    t.take()
+                    agg_distinct = True
+                v = t.take()
+                if not (v.startswith("?") or v.startswith("$")):
+                    raise QueryError(f"{fn} takes a variable or *, got {v!r}")
+                arg = "$" + v[1:]
+            t.expect(")")
+            t.expect("AS")
+            a = t.take()
+            if not (a.startswith("?") or a.startswith("$")):
+                raise QueryError(f"AS takes a variable alias, got {a!r}")
+            t.expect(")")
+            sel_aggs.append((fn.lower(), arg, "$" + a[1:], agg_distinct))
+            sel_vars.append("$" + a[1:])
+            continue
+        break
+    return distinct, sel_vars, sel_aggs
+
+
 def parse_sparql(text: str) -> Sparql | SparqlUnion:
     """Parse a SPARQL query string (subset above) into a builder query."""
     t = _Tokens(text)
@@ -148,55 +209,9 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         raise QueryError(f"expected SELECT/ASK/CONSTRUCT/DESCRIBE, got {form!r}")
     distinct = False
     sel_vars: list[str] = []
-    # (func, var-or-None, alias, distinct) from '(FUNC(?v) AS ?alias)'
     sel_aggs: list[tuple[str, str | None, str, bool]] = []
-    _AGGS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
     if form == "SELECT":
-        if _is_kw(t.peek(), "DISTINCT"):
-            t.take()
-            distinct = True
-        while True:
-            tok = t.peek()
-            if tok is None:
-                raise QueryError("unexpected end after SELECT")
-            if tok == "*":
-                t.take()  # SELECT *: sel_vars stays empty → expand from group
-                continue
-            if tok.startswith("?") or tok.startswith("$"):
-                sel_vars.append("$" + t.take()[1:])
-                continue
-            if tok == "(":
-                # aggregate projection: ( FUNC([DISTINCT] ?v | *) AS ?alias )
-                t.take()
-                fn = t.take().upper()
-                if fn not in _AGGS:
-                    raise QueryError(
-                        f"expected an aggregate ({'/'.join(_AGGS)}) in the "
-                        f"SELECT list, got {fn!r}"
-                    )
-                t.expect("(")
-                agg_distinct = False
-                arg: str | None = None
-                if t.peek() == "*":
-                    t.take()
-                else:
-                    if _is_kw(t.peek(), "DISTINCT"):
-                        t.take()
-                        agg_distinct = True
-                    v = t.take()
-                    if not (v.startswith("?") or v.startswith("$")):
-                        raise QueryError(f"{fn} takes a variable or *, got {v!r}")
-                    arg = "$" + v[1:]
-                t.expect(")")
-                t.expect("AS")
-                a = t.take()
-                if not (a.startswith("?") or a.startswith("$")):
-                    raise QueryError(f"AS takes a variable alias, got {a!r}")
-                t.expect(")")
-                sel_aggs.append((fn.lower(), arg, "$" + a[1:], agg_distinct))
-                sel_vars.append("$" + a[1:])
-                continue
-            break
+        distinct, sel_vars, sel_aggs = _parse_select_list(t)
 
     def term(tok: str) -> str:
         """Lower one term token to the engine's string value / $var form."""
@@ -377,6 +392,31 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 if t.peek() == ".":
                     t.take()
                 continue
+            if tok == "{":
+                # nested group: subquery form only ({ SELECT ... }, §12)
+                t.take()
+                if not _is_kw(t.peek(), "SELECT"):
+                    raise QueryError(
+                        "nested '{' groups support subqueries "
+                        "({ SELECT ... WHERE { ... } }) only"
+                    )
+                t.take()  # SELECT
+                sdistinct, svars, saggs = _parse_select_list(t)
+                t.expect("WHERE")
+                t.expect("{")
+                sub = Sparql()
+                parse_group(sub)
+                sub.select(svars if svars else [f"${n}" for n in _pattern_vars(sub)])
+                for fn, arg, alias, agg_distinct in saggs:
+                    sub.aggregate(fn, arg, alias, agg_distinct)
+                if sdistinct:
+                    sub.distinct()
+                _apply_modifiers(t, sub, stop="}")
+                t.expect("}")  # the subquery's closing brace
+                q.subquery(sub)
+                if t.peek() == ".":
+                    t.take()
+                continue
             if _is_kw(tok, "BIND"):
                 from rippledb_spark.plans.filters import parse_value
 
@@ -478,10 +518,12 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
     t.expect("WHERE")
     t.expect("{")
 
-    # UNION at the top of the group body: { A } UNION { B }
-    if t.peek() == "{" and sel_aggs:
-        raise QueryError("aggregates with UNION are not in the text subset")
-    if t.peek() == "{":
+    # UNION at the top of the group body: { A } UNION { B } — but a
+    # '{ SELECT' is a SUBQUERY group, handled inside parse_group.
+    nxt2 = t.toks[t.i + 1] if t.i + 1 < len(t.toks) else None
+    if t.peek() == "{" and not _is_kw(nxt2, "SELECT"):
+        if sel_aggs:
+            raise QueryError("aggregates with UNION are not in the text subset")
         t.take()
         left = Sparql()
         parse_group(left)
@@ -531,13 +573,17 @@ def _pattern_vars(q: Sparql, required: bool = True) -> list[str]:
     for alias, _ in getattr(q, "binds", []):
         if alias not in seen:
             seen.append(alias)
+    for sub in getattr(q, "subqueries", []):
+        for n in sub.var_names():
+            if n not in seen:
+                seen.append(n)
     if not seen and required:
         raise QueryError("SELECT * found no variables in the group")
     return seen
 
 
-def _apply_modifiers(t: _Tokens, q: Sparql) -> None:
-    while t.peek() is not None:
+def _apply_modifiers(t: _Tokens, q: Sparql, stop: str | None = None) -> None:
+    while t.peek() is not None and t.peek() != stop:
         tok = t.take()
         if _is_kw(tok, "GROUP"):
             t.expect("BY")

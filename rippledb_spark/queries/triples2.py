@@ -506,3 +506,36 @@ def sparql_bind_nation_region_label(spark: SparkSession, sf_dir: str) -> DataFra
         '  BIND(CONCAT(SUBSTR(?nat, 8), "@", SUBSTR(?r, 8)) AS ?label) '
         "} GROUP BY ?label HAVING(?n_members >= 120 / 2) ORDER BY ?label"
     )
+
+
+@query(
+    "sparql_subquery_nation_share",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    counts AS (
+      SELECT o_value AS nat, COUNT(*) AS n_members
+      FROM triples WHERE p = 'in_nation' GROUP BY o_value
+    )
+    SELECT t.s AS c, c2.nat, c2.n_members
+    FROM triples t
+    JOIN counts c2 ON c2.nat = t.o_value
+    WHERE t.p = 'in_nation' AND t.s LIKE 'supplier:%'
+    ORDER BY c, nat
+    """,
+)
+def sparql_subquery_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested SELECT (spec §12, r5): every supplier joined with its
+    nation's TOTAL membership count, computed once in a subquery and
+    joined back on the shared variable — the canonical
+    aggregate-then-rejoin shape (a relational derived table; Catalyst
+    broadcasts the 25-row aggregate). The outer FILTER restricts to
+    suppliers via a plans.filters REGEX over the bound subject."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?c ?nat ?n_members WHERE { "
+        "  ?c in_nation ?nat . "
+        '  FILTER(REGEX(?c, "^supplier:")) '
+        "  { SELECT ?nat (COUNT(?m) AS ?n_members) "
+        "    WHERE { ?m in_nation ?nat } GROUP BY ?nat } "
+        "} ORDER BY ?c ?nat"
+    )

@@ -552,3 +552,63 @@ def test_bind_errors_are_loud(bind_store):
     with pytest.raises(QueryError, match="conjunctive-only"):
         bind_store.get(Sparql().select(["$c"]).filter([["$c", "spent", "$s"]])
                        .bind("$k", "?s + 1"))
+
+
+# -- subqueries (SPARQL §12) ------------------------------------------------
+
+
+def test_subquery_joins_aggregate_back(agg_store):
+    df = agg_store.sparql(
+        "SELECT ?c ?nat ?n WHERE { ?c in_nation ?nat . "
+        "{ SELECT ?nat (COUNT(?m) AS ?n) WHERE { ?m in_nation ?nat } GROUP BY ?nat } "
+        "} ORDER BY ?c"
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got[0] == ("c0", "n0", 4)
+    assert got[1] == ("c1", "n1", 3)
+    assert len(got) == 10
+
+
+def test_subquery_as_whole_body_and_inner_modifiers(agg_store):
+    df = agg_store.sparql(
+        "SELECT ?nat ?n WHERE { "
+        "{ SELECT ?nat (COUNT(?m) AS ?n) WHERE { ?m in_nation ?nat } "
+        "GROUP BY ?nat ORDER BY ?nat LIMIT 2 } } ORDER BY ?nat"
+    )
+    assert [tuple(r) for r in df.collect()] == [("n0", 4), ("n1", 3)]
+
+
+def test_subquery_projection_is_scoped(agg_store):
+    # inner ?m is not projected → not visible to the outer group
+    with pytest.raises(QueryError, match="not bound"):
+        agg_store.sparql(
+            "SELECT ?m WHERE { "
+            "{ SELECT ?nat WHERE { ?m in_nation ?nat } GROUP BY ?nat } }"
+        )
+
+
+def test_subquery_builder_equivalence(agg_store):
+    inner = (
+        Sparql().select(["$nat", "$n"]).filter([["$m", "in_nation", "$nat"]])
+        .group_by(["$nat"]).aggregate("count", "$m", "$n")
+    )
+    built = agg_store.select_join(
+        Sparql().select(["$c", "$n"]).filter([["$c", "in_nation", "$nat"]])
+        .subquery(inner).order_by(["$c"])
+    )
+    text = agg_store.sparql(
+        "SELECT ?c ?n WHERE { ?c in_nation ?nat . "
+        "{ SELECT ?nat (COUNT(?m) AS ?n) WHERE { ?m in_nation ?nat } GROUP BY ?nat } "
+        "} ORDER BY ?c"
+    )
+    assert [tuple(r) for r in text.collect()] == [tuple(r) for r in built.collect()]
+
+
+def test_subquery_errors(agg_store):
+    with pytest.raises(QueryError, match="subqueries"):
+        agg_store.sparql("SELECT ?c WHERE { ?c in_nation ?n . { ?c in_nation ?n } }")
+    with pytest.raises(QueryError, match="conjunctive-only"):
+        agg_store.get(
+            Sparql().select(["$c"]).filter([["$c", "in_nation", "$n"]])
+            .subquery(Sparql().select(["$n"]).filter([["$m", "in_nation", "$n"]]))
+        )
