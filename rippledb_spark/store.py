@@ -103,6 +103,16 @@ class TripleStore:
         return cls.from_df(spark, read_turtle(spark, path))
 
     @classmethod
+    def from_rdfjson(cls, spark: SparkSession, path: str) -> "TripleStore":
+        """Bulk load RDF/JSON file/dir/glob (engine-tier format — the W3C
+        JSON alternate serialization; the reference reads RDF/XML only).
+        Distributed per file; each file may be one document or
+        JSON-lines."""
+        from rippledb_spark.sources.rdfjson import read_rdfjson
+
+        return cls.from_df(spark, read_rdfjson(spark, path))
+
+    @classmethod
     def from_backup(cls, spark: SparkSession, path: str) -> "TripleStore":
         """Restore a persisted store (S5)."""
         return cls(spark, spark.read.parquet(path).select(*model.TRIPLE_KEY))
@@ -388,6 +398,14 @@ class TripleStore:
         from rippledb_spark.sources.turtle import write_turtle
 
         write_turtle(self.df, path, prefixes=prefixes, mode=mode)
+
+    def to_rdfjson(self, path: str, mode: str = "overwrite") -> None:
+        """Distributed RDF/JSON export — executor-parallel; every line of
+        every part file is a complete RDF/JSON document (graph union on
+        concatenation), readable back via :meth:`from_rdfjson`."""
+        from rippledb_spark.sources.rdfjson import write_rdfjson
+
+        write_rdfjson(self.df, path, mode=mode)
 
     def to_rdfxml_dir(self, path: str, mode: str = "overwrite") -> None:
         """Distributed RDF/XML export — executor-parallel like

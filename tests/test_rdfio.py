@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from rippledb_spark import TripleStore
 from rippledb_spark.sources.rdfio import (
     parse_ntriples_line,
@@ -409,3 +411,60 @@ def test_write_rdfxml_driver_and_distributed_agree(spark, tmp_path):
     st.to_rdfxml_dir(out)
     via_dist = sorted(map(tuple, TripleStore.from_rdf(spark, out + "/part-*").df.collect()))
     assert via_driver == via_dist
+
+
+# -- RDF/JSON (sources/rdfjson.py) ------------------------------------------
+
+
+def test_rdfjson_roundtrip_all_kinds(spark, tmp_path):
+    from rippledb_spark.sources.rdfjson import parse_rdfjson, serialize_rdfjson_rows
+
+    rows = [
+        ("http://ex/a", "named", "http://ex/p", "http://ex/b", "named", None, None),
+        ("_:x", "blank", "http://ex/p", "_:y", "blank", None, None),
+        ("http://ex/a", "named", "http://ex/q", 'uni © "quoted"', "literal", None, None),
+        ("http://ex/a", "named", "http://ex/q", "salut", "lang_literal", "fr", None),
+        ("http://ex/a", "named", "http://ex/q", "7", "typed_literal", None,
+         "http://www.w3.org/2001/XMLSchema#int"),
+    ]
+    st = TripleStore.from_rows(spark, rows)
+    out = str(tmp_path / "export_json")
+    st.to_rdfjson(out)
+    back = TripleStore.from_rdfjson(spark, out + "/part-*")
+    assert sorted(map(tuple, back.df.collect())) == sorted(rows)
+    # driver-side serializer agrees with the distributed one
+    line = serialize_rdfjson_rows(st.df.collect())
+    assert sorted(parse_rdfjson(line)) == sorted(rows)
+
+
+def test_rdfjson_reads_pretty_single_document(spark, tmp_path):
+    doc = """{
+      "http://ex/a": {
+        "http://ex/knows": [
+          {"value": "http://ex/b", "type": "uri"},
+          {"value": "bob", "type": "literal", "lang": "en"}
+        ]
+      },
+      "_:blank": {"http://ex/knows": [{"value": "node1", "type": "bnode"}]}
+    }"""
+    f = tmp_path / "g.json"
+    f.write_text(doc)
+    st = TripleStore.from_rdfjson(spark, str(f))
+    got = sorted(map(tuple, st.df.collect()))
+    assert got == [
+        ("_:blank", "blank", "http://ex/knows", "_:node1", "blank", None, None),
+        ("http://ex/a", "named", "http://ex/knows", "bob", "lang_literal", "en", None),
+        ("http://ex/a", "named", "http://ex/knows", "http://ex/b", "named", None, None),
+    ]
+
+
+def test_rdfjson_parse_errors_are_loud(spark):
+    from rippledb_spark.errors import RdfParseError
+    from rippledb_spark.sources.rdfjson import parse_rdfjson
+
+    with pytest.raises(RdfParseError, match="not RDF/JSON"):
+        parse_rdfjson(b"[not json")
+    with pytest.raises(RdfParseError, match="array"):
+        parse_rdfjson('{"s": {"p": {"value": "x"}}}')
+    with pytest.raises(RdfParseError, match="unknown RDF/JSON object type"):
+        parse_rdfjson('{"s": {"p": [{"value": "x", "type": "zzz"}]}}')
