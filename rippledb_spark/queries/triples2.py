@@ -539,3 +539,28 @@ def sparql_subquery_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "    WHERE { ?m in_nation ?nat } GROUP BY ?nat } "
         "} ORDER BY ?c ?nat"
     )
+
+
+@query(
+    "sparql_update_modify_accounting",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT CASE WHEN p = 'has_priority' THEN 'priority_was' ELSE p END AS p,
+           COUNT(*) AS n
+    FROM triples GROUP BY 1 ORDER BY p
+    """,
+)
+def sparql_update_modify_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UPDATE's modify form end-to-end (plans/update.py, r5 — the
+    text form of the reference's programmatic insert/remove,
+    graph.rs:420-523): rename every has_priority edge to priority_was via
+    DELETE {} INSERT {} WHERE {}, then account the post-update store per
+    predicate. The whole update is DataFrame algebra — solutions once,
+    one value anti-join for the deletion, construct+union+dedup for the
+    insertion — against the immutable pre-update snapshot."""
+    st = _store(spark, sf_dir)
+    st2 = st.update(
+        "DELETE { ?o has_priority ?pr } INSERT { ?o priority_was ?pr } "
+        "WHERE { ?o has_priority ?pr }"
+    )
+    return st2.df.groupBy("p").agg(F.count(F.lit(1)).alias("n")).orderBy("p")

@@ -38,7 +38,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Row, SparkSession
 
 from rippledb_spark import model
-from rippledb_spark.errors import SchemaError
+from rippledb_spark.errors import QueryError, SchemaError
 from rippledb_spark.operators.triple_patterns import pattern_filter
 from rippledb_spark.plans import bgp
 from rippledb_spark.plans.sparql import Sparql
@@ -303,6 +303,61 @@ class TripleStore:
         return TripleStore(
             self.spark, self.spark.table(table_name).select(*model.TRIPLE_KEY)
         )
+
+    def update(self, text: str) -> "TripleStore":
+        """Evaluate a SPARQL 1.1 UPDATE string (plans/update.py subset:
+        INSERT DATA, DELETE DATA, DELETE WHERE, and the
+        DELETE {...} INSERT {...} WHERE {...} modify form) → a NEW
+        TripleStore snapshot, same immutable-snapshot contract as
+        :meth:`insert` / :meth:`remove` (the reference's mutation surface
+        is programmatic only, graph.rs:420-523 — this is its text form).
+        Per spec the modify form deletes before inserting, evaluated
+        against the PRE-update state."""
+        from rippledb_spark.plans.update import (
+            DeleteData,
+            DeleteWhere,
+            InsertData,
+            Modify,
+            _bound_solutions,
+            instantiated_values,
+            matched_triples,
+            parse_update,
+        )
+        from rippledb_spark.plans.sparql import Var, parse_unit
+
+        form = parse_update(text)
+        if isinstance(form, InsertData):
+            return self.insert(form.rows)
+        if isinstance(form, DeleteData):
+            return self.remove(form.rows)
+        if isinstance(form, DeleteWhere):
+            # remove() does the null-safe anti-join (o_lang/o_datatype are
+            # NULL for plain terms; a name-list join would never match them)
+            return self.remove(matched_triples(self.df, form.query))
+        assert isinstance(form, Modify)
+        if not form.delete_template and not form.insert_template:
+            raise QueryError("the modify form needs a DELETE or INSERT clause")
+        sol = _bound_solutions(self.df, form.query)
+        bound = set(sol.columns) if sol is not None else set()
+        for pat in form.delete_template + form.insert_template:
+            for raw in pat:
+                u = parse_unit(raw)
+                if isinstance(u, Var) and u.name not in bound:
+                    raise QueryError(
+                        f"template variable ${u.name} is not bound by the "
+                        f"WHERE group"
+                    )
+        out = self.df
+        if form.delete_template:
+            dels = instantiated_values(sol, self.spark, form.delete_template)
+            # flattened-model deletion: match on (s, p, o_value) — see
+            # plans/update.py semantics notes
+            out = out.join(dels, on=["s", "p", "o_value"], how="left_anti")
+        store = TripleStore(self.spark, out)
+        if form.insert_template:
+            ins = bgp.construct(self.df, form.query, form.insert_template)
+            store = store.insert(ins)
+        return store
 
     def sparql(self, text: str, use_stats: bool = False) -> DataFrame:
         """Evaluate a SPARQL query STRING (the text frontend —
