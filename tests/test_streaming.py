@@ -630,3 +630,35 @@ def test_foreachbatch_cdc_sink_discards_cross_batch_straggler(spark, tmp_path):
     }
     # key 1 keeps the seq-5 row; key 2 (never seen before) inserts normally
     assert got == {1: ("newer", 5), 2: ("ghost", 1)}
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """chunk_by_tokens is a pure flatMap-shaped projection, so the SAME
+    operator runs unchanged on a stream — the ingest→chunk front half of
+    a continuous training-data pipeline. Checked against the batch run."""
+    import json as _json
+
+    from rippledb_spark.operators.chunking import chunk_by_tokens
+
+    docs = [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(11))},
+        {"doc_id": 2, "text": "one two three"},
+        {"doc_id": 3, "text": "solo"},
+    ]
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    (d / "p1.json").write_text("\n".join(_json.dumps(r) for r in docs))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    out = _run_stream(
+        spark, chunk_by_tokens(stream, "text", "doc_id", 4, 1), "t_chunks",
+        mode="append",
+    )
+    batch = chunk_by_tokens(
+        spark.read.schema("doc_id long, text string").json(str(d)),
+        "text", "doc_id", 4, 1,
+    )
+    key = lambda r: (r["doc_id"], r["chunk_no"], r["n_chunk_tokens"], r["chunk_text"])  # noqa: E731
+    got, want = sorted(map(key, out.collect())), sorted(map(key, batch.collect()))
+    assert got == want
+    assert len(got) == 4 + 1 + 1  # 11 toks → 4 chunks (stride 3), 1, 1
