@@ -330,3 +330,79 @@ def bfs_reachability(
             prev_stats = stats
     _release_iteration_garbage(reached)
     return reached
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int | None = 64,
+) -> DataFrame:
+    """Distinct undirected projection edges (a, b), a < b, between items
+    sharing a group (parts per order, tokens per doc, ...). The classic
+    bipartite→unimodal projection.
+
+    ``max_group_size`` drops groups above the cap BEFORE the pair join —
+    the same frequent-key guard as ngram_jaccard_pairs' DF cap: pair
+    count is quadratic in group size, so one 10⁵-item group at corpus
+    scale would emit 10¹⁰ pairs from a single key. Capped, the output is
+    bounded by groups × cap² and the join stays shuffle-uniform. Pass
+    None to disable (small curated data only).
+    """
+    pairs = df.select(F.col(group_col).alias("g"), F.col(item_col).alias("i")).distinct()
+    if max_group_size is not None:
+        small = (
+            pairs.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_group_size)
+            .select("g")
+        )
+        pairs = pairs.join(small, "g", "left_semi")
+    a = pairs.select("g", F.col("i").alias("a"))
+    b = pairs.select("g", F.col("i").alias("b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected simple graph →
+    one row (n_nodes, n_edges, n_triangles).
+
+    Edges are canonicalized to a < b and deduped, then triangles are
+    counted with the standard two-join ordered-wedge plan: (a<b<c) from
+    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — each triangle counted exactly once, no
+    orientation heuristics needed because the ordering IS the
+    orientation. Two shuffle joins over the edge list; at scale the
+    wedge join's fan-out is bounded by the max ordered out-degree, the
+    usual reason to cap hub degrees upstream (see cooccurrence_edges).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e.persist()
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+        )
+    )
+    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["a", "c"], "left_semi")
+    nodes = e.select(F.col("a").alias("n")).unionByName(e.select(F.col("b").alias("n"))).distinct()
+    out = (
+        tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+    return out

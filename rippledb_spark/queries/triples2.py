@@ -564,3 +564,52 @@ def sparql_update_modify_accounting(spark: SparkSession, sf_dir: str) -> DataFra
         "WHERE { ?o has_priority ?pr }"
     )
     return st2.df.groupBy("p").agg(F.count(F.lit(1)).alias("n")).orderBy("p")
+
+
+@query(
+    "graph_triangles_part_cooccurrence",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS g,
+                      'part:' || CAST(l_partkey AS VARCHAR) AS i
+      FROM lineitem
+    ),
+    ok AS (SELECT g FROM pp GROUP BY g HAVING COUNT(*) <= 64),
+    pp2 AS (SELECT pp.g, pp.i FROM pp JOIN ok USING (g)),
+    e AS (
+      SELECT DISTINCT a.i AS a, b.i AS b
+      FROM pp2 a JOIN pp2 b ON a.g = b.g AND a.i < b.i
+    ),
+    nn AS (
+      SELECT COUNT(*) AS n_nodes FROM (
+        SELECT a AS x FROM e UNION SELECT b FROM e
+      )
+    ),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e),
+    nt AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM nn, ne, nt
+    """,
+)
+def graph_triangles_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the part co-occurrence projection (parts
+    sharing an order — graph.cooccurrence_edges with the group-size cap
+    that keeps the projection non-quadratic at corpus scale, then
+    graph.triangle_count's ordered-wedge two-join plan, each triangle
+    counted once via a < b < c). Widens the graph-analytics family
+    (degrees/pagerank/CC/BFS) with the standard clustering primitive;
+    oracle = the identical ordered joins in DuckDB."""
+    from rippledb_spark.operators.graph import cooccurrence_edges, triangle_count
+
+    st = _store(spark, sf_dir)
+    containment = st.pattern(None, "contains_part", None).select(
+        F.col("s").alias("g"), F.col("o_value").alias("i")
+    )
+    edges = cooccurrence_edges(containment, "g", "i", max_group_size=64)
+    return triangle_count(edges, src="a", dst="b")

@@ -175,3 +175,38 @@ def test_connected_components_converges_past_small_iteration_default(spark):
         for r in connected_components(df, iterations=2).collect()
     }
     assert partial != want
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from rippledb_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("b", "a")],  # dup direction + pendant
+        ["src", "dst"],
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (5, 7, 4)
+
+
+def test_triangle_count_triangle_free(spark):
+    from rippledb_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 0
+
+
+def test_cooccurrence_edges_projection_and_cap(spark):
+    from rippledb_spark.operators.graph import cooccurrence_edges
+
+    df = spark.createDataFrame(
+        [("g1", "x"), ("g1", "y"), ("g1", "z"), ("g2", "x"), ("g2", "y"),
+         ("g1", "x")],  # dup membership is idempotent
+        ["g", "i"],
+    )
+    full = sorted(map(tuple, cooccurrence_edges(df, "g", "i").collect()))
+    assert full == [("x", "y"), ("x", "z"), ("y", "z")]
+    capped = sorted(map(tuple, cooccurrence_edges(df, "g", "i", max_group_size=2).collect()))
+    assert capped == [("x", "y")]  # g1 (3 items) dropped by the guard
