@@ -65,6 +65,7 @@ HEADLINE = [
     "sparql_agg_members_per_nation",
     "multimodal_features",
     "rdfxml_export_accounting",
+    "chunk_documents_overlapping",
 ]
 
 

@@ -338,6 +338,13 @@ class TripleStore:
         if not form.delete_template and not form.insert_template:
             raise QueryError("the modify form needs a DELETE or INSERT clause")
         sol = _bound_solutions(self.df, form.query)
+        if sol is None:
+            # Ground WHERE group: zero variables → it contributes one empty
+            # solution IF every pattern matches, else zero solutions and
+            # the whole modify is a no-op (spec semantics — templates
+            # instantiate once per solution).
+            if bgp.ask_ground(self.df, form.query).count() == 0:
+                return self
         bound = set(sol.columns) if sol is not None else set()
         for pat in form.delete_template + form.insert_template:
             for raw in pat:

@@ -119,3 +119,14 @@ def test_update_prefix_expansion(store):
         "PREFIX ex: <http://ex/> INSERT DATA { ex:s ex:p ex:o }"
     )
     assert ("http://ex/s", "named", "http://ex/p", "http://ex/o", "named", None, None) in rows(st2)
+
+
+def test_modify_ground_where_gates(store):
+    # matching ground WHERE → templates instantiate once
+    st2 = store.update('INSERT { a met c } WHERE { a knows b }')
+    assert ("a", "named", "met", "c", "named", None, None) in rows(st2)
+    # non-matching ground WHERE → whole modify is a no-op
+    st3 = store.update('INSERT { a met c } WHERE { a knows zz }')
+    assert rows(st3) == rows(store)
+    st4 = store.update('DELETE { a knows b } WHERE { zz p qq }')
+    assert rows(st4) == rows(store)
