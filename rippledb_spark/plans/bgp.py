@@ -664,6 +664,8 @@ def _path_plan(
 def _join_group(triples: DataFrame, conds: list) -> DataFrame:
     """Inner equi-join chain for one pattern group (shared-variable
     columns join; gates broadcast; disconnected patterns cross-join)."""
+    if not conds:
+        raise QueryError("empty pattern group")
     plans: list[DataFrame] = []
     for cond in conds:
         ci = pattern_filter(triples, *_bounds(cond))

@@ -322,8 +322,11 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     or sub.filters
                     or sub.exists_groups
                     or sub.binds
+                    or sub.subqueries
                 ):
                     raise QueryError(f"{kw} groups support plain triples only")
+                if not sub.conds:
+                    raise QueryError(f"{kw} group is empty")
                 if kw == "OPTIONAL":
                     q.optionals.append(sub.conds)
                 else:
@@ -382,10 +385,13 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                         or sub.filters
                         or sub.exists_groups
                         or sub.binds
+                        or sub.subqueries
                     ):
                         raise QueryError(
                             "EXISTS groups support plain triples only"
                         )
+                    if not sub.conds:
+                        raise QueryError("EXISTS group is empty")
                     q.exists_groups.append((positive, sub.conds))
                 else:
                     q.filter_expr(parse_filter(t, term))
@@ -492,6 +498,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             or tq.filters
             or tq.exists_groups
             or tq.binds
+            or tq.subqueries
         ):
             raise QueryError("CONSTRUCT templates take plain triples only")
         template = [[unit_to_str(u) for u in cond] for cond in tq.conds]
