@@ -405,4 +405,9 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+    # Materialize the 1-row result eagerly so the edge cache can be
+    # released now instead of leaking across calls (the pagerank
+    # unpersist discipline).
+    out = out.localCheckpoint()
+    e.unpersist(blocking=False)
     return out
