@@ -487,6 +487,33 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         return SparqlDescribe(node)
 
     if form == "CONSTRUCT":
+        if _is_kw(t.peek(), "WHERE"):
+            # CONSTRUCT WHERE { patterns } — the spec's template-equals-
+            # pattern shortcut (§16.2.1): the group must be plain triples,
+            # which then serve as both the WHERE group and the template.
+            t.take()
+            t.expect("{")
+            q = Sparql()
+            parse_group(q)
+            if (
+                q.paths
+                or q.optionals
+                or q.minuses
+                or q.values_blocks
+                or q.filters
+                or q.exists_groups
+                or q.binds
+                or q.subqueries
+            ):
+                raise QueryError(
+                    "CONSTRUCT WHERE takes plain triple patterns only (§16.2.1)"
+                )
+            if not q.conds:
+                raise QueryError("empty CONSTRUCT WHERE group")
+            template = [[unit_to_str(u) for u in cond] for cond in q.conds]
+            if t.peek() is not None:
+                raise QueryError("modifiers after CONSTRUCT are not in the text subset")
+            return SparqlConstruct(q, template)
         t.expect("{")
         tq = Sparql()
         parse_group(tq)

@@ -612,3 +612,14 @@ def test_subquery_errors(agg_store):
             Sparql().select(["$c"]).filter([["$c", "in_nation", "$n"]])
             .subquery(Sparql().select(["$n"]).filter([["$m", "in_nation", "$n"]]))
         )
+
+
+def test_construct_where_shortcut(store):
+    df = store.sparql("CONSTRUCT WHERE { ?s next ?o . }")
+    got = {(r["s"], r["p"], r["o_value"]) for r in df.collect()}
+    assert got == {("a", "next", "b"), ("b", "next", "c"),
+                   ("c", "next", "d"), ("d", "next", "b")}
+    with pytest.raises(QueryError, match="plain triple"):
+        store.sparql("CONSTRUCT WHERE { ?s next+ ?o . }")
+    with pytest.raises(QueryError, match="empty"):
+        store.sparql("CONSTRUCT WHERE { }")
