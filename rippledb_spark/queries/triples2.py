@@ -380,11 +380,11 @@ def rdfxml_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph's bare predicates take the ns='' branch, and the escape
     chain is replicated verbatim). The sink itself is df.write.text with
     per-partition document wrapping, executor-parallel."""
-    from rippledb_spark.sources.rdfio import rdfxml_element_expr
+    from rippledb_spark.sources.rdfio import rdfxml_lines
 
     st = _store(spark, sf_dir)
     return (
-        st.df.select("p", rdfxml_element_expr().alias("line"))
+        rdfxml_lines(st.df)
         .groupBy("p")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
