@@ -1,0 +1,103 @@
+"""Span-level corpus cleaning: frequent n-gram removal (C4-style).
+
+Engine-tier LLM-pipeline operator: the boilerplate-span scrub between
+raw documents and dedup/packing — any n-token span that occurs in more
+than ``max_df`` documents (navigation chrome, license headers, cookie
+banners at corpus scale) is cut from every document, keeping the
+surrounding text. This is the span-removal generalization of
+dedup.ngram_jaccard's document-frequency CAP: there frequent shingles
+are ignored for pairing; here they are physically removed from the text.
+
+Scale shape — all equi-joins and aggregations, no UDF:
+
+1. one flatMap-shaped projection enumerates (doc, start, shingle) via
+   posexplode + slice (the chunking plan);
+2. one hash-agg computes each shingle's document frequency; only
+   super-threshold shingles survive the filter, so the frequent set is
+   SMALL by construction (a shingle in >max_df docs is rare by Zipf) and
+   the back-join is hash-uniform;
+3. covered token positions expand per frequent start (bounded ×n) and
+   dedup;
+4. one LEFT ANTI equi-join keeps uncovered tokens — never a range-join;
+5. one groupBy reassembles documents in token order.
+
+The whole pipeline is ~4 shuffles regardless of corpus size, each keyed
+by doc id or shingle hash (uniform). Deterministic and SQL-reproducible
+— the registered query's DuckDB oracle re-derives identical output.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def remove_frequent_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    max_df: int = 100,
+) -> DataFrame:
+    """→ DataFrame(id, n_tokens, n_kept, cleaned_text): every occurrence
+    of an n-token span appearing in more than ``max_df`` DISTINCT
+    documents is removed (all n positions of every occurrence); the rest
+    of each document survives in order. Documents shorter than ``n``
+    tokens pass through untouched."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    )
+    toks = toks.withColumn("len", F.size("t"))
+
+    # (id, start, shingle) for every n-gram start position
+    starts = (
+        toks.filter(F.col("len") >= n)
+        .select(
+            "id",
+            F.posexplode(F.sequence(F.lit(0), F.col("len") - n)).alias("i", "__x"),
+            F.col("t"),
+        )
+        .select(
+            "id", "i", F.array_join(F.slice("t", F.col("i") + 1, n), " ").alias("sh")
+        )
+    )
+    frequent = (
+        starts.groupBy("sh")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    covered = (
+        starts.join(frequent, "sh", "left_semi")
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + n - 1)).alias("j"),
+        )
+        .dropDuplicates(["id", "j"])
+    )
+    tok_pos = toks.select(
+        "id", "len", F.posexplode("t").alias("j", "tok")
+    )
+    kept = tok_pos.join(covered, ["id", "j"], "left_anti")
+    return (
+        kept.groupBy("id", "len")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("len").alias("n_tokens"),
+            "n_kept",
+            "cleaned_text",
+        )
+    )

@@ -548,3 +548,65 @@ def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5(F.col("chunk_text")).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_no")
+
+
+SPAN_N = 2  # span length for the frequent-n-gram scrub (tiny synthetic vocab)
+SPAN_MAX_DF = 40  # spans in more docs than this are boilerplate
+
+
+@query(
+    "clean_frequent_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, i,
+             array_to_string(list_slice(t, i + 1, i + {SPAN_N}), ' ') AS sh
+      FROM toks, UNNEST(range(len(t) - {SPAN_N - 1})) AS u(i)
+      WHERE len(t) >= {SPAN_N}
+    ),
+    freq AS (
+      SELECT sh FROM starts GROUP BY sh
+      HAVING COUNT(DISTINCT doc_id) > {SPAN_MAX_DF}
+    ),
+    covered AS (
+      SELECT DISTINCT s.doc_id, v.j
+      FROM starts s JOIN freq USING (sh),
+           UNNEST(range(s.i, s.i + {SPAN_N})) AS v(j)
+    ),
+    tok_pos AS (
+      SELECT doc_id, len(t) AS n_tokens, u.j, t[u.j + 1] AS tok
+      FROM toks, UNNEST(range(len(t))) AS u(j)
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.n_tokens, tp.j, tp.tok
+      FROM tok_pos tp
+      ANTI JOIN covered c ON c.doc_id = tp.doc_id AND c.j = tp.j
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           md5(string_agg(tok, ' ' ORDER BY j)) AS cleaned_md5
+    FROM kept GROUP BY doc_id, n_tokens
+    ORDER BY doc_id
+    """,
+)
+def clean_frequent_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style frequent-span scrub (operators.cleaning, r5): every
+    2-token span occurring in more than {SPAN_MAX_DF} documents is cut
+    from every document; per-doc kept-token counts and cleaned-text
+    hashes checked against the DuckDB twin. All equi-joins (covered
+    positions expand per frequent start — never a range join); the
+    frequent set is small by Zipf, so the back-join is hash-uniform.
+    The length-2 spans suit the synthetic vocabulary; production corpora
+    use n≈5 with a proportionally higher cap."""
+    from rippledb_spark.operators.cleaning import remove_frequent_ngram_spans
+
+    d = load(spark, sf_dir, "documents")
+    out = remove_frequent_ngram_spans(d, "text", "doc_id", n=SPAN_N, max_df=SPAN_MAX_DF)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "n_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")

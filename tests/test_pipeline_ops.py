@@ -505,3 +505,52 @@ def test_chunk_by_tokens_validates_params(spark):
         chunk_by_tokens(df, "text", "doc_id", 0)
     with pytest.raises(ValueError):
         chunk_by_tokens(df, "text", "doc_id", 4, 4)
+
+
+# -- frequent-span cleaning -------------------------------------------------
+
+
+def test_remove_frequent_spans_cuts_boilerplate(spark):
+    from rippledb_spark.operators.cleaning import remove_frequent_ngram_spans
+
+    rows = [
+        (1, "terms of service apply alpha beta gamma"),
+        (2, "terms of service apply delta epsilon"),
+        (3, "terms of service apply zeta eta theta"),
+        (4, "totally unrelated words here only once"),
+        (5, "ab"),  # shorter than n → untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["cleaned_text"])
+        for r in remove_frequent_ngram_spans(df, "text", "doc_id", n=3, max_df=2).collect()
+    }
+    # trigrams 'terms of service' and 'of service apply' appear in 3 docs
+    # (> cap 2) → positions 0-3 covered in docs 1-3
+    assert out[1] == (7, 3, "alpha beta gamma")
+    assert out[2] == (6, 2, "delta epsilon")
+    assert out[3] == (7, 3, "zeta eta theta")
+    assert out[4] == (6, 6, "totally unrelated words here only once")
+    assert out[5] == (1, 1, "ab")
+
+
+def test_remove_frequent_spans_overlapping_coverage(spark):
+    from rippledb_spark.operators.cleaning import remove_frequent_ngram_spans
+
+    # the frequent bigram 'x x' overlaps itself inside 'x x x' — covered
+    # positions union, tokens are not double-removed or miscounted
+    rows = [(i, "x x x tail%d" % i) for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["cleaned_text"]
+           for r in remove_frequent_ngram_spans(df, "text", "doc_id", n=2, max_df=3).collect()}
+    assert out == {i: "tail%d" % i for i in range(4)}
+
+
+def test_remove_frequent_spans_no_frequent_is_identity(spark):
+    from rippledb_spark.operators.cleaning import remove_frequent_ngram_spans
+
+    rows = [(1, "a b c"), (2, "d e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_kept"], r["cleaned_text"])
+           for r in remove_frequent_ngram_spans(df, "text", "doc_id", n=2, max_df=5).collect()}
+    assert out == {1: (3, "a b c"), 2: (3, "d e f")}
