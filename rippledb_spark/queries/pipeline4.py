@@ -610,3 +610,77 @@ def clean_frequent_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5("cleaned_text").alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "rebalance_sample_applied",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    lt AS (SELECT lang, SUM(n_tok) AS lang_tok FROM tok GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n_langs, SUM(lang_tok) AS all_tok FROM lt),
+    w AS (
+      SELECT lang, lang_tok,
+             ROUND(LEAST(1.0, (all_tok / CAST(n_langs AS DOUBLE)) / lang_tok), 6) AS wt
+      FROM lt, tot
+    ),
+    j AS (SELECT t.doc_id, t.lang, t.n_tok, w.wt FROM tok t JOIN w USING (lang)),
+    k AS (
+      SELECT * FROM j
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+            / 16777216.0 < wt
+    )
+    SELECT j.lang, w.wt AS sample_weight,
+           COUNT(*) AS n_docs,
+           CAST((SELECT COUNT(*) FROM k WHERE k.lang = j.lang) AS BIGINT) AS n_kept,
+           CAST((SELECT COALESCE(SUM(n_tok), 0) FROM k WHERE k.lang = j.lang) AS BIGINT)
+             AS kept_tokens
+    FROM j JOIN w ON w.lang = j.lang
+    GROUP BY j.lang, w.wt ORDER BY j.lang
+    """,
+)
+def rebalance_sample_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture loop CLOSED (r5): compute the equal-share
+    downsample-only weights (source_mix_weights' two tiny aggregates),
+    broadcast them back onto the corpus, and APPLY them with the
+    deterministic md5-fraction keep test (the stratified_sample hash —
+    no RNG; membership is a pure function of doc id and the weight).
+    Per-language kept counts/tokens attest the whole pipeline: weights ×
+    hash thresholds × filter. One corpus scan + two tiny aggregates —
+    the rebalanced corpus itself falls out of the same filter at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    lt = tok.groupBy("lang").agg(F.sum("n_tok").alias("lang_tok"))
+    tot = lt.agg(F.count(F.lit(1)).alias("n_langs"), F.sum("lang_tok").alias("all_tok"))
+    w = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("all_tok") / F.col("n_langs").cast("double")) / F.col("lang_tok"),
+            ),
+            6,
+        ).alias("wt"),
+    )
+    j = tok.join(F.broadcast(w), "lang")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint") / F.lit(16777216.0)
+    )
+    j = j.withColumn("kept", frac < F.col("wt"))
+    return (
+        j.groupBy("lang", F.col("wt").alias("sample_weight"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
