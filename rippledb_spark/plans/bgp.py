@@ -434,19 +434,24 @@ def select_union(
     optimize: bool = True,
     stats: dict[str, int] | None = None,
 ) -> DataFrame:
-    """SPARQL UNION: bag-union of both arms' solutions (SPARQL superset —
+    """SPARQL UNION: bag-union of the arms' solutions (SPARQL superset —
     the reference is conjunctive-only). Arms evaluate independently
     (each its own join plan, so Catalyst optimizes them separately) and
     unionByName concatenates — no shuffle beyond what the arms need.
-    Both arms must project identical variable sets."""
+    All arms must project identical variable sets; N-ary unions arrive
+    as left-nested SparqlUnion pairs and evaluate recursively."""
     lnames, rnames = query.left.var_names(), query.right.var_names()
     if set(lnames) != set(rnames):
         raise QueryError(
             f"UNION arms project different variables: {lnames} vs {rnames}"
         )
-    left = select_join(triples, query.left, optimize=optimize, stats=stats)
-    right = select_join(triples, query.right, optimize=optimize, stats=stats)
-    return left.unionByName(right)
+
+    def ev(q) -> DataFrame:
+        if isinstance(q, SparqlUnion):
+            return select_union(triples, q, optimize=optimize, stats=stats)
+        return select_join(triples, q, optimize=optimize, stats=stats)
+
+    return ev(query.left).unionByName(ev(query.right))
 
 
 def _values_join(spark, acc: DataFrame, names: list[str], rows: list[tuple]) -> DataFrame:

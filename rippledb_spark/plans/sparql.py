@@ -344,7 +344,11 @@ class Sparql:
 
 @dataclass(frozen=True)
 class SparqlUnion:
-    """Two-arm UNION of BGP queries (evaluated by plans.bgp.select_union)."""
+    """UNION of BGP queries (evaluated by plans.bgp.select_union). N-ary
+    unions are left-nested pairs: ``SparqlUnion(SparqlUnion(a, b), c)``."""
 
-    left: Sparql
-    right: Sparql
+    left: "Sparql | SparqlUnion"
+    right: "Sparql | SparqlUnion"
+
+    def var_names(self) -> list[str]:
+        return self.left.var_names()

@@ -559,22 +559,33 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         if sel_aggs:
             raise QueryError("aggregates with UNION are not in the text subset")
         t.take()
-        left = Sparql()
-        parse_group(left)
+        arms = [Sparql()]
+        parse_group(arms[0])
         t.expect("UNION")
-        t.expect("{")
-        right = Sparql()
-        parse_group(right)
+        while True:
+            t.expect("{")
+            arm = Sparql()
+            parse_group(arm)
+            arms.append(arm)
+            if _is_kw(t.peek(), "UNION"):
+                t.take()
+                continue
+            break
         t.expect("}")  # close WHERE
-        left.select(sel_vars or [f"${n}" for n in _pattern_vars(left)])
-        right.select(sel_vars or [f"${n}" for n in _pattern_vars(right)])
+        for arm in arms:
+            arm.select(sel_vars or [f"${n}" for n in _pattern_vars(arm)])
         if distinct or t.peek() is not None:
             # per-arm application would silently change semantics
             raise QueryError(
                 "DISTINCT/ORDER/LIMIT with UNION is not in the text subset; "
                 "apply them on the returned DataFrame"
             )
-        return left.union(right)
+        # N arms fold into left-nested SparqlUnion pairs (select_union
+        # evaluates recursively).
+        out = arms[0].union(arms[1])
+        for arm in arms[2:]:
+            out = SparqlUnion(out, arm)
+        return out
 
     q = Sparql()
     parse_group(q)

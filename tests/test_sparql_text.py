@@ -623,3 +623,16 @@ def test_construct_where_shortcut(store):
         store.sparql("CONSTRUCT WHERE { ?s next+ ?o . }")
     with pytest.raises(QueryError, match="empty"):
         store.sparql("CONSTRUCT WHERE { }")
+
+
+def test_three_arm_union(store):
+    df = store.sparql(
+        "SELECT ?s ?o WHERE { { ?s next ?o } UNION { ?s child ?o } "
+        "UNION { ?s alt ?o } }"
+    )
+    assert len(rows(df, "s", "o")) == 8  # 4 next + 3 child + 1 alt
+    df2 = store.sparql(
+        "SELECT ?s ?o WHERE { { a next ?o . BIND(?o AS ?s) } UNION "
+        "{ ?s alt ?o } UNION { ?s label ?o } UNION { zz p ?o . BIND(?o AS ?s) } }"
+    )
+    assert len(rows(df2, "s", "o")) == 3  # bind-arm 1 + alt 1 + label 1 + empty
