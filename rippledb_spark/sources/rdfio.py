@@ -449,118 +449,8 @@ def xml_escape_expr(c) -> "F.Column":
     return c
 
 
-def rdfxml_element_expr() -> "F.Column":
-    """One self-contained RDF/XML ``rdf:Description`` element per
-    triples-schema row, all JVM expressions — no UDF, no collect.
-
-    Per-subject grouping (the driver-side serializer's cosmetic choice) is
-    deliberately NOT reproduced: RDF/XML permits repeated Description
-    elements per subject, and per-row elements keep the expression
-    stateless so it parallelizes like :func:`ntriples_line_expr`.
-    Namespaces need no cross-partition prefix coordination either — each
-    property element carries its namespace as a default ``xmlns``, which
-    any namespace-aware XML parser (including :func:`parse_rdfxml`'s
-    ElementTree) expands identically to a prefixed form. The predicate
-    QName split mirrors :func:`_split_iri` branch-for-branch (last '#',
-    else last '/', else last ':', separator index > 0); a local name
-    failing NCName yields NULL — the writer drops it, the reference's
-    non-QName-predicate semantics (builder.rs:15-31)."""
-    p = F.col("p")
-    # Last-separator split without regex (measured ~4× cheaper than the
-    # regexp_extract formulation over the sf0.1 store): the separator's
-    # last index is length - locate(sep, reverse(p)) + 1; branch order
-    # ('#', then '/', then ':') and the 0 < idx < len-1 bounds mirror
-    # _split_iri exactly.
-    llen = F.length(p)
-    rev = F.reverse(p)
-
-    def last_split(ch: str):
-        i = F.locate(ch, rev)  # 1-based distance from the END; 0 = absent
-        ok = (i >= F.lit(2)) & (i <= llen - F.lit(1))
-        ns_ = p.substr(F.lit(1), llen - i + F.lit(1))
-        loc_ = p.substr(llen - i + F.lit(2), i - F.lit(1))
-        return ok, ns_, loc_
-
-    okh, nsh, loch = last_split("#")
-    oks, nss, locs = last_split("/")
-    okc, nsc, locc = last_split(":")
-    ns = F.when(okh, nsh).when(oks, nss).when(okc, nsc).otherwise(F.lit(""))
-    local = F.when(okh, loch).when(oks, locs).when(okc, locc).otherwise(p)
-    valid = local.rlike(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
-
-    subj_attr = F.when(
-        F.col("s_kind") == model.NAMED,
-        F.concat(F.lit('rdf:about="'), xml_escape_expr(F.col("s")), F.lit('"')),
-    ).otherwise(
-        F.concat(
-            F.lit('rdf:nodeID="'),
-            xml_escape_expr(F.regexp_replace(F.col("s"), "^_:", "")),
-            F.lit('"'),
-        )
-    )
-    open_tag = F.concat(
-        F.lit("<"),
-        local,
-        F.when(
-            ns != F.lit(""),
-            F.concat(F.lit(' xmlns="'), xml_escape_expr(ns), F.lit('"')),
-        ).otherwise(F.lit("")),
-    )
-    text = xml_escape_expr(F.col("o_value"))
-    close = F.concat(F.lit("</"), local, F.lit(">"))
-    prop = (
-        F.when(
-            F.col("o_kind") == model.NAMED,
-            F.concat(
-                open_tag,
-                F.lit(' rdf:resource="'),
-                xml_escape_expr(F.col("o_value")),
-                F.lit('"/>'),
-            ),
-        )
-        .when(
-            F.col("o_kind") == model.BLANK,
-            F.concat(
-                open_tag,
-                F.lit(' rdf:nodeID="'),
-                xml_escape_expr(F.regexp_replace(F.col("o_value"), "^_:", "")),
-                F.lit('"/>'),
-            ),
-        )
-        .when(
-            F.col("o_kind") == model.LANG_LITERAL,
-            F.concat(
-                open_tag,
-                F.lit(' xml:lang="'),
-                xml_escape_expr(F.col("o_lang")),
-                F.lit('">'),
-                text,
-                close,
-            ),
-        )
-        .when(
-            F.col("o_kind") == model.TYPED_LITERAL,
-            F.concat(
-                open_tag,
-                F.lit(' rdf:datatype="'),
-                xml_escape_expr(F.col("o_datatype")),
-                F.lit('">'),
-                text,
-                close,
-            ),
-        )
-        .otherwise(F.concat(open_tag, F.lit(">"), text, close))
-    )
-    line = F.concat(
-        F.lit("  <rdf:Description "), subj_attr, F.lit(">"), prop,
-        F.lit("</rdf:Description>"),
-    )
-    return F.when(valid, line)
-
-
 def rdfxml_lines(triples: DataFrame) -> DataFrame:
-    """DataFrame(line) of Description elements — the faster sibling of
-    :func:`rdfxml_element_expr` for whole-store serialization: the
+    """DataFrame(line) of Description elements, one per triple row: the
     predicate-dependent fragments (QName split, NCName check, open/close
     tags) are computed ONCE on the distinct-predicate set (tiny by the
     vertical-partitioning assumption, bgp.predicate_counts) and broadcast
