@@ -238,35 +238,14 @@ def select_join(
     # evaluates to a (src, dst) pair set, renamed/filtered to its variable
     # bindings, then joined like any other pattern group. A bound subject
     # becomes the closure's seed set (frontier-only expansion).
-    for s_u, expr, o_u in paths:
-        # If the required patterns already bind the path's subject var,
-        # seed the evaluator with those bindings — closures then expand
-        # only from reachable nodes instead of materializing globally
-        # (the same seeding Seq applies internally).
-        seeds = None
-        if (
-            acc is not None
-            and isinstance(s_u, Var)
-            and s_u.name in acc.columns
-        ):
-            seeds = acc.select(F.col(s_u.name).alias("node")).distinct()
-        plan = _path_plan(triples, s_u, expr, o_u, seeds=seeds)
-        if acc is None:
-            acc = plan
-            continue
-        if "__gate" in plan.columns:
-            acc = acc.crossJoin(F.broadcast(plan.limit(1))).drop("__gate")
-            continue
-        shared = sorted(set(acc.columns) & set(plan.columns))
-        acc = acc.join(plan, on=shared, how="inner") if shared else acc.crossJoin(plan)
+    acc = _apply_paths(triples, acc, paths)
 
     # OPTIONAL groups (SPARQL superset — the reference is conjunctive-only):
-    # each group is evaluated as its own BGP join, then LEFT-OUTER joined
-    # onto the required solution on the shared variables; unmatched rows
-    # NULL-extend the group's variables.
+    # each group is evaluated as its own plan (triple patterns + property
+    # paths), then LEFT-OUTER joined onto the required solution on the
+    # shared variables; unmatched rows NULL-extend the group's variables.
     for group in getattr(query, "optionals", []):
-        gconds = _order_patterns(group, stats) if optimize else list(group)
-        gplan = _join_group(triples, gconds)
+        gplan = _group_plan(triples, group, optimize, stats)
         shared = sorted(set(acc.columns) & set(gplan.columns))
         if not shared:
             raise QueryError(
@@ -286,8 +265,7 @@ def select_join(
     # as get()'s pruning but negated. A group sharing no variable removes
     # nothing (per spec), so it's skipped rather than an error.
     for group in getattr(query, "minuses", []):
-        gconds = _order_patterns(group, stats) if optimize else list(group)
-        gplan = _join_group(triples, gconds)
+        gplan = _group_plan(triples, group, optimize, stats)
         shared = sorted(set(acc.columns) & set(gplan.columns))
         if not shared:
             continue
@@ -313,8 +291,7 @@ def select_join(
     # from MINUS (spec §8.3.3), expressed as a constant-true join
     # condition so the anti/semi forms stay symmetric.
     for positive, group in getattr(query, "exists_groups", []):
-        gconds = _order_patterns(group, stats) if optimize else list(group)
-        gplan = _join_group(triples, gconds)
+        gplan = _group_plan(triples, group, optimize, stats)
         shared = sorted(set(acc.columns) & set(gplan.columns))
         how = "left_semi" if positive else "left_anti"
         if shared:
@@ -382,6 +359,53 @@ def select_join(
     if getattr(query, "row_limit", None) is not None:
         out = out.limit(query.row_limit)
     return out
+
+
+def _apply_paths(triples: DataFrame, acc: DataFrame | None, paths: list) -> DataFrame:
+    """Fold property-path patterns into the accumulated plan: each path
+    evaluates to a variable-column plan (plans.paths via _path_plan) and
+    joins on shared variables; when ``acc`` already binds the path's
+    subject variable, those bindings SEED the evaluator so closures
+    expand only from reachable nodes (the same seeding Seq applies
+    internally)."""
+    for s_u, expr, o_u in paths:
+        seeds = None
+        if acc is not None and isinstance(s_u, Var) and s_u.name in acc.columns:
+            seeds = acc.select(F.col(s_u.name).alias("node")).distinct()
+        plan = _path_plan(triples, s_u, expr, o_u, seeds=seeds)
+        if acc is None:
+            acc = plan
+            continue
+        if "__gate" in plan.columns:
+            acc = acc.crossJoin(F.broadcast(plan.limit(1))).drop("__gate")
+            continue
+        shared = sorted(set(acc.columns) & set(plan.columns))
+        acc = acc.join(plan, on=shared, how="inner") if shared else acc.crossJoin(plan)
+    return acc
+
+
+def _group_plan(
+    triples: DataFrame, group, optimize: bool, stats: dict[str, int] | None
+) -> DataFrame:
+    """Evaluate one OPTIONAL/MINUS/EXISTS group → a variable-column plan.
+    ``group`` is a plain pattern list (the conjunctive-only historical
+    form) or a Sparql carrying patterns AND property paths (the r5
+    superset — paths in negation/optional groups); anything else on a
+    Sparql group (nested modifiers etc.) was rejected at build time."""
+    if isinstance(group, Sparql):
+        conds, paths = list(group.conds), list(group.paths)
+    else:
+        conds, paths = list(group), []
+    if conds:
+        ordered = _order_patterns(conds, stats) if optimize else conds
+        acc = _join_group(triples, ordered)
+    else:
+        acc = None
+    if paths:
+        acc = _apply_paths(triples, acc, paths)
+    if acc is None:
+        raise QueryError("empty pattern group")
+    return acc
 
 
 def _aggregate_solutions(

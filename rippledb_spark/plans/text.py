@@ -19,12 +19,12 @@ Supported grammar (W3C SPARQL 1.1 subset)::
         property paths in predicate position: p1/p2, p|q, ^p, p+, p*, p?,
                                               (p|q)+ grouping, !(p|^q)
                                               negated sets, <iri> path atoms
-        OPTIONAL { ... }   MINUS { ... }
+        OPTIONAL { ... }   MINUS { ... }      -- triples AND paths inside
         { ... } UNION { ... }                 -- as the whole group body
         VALUES (?v ...) { (val ...) ... }     -- UNDEF supported
         FILTER ( expr )                       -- comparisons, arithmetic,
                                               -- &&, ||, !, REGEX, BOUND
-        FILTER [NOT] EXISTS { triples }       -- §8.1 negation/assertion
+        FILTER [NOT] EXISTS { trps/paths }    -- §8.1 negation/assertion
         BIND ( value AS ?v )                  -- §10.1 computed extension
         { SELECT ... WHERE { ... } ... }      -- §12 subquery (own
                                               -- aggregates/modifiers)
@@ -315,8 +315,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 sub = Sparql()
                 parse_group(sub)
                 if (
-                    sub.paths
-                    or sub.optionals
+                    sub.optionals
                     or sub.minuses
                     or sub.values_blocks
                     or sub.filters
@@ -324,13 +323,18 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     or sub.binds
                     or sub.subqueries
                 ):
-                    raise QueryError(f"{kw} groups support plain triples only")
-                if not sub.conds:
+                    raise QueryError(
+                        f"{kw} groups support triple and path patterns only"
+                    )
+                if not sub.conds and not sub.paths:
                     raise QueryError(f"{kw} group is empty")
+                # paths in the group → keep the Sparql form (r5 superset);
+                # plain groups keep the historical pattern-list form
+                grp = sub if sub.paths else sub.conds
                 if kw == "OPTIONAL":
-                    q.optionals.append(sub.conds)
+                    q.optionals.append(grp)
                 else:
-                    q.minuses.append(sub.conds)
+                    q.minuses.append(grp)
                 if t.peek() == ".":
                     t.take()
                 continue
@@ -378,8 +382,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     sub = Sparql()
                     parse_group(sub)
                     if (
-                        sub.paths
-                        or sub.optionals
+                        sub.optionals
                         or sub.minuses
                         or sub.values_blocks
                         or sub.filters
@@ -388,11 +391,13 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                         or sub.subqueries
                     ):
                         raise QueryError(
-                            "EXISTS groups support plain triples only"
+                            "EXISTS groups support triple and path patterns only"
                         )
-                    if not sub.conds:
+                    if not sub.conds and not sub.paths:
                         raise QueryError("EXISTS group is empty")
-                    q.exists_groups.append((positive, sub.conds))
+                    q.exists_groups.append(
+                        (positive, sub if sub.paths else sub.conds)
+                    )
                 else:
                     q.filter_expr(parse_filter(t, term))
                 if t.peek() == ".":

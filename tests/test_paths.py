@@ -563,3 +563,41 @@ def test_bound_object_star_zero_length(store):
     got = sorted(r["s"] for r in store.select_join(q).collect())
     # zero-length contributes (c, c); closure contributes a, b, d (cycle)
     assert got == sorted({s for s, o in naive("next*") if o == "c"})
+
+
+# -- paths inside OPTIONAL / MINUS / EXISTS groups (r5) ---------------------
+
+
+def test_optional_group_with_path(store):
+    df = store.spark  # keep flake quiet
+    out = store.sparql(
+        "SELECT ?s ?e WHERE { ?s alt ?x . OPTIONAL { ?s next+ ?e } } ORDER BY ?s ?e"
+    )
+    assert [tuple(r) for r in out.collect()] == [("a", "b"), ("a", "c"), ("a", "d")]
+    # no path match → NULL-extended, row kept
+    out2 = store.sparql(
+        "SELECT ?s ?g WHERE { ?s child ?c . OPTIONAL { ?s alt+ ?g } }"
+    )
+    assert sorted(set(map(tuple, out2.collect()))) == [("c1", None), ("r", None)]
+
+
+def test_minus_group_with_path(store):
+    out = store.sparql(
+        "SELECT ?n WHERE { ?n next ?m . MINUS { a next+ ?n } } ORDER BY ?n"
+    )
+    # b, c, d are reachable from a via next+ → removed; only a survives
+    assert [r["n"] for r in out.collect()] == ["a"]
+
+
+def test_exists_group_with_path(store):
+    out = store.sparql(
+        "SELECT ?s WHERE { ?s child ?c . FILTER NOT EXISTS { ?c child+ ?g } }"
+    )
+    # c1 has a grandchild (g1) via its child → r removed? no: shared var is
+    # c; r's children are c1 (has child) and c2 (no child) → the c2 row
+    # survives, the c1 row is removed; c1's own child g1 has no children.
+    assert sorted((r["s"]) for r in out.collect()) == ["c1", "r"]
+    out2 = store.sparql(
+        "SELECT ?s WHERE { ?s alt ?x . FILTER EXISTS { ?s next+ ?e } }"
+    )
+    assert [r["s"] for r in out2.collect()] == ["a"]

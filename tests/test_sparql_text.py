@@ -463,9 +463,10 @@ def test_exists_builder_equivalence(store):
 def test_exists_errors_are_loud(store):
     with pytest.raises(QueryError, match="EXISTS after FILTER NOT"):
         store.sparql("SELECT ?s WHERE { ?s next ?o . FILTER NOT THERE { a alt ?z } }")
-    with pytest.raises(QueryError, match="plain triples only"):
+    with pytest.raises(QueryError, match="triple and path patterns only"):
         store.sparql(
-            "SELECT ?s WHERE { ?s next ?o . FILTER EXISTS { ?s alt+ ?x } }"
+            "SELECT ?s WHERE { ?s next ?o . "
+            "FILTER EXISTS { OPTIONAL { ?s alt ?x } } }"
         )
     q = Sparql().select(["$s"]).filter([["$s", "next", "$o"]]).exists([["$s", "alt", "$x"]])
     with pytest.raises(QueryError, match="conjunctive-only"):
