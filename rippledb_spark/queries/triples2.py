@@ -613,3 +613,39 @@ def graph_triangles_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataF
     )
     edges = cooccurrence_edges(containment, "g", "i", max_group_size=64)
     return triangle_count(edges, src="a", dst="b")
+
+
+@query(
+    "bgp_optional_path_coorders",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    urgent AS (
+      SELECT s FROM triples
+      WHERE p = 'has_priority' AND o_value = 'priority:1-URGENT'
+        AND o_kind = 'named'
+    ),
+    cp AS (SELECT s, o_value FROM triples WHERE p = 'contains_part'),
+    pairs AS (
+      SELECT a.s AS o, b.s AS o2 FROM cp a JOIN cp b ON a.o_value = b.o_value
+    )
+    SELECT u.s AS o, COUNT(p.o2) AS n_co
+    FROM urgent u LEFT JOIN pairs p ON p.o = u.s
+    GROUP BY u.s ORDER BY o
+    """,
+)
+def bgp_optional_path_coorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property path INSIDE an OPTIONAL group (r5 — groups now take path
+    patterns), composed with aggregation: each urgent order
+    NULL-extended by the orders sharing a part with it (the
+    ``contains_part/^contains_part`` co-order relation, bag semantics),
+    then COUNT(?o2) per order — partless orders count 0 instead of
+    vanishing (COUNT skips the NULL extension, spec §11.4). One
+    left-outer hash join of the urgent scan against the path's join
+    chain; the path evaluates forward/inverse as two predicate scans."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?o (COUNT(?o2) AS ?n_co) WHERE { "
+        "  ?o has_priority priority:1-URGENT . "
+        "  OPTIONAL { ?o contains_part/^contains_part ?o2 } "
+        "} GROUP BY ?o ORDER BY ?o"
+    )
