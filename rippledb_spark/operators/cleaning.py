@@ -43,7 +43,9 @@ def remove_frequent_ngram_spans(
     of an n-token span appearing in more than ``max_df`` DISTINCT
     documents is removed (all n positions of every occurrence); the rest
     of each document survives in order. Documents shorter than ``n``
-    tokens pass through untouched."""
+    tokens pass through untouched. EVERY input document yields exactly one
+    output row — a document fully covered by frequent spans comes back as
+    n_kept=0 with cleaned_text='' (corpus accounting never loses rows)."""
     if n <= 0:
         raise ValueError("n must be positive")
     toks = df.select(
@@ -79,25 +81,32 @@ def remove_frequent_ngram_spans(
         .dropDuplicates(["id", "j"])
     )
     tok_pos = toks.select(
-        "id", "len", F.posexplode("t").alias("j", "tok")
+        "id", F.posexplode("t").alias("j", "tok")
     )
     kept = tok_pos.join(covered, ["id", "j"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    # EVERY document survives to the output — a document whose every token
+    # sits inside a frequent span has no `kept` rows, so the aggregate is
+    # joined back onto the per-doc base (left outer from the doc side) and
+    # fully-covered docs surface as n_kept=0 / cleaned_text='' instead of
+    # silently vanishing from corpus accounting. Costs one extra shuffle
+    # of the SMALL per-doc aggregate (one row per doc), keyed by doc id.
     return (
-        kept.groupBy("id", "len")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("cleaned_text"),
-        )
+        toks.select("id", "len")
+        .join(kept_agg, "id", "left_outer")
         .select(
             F.col("id").alias(id_col),
             F.col("len").alias("n_tokens"),
-            "n_kept",
-            "cleaned_text",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )

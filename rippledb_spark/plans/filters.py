@@ -371,6 +371,16 @@ def parse_value(tokens, term) -> ValueExpr:
             return FStr(re.sub(r"\\(.)", r"\1", tok[1:-1]))
         if _NUM_RE.match(tok):
             return FNum(float(tok))
+        if tok[0].isdigit() and any(c in tok for c in "+-*/"):
+            # a fused ARITHMETIC run like '2-1' or '3*4': _NUM_RE already
+            # rejected it (so it is not scientific notation), and treating
+            # it as a string operand would silently make a numeric
+            # comparison lexicographic — same refuse-loudly rule as the
+            # boolean-operator runs below.
+            raise QueryError(
+                f"cannot parse operand {tok!r}; "
+                "separate operators with whitespace"
+            )
         if not (tok.startswith("<") and tok.endswith(">")) and any(
             s in tok for s in ("&&", "||", "<", ">", "=", "!")
         ):
@@ -472,8 +482,11 @@ def parse_filter_text(text: str) -> FilterExpr:
     if t.peek() == "(":
         expr = parse_filter(t, str)
     else:
-        # bare expression without brackets: wrap by parsing the or-level
-        t.toks = ["("] + t.toks + [")"]
+        # bare expression without brackets: wrap ONLY the unconsumed
+        # remainder (a consumed FILTER keyword must not reappear at the
+        # current index) and rewind to the synthetic bracket
+        t.toks = ["("] + t.toks[t.i:] + [")"]
+        t.i = 0
         expr = parse_filter(t, str)
     if t.peek() is not None:
         raise QueryError(f"trailing tokens in FILTER expression: {t.toks[t.i:]}")

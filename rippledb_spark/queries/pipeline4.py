@@ -580,14 +580,21 @@ SPAN_MAX_DF = 40  # spans in more docs than this are boilerplate
       FROM toks, UNNEST(range(len(t))) AS u(j)
     ),
     kept AS (
-      SELECT tp.doc_id, tp.n_tokens, tp.j, tp.tok
+      SELECT tp.doc_id, tp.j, tp.tok
       FROM tok_pos tp
       ANTI JOIN covered c ON c.doc_id = tp.doc_id AND c.j = tp.j
+    ),
+    kept_agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY j) AS cleaned
+      FROM kept GROUP BY doc_id
     )
-    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           CAST(COUNT(*) AS BIGINT) AS n_kept,
-           md5(string_agg(tok, ' ' ORDER BY j)) AS cleaned_md5
-    FROM kept GROUP BY doc_id, n_tokens
+    -- every document surfaces: fully-covered docs come back as
+    -- n_kept=0 / md5('') via the left join (operator contract)
+    SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+    FROM toks t LEFT JOIN kept_agg k USING (doc_id)
     ORDER BY doc_id
     """,
 )

@@ -262,6 +262,30 @@ class TripleStore:
         stats = self.analyze() if use_stats else None
         return bgp.select_union(self.df, query, stats=stats)
 
+    def _location_tracked(self, db: str, path: str) -> bool:
+        """True if any live catalog table in ``db`` resolves to ``path``
+        (guards the leftover-directory scrub in persist_bucketed against
+        deleting a directory some OTHER table — e.g. an external one —
+        still points at)."""
+        from urllib.parse import unquote, urlparse
+
+        want = path.rstrip("/")
+        try:
+            tables = self.spark.catalog.listTables(db)
+        except Exception:
+            return False
+        for t in tables:
+            if t.tableType == "TEMPORARY":
+                continue
+            try:
+                rows = self.spark.sql(f"DESCRIBE EXTENDED {db}.{t.name}").collect()
+            except Exception:
+                continue
+            loc = next((r.data_type for r in rows if r.col_name == "Location"), None)
+            if loc and unquote(urlparse(loc).path).rstrip("/") == want:
+                return True
+        return False
+
     def persist_bucketed(
         self, table_name: str, n_buckets: int = 64
     ) -> "TripleStore":
@@ -279,19 +303,37 @@ class TripleStore:
         # A managed table's LOCATION can outlive the catalog entry (a new
         # session starts with a fresh in-memory catalog but the warehouse
         # directory persists) — Spark then refuses the saveAsTable with
-        # LOCATION_ALREADY_EXISTS even under mode("overwrite"). Drop the
-        # catalog entry if present AND clear a leftover untracked location
-        # so persist is idempotent across sessions.
+        # LOCATION_ALREADY_EXISTS even under mode("overwrite"). Make the
+        # persist idempotent across sessions WITHOUT path guessing:
+        #
+        # 1. If the catalog tracks the table, plain DROP is the whole
+        #    cleanup — the catalog resolves the real location (managed
+        #    files are deleted wherever they live; an EXTERNAL table's
+        #    files are the user's and are left alone).
+        # 2. Then scrub the DEFAULT managed location this saveAsTable will
+        #    write to — '<db location>/<tbl>' (for qualified names that is
+        #    '<warehouse>/<db>.db/<tbl>', NOT '<warehouse>/<name>') — but
+        #    only when no live catalog entry still points at that path
+        #    (another table parked there would otherwise be destroyed).
         import os
         import shutil
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
-        self.spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(
-                os.path.join(wh.path, table_name.lower()), ignore_errors=True
-            )
+        parts = [p for p in table_name.split(".") if p]
+        tbl = parts[-1].lower()
+        db = parts[-2].lower() if len(parts) >= 2 else self.spark.catalog.currentDatabase()
+
+        if self.spark.catalog.tableExists(table_name):
+            self.spark.sql(f"DROP TABLE {table_name}")
+
+        try:
+            db_loc = urlparse(self.spark.catalog.getDatabase(db).locationUri)
+        except Exception:
+            db_loc = None  # unknown database: let saveAsTable raise its own error
+        if db_loc is not None and db_loc.scheme in ("", "file"):
+            leftover = os.path.join(unquote(db_loc.path), tbl)
+            if os.path.exists(leftover) and not self._location_tracked(db, leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
         (
             self.df.write.mode("overwrite")
             .format("parquet")

@@ -554,3 +554,23 @@ def test_remove_frequent_spans_no_frequent_is_identity(spark):
     out = {r["doc_id"]: (r["n_kept"], r["cleaned_text"])
            for r in remove_frequent_ngram_spans(df, "text", "doc_id", n=2, max_df=5).collect()}
     assert out == {1: (3, "a b c"), 2: (3, "d e f")}
+
+
+def test_remove_frequent_spans_fully_covered_doc_survives(spark):
+    """A document whose EVERY token sits inside frequent spans must still
+    yield an output row (n_kept=0, cleaned_text='') — corpus accounting
+    never silently loses documents (r6 contract fix)."""
+    from rippledb_spark.operators.cleaning import remove_frequent_ngram_spans
+
+    rows = [(i, "legal boilerplate") for i in range(4)] + [
+        (9, "legal boilerplate plus real content")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["cleaned_text"])
+        for r in remove_frequent_ngram_spans(df, "text", "doc_id", n=2, max_df=3).collect()
+    }
+    assert len(out) == 5  # every input doc surfaces
+    for i in range(4):
+        assert out[i] == (2, 0, "")
+    assert out[9] == (5, 3, "plus real content")

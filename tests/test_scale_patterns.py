@@ -235,3 +235,34 @@ def test_bucketed_store_star_bgp_exchange_free(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_triples")
+
+
+def test_persist_bucketed_qualified_names_and_zombie_location(spark):
+    """persist_bucketed is idempotent for database-qualified names (real
+    managed location is <warehouse>/<db>.db/<tbl>, not <warehouse>/<name>)
+    and recovers when a prior session's files outlive the catalog entry
+    (r6 fix — the old cleanup path-math missed both cases)."""
+    import os
+    import shutil
+
+    from rippledb_spark import TripleStore
+
+    rows = [("a", "p", "b"), ("b", "p", "c"), ("c", "q", "a")]
+    st = TripleStore.from_rows(spark, rows)
+    spark.sql("CREATE DATABASE IF NOT EXISTS r6db")
+    try:
+        st.persist_bucketed("r6db.t_persist", n_buckets=2)
+        # repeat persist over a live catalog entry: plain overwrite
+        assert st.persist_bucketed("r6db.t_persist", n_buckets=2).df.count() == 3
+        # zombie location: drop the entry, leave files behind, persist again
+        desc = spark.sql("DESCRIBE EXTENDED r6db.t_persist").collect()
+        loc = next(r.data_type for r in desc if r.col_name == "Location")
+        path = loc.replace("file:", "")
+        spark.sql("DROP TABLE r6db.t_persist")
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "zombie"), "w") as f:
+            f.write("x")
+        assert st.persist_bucketed("r6db.t_persist", n_buckets=2).df.count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r6db.t_persist")
+        spark.sql("DROP DATABASE IF EXISTS r6db")

@@ -637,3 +637,40 @@ def test_three_arm_union(store):
         "{ ?s alt ?o } UNION { ?s label ?o } UNION { zz p ?o . BIND(?o AS ?s) } }"
     )
     assert len(rows(df2, "s", "o")) == 3  # bind-arm 1 + alt 1 + label 1 + empty
+
+
+# ---------------------------------------------------------------------------
+# r6: filter-parser edge fixes (ADVICE round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_arithmetic_operand_raises():
+    """A digit-leading token with interior arithmetic ('2-1') is NOT a
+    number literal; it must refuse loudly like the fused boolean runs do,
+    never silently compare lexicographically as a string term."""
+    from rippledb_spark.plans.filters import parse_filter_text
+
+    for bad in ("?x > 2-1", "?x > 3*4", "?x = 10/2", "?x < 1+2"):
+        with pytest.raises(QueryError, match="separate operators"):
+            parse_filter_text(bad)
+
+
+def test_filter_text_accepts_all_wrapper_forms():
+    """parse_filter_text: 'FILTER (e)', 'FILTER e', '(e)', and 'e' all
+    parse to the same expression (the docstring says the wrapper is
+    optional — the bare 'FILTER e' form previously crashed)."""
+    from rippledb_spark.plans.filters import FCmp, FNum, FVar, parse_filter_text
+
+    want = FCmp(op=">", left=FVar(name="x"), right=FNum(value=5.0))
+    for form in ("FILTER (?x > 5)", "FILTER ?x > 5", "(?x > 5)", "?x > 5"):
+        assert parse_filter_text(form) == want
+
+
+def test_negative_and_scientific_numbers_still_parse():
+    from rippledb_spark.plans.filters import FCmp, FNum, FVar, VArith, parse_filter_text
+
+    assert parse_filter_text("?x > -3") == FCmp(">", FVar("x"), FNum(-3.0))
+    assert parse_filter_text("?x > 1e-5") == FCmp(">", FVar("x"), FNum(1e-5))
+    # whitespace-separated arithmetic still builds a VArith tree
+    got = parse_filter_text("?x > 2 - 1")
+    assert got == FCmp(">", FVar("x"), VArith("-", FNum(2.0), FNum(1.0)))
