@@ -26,6 +26,9 @@ absorbs it.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -200,6 +203,49 @@ def _store(spark: SparkSession, sf_dir: str) -> TripleStore:
 def triples_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate cardinalities — footprint/stat surface (graph.rs:1010-1027)."""
     return _store(spark, sf_dir).stats()
+
+
+@query(
+    "backup_migration_accounting",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT p, COUNT(*) AS n_triples,
+           COUNT(DISTINCT s)       AS n_subjects,
+           COUNT(DISTINCT o_value) AS n_objects
+    FROM triples GROUP BY p ORDER BY p
+    """,
+)
+def backup_migration_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the WHOLE derived graph through the reference's
+    `.ripplebackup` directory format (head.json dicts + trees/{{i}}.json
+    K²-Trees, graph.rs:54-222,630-695) and accounts per predicate. The
+    oracle derives the same stats from the raw tables, so a green row
+    certifies the export (shared dict + dense predicate ids + K²-Tree
+    encode) AND the migration reader (per-tree distributed decode + id
+    resolution joins) end to end: any bit mis-walked in either direction
+    changes a count."""
+    import tempfile
+
+    from rippledb_spark.sources.ripplebackup import write_ripplebackup
+    from rippledb_spark.store import TripleStore
+
+    st = _store(spark, sf_dir)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"rippledb_backup_mig_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_ripplebackup(st.df, out_dir)
+    migrated = TripleStore.from_ripplebackup(spark, out_dir)
+    return (
+        migrated.df.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.count_distinct("s").alias("n_subjects"),
+            F.count_distinct("o_value").alias("n_objects"),
+        )
+        .orderBy("p")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,25 @@ class TripleStore:
         """Restore a persisted store (S5)."""
         return cls(spark, spark.read.parquet(path).select(*model.TRIPLE_KEY))
 
+    @classmethod
+    def from_ripplebackup(cls, spark: SparkSession, path: str) -> "TripleStore":
+        """Migrate a reference-format `.ripplebackup` directory
+        (head.json dicts + trees/{i}.json K²-Trees, graph.rs:54-222) into
+        a store — the switch-over path for existing reference users.
+        Distributed per predicate tree; see sources/ripplebackup.py."""
+        from rippledb_spark.sources.ripplebackup import read_ripplebackup
+
+        return cls.from_df(spark, read_ripplebackup(spark, path))
+
+    def to_ripplebackup(self, path: str) -> None:
+        """Export to the reference's `.ripplebackup` directory layout
+        (graph.rs:630-695) — the reverse migration path. Driver-side by
+        design: the target format is single-node (see
+        sources/ripplebackup.write_ripplebackup)."""
+        from rippledb_spark.sources.ripplebackup import write_ripplebackup
+
+        write_ripplebackup(self.df, path)
+
     # -- persistence (S6) ---------------------------------------------------
 
     def persist_to(self, path: str) -> None:
