@@ -114,9 +114,42 @@ class Neg:
     inverse: tuple[str, ...]
 
 
-PathExpr = Pred | Inv | Seq | Alt | Plus | Star | Maybe | Neg
+@dataclass(frozen=True)
+class Zero:
+    """The zero-length relation {(n, n)} — what ``p{0}`` denotes (the
+    degenerate quantifier: zero repetitions match only a node to itself,
+    like ``p*`` minus all positive-length hops)."""
 
-_TOKEN = re.compile(r"\s*(?:(<[^<>]*>)|([/|^+*?()!])|([^/|^+*?()!\s]+))")
+
+PathExpr = Pred | Inv | Seq | Alt | Plus | Star | Maybe | Neg | Zero
+
+_TOKEN = re.compile(r"\s*(?:(<[^<>]*>)|([/|^+*?()!{},])|([^/|^+*?(){},!\s]+))")
+
+
+def _repeat(expr: PathExpr, lo: int, hi: int | None) -> PathExpr:
+    """Desugar a quantifier ``expr{lo,hi}`` onto the core AST (SPARQL 1.1
+    draft §18.2 path quantifiers — dropped from the final REC but widely
+    useful; semantics match the draft's set-based reading):
+
+        p{n}    = p/p/.../p           (n copies)
+        p{n,}   = p{n}/p*
+        p{n,m}  = p{n}/p?/.../p?      (m-n optional copies)
+        p{0}    = the zero-length relation
+
+    Composing ``Maybe`` arms reuses Seq's frontier seeding, so a bounded
+    quantifier is exactly m joins against the step relation — never an
+    unbounded closure; an open upper bound reuses the Star fixpoint."""
+    if lo < 0 or (hi is not None and hi < lo):
+        raise QueryError(f"bad path quantifier bounds {{{lo},{hi}}}")
+    if hi is None:
+        if lo == 0:
+            return Star(expr)
+        steps = (expr,) * lo + (Star(expr),)
+        return Seq(steps)
+    if hi == 0:  # lo == 0 too (checked above)
+        return Zero()
+    steps = (expr,) * lo + (Maybe(expr),) * (hi - lo)
+    return steps[0] if len(steps) == 1 else Seq(steps)
 
 
 def parse_path(text: str) -> PathExpr:
@@ -164,14 +197,41 @@ def parse_path(text: str) -> PathExpr:
             steps.append(parse_step())
         return steps[0] if len(steps) == 1 else Seq(tuple(steps))
 
+    def parse_bounds() -> tuple[int, int | None]:
+        """'{' already consumed: n} | n,} | n,m} | ,m}"""
+
+        def digits() -> int:
+            tok = peek()
+            if not (isinstance(tok, str) and tok.isdigit()):
+                raise QueryError(f"expected digits in path quantifier of {text!r}")
+            return int(take())
+
+        if peek() == ",":  # {,m} = {0,m}
+            take()
+            lo, hi = 0, digits()
+        else:
+            lo = digits()
+            if peek() == ",":
+                take()
+                hi = None if peek() == "}" else digits()
+            else:
+                hi = lo
+        if peek() != "}":
+            raise QueryError(f"unclosed '{{' in path quantifier of {text!r}")
+        take()
+        return lo, hi
+
     def parse_step() -> PathExpr:
         if peek() == "^":
             take()
             return Inv(parse_step())
         expr = parse_primary()
-        while peek() in ("+", "*", "?"):
+        while peek() in ("+", "*", "?", "{"):
             tok = take()
-            expr = {"+": Plus, "*": Star, "?": Maybe}[tok](expr)
+            if tok == "{":
+                expr = _repeat(expr, *parse_bounds())
+            else:
+                expr = {"+": Plus, "*": Star, "?": Maybe}[tok](expr)
         return expr
 
     def parse_negmember(fwd: list[str], inv: list[str]) -> None:
@@ -183,7 +243,7 @@ def parse_path(text: str) -> PathExpr:
         if isinstance(tok, tuple):
             take()
             name = tok[1]
-        elif tok is None or tok in "/|^+*?()!":
+        elif tok is None or tok in "/|^+*?()!{},":
             raise QueryError(
                 f"expected predicate in negated property set of {text!r}, got {tok!r}"
             )
@@ -222,7 +282,7 @@ def parse_path(text: str) -> PathExpr:
                 raise QueryError(f"unclosed '(' in path {text!r}")
             take()
             return expr
-        if tok is None or tok in "/|^+*?)":
+        if tok is None or tok in "/|^+*?){},":
             raise QueryError(f"expected predicate or '(' in path {text!r}, got {tok!r}")
         return Pred(take())
 
@@ -258,6 +318,8 @@ def reverse_path(expr: PathExpr | str) -> PathExpr:
         # forward members exclude (s,o) edges → reversed they exclude the
         # swapped pairs, i.e. become inverse members, and vice versa.
         return Neg(expr.inverse, expr.forward)
+    if isinstance(expr, Zero):
+        return expr  # (n, n) is its own reverse
     raise QueryError(f"unknown path expression {expr!r}")
 
 
@@ -440,6 +502,8 @@ def path_pairs(
         if isinstance(expr, Maybe):
             one = ev(expr.inner, seeds).distinct()
             return one.unionByName(_zero_length(triples, seeds)).distinct()
+        if isinstance(expr, Zero):
+            return _zero_length(triples, seeds)
         raise QueryError(f"unknown path expression {expr!r}")
 
     return ev(path, srcs)

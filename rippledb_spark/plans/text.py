@@ -88,7 +88,7 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
-_PATH_OPS = set("/|^+*?")
+_PATH_OPS = set("/|^+*?{")  # { = r6 quantifier brackets p{n,m}
 
 
 class _Tokens:
@@ -262,6 +262,25 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             if joined[-1] in ")+*?" and nxt[0] in "/|+*?":
                 parts.append(t.take())
                 continue
+            if nxt == "{":
+                # quantifier brackets p{n} / p{n,m} / p{n,} / p{,m}: only
+                # consume when the brace run is digits/commas closed by
+                # '}' — any other content is a GROUP brace and ends the
+                # path (lookahead, no tokens consumed on the group case)
+                j = t.i + 1
+                body = []
+                while j < len(t.toks) and t.toks[j] != "}":
+                    body.append(t.toks[j])
+                    j += 1
+                if (
+                    j < len(t.toks)
+                    and body
+                    and all(b == "," or b.isdigit() for b in body)
+                ):
+                    parts.append("".join(t.toks[t.i : j + 1]))
+                    t.i = j + 1
+                    continue
+                break
             break
         return "".join(parts)
 
@@ -285,7 +304,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     if pfx in prefixes:
                         return f"<{prefixes[pfx] + local}>"
                 return word
-            return re.sub(r"[^/|^+*?()<>!\s]+", repl, seg)
+            return re.sub(r"[^/|^+*?()<>!{},\s]+", repl, seg)
 
         out, i = [], 0
         while i < len(tok):

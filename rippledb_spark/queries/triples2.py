@@ -270,6 +270,39 @@ def path_nation_region_maybe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "path_quantified_containment",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    wedges AS (
+      SELECT s AS src, o_value AS dst FROM triples
+      WHERE p IN ('in_nation', 'in_region')
+    ),
+    two AS (
+      SELECT a.src, b.dst FROM wedges a JOIN wedges b ON a.dst = b.src
+    )
+    SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM wedges UNION ALL SELECT src, dst FROM two
+    ) ORDER BY src, dst
+    """,
+)
+def path_quantified_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded path quantifier ``(in_nation|in_region){1,2}`` (draft
+    §18.2 quantifiers, r6): containment pairs at exactly one or two hops
+    — entity→nation, nation→region, and the derived entity→region — WITHOUT
+    running a closure: the desugared form (step then optional step,
+    plans/paths._repeat) is two hash joins with frontier seeding, so the
+    level bound is structural, not an iteration cap. Oracle: the union of
+    the level-1 and level-2 join forms, distinct per the quantifier's
+    set-based draft semantics."""
+    st = _store(spark, sf_dir)
+    return (
+        path_pairs(st.df, "(in_nation|in_region){1,2}")
+        .distinct()
+        .orderBy("src", "dst")
+    )
+
+
+@query(
     "path_negated_nation_edges",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()},

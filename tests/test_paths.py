@@ -68,6 +68,8 @@ def naive(expr, edges=EDGES):
         return naive(P.Plus(expr.inner), edges) | {(n, n) for n in nodes}
     if isinstance(expr, P.Maybe):
         return naive(expr.inner, edges) | {(n, n) for n in nodes}
+    if isinstance(expr, P.Zero):
+        return {(n, n) for n in nodes}
     if isinstance(expr, P.Neg):
         out = set()
         if expr.forward:
@@ -601,3 +603,58 @@ def test_exists_group_with_path(store):
         "SELECT ?s WHERE { ?s alt ?x . FILTER EXISTS { ?s next+ ?e } }"
     )
     assert [r["s"] for r in out2.collect()] == ["a"]
+
+
+# -- r6: path quantifiers p{n} / p{n,m} / p{n,} ------------------------------
+
+
+def test_parse_quantifiers_desugar():
+    assert parse_path("next{2}") == P.Seq((P.Pred("next"), P.Pred("next")))
+    assert parse_path("next{1,1}") == P.Pred("next")
+    assert parse_path("next{0,1}") == P.Maybe(P.Pred("next"))
+    assert parse_path("next{0,}") == P.Star(P.Pred("next"))
+    assert parse_path("next{2,}") == P.Seq(
+        (P.Pred("next"), P.Pred("next"), P.Star(P.Pred("next")))
+    )
+    assert parse_path("next{1,3}") == P.Seq(
+        (P.Pred("next"), P.Maybe(P.Pred("next")), P.Maybe(P.Pred("next")))
+    )
+    assert parse_path("next{,2}") == parse_path("next{0,2}")
+    assert parse_path("next{0}") == P.Zero()
+    # quantifier binds to the parenthesized group / stacks with modifiers
+    assert parse_path("(next|alt){2}") == P.Seq(
+        (P.Alt((P.Pred("next"), P.Pred("alt"))),) * 2
+    )
+
+
+@pytest.mark.parametrize(
+    "bad", ["next{3,2}", "next{", "next{a}", "next{1,2", "next{}", "next{1,,2}"]
+)
+def test_parse_quantifier_rejects_malformed(bad):
+    with pytest.raises(QueryError):
+        parse_path(bad)
+
+
+@pytest.mark.parametrize(
+    "expr", ["next{2}", "next{1,2}", "next{2,}", "child{,2}", "(next|child){1,2}"]
+)
+def test_quantified_pairs_match_naive(store, expr):
+    assert spark_pairs(store, expr) == naive(expr)
+
+
+def test_quantifier_equivalences(store):
+    assert spark_pairs(store, "next{1,}") == spark_pairs(store, "next+")
+    assert spark_pairs(store, "next{0,}") == spark_pairs(store, "next*")
+    assert spark_pairs(store, "next{0,1}") == spark_pairs(store, "next?")
+
+
+def test_zero_quantifier_is_node_identity(store):
+    nodes = {s for s, _, o in EDGES} | {o for _, _, o in EDGES}
+    assert spark_pairs(store, "next{0}") == {(n, n) for n in nodes}
+
+
+def test_quantifier_reverse_path(store):
+    got = {(d, s) for s, d in spark_pairs(store, "next{1,2}")}
+    from rippledb_spark.plans.paths import reverse_path
+
+    assert spark_pairs(store, reverse_path("next{1,2}")) == got

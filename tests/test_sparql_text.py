@@ -674,3 +674,23 @@ def test_negative_and_scientific_numbers_still_parse():
     # whitespace-separated arithmetic still builds a VArith tree
     got = parse_filter_text("?x > 2 - 1")
     assert got == FCmp(">", FVar("x"), VArith("-", FNum(2.0), FNum(1.0)))
+
+
+def test_path_quantifiers_in_text_frontend(store):
+    """p{n,m} quantifier brackets parse in predicate position; group
+    braces (which share the '{' token) are unaffected."""
+    got = rows(
+        store.sparql("SELECT ?x ?y WHERE { ?x next{1,2} ?y }"), "x", "y"
+    )
+    one = {(e[0], e[2]) for e in EDGES if e[1] == "next"}
+    two = {(a, d) for a, b in one for c, d in one if b == c}
+    assert set(got) == one | two
+    # non-quantifier braces after a predicate-looking token still group
+    assert store.sparql("ASK { b next c }").collect()[0]["ask"] is True
+
+
+def test_path_quantifier_on_group(store):
+    df = store.sparql("SELECT ?x ?y WHERE { ?x (next|alt){2} ?y }")
+    rel = {(e[0], e[2]) for e in EDGES if e[1] in ("next", "alt")}
+    want = {(a, d) for a, b in rel for c, d in rel if b == c}
+    assert set(rows(df, "x", "y")) == want
