@@ -9,9 +9,14 @@ needed for header/structure decode):
   signature and chunk CRC. Public format spec: RFC 2083.
 - WAV: PCM writer (RIFF/WAVE/fmt/data) and a chunk-walking decoder
   (sample rate/channels/bits/sample count). Public format: RIFF spec.
+- GIF: animated GIF89a writer (per-frame graphic-control + image
+  descriptor + fixed-width LZW) and a structural frame-walk decoder
+  (per-frame dims/delay/data — no pixel decompression needed). Public
+  format spec: GIF89a (CompuServe 1990). Frame sampling over GIF
+  payloads is therefore REAL (r6).
 
-PIXEL-level work (resize, frame extraction from real video codecs) is the
-one part that stays stubbed — those genuinely need codec libraries. The
+PIXEL-level work (resize, pixel decode, real video codecs) is the one
+part that stays stubbed — those genuinely need codec libraries. The
 Spark-side shape is production-real throughout: binary columns,
 Arrow-batched ``mapInPandas`` with explicit output schemas,
 partition-sized batches, no collect, no per-row Python UDFs.
@@ -153,6 +158,134 @@ def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
     return rate, channels, bits, data_size // block_align
 
 
+def encode_gif(frames: list[tuple[int, int, int]]) -> bytes:
+    """Minimal VALID animated GIF89a (public format spec: GIF89a,
+    CompuServe 1990): header + logical screen descriptor + 2-color global
+    color table, then per frame a Graphic Control Extension (delay in
+    centiseconds) + Image Descriptor + LZW image data, then trailer.
+
+    ``frames`` is a list of (width, height, delay_cs). Pixel content is a
+    solid color-0 field compressed with the fixed-width LZW trick (emit a
+    CLEAR code before every pixel code so the code table never grows —
+    3-bit codes throughout at min-code-size 2), which every conforming
+    decoder accepts."""
+    if not frames:
+        raise ValueError("gif needs at least one frame")
+    max_w = max(w for w, _, _ in frames)
+    max_h = max(h for _, h, _ in frames)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", max_w, max_h)
+    out += bytes([0x80, 0, 0])  # GCT present, 2 entries; bg 0; aspect 0
+    out += b"\x00\x00\x00\xff\xff\xff"  # global color table: black, white
+
+    for w, h, delay_cs in frames:
+        if w <= 0 or h <= 0:
+            raise ValueError("gif frame dimensions must be positive")
+        # Graphic Control Extension (delay rides here)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        # Image Descriptor at origin, no local color table
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        # LZW data: min code size 2 → 3-bit codes, clear=4, end=5
+        codes: list[int] = []
+        for _ in range(w * h):
+            codes.extend((4, 0))  # CLEAR, pixel(color 0)
+        codes.append(5)  # END
+        buf, nbits, acc = bytearray(), 0, 0
+        for code in codes:
+            acc |= code << nbits
+            nbits += 3
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            buf.append(acc & 0xFF)
+        out.append(2)  # LZW minimum code size
+        for i in range(0, len(buf), 255):
+            block = buf[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # data sub-block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[dict]:
+    """Structural frame walk of a GIF87a/89a stream → one dict per frame:
+    {frame_no, left, top, width, height, delay_cs, data} where ``data``
+    is the frame's still-LZW-compressed bytes. Pure block walk (image
+    descriptors + extension sub-block skipping) — frame metadata never
+    needs pixel decompression. Raises ValueError on structural
+    violations (bad magic, truncated blocks, unknown introducers)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad magic")
+    pos = 6
+    _, _, packed, _, _ = struct.unpack("<HHBBB", payload[pos : pos + 7])
+    pos += 7
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))  # global color table
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(payload):
+                raise ValueError("truncated GIF sub-blocks")
+            n = payload[p]
+            p += 1
+            if n == 0:
+                return b"".join(chunks), p
+            if p + n > len(payload):
+                raise ValueError("truncated GIF sub-block")
+            chunks.append(payload[p : p + n])
+            p += n
+
+    frames: list[dict] = []
+    delay_cs = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("GIF missing trailer")
+        intro = payload[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            return frames
+        if intro == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension")
+            label = payload[pos]
+            pos += 1
+            body, pos = sub_blocks(pos)
+            if label == 0xF9 and len(body) >= 3:  # Graphic Control
+                (delay_cs,) = struct.unpack("<H", body[1:3])
+            continue
+        if intro == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos : pos + 9]
+            )
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))  # local color table
+            if pos >= len(payload):
+                raise ValueError("truncated GIF image data")
+            pos += 1  # LZW minimum code size
+            data, pos = sub_blocks(pos)
+            frames.append(
+                {
+                    "frame_no": len(frames),
+                    "left": left,
+                    "top": top,
+                    "width": w,
+                    "height": h,
+                    "delay_cs": delay_cs,
+                    "data": data,
+                }
+            )
+            delay_cs = 0  # GCE applies to the one following image
+            continue
+        raise ValueError(f"unknown GIF block introducer 0x{intro:02x}")
+
+
 # ---------------------------------------------------------------------------
 # Synthesis (test stand-in for reading real media files)
 # ---------------------------------------------------------------------------
@@ -168,6 +301,41 @@ def synth_audio(media_id: int) -> tuple[int, int]:
     """Deterministic synthetic WAV (sample_rate, n_samples) — id
     arithmetic only, SQL-recomputable."""
     return 8000 + (media_id % 8) * 1000, 16 + media_id % 49
+
+
+def synth_gif_frames(media_id: int) -> list[tuple[int, int, int]]:
+    """Deterministic synthetic GIF frame plan for ``media_id`` — id
+    arithmetic only (frame count, per-frame dims, per-frame delay), so a
+    SQL oracle can recompute every field the frame walk reports."""
+    n = 1 + media_id % 5
+    return [
+        (2 + (media_id + k) % 6, 2 + (media_id + k) % 4, 10 * (k + 1))
+        for k in range(n)
+    ]
+
+
+def synthesize_gifs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL animated GIF payloads with
+    id-deterministic frame structure (synth_gif_frames); built per-batch
+    in mapInPandas like synthesize_media."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_gif(synth_gif_frames(int(mid))) for mid in pdf["media_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
 
 
 def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -220,28 +388,47 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_bytes", T.BinaryType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("delay_cs", T.IntegerType()),
     ]
 )
 
 
 def sample_frames(media: DataFrame, every_n: int = 4, resize_to: int = 64) -> DataFrame:
-    """Frame sampling + resize for video payloads — 1→N row expansion via
-    mapInPandas (NOT a driver-side loop; each batch expands inside its
-    task, so a 100 TB video corpus fans out by partition).
+    """Frame sampling — 1→N row expansion via mapInPandas (NOT a
+    driver-side loop; each batch expands inside its task, so a 100 TB
+    media corpus fans out by partition).
 
-    Video decode/resize remain STUBBED (real codecs aren't in this
-    container): "frames" are deterministic byte slices and "resize"
-    rewrites the metadata — the plumbing (schema, batching, row expansion,
-    binary handling) is the real production shape; swap the slicing for a
-    codec call to go live.
+    ``image/gif`` payloads are REAL (r6): the GIF87a/89a block walk
+    (decode_gif_frames) yields every frame's actual image-descriptor
+    dimensions, graphic-control delay, and still-compressed frame bytes;
+    ``every_n`` samples frame indices 0, n, 2n, ….
+
+    Other media types keep the documented byte-stride STUB (real video
+    codecs aren't in this container): "frames" are deterministic 16-byte
+    slices, ``resize_to`` rewrites metadata, delay is null — the plumbing
+    (schema, batching, row expansion, binary handling) is the production
+    shape; swap the slicing for a codec call to go live.
     """
     import pandas as pd
 
+    cols = ("media_id", "frame_no", "frame_bytes", "width", "height", "delay_cs")
+
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("media_id", "frame_no", "frame_bytes", "width", "height")}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            out = {k: [] for k in cols}
+            for mid, payload, mtype in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
                 data = bytes(payload)
+                if mtype == "image/gif":
+                    for fr in decode_gif_frames(data)[::every_n]:
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(fr["frame_no"])
+                        out["frame_bytes"].append(fr["data"])
+                        out["width"].append(fr["width"])
+                        out["height"].append(fr["height"])
+                        out["delay_cs"].append(fr["delay_cs"])
+                    continue
                 # stub "frames": 16-byte strides standing in for decoded frames
                 n_frames = max(1, len(data) // 16)
                 for frame_no in range(0, n_frames, every_n):
@@ -251,6 +438,7 @@ def sample_frames(media: DataFrame, every_n: int = 4, resize_to: int = 64) -> Da
                     out["frame_bytes"].append(chunk)
                     out["width"].append(resize_to)
                     out["height"].append(resize_to)
+                    out["delay_cs"].append(None)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batch_fn, schema=FRAME_SCHEMA)

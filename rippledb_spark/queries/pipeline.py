@@ -494,6 +494,50 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frames",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    frames AS (
+      SELECT doc_id, k
+      FROM ids, UNNEST(range(0, 1 + doc_id % 5, 2)) AS u(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(SUM(2 + (doc_id + k) % 6) AS BIGINT) AS sum_width,
+           CAST(SUM(2 + (doc_id + k) % 4) AS BIGINT) AS sum_height,
+           CAST(SUM(10 * (k + 1)) AS BIGINT) AS sum_delay_cs,
+           CAST(MAX(k) AS INT) AS last_frame_no
+    FROM frames GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling (r6): synthesize id-deterministic animated
+    GIFs (operators.multimodal.encode_gif — header, screen descriptor,
+    per-frame graphic-control + image-descriptor + LZW data), walk their
+    block structure back out (decode_gif_frames inside the Arrow
+    mapInPandas expansion of sample_frames), sample every 2nd frame, and
+    aggregate per media. The oracle recomputes every sampled frame's
+    width/height/delay/index from id arithmetic (synth_gif_frames is
+    id-deterministic), so a green row attests the byte-level GIF writer
+    AND the frame walk — frame counts, dimensions, and delays, not just
+    row counts."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    media = MM.synthesize_gifs(d, "doc_id")
+    frames = MM.sample_frames(media, every_n=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("delay_cs").alias("sum_delay_cs"),
+            F.max("frame_no").alias("last_frame_no"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "corpus_cleaning_pipeline",
     oracle=f"""
     WITH quality AS (

@@ -574,3 +574,35 @@ def test_remove_frequent_spans_fully_covered_doc_survives(spark):
     for i in range(4):
         assert out[i] == (2, 0, "")
     assert out[9] == (5, 3, "plus real content")
+
+
+def test_gif_codec_roundtrip():
+    """encode_gif → decode_gif_frames recovers every frame's index, dims,
+    and delay (r6: the real GIF block walk replacing the video stub)."""
+    frames = [(3, 2, 10), (6, 4, 20), (1, 1, 0)]
+    payload = MM.encode_gif(frames)
+    got = MM.decode_gif_frames(payload)
+    assert [(f["width"], f["height"], f["delay_cs"]) for f in got] == frames
+    assert [f["frame_no"] for f in got] == [0, 1, 2]
+    assert all(len(f["data"]) > 0 for f in got)
+
+
+def test_gif_decoder_rejects_garbage():
+    for bad in (b"", b"GIF89a", b"not a gif at all", MM.encode_gif([(2, 2, 0)])[:-2]):
+        with pytest.raises(ValueError):
+            MM.decode_gif_frames(bad)
+
+
+def test_gif_frame_sampling_real(spark, docs):
+    """sample_frames on image/gif payloads reports REAL per-frame dims
+    and delays (id-deterministic via synth_gif_frames), sampled every_n."""
+    media = MM.synthesize_gifs(docs, "doc_id")
+    rows = MM.sample_frames(media, every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, frs in by_media.items():
+        plan = MM.synth_gif_frames(mid)
+        want = list(enumerate(plan))[::2]
+        got = sorted((r["frame_no"], (r["width"], r["height"], r["delay_cs"])) for r in frs)
+        assert got == [(i, f) for i, f in want], mid
