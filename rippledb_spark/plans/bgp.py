@@ -348,11 +348,22 @@ def select_join(
         out = out.dropDuplicates()
     order_keys = getattr(query, "order_keys", [])
     if order_keys:
-        bad = [n for n, _ in order_keys if n not in names]
+        from rippledb_spark.plans.filters import filter_vars, value_to_column
+
+        bad = [
+            v
+            for k, _ in order_keys
+            for v in (filter_vars(k) if not isinstance(k, str) else [k])
+            if v not in names
+        ]
         if bad:
             raise QueryError(f"order_by vars {bad} not in select()")
+        cols = [
+            (F.col(k) if isinstance(k, str) else value_to_column(k))
+            for k, _ in order_keys
+        ]
         out = out.orderBy(
-            *[F.col(n).desc() if d else F.col(n).asc() for n, d in order_keys]
+            *[c.desc() if d else c.asc() for c, (_, d) in zip(cols, order_keys)]
         )
     if getattr(query, "row_offset", 0):
         out = out.offset(query.row_offset)

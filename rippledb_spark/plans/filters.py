@@ -109,6 +109,16 @@ class FBound:
 
 
 @dataclass(frozen=True)
+class FStrPred:
+    """Two-argument string predicate: STRSTARTS / STRENDS / CONTAINS
+    (SPARQL §17.4.3.5-7) over arbitrary value expressions."""
+
+    name: str  # 'strstarts' | 'strends' | 'contains'
+    left: "ValueExpr"
+    right: "ValueExpr"
+
+
+@dataclass(frozen=True)
 class FNot:
     inner: "FilterExpr"
 
@@ -126,12 +136,20 @@ class FOr:
 
 
 ValueExpr = FVar | FStr | FNum | VArith | VFunc | VIf
-FilterExpr = FCmp | FRegex | FBound | FNot | FAnd | FOr
+FilterExpr = FCmp | FRegex | FBound | FStrPred | FNot | FAnd | FOr
 
 _CMP_OPS = ("<=", ">=", "!=", "=", "<", ">")
 _ARITH_ADD = ("+", "-")
 _ARITH_MUL = ("*", "/")
-_VALUE_FUNCS = ("CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "IF")
+_VALUE_FUNCS = (
+    "CONCAT", "STR", "STRLEN", "UCASE", "LCASE", "SUBSTR", "IF",
+    # r6 additions: spec §17.4 string/numeric builtins + XPath casts
+    "COALESCE", "ABS", "ROUND", "CEIL", "FLOOR",
+    "STRBEFORE", "STRAFTER", "REPLACE",
+    "XSD:INTEGER", "XSD:DECIMAL", "XSD:DOUBLE", "XSD:FLOAT",
+    "XSD:STRING", "XSD:BOOLEAN",
+)
+_STR_PREDS = ("STRSTARTS", "STRENDS", "CONTAINS")
 _NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 
 
@@ -152,6 +170,8 @@ def filter_vars(expr) -> set[str]:
         return filter_vars(expr.cond) | filter_vars(expr.then) | filter_vars(expr.other)
     if isinstance(expr, (FRegex, FBound)):
         return {expr.var.name}
+    if isinstance(expr, FStrPred):
+        return filter_vars(expr.left) | filter_vars(expr.right)
     if isinstance(expr, FNot):
         return filter_vars(expr.inner)
     if isinstance(expr, (FAnd, FOr)):
@@ -164,9 +184,15 @@ def filter_vars(expr) -> set[str]:
 # ---------------------------------------------------------------------------
 
 
+_NUMERIC_FUNCS = {
+    "strlen", "abs", "round", "ceil", "floor",
+    "xsd:integer", "xsd:decimal", "xsd:double", "xsd:float",
+}
+
+
 def _is_numeric(expr) -> bool:
     return isinstance(expr, (FNum, VArith)) or (
-        isinstance(expr, VFunc) and expr.name == "strlen"
+        isinstance(expr, VFunc) and expr.name in _NUMERIC_FUNCS
     )
 
 
@@ -201,6 +227,44 @@ def value_to_column(expr: ValueExpr) -> Column:
                     start, value_to_column(expr.args[2]).try_cast("int")
                 )
             return F.substring(cols[0].cast("string"), start, F.lit(2**31 - 1))
+        if expr.name == "coalesce":
+            return F.coalesce(*cols)
+        if expr.name == "abs":
+            return F.abs(cols[0].try_cast("double"))
+        if expr.name == "round":
+            return F.round(cols[0].try_cast("double"), 0)
+        if expr.name == "ceil":
+            return F.ceil(cols[0].try_cast("double")).cast("double")
+        if expr.name == "floor":
+            return F.floor(cols[0].try_cast("double")).cast("double")
+        if expr.name in ("strbefore", "strafter"):
+            # spec §17.4.3.17-18: empty string when there is no match
+            # (instr, not substring_index — the latter returns the WHOLE
+            # string on a miss, the wrong sentinel)
+            s0, d0 = cols[0].cast("string"), cols[1].cast("string")
+            pos = F.instr(s0, d0)
+            if expr.name == "strbefore":
+                hit = s0.substr(F.lit(1), pos - 1)
+            else:
+                hit = s0.substr(pos + F.length(d0), F.length(s0))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if expr.name == "replace":
+            return F.regexp_replace(
+                cols[0].cast("string"), cols[1].cast("string"), cols[2].cast("string")
+            )
+        if expr.name.startswith("xsd:"):
+            # XPath constructor casts (spec §17.5): a malformed lexical
+            # form becomes NULL via try_cast, which eliminates the
+            # solution — SPARQL's cast-error semantics.
+            target = {
+                "xsd:integer": "long",
+                "xsd:decimal": "double",
+                "xsd:double": "double",
+                "xsd:float": "double",
+                "xsd:string": "string",
+                "xsd:boolean": "boolean",
+            }[expr.name]
+            return cols[0].try_cast(target)
         raise QueryError(f"unknown value function {expr.name!r}")
     if isinstance(expr, VIf):
         return F.when(to_column(expr.cond), value_to_column(expr.then)).otherwise(
@@ -236,6 +300,14 @@ def to_column(expr: FilterExpr) -> Column:
         if "i" in expr.flags:
             pat = "(?i)" + pat
         return F.col(expr.var.name).rlike(pat)
+    if isinstance(expr, FStrPred):
+        l = value_to_column(expr.left).cast("string")
+        r = value_to_column(expr.right).cast("string")
+        if expr.name == "strstarts":
+            return l.startswith(r)
+        if expr.name == "strends":
+            return l.endswith(r)
+        return l.contains(r)
     if isinstance(expr, FBound):
         return F.col(expr.var.name).isNotNull()
     if isinstance(expr, FNot):
@@ -309,6 +381,21 @@ def _parse_call(tokens, term, name: str):
     return FRegex(var, pattern, flags)
 
 
+def _parse_str_pred(tokens, term, name: str) -> FilterExpr:
+    """STRSTARTS/STRENDS/CONTAINS(value, value) — boolean string
+    predicates over full value expressions (unlike REGEX/BOUND, the
+    arguments are not restricted to variables)."""
+    tokens.take()  # the function-name word
+    tokens.expect("(")
+    left = parse_value(tokens, term)
+    if tokens.peek() != ",":
+        raise QueryError(f"{name} takes two arguments")
+    tokens.take()
+    right = parse_value(tokens, term)
+    tokens.expect(")")
+    return FStrPred(name.lower(), left, right)
+
+
 def parse_value(tokens, term) -> ValueExpr:
     """Parse one value expression (the BIND / comparison-operand grammar)."""
 
@@ -356,6 +443,14 @@ def parse_value(tokens, term) -> ValueExpr:
                 raise QueryError(f"{name} takes exactly one argument")
             if lo == "substr" and n not in (2, 3):
                 raise QueryError("SUBSTR takes (value, start [, length])")
+            if lo in ("abs", "round", "ceil", "floor") and n != 1:
+                raise QueryError(f"{name} takes exactly one argument")
+            if lo in ("strbefore", "strafter") and n != 2:
+                raise QueryError(f"{name} takes exactly two arguments")
+            if lo == "replace" and n != 3:
+                raise QueryError("REPLACE takes (value, pattern, replacement)")
+            if lo.startswith("xsd:") and n != 1:
+                raise QueryError(f"{name} cast takes exactly one argument")
             return VFunc(lo, tuple(args))
         if tok == "(":
             tokens.take()
@@ -428,6 +523,8 @@ def _parse_fprimary(tokens, term) -> FilterExpr:
         raise QueryError("unexpected end of FILTER expression")
     if isinstance(tok, str) and tok.upper() in ("REGEX", "BOUND"):
         return _parse_call(tokens, term, tok.upper())
+    if isinstance(tok, str) and tok.upper() in _STR_PREDS:
+        return _parse_str_pred(tokens, term, tok.upper())
     # A '(' is ambiguous: '(?a + 1) > 2' is a parenthesized VALUE, while
     # '(?a > 1 || ?b > 2)' is a boolean group. Try the value-comparison
     # parse first and backtrack (restoring the token stream, which
@@ -464,6 +561,8 @@ def parse_filter(tokens, term) -> FilterExpr:
     tok = tokens.peek()
     if isinstance(tok, str) and tok.upper() in ("REGEX", "BOUND"):
         return _parse_call(tokens, term, tok.upper())
+    if isinstance(tok, str) and tok.upper() in _STR_PREDS:
+        return _parse_str_pred(tokens, term, tok.upper())
     tokens.expect("(")
     expr = _parse_or(tokens, term)
     tokens.expect(")")

@@ -69,7 +69,9 @@ class Sparql:
         self.aggregates: list[tuple[str, str | None, str, bool]] = []
         self.having: list = []  # FilterExpr ASTs over group/alias columns
         self.is_distinct = False
-        self.order_keys: list[tuple[str, bool]] = []  # (var, descending)
+        # (key, descending) — key is a var NAME (str) or a filters.py
+        # ValueExpr for ORDER BY expressions (r6)
+        self.order_keys: list[tuple] = []
         self.row_limit: int | None = None
         self.row_offset: int = 0
 
@@ -321,6 +323,27 @@ class Sparql:
             if not isinstance(unit, Var):
                 raise QueryError(f"order_by() takes '$var' / '-$var', got {raw!r}")
             self.order_keys.append((unit.name, desc))
+        return self
+
+    def order_by_expr(self, expr, desc: bool = False) -> "Sparql":
+        """ORDER BY over a VALUE EXPRESSION (spec OrderCondition — r6):
+        ``expr`` is a filters.py ValueExpr or its text form (parsed with
+        the FILTER/BIND value grammar), e.g.
+        ``order_by_expr('STRLEN(?name)', desc=True)``. Expression keys
+        compose with plain variable keys in call order."""
+        from rippledb_spark.plans.filters import ValueExpr, parse_value
+        from rippledb_spark.plans.text import _Tokens
+
+        if isinstance(expr, str):
+            t = _Tokens(expr)
+            expr = parse_value(t, str)
+            if t.peek() is not None:
+                raise QueryError(
+                    f"trailing tokens in ORDER BY expression: {t.toks[t.i:]}"
+                )
+        if not isinstance(expr, ValueExpr):
+            raise QueryError(f"order_by_expr() takes a value expression, got {expr!r}")
+        self.order_keys.append((expr, bool(desc)))
         return self
 
     def limit(self, n: int, offset: int = 0) -> "Sparql":

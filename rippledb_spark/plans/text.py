@@ -30,7 +30,7 @@ Supported grammar (W3C SPARQL 1.1 subset)::
                                               -- aggregates/modifiers)
     }
     GROUP BY ?v...  HAVING ( expr )
-    ORDER BY [ASC(?v)|DESC(?v)|?v]...  LIMIT n  OFFSET n
+    ORDER BY [ASC(expr)|DESC(expr)|?v|func(expr)]...  LIMIT n  OFFSET n
 
 SELECT lists also take aggregate projections ``(COUNT([DISTINCT] ?v | *)
 AS ?alias)`` (COUNT/SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT — spec §11).
@@ -672,23 +672,42 @@ def _apply_modifiers(t: _Tokens, q: Sparql, stop: str | None = None) -> None:
             q.having_expr(parse_filter(t, str))
         elif _is_kw(tok, "ORDER"):
             t.expect("BY")
-            keys = []
-            while t.peek() is not None and (
-                t.peek().startswith("?")
-                or t.peek().startswith("$")
-                or _is_kw(t.peek(), "ASC")
-                or _is_kw(t.peek(), "DESC")
-            ):
-                k = t.take()
-                if _is_kw(k, "ASC") or _is_kw(k, "DESC"):
-                    desc = _is_kw(k, "DESC")
+            from rippledb_spark.plans.filters import (
+                _VALUE_FUNCS,
+                FVar,
+                parse_value,
+            )
+
+            def order_cond() -> bool:
+                """Consume ONE OrderCondition; False when none remain.
+                Spec forms: ASC/DESC(bracketted expr), bare ?var, a
+                bracketted expression, or a builtin-function constraint
+                (r6 — expressions, not just variables)."""
+                nxt = t.peek()
+                if nxt is None or not isinstance(nxt, str):
+                    return False
+                if _is_kw(nxt, "ASC") or _is_kw(nxt, "DESC"):
+                    desc = _is_kw(nxt, "DESC")
+                    t.take()
                     t.expect("(")
-                    v = t.take()
+                    expr = parse_value(t, str)
                     t.expect(")")
-                    keys.append(("-" if desc else "") + "$" + v[1:])
+                elif nxt.startswith("?") or nxt.startswith("$"):
+                    expr, desc = FVar(t.take()[1:]), False
+                elif nxt == "(" or nxt.upper() in _VALUE_FUNCS:
+                    expr, desc = parse_value(t, str), False
                 else:
-                    keys.append("$" + k[1:])
-            q.order_by(keys)
+                    return False
+                if isinstance(expr, FVar):
+                    q.order_by([("-" if desc else "") + "$" + expr.name])
+                else:
+                    q.order_by_expr(expr, desc=desc)
+                return True
+
+            if not order_cond():
+                raise QueryError("ORDER BY needs at least one condition")
+            while order_cond():
+                pass
         elif _is_kw(tok, "LIMIT"):
             n = int(t.take())
             q.row_limit = n

@@ -270,6 +270,37 @@ def path_nation_region_maybe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sparql_builtins_order_expr",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    nations AS (SELECT DISTINCT s FROM triples WHERE p = 'in_region'),
+    names AS (
+      SELECT s AS nat, o_value AS name FROM triples
+      WHERE p = 'has_name' AND s IN (SELECT s FROM nations)
+        AND contains(o_value, 'A')
+    )
+    SELECT nat, name, lower(name) AS lname FROM names
+    ORDER BY length(name) DESC, name LIMIT 10
+    """,
+)
+def sparql_builtins_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 text-frontend builtins + ORDER BY expressions in one query:
+    CONTAINS as a FILTER predicate, LCASE through BIND, and
+    DESC(STRLEN(?name)) as an expression order key. The LIMIT makes the
+    expression ordering part of the VERIFIED row set (the driver's
+    compare is order-insensitive, so top-k selection — with ?name as the
+    total-order tiebreak — is how an ORDER BY proves itself)."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?nat ?name ?lname WHERE { "
+        "?nat in_region ?r . ?nat has_name ?name . "
+        'FILTER CONTAINS(?name, "A") '
+        "BIND(LCASE(?name) AS ?lname) } "
+        "ORDER BY DESC(STRLEN(?name)) ?name LIMIT 10"
+    )
+
+
+@query(
     "path_quantified_containment",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()},

@@ -694,3 +694,95 @@ def test_path_quantifier_on_group(store):
     rel = {(e[0], e[2]) for e in EDGES if e[1] in ("next", "alt")}
     want = {(a, d) for a, b in rel for c, d in rel if b == c}
     assert set(rows(df, "x", "y")) == want
+
+
+# ---------------------------------------------------------------------------
+# r6: §17.4 builtins + ORDER BY expressions
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lit_store(spark):
+    from rippledb_spark import model
+
+    rows = [
+        ("a", "named", "name", "zebra", "literal", None, None),
+        ("b", "named", "name", "ox", "literal", None, None),
+        ("c", "named", "name", "elephant", "literal", None, None),
+        ("a", "named", "score", "10", "literal", None, None),
+        ("b", "named", "score", "9.5", "literal", None, None),
+        ("c", "named", "score", "oops", "literal", None, None),
+    ]
+    return TripleStore(spark, spark.createDataFrame(rows, model.TRIPLES_SCHEMA))
+
+
+def test_string_predicates_filter(lit_store):
+    q = 'SELECT ?s WHERE { ?s name ?n FILTER STRSTARTS(?n, "e") }'
+    assert rows(lit_store.sparql(q), "s") == [("c",)]
+    q = 'SELECT ?s WHERE { ?s name ?n FILTER(CONTAINS(?n, "b") || STRENDS(?n, "x")) }'
+    assert rows(lit_store.sparql(q), "s") == [("a",), ("b",)]
+
+
+def test_xsd_cast_eliminates_malformed(lit_store):
+    # 'oops' fails the cast → NULL → row eliminated (spec cast-error rule)
+    q = "SELECT ?s WHERE { ?s score ?v FILTER(xsd:double(?v) > 9) }"
+    assert rows(lit_store.sparql(q), "s") == [("a",), ("b",)]
+    q = "SELECT ?s WHERE { ?s score ?v FILTER(xsd:integer(?v) = 10) }"
+    assert rows(lit_store.sparql(q), "s") == [("a",)]  # '9.5' not an integer
+
+
+def test_strbefore_strafter_replace_coalesce(lit_store):
+    q = 'SELECT ?s ?w WHERE { ?s name ?n BIND(STRBEFORE(?n, "x") AS ?w) }'
+    assert rows(lit_store.sparql(q), "s", "w") == [("a", ""), ("b", "o"), ("c", "")]
+    q = 'SELECT ?s ?w WHERE { ?s name ?n BIND(REPLACE(?n, "e", "3") AS ?w) }'
+    assert ("c", "3l3phant") in rows(lit_store.sparql(q), "s", "w")
+    # COALESCE over an OPTIONAL-null variable falls back to the name
+    q = (
+        "SELECT ?s ?w WHERE { ?s name ?n "
+        "OPTIONAL { ?s nick ?k } BIND(COALESCE(?k, ?n) AS ?w) }"
+    )
+    assert rows(lit_store.sparql(q), "s", "w") == [
+        ("a", "zebra"), ("b", "ox"), ("c", "elephant"),
+    ]
+
+
+def test_numeric_builtins(lit_store):
+    q = "SELECT ?s WHERE { ?s score ?v FILTER(ABS(?v - 11) < 1.1) }"
+    assert rows(lit_store.sparql(q), "s") == [("a",)]
+    q = "SELECT ?s WHERE { ?s score ?v FILTER(FLOOR(?v) = 9) }"
+    assert rows(lit_store.sparql(q), "s") == [("b",)]
+
+
+def test_order_by_expression(lit_store):
+    q = "SELECT ?s ?n WHERE { ?s name ?n } ORDER BY DESC(STRLEN(?n))"
+    got = [r["s"] for r in lit_store.sparql(q).collect()]
+    assert got == ["c", "a", "b"]  # elephant(8) zebra(5) ox(2)
+    # mixed expression + variable keys
+    q = "SELECT ?s ?n WHERE { ?s name ?n } ORDER BY STRLEN(?n) ?s"
+    assert [r["s"] for r in lit_store.sparql(q).collect()] == ["b", "a", "c"]
+    # variable-only ordering unchanged
+    q = "SELECT ?s ?n WHERE { ?s name ?n } ORDER BY DESC(?n)"
+    assert [r["s"] for r in lit_store.sparql(q).collect()] == ["a", "b", "c"]
+
+
+def test_order_by_expr_builder(lit_store):
+    q = (
+        Sparql()
+        .select(["$s", "$n"])
+        .filter([["$s", "name", "$n"]])
+        .order_by_expr("STRLEN(?n)", desc=True)
+    )
+    assert [r["s"] for r in lit_store.select_join(q).collect()] == ["c", "a", "b"]
+
+
+def test_new_builtins_arity_errors(lit_store):
+    from rippledb_spark.plans.filters import parse_filter_text
+
+    for bad in (
+        "STRSTARTS(?x)",
+        "ABS(?x, ?y) > 1",
+        "REPLACE(?x, \"a\") = \"b\"",
+        "xsd:integer(?x, ?y) = 1",
+    ):
+        with pytest.raises(QueryError):
+            parse_filter_text(bad)
