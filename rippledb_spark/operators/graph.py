@@ -396,17 +396,30 @@ def cooccurrence_edges(
     )
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", degree_orient: bool = True
+) -> DataFrame:
     """Global triangle count over an undirected simple graph →
     one row (n_nodes, n_edges, n_triangles).
 
-    Edges are canonicalized to a < b and deduped, then triangles are
-    counted with the standard two-join ordered-wedge plan: (a<b<c) from
-    e(a,b) ⋈ e(b,c) ⋈ e(a,c) — each triangle counted exactly once, no
-    orientation heuristics needed because the ordering IS the
-    orientation. Two shuffle joins over the edge list; at scale the
-    wedge join's fan-out is bounded by the max ordered out-degree, the
-    usual reason to cap hub degrees upstream (see cooccurrence_edges).
+    Edges are canonicalized/deduped, oriented into a DAG by a total node
+    order, and triangles are counted with the two-join wedge plan: wedges
+    are pairs of out-edges sharing a source, closed by a semi-join against
+    the oriented edge set — each triangle counted exactly once because
+    exactly one of its nodes precedes the other two.
+
+    ``degree_orient=True`` (default) orders nodes by (degree, id) — the
+    standard skew-safe orientation (Latapy 2008; Suri & Vassilvitskii
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"): every
+    oriented out-degree is then O(√m), so wedge volume is bounded by
+    O(m^1.5) REGARDLESS of hub degrees. Under plain id ordering
+    (``degree_orient=False``, kept for the scale probe) a hub of degree d
+    whose id sorts low contributes C(d,2) wedges — quadratic in the hub.
+    Receipt: tools/scale_probe_triangles.py (identical counts, wedge
+    volume collapse on a planted hub).
+
+    Cost: one degree aggregation + two broadcast-or-shuffle rank joins on
+    top of the two wedge joins — the degree table is one row per node.
     """
     e = (
         edges.select(
@@ -417,16 +430,39 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .distinct()
     )
     e.persist()
-    wedges = (
-        e.alias("e1")
-        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .select(
-            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
-        )
+    nodes = (
+        e.select(F.col("a").alias("n")).unionByName(e.select(F.col("b").alias("n"))).distinct()
     )
-    closing = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
-    tris = wedges.join(closing, ["a", "c"], "left_semi")
-    nodes = e.select(F.col("a").alias("n")).unionByName(e.select(F.col("b").alias("n"))).distinct()
+    if degree_orient:
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionByName(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        ranked = (
+            e.join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+            .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+        )
+        ra = F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+        rb = F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+        oriented = ranked.select(
+            F.when(ra < rb, ra).otherwise(rb).alias("u"),
+            F.when(ra < rb, rb).otherwise(ra).alias("v"),
+        )
+    else:
+        oriented = e.select(
+            F.struct(F.lit(0).alias("d"), F.col("a").alias("n")).alias("u"),
+            F.struct(F.lit(0).alias("d"), F.col("b").alias("n")).alias("v"),
+        )
+    oriented = oriented.persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v") < F.col("e2.v"))
+        .select(F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
+    )
+    tris = wedges.join(oriented, ["u", "v"], "left_semi")
     out = (
         tris.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
@@ -438,4 +474,5 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # unpersist discipline).
     out = out.localCheckpoint()
     e.unpersist(blocking=False)
+    oriented.unpersist(blocking=False)
     return out
