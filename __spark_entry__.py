@@ -31,23 +31,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return bgp_get_building_in_nation0(spark, SMOKE_SF_DIR)
 
 
-def _green_counts() -> dict[str, int]:
-    """How many driver rounds certified each query green, from the
+def _last_green_round() -> dict[str, int]:
+    """The LAST driver round that certified each query green, from the
     driver's own CORRECTNESS_r*.json receipts beside this file. Green =
     a value-hash match, or — only for queries registered WITHOUT an
     oracle — a rows-only pass (an ``err == 'no_oracle'`` row for a query
     that HAS an oracle means the driver never saw the oracle and counts
     as uncertified, matching tools/certification_ledger.py). A red row
-    counts as zero so the query re-enters the front of the window."""
+    does not advance the round, so the query re-enters the front of the
+    window."""
     import glob
     import json
+    import re
 
     from rippledb_spark.registry import registered_defs
 
     has_oracle = {q.name: q.oracle is not None for q in registered_defs()}
-    counts: dict[str, int] = {}
+    last: dict[str, int] = {}
     root = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -64,24 +68,28 @@ def _green_counts() -> dict[str, int]:
                 and not has_oracle.get(name, True)
             )
             if green:
-                counts[name] = counts.get(name, 0) + 1
-    return counts
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def ordered_defs() -> list:
-    """Registry entries, least-certified first (stable on registration
-    order within a tier). The driver certifies only the FIRST 50 entries
-    of ``queries()`` per round, so with 120+ registered queries a fixed
-    order would starve the tail forever; this rotation front-loads
-    never-certified and previously-failed queries. Scheduling lives HERE
-    (the driver-facing adapter) so the library's ``registry.all_queries``
-    stays deterministic."""
+    """Registry entries, least-RECENTLY-certified first (stable on
+    registration order within a round cohort; never-certified queries
+    sort as round 0, i.e. first). The driver certifies only the FIRST 50
+    entries of ``queries()`` per round, so with 160+ registered queries a
+    fixed order would starve the tail forever; recency rotation
+    guarantees every query recertifies within ceil(N/50) rounds — the
+    prior total-COUNT key stranded early-round cohorts behind everything
+    certified exactly once since, which recency cannot (a certified
+    query moves to the BACK of the queue, a failed one re-enters the
+    front). Scheduling lives HERE (the driver-facing adapter) so the
+    library's ``registry.all_queries`` stays deterministic."""
     from rippledb_spark.registry import registered_defs
 
-    counts = _green_counts()
+    last = _last_green_round()
     defs = registered_defs()
     index = {q.name: i for i, q in enumerate(defs)}
-    return sorted(defs, key=lambda q: (counts.get(q.name, 0), index[q.name]))
+    return sorted(defs, key=lambda q: (last.get(q.name, 0), index[q.name]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
