@@ -45,22 +45,23 @@ def test_library_order_is_registration_order():
     assert sorted(lib_names) == sorted(E.queries())
 
 
-def test_rotation_prefers_uncertified_queries(monkeypatch):
+def test_rotation_prefers_least_recently_certified(monkeypatch):
     """__spark_entry__.queries() order feeds the driver's 50-query
     certification window: never-certified (and failed) queries must sort
-    ahead of already-green ones, stable on registration order within a
-    tier."""
+    ahead of already-green ones, and within the green set the STALEST
+    certification sorts first (recency rotation, r6 — a total-count key
+    stranded early-round cohorts behind later one-time certifications)."""
     import __spark_entry__ as R
 
     names = list(R.queries())
-    counts = R._green_counts()
-    green_ranks = [counts.get(n, 0) for n in names]
-    # non-decreasing green counts: uncertified first, most-certified last
-    assert green_ranks == sorted(green_ranks)
-    # the first 50 (the driver window) contain every zero-count query
-    # (or are all zero-count, if more than 50 are pending)
+    last = R._last_green_round()
+    rounds = [last.get(n, 0) for n in names]
+    # non-decreasing last-green rounds: never-certified first, freshest last
+    assert rounds == sorted(rounds)
+    # the first 50 (the driver window) contain every never-certified query
+    # (or are all never-certified, if more than 50 are pending)
     window = set(names[:50])
-    pending = [n for n in names if counts.get(n, 0) == 0]
+    pending = [n for n in names if last.get(n, 0) == 0]
     if len(pending) <= 50:
         assert set(pending) <= window
 
