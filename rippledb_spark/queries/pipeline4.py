@@ -691,3 +691,81 @@ def rebalance_sample_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pii_scrub_accounting",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+             '-4567' AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+             len(regexp_extract_all(text, '\\b\\d{3}[- .]\\d{3,4}[- .]\\d{4}\\b')) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+               '\\b\\d{3}[- .]\\d{3,4}[- .]\\d{4}\\b', '<PHONE>', 'g') AS s
+      FROM planted
+    )
+    SELECT doc_id % 10 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS sum_emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS sum_ipv4,
+           CAST(SUM(n_phones) AS BIGINT) AS sum_phones,
+           md5(string_agg(md5(s), '' ORDER BY doc_id)) AS scrub_md5
+    FROM scrubbed GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pii_scrub_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/pii.py, r6) over documents with PLANTED
+    deterministic PII (an email, an IPv4, and a phone derived from
+    doc_id — the raw corpus has none, so planting makes every pattern
+    exercise on every row). Counts are detected on the original text;
+    the scrub chain's exact output is hash-verified per bucket via an
+    ordered md5 chain — the DuckDB oracle reruns the identical RE2∩Java
+    patterns, so a green row certifies byte-identical masking. One
+    codegen projection + one hash-agg; no UDFs, no extra shuffle."""
+    from rippledb_spark.operators import pii
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-4567"),
+        ).alias("text"),
+    )
+    out = pii.scrub_pii(d, "text", "doc_id")
+    return (
+        out.withColumn("h", F.md5("scrubbed_text"))
+        .groupBy((F.col("id") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("sum_emails"),
+            F.sum("n_ipv4").alias("sum_ipv4"),
+            F.sum("n_phones").alias("sum_phones"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("id", "h"))),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("scrub_md5"),
+        )
+        .orderBy("bucket")
+    )

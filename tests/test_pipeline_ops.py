@@ -606,3 +606,35 @@ def test_gif_frame_sampling_real(spark, docs):
         want = list(enumerate(plan))[::2]
         got = sorted((r["frame_no"], (r["width"], r["height"], r["delay_cs"])) for r in frs)
         assert got == [(i, f) for i, f in want], mid
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from rippledb_spark.operators import pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.0.12 port 80"),
+        (3, "call 555-012-4567 today"),
+        (4, "clean document, nothing to hide"),
+        (5, "a@b.io and 10.0.0.1 and 800-555-1234"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in pii.scrub_pii(df, "text", "doc_id").collect()}
+    assert out[1]["scrubbed_text"] == "mail <EMAIL> now"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["scrubbed_text"] == "server at <IP> port 80"
+    assert out[3]["scrubbed_text"] == "call <PHONE> today"
+    assert out[4]["scrubbed_text"] == rows[3][1]  # identity on clean text
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    assert out[5]["scrubbed_text"] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_pii_placeholders_not_rematched(spark):
+    """A later pattern in the chain must never match an earlier pattern's
+    placeholder (tokens contain no digits/'@')."""
+    from rippledb_spark.operators import pii
+
+    df = spark.createDataFrame([(1, "x 1.2.3.4 y 555-123-4567")], ["doc_id", "text"])
+    r = pii.scrub_pii(df, "text", "doc_id").collect()[0]
+    assert r["scrubbed_text"] == "x <IP> y <PHONE>"
+    assert r["n_ipv4"] == 1 and r["n_phones"] == 1
