@@ -532,11 +532,39 @@ def _parse_fprimary(tokens, term) -> FilterExpr:
     save_i, save_toks = tokens.i, list(tokens.toks)
     try:
         left = parse_value(tokens, term)
+        nxt = tokens.peek()
+        negated = False
+        if isinstance(nxt, str) and nxt.upper() == "NOT":
+            tokens.take()
+            if not (isinstance(tokens.peek(), str) and tokens.peek().upper() == "IN"):
+                raise QueryError("expected IN after NOT in FILTER expression")
+            negated = True
+            nxt = tokens.peek()
+        if isinstance(nxt, str) and nxt.upper() == "IN":
+            # spec §17.4.1.9-10: IN desugars to an equality disjunction
+            # (so numeric coercion and type-error elimination come free
+            # from FCmp); NOT IN is its negation; 'IN ()' is false.
+            tokens.take()
+            tokens.expect("(")
+            members: list = []
+            if tokens.peek() != ")":
+                members.append(parse_value(tokens, term))
+                while tokens.peek() == ",":
+                    tokens.take()
+                    members.append(parse_value(tokens, term))
+            tokens.expect(")")
+            if not members:
+                expr: FilterExpr = FCmp("!=", FNum(0.0), FNum(0.0))  # false
+            else:
+                expr = FCmp("=", left, members[0])
+                for m in members[1:]:
+                    expr = FOr(expr, FCmp("=", left, m))
+            return FNot(expr) if negated else expr
         op = _split_head(tokens, _CMP_OPS)
         if op is None:
             raise QueryError(
                 f"FILTER operand {left!r} needs a comparison "
-                f"(=, !=, <, >, <=, >=) or REGEX/BOUND"
+                f"(=, !=, <, >, <=, >=), IN, or REGEX/BOUND"
             )
         return FCmp(op, left, parse_value(tokens, term))
     except QueryError:

@@ -41,7 +41,9 @@ values are plain strings). Engine conventions apply: bound values match
 named nodes only (graph.rs:1031-1033) and literals are matched by their
 string value. FILTER/BIND expression grammar and typing rules live in
 plans.filters (comparisons, + - * / arithmetic, CONCAT/STR/STRLEN/UCASE/
-LCASE/SUBSTR/IF); anything outside that subset (IN, unknown functions)
+LCASE/SUBSTR/IF, plus the r6 additions: STRSTARTS/STRENDS/CONTAINS,
+COALESCE/ABS/ROUND/CEIL/FLOOR, STRBEFORE/STRAFTER/REPLACE, xsd:* casts,
+and [NOT] IN lists); anything outside that subset (unknown functions)
 raises QueryError rather than mis-parsing.
 """
 

@@ -786,3 +786,15 @@ def test_new_builtins_arity_errors(lit_store):
     ):
         with pytest.raises(QueryError):
             parse_filter_text(bad)
+
+
+def test_filter_in_and_not_in(lit_store):
+    q = 'SELECT ?s WHERE { ?s name ?n FILTER(?n IN ("ox", "zebra")) }'
+    assert rows(lit_store.sparql(q), "s") == [("a",), ("b",)]
+    q = 'SELECT ?s WHERE { ?s name ?n FILTER(?n NOT IN ("ox", "zebra")) }'
+    assert rows(lit_store.sparql(q), "s") == [("c",)]
+    # empty IN list is false; numeric members coerce
+    q = "SELECT ?s WHERE { ?s name ?n FILTER(?n IN ()) }"
+    assert rows(lit_store.sparql(q), "s") == []
+    q = "SELECT ?s WHERE { ?s score ?v FILTER(?v IN (10, 11)) }"
+    assert rows(lit_store.sparql(q), "s") == [("a",)]
