@@ -28,6 +28,8 @@ by doc id or shingle hash (uniform). Deterministic and SQL-reproducible
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -109,4 +111,60 @@ def remove_frequent_ngram_spans(
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """→ DataFrame(id, n_lines, n_kept, cleaned_text): every LINE whose
+    normalized form (trimmed, lowercased) occurs in more than ``max_df``
+    DISTINCT documents is removed from every document — the C4-style
+    line-level boilerplate rule ("any line shared across ≥N pages is
+    navigation/footer chrome"), the coarser sibling of
+    :func:`remove_frequent_ngram_spans`. Remaining lines rejoin in order
+    with ``sep``. Same survival contract as the span scrub: EVERY input
+    document yields exactly one output row (fully-boilerplate docs come
+    back as n_kept=0 / cleaned_text='').
+
+    Scale shape: one posexplode, one distinct-count hash-agg over
+    normalized lines (the frequent set is small by Zipf), one left-anti
+    equi-join on the normalized form, one per-doc reassembly groupBy and
+    the per-doc base join — all keyed by doc id or line hash, uniform at
+    any corpus size.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("j", "line"),
+    ).withColumn("norm", F.lower(F.trim("line")))
+    frequent = (
+        lines.groupBy("norm")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("norm")
+    )
+    kept = lines.join(frequent, "norm", "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), re.escape(sep))).alias("n_lines"),
+    )
+    return base.join(kept_agg, "id", "left_outer").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )

@@ -769,3 +769,71 @@ def pii_scrub_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "clean_frequent_line_removal",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id,
+             text || chr(10) || 'shared boilerplate footer' || chr(10) ||
+             'cohort line ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+             'unique line ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, u.j, ln[u.j + 1] AS line,
+             lower(trim(ln[u.j + 1])) AS norm
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ln FROM lined),
+           UNNEST(range(len(ln))) AS u(j)
+    ),
+    freq AS (
+      SELECT norm FROM lines GROUP BY norm
+      HAVING COUNT(DISTINCT doc_id) > 40
+    ),
+    kept AS (
+      SELECT l.doc_id, l.j, l.line FROM lines l
+      ANTI JOIN freq f ON f.norm = l.norm
+    ),
+    kept_agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY j) AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM lined
+    )
+    SELECT b.doc_id, CAST(b.n_lines AS INT) AS n_lines,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+    FROM base b LEFT JOIN kept_agg k USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def clean_frequent_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level boilerplate scrub (operators/cleaning.
+    remove_frequent_lines, r6): documents get deterministic planted lines
+    — a footer shared by ALL docs and a cohort line shared by ~1/5 of
+    them (both over the df cap of 40 at sf>=0.01) plus a unique line —
+    then any normalized line in more than 40 distinct docs is removed
+    everywhere. Per-doc kept counts and exact cleaned text are
+    hash-verified against the DuckDB twin."""
+    from rippledb_spark.operators.cleaning import remove_frequent_lines
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared boilerplate footer\ncohort line "),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("\nunique line "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = remove_frequent_lines(d, "text", "doc_id", max_df=40)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        "n_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")

@@ -638,3 +638,40 @@ def test_pii_placeholders_not_rematched(spark):
     r = pii.scrub_pii(df, "text", "doc_id").collect()[0]
     assert r["scrubbed_text"] == "x <IP> y <PHONE>"
     assert r["n_ipv4"] == 1 and r["n_phones"] == 1
+
+
+def test_remove_frequent_lines(spark):
+    from rippledb_spark.operators.cleaning import remove_frequent_lines
+
+    rows = [
+        (1, "Cookie notice\nreal content one\nCopyright Footer"),
+        (2, "cookie notice  \nreal content two\nCOPYRIGHT FOOTER"),
+        (3, "Cookie Notice\nunique text\ncopyright footer"),
+        (4, "all alone here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["cleaned_text"])
+        for r in remove_frequent_lines(df, "text", "doc_id", max_df=2).collect()
+    }
+    # both boilerplate lines occur in 3 docs (normalized match across
+    # case/whitespace) > cap 2 → removed everywhere
+    assert out[1] == (3, 1, "real content one")
+    assert out[2] == (3, 1, "real content two")
+    assert out[3] == (3, 1, "unique text")
+    assert out[4] == (1, 1, "all alone here")
+
+
+def test_remove_frequent_lines_fully_boilerplate_doc_survives(spark):
+    from rippledb_spark.operators.cleaning import remove_frequent_lines
+
+    rows = [(i, "menu\nlogin") for i in range(4)] + [(9, "menu\nreal stuff")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_kept"], r["cleaned_text"])
+        for r in remove_frequent_lines(df, "text", "doc_id", max_df=3).collect()
+    }
+    assert len(out) == 5
+    for i in range(4):
+        assert out[i] == (0, "")
+    assert out[9] == (1, "real stuff")
