@@ -430,7 +430,9 @@ def _aggregate_solutions(
     if missing:
         raise QueryError(f"GROUP BY variables {missing} not bound by any pattern")
     exprs = []
-    for func, var, alias, distinct in aggregates:
+    for agg in aggregates:
+        func, var, alias, distinct = agg[0], agg[1], agg[2], agg[3]
+        separator = agg[4] if len(agg) > 4 else None
         if var is not None and var not in acc.columns:
             raise QueryError(f"aggregate over unbound variable ${var}")
         col = F.col(var) if var is not None else None
@@ -453,7 +455,9 @@ def _aggregate_solutions(
         elif func == "sample":
             expr = F.min(col)  # deterministic 'any value'
         elif func == "group_concat":
-            expr = F.array_join(F.array_sort(F.collect_list(col)), " ")
+            sep = " " if separator is None else separator
+            vals = F.collect_set(col) if distinct else F.collect_list(col)
+            expr = F.array_join(F.array_sort(vals), sep)
         else:  # pragma: no cover — builder validates
             raise QueryError(f"unknown aggregate {func!r}")
         exprs.append(expr.alias(alias))

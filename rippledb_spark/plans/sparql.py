@@ -66,7 +66,9 @@ class Sparql:
         self.subqueries: list["Sparql"] = []  # nested SELECTs (spec §12)
         self.group_vars: list[str] = []  # GROUP BY variable names
         # (func, var-or-None, alias, distinct) — see aggregate()
-        self.aggregates: list[tuple[str, str | None, str, bool]] = []
+        # (func, var, alias, distinct, separator) — separator only for
+        # group_concat (spec §11.4.5), None = the engine default ' '
+        self.aggregates: list[tuple[str, str | None, str, bool, str | None]] = []
         self.having: list = []  # FilterExpr ASTs over group/alias columns
         self.is_distinct = False
         # (key, descending) — key is a var NAME (str) or a filters.py
@@ -214,7 +216,12 @@ class Sparql:
         return self
 
     def aggregate(
-        self, func: str, var: str | None = None, alias: str = "", distinct: bool = False
+        self,
+        func: str,
+        var: str | None = None,
+        alias: str = "",
+        distinct: bool = False,
+        separator: str | None = None,
     ) -> "Sparql":
         """SPARQL aggregate (spec §11.4): ``func`` ∈ COUNT SUM AVG MIN MAX
         SAMPLE GROUP_CONCAT, over variable ``var`` (None = COUNT(*)),
@@ -239,9 +246,13 @@ class Sparql:
         a = parse_unit(alias)
         if not isinstance(a, Var):
             raise QueryError(f"aggregate() alias must be a '$var' name, got {alias!r}")
-        if distinct and f not in ("count", "sum"):
-            raise QueryError(f"DISTINCT is supported for COUNT/SUM, not {func}")
-        self.aggregates.append((f, var, a.name, distinct))
+        if distinct and f not in ("count", "sum", "group_concat"):
+            raise QueryError(
+                f"DISTINCT is supported for COUNT/SUM/GROUP_CONCAT, not {func}"
+            )
+        if separator is not None and f != "group_concat":
+            raise QueryError("separator is only valid for GROUP_CONCAT")
+        self.aggregates.append((f, var, a.name, distinct, separator))
         return self
 
     def having_expr(self, expr) -> "Sparql":

@@ -85,7 +85,7 @@ _TOKEN = re.compile(
       | (?P<str>"(?:[^"\\]|\\.)*")
       | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
       | (?P<punct>[{}().;,])
-      | (?P<word>[^\s{}();,]+)
+      | (?P<word>[^\s{}();,"]+)
     )""",
     re.VERBOSE,
 )
@@ -142,8 +142,9 @@ def _parse_select_list(t: _Tokens) -> tuple[bool, list[str], list[tuple]]:
     top-level SELECT form and nested subqueries (spec §12)."""
     distinct = False
     sel_vars: list[str] = []
-    # (func, var-or-None, alias, distinct) from '(FUNC(?v) AS ?alias)'
-    sel_aggs: list[tuple[str, str | None, str, bool]] = []
+    # (func, var-or-None, alias, distinct, separator) from
+    # '(FUNC([DISTINCT] ?v [; SEPARATOR="s"] | *) AS ?alias)'
+    sel_aggs: list[tuple[str, str | None, str, bool, str | None]] = []
     if _is_kw(t.peek(), "DISTINCT"):
         t.take()
         distinct = True
@@ -169,6 +170,7 @@ def _parse_select_list(t: _Tokens) -> tuple[bool, list[str], list[tuple]]:
             t.expect("(")
             agg_distinct = False
             arg: str | None = None
+            sep: str | None = None
             if t.peek() == "*":
                 t.take()
             else:
@@ -179,13 +181,28 @@ def _parse_select_list(t: _Tokens) -> tuple[bool, list[str], list[tuple]]:
                 if not (v.startswith("?") or v.startswith("$")):
                     raise QueryError(f"{fn} takes a variable or *, got {v!r}")
                 arg = "$" + v[1:]
+            if t.peek() == ";":
+                # GROUP_CONCAT(?v; SEPARATOR="...") — spec §11.4.5
+                t.take()
+                w = t.take()
+                if w.upper().rstrip("=") != "SEPARATOR":
+                    raise QueryError(f"expected SEPARATOR in {fn}, got {w!r}")
+                if not w.endswith("="):
+                    if t.take() != "=":
+                        raise QueryError("expected '=' after SEPARATOR")
+                sv = t.take()
+                if not (isinstance(sv, str) and sv.startswith('"')):
+                    raise QueryError("SEPARATOR takes a string literal")
+                sep = re.sub(r"\\(.)", r"\1", sv[1:-1])
+                if fn != "GROUP_CONCAT":
+                    raise QueryError("SEPARATOR is only valid for GROUP_CONCAT")
             t.expect(")")
             t.expect("AS")
             a = t.take()
             if not (a.startswith("?") or a.startswith("$")):
                 raise QueryError(f"AS takes a variable alias, got {a!r}")
             t.expect(")")
-            sel_aggs.append((fn.lower(), arg, "$" + a[1:], agg_distinct))
+            sel_aggs.append((fn.lower(), arg, "$" + a[1:], agg_distinct, sep))
             sel_vars.append("$" + a[1:])
             continue
         break
@@ -439,8 +456,8 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 sub = Sparql()
                 parse_group(sub)
                 sub.select(svars if svars else [f"${n}" for n in _pattern_vars(sub)])
-                for fn, arg, alias, agg_distinct in saggs:
-                    sub.aggregate(fn, arg, alias, agg_distinct)
+                for fn, arg, alias, agg_distinct, ssep in saggs:
+                    sub.aggregate(fn, arg, alias, agg_distinct, separator=ssep)
                 if sdistinct:
                     sub.distinct()
                 _apply_modifiers(t, sub, stop="}")
@@ -616,8 +633,8 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
     q = Sparql()
     parse_group(q)
     q.select(sel_vars if sel_vars else [f"${n}" for n in _pattern_vars(q)])
-    for fn, arg, alias, agg_distinct in sel_aggs:
-        q.aggregate(fn, arg, alias, agg_distinct)
+    for fn, arg, alias, agg_distinct, sep in sel_aggs:
+        q.aggregate(fn, arg, alias, agg_distinct, separator=sep)
     if distinct:
         q.distinct()
     _apply_modifiers(t, q)

@@ -798,3 +798,24 @@ def test_filter_in_and_not_in(lit_store):
     assert rows(lit_store.sparql(q), "s") == []
     q = "SELECT ?s WHERE { ?s score ?v FILTER(?v IN (10, 11)) }"
     assert rows(lit_store.sparql(q), "s") == [("a",)]
+
+
+def test_group_concat_separator(store):
+    q = (
+        'SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=", ") AS ?kids) '
+        "WHERE { ?s child ?o } GROUP BY ?s"
+    )
+    assert rows(store.sparql(q), "s", "kids") == [("c1", "g1"), ("r", "c1, c2")]
+    # fused and spaced forms both parse; DISTINCT composes
+    q2 = (
+        'SELECT ?s (GROUP_CONCAT(DISTINCT ?o; SEPARATOR = "|") AS ?kids) '
+        "WHERE { ?s child ?o } GROUP BY ?s"
+    )
+    assert rows(store.sparql(q2), "s", "kids") == [("c1", "g1"), ("r", "c1|c2")]
+    # default separator is ' '; SEPARATOR on other aggregates refuses
+    q3 = "SELECT ?s (GROUP_CONCAT(?o) AS ?kids) WHERE { ?s child ?o } GROUP BY ?s"
+    assert rows(store.sparql(q3), "s", "kids") == [("c1", "g1"), ("r", "c1 c2")]
+    with pytest.raises(QueryError, match="SEPARATOR"):
+        store.sparql(
+            'SELECT ?s (SUM(?o; SEPARATOR=",") AS ?x) WHERE { ?s child ?o } GROUP BY ?s'
+        )
