@@ -93,6 +93,18 @@ HEADLINE = [
     "multimodal_features",
     "rdfxml_export_accounting",
     "chunk_documents_overlapping",
+    # round-6 additions: PII scrub (codegen regexp family), line-level
+    # boilerplate removal, GIF frame walk (Arrow expansion), bounded path
+    # quantifier (structural level bound vs the closure family), and the
+    # builtins/ORDER-BY-expression SPARQL surface. The backup-migration
+    # query is deliberately NOT here: its sink targets the reference's
+    # single-node format (driver-side by design), so it would time a
+    # deliberate non-distributed path.
+    "pii_scrub_accounting",
+    "clean_frequent_line_removal",
+    "multimodal_frames",
+    "path_quantified_containment",
+    "sparql_builtins_order_expr",
 ]
 
 

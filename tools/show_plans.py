@@ -28,6 +28,10 @@ DEFAULT = [
     "pack_documents_token_budget",
     # round-4 representatives
     "path_order_to_region",
+    # round-6 representatives (receipts in docs/PLANS.md §round-6)
+    "pii_scrub_accounting",
+    "clean_frequent_line_removal",
+    "path_quantified_containment",
     "path_within_closure",
     "cdc_latest_user_state",
     "scd2_purchase_history",
