@@ -662,3 +662,36 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     got, want = sorted(map(key, out.collect())), sorted(map(key, batch.collect()))
     assert got == want
     assert len(got) == 4 + 1 + 1  # 11 toks → 4 chunks (stride 3), 1, 1
+
+
+def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
+    """scrub_pii is one stateless codegen projection, so the SAME operator
+    runs unchanged on a stream — continuous-ingest redaction before any
+    stateful stage. Checked against the batch run."""
+    import json as _json
+
+    from rippledb_spark.operators.pii import scrub_pii
+
+    docs = [
+        {"doc_id": 1, "text": "mail a@b.io and 10.0.0.1"},
+        {"doc_id": 2, "text": "call 555-123-4567 now"},
+        {"doc_id": 3, "text": "nothing sensitive"},
+    ]
+    d = tmp_path / "pii_stream"
+    d.mkdir()
+    (d / "p1.json").write_text("\n".join(_json.dumps(r) for r in docs))
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(d))
+    out = _run_stream(
+        spark, scrub_pii(stream, "text", "doc_id"), "t_pii", mode="append"
+    )
+    batch = scrub_pii(
+        spark.read.schema("doc_id long, text string").json(str(d)),
+        "text", "doc_id",
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, out.collect())) == sorted(map(key, batch.collect()))
+    got = {r["id"]: r["scrubbed_text"] for r in out.collect()}
+    assert got[1] == "mail <EMAIL> and <IP>"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "nothing sensitive"
