@@ -140,8 +140,18 @@ class TripleStore:
 
     def persist_to(self, path: str) -> None:
         """Write partitioned-by-predicate parquet (S6); overwrite like the
-        reference's wipe-and-rewrite (graph.rs:665-680)."""
-        self.df.write.mode("overwrite").partitionBy("p").parquet(path)
+        reference's wipe-and-rewrite (graph.rs:665-680).
+
+        Rows are hash-colocated on ``p`` before the write: without it,
+        every task holding rows of a predicate opens its own file under
+        that predicate's directory — predicates × tasks tiny files whose
+        parquet footer/dictionary overhead made small backups LARGER than
+        their RDF/XML source (measured 2.5× on www-2011). Colocated, each
+        predicate writes from few tasks and dictionary encoding sees the
+        whole slice (backup ≈ 0.4× source; tools/bench_backup.py). At
+        100 TB the same repartition is what bounds file counts; AQE
+        coalesces the small-slice partitions."""
+        self.df.repartition("p").write.mode("overwrite").partitionBy("p").parquet(path)
 
     # -- versioned persistence (extension over the reference's single-slot
     #    backup: snapshots are immutable, so versions are free) -------------
