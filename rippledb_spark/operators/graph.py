@@ -360,6 +360,81 @@ def bfs_reachability(
     return reached
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame | list[str],
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths → (node, dist): minimal total
+    edge weight from the nearest source, Bellman-Ford-style relaxation
+    (the weighted sibling of :func:`bfs_reachability`; non-negative
+    weights assumed, as usual for distributed relaxation).
+
+    Each round relaxes ONLY the frontier — nodes whose distance improved
+    last round — against the (cached, src-partitioned) edge list, then
+    min-folds into the checkpointed distance table; a round with no
+    improvement is the exact fixpoint (≤ V rounds by Bellman-Ford, ≤
+    weighted-diameter/min-edge in practice). The frontier filter is the
+    delta-stepping-lite optimization: without it every round re-relaxes
+    every settled node (V×E total work); with it total relaxation work is
+    Σ frontier×degree, which on expander-ish graphs is O(E·diameter) but
+    typically far less.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), F.col(weight).cast("double").alias("w")
+    )
+    if not isinstance(sources, DataFrame):
+        sources = spark.createDataFrame([(s,) for s in sources], ["node"])
+    n_edges = e.count()  # sizes the iteration shuffles (_iteration_conf)
+    parts = _iteration_partitions(spark, n_edges)
+    with _iteration_conf(spark, n_edges):
+        e = _truncate(e.repartition(parts, "a"), checkpoint_dir)
+        dist = _truncate(
+            sources.select("node").distinct().withColumn("dist", F.lit(0.0)),
+            checkpoint_dir,
+        )
+        frontier = dist
+        for _ in range(max_iterations):
+            relaxed = e.join(frontier, e.a == frontier.node).select(
+                F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+            )
+            # carry the previous distance alongside the min-fold so the
+            # next frontier is a FILTER on the checkpointed result (the
+            # pagerank old_rank trick): improved ⇔ dist < old (old NULL =
+            # newly reached)
+            folded = _truncate(
+                dist.withColumnRenamed("dist", "old")
+                .join(
+                    relaxed.groupBy("node").agg(F.min("dist").alias("new")),
+                    "node",
+                    "full_outer",
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.coalesce("old", F.lit(float("inf"))),
+                        F.coalesce("new", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    "old",
+                ),
+                checkpoint_dir,
+            )
+            frontier = folded.filter(
+                F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            ).select("node", "dist")
+            dist = folded.drop("old")
+            if frontier.limit(1).count() == 0:
+                break  # no distance improved → exact fixpoint
+    out = dist
+    _release_iteration_garbage(out)
+    return out
+
+
 def cooccurrence_edges(
     df: DataFrame,
     group_col: str,

@@ -267,3 +267,71 @@ def window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("window_start", "rnk")
     )
+
+
+@query(
+    "event_transition_shortest_paths",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             date_diff('microsecond',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(MIN(gap_us) AS DOUBLE) AS w
+      FROM ordered
+      WHERE prev_type IS NOT NULL AND event_type <> prev_type
+      GROUP BY 1, 2
+    ),
+    walk AS (
+      SELECT 'signup' AS node, CAST(0 AS DOUBLE) AS dist, 0 AS iter
+      UNION ALL
+      SELECT e.dst, d.dist + e.w, d.iter + 1
+      FROM walk d JOIN edges e ON e.src = d.node
+      WHERE d.iter < 6
+    )
+    SELECT node, MIN(dist) AS dist_us
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def event_transition_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (graph.shortest_paths, r6) over the
+    event-type TRANSITION graph: per-user lag derives (prev_type →
+    event_type) transitions with their microsecond gap, the corpus-scale
+    pass aggregates the MIN gap per ordered type pair (one window + one
+    hash-agg over all events), and Bellman-Ford relaxation then finds the
+    minimal cumulative transition time from 'signup' to every event type.
+    The oracle recomputes the same edges and walks all ≤6-hop paths in a
+    recursive CTE (5 node types → shortest simple paths fit). Frontier
+    relaxation quits at the exact fixpoint; the closure runs on the tiny
+    derived graph while the heavy derivation stays one scan-shaped pass."""
+    from rippledb_spark.operators.graph import shortest_paths
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("event_type") != F.col("prev_type"))
+        )
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(
+            F.min(F.expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    return (
+        shortest_paths(trans, ["signup"])
+        .select("node", F.col("dist").alias("dist_us"))
+        .orderBy("node")
+    )

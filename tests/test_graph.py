@@ -210,3 +210,37 @@ def test_cooccurrence_edges_projection_and_cap(spark):
     assert full == [("x", "y"), ("x", "z"), ("y", "z")]
     capped = sorted(map(tuple, cooccurrence_edges(df, "g", "i", max_group_size=2).collect()))
     assert capped == [("x", "y")]  # g1 (3 items) dropped by the guard
+
+
+def test_shortest_paths_weighted(spark):
+    """Bellman-Ford relaxation: cheaper multi-hop beats expensive direct
+    edge; multi-source takes the nearest origin; fixpoint is exact."""
+    from rippledb_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "c", 1.0),
+            ("a", "c", 5.0),  # beaten by a→b→c = 2
+            ("c", "d", 1.0),
+            ("b", "d", 10.0),  # beaten by a→b→c→d = 3
+            ("d", "e", 1.0),
+            ("x", "y", 2.0),
+        ],
+        ["src", "dst", "w"],
+    )
+    got = {r["node"]: r["dist"] for r in shortest_paths(edges, ["a"]).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0, "e": 4.0}
+    multi = {r["node"]: r["dist"] for r in shortest_paths(edges, ["a", "x"]).collect()}
+    assert multi["x"] == 0.0 and multi["y"] == 2.0
+    assert {k: v for k, v in multi.items() if k not in ("x", "y")} == got
+
+
+def test_shortest_paths_cycle_terminates(spark):
+    from rippledb_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)], ["src", "dst", "w"]
+    )
+    got = {r["node"]: r["dist"] for r in shortest_paths(edges, ["a"]).collect()}
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0}  # cycle does not relax a below 0
