@@ -1,0 +1,171 @@
+"""BPE merge learning over a corpus (engine tier — LLM tokenizer prep).
+
+Byte-pair-encoding tokenizer TRAINING (Sennrich et al. 2016, ACL —
+"Neural Machine Translation of Rare Words with Subword Units"): start
+from characters, repeatedly merge the most frequent adjacent symbol
+pair. This implements the merge-learning loop as an iterative DataFrame
+computation: each round is one corpus-wide pair-count aggregation (the
+scan-shaped heavy step), a 1-row argmax collect (the only driver
+traffic, K rows total for K merges), and one pure-expression merge
+application.
+
+Symbol-boundary trick (what makes the merge a plain string replace that
+DuckDB reproduces byte-for-byte): the symbol sequence is stored with
+every symbol WRAPPED in a sentinel char, ``␟a␟␟b␟`` style. A pair
+pattern ``␟a␟␟b␟`` then cannot match inside another symbol (``␟ba␟``
+contains no ``␟a␟``), and adjacent occurrences share no characters, so
+non-overlapping left-to-right replacement — the semantics both Spark's
+``replace`` and DuckDB's ``replace`` implement — applies the merge
+greedily exactly like the reference BPE algorithm.
+
+Scale shape: state is one row per DISTINCT word (with its corpus
+count), NOT per token occurrence — the standard BPE-training reduction;
+each round shuffles pair counts (bounded by the distinct-pair
+vocabulary), never the corpus. The K-round driver loop collects K
+single rows; at 100 TB the per-round cost is the distinct-word scan,
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+SEP = "\x1f"  # unit separator — never appears in text tokens
+
+
+def wrap_word(col):
+    """word → wrapped character-symbol sequence: 'ab' → '␟a␟␟b␟'."""
+    return F.concat(
+        F.lit(SEP),
+        F.array_join(F.split(col, ""), SEP + SEP),
+        F.lit(SEP),
+    )
+
+
+def _symbols(col):
+    """wrapped sequence → array of symbols."""
+    return F.split(F.expr(f"trim(BOTH '{SEP}' FROM {col})"), SEP + SEP)
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 6,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns (merges, final_words): ``merges`` is a list of
+    (round, left_symbol, right_symbol, pair_count) in learned order;
+    ``final_words`` is the distinct-word DataFrame (word, n, syms) after
+    all merges, ``syms`` being the wrapped symbol string. Ties break
+    lexicographically on (left, right) — deterministic across engines.
+    Stops early when no pair reaches ``min_pair_count``.
+    """
+    words = (
+        df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("syms", wrap_word(F.col("word")))
+    )
+    # One row per distinct word for the whole loop — persist once, fold
+    # merges as narrow projections, checkpoint to keep the plan flat.
+    words = words.localCheckpoint()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        pairs = (
+            words.withColumn("__arr", _symbols("syms"))
+            .select(
+                "n",
+                F.explode(
+                    # guard: sequence(1, 0) is DESCENDING in Spark, not
+                    # empty — single-symbol words must yield no pairs
+                    F.expr(
+                        "CASE WHEN size(__arr) < 2 THEN array() "
+                        "ELSE transform(sequence(1, size(__arr) - 1), "
+                        "i -> struct(__arr[i - 1] as a, __arr[i] as b)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1).collect()
+        )
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((rnd, a, b, cnt))
+        pat = f"{SEP}{a}{SEP}{SEP}{b}{SEP}"
+        rep = f"{SEP}{a}{b}{SEP}"
+        words = words.withColumn(
+            "syms", F.replace(F.col("syms"), F.lit(pat), F.lit(rep))
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_oracle_sql(n_merges: int = 6, min_pair_count: int = 2) -> str:
+    """DuckDB twin of :func:`learn_bpe_merges` over the ``documents``
+    view: ``n_merges`` unrolled stages, each = pair-count aggregate +
+    deterministic argmax + wrapped-string replace — byte-identical merge
+    application by the sentinel-wrap argument in the module docstring.
+    Returns rows (round, left_sym, right_sym, pair_count)."""
+    sep = SEP
+    parts = [
+        f"""
+    w0 AS MATERIALIZED (
+      SELECT word, COUNT(*) AS n,
+             '{sep}' || array_to_string(
+                 list_transform(range(1, LENGTH(word) + 1),
+                                i -> substring(word, i, 1)),
+                 '{sep}{sep}') || '{sep}' AS syms
+      FROM (
+        SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+      )
+      WHERE word <> ''
+      GROUP BY word
+    )"""
+    ]
+    selects = []
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+      SELECT sy[u.i] AS a, sy[u.i + 1] AS b, SUM(n) AS cnt
+      FROM (SELECT n, string_split(trim(BOTH '{sep}' FROM syms),
+                                   '{sep}{sep}') AS sy FROM {prev}),
+           UNNEST(range(1, len(sy))) AS u(i)
+      GROUP BY 1, 2
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT a, b, cnt FROM p{r}
+      WHERE cnt >= {min_pair_count}
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT w.word, w.n,
+             CASE WHEN EXISTS (SELECT 1 FROM b{r})
+                  THEN replace(w.syms,
+                       '{sep}' || (SELECT a FROM b{r}) || '{sep}{sep}'
+                               || (SELECT b FROM b{r}) || '{sep}',
+                       '{sep}' || (SELECT a FROM b{r})
+                               || (SELECT b FROM b{r}) || '{sep}')
+                  ELSE w.syms END AS syms
+      FROM {prev} w
+    )"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        )
+    return (
+        "WITH " + ",".join(parts) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY round"
+    )

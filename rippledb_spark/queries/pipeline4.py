@@ -15,6 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from rippledb_spark.operators.bpe import bpe_oracle_sql
 from rippledb_spark.operators.dedup import shingles, shingles_sql
 from rippledb_spark.operators.packing import pack_by_token_budget
 from rippledb_spark.registry import query
@@ -837,3 +838,26 @@ def clean_frequent_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5("cleaned_text").alias("cleaned_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "bpe_merge_learning",
+    oracle=bpe_oracle_sql(6, 2),
+)
+def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (operators/bpe.py, r6): learn the first 6
+    byte-pair merges from the documents corpus — each round one
+    corpus-wide pair-count aggregation over the distinct-word table, a
+    deterministic argmax (ties break on (left, right)), and a
+    sentinel-wrapped string replace applying the merge. The oracle
+    unrolls the identical 6 stages as materialized CTEs, so a green row
+    certifies the whole iterative learning trajectory: every round's
+    chosen pair AND its corpus count must match byte-for-byte (a single
+    divergent merge changes every later round)."""
+    from rippledb_spark.operators.bpe import learn_bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_merges(d, "text", n_merges=6, min_pair_count=2)
+    return spark.createDataFrame(
+        merges, "round int, left_sym string, right_sym string, pair_count long"
+    ).orderBy("round")

@@ -675,3 +675,43 @@ def test_remove_frequent_lines_fully_boilerplate_doc_survives(spark):
     for i in range(4):
         assert out[i] == (0, "")
     assert out[9] == (1, "real stuff")
+
+
+def test_bpe_learns_classic_merges(spark):
+    """The Sennrich toy corpus: merges es → est → lo → low in order."""
+    from rippledb_spark.operators.bpe import SEP, learn_bpe_merges
+
+    text = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    df = spark.createDataFrame([(text,)], ["text"])
+    merges, words = learn_bpe_merges(df, "text", n_merges=4)
+    assert [(m[1], m[2]) for m in merges] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")
+    ]
+    assert merges[0][3] == 9  # newest×6 + widest×3
+    syms = {r["word"]: r["syms"].split(SEP + SEP) for r in words.collect()}
+    assert syms["low"] == [SEP + "low" + SEP]
+    assert [s.strip(SEP) for s in syms["newest"]] == ["n", "e", "w", "est"]
+
+
+def test_bpe_merge_is_boundary_safe(spark):
+    """A learned symbol must not merge across other symbols' boundaries:
+    with words 'ba b ab', merging (a, b) must touch only a⋄b adjacencies,
+    never the 'a' inside 'ba'."""
+    from rippledb_spark.operators.bpe import SEP, learn_bpe_merges
+
+    df = spark.createDataFrame([("ab ab ab ba ba b",)], ["text"])
+    merges, words = learn_bpe_merges(df, "text", n_merges=1)
+    assert (merges[0][1], merges[0][2]) == ("a", "b")
+    syms = {r["word"]: r["syms"] for r in words.collect()}
+    assert syms["ab"] == f"{SEP}ab{SEP}"
+    assert syms["ba"] == f"{SEP}b{SEP}{SEP}a{SEP}"  # untouched
+
+
+def test_bpe_early_stop_below_min_count(spark):
+    from rippledb_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("xy",)], ["text"])
+    merges, _ = learn_bpe_merges(df, "text", n_merges=5, min_pair_count=2)
+    assert merges == []  # the only pair occurs once
