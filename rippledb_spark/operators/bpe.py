@@ -169,3 +169,24 @@ def bpe_oracle_sql(n_merges: int = 6, min_pair_count: int = 2) -> str:
         + "\n    UNION ALL ".join(selects)
         + "\n    ORDER BY round"
     )
+
+
+def bpe_vocab_sql(n_merges: int = 6, min_pair_count: int = 2) -> str:
+    """Oracle for the POST-merge tokenization state: reuses the unrolled
+    stages of :func:`bpe_oracle_sql` and aggregates the final word table
+    — distinct words, corpus tokens, weighted symbol count, and a hash
+    over every word's exact symbol sequence (any mis-applied merge in
+    any round changes it)."""
+    base = bpe_oracle_sql(n_merges, min_pair_count)
+    ctes = base.split("\n    SELECT ")[0]  # keep the CTE chain, swap the SELECT
+    return (
+        ctes
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT)  AS n_distinct_words,
+           CAST(SUM(n) AS BIGINT)    AS n_corpus_words,
+           CAST(SUM(n * len(string_split(trim(BOTH '{SEP}' FROM syms),
+                                         '{SEP}{SEP}'))) AS BIGINT)
+                                     AS n_corpus_symbols,
+           md5(string_agg(md5(syms), '' ORDER BY word)) AS vocab_md5
+    FROM w{n_merges}"""
+    )

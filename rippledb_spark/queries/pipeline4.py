@@ -15,7 +15,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from rippledb_spark.operators.bpe import bpe_oracle_sql
+from rippledb_spark.operators.bpe import bpe_oracle_sql, bpe_vocab_sql
 from rippledb_spark.operators.dedup import shingles, shingles_sql
 from rippledb_spark.operators.packing import pack_by_token_budget
 from rippledb_spark.registry import query
@@ -861,3 +861,38 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, pair_count long"
     ).orderBy("round")
+
+
+@query(
+    "bpe_tokenized_vocab",
+    oracle=bpe_vocab_sql(6, 2),
+)
+def bpe_tokenized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLICATION side of BPE training (companion to
+    bpe_merge_learning): after the 6 learned merges, the final per-word
+    symbol sequences are themselves hash-certified — corpus word/symbol
+    totals plus an ordered md5 chain over every word's exact segmentation,
+    so a merge mis-applied in any round (wrong order, boundary leak,
+    missed occurrence) flips the row even if the merge TABLE matched."""
+    from rippledb_spark.operators.bpe import SEP, learn_bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    _, words = learn_bpe_merges(d, "text", n_merges=6, min_pair_count=2)
+    n_syms = F.size(F.split(F.expr(f"trim(BOTH '{SEP}' FROM syms)"), SEP + SEP))
+    return (
+        words.withColumn("h", F.md5("syms"))
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum("n").alias("n_corpus_words"),
+            F.sum(F.col("n") * n_syms).alias("n_corpus_symbols"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("word", "h"))),
+                        lambda s: s["h"],
+                    ),
+                )
+            ).alias("vocab_md5"),
+        )
+    )
