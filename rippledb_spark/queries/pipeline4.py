@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from rippledb_spark.operators.bpe import bpe_oracle_sql, bpe_vocab_sql
+from rippledb_spark.operators.lm import bigram_lm_sql
 from rippledb_spark.operators.dedup import shingles, shingles_sql
 from rippledb_spark.operators.packing import pack_by_token_budget
 from rippledb_spark.registry import query
@@ -895,4 +896,26 @@ def bpe_tokenized_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("vocab_md5"),
         )
+    )
+
+
+@query(
+    "lm_perplexity_quality",
+    oracle=bigram_lm_sql("documents", "text", "doc_id")
+    + " ORDER BY h_bits, id LIMIT 25",
+)
+def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/lm.py, r6): a bigram LM with
+    add-0.5 smoothing trains on the corpus in the same job that scores
+    it; the 25 LOWEST cross-entropy documents (most templated/repetitive
+    — the low-tail cut a CCNet-style filter drops first) are the
+    certified output, ordered by (rounded bits, doc_id) so the top-k
+    selection bakes the scoring into the verified row set."""
+    from rippledb_spark.operators.lm import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        bigram_lm_scores(d, "text", "doc_id")
+        .orderBy("h_bits", "id")
+        .limit(25)
     )

@@ -715,3 +715,28 @@ def test_bpe_early_stop_below_min_count(spark):
     df = spark.createDataFrame([("xy",)], ["text"])
     merges, _ = learn_bpe_merges(df, "text", n_merges=5, min_pair_count=2)
     assert merges == []  # the only pair occurs once
+
+
+def test_bigram_lm_scores(spark):
+    """Repetitive text scores LOWER cross-entropy than varied text under
+    the corpus-trained model; probabilities follow add-k arithmetic."""
+    import math
+
+    from rippledb_spark.operators.lm import bigram_lm_scores
+
+    rows = [
+        (1, "a a a a a a a a"),          # one dominant bigram
+        (2, "q w e r t y u i"),          # all-unique bigrams
+        (3, "a a a a q w e r"),
+        (4, "solo"),                      # <2 tokens → no row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: (r["n_bigrams"], r["h_bits"]) for r in
+           bigram_lm_scores(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 7 and out[2][0] == 7 and out[3][0] == 7
+    assert out[1][1] < out[3][1] < out[2][1]
+    # hand-check doc 1: C(a,a)=10 (docs 1+3), C(a·)=11, V=10 (incl.
+    # 'solo') → p=(10+.5)/(11+.5*10)=10.5/16; H = -log2(p)
+    want = round(-math.log2(10.5 / 16.0), 4)
+    assert abs(out[1][1] - want) < 1e-9
