@@ -18,6 +18,8 @@ from contextlib import contextmanager
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from rippledb_spark.errors import QueryError
+
 
 def _release_iteration_garbage(df: DataFrame) -> None:
     """Free the block-manager garbage an iterative loop leaves behind.
@@ -358,6 +360,69 @@ def bfs_reachability(
             prev_stats = stats
     _release_iteration_garbage(reached)
     return reached
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core of an undirected simple graph → DataFrame(node):
+    the maximal subgraph where every node has degree ≥ k, by iterative
+    peeling (Matula & Beck 1983; Seidman 1983 "Network structure and
+    minimum degree") — each round drops nodes whose degree WITHIN the
+    surviving set falls below k, until nothing changes.
+
+    Rounds needed = the peeling depth (how many onion layers sit outside
+    the core), typically far below the node count; each round is two
+    semi-joins of the edge list against the (shrinking) survivor set and
+    one degree hash-agg, with the usual checkpoint truncation. The
+    fixpoint test is exact (survivor count stable ⇔ no node dropped ⇔
+    every survivor already has ≥ k surviving neighbors)."""
+    if k < 1:
+        raise QueryError("k must be >= 1")
+    spark = edges.sparkSession
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    n_edges_est = und.persist().count()
+    converged = False
+    with _iteration_conf(spark, n_edges_est):
+        surv = _truncate(und.select("u").distinct(), checkpoint_dir)
+        prev = surv.count()
+        for _ in range(max_rounds):
+            live = und.join(surv, "u", "left_semi").join(
+                surv.withColumnRenamed("u", "v"), "v", "left_semi"
+            )
+            surv = _truncate(
+                live.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("u"),
+                checkpoint_dir,
+            )
+            n = surv.count()
+            if n == prev:
+                converged = True
+                break
+            prev = n
+    und.unpersist(blocking=False)
+    if not converged:
+        # refuse loudly: a silently-partial core is indistinguishable
+        # from the real one downstream (peeling depth exceeded the round
+        # budget — raise max_rounds; depth is bounded by the node count)
+        raise QueryError(
+            f"k_core did not reach its fixpoint within {max_rounds} rounds"
+        )
+    out = surv.select(F.col("u").alias("node"))
+    _release_iteration_garbage(out)
+    return out
 
 
 def shortest_paths(

@@ -713,3 +713,69 @@ def bgp_optional_path_coorders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  OPTIONAL { ?o contains_part/^contains_part ?o2 } "
         "} GROUP BY ?o ORDER BY ?o"
     )
+
+
+KCORE_K = 2  # peel threshold for the entity-graph core query
+_KCORE_STAGES = 4  # unrolled oracle peel stages (fixpoint observed at 2)
+
+
+def _kcore_oracle(k: int = KCORE_K, stages: int = _KCORE_STAGES) -> str:
+    """Unrolled-peeling DuckDB twin of graph.k_core (the BPE-style
+    unrolled-stage pattern, MATERIALIZED so DuckDB does not re-inline the
+    chain exponentially): each stage keeps nodes with >= k surviving
+    neighbors; the final stage must equal the one before it (converged),
+    certifying that the bounded unroll reached the true fixpoint."""
+    parts = [
+        f"WITH {TRIPLES_CTE.strip()},",
+        """
+    fwd AS MATERIALIZED (
+      SELECT DISTINCT s AS u, o_value AS v FROM triples
+      WHERE o_kind = 'named' AND s <> o_value
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM fwd UNION SELECT v, u FROM fwd
+    ),
+    s0 AS MATERIALIZED (SELECT DISTINCT u FROM e0)""",
+    ]
+    for i in range(1, stages + 1):
+        parts.append(f""",
+    s{i} AS MATERIALIZED (
+      SELECT u FROM (
+        SELECT e.u, COUNT(*) AS d FROM e0 e
+        WHERE e.u IN (SELECT u FROM s{i - 1})
+          AND e.v IN (SELECT u FROM s{i - 1})
+        GROUP BY e.u
+      ) WHERE d >= {k}
+    )""")
+    parts.append(f"""
+    SELECT CAST((SELECT COUNT(*) FROM s{stages}) AS BIGINT) AS n_core_nodes,
+           (SELECT md5(string_agg(u, '' ORDER BY u)) FROM s{stages}) AS core_md5,
+           (SELECT COUNT(*) FROM s{stages}) = (SELECT COUNT(*) FROM s{stages - 1})
+             AS converged""")
+    return "".join(parts)
+
+
+@query("graph_kcore_entity", oracle=_kcore_oracle())
+def graph_kcore_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.k_core, r6) of the entity
+    graph at k={}: iterative peeling to the exact fixpoint, certified
+    against an unrolled-stage DuckDB twin whose final stage must both
+    match the Spark survivor set (ordered md5 over node ids) AND equal
+    its predecessor (the converged flag proving the bounded unroll
+    reached the same fixpoint the loop did). The tree-shaped containment
+    edges peel away layer by layer; the cyclic order/part neighborhood
+    survives.""".format(KCORE_K)
+    from rippledb_spark.operators.graph import k_core
+
+    st = _store(spark, sf_dir)
+    edges = st.df.filter(F.col("o_kind") == "named").select(
+        F.col("s").alias("src"), F.col("o_value").alias("dst")
+    )
+    core = k_core(edges, KCORE_K)
+    return core.withColumn("h", F.col("node")).agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.md5(
+            F.concat_ws("", F.array_sort(F.collect_list("node"))).cast("binary")
+        ).alias("core_md5"),
+        F.lit(True).alias("converged"),
+    )

@@ -244,3 +244,31 @@ def test_shortest_paths_cycle_terminates(spark):
     )
     got = {r["node"]: r["dist"] for r in shortest_paths(edges, ["a"]).collect()}
     assert got == {"a": 0.0, "b": 1.0, "c": 2.0}  # cycle does not relax a below 0
+
+
+def test_k_core_peels_to_exact_core(spark):
+    from rippledb_spark.operators.graph import k_core
+
+    # triangle with a 2-node tail: 2-core = triangle, 3-core = empty
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    assert sorted(r["node"] for r in k_core(edges, 2).collect()) == ["a", "b", "c"]
+    assert sorted(r["node"] for r in k_core(edges, 1).collect()) == list("abcde")
+    assert k_core(edges, 3).count() == 0
+
+
+def test_k_core_deep_peeling_chain(spark):
+    """A long path peels one layer per round from both ends — exercises
+    multi-round convergence and the round-budget guard."""
+    import pytest as _pytest
+
+    from rippledb_spark.errors import QueryError
+    from rippledb_spark.operators.graph import k_core
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(12)]
+    edges = spark.createDataFrame(chain, ["src", "dst"])
+    assert k_core(edges, 2).count() == 0  # a path has no 2-core
+    with _pytest.raises(QueryError, match="fixpoint"):
+        k_core(edges, 2, max_rounds=2)
