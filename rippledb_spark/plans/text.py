@@ -278,7 +278,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             # as '(child)' + '/child', '(a|b)+/c' as '(a|b)' + '+/c'.
             # Plain predicates never end in these chars, so this fires
             # only mid-path.
-            if joined[-1] in ")+*?" and nxt[0] in "/|+*?":
+            if joined[-1] in ")+*?}" and nxt[0] in "/|+*?":
                 parts.append(t.take())
                 continue
             if nxt == "{":

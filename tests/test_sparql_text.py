@@ -819,3 +819,13 @@ def test_group_concat_separator(store):
         store.sparql(
             'SELECT ?s (SUM(?o; SEPARATOR=",") AS ?x) WHERE { ?s child ?o } GROUP BY ?s'
         )
+
+
+def test_path_quantifier_composes_with_sequence(store):
+    """p{n} followed by '/step' keeps collecting the path (the '}' must
+    continue into an operator run like ')' does)."""
+    got = rows(store.sparql("SELECT ?x ?y WHERE { ?x next{2}/next ?y }"), "x", "y")
+    nxt = {(e[0], e[2]) for e in EDGES if e[1] == "next"}
+    two = {(a, d) for a, b in nxt for c, d in nxt if b == c}
+    want = {(a, d) for a, b in two for c, d in nxt if b == c}
+    assert set(got) == want
