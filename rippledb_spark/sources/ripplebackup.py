@@ -48,6 +48,7 @@ is executor-side.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from typing import Iterable, Iterator
@@ -335,12 +336,18 @@ def read_ripplebackup(spark: SparkSession, path: str) -> DataFrame:
                      "o_id": pd.Series(ys, dtype="int64")}
                 )
 
-    files = (
-        spark.read.format("binaryFile")
-        .load(os.path.join(trees_dir, "*.json"))
-        .select("path", "content")
-    )
-    ids = files.mapInPandas(_decode, schema="slice long, s_id long, o_id long")
+    if glob.glob(os.path.join(trees_dir, "*.json")):
+        files = (
+            spark.read.format("binaryFile")
+            .load(os.path.join(trees_dir, "*.json"))
+            .select("path", "content")
+        )
+        ids = files.mapInPandas(_decode, schema="slice long, s_id long, o_id long")
+    else:
+        # an EMPTY graph's backup has no tree files (the reference writes
+        # one file per live predicate — zero predicates, zero files);
+        # binaryFile raises PATH_NOT_FOUND on an empty glob
+        ids = spark.createDataFrame([], "slice long, s_id long, o_id long")
 
     s_side = nodes.select(
         F.col("id").alias("s_id"),

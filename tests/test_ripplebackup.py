@@ -194,3 +194,16 @@ def test_predicate_tombstone_slice_skipped(spark, tmp_path):
     json.dump(head, open(os.path.join(path, "head.json"), "w"))
     back = read_ripplebackup(spark, path)
     assert [tuple(r) for r in back.collect()] == [tuple(rows[0])]
+
+
+def test_empty_store_roundtrip(spark, tmp_path):
+    """A Graph::new()-equivalent empty store backs up to a layout with no
+    tree files and restores to zero triples (reference writes one file
+    per live predicate; zero predicates = zero files)."""
+    from rippledb_spark import model
+    from rippledb_spark.store import TripleStore
+
+    empty = TripleStore(spark, spark.createDataFrame([], model.TRIPLES_SCHEMA))
+    path = str(tmp_path / "empty_backup")
+    empty.to_ripplebackup(path)
+    assert TripleStore.from_ripplebackup(spark, path).df.count() == 0
