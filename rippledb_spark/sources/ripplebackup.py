@@ -382,51 +382,112 @@ def write_ripplebackup(df: DataFrame, path: str) -> None:
     Graph::from_backup walk can load (graph.rs:54-222).
 
     Id assignment reproduces the reference's shared subject/object dict
-    with dense predicate ids. This sink targets the reference's
-    SINGLE-NODE backup format, so the dict/tree construction is
-    deliberately collected to the driver — the format itself cannot
-    exceed one machine (the reference holds the whole graph in memory);
-    use persist_to (partitioned parquet) for engine-native backups."""
-    rows = df.select(*model.TRIPLE_KEY).collect()
+    with dense predicate ids; ids are DETERMINISTIC (sorted term order)
+    rather than the reference's insertion order — any dense assignment
+    loads identically, since ids are internal to one backup.
 
-    node_ids: dict[tuple, int] = {}
-    node_defs: list[tuple] = []
-    pred_ids: dict[str, int] = {}
-    by_pred: dict[int, set] = {}
+    The heavy work is DISTRIBUTED: node ids assign via a sorted
+    zipWithIndex (no single-partition window), triples resolve ids with
+    two hash joins, and each predicate's K²-Tree builds AND writes its
+    trees/{i}.json inside one ``applyInPandas`` task. Only head.json is
+    driver-side — the format stores the whole term dictionary in one
+    JSON file, so that collect is inherent to the single-node target
+    (the reference holds the entire graph in memory); use persist_to
+    (partitioned parquet) for engine-native backups."""
+    spark = df.sparkSession
+    t = df.select(*model.TRIPLE_KEY)
 
-    def node_id(value, kind, lang, datatype) -> int:
-        key = (value, kind, lang, datatype)
-        if key not in node_ids:
-            node_ids[key] = len(node_ids)
-            node_defs.append(key)
-        return node_ids[key]
-
-    for r in rows:
-        s_id = node_id(r["s"], r["s_kind"], None, None)
-        o_id = node_id(r["o_value"], r["o_kind"], r["o_lang"], r["o_datatype"])
-        if r["p"] not in pred_ids:
-            pred_ids[r["p"]] = len(pred_ids)
-        by_pred.setdefault(pred_ids[r["p"]], set()).add((s_id, o_id))
+    # shared subject/object dictionary, deterministic dense ids
+    nodes = (
+        t.select(
+            F.col("s").alias("value"),
+            F.col("s_kind").alias("kind"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+        .unionByName(
+            t.select(
+                F.col("o_value").alias("value"),
+                F.col("o_kind").alias("kind"),
+                F.col("o_lang").alias("lang"),
+                F.col("o_datatype").alias("datatype"),
+            )
+        )
+        .distinct()
+    )
+    with_ids = spark.createDataFrame(
+        nodes.orderBy("value", "kind", "lang", "datatype")
+        .rdd.zipWithIndex()
+        .map(lambda pair: (*pair[0], pair[1])),
+        "value string, kind string, lang string, datatype string, id long",
+    ).persist()
+    preds = sorted(r["p"] for r in t.select("p").distinct().collect())
+    pred_ids = {p: i for i, p in enumerate(preds)}
 
     os.makedirs(os.path.join(path, "trees"), exist_ok=True)
     with open(os.path.join(path, ".ripplebackup"), "w"):
         pass
+
+    # id-resolved (pred, s_id, o_id) pairs; one task per predicate builds
+    # and writes its tree file directly (local/shared FS — the same
+    # executor-writes pattern as df.write sinks)
+    s_ids = with_ids.filter(F.col("lang").isNull() & F.col("datatype").isNull()).select(
+        F.col("value").alias("s"),
+        F.col("kind").alias("s_kind"),
+        F.col("id").alias("s_id"),
+    )
+    o_ids = with_ids.select(
+        F.col("value").alias("o_value"),
+        F.col("kind").alias("o_kind"),
+        F.col("lang").alias("o_lang"),
+        F.col("datatype").alias("o_datatype"),
+        F.col("id").alias("o_id"),
+    )
+    pid_df = spark.createDataFrame(list(pred_ids.items()), "p string, pid long")
+    pairs = (
+        t.join(s_ids, ["s", "s_kind"])
+        .join(
+            o_ids,
+            [
+                t["o_value"] == o_ids["o_value"],
+                t["o_kind"] == o_ids["o_kind"],
+                t["o_lang"].eqNullSafe(o_ids["o_lang"]),
+                t["o_datatype"].eqNullSafe(o_ids["o_datatype"]),
+            ],
+        )
+        .join(F.broadcast(pid_df), "p")
+        .select("pid", "s_id", "o_id")
+    )
+
+    trees_dir = os.path.join(path, "trees")
+
+    def _build_tree(pdf):
+        import pandas as pd
+
+        pid = int(pdf["pid"].iloc[0])
+        points = set(zip(pdf["s_id"].astype(int), pdf["o_id"].astype(int)))
+        with open(os.path.join(trees_dir, f"{pid}.json"), "w") as f:
+            json.dump(encode_k2_tree(points), f)
+        return pd.DataFrame({"pid": [pid], "n": [len(points)]})
+
+    written = pairs.groupBy("pid").applyInPandas(_build_tree, schema="pid long, n long")
+    written.collect()  # drive the write; one row per predicate back
+
+    # head.json: the one inherently-single-file piece of the format
+    dict_rows = with_ids.orderBy("id").collect()
     head = {
-        "dictMax": max(node_ids.values(), default=0),
+        "dictMax": int(dict_rows[-1]["id"]) if dict_rows else 0,
         "dictTombstones": [],
         "dict": [
-            [_node_to_json(v, k, lg, dt), i]
-            for i, (v, k, lg, dt) in enumerate(node_defs)
+            [_node_to_json(r["value"], r["kind"], r["lang"], r["datatype"]), int(r["id"])]
+            for r in dict_rows
         ],
         "predTombstones": [],
         "predicates": [
-            [_node_to_json(p, model.NAMED, None, None), i]
-            for p, i in pred_ids.items()
+            [_node_to_json(p, model.NAMED, None, None), i] for p, i in pred_ids.items()
         ],
         "persistLocation": path,
     }
     with open(os.path.join(path, "head.json"), "w") as f:
         json.dump(head, f)
-    for i, points in by_pred.items():
-        with open(os.path.join(path, "trees", f"{i}.json"), "w") as f:
-            json.dump(encode_k2_tree(points), f)
+    with_ids.unpersist(blocking=False)
