@@ -98,8 +98,9 @@ HEADLINE = [
     # quantifier (structural level bound vs the closure family), and the
     # builtins/ORDER-BY-expression SPARQL surface. The backup-migration
     # query is deliberately NOT here: its sink targets the reference's
-    # single-node format (driver-side by design), so it would time a
-    # deliberate non-distributed path.
+    # single-node format (head.json holds the whole term dictionary), so
+    # its wall time is dominated by that format's inherent driver-side
+    # serialization, not by engine throughput.
     "pii_scrub_accounting",
     "clean_frequent_line_removal",
     "multimodal_frames",
