@@ -450,3 +450,58 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_containment_pairs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    key_tokens: int = 16,
+) -> DataFrame:
+    """Truncation-duplicate pairs: (contained_id, container_id) where one
+    document's text is a strict PREFIX of another's — the artifact left
+    by crawl truncation / re-scrapes that exact-hash dedup misses (hashes
+    differ) and Jaccard may miss (a short prefix of a long doc has low
+    set overlap).
+
+    Scale shape: candidates must share the first ``key_tokens`` tokens —
+    one xxhash64 blocking key per doc, so the self-join runs per bucket
+    (never all-pairs; bucket sizes follow shared-prefix frequency, the
+    same Zipf bound as the other blocked tiers). Within a bucket, only
+    (shorter, longer) ordered pairs verify via one ``startswith`` —
+    docs shorter than ``key_tokens`` are excluded (their key would be
+    under-specified and the bucket degenerates). Equal texts are NOT
+    emitted (that is exact_dedup's jurisdiction); ties in length with
+    different text cannot be prefixes of each other.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(content_col).alias("__txt"),
+        F.size(F.split(F.trim(F.col(content_col)), r"\s+")).alias("__ntok"),
+    ).filter(F.col("__ntok") >= key_tokens)
+    keyed = base.withColumn(
+        "__key",
+        F.xxhash64(
+            F.array_join(
+                F.slice(F.split(F.trim(F.col("__txt")), r"\s+"), 1, key_tokens), " "
+            )
+        ),
+    )
+    a = keyed.select(
+        F.col("__key"),
+        F.col("__id").alias("contained_id"),
+        F.col("__txt").alias("__short"),
+    )
+    b = keyed.select(
+        F.col("__key"),
+        F.col("__id").alias("container_id"),
+        F.col("__txt").alias("__long"),
+    )
+    return (
+        a.join(b, "__key")
+        .filter(
+            (F.length("__short") < F.length("__long"))
+            & F.col("__long").startswith(F.col("__short"))
+        )
+        .select("contained_id", "container_id")
+    )

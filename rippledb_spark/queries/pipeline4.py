@@ -919,3 +919,66 @@ def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h_bits", "id")
         .limit(25)
     )
+
+
+@query(
+    "dedup_prefix_containment",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    trunc AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(t, 1,
+               GREATEST(16, CAST(FLOOR(len(t) * 3 / 5) AS INT))), ' ') AS text
+      FROM base WHERE doc_id % 11 = 0 AND len(t) >= 20
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM trunc
+    ),
+    eligible AS (
+      SELECT doc_id, text FROM corpus
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 16
+    )
+    SELECT a.doc_id AS contained_id, b.doc_id AS container_id
+    FROM eligible a JOIN eligible b
+      ON LENGTH(a.text) < LENGTH(b.text) AND starts_with(b.text, a.text)
+    ORDER BY contained_id, container_id
+    """,
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate detection (dedup.prefix_containment_pairs,
+    r6): plant a truncated twin (first 60% of tokens, id + 1e6) for every
+    11th document, then find every (contained, container) pair where one
+    text is a strict prefix of another. The operator blocks on the
+    first-16-token hash (never all-pairs — losing nothing, since a
+    qualifying prefix pair necessarily shares that key); the oracle verifies with
+    the direct quadratic definition, so the blocking's completeness is
+    exactly what the hash-match certifies."""
+    from rippledb_spark.operators.dedup import prefix_containment_pairs
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    trunc = (
+        d.withColumn("__t", t)
+        .filter((F.col("doc_id") % 11 == 0) & (F.size("__t") >= 20))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    "__t",
+                    1,
+                    F.greatest(
+                        F.lit(16), F.floor(F.size("__t") * 3 / 5).cast("int")
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    corpus = d.unionByName(trunc)
+    return prefix_containment_pairs(corpus, "text", "doc_id").orderBy(
+        "contained_id", "container_id"
+    )

@@ -740,3 +740,21 @@ def test_bigram_lm_scores(spark):
     # 'solo') → p=(10+.5)/(11+.5*10)=10.5/16; H = -log2(p)
     want = round(-math.log2(10.5 / 16.0), 4)
     assert abs(out[1][1] - want) < 1e-9
+
+
+def test_prefix_containment_pairs(spark):
+    from rippledb_spark.operators.dedup import prefix_containment_pairs
+
+    long = " ".join(f"w{i}" for i in range(30))
+    prefix20 = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"x{i}" for i in range(25))
+    short = "tiny doc"  # under key_tokens → never considered
+    rows = [(1, long), (2, prefix20), (3, other), (4, short), (5, long)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["contained_id"], r["container_id"])
+        for r in prefix_containment_pairs(df, "text", "doc_id").collect()
+    )
+    # 2 is a prefix of both copies of the long doc; equal texts (1,5) are
+    # NOT emitted (exact dedup's jurisdiction); short/other match nothing
+    assert got == [(2, 1), (2, 5)]
