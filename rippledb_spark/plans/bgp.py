@@ -416,6 +416,20 @@ def _group_plan(
         acc = _apply_paths(triples, acc, paths)
     if acc is None:
         raise QueryError("empty pattern group")
+    # Group-scoped FILTERs (r6): a FILTER inside an OPTIONAL/MINUS group
+    # constrains the GROUP's solutions BEFORE the outer join — per spec
+    # §8 group scoping this differs from filtering afterwards (an
+    # optional row failing its inner filter NULL-extends instead of
+    # dropping the required row).
+    for fexpr in getattr(group, "filters", []) if isinstance(group, Sparql) else []:
+        from rippledb_spark.plans.filters import filter_vars, to_column
+
+        unbound = sorted(v for v in filter_vars(fexpr) if v not in acc.columns)
+        if unbound:
+            raise QueryError(
+                f"group FILTER references variables {unbound} not bound in the group"
+            )
+        acc = acc.filter(to_column(fexpr))
     return acc
 
 

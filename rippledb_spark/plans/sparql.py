@@ -113,6 +113,23 @@ class Sparql:
         self.optionals.append(self._pattern_group(patterns))
         return self
 
+    def optional_group(self, group: "Sparql") -> "Sparql":
+        """OPTIONAL with a full group (r6): ``group`` is a Sparql carrying
+        triple patterns, property paths, and/or group-scoped FILTERs —
+        the filter constrains the group BEFORE the left-outer join (spec
+        §8 scoping), which differs from filtering the joined result."""
+        if not isinstance(group, Sparql):
+            raise QueryError("optional_group() takes a Sparql group")
+        self.optionals.append(group)
+        return self
+
+    def minus_group(self, group: "Sparql") -> "Sparql":
+        """MINUS with a full group (r6) — see :meth:`optional_group`."""
+        if not isinstance(group, Sparql):
+            raise QueryError("minus_group() takes a Sparql group")
+        self.minuses.append(group)
+        return self
+
     def minus(self, patterns: list[list[str]]) -> "Sparql":
         """SPARQL MINUS (negation — engine-tier superset like
         :meth:`optional`): remove solutions for which the group has a

@@ -356,19 +356,19 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     sub.optionals
                     or sub.minuses
                     or sub.values_blocks
-                    or sub.filters
                     or sub.exists_groups
                     or sub.binds
                     or sub.subqueries
                 ):
                     raise QueryError(
-                        f"{kw} groups support triple and path patterns only"
+                        f"{kw} groups support triple, path, and FILTER "
+                        f"patterns only"
                     )
                 if not sub.conds and not sub.paths:
                     raise QueryError(f"{kw} group is empty")
-                # paths in the group → keep the Sparql form (r5 superset);
-                # plain groups keep the historical pattern-list form
-                grp = sub if sub.paths else sub.conds
+                # paths or group-scoped FILTERs (r6) → keep the Sparql
+                # form; plain groups keep the historical pattern-list form
+                grp = sub if (sub.paths or sub.filters) else sub.conds
                 if kw == "OPTIONAL":
                     q.optionals.append(grp)
                 else:

@@ -301,6 +301,41 @@ def sparql_builtins_order_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bgp_optional_group_filter",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    names AS (SELECT s, o_value AS name FROM triples
+              WHERE p = 'has_name' AND s LIKE 'customer:%'),
+    finished AS (
+      SELECT t1.s AS o, t1.o_value AS c FROM triples t1
+      JOIN triples t2 ON t2.s = t1.s AND t2.p = 'has_status'
+        AND t2.o_value = 'F'
+      WHERE t1.p = 'placed_by'
+    )
+    SELECT n.s AS c, n.name AS name, f.o AS fin_order
+    FROM names n LEFT JOIN finished f ON f.c = n.s
+    ORDER BY c, name, fin_order
+    """,
+)
+def bgp_optional_group_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-scoped FILTER inside OPTIONAL (r6): customers with each of
+    their FINISHED orders attached where any exist, one NULL row
+    otherwise — the status constraint lives INSIDE the optional group
+    (``FILTER(?st = "F")`` over the group's own binding), so a customer
+    with only unfinished orders still surfaces. Filtering the joined
+    result instead would DROP those customers; the oracle's
+    pre-filtered LEFT JOIN mirrors the spec's group scoping exactly."""
+    st = _store(spark, sf_dir)
+    return st.sparql(
+        "SELECT ?c ?name ?fin_order WHERE { "
+        "?c has_name ?name . "
+        'FILTER STRSTARTS(STR(?c), "customer:") '
+        "OPTIONAL { ?fin_order placed_by ?c . ?fin_order has_status ?st "
+        'FILTER(?st = "F") } }'
+    ).orderBy("c", "name", "fin_order")
+
+
+@query(
     "path_quantified_containment",
     oracle=f"""
     WITH {TRIPLES_CTE.strip()},

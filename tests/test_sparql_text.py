@@ -829,3 +829,41 @@ def test_path_quantifier_composes_with_sequence(store):
     two = {(a, d) for a, b in nxt for c, d in nxt if b == c}
     want = {(a, d) for a, b in two for c, d in nxt if b == c}
     assert set(got) == want
+
+
+def test_filter_inside_optional_group(lit_store):
+    """A FILTER inside OPTIONAL constrains the group BEFORE the left
+    join: a row failing it NULL-extends instead of disappearing."""
+    q = (
+        "SELECT ?s ?v WHERE { ?s name ?n "
+        "OPTIONAL { ?s score ?v FILTER(?v > 9.7) } }"
+    )
+    assert rows(lit_store.sparql(q), "s", "v") == [
+        ("a", "10"), ("b", None), ("c", None),
+    ]
+    # contrast: the outer-scoped filter DROPS non-matching rows
+    q2 = "SELECT ?s ?v WHERE { ?s name ?n . ?s score ?v FILTER(?v > 9.7) }"
+    assert rows(lit_store.sparql(q2), "s", "v") == [("a", "10")]
+
+
+def test_filter_inside_minus_group(lit_store):
+    q = "SELECT ?s WHERE { ?s name ?n MINUS { ?s score ?v FILTER(?v > 9.7) } }"
+    assert rows(lit_store.sparql(q), "s") == [("b",), ("c",)]
+
+
+def test_optional_group_builder(lit_store):
+    from rippledb_spark.plans.filters import parse_filter_text
+
+    grp = Sparql().filter([["$s", "score", "$v"]])
+    grp.filter_expr(parse_filter_text("?v > 9.7"))
+    q = Sparql().select(["$s", "$v"]).filter([["$s", "name", "$n"]]).optional_group(grp)
+    assert rows(lit_store.select_join(q), "s", "v") == [
+        ("a", "10"), ("b", None), ("c", None),
+    ]
+
+
+def test_group_filter_unbound_var_is_loud(lit_store):
+    with pytest.raises(QueryError, match="not bound in the group"):
+        lit_store.sparql(
+            "SELECT ?s WHERE { ?s name ?n OPTIONAL { ?s score ?v FILTER(?zz > 1) } }"
+        ).collect()
