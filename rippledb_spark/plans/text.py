@@ -12,7 +12,7 @@ Supported grammar (W3C SPARQL 1.1 subset)::
     ASK [WHERE] { group }                     -- 0/1 rows, column ask=true
     CONSTRUCT { triples } WHERE { group }     -- derived graph (plain
                                               -- triples in the template)
-    DESCRIBE <node>                           -- bound node neighborhood
+    DESCRIBE <node> | DESCRIBE ?v WHERE {...} -- node / binding-set CBDs
     SELECT [DISTINCT] (?v... | *) WHERE {
         triple blocks:  s p o .               -- ';' predicate lists and
                                               -- ',' object lists supported
@@ -75,9 +75,12 @@ class SparqlConstruct:
 
 @dataclass(frozen=True)
 class SparqlDescribe:
-    """DESCRIBE form: a single bound node."""
+    """DESCRIBE form: a single bound node, OR (r6) a variable + WHERE
+    group whose distinct bindings are all described."""
 
-    node: str
+    node: str | None
+    var: str | None = None
+    query: Sparql | None = None
 
 _TOKEN = re.compile(
     r"""\s*(?:
@@ -522,9 +525,19 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         return ("$" + u.name) if isinstance(u, Var) else u.value
 
     if form == "DESCRIBE":
-        node = term(t.take())
-        if node.startswith("$"):
-            raise QueryError("DESCRIBE takes a bound node in the text subset")
+        raw = t.take()
+        if raw.startswith("?") or raw.startswith("$"):
+            # DESCRIBE ?v WHERE { group } (spec §16.4 variable form, r6)
+            if _is_kw(t.peek(), "WHERE"):
+                t.take()
+            t.expect("{")
+            sub = Sparql()
+            parse_group(sub)
+            if t.peek() is not None:
+                raise QueryError(f"trailing tokens after DESCRIBE: {t.toks[t.i:]}")
+            sub.select([f"${n}" for n in _pattern_vars(sub)])
+            return SparqlDescribe(None, var=raw[1:], query=sub)
+        node = term(raw)
         if t.peek() is not None:
             raise QueryError(f"trailing tokens after DESCRIBE: {t.toks[t.i:]}")
         return SparqlDescribe(node)

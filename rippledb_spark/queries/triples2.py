@@ -814,3 +814,35 @@ def graph_kcore_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("core_md5"),
         F.lit(True).alias("converged"),
     )
+
+
+@query(
+    "describe_where_urgent_orders",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    b AS (
+      SELECT DISTINCT s AS node FROM triples
+      WHERE p = 'has_priority' AND o_value = 'priority:1-URGENT'
+        AND o_kind = 'named'
+    )
+    SELECT DISTINCT t.s, t.p, t.o_value FROM triples t
+    WHERE t.s IN (SELECT node FROM b)
+       OR (t.o_kind = 'named' AND t.o_value IN (SELECT node FROM b))
+    ORDER BY s, p, o_value
+    """,
+)
+def describe_where_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE ?o WHERE {{ ... }} (spec §16.4 variable form, r6 — the
+    reference's describe takes one bound node): the union of symmetric
+    descriptions of every URGENT order. The binding set comes from one
+    bound-predicate-pruned scan and broadcasts into two semi-joins
+    (subject side + named-object side) — never an OR-join."""
+    st = _store(spark, sf_dir)
+    return (
+        st.sparql(
+            "DESCRIBE ?o WHERE { ?o has_priority priority:1-URGENT }"
+        )
+        .select("s", "p", "o_value")
+        .dropDuplicates()
+        .orderBy("s", "p", "o_value")
+    )

@@ -453,6 +453,8 @@ class TripleStore:
 
         q = parse_sparql(text)
         if isinstance(q, SparqlDescribe):
+            if q.var is not None:
+                return self.describe_where("$" + q.var, q.query, use_stats=use_stats)
             return self.describe(q.node)
         if isinstance(q, SparqlConstruct):
             return self.construct(q.query, q.template, use_stats=use_stats).df
@@ -487,6 +489,31 @@ class TripleStore:
             (F.col("s") == F.lit(node))
             | ((F.col("o_value") == F.lit(node)) & (F.col("o_kind") == model.NAMED))
         )
+
+    def describe_bindings(self, bindings: DataFrame) -> DataFrame:
+        """DESCRIBE for a SET of nodes (r6 superset of :meth:`describe`):
+        every triple whose subject or NAMED object is in ``bindings`` (a
+        one-column DataFrame of node values). Two semi-joins + distinct —
+        the binding set broadcasts when small; never an OR-join (which
+        would plan as a nested loop)."""
+        b = bindings.toDF("node").distinct()
+        on_s = self.df.join(b, self.df["s"] == b["node"], "left_semi")
+        on_o = self.df.filter(F.col("o_kind") == model.NAMED).join(
+            b, self.df["o_value"] == b["node"], "left_semi"
+        )
+        return on_s.unionByName(on_o).dropDuplicates(model.TRIPLE_KEY)
+
+    def describe_where(
+        self, var: str, query: Sparql, use_stats: bool = False
+    ) -> DataFrame:
+        """``DESCRIBE ?v WHERE {{ group }}`` (spec §16.4 — the variable
+        form; the reference's describe takes one bound node): evaluate
+        the group, take ?v's distinct bindings, and describe them all."""
+        name = var.lstrip("?$")
+        sols = self.select_join(query, use_stats=use_stats)
+        if name not in sols.columns:
+            raise QueryError(f"DESCRIBE variable ?{name} not bound by the group")
+        return self.describe_bindings(sols.select(name))
 
     def construct(
         self, query: Sparql, template: list[list[str]], use_stats: bool = False

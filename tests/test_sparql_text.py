@@ -867,3 +867,20 @@ def test_group_filter_unbound_var_is_loud(lit_store):
         lit_store.sparql(
             "SELECT ?s WHERE { ?s name ?n OPTIONAL { ?s score ?v FILTER(?zz > 1) } }"
         ).collect()
+
+
+def test_describe_variable_form(store):
+    """DESCRIBE ?v WHERE { group }: union of symmetric descriptions of
+    every binding; bound-node DESCRIBE unchanged."""
+    df = store.sparql("DESCRIBE ?s WHERE { ?s child ?c }")
+    got = sorted((r["s"], r["p"], r["o_value"]) for r in df.collect())
+    # describers: r and c1 (both have child edges); description = triples
+    # touching either as subject or named object
+    want = sorted(
+        (s, p, o)
+        for (s, p, o, *_rest) in [e[:3] for e in EDGES]
+        if s in ("r", "c1") or o in ("r", "c1")
+    )
+    assert got == want
+    with pytest.raises(QueryError, match="not bound"):
+        store.sparql("DESCRIBE ?zz WHERE { ?s child ?c }").collect()
