@@ -148,6 +148,7 @@ _VALUE_FUNCS = (
     "STRBEFORE", "STRAFTER", "REPLACE",
     "XSD:INTEGER", "XSD:DECIMAL", "XSD:DOUBLE", "XSD:FLOAT",
     "XSD:STRING", "XSD:BOOLEAN",
+    "MD5", "SHA256",  # §17.4.4 hash functions (hex-lowercase both engines)
 )
 _STR_PREDS = ("STRSTARTS", "STRENDS", "CONTAINS")
 _NUM_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
@@ -252,6 +253,10 @@ def value_to_column(expr: ValueExpr) -> Column:
             return F.regexp_replace(
                 cols[0].cast("string"), cols[1].cast("string"), cols[2].cast("string")
             )
+        if expr.name == "md5":
+            return F.md5(cols[0].cast("string"))
+        if expr.name == "sha256":
+            return F.sha2(cols[0].cast("string"), 256)
         if expr.name.startswith("xsd:"):
             # XPath constructor casts (spec §17.5): a malformed lexical
             # form becomes NULL via try_cast, which eliminates the
@@ -444,6 +449,8 @@ def parse_value(tokens, term) -> ValueExpr:
             if lo == "substr" and n not in (2, 3):
                 raise QueryError("SUBSTR takes (value, start [, length])")
             if lo in ("abs", "round", "ceil", "floor") and n != 1:
+                raise QueryError(f"{name} takes exactly one argument")
+            if lo in ("md5", "sha256") and n != 1:
                 raise QueryError(f"{name} takes exactly one argument")
             if lo in ("strbefore", "strafter") and n != 2:
                 raise QueryError(f"{name} takes exactly two arguments")

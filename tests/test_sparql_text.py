@@ -884,3 +884,17 @@ def test_describe_variable_form(store):
     assert got == want
     with pytest.raises(QueryError, match="not bound"):
         store.sparql("DESCRIBE ?zz WHERE { ?s child ?c }").collect()
+
+
+def test_hash_builtins(lit_store):
+    import hashlib
+
+    q = "SELECT ?s ?h WHERE { ?s name ?n BIND(MD5(?n) AS ?h) }"
+    got = dict(rows(lit_store.sparql(q), "s", "h"))
+    assert got["a"] == hashlib.md5(b"zebra").hexdigest()
+    q2 = 'SELECT ?s WHERE { ?s name ?n FILTER(SHA256(?n) = "%s") }' % (
+        hashlib.sha256(b"ox").hexdigest()
+    )
+    assert rows(lit_store.sparql(q2), "s") == [("b",)]
+    with pytest.raises(QueryError, match="exactly one"):
+        lit_store.sparql("SELECT ?s WHERE { ?s name ?n FILTER(MD5(?n, ?n) = \"x\") }")
