@@ -530,7 +530,13 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             # DESCRIBE ?v WHERE { group } (spec §16.4 variable form, r6)
             if _is_kw(t.peek(), "WHERE"):
                 t.take()
-            t.expect("{")
+            if t.peek() != "{":
+                raise QueryError(
+                    "DESCRIBE with a variable needs a WHERE group "
+                    "(DESCRIBE ?v WHERE { ... }); bare DESCRIBE takes a "
+                    "bound node"
+                )
+            t.take()
             sub = Sparql()
             parse_group(sub)
             if t.peek() is not None:

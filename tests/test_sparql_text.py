@@ -226,7 +226,7 @@ def test_text_describe(store):
 
 
 def test_text_form_errors(store):
-    with pytest.raises(QueryError, match="DESCRIBE takes a bound node"):
+    with pytest.raises(QueryError, match="needs a WHERE group"):
         store.sparql("DESCRIBE ?x")
     with pytest.raises(QueryError, match="plain triples only"):
         store.sparql("CONSTRUCT { ?s next+ ?o . } WHERE { ?s next ?o . }")
