@@ -658,3 +658,60 @@ def test_quantifier_reverse_path(store):
     from rippledb_spark.plans.paths import reverse_path
 
     assert spark_pairs(store, reverse_path("next{1,2}")) == got
+
+
+# -- r6: path parser round-trip (render → parse → same pairs) ---------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+def _render_path(e) -> str:
+    if isinstance(e, P.Pred):
+        return e.name
+    if isinstance(e, P.Inv):
+        return f"^({_render_path(e.inner)})"
+    if isinstance(e, P.Seq):
+        return "/".join(f"({_render_path(s)})" for s in e.steps)
+    if isinstance(e, P.Alt):
+        return "|".join(f"({_render_path(a)})" for a in e.arms)
+    if isinstance(e, P.Plus):
+        return f"({_render_path(e.inner)})+"
+    if isinstance(e, P.Star):
+        return f"({_render_path(e.inner)})*"
+    if isinstance(e, P.Maybe):
+        return f"({_render_path(e.inner)})?"
+    raise AssertionError(e)
+
+
+_preds = hst.sampled_from(["next", "alt", "child", "label"])
+
+
+def _paths_strategy(depth: int):
+    base = _preds.map(P.Pred)
+    if depth <= 0:
+        return base
+    sub = _paths_strategy(depth - 1)
+    return hst.one_of(
+        base,
+        sub.map(P.Inv),
+        hst.lists(sub, min_size=2, max_size=3).map(lambda l: P.Seq(tuple(l))),
+        hst.lists(sub, min_size=2, max_size=3).map(lambda l: P.Alt(tuple(l))),
+        sub.map(P.Plus),
+        sub.map(P.Maybe),
+        # quantifiers render via bounds and must desugar to the same AST
+        # the direct constructor builds
+        hst.tuples(sub, hst.integers(1, 3), hst.integers(0, 2)).map(
+            lambda t: P._repeat(t[0], t[1], t[1] + t[2])
+        ),
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_paths_strategy(2))
+def test_path_parser_roundtrip(expr):
+    """Rendering any PathExpr and reparsing yields an AST with identical
+    SEMANTICS (compared via the naive evaluator — parenthesization can
+    restructure Seq/Alt nesting without changing the relation)."""
+    text = _render_path(expr)
+    assert naive(parse_path(text)) == naive(expr)

@@ -266,3 +266,113 @@ def test_turtle_sink_parser_roundtrip(rows):
     )
     back = parse_turtle(doc, blank_prefix="")
     assert sorted(back) == sorted(set(rows))
+
+
+# ---------------------------------------------------------------------------
+# r6: FILTER expression parser round-trip (render → parse → same AST)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+from rippledb_spark.plans import filters as FL
+
+
+def _render_value(e) -> str:
+    if isinstance(e, FL.FVar):
+        return f"?{e.name}"
+    if isinstance(e, FL.FNum):
+        v = e.value
+        return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+    if isinstance(e, FL.FStr):
+        return '"' + e.value.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(e, FL.VArith):
+        return f"({_render_value(e.left)} {e.op} {_render_value(e.right)})"
+    if isinstance(e, FL.VFunc):
+        return f"{e.name.upper()}({', '.join(_render_value(a) for a in e.args)})"
+    raise AssertionError(e)
+
+
+def _render_filter(e) -> str:
+    if isinstance(e, FL.FCmp):
+        return f"({_render_value(e.left)} {e.op} {_render_value(e.right)})"
+    if isinstance(e, FL.FStrPred):
+        return f"{e.name.upper()}({_render_value(e.left)}, {_render_value(e.right)})"
+    if isinstance(e, FL.FBound):
+        return f"BOUND(?{e.var.name})"
+    if isinstance(e, FL.FNot):
+        return f"(! {_render_filter(e.inner)})"
+    if isinstance(e, FL.FAnd):
+        return f"({_render_filter(e.left)} && {_render_filter(e.right)})"
+    if isinstance(e, FL.FOr):
+        return f"({_render_filter(e.left)} || {_render_filter(e.right)})"
+    raise AssertionError(e)
+
+
+_names = hst.sampled_from(["a", "b", "xs", "v1"])
+_safe_text = hst.text(
+    alphabet=hst.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=127),
+    max_size=6,
+)
+
+
+def _values(depth: int):
+    base = hst.one_of(
+        _names.map(FL.FVar),
+        hst.integers(-999, 999).map(lambda n: FL.FNum(float(n))),
+        _safe_text.map(FL.FStr),
+    )
+    if depth <= 0:
+        return base
+    sub = _values(depth - 1)
+    return hst.one_of(
+        base,
+        hst.tuples(hst.sampled_from("+-*/"), sub, sub).map(
+            lambda t: FL.VArith(t[0], t[1], t[2])
+        ),
+        sub.map(lambda a: FL.VFunc("strlen", (a,))),
+        sub.map(lambda a: FL.VFunc("ucase", (a,))),
+        hst.tuples(sub, sub).map(lambda t: FL.VFunc("concat", t)),
+        hst.tuples(sub, sub).map(lambda t: FL.VFunc("coalesce", t)),
+        sub.map(lambda a: FL.VFunc("abs", (a,))),
+        sub.map(lambda a: FL.VFunc("md5", (a,))),
+    )
+
+
+def _filters_strategy(depth: int):
+    vals = _values(1)
+    base = hst.one_of(
+        hst.tuples(hst.sampled_from(["=", "!=", "<", ">", "<=", ">="]), vals, vals).map(
+            lambda t: FL.FCmp(t[0], t[1], t[2])
+        ),
+        _names.map(lambda n: FL.FBound(FL.FVar(n))),
+        hst.tuples(hst.sampled_from(["strstarts", "strends", "contains"]), vals, vals).map(
+            lambda t: FL.FStrPred(t[0], t[1], t[2])
+        ),
+    )
+    if depth <= 0:
+        return base
+    sub = _filters_strategy(depth - 1)
+    return hst.one_of(
+        base,
+        sub.map(FL.FNot),
+        hst.tuples(sub, sub).map(lambda t: FL.FAnd(t[0], t[1])),
+        hst.tuples(sub, sub).map(lambda t: FL.FOr(t[0], t[1])),
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_filters_strategy(2))
+def test_filter_parser_roundtrip(expr):
+    """Rendering any FilterExpr to SPARQL text and reparsing yields the
+    identical AST — the parser inverts the printer over the whole
+    comparison/boolean/string-function grammar."""
+    text = _render_filter(expr)
+    assert FL.parse_filter_text(text) == expr
+
+
+@settings(max_examples=100, deadline=None)
+@given(_values(2))
+def test_value_parser_roundtrip_in_comparison(val):
+    got = FL.parse_filter_text(f"({_render_value(val)} = 0)")
+    assert got == FL.FCmp("=", val, FL.FNum(0.0))
