@@ -65,6 +65,10 @@ def learn_bpe_merges(
     """
     words = (
         df.select(F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word"))
+        # scrub the sentinel char from input words — a text containing
+        # \x1f would otherwise silently corrupt the wrapped-symbol
+        # encoding (the oracle twin scrubs identically)
+        .withColumn("word", F.translate("word", SEP, ""))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -124,7 +128,8 @@ def bpe_oracle_sql(n_merges: int = 6, min_pair_count: int = 2) -> str:
                                 i -> substring(word, i, 1)),
                  '{sep}{sep}') || '{sep}' AS syms
       FROM (
-        SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+        SELECT replace(UNNEST(string_split_regex(trim(text), '\\s+')),
+                       chr(31), '') AS word
         FROM documents
       )
       WHERE word <> ''
