@@ -464,6 +464,14 @@ def prefix_containment_pairs(
     differ) and Jaccard may miss (a short prefix of a long doc has low
     set overlap).
 
+    Containment is at TOKEN boundaries: the container must continue with
+    a separator after the contained text (``long.startswith(short + ' ')``)
+    — a mid-token raw prefix ("abc" in "abcdef") is not a truncation
+    artifact, and the boundary rule is also what makes the hash blocking
+    COMPLETE (a boundary prefix with >= key_tokens tokens shares the
+    first-key_tokens tokens exactly; a raw mid-token prefix could split
+    token key_tokens differently and silently miss its bucket).
+
     Scale shape: candidates must share the first ``key_tokens`` tokens —
     one xxhash64 blocking key per doc, so the self-join runs per bucket
     (never all-pairs; bucket sizes follow shared-prefix frequency, the
@@ -471,8 +479,7 @@ def prefix_containment_pairs(
     (shorter, longer) ordered pairs verify via one ``startswith`` —
     docs shorter than ``key_tokens`` are excluded (their key would be
     under-specified and the bucket degenerates). Equal texts are NOT
-    emitted (that is exact_dedup's jurisdiction); ties in length with
-    different text cannot be prefixes of each other.
+    emitted (that is exact_dedup's jurisdiction).
     """
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -500,8 +507,7 @@ def prefix_containment_pairs(
     return (
         a.join(b, "__key")
         .filter(
-            (F.length("__short") < F.length("__long"))
-            & F.col("__long").startswith(F.col("__short"))
+            F.col("__long").startswith(F.concat(F.col("__short"), F.lit(" ")))
         )
         .select("contained_id", "container_id")
     )

@@ -944,7 +944,7 @@ def lm_perplexity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.doc_id AS contained_id, b.doc_id AS container_id
     FROM eligible a JOIN eligible b
-      ON LENGTH(a.text) < LENGTH(b.text) AND starts_with(b.text, a.text)
+      ON starts_with(b.text, a.text || ' ')
     ORDER BY contained_id, container_id
     """,
 )
