@@ -982,3 +982,108 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_containment_pairs(corpus, "text", "doc_id").orderBy(
         "contained_id", "container_id"
     )
+
+
+@query(
+    "training_prep_pipeline",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id, source,
+             text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+             '@example.com now' AS text
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, source,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS text
+      FROM planted
+    ),
+    bg AS (
+      SELECT doc_id, t[u.i] AS a, t[u.i + 1] AS b
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM scrubbed),
+           UNNEST(range(1, len(t))) AS u(i)
+    ),
+    counts AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+    context AS (SELECT a, SUM(cab) AS ca FROM counts GROUP BY a),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM scrubbed)
+      WHERE tok <> ''
+    ),
+    model AS (
+      SELECT c.a, c.b, (c.cab + 0.5) / (x.ca + 0.5 * vocab.v) AS p
+      FROM counts c JOIN context x USING (a), vocab
+    ),
+    scored AS (
+      SELECT bg.doc_id, ROUND(AVG(-LOG2(m.p)), 4) AS h_bits
+      FROM bg JOIN model m ON bg.a = m.a AND bg.b = m.b
+      GROUP BY bg.doc_id
+    ),
+    dropped AS (
+      SELECT doc_id FROM scored ORDER BY h_bits, doc_id LIMIT 25
+    ),
+    survivors AS (
+      SELECT s.doc_id, s.source,
+             len(string_split_regex(trim(s.text), '\\s+')) AS n_tok
+      FROM scrubbed s
+      JOIN scored sc USING (doc_id)
+      ANTI JOIN dropped d ON d.doc_id = s.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM survivors GROUP BY source ORDER BY source
+    """,
+)
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-6 operators COMPOSED as one training-prep pass: plant an
+    email per doc → PII scrub (operators/pii) → self-trained bigram-LM
+    scoring over the SCRUBBED corpus (operators/lm) → drop the 25
+    lowest-entropy documents (the templated tail) → per-source document
+    and token accounting. Every stage is the registered operator; the
+    oracle replays the identical chain, so a green row certifies the
+    COMPOSITION — scrub output feeding the LM changes every downstream
+    number if either stage drifts."""
+    from rippledb_spark.operators import pii
+    from rippledb_spark.operators.lm import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ).alias("text"),
+    )
+    scrubbed = d.select(
+        "doc_id", "source", pii.scrub_text("text").alias("text")
+    )
+    scored = bigram_lm_scores(scrubbed, "text", "doc_id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    dropped = (
+        scored.orderBy("h_bits", "doc_id")
+        .limit(25)
+        .select(F.col("doc_id").alias("drop_id"))
+    )
+    survivors = (
+        scrubbed.join(scored.select("doc_id"), "doc_id")
+        .join(dropped, F.col("doc_id") == F.col("drop_id"), "left_anti")
+        .select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+        )
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
