@@ -898,3 +898,22 @@ def test_hash_builtins(lit_store):
     assert rows(lit_store.sparql(q2), "s") == [("b",)]
     with pytest.raises(QueryError, match="exactly one"):
         lit_store.sparql("SELECT ?s WHERE { ?s name ?n FILTER(MD5(?n, ?n) = \"x\") }")
+
+
+def test_order_by_aggregate_alias_and_expression(store):
+    """ORDER BY works over aggregate aliases (plain and inside value
+    expressions) — the alias is an ordinary column after aggregation."""
+    q = (
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s child ?o } "
+        "GROUP BY ?s ORDER BY DESC(?n) ?s"
+    )
+    assert rows(store.sparql(q), "s", "n") != []
+    got = [(r["s"], r["n"]) for r in store.sparql(q).collect()]
+    assert got == [("r", 2), ("c1", 1)]
+    q2 = (
+        "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s child ?o } "
+        "GROUP BY ?s ORDER BY (0 - ?n)"
+    )
+    assert [(r["s"], r["n"]) for r in store.sparql(q2).collect()] == [
+        ("r", 2), ("c1", 1),
+    ]
