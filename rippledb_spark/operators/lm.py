@@ -51,33 +51,52 @@ def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str, id_col: str, add_k: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    add_k: float = 0.5,
+    train_df: DataFrame | None = None,
+    train_text_col: str | None = None,
 ) -> DataFrame:
     """→ DataFrame(id, n_bigrams, h_bits): per-document bigram
-    cross-entropy under the corpus-trained add-k model (docstring
-    above). Documents with fewer than two tokens are absent (they have
-    no bigrams to score)."""
+    cross-entropy under the add-k model trained on ``train_df``
+    (default: the scored corpus itself — the registered-query form).
+    Documents with fewer than two tokens are absent (they have no
+    bigrams to score).
+
+    With a separate training corpus, scored bigrams the model never saw
+    take the smoothed unseen mass k / (C(a·) + k·V) via the left join's
+    null branch (a wholly-unseen context a scores k / (k·V) = 1/V); on
+    train==score data the branch is provably dead (every scored bigram
+    exists in the model)."""
+    t_df = df if train_df is None else train_df
+    t_col = text_col if train_text_col is None else train_text_col
     bg = _doc_bigrams(df, text_col, id_col)
-    counts = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
-    context = counts.groupBy("a").agg(F.sum("cab").alias("ca"))
-    vocab = df.select(
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    train_bg = bg if train_df is None else _doc_bigrams(t_df, t_col, id_col)
+    counts = train_bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    context = counts.groupBy("a").agg(F.sum("cab").alias("ctx_ca")).withColumnRenamed(
+        "a", "ctx_a"
+    )
+    vocab = t_df.select(
+        F.explode(F.split(F.trim(F.col(t_col)), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "").agg(F.count_distinct("tok").alias("v"))
-    model = (
-        counts.join(context, "a")
+    # one uniform formula covers all three cases: seen bigram (cab, ca
+    # both present), unseen bigram under a seen context (cab null), and
+    # wholly-unseen context (both null → k / (k·V) = 1/V)
+    scored = (
+        bg.join(counts, ["a", "b"], "left")
+        .join(context, bg["a"] == F.col("ctx_a"), "left")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "a",
-            "b",
+            "id",
             (
-                (F.col("cab") + F.lit(add_k))
-                / (F.col("ca") + F.lit(add_k) * F.col("v"))
+                (F.coalesce("cab", F.lit(0.0)) + F.lit(add_k))
+                / (F.coalesce("ctx_ca", F.lit(0.0)) + F.lit(add_k) * F.col("v"))
             ).alias("p"),
         )
     )
     return (
-        bg.join(model, ["a", "b"])
-        .groupBy("id")
+        scored.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg(-F.log2("p")), 4).alias("h_bits"),

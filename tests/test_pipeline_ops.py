@@ -758,3 +758,25 @@ def test_prefix_containment_pairs(spark):
     # 2 is a prefix of both copies of the long doc; equal texts (1,5) are
     # NOT emitted (exact dedup's jurisdiction); short/other match nothing
     assert got == [(2, 1), (2, 5)]
+
+
+def test_bigram_lm_heldout_unseen_mass(spark):
+    """Scoring a held-out set against a separately-trained model: unseen
+    bigrams take the smoothed mass k/(C(a.)+kV); a wholly-unseen context
+    scores k/(kV) = 1/V."""
+    import math
+
+    from rippledb_spark.operators.lm import bigram_lm_scores
+
+    train = spark.createDataFrame([(0, "a b a b c d")], ["doc_id", "text"])
+    held = spark.createDataFrame(
+        [(1, "a b"), (2, "z q"), (3, "a z")], ["doc_id", "text"]
+    )
+    out = {r["id"]: r["h_bits"] for r in
+           bigram_lm_scores(held, "text", "doc_id", train_df=train).collect()}
+    # seen (a,b): (2+.5)/(2+.5*4) = 2.5/4
+    assert abs(out[1] - round(-math.log2(2.5 / 4.0), 4)) < 1e-9
+    # unseen context (z,*): .5/(.5*4) = 1/4 → 2 bits
+    assert out[2] == 2.0
+    # unseen bigram under the SEEN context a: .5/(2+.5*4) = 1/8 → 3 bits
+    assert out[3] == 3.0
