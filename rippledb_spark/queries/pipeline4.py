@@ -1087,3 +1087,62 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "lm_heldout_scoring",
+    oracle="""
+    WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    held AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+    tbg AS (
+      SELECT t[u.i] AS a, t[u.i + 1] AS b
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS t FROM train),
+           UNNEST(range(1, len(t))) AS u(i)
+    ),
+    counts AS (SELECT a, b, COUNT(*) AS cab FROM tbg GROUP BY a, b),
+    context AS (SELECT a AS ctx_a, SUM(cab) AS ctx_ca FROM counts GROUP BY a),
+    vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM train)
+      WHERE tok <> ''
+    ),
+    hbg AS (
+      SELECT doc_id AS id, t[u.i] AS a, t[u.i + 1] AS b
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM held),
+           UNNEST(range(1, len(t))) AS u(i)
+    ),
+    scored AS (
+      SELECT h.id,
+             (COALESCE(c.cab, 0) + 0.5)
+               / (COALESCE(x.ctx_ca, 0) + 0.5 * vocab.v) AS p
+      FROM hbg h
+      LEFT JOIN counts c ON c.a = h.a AND c.b = h.b
+      LEFT JOIN context x ON x.ctx_a = h.a, vocab
+    )
+    SELECT id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-LOG2(p)), 4) AS h_bits
+    FROM scored GROUP BY id
+    ORDER BY ROUND(AVG(-LOG2(p)), 4) DESC, id LIMIT 25
+    """,
+)
+def lm_heldout_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM scoring (r6): the bigram model trains on the EVEN
+    documents and scores the ODD half — the production shape where the
+    quality model is fit on a reference slice, exercising the smoothed
+    unseen-mass branch (bigrams and contexts absent from the training
+    half). The certified output is the 25 HIGHEST-entropy held-out
+    documents (the surprising tail); the oracle replays the identical
+    train/score split and smoothing arithmetic with the same left-join
+    null branches."""
+    from rippledb_spark.operators.lm import bigram_lm_scores
+
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    held = d.filter(F.col("doc_id") % 2 == 1)
+    return (
+        bigram_lm_scores(held, "text", "doc_id", train_df=train)
+        .orderBy(F.desc("h_bits"), "id")
+        .limit(25)
+    )
