@@ -362,6 +362,66 @@ def bfs_reachability(
     return reached
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by DETERMINISTIC label propagation over
+    UNDIRECTED edges → DataFrame(node, label): each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the lexicographically smallest label, isolated opinions kept
+    (Raghavan et al. 2007, made deterministic: synchronous updates +
+    total-order tie-break, no RNG — identical labels on every engine
+    and run).
+
+    Runs EXACTLY ``rounds`` synchronous rounds (LPA can oscillate on
+    bipartite structures, so a convergence test is not well-defined; a
+    fixed count is also what lets a SQL oracle unroll the identical
+    computation). Each round: one join of the edge list against the
+    label table, one (node, label) count aggregate, and one min-struct
+    argmax — the tie-break rides in ``min(struct(-count, label))``, so
+    no window over high-degree nodes."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    und = (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    n_edges = und.persist().count()
+    with _iteration_conf(edges.sparkSession, n_edges):
+        e = _truncate(und.repartition(
+            _iteration_partitions(edges.sparkSession, n_edges), "v"
+        ), checkpoint_dir)
+        labels = _truncate(
+            e.select(F.col("u").alias("node")).distinct().withColumn(
+                "label", F.col("node")
+            ),
+            checkpoint_dir,
+        )
+        for _ in range(rounds):
+            nbr = (
+                e.join(labels, e.v == labels.node)
+                .select(F.col("u").alias("n2"), "label")
+                .groupBy("n2", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = nbr.groupBy("n2").agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("b")
+            )
+            labels = _truncate(
+                labels.join(best, labels.node == best.n2, "left_outer").select(
+                    "node", F.coalesce(F.col("b.label"), F.col("label")).alias("label")
+                ),
+                checkpoint_dir,
+            )
+    und.unpersist(blocking=False)
+    _release_iteration_garbage(labels)
+    return labels
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -846,3 +846,72 @@ def describe_where_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
         .orderBy("s", "p", "o_value")
     )
+
+
+_LPA_ROUNDS = 3  # fixed synchronous rounds (both engines unroll the same)
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    """Unrolled-stage DuckDB twin of graph.label_propagation over the
+    entity graph: per stage, neighbor-label counts → per-node argmax
+    (count desc, label asc — the deterministic tie-break) → coalesce
+    with the previous label."""
+    parts = [
+        f"WITH {TRIPLES_CTE.strip()},",
+        """
+    fwd AS MATERIALIZED (
+      SELECT DISTINCT s AS u, o_value AS v FROM triples
+      WHERE o_kind = 'named' AND s <> o_value
+    ),
+    e0 AS MATERIALIZED (SELECT u, v FROM fwd UNION SELECT v, u FROM fwd),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e0)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    c{i} AS MATERIALIZED (
+      SELECT e.u AS node, l.label, COUNT(*) AS c
+      FROM e0 e JOIN l{i - 1} l ON l.node = e.v
+      GROUP BY e.u, l.label
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM c{i}
+      ) WHERE rn = 1
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT p.node, COALESCE(b.label, p.label) AS label
+      FROM l{i - 1} p LEFT JOIN b{i} b ON b.node = p.node
+    )""")
+    parts.append(f"""
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{rounds} GROUP BY label
+    ORDER BY n_members DESC, community LIMIT 20""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (graph.label_propagation, r6) over the entity graph, fixed at
+    {} synchronous rounds so the DuckDB twin unrolls the identical
+    computation — top-20 communities by size. Beside
+    connected_components this finds FINER structure (majority vote
+    splits what mere connectivity merges); the min-struct argmax keeps
+    every round shuffle-shaped (no per-node window on the Spark
+    side).""".format(_LPA_ROUNDS)
+    from rippledb_spark.operators.graph import label_propagation
+
+    st = _store(spark, sf_dir)
+    edges = st.df.filter(F.col("o_kind") == "named").select(
+        F.col("s").alias("src"), F.col("o_value").alias("dst")
+    )
+    return (
+        label_propagation(edges, rounds=_LPA_ROUNDS)
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

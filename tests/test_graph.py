@@ -272,3 +272,31 @@ def test_k_core_deep_peeling_chain(spark):
     assert k_core(edges, 2).count() == 0  # a path has no 2-core
     with _pytest.raises(QueryError, match="fixpoint"):
         k_core(edges, 2, max_rounds=2)
+
+
+def test_label_propagation_separates_cliques(spark):
+    """Two 4-cliques with one bridge: majority vote keeps each clique on
+    its own min label; the bridge endpoints stay with their majority."""
+    from rippledb_spark.operators.graph import label_propagation
+
+    def clique(prefix):
+        nodes = [f"{prefix}{i}" for i in range(4)]
+        return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+
+    edges = spark.createDataFrame(
+        clique("a") + clique("b") + [("a0", "b0")], ["src", "dst"]
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()}
+    assert {out[f"a{i}"] for i in range(4)} == {"a0"}
+    assert {out[f"b{i}"] for i in range(4)} == {"b0"}
+
+
+def test_label_propagation_deterministic(spark):
+    from rippledb_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(20)], ["src", "dst"]
+    ).filter("src <> dst")
+    a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
+    assert a == b
