@@ -915,3 +915,67 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS g,
+                      'part:' || CAST(l_partkey AS VARCHAR) AS i
+      FROM lineitem
+    ),
+    ok AS (SELECT g FROM pp GROUP BY g HAVING COUNT(*) <= 64),
+    pp2 AS (SELECT pp.g, pp.i FROM pp JOIN ok USING (g)),
+    e AS (
+      SELECT DISTINCT a.i AS a, b.i AS b
+      FROM pp2 a JOIN pp2 b ON a.g = b.g AND a.i < b.i
+    ),
+    und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+    nw AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg),
+    nt AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(ROUND(3.0 * n_triangles / n_wedges, 6) AS DOUBLE)
+             AS clustering_coeff
+    FROM nt, nw
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the part
+    co-occurrence graph: 3 × triangles / wedges, where wedges =
+    Σ C(deg, 2) is one degree aggregate — no second join. Combines the
+    degree-oriented triangle count with the degree table it already
+    builds; the spec quantity behind 'how clique-ish is this graph',
+    the summary statistic small-world analyses report."""
+    from rippledb_spark.operators.graph import cooccurrence_edges, triangle_count
+
+    st = _store(spark, sf_dir)
+    containment = st.pattern(None, "contains_part", None).select(
+        F.col("s").alias("g"), F.col("o_value").alias("i")
+    )
+    edges = cooccurrence_edges(containment, "g", "i", max_group_size=64)
+    und = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    und = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    wedges = (
+        und.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("n_wedges"))
+    )
+    tri = triangle_count(edges, src="a", dst="b").select("n_triangles")
+    return (
+        tri.crossJoin(F.broadcast(wedges))
+        .select(
+            "n_triangles",
+            F.col("n_wedges").cast("bigint").alias("n_wedges"),
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
