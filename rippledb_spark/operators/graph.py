@@ -676,3 +676,73 @@ def triangle_count(
     e.unpersist(blocking=False)
     oriented.unpersist(blocking=False)
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame | list[str],
+    iterations: int = 6,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank → (node, rank): the teleport mass returns to
+    the SEED set instead of spreading uniformly, so ranks measure
+    relatedness TO the seeds (the recommendation / similar-entities
+    primitive). rank' = (1-d)·1[seed] + d·Σ in-contributions; ranks
+    start at 1 on seeds, 0 elsewhere.
+
+    Same loop discipline as :func:`pagerank` (one-shuffle window-built
+    weighted edge list cached on the join key, per-iteration
+    localCheckpoint, AQE off, cardinality-sized shuffles); only the
+    teleport term differs. Nodes unreachable from the seeds keep rank 0
+    and are dropped from the output."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    seed_df = seeds.select("node").distinct()
+    n_edges = e.count()
+    with _iteration_conf(spark, n_edges):
+        e2 = e.withColumn(
+            "w", F.lit(1.0) / F.count(F.lit(1)).over(Window.partitionBy("src"))
+        ).persist()
+        nodes = (
+            e2.select(F.col("src").alias("node"))
+            .unionByName(e2.select(F.col("dst").alias("node")))
+            .unionByName(seed_df)
+            .distinct()
+            .persist()
+        )
+        base = nodes.join(
+            seed_df.withColumn("__s", F.lit(1.0)), "node", "left_outer"
+        ).select("node", F.coalesce("__s", F.lit(0.0)).alias("seed"))
+        base = _truncate(base, checkpoint_dir)
+        ranks = base.select("node", F.col("seed").alias("rank"))
+        for _ in range(iterations):
+            contribs = (
+                e2.join(ranks, e2.src == ranks.node)
+                .select(
+                    F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c")
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("csum"))
+            )
+            ranks = _truncate(
+                base.join(contribs, "node", "left_outer").select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("seed")
+                        + F.lit(damping) * F.coalesce("csum", F.lit(0.0))
+                    ).alias("rank"),
+                ),
+                checkpoint_dir,
+            )
+    out = ranks.filter(F.col("rank") > 0)
+    e2.unpersist(blocking=False)
+    nodes.unpersist(blocking=False)
+    _release_iteration_garbage(out)
+    return out

@@ -979,3 +979,70 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS src,
+                              'part:' || CAST(l_partkey AS VARCHAR) AS dst
+              FROM lineitem),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    seed AS (SELECT 'order:' || CAST(MIN(l_orderkey) AS VARCHAR) AS node
+             FROM lineitem),
+    outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+    ce AS (
+      SELECT src, dst, 1.0 AS w FROM edges
+      UNION ALL
+      SELECT node, node, 0.0 FROM nodes
+    ),
+    pr AS (
+      SELECT node,
+             CAST(CASE WHEN node = (SELECT node FROM seed)
+                  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank,
+             0 AS iter
+      FROM nodes
+      UNION ALL
+      SELECT ce.dst,
+             0.15 * CASE WHEN ce.dst = (SELECT node FROM seed)
+                    THEN 1.0 ELSE 0.0 END
+               + 0.85 * SUM(ce.w * p.rank / COALESCE(o.od, 1)),
+             ANY_VALUE(p.iter) + 1
+      FROM pr p
+      JOIN ce ON p.node = ce.src
+      LEFT JOIN outd o ON ce.src = o.src
+      WHERE p.iter < 6
+      GROUP BY ce.dst
+    )
+    SELECT node, ROUND(rank, 6) AS rank FROM pr
+    WHERE iter = 6 AND ROUND(rank, 6) > 0
+    ORDER BY rank DESC, node LIMIT 50
+    """,
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank, r6): teleport
+    mass returns to ONE seed order (the smallest orderkey — computed
+    identically in both engines), so ranks measure relatedness to that
+    order through the order→part containment graph — the
+    similar-entities / recommendation primitive. 6 fixed iterations;
+    oracle = the recursive CTE with zero-weight self-edges and the
+    seed-only teleport term; top-50 by (rounded rank, node)."""
+    from rippledb_spark.operators.graph import personalized_pagerank
+    from rippledb_spark.tables import load as _load
+
+    st = _store(spark, sf_dir)
+    edges = st.pattern(None, "contains_part", None).select(
+        F.col("s").alias("src"), F.col("o_value").alias("dst")
+    )
+    min_key = (
+        _load(spark, sf_dir, "lineitem").agg(F.min("l_orderkey")).collect()[0][0]
+    )
+    seeds = [f"order:{min_key}"]
+    return (
+        personalized_pagerank(edges, seeds, iterations=6)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "node")
+        .limit(50)
+    )

@@ -300,3 +300,21 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
     b = sorted(map(tuple, label_propagation(edges, rounds=3).collect()))
     assert a == b
+
+
+def test_personalized_pagerank_localizes_to_seed(spark):
+    from rippledb_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("a", "b"), ("b", "s"), ("x", "y")], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in
+           personalized_pagerank(edges, ["s"], iterations=8).collect()}
+    # the disconnected component gets NO mass
+    assert "x" not in out and "y" not in out
+    assert set(out) == {"s", "a", "b"}
+    assert all(v > 0 for v in out.values())
+    # multi-seed: both components now ranked
+    out2 = {r["node"] for r in
+            personalized_pagerank(edges, ["s", "x"], iterations=8).collect()}
+    assert out2 == {"s", "a", "b", "x", "y"}
