@@ -46,6 +46,18 @@ TRIPLES_SCHEMA = T.StructType(
 )
 
 
+# Quad identity: a named-graph label ahead of the triple identity. NULL g
+# = the default graph (SPARQL 1.1 §13 dataset: one default graph + zero or
+# more named graphs). The label is an ordinary string column — no graph
+# registry object, so the named-graph set shards exactly like any other
+# column at 1000-executor scale.
+QUAD_KEY = ["g", *TRIPLE_KEY]
+
+QUADS_SCHEMA = T.StructType(
+    [T.StructField("g", T.StringType(), nullable=True), *TRIPLES_SCHEMA.fields]
+)
+
+
 def triple_row(
     s: str,
     p: str,
@@ -69,3 +81,17 @@ def triple_row(
     if (o_datatype is not None) != (o_kind == TYPED_LITERAL):
         raise SchemaError("o_datatype set iff o_kind=typed_literal")
     return (s, s_kind, p, o_value, o_kind, o_lang, o_datatype)
+
+
+def quad_row(
+    g: str | None,
+    s: str,
+    p: str,
+    o_value: str,
+    s_kind: str = NAMED,
+    o_kind: str = NAMED,
+    o_lang: str | None = None,
+    o_datatype: str | None = None,
+) -> tuple:
+    """One row tuple in QUADS_SCHEMA order; ``g=None`` = default graph."""
+    return (g, *triple_row(s, p, o_value, s_kind, o_kind, o_lang, o_datatype))

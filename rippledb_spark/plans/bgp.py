@@ -213,7 +213,17 @@ def select_join(
     """
     paths = list(getattr(query, "paths", []))
     subqueries = list(getattr(query, "subqueries", []))
-    if not query.conds and not paths and not subqueries:
+    prejoined = list(getattr(query, "prejoined", []))
+    if getattr(query, "graph_groups", []) and not prejoined:
+        # GRAPH scopes need a dataset (QuadStore / plans.graphs); evaluating
+        # them against a bare triples frame would silently widen the match
+        # to the whole store. select_dataset lowers each group to a
+        # prejoined plan before delegating here.
+        raise QueryError(
+            "query has GRAPH groups; evaluate it over a QuadStore "
+            "(plans.graphs.select_dataset), not a single-graph store"
+        )
+    if not query.conds and not paths and not subqueries and not prejoined:
         raise QueryError("select_join requires at least one pattern")
 
     if query.conds:
@@ -233,6 +243,20 @@ def select_join(
             continue
         shared = sorted(set(acc.columns) & set(splan.columns))
         acc = acc.join(splan, on=shared, how="inner") if shared else acc.crossJoin(splan)
+
+    # Pre-evaluated plans (plans.graphs lowers each GRAPH group to one):
+    # join on shared variable names exactly like subquery solution sets.
+    # A variable-free group arrives as a 0/1-row gate frame (__gate).
+    for pdf in prejoined:
+        if "__gate" in pdf.columns:
+            gate = F.broadcast(pdf.limit(1))
+            acc = gate.drop("__gate") if acc is None else acc.crossJoin(gate).drop("__gate")
+            continue
+        if acc is None:
+            acc = pdf
+            continue
+        shared = sorted(set(acc.columns) & set(pdf.columns))
+        acc = acc.join(pdf, on=shared, how="inner") if shared else acc.crossJoin(pdf)
 
     # Property-path patterns (SPARQL 1.1 superset — plans.paths): each
     # evaluates to a (src, dst) pair set, renamed/filtered to its variable

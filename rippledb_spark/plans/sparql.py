@@ -64,6 +64,16 @@ class Sparql:
         # (positive, patterns): FILTER EXISTS / FILTER NOT EXISTS groups
         self.exists_groups: list[tuple[bool, list]] = []
         self.subqueries: list["Sparql"] = []  # nested SELECTs (spec §12)
+        # GRAPH groups (SPARQL 1.1 §13.3, dataset-tier): (gterm, group)
+        # where gterm is a Var (ranges over named graphs) or a Val (one
+        # named graph). Evaluated by plans.graphs.select_dataset over a
+        # QuadStore; plain triple evaluation refuses them loudly.
+        self.graph_groups: list[tuple[QueryUnit, "Sparql"]] = []
+        # FROM / FROM NAMED dataset clauses (§13.2): IRIs selecting the
+        # query's default graph (RDF merge of from_graphs) and its named
+        # graph set. Empty = the store's own dataset.
+        self.from_graphs: list[str] = []
+        self.from_named: list[str] = []
         self.group_vars: list[str] = []  # GROUP BY variable names
         # (func, var-or-None, alias, distinct) — see aggregate()
         # (func, var, alias, distinct, separator) — separator only for
@@ -296,6 +306,34 @@ class Sparql:
         if not sub.vars:
             raise QueryError("subqueries must project explicit variables")
         self.subqueries.append(sub)
+        return self
+
+    def graph(self, gterm: str, group: "Sparql | list[list[str]]") -> "Sparql":
+        """GRAPH block (SPARQL 1.1 §13.3 — dataset-tier superset): match
+        ``group`` inside a named graph. ``gterm`` is ``'$g'`` (the group
+        joins every named graph, binding the graph IRI to the variable)
+        or a graph IRI string (the group evaluates against that one named
+        graph only). Evaluated by plans.graphs.select_dataset over a
+        QuadStore; plain single-graph evaluation (select_join on a
+        TripleStore) refuses queries carrying GRAPH groups loudly rather
+        than silently ignoring the graph scope."""
+        if isinstance(group, list):
+            g = Sparql()
+            g.filter(group)
+            group = g
+        if not isinstance(group, Sparql):
+            raise QueryError(f"graph() takes a Sparql group or patterns, got {group!r}")
+        if group.graph_groups:
+            raise QueryError("GRAPH groups do not nest")
+        if not group.conds and not group.paths:
+            raise QueryError("GRAPH group is empty")
+        self.graph_groups.append((parse_unit(gterm), group))
+        return self
+
+    def from_graph(self, iri: str, named: bool = False) -> "Sparql":
+        """FROM / FROM NAMED dataset clause (§13.2): restrict the query's
+        dataset. Applied by plans.graphs.select_dataset."""
+        (self.from_named if named else self.from_graphs).append(iri)
         return self
 
     def bind(self, alias: str, expr) -> "Sparql":

@@ -350,6 +350,31 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             if tok == "}":
                 t.take()
                 return
+            if _is_kw(tok, "GRAPH"):
+                # GRAPH ?g { group } / GRAPH <iri> { group } (§13.3) —
+                # dataset-tier: evaluated by plans.graphs over a QuadStore
+                t.take()
+                gterm = term(t.take())
+                t.expect("{")
+                sub = Sparql()
+                parse_group(sub)
+                if (
+                    sub.optionals
+                    or sub.minuses
+                    or sub.values_blocks
+                    or sub.exists_groups
+                    or sub.binds
+                    or sub.subqueries
+                    or sub.graph_groups
+                ):
+                    raise QueryError(
+                        "GRAPH groups support triple, path, and FILTER "
+                        "patterns only"
+                    )
+                q.graph(gterm, sub)
+                if t.peek() == ".":
+                    t.take()
+                continue
             if _is_kw(tok, "OPTIONAL") or _is_kw(tok, "MINUS"):
                 kw = t.take().upper()
                 t.expect("{")
@@ -362,6 +387,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     or sub.exists_groups
                     or sub.binds
                     or sub.subqueries
+                    or sub.graph_groups
                 ):
                     raise QueryError(
                         f"{kw} groups support triple, path, and FILTER "
@@ -430,6 +456,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                         or sub.exists_groups
                         or sub.binds
                         or sub.subqueries
+                        or sub.graph_groups
                     ):
                         raise QueryError(
                             "EXISTS groups support triple and path patterns only"
@@ -566,6 +593,7 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                 or q.exists_groups
                 or q.binds
                 or q.subqueries
+                or q.graph_groups
             ):
                 raise QueryError(
                     "CONSTRUCT WHERE takes plain triple patterns only (§16.2.1)"
@@ -611,6 +639,23 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             raise QueryError("ASK takes no solution modifiers")
         return SparqlAsk(q)
 
+    # FROM / FROM NAMED dataset clauses (§13.2) — dataset-tier: applied
+    # by plans.graphs.dataset_frames when the query runs over a QuadStore
+    # (a single-graph TripleStore has no named graphs to select from, so
+    # select_join refuses GRAPH groups and FROM is surfaced via the
+    # QuadStore.sparql path).
+    from_graphs: list[str] = []
+    from_named: list[str] = []
+    while _is_kw(t.peek(), "FROM"):
+        t.take()
+        named_from = _is_kw(t.peek(), "NAMED")
+        if named_from:
+            t.take()
+        src = t.take()
+        if src.startswith("?") or src.startswith("$"):
+            raise QueryError(f"FROM takes an IRI, got variable {src!r}")
+        (from_named if named_from else from_graphs).append(term(src))
+
     t.expect("WHERE")
     t.expect("{")
 
@@ -620,6 +665,8 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
     if t.peek() == "{" and not _is_kw(nxt2, "SELECT"):
         if sel_aggs:
             raise QueryError("aggregates with UNION are not in the text subset")
+        if from_graphs or from_named:
+            raise QueryError("FROM with UNION is not in the text subset")
         t.take()
         arms = [Sparql()]
         parse_group(arms[0])
@@ -650,6 +697,8 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
         return out
 
     q = Sparql()
+    q.from_graphs = from_graphs
+    q.from_named = from_named
     parse_group(q)
     q.select(sel_vars if sel_vars else [f"${n}" for n in _pattern_vars(q)])
     for fn, arg, alias, agg_distinct, sep in sel_aggs:
@@ -677,6 +726,12 @@ def _pattern_vars(q: Sparql, required: bool = True) -> list[str]:
         for u in (s_u, o_u):
             if isinstance(u, Var) and u.name not in seen:
                 seen.append(u.name)
+    for gterm, group in getattr(q, "graph_groups", []):
+        if isinstance(gterm, Var) and gterm.name not in seen:
+            seen.append(gterm.name)
+        for n in _pattern_vars(group, required=False):
+            if n not in seen:
+                seen.append(n)
     for alias, _ in getattr(q, "binds", []):
         if alias not in seen:
             seen.append(alias)

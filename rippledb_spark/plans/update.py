@@ -14,8 +14,20 @@ standard text form (W3C SPARQL 1.1 Update subset)::
 
 Triple statements are ``s p o .`` (the final dot optional before ``}``);
 literals take ``"lit"``, ``"lit"@lang``, and ``"lit"^^<datatype>`` forms;
-``_:name`` terms are blank nodes. GRAPH/WITH/USING are not supported
-(single-graph engine, like the reference) and raise QueryError.
+``_:name`` terms are blank nodes.
+
+Two modes share the parser. The TripleStore path (``parse_update(text)``)
+is single-graph like the reference: GRAPH/WITH/USING and graph management
+raise QueryError. The QuadStore path (``parse_update(text, quads=True)``
++ :func:`apply_quads`) adds the dataset-tier forms::
+
+    INSERT/DELETE DATA { ... GRAPH <iri> { ... } ... }   -- QuadData
+    WITH <iri> DELETE/INSERT ... WHERE { ... }           -- scoped modify
+    DELETE/INSERT { ... } USING <iri> WHERE { ... }      -- WHERE dataset
+    CLEAR/DROP  [SILENT] GRAPH <iri> | DEFAULT | NAMED | ALL
+    CREATE [SILENT] GRAPH <iri>                          -- validation only
+    MOVE/COPY/ADD [SILENT] (GRAPH <iri>|DEFAULT) TO (GRAPH <iri>|DEFAULT)
+    LOAD [SILENT] <file> [INTO GRAPH <iri>]              -- .nt/.ttl/.rdf
 
 Semantics notes (the engine's flattened-model conventions, shared with
 plans.bgp):
@@ -64,6 +76,7 @@ class DeleteData:
 @dataclass(frozen=True)
 class DeleteWhere:
     query: Sparql
+    graph: str | None = None  # WITH graph (quads mode); None = default
 
 
 @dataclass(frozen=True)
@@ -71,9 +84,32 @@ class Modify:
     delete_template: list[list[str]]  # [] = no DELETE clause
     insert_template: list[list[str]]  # [] = no INSERT clause
     query: Sparql
+    graph: str | None = None  # WITH graph (quads mode)
+    using: str | None = None  # USING graph: overrides WHERE's graph
 
 
-UpdateForm = InsertData | DeleteData | DeleteWhere | Modify
+@dataclass(frozen=True)
+class GraphManage:
+    """CLEAR/DROP/CREATE/MOVE/COPY/ADD (quads mode). ``src``/``dst`` are
+    graph IRIs or None for DEFAULT; ``scope`` distinguishes the CLEAR/DROP
+    target forms (graph | default | named | all)."""
+
+    op: str  # clear|drop|create|move|copy|add
+    src: str | None = None
+    dst: str | None = None
+    scope: str = "graph"
+
+
+@dataclass(frozen=True)
+class Load:
+    """LOAD <source> [INTO GRAPH <iri>] (quads mode): bulk-load an RDF
+    file (N-Triples/Turtle/RDF-XML by extension) into a graph."""
+
+    source: str
+    graph: str | None = None
+
+
+UpdateForm = InsertData | DeleteData | DeleteWhere | Modify | GraphManage | Load
 
 _UNSUPPORTED = ("GRAPH", "WITH", "USING", "LOAD", "CLEAR", "DROP", "CREATE", "MOVE", "COPY", "ADD")
 
@@ -126,12 +162,15 @@ def _parse_term(t: _Tokens, prefixes: dict[str, str]) -> tuple:
 
 
 def _parse_triple_block(
-    t: _Tokens, prefixes: dict[str, str]
-) -> list[tuple[tuple, tuple, tuple]]:
+    t: _Tokens, prefixes: dict[str, str], quads: bool = False, graph: str | None = None
+) -> list[tuple]:
     """Parse '{ s p o . ... }' (the opening brace already expected by the
-    caller) → list of (s_term, p_term, o_term) term tuples."""
+    caller) → list of (g, s_term, p_term, o_term) tuples; ``g`` is None
+    outside GRAPH sub-blocks. In quads mode the block may contain
+    ``GRAPH <iri> { ... }`` sub-blocks (SPARQL 1.1 Update QuadData);
+    in triples mode any graph keyword refuses loudly."""
     t.expect("{")
-    out: list[tuple[tuple, tuple, tuple]] = []
+    out: list[tuple] = []
     while True:
         tok = t.peek()
         if tok is None:
@@ -139,78 +178,185 @@ def _parse_triple_block(
         if tok == "}":
             t.take()
             return out
+        if isinstance(tok, str) and _is_kw(tok, "GRAPH") and quads:
+            if graph is not None:
+                raise QueryError("GRAPH blocks do not nest in QuadData")
+            t.take()
+            gtok = t.take()
+            if gtok.startswith("?") or gtok.startswith("$"):
+                raise QueryError("QuadData GRAPH takes a ground IRI, not a variable")
+            out.extend(
+                _parse_triple_block(t, prefixes, quads=True, graph=_expand(gtok, prefixes))
+            )
+            if t.peek() == ".":
+                t.take()
+            continue
         if isinstance(tok, str) and tok.upper() in _UNSUPPORTED:
             raise QueryError(
-                f"{tok.upper()} is not supported (single-graph engine)"
+                f"{tok.upper()} is not supported here"
+                + ("" if quads else " (single-graph engine; use QuadStore.update)")
             )
         s = _parse_term(t, prefixes)
         p = _parse_term(t, prefixes)
         o = _parse_term(t, prefixes)
-        out.append((s, p, o))
+        out.append((graph, s, p, o))
         if t.peek() == ".":
             t.take()
 
 
-def _ground_rows(block: list, what: str) -> list[tuple]:
+def _ground_rows(block: list, what: str, quads: bool = False) -> list[tuple]:
+    """Ground (g, s, p, o) term tuples → 7-tuple triple rows, or 8-tuple
+    quad rows when ``quads``."""
     rows = []
-    for s, p, o in block:
+    for g, s, p, o in block:
         for term in (s, p, o):
             if term[1] is None:
                 raise QueryError(f"{what} takes ground triples; got variable {term[0]}")
         if s[1] not in (model.NAMED, model.BLANK):
             raise QueryError(f"literal subjects are not valid RDF: {s[0]!r}")
-        rows.append((s[0], s[1], p[0], o[0], o[1], o[2], o[3]))
+        row = (s[0], s[1], p[0], o[0], o[1], o[2], o[3])
+        rows.append((g, *row) if quads else row)
     return rows
 
 
 def _patterns(block: list) -> list[list[str]]:
     """Term tuples → the builder's [s, p, o] string patterns ('$var' or
-    plain value — the flattened-model form)."""
-    return [[s[0], p[0], o[0]] for s, p, o in block]
+    plain value — the flattened-model form). WHERE/template groups are
+    single-graph (scoped by WITH/USING), so a GRAPH sub-block here is a
+    parse error upstream and ``g`` is always None."""
+    for g, *_ in block:
+        if g is not None:
+            raise QueryError(
+                "GRAPH blocks are supported in DATA forms only; scope the "
+                "modify form with WITH <iri> / USING <iri>"
+            )
+    return [[s[0], p[0], o[0]] for _, s, p, o in block]
 
 
-def parse_update(text: str) -> UpdateForm:
-    """Parse one SPARQL Update request (subset above)."""
+def _graph_target(t: _Tokens, prefixes: dict[str, str], op: str) -> tuple[str | None, str]:
+    """One CLEAR/DROP/MOVE/COPY/ADD target → (iri-or-None, scope)."""
+    tok = t.take()
+    if _is_kw(tok, "GRAPH"):
+        return _expand(t.take(), prefixes), "graph"
+    if _is_kw(tok, "DEFAULT"):
+        return None, "default"
+    if _is_kw(tok, "NAMED") and op in ("CLEAR", "DROP"):
+        return None, "named"
+    if _is_kw(tok, "ALL") and op in ("CLEAR", "DROP"):
+        return None, "all"
+    if tok.startswith("<") and tok.endswith(">") and op in ("MOVE", "COPY", "ADD"):
+        # the GRAPH keyword is optional in MOVE/COPY/ADD operands (§3.2.5)
+        return _expand(tok, prefixes), "graph"
+    raise QueryError(f"{op} expects GRAPH <iri>/DEFAULT, got {tok!r}")
+
+
+def parse_update(text: str, quads: bool = False) -> UpdateForm:
+    """Parse one SPARQL Update request (subset above). ``quads=True``
+    (the QuadStore path) additionally accepts GRAPH blocks in DATA forms,
+    the WITH/USING modify scoping, graph management (CLEAR/DROP/CREATE/
+    MOVE/COPY/ADD), and LOAD; the TripleStore path keeps refusing those
+    loudly."""
     t = _Tokens(text)
     prefixes = _parse_prefixes(t)
     head = t.take().upper()
+    with_graph: str | None = None
+    if quads and head == "WITH":
+        with_graph = _expand(t.take(), prefixes)
+        head = t.take().upper()
+        if head not in ("DELETE", "INSERT"):
+            raise QueryError(f"WITH <iri> expects a DELETE/INSERT form, got {head!r}")
+    elif quads and head in ("CLEAR", "DROP", "CREATE"):
+        if _is_kw(t.peek(), "SILENT"):
+            t.take()
+        if head == "CREATE":
+            tok = t.take()
+            if not _is_kw(tok, "GRAPH"):
+                raise QueryError(f"CREATE expects GRAPH <iri>, got {tok!r}")
+            form: UpdateForm = GraphManage("create", src=_expand(t.take(), prefixes))
+        else:
+            iri, scope = _graph_target(t, prefixes, head)
+            form = GraphManage(head.lower(), src=iri, scope=scope)
+        if t.peek() is not None:
+            raise QueryError(f"trailing tokens in update: {t.toks[t.i:]}")
+        return form
+    elif quads and head in ("MOVE", "COPY", "ADD"):
+        if _is_kw(t.peek(), "SILENT"):
+            t.take()
+        src, _ = _graph_target(t, prefixes, head)
+        t.expect("TO")
+        dst, _ = _graph_target(t, prefixes, head)
+        form = GraphManage(head.lower(), src=src, dst=dst)
+        if t.peek() is not None:
+            raise QueryError(f"trailing tokens in update: {t.toks[t.i:]}")
+        return form
+    elif quads and head == "LOAD":
+        if _is_kw(t.peek(), "SILENT"):
+            t.take()
+        source = _expand(t.take(), prefixes)
+        graph = None
+        if _is_kw(t.peek(), "INTO"):
+            t.take()
+            tok = t.take()
+            if not _is_kw(tok, "GRAPH"):
+                raise QueryError(f"LOAD ... INTO expects GRAPH <iri>, got {tok!r}")
+            graph = _expand(t.take(), prefixes)
+        if t.peek() is not None:
+            raise QueryError(f"trailing tokens in update: {t.toks[t.i:]}")
+        return Load(source, graph)
     if head in _UNSUPPORTED:
-        raise QueryError(f"{head} is not supported (single-graph engine)")
+        raise QueryError(
+            f"{head} is not supported"
+            + ("" if quads else " (single-graph engine; use QuadStore.update)")
+        )
     if head == "INSERT" and _is_kw(t.peek(), "DATA"):
+        if with_graph is not None:
+            raise QueryError("WITH does not apply to DATA forms; use GRAPH blocks")
         t.take()
-        form: UpdateForm = InsertData(
-            _ground_rows(_parse_triple_block(t, prefixes), "INSERT DATA")
+        form = InsertData(
+            _ground_rows(_parse_triple_block(t, prefixes, quads=quads), "INSERT DATA", quads)
         )
     elif head == "DELETE" and _is_kw(t.peek(), "DATA"):
+        if with_graph is not None:
+            raise QueryError("WITH does not apply to DATA forms; use GRAPH blocks")
         t.take()
         form = DeleteData(
-            _ground_rows(_parse_triple_block(t, prefixes), "DELETE DATA")
+            _ground_rows(_parse_triple_block(t, prefixes, quads=quads), "DELETE DATA", quads)
         )
     elif head == "DELETE" and _is_kw(t.peek(), "WHERE"):
         t.take()
-        block = _parse_triple_block(t, prefixes)
+        block = _parse_triple_block(t, prefixes, quads=quads)
         if not block:
             raise QueryError("DELETE WHERE needs at least one pattern")
         q = Sparql()
         q.filter(_patterns(block))
-        form = DeleteWhere(q)
+        form = DeleteWhere(q, graph=with_graph)
     elif head in ("DELETE", "INSERT"):
         delete_tmpl: list[list[str]] = []
         insert_tmpl: list[list[str]] = []
         if head == "DELETE":
-            delete_tmpl = _patterns(_parse_triple_block(t, prefixes))
+            delete_tmpl = _patterns(_parse_triple_block(t, prefixes, quads=quads))
             if _is_kw(t.peek(), "INSERT"):
                 t.take()
-                insert_tmpl = _patterns(_parse_triple_block(t, prefixes))
+                insert_tmpl = _patterns(_parse_triple_block(t, prefixes, quads=quads))
         else:
-            insert_tmpl = _patterns(_parse_triple_block(t, prefixes))
+            insert_tmpl = _patterns(_parse_triple_block(t, prefixes, quads=quads))
+        using: str | None = None
+        if _is_kw(t.peek(), "USING"):
+            if not quads:
+                raise QueryError(
+                    "USING is not supported (single-graph engine; use QuadStore.update)"
+                )
+            t.take()
+            if _is_kw(t.peek(), "NAMED"):
+                raise QueryError("USING NAMED is not supported; use GRAPH groups")
+            using = _expand(t.take(), prefixes)
         t.expect("WHERE")
-        block = _parse_triple_block(t, prefixes)
+        block = _parse_triple_block(t, prefixes, quads=quads)
         if not block:
             raise QueryError("the modify form needs a non-empty WHERE group")
         q = Sparql()
         q.filter(_patterns(block))
-        form = Modify(delete_tmpl, insert_tmpl, q)
+        form = Modify(delete_tmpl, insert_tmpl, q, graph=with_graph, using=using)
     else:
         raise QueryError(
             f"expected INSERT/DELETE (optionally DATA/WHERE), got {head!r}"
@@ -223,6 +369,110 @@ def parse_update(text: str) -> UpdateForm:
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------
+
+
+def apply_quads(store, form: UpdateForm):
+    """Apply one parsed quads-mode update to a QuadStore → new QuadStore.
+
+    Every form is DataFrame algebra: DATA forms are one small local frame
+    + union/anti-join; the WITH/USING modify forms run the single-graph
+    machinery against the scoped graph's triples and re-tag the results;
+    graph management is predicate rewrites over the ``g`` column (MOVE =
+    retag + drop, never a per-graph loop)."""
+    from rippledb_spark.quadstore import QuadStore
+
+    spark, df = store.spark, store.df
+
+    if isinstance(form, InsertData):
+        return store.insert(form.rows)
+    if isinstance(form, DeleteData):
+        return store.remove(form.rows)
+
+    if isinstance(form, GraphManage):
+        g = F.col("g")
+        if form.op == "create":
+            # empty graphs are not tracked (module docstring in
+            # quadstore.py): CREATE validates and is otherwise a no-op
+            return store
+        if form.op in ("clear", "drop"):
+            if form.scope == "graph":
+                return QuadStore(spark, df.filter(~g.eqNullSafe(F.lit(form.src))))
+            if form.scope == "default":
+                return QuadStore(spark, df.filter(g.isNotNull()))
+            if form.scope == "named":
+                return QuadStore(spark, df.filter(g.isNull()))
+            return QuadStore.empty(spark)  # ALL
+        # MOVE/COPY/ADD — src/dst None = the default graph
+        src_match = g.eqNullSafe(F.lit(form.src))
+        dst_lit = F.lit(form.dst).cast("string")
+        if form.src == form.dst or (form.src is None and form.dst is None):
+            return store  # spec: same-graph MOVE/COPY/ADD is a no-op
+        moved = df.filter(src_match).withColumn("g", dst_lit).select(*model.QUAD_KEY)
+        if form.op == "add":
+            out = df.unionByName(moved)
+        elif form.op == "copy":
+            out = df.filter(~g.eqNullSafe(dst_lit)).unionByName(moved)
+        else:  # move
+            out = (
+                df.filter(~g.eqNullSafe(dst_lit) & ~src_match).unionByName(moved)
+            )
+        return QuadStore(spark, out.dropDuplicates(model.QUAD_KEY))
+
+    if isinstance(form, Load):
+        from rippledb_spark.store import TripleStore
+
+        path = form.source
+        for pfx in ("file://", "file:"):
+            if path.startswith(pfx):
+                path = path[len(pfx):]
+                break
+        low = path.lower()
+        if low.endswith(".nt"):
+            ts = TripleStore.from_ntriples(spark, path)
+        elif low.endswith(".ttl"):
+            ts = TripleStore.from_turtle(spark, path)
+        elif low.endswith((".rdf", ".xml", ".owl")):
+            ts = TripleStore.from_rdf(spark, path)
+        else:
+            raise QueryError(f"LOAD cannot infer a format from {form.source!r}")
+        add = ts.df.withColumn("g", F.lit(form.graph).cast("string"))
+        return store.insert(add)
+
+    if isinstance(form, DeleteWhere):
+        target = store.graph(form.graph) if form.graph else store.default_graph()
+        matched = matched_triples(target.df, form.query)
+        return store.remove(
+            matched.withColumn("g", F.lit(form.graph).cast("string"))
+        )
+
+    if isinstance(form, Modify):
+        from rippledb_spark.plans import bgp as _bgp
+
+        # WHERE scope: USING overrides WITH overrides the default graph
+        where_g = form.using if form.using is not None else form.graph
+        where_triples = (
+            store.graph(where_g) if where_g else store.default_graph()
+        ).df
+        # template scope: always the WITH graph (or default)
+        tmpl_g = F.lit(form.graph).cast("string")
+        sol = _bound_solutions(where_triples, form.query)
+        out = df
+        if form.delete_template:
+            dels = instantiated_values(sol, spark, form.delete_template)
+            cond = (
+                df["g"].eqNullSafe(tmpl_g)
+                & (df["s"] == dels["s"])
+                & (df["p"] == dels["p"])
+                & (df["o_value"] == dels["o_value"])
+            )
+            out = df.join(dels, on=cond, how="left_anti")
+        result = QuadStore(spark, out)
+        if form.insert_template:
+            ins = _bgp.construct(where_triples, form.query, form.insert_template)
+            result = result.insert(ins.withColumn("g", tmpl_g))
+        return result
+
+    raise QueryError(f"unhandled update form {form!r}")
 
 
 def _bound_solutions(triples: DataFrame, q: Sparql) -> DataFrame | None:

@@ -397,9 +397,10 @@ def nt_escape_expr(c) -> "F.Column":
     return c
 
 
-def ntriples_line_expr() -> "F.Column":
-    """One N-Triples line per triples-schema row, all JVM expressions —
-    no UDF, no collect; stays inside whole-stage codegen."""
+def nt_term_exprs() -> tuple["F.Column", "F.Column", "F.Column"]:
+    """(subject, predicate, object) term expressions in N-Triples surface
+    syntax — shared by the N-Triples sink and the N-Quads sink
+    (sources/nquads.py), which appends a graph term."""
     subj = F.when(
         F.col("s_kind") == model.NAMED, F.concat(F.lit("<"), F.col("s"), F.lit(">"))
     ).otherwise(F.col("s"))  # blank nodes carry their _: prefix already
@@ -421,6 +422,13 @@ def ntriples_line_expr() -> "F.Column":
         .otherwise(lit)
     )
     pred = F.concat(F.lit("<"), F.col("p"), F.lit(">"))
+    return subj, pred, obj
+
+
+def ntriples_line_expr() -> "F.Column":
+    """One N-Triples line per triples-schema row, all JVM expressions —
+    no UDF, no collect; stays inside whole-stage codegen."""
+    subj, pred, obj = nt_term_exprs()
     return F.concat_ws(" ", subj, pred, obj, F.lit("."))
 
 

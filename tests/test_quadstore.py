@@ -1,0 +1,309 @@
+"""QuadStore dataset tier: GRAPH groups, FROM/FROM NAMED, graph-aware
+SPARQL Update, graph management, and the N-Quads format (quadstore.py,
+plans/graphs.py, plans/update.py quads mode, sources/nquads.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from rippledb_spark import model
+from rippledb_spark.errors import QueryError, SchemaError
+from rippledb_spark.quadstore import QuadStore
+from rippledb_spark.store import TripleStore
+
+QUADS = [
+    # default graph: geography
+    (None, "n1", "in_region", "r1"),
+    (None, "n2", "in_region", "r1"),
+    (None, "n3", "in_region", "r2"),
+    # graph g:cust — customer membership
+    ("g:cust", "c1", "in_nation", "n1"),
+    ("g:cust", "c2", "in_nation", "n1"),
+    ("g:cust", "c3", "in_nation", "n3"),
+    # graph g:supp — supplier membership
+    ("g:supp", "s1", "in_nation", "n1"),
+    ("g:supp", "s2", "in_nation", "n2"),
+    # literal payload inside a named graph
+    model.quad_row("g:cust", "c1", "has_name", "Customer One", o_kind=model.LITERAL),
+]
+
+
+@pytest.fixture(scope="module")
+def qs(spark):
+    return QuadStore.from_rows(spark, QUADS)
+
+
+def rows(df, *cols):
+    return sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+# -- construction / access ---------------------------------------------------
+
+
+def test_from_rows_shapes(spark):
+    with pytest.raises(SchemaError):
+        QuadStore.from_rows(spark, [("g", "s", "p")])
+    qs2 = QuadStore.from_rows(spark, [("g", "s", "p", "o"), ("g", "s", "p", "o")])
+    assert qs2.df.count() == 1  # set semantics on the quad identity
+
+
+def test_graph_access(qs):
+    assert qs.default_graph().df.count() == 3
+    assert qs.graph("g:cust").df.count() == 4
+    assert rows(qs.graph_names(), "g") == [("g:cust",), ("g:supp",)]
+
+
+def test_from_triplestores_roundtrip(spark, qs):
+    rebuilt = QuadStore.from_triplestores(
+        spark,
+        default=qs.default_graph(),
+        named={"g:cust": qs.graph("g:cust"), "g:supp": qs.graph("g:supp")},
+    )
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(map(tuple, rebuilt.df.collect()), key=key) == sorted(
+        map(tuple, qs.df.collect()), key=key
+    )
+
+
+def test_stats_per_graph(qs):
+    st = {r["g"]: r["n_quads"] for r in qs.stats().collect()}
+    assert st == {None: 3, "g:cust": 4, "g:supp": 2}
+
+
+# -- GRAPH patterns ----------------------------------------------------------
+
+
+def test_graph_iri_scope(qs):
+    df = qs.sparql("SELECT ?m ?n WHERE { GRAPH <g:supp> { ?m in_nation ?n } }")
+    assert rows(df, "m", "n") == [("s1", "n1"), ("s2", "n2")]
+
+
+def test_graph_var_binds_graph(qs):
+    df = qs.sparql("SELECT ?g ?m WHERE { GRAPH ?g { ?m in_nation n1 } }")
+    assert rows(df, "g", "m") == [
+        ("g:cust", "c1"),
+        ("g:cust", "c2"),
+        ("g:supp", "s1"),
+    ]
+
+
+def test_graph_join_with_default(qs):
+    # cross-graph join: named-graph members × default-graph geography
+    df = qs.sparql(
+        "SELECT ?g ?m ?r WHERE { ?n in_region ?r . GRAPH ?g { ?m in_nation ?n } }"
+    )
+    assert ("g:cust", "c3", "r2") in set(map(tuple, df.collect()))
+    assert df.count() == 5  # every member row joins its nation's region
+
+
+def test_graph_var_aggregate(qs):
+    df = qs.sparql(
+        "SELECT ?g (COUNT(?m) AS ?cnt) WHERE { GRAPH ?g { ?m in_nation ?n } } "
+        "GROUP BY ?g ORDER BY ?g"
+    )
+    assert rows(df, "g", "cnt") == [("g:cust", 3), ("g:supp", 2)]
+
+
+def test_graph_group_filter(qs):
+    df = qs.sparql(
+        'SELECT ?m WHERE { GRAPH ?g { ?m in_nation ?n FILTER(?n != "n1") } }'
+    )
+    assert rows(df, "m") == [("c3",), ("s2",)]
+
+
+def test_graph_iri_with_path(qs, spark):
+    # paths are allowed under GRAPH <iri> (scope reduces to a filter)
+    qs2 = qs.update("INSERT DATA { GRAPH <g:chain> { a next b . b next c } }")
+    df = qs2.sparql("SELECT ?x WHERE { GRAPH <g:chain> { a next+ ?x } }")
+    assert rows(df, "x") == [("b",), ("c",)]
+    # ...but refused under GRAPH ?var (would need per-graph closure state)
+    with pytest.raises(QueryError):
+        qs2.sparql("SELECT ?g ?x WHERE { GRAPH ?g { a next+ ?x } }")
+
+
+def test_default_graph_does_not_leak_named(qs):
+    # plain patterns match the DEFAULT graph only (spec §13.3)
+    df = qs.sparql("SELECT ?m WHERE { ?m in_nation ?n }")
+    assert df.count() == 0
+
+
+def test_plain_store_refuses_graph_groups(qs):
+    with pytest.raises(QueryError):
+        qs.default_graph().sparql("SELECT ?m WHERE { GRAPH ?g { ?m in_nation ?n } }")
+
+
+def test_ask_with_graph(qs):
+    assert qs.sparql("ASK { GRAPH <g:supp> { s2 in_nation n2 } }").count() == 1
+    assert qs.sparql("ASK { GRAPH <g:supp> { s2 in_nation n9 } }").count() == 0
+    assert qs.sparql("ASK { GRAPH ?g { ?m in_nation n2 } }").count() == 1
+
+
+# -- FROM / FROM NAMED -------------------------------------------------------
+
+
+def test_from_merges_default(qs):
+    df = qs.sparql(
+        "SELECT ?m ?n FROM <g:cust> FROM <g:supp> WHERE { ?m in_nation ?n }"
+    )
+    assert df.count() == 5
+
+
+def test_from_replaces_default(qs):
+    # FROM replaces the dataset: the store's own default graph is gone
+    df = qs.sparql("SELECT ?n ?r FROM <g:cust> WHERE { ?n in_region ?r }")
+    assert df.count() == 0
+
+
+def test_from_named_restricts_graphs(qs):
+    df = qs.sparql(
+        "SELECT ?g ?m FROM NAMED <g:supp> WHERE { GRAPH ?g { ?m in_nation ?n } }"
+    )
+    assert rows(df, "g", "m") == [("g:supp", "s1"), ("g:supp", "s2")]
+    # FROM alone empties the named-graph side
+    df2 = qs.sparql(
+        "SELECT ?g ?m FROM <g:cust> WHERE { GRAPH ?g { ?m in_nation ?n } }"
+    )
+    assert df2.count() == 0
+
+
+# -- updates -----------------------------------------------------------------
+
+
+def test_insert_delete_data_graph_blocks(qs):
+    qs2 = qs.update(
+        "INSERT DATA { x p y . GRAPH <g:new> { a q b . c q d } }"
+    )
+    assert qs2.default_graph().df.count() == 4
+    assert qs2.graph("g:new").df.count() == 2
+    qs3 = qs2.update("DELETE DATA { GRAPH <g:new> { a q b } }")
+    assert qs3.graph("g:new").df.count() == 1
+
+
+def test_with_modify_scopes_graph(qs):
+    qs2 = qs.update(
+        "WITH <g:cust> DELETE { ?m in_nation n1 } WHERE { ?m in_nation n1 }"
+    )
+    assert rows(qs2.graph("g:cust").df, "s", "p") == [
+        ("c1", "has_name"),
+        ("c3", "in_nation"),
+    ]
+    # the supplier graph's n1 rows are untouched
+    assert qs2.graph("g:supp").df.count() == 2
+
+
+def test_using_overrides_where_graph(qs):
+    # read WHERE bindings from g:supp, write into the default graph
+    qs2 = qs.update(
+        "INSERT { ?m supplier_in ?n } USING <g:supp> WHERE { ?m in_nation ?n }"
+    )
+    df = qs2.default_graph().sparql("SELECT ?m ?n WHERE { ?m supplier_in ?n }")
+    assert rows(df, "m", "n") == [("s1", "n1"), ("s2", "n2")]
+
+
+def test_clear_drop_scopes(qs):
+    assert qs.update("CLEAR GRAPH <g:cust>").graph("g:cust").df.count() == 0
+    assert qs.update("CLEAR DEFAULT").default_graph().df.count() == 0
+    left = qs.update("DROP NAMED")
+    assert left.df.count() == 3 and left.graph_names().count() == 0
+    assert qs.update("CLEAR ALL").df.count() == 0
+    assert qs.update("CREATE GRAPH <g:zzz>").df.count() == qs.df.count()
+
+
+def test_move_copy_add(qs):
+    moved = qs.update("MOVE GRAPH <g:supp> TO GRAPH <g:cust>")
+    assert moved.graph("g:supp").df.count() == 0
+    assert moved.graph("g:cust").df.count() == 2  # dst overwritten by src
+    copied = qs.update("COPY GRAPH <g:supp> TO GRAPH <g:cust>")
+    assert copied.graph("g:supp").df.count() == 2
+    assert copied.graph("g:cust").df.count() == 2
+    added = qs.update("ADD GRAPH <g:supp> TO GRAPH <g:cust>")
+    assert added.graph("g:cust").df.count() == 6
+    # DEFAULT operand form
+    to_def = qs.update("ADD GRAPH <g:supp> TO DEFAULT")
+    assert to_def.default_graph().df.count() == 5
+
+
+def test_load_into_graph(qs, tmp_path):
+    nt = tmp_path / "inc.nt"
+    nt.write_text("<u:a> <u:p> <u:b> .\n<u:a> <u:p> \"lit\" .\n")
+    qs2 = qs.update(f"LOAD <file://{nt}> INTO GRAPH <g:inc>")
+    assert qs2.graph("g:inc").df.count() == 2
+    qs3 = qs.update(f"LOAD <{nt}>")
+    assert qs3.default_graph().df.count() == 5
+
+
+def test_triplestore_update_still_single_graph(spark):
+    ts = TripleStore.from_rows(spark, [("a", "p", "b")])
+    with pytest.raises(QueryError):
+        ts.update("INSERT DATA { GRAPH <g> { a p b } }")
+    with pytest.raises(QueryError):
+        ts.update("CLEAR ALL")
+    with pytest.raises(QueryError):
+        ts.update("WITH <g> DELETE { ?s p ?o } WHERE { ?s p ?o }")
+
+
+def test_quad_insert_remove_set_semantics(qs):
+    grown = qs.insert([("g:cust", "c1", "in_nation", "n1")])  # already present
+    assert grown.df.count() == qs.df.count()
+    shrunk = qs.remove([(None, "n1", "in_region", "r1")])
+    assert shrunk.df.count() == qs.df.count() - 1
+    noop = qs.remove([("g:nope", "x", "y", "z")])
+    assert noop.df.count() == qs.df.count()
+
+
+# -- N-Quads -----------------------------------------------------------------
+
+
+def test_nquads_roundtrip(spark, qs, tmp_path):
+    extra = qs.insert(
+        [
+            model.quad_row(
+                "g:lit", "d1", "label", 'esc "q"\t\n\\', o_kind=model.LITERAL
+            ),
+            model.quad_row(
+                "g:lit", "d1", "label", "bonjour", o_kind=model.LANG_LITERAL, o_lang="fr"
+            ),
+            model.quad_row(
+                None, "d2", "age", "7", o_kind=model.TYPED_LITERAL,
+                o_datatype="http://www.w3.org/2001/XMLSchema#integer",
+            ),
+            model.quad_row("g:b", "_:x", "p", "_:y", s_kind=model.BLANK, o_kind=model.BLANK),
+        ]
+    )
+    path = os.path.join(tmp_path, "ds.nq")
+    extra.write_nquads(path)
+    back = QuadStore.from_nquads(spark, path)
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(map(tuple, back.df.collect()), key=key) == sorted(
+        map(tuple, extra.df.collect()), key=key
+    )
+
+
+def test_nquads_default_graph_lines_are_triples(spark, qs, tmp_path):
+    path = os.path.join(tmp_path, "ds2.nq")
+    qs.write_nquads(path)
+    lines = [
+        ln
+        for f in os.listdir(path)
+        if f.startswith("part-")
+        for ln in open(os.path.join(path, f)).read().splitlines()
+        if ln.strip()
+    ]
+    assert len(lines) == qs.df.count()
+    three_term = [ln for ln in lines if ln.count(" ") == 3]
+    assert len(three_term) == 3  # the default-graph rows
+
+
+def test_parser_error_surfaces(qs):
+    with pytest.raises(QueryError):
+        qs.sparql("SELECT ?m WHERE { GRAPH ?g { OPTIONAL { ?m p ?n } } }")
+    with pytest.raises(QueryError):
+        qs.sparql("SELECT ?m FROM ?g WHERE { ?m p ?n }")
+    with pytest.raises(QueryError):
+        qs.update("INSERT DATA { GRAPH ?g { a p b } }")
+    with pytest.raises(QueryError):
+        qs.update("MOVE GRAPH <g:a> TO NAMED")
