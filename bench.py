@@ -106,6 +106,9 @@ HEADLINE = [
     "multimodal_frames",
     "path_quantified_containment",
     "sparql_builtins_order_expr",
+    # dataset tier: GRAPH ?g as a distributed join dimension (the quad
+    # join-chain family — one aggregation over the labeled quads frame)
+    "sparql_graph_var_membership",
 ]
 
 
