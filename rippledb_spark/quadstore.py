@@ -106,6 +106,12 @@ class QuadStore:
         return cls.from_df(spark, read_nquads(spark, path))
 
     @classmethod
+    def from_trig(cls, spark: SparkSession, path: str) -> "QuadStore":
+        from rippledb_spark.sources.trig import read_trig
+
+        return cls.from_df(spark, read_trig(spark, path))
+
+    @classmethod
     def from_backup(cls, spark: SparkSession, path: str) -> "QuadStore":
         return cls(spark, spark.read.parquet(path).select(*model.QUAD_KEY))
 
@@ -123,6 +129,11 @@ class QuadStore:
         from rippledb_spark.sources.nquads import write_nquads
 
         write_nquads(self.df, path, mode=mode)
+
+    def write_trig(self, path: str, mode: str = "overwrite") -> None:
+        from rippledb_spark.sources.trig import write_trig
+
+        write_trig(self.df, path, mode=mode)
 
     # -- graph access -------------------------------------------------------
 

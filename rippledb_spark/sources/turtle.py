@@ -55,7 +55,8 @@ _TOKEN = re.compile(
   | (?P<integer>[+-]?\d+)
   | (?P<bool>true|false)
   | (?P<kw_a>a(?![A-Za-z0-9_:-]))
-  | (?P<punct>[.;,\[\]()])
+  | (?P<kw_graph>[Gg][Rr][Aa][Pp][Hh](?![A-Za-z0-9_:-]))
+  | (?P<punct>[.;,\[\](){}])
     """,
     re.VERBOSE,
 )

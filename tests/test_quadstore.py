@@ -298,6 +298,54 @@ def test_nquads_default_graph_lines_are_triples(spark, qs, tmp_path):
     assert len(three_term) == 3  # the default-graph rows
 
 
+def test_trig_parse_forms(spark):
+    from rippledb_spark.sources.trig import parse_trig
+
+    doc = """
+    @prefix ex: <http://ex.org/> .
+    ex:n1 ex:in_region ex:r1 .
+    GRAPH ex:gA { ex:c1 ex:in_nation ex:n1 ; ex:name "C1"@fr . }
+    <http://ex.org/gB> { ex:s1 a ex:Supplier }
+    { ex:n2 ex:in_region ex:r1 . }
+    _:gc { ex:x ex:p 42 . }
+    """
+    quads = parse_trig(doc)
+    by_graph: dict = {}
+    for g, *_ in quads:
+        by_graph[g] = by_graph.get(g, 0) + 1
+    assert by_graph == {
+        None: 2,
+        "http://ex.org/gA": 2,
+        "http://ex.org/gB": 1,
+        "_:tgc": 1,
+    }
+    # the 'a' keyword expands inside blocks; typed numeric abbreviation kept
+    assert any(p.endswith("22-rdf-syntax-ns#type") for _, _, _, p, *_ in quads)
+    assert any(o == "42" and k == "typed_literal" for *_, o, k, _l, _d in quads)
+
+
+def test_trig_errors(spark):
+    from rippledb_spark.errors import RdfParseError
+    from rippledb_spark.sources.trig import parse_trig
+
+    with pytest.raises(RdfParseError):
+        parse_trig("<g> { <a> <p> <b> ")  # unclosed block
+    with pytest.raises(RdfParseError):
+        parse_trig("<g> { <h> { <a> <p> <b> } }")  # nesting
+    with pytest.raises(RdfParseError):
+        parse_trig('<g> { @prefix ex: <http://e/> . }')  # directive in block
+
+
+def test_trig_roundtrip(spark, qs, tmp_path):
+    path = os.path.join(tmp_path, "ds.trig")
+    qs.write_trig(path)
+    back = QuadStore.from_trig(spark, path)
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(map(tuple, back.df.collect()), key=key) == sorted(
+        map(tuple, qs.df.collect()), key=key
+    )
+
+
 def test_parser_error_surfaces(qs):
     with pytest.raises(QueryError):
         qs.sparql("SELECT ?m WHERE { GRAPH ?g { OPTIONAL { ?m p ?n } } }")
