@@ -454,6 +454,46 @@ def test_ntriples_stream_into_queryable_store(spark, tmp_path):
     assert TripleStore.from_backup(spark, store_path).df.count() == 4
 
 
+def test_nquads_stream_into_queryable_dataset(spark, tmp_path):
+    """Dataset-tier streaming ingest: .nq files land → file-source stream
+    parses quads → parquet layout → QuadStore GRAPH query over the
+    streamed-in dataset (the N-Triples test's shape, lifted to quads)."""
+    import os
+
+    from rippledb_spark.quadstore import QuadStore
+    from rippledb_spark.streaming.rdf_stream import (
+        read_nquads_stream,
+        start_store_append_sink,
+    )
+
+    src = tmp_path / "nq_in"
+    os.makedirs(src)
+    (src / "a.nq").write_text(
+        "<http://e/alice> <http://e/knows> <http://e/bob> <http://e/gA> .\n"
+        "<http://e/alice> <http://e/knows> <http://e/carol> <http://e/gB> .\n"
+        "<http://e/n1> <http://e/in> <http://e/r1> .\n"  # default graph
+        "junk line skipped\n"
+    )
+    store_path = str(tmp_path / "qstore")
+    q = start_store_append_sink(
+        read_nquads_stream(spark, str(src)),
+        store_path,
+        checkpoint_dir=str(tmp_path / "qckpt"),
+    )
+    q.awaitTermination(120)
+
+    ds = QuadStore.from_backup(spark, store_path)
+    assert ds.df.count() == 3
+    got = ds.sparql(
+        "SELECT ?g ?x WHERE { GRAPH ?g { <http://e/alice> <http://e/knows> ?x } }"
+    )
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("http://e/gA", "http://e/bob"),
+        ("http://e/gB", "http://e/carol"),
+    ]
+    assert ds.default_graph().df.count() == 1
+
+
 def test_upsert_sink_recovers_from_torn_overwrite(spark, tmp_path):
     """End-to-end torn-write recovery (ADVICE r3): simulate a crash
     mid-overwrite by deleting the _SUCCESS marker; the next run must
