@@ -24,10 +24,13 @@ prunes by an equality predicate (partition-prunable when the store is
 persisted partitioned by g or bucketed on it), GRAPH ?g joins carry g as
 one more equi-join key. Nothing collects; nothing loops per graph.
 
-Limits (refused loudly, never silently narrowed): GRAPH groups do not
-nest, and property paths inside GRAPH ?var would need per-graph closure
-state (g-keyed frontier) — supported only under GRAPH <iri>, where the
-scope is a plain filter.
+Property paths work under both scopes: GRAPH <iri> reduces to a filter +
+the single-graph evaluator, and GRAPH ?var evaluates paths over a
+GRAPH-TAGGED node space ('<g>\\x00<node>') so one fixpoint run computes
+every graph's closure simultaneously — a step can never cross graphs
+because both join sides carry the label prefix. Bound path ends seed one
+row per graph (frontier-only expansion, same as the single-graph bound-end
+optimization). The only refusal left: GRAPH groups do not nest.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ from rippledb_spark import model
 from rippledb_spark.errors import QueryError
 from rippledb_spark.operators.triple_patterns import pattern_filter, position_column
 from rippledb_spark.plans import bgp
-from rippledb_spark.plans.sparql import Sparql, Var
+from rippledb_spark.plans.sparql import Sparql, Val, Var
 
 
 def dataset_frames(quads: DataFrame, query: Sparql) -> tuple[DataFrame, DataFrame]:
@@ -106,16 +109,106 @@ def _named_graph_plan(named_quads: DataFrame, iri: str, group: Sparql) -> DataFr
     return bgp.select_join(triples, plan)
 
 
+# Separator for the per-graph node space used by path evaluation inside
+# GRAPH ?var: NUL cannot appear in IRIs, so '<g>\x00<node>' is collision-
+# free for named nodes (a literal containing NUL could alias — documented
+# residual, pathological in RDF).
+_G_SEP = "\x00"
+
+
+def _tagged_triples(named_quads: DataFrame) -> DataFrame:
+    """Named quads → a TRIPLES-schema frame whose subject/object values
+    are prefixed with the graph label: closures over this frame can never
+    cross graphs (a step joins dst = src on the TAGGED value, and both
+    carry the label), so ONE fixpoint run evaluates every graph's closure
+    simultaneously — the distributed form of the spec's per-graph
+    iteration, with no driver loop over graphs."""
+    tag = lambda c: F.concat(F.col("g"), F.lit(_G_SEP), c)  # noqa: E731
+    return named_quads.select(
+        tag(F.col("s")).alias("s"),
+        F.col("s_kind"),
+        F.col("p"),
+        tag(F.col("o_value")).alias("o_value"),
+        F.col("o_kind"),
+        F.col("o_lang"),
+        F.col("o_datatype"),
+    )
+
+
+def _named_gate_graphs(named_quads: DataFrame, value: str) -> DataFrame:
+    """DataFrame(g) of graphs where ``value`` denotes a NAMED node — the
+    per-graph form of bgp._named_node_gate (bound path ends match named
+    nodes only, graph.rs:1031-1033)."""
+    return (
+        named_quads.filter(
+            (F.col("s") == F.lit(value))
+            | ((F.col("o_value") == F.lit(value)) & (F.col("o_kind") == model.NAMED))
+        )
+        .select("g")
+        .distinct()
+    )
+
+
+def _var_graph_path_plan(
+    named_quads: DataFrame, gname: str, s_u, expr: str, o_u
+) -> DataFrame:
+    """One property-path pattern inside GRAPH ?g → a joinable plan with
+    the graph variable column. Bound ends seed per-graph (one seed row
+    per graph — closures expand only reachable frontiers, exactly like
+    the single-graph bound-end optimization)."""
+    from rippledb_spark.plans.paths import path_pairs, reverse_path
+
+    graphs = named_quads.select("g").distinct()
+    tagged = _tagged_triples(named_quads)
+
+    def seed_frame(value: str) -> DataFrame:
+        return graphs.select(
+            F.concat(F.col("g"), F.lit(_G_SEP), F.lit(value)).alias("node")
+        )
+
+    gate_gs: list[DataFrame] = []
+    if isinstance(s_u, Val):
+        pairs = path_pairs(tagged, expr, srcs=seed_frame(s_u.value))
+        gate_gs.append(_named_gate_graphs(named_quads, s_u.value))
+    elif isinstance(o_u, Val):
+        pairs = path_pairs(tagged, reverse_path(expr), srcs=seed_frame(o_u.value)).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        gate_gs.append(_named_gate_graphs(named_quads, o_u.value))
+    else:
+        pairs = path_pairs(tagged, expr)
+
+    untag = lambda c: F.expr(f"substring({c}, instr({c}, chr(0)) + 1)")  # noqa: E731
+    out = pairs.select(
+        F.substring_index(F.col("src"), _G_SEP, 1).alias(gname),
+        untag("src").alias("__ps"),
+        untag("dst").alias("__po"),
+    )
+    if isinstance(o_u, Val):
+        out = out.filter(F.col("__po") == F.lit(o_u.value))
+    if isinstance(s_u, Val):
+        out = out.filter(F.col("__ps") == F.lit(s_u.value))
+    for gg in gate_gs:
+        out = out.join(gg.withColumnRenamed("g", gname), on=gname, how="left_semi")
+    cols = [F.col(gname)]
+    if isinstance(s_u, Var):
+        if isinstance(o_u, Var) and o_u.name == s_u.name:
+            return out.filter(F.col("__ps") == F.col("__po")).select(
+                F.col(gname), F.col("__ps").alias(s_u.name)
+            )
+        cols.append(F.col("__ps").alias(s_u.name))
+    if isinstance(o_u, Var):
+        cols.append(F.col("__po").alias(o_u.name))
+    return out.select(*cols)
+
+
 def _var_graph_plan(named_quads: DataFrame, gname: str, group: Sparql) -> DataFrame:
     """GRAPH ?g { group }: one join chain over the named-quads frame with
     ``g`` projected as the graph variable on every pattern — the
-    distributed form of the spec's per-named-graph evaluation."""
-    if group.paths:
-        raise QueryError(
-            "property paths inside GRAPH ?var are not supported; "
-            "bind the graph with GRAPH <iri> { ... }"
-        )
-    if not group.conds:
+    distributed form of the spec's per-named-graph evaluation. Property
+    paths evaluate over the graph-tagged node space (one fixpoint run for
+    ALL graphs — see _tagged_triples)."""
+    if not group.conds and not group.paths:
         raise QueryError("GRAPH group is empty")
     plans: list[DataFrame] = []
     for cond in group.conds:
@@ -137,6 +230,8 @@ def _var_graph_plan(named_quads: DataFrame, gname: str, group: Sparql) -> DataFr
         cols = [F.col("g").alias(gname)]
         cols += [F.col(position_column(i)).alias(n) for n, i in seen.items()]
         plans.append(ci.select(*cols))
+    for s_u, expr, o_u in group.paths:
+        plans.append(_var_graph_path_plan(named_quads, gname, s_u, expr, o_u))
     acc = plans[0]
     for nxt in plans[1:]:
         shared = sorted(set(acc.columns) & set(nxt.columns))

@@ -120,9 +120,30 @@ def test_graph_iri_with_path(qs, spark):
     qs2 = qs.update("INSERT DATA { GRAPH <g:chain> { a next b . b next c } }")
     df = qs2.sparql("SELECT ?x WHERE { GRAPH <g:chain> { a next+ ?x } }")
     assert rows(df, "x") == [("b",), ("c",)]
-    # ...but refused under GRAPH ?var (would need per-graph closure state)
-    with pytest.raises(QueryError):
-        qs2.sparql("SELECT ?g ?x WHERE { GRAPH ?g { a next+ ?x } }")
+
+
+def test_graph_var_with_path(qs):
+    # per-graph closures: one fixpoint over the graph-tagged node space
+    qs2 = qs.update(
+        "INSERT DATA { GRAPH <g:c1> { a next b . b next c } "
+        "GRAPH <g:c2> { a next x . x next a } }"
+    )
+    df = qs2.sparql("SELECT ?g ?x WHERE { GRAPH ?g { a next+ ?x } }")
+    assert rows(df, "g", "x") == [
+        ("g:c1", "b"),
+        ("g:c1", "c"),
+        ("g:c2", "a"),  # the g:c2 cycle reaches back to a; g:c1 must not
+        ("g:c2", "x"),
+    ]
+    # bound object: reverse-seeded per graph
+    df = qs2.sparql("SELECT ?g ?s WHERE { GRAPH ?g { ?s next+ a } }")
+    assert rows(df, "g", "s") == [("g:c2", "a"), ("g:c2", "x")]
+    # ground both ends: the graph variable is the answer
+    df = qs2.sparql("SELECT ?g WHERE { GRAPH ?g { a next+ c } }")
+    assert rows(df, "g") == [("g:c1",)]
+    # path + triple pattern share the graph variable in one group
+    df = qs2.sparql("SELECT ?g ?x WHERE { GRAPH ?g { a next ?m . ?m next+ ?x } }")
+    assert ("g:c1", "c") in set(map(tuple, df.collect()))
 
 
 def test_default_graph_does_not_leak_named(qs):
