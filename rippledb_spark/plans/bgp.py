@@ -571,6 +571,7 @@ def construct(
     template: list[list[str]],
     optimize: bool = True,
     stats: dict[str, int] | None = None,
+    solver=None,
 ) -> DataFrame:
     """SPARQL CONSTRUCT (engine-tier superset): instantiate ``template``
     triple patterns once per solution of ``query``, returning a
@@ -601,7 +602,13 @@ def construct(
     q.vars = list(query.vars)
     for v in sorted(tmpl_vars - set(query.var_names())):
         q.vars.append(Var(v))
-    sol = select_join(triples, q, optimize=optimize, stats=stats)
+    # ``solver`` overrides the solution evaluator (the dataset tier passes
+    # plans.graphs.select_dataset so GRAPH groups in the WHERE resolve
+    # against named graphs; the template still materializes plain triples).
+    if solver is not None:
+        sol = solver(q)
+    else:
+        sol = select_join(triples, q, optimize=optimize, stats=stats)
 
     def term(u) -> F.Column:
         return F.col(u.name) if isinstance(u, Var) else F.lit(u.value)

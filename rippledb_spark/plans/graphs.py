@@ -247,6 +247,26 @@ def _var_graph_plan(named_quads: DataFrame, gname: str, group: Sparql) -> DataFr
     return acc
 
 
+def select_union_dataset(quads: DataFrame, query) -> DataFrame:
+    """UNION over the dataset: each arm evaluates with full GRAPH/FROM
+    support, then bag-union (bgp.select_union's shape with the dataset
+    evaluator substituted for the arms)."""
+    from rippledb_spark.plans.sparql import SparqlUnion
+
+    lnames, rnames = query.left.var_names(), query.right.var_names()
+    if set(lnames) != set(rnames):
+        raise QueryError(
+            f"UNION arms project different variables: {lnames} vs {rnames}"
+        )
+
+    def ev(q) -> DataFrame:
+        if isinstance(q, SparqlUnion):
+            return select_union_dataset(quads, q)
+        return select_dataset(quads, q)
+
+    return ev(query.left).unionByName(ev(query.right))
+
+
 def select_dataset(
     quads: DataFrame,
     query: Sparql,

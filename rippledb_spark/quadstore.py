@@ -233,13 +233,26 @@ class QuadStore:
             inner.select([f"${n}" for n in names])
             sols = self.select_dataset(inner)
             return sols.limit(1).select(F.lit(True).alias("ask"))
-        if isinstance(q, (SparqlConstruct, SparqlDescribe)):
-            # no graph-scoped CONSTRUCT/DESCRIBE templates (yet): both
-            # forms parse single-graph groups, so delegate; queries using
-            # GRAPH inside them were already refused by the parser.
-            return self.default_graph().sparql(text)
-        # SparqlUnion arms are single-graph (parser refuses FROM + UNION)
-        return self.default_graph().sparql(text)
+        if isinstance(q, SparqlConstruct):
+            # GRAPH groups in the WHERE resolve against named graphs; the
+            # template materializes a plain RDF graph (§16.2 — a CONSTRUCT
+            # result is a graph, not a dataset)
+            default, _ = graphs.dataset_frames(self.df, q.query)
+            return bgp.construct(
+                default, q.query, q.template,
+                solver=lambda plan: graphs.select_dataset(self.df, plan),
+            )
+        if isinstance(q, SparqlDescribe):
+            if q.var is None:
+                # node description reads the DEFAULT graph (the dataset's
+                # shared facts; per-graph CBDs via graph(iri).describe)
+                return self.default_graph().describe(q.node)
+            sols = self.select_dataset(q.query)
+            if q.var not in sols.columns:
+                raise QueryError(f"DESCRIBE variable ?{q.var} not bound by the group")
+            return self.default_graph().describe_bindings(sols.select(q.var))
+        # SparqlUnion: arms evaluate with full GRAPH/FROM support
+        return graphs.select_union_dataset(self.df, q)
 
     # -- SPARQL Update ------------------------------------------------------
 

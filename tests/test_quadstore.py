@@ -163,6 +163,35 @@ def test_ask_with_graph(qs):
     assert qs.sparql("ASK { GRAPH ?g { ?m in_nation n2 } }").count() == 1
 
 
+def test_union_with_graph_arms(qs):
+    df = qs.sparql(
+        "SELECT ?m WHERE { "
+        "{ GRAPH <g:cust> { ?m in_nation n1 } } UNION "
+        "{ GRAPH <g:supp> { ?m in_nation ?n } } }"
+    )
+    assert rows(df, "m") == [("c1",), ("c2",), ("s1",), ("s2",)]
+
+
+def test_construct_over_dataset(qs):
+    # WHERE spans graphs; the template materializes one plain RDF graph
+    df = qs.sparql(
+        "CONSTRUCT { ?m member_of ?r } WHERE { "
+        "  ?n in_region ?r . GRAPH ?g { ?m in_nation ?n } }"
+    )
+    assert df.count() == 5
+    got = sorted((r["s"], r["o_value"]) for r in df.collect())
+    assert ("c3", "r2") in got and ("s2", "r1") in got
+    assert set(r["p"] for r in df.collect()) == {"member_of"}
+
+
+def test_describe_var_with_graph_group(qs):
+    # bindings come from a named graph; the CBD reads the default graph
+    df = qs.sparql(
+        "DESCRIBE ?n WHERE { GRAPH <g:supp> { ?m in_nation ?n } }"
+    )
+    assert rows(df, "s", "o_value") == [("n1", "r1"), ("n2", "r1")]
+
+
 # -- FROM / FROM NAMED -------------------------------------------------------
 
 
