@@ -60,6 +60,14 @@ quads AS (
   SELECT 'graph:orders', 'order:' || CAST(o_orderkey AS VARCHAR), 'named',
          'has_priority', 'priority:' || o_orderpriority, 'named', NULL, NULL
   FROM orders
+  UNION ALL
+  SELECT 'graph:geo', 'nation:' || CAST(n_nationkey AS VARCHAR), 'named',
+         'within', 'region:' || CAST(n_regionkey AS VARCHAR), 'named', NULL, NULL
+  FROM nation
+  UNION ALL
+  SELECT 'graph:geo', 'region:' || CAST(r_regionkey AS VARCHAR), 'named',
+         'within', 'zone:' || CAST(r_regionkey % 2 AS VARCHAR), 'named', NULL, NULL
+  FROM region
 )
 """
 
@@ -76,6 +84,7 @@ def derive_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
     o = load(spark, sf_dir, "orders")
+    r = load(spark, sf_dir, "region")
     null_s = F.lit(None).cast("string")
 
     def edges(df, g, subj, pairs):
@@ -130,6 +139,26 @@ def derive_quads(spark: SparkSession, sf_dir: str) -> DataFrame:
             [
                 ("placed_by", _tag("customer", "o_custkey"), "named"),
                 ("has_priority", F.concat(F.lit("priority:"), F.col("o_orderpriority")), "named"),
+            ],
+        ),
+        # graph:geo — a 2-level within-graph hierarchy (nation → region →
+        # zone) so per-graph CLOSURES have something to close over
+        edges(
+            n,
+            "graph:geo",
+            _tag("nation", "n_nationkey"),
+            [("within", _tag("region", "n_regionkey"), "named")],
+        ),
+        edges(
+            r,
+            "graph:geo",
+            _tag("region", "r_regionkey"),
+            [
+                (
+                    "within",
+                    F.concat(F.lit("zone:"), (F.col("r_regionkey") % 2).cast("string")),
+                    "named",
+                )
             ],
         ),
     ]
@@ -263,6 +292,31 @@ def update_graph_scoped_accounting(spark: SparkSession, sf_dir: str) -> DataFram
     )
     qs = qs.update("ADD GRAPH <graph:suppliers> TO GRAPH <graph:members>")
     return qs.df.groupBy("g").agg(F.count(F.lit(1)).alias("n_quads")).orderBy("g")
+
+
+@query(
+    "sparql_graph_var_closure",
+    oracle=f"""
+    WITH RECURSIVE {QUADS_CTE.strip()},
+    e AS (SELECT g, s AS x, o_value AS y FROM quads WHERE p = 'within'),
+    cl AS (
+      SELECT g, x, y FROM e
+      UNION
+      SELECT c.g, c.x, e.y FROM cl c JOIN e ON c.g = e.g AND c.y = e.x
+    )
+    SELECT g, x, y FROM cl ORDER BY g, x, y
+    """,
+)
+def sparql_graph_var_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-graph transitive closure under a graph VARIABLE: the
+    graph-tagged fixpoint (plans/graphs.py:_var_graph_path_plan — one
+    semi-naive run computes every graph's closure; tagging makes
+    cross-graph steps impossible) hash-checked against a DuckDB
+    recursive CTE that carries ``g`` through every recursion step."""
+    return _qstore(spark, sf_dir).sparql(
+        "SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x within+ ?y } } "
+        "ORDER BY ?g ?x ?y"
+    )
 
 
 _NQ_ESC_SQL = (
