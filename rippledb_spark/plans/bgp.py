@@ -268,8 +268,15 @@ def select_join(
     # each group is evaluated as its own plan (triple patterns + property
     # paths), then LEFT-OUTER joined onto the required solution on the
     # shared variables; unmatched rows NULL-extend the group's variables.
+    # A group may arrive as a pre-evaluated DataFrame (plans.graphs lowers
+    # OPTIONAL/MINUS/EXISTS groups containing GRAPH scopes before
+    # delegating here) — use it as the group plan directly.
     for group in getattr(query, "optionals", []):
-        gplan = _group_plan(triples, group, optimize, stats)
+        gplan = (
+            group
+            if isinstance(group, DataFrame)
+            else _group_plan(triples, group, optimize, stats)
+        )
         shared = sorted(set(acc.columns) & set(gplan.columns))
         if not shared:
             raise QueryError(
@@ -289,7 +296,11 @@ def select_join(
     # as get()'s pruning but negated. A group sharing no variable removes
     # nothing (per spec), so it's skipped rather than an error.
     for group in getattr(query, "minuses", []):
-        gplan = _group_plan(triples, group, optimize, stats)
+        gplan = (
+            group
+            if isinstance(group, DataFrame)
+            else _group_plan(triples, group, optimize, stats)
+        )
         shared = sorted(set(acc.columns) & set(gplan.columns))
         if not shared:
             continue
@@ -315,7 +326,11 @@ def select_join(
     # from MINUS (spec §8.3.3), expressed as a constant-true join
     # condition so the anti/semi forms stay symmetric.
     for positive, group in getattr(query, "exists_groups", []):
-        gplan = _group_plan(triples, group, optimize, stats)
+        gplan = (
+            group
+            if isinstance(group, DataFrame)
+            else _group_plan(triples, group, optimize, stats)
+        )
         shared = sorted(set(acc.columns) & set(gplan.columns))
         how = "left_semi" if positive else "left_anti"
         if shared:
@@ -428,6 +443,14 @@ def _group_plan(
     superset — paths in negation/optional groups); anything else on a
     Sparql group (nested modifiers etc.) was rejected at build time."""
     if isinstance(group, Sparql):
+        if getattr(group, "graph_groups", []):
+            # dataset scope inside a single-graph evaluation would silently
+            # widen to the whole store; plans.graphs pre-lowers such groups
+            # to DataFrames before select_join sees them
+            raise QueryError(
+                "group has GRAPH scopes; evaluate over a QuadStore "
+                "(plans.graphs.select_dataset)"
+            )
         conds, paths = list(group.conds), list(group.paths)
     else:
         conds, paths = list(group), []

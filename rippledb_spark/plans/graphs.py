@@ -267,6 +267,50 @@ def select_union_dataset(quads: DataFrame, query) -> DataFrame:
     return ev(query.left).unionByName(ev(query.right))
 
 
+def _graph_group_plans(named: DataFrame, graph_groups: list) -> list[DataFrame]:
+    plans: list[DataFrame] = []
+    for gterm, group in graph_groups:
+        if isinstance(gterm, Var):
+            plans.append(_var_graph_plan(named, gterm.name, group))
+        else:
+            plans.append(_named_graph_plan(named, gterm.value, group))
+    return plans
+
+
+def _lower_group(
+    default: DataFrame,
+    named: DataFrame,
+    group,
+    optimize: bool,
+    stats: dict[str, int] | None,
+):
+    """Pre-lower an OPTIONAL/MINUS/EXISTS group containing GRAPH scopes
+    into one solution DataFrame (select_join uses it as the group plan
+    directly). Groups without GRAPH scopes pass through untouched."""
+    import copy
+
+    if not isinstance(group, Sparql) or not group.graph_groups:
+        return group
+    names = _group_all_vars(group)
+    for gterm, g2 in group.graph_groups:
+        if isinstance(gterm, Var) and gterm.name not in names:
+            names.append(gterm.name)
+        for n in _group_all_vars(g2):
+            if n not in names:
+                names.append(n)
+    if not names:
+        raise QueryError(
+            "a GRAPH group inside OPTIONAL/MINUS/EXISTS must bind at "
+            "least one variable"
+        )
+    sub = copy.copy(group)
+    sub.vars = []
+    sub.graph_groups = []
+    sub.prejoined = _graph_group_plans(named, group.graph_groups)
+    sub.select([f"${n}" for n in names])
+    return bgp.select_join(default, sub, optimize=optimize, stats=stats)
+
+
 def select_dataset(
     quads: DataFrame,
     query: Sparql,
@@ -274,20 +318,31 @@ def select_dataset(
     stats: dict[str, int] | None = None,
 ) -> DataFrame:
     """Evaluate a SELECT query with GRAPH groups / dataset clauses over a
-    quads frame: lower each GRAPH group to a pre-evaluated plan, then
-    delegate to the single-graph evaluator against the dataset's default
-    graph — GRAPH solutions join in as ordinary solution sets (the spec's
+    quads frame: lower each GRAPH group (top-level, and inside
+    OPTIONAL/MINUS/EXISTS) to a pre-evaluated plan, then delegate to the
+    single-graph evaluator against the dataset's default graph — GRAPH
+    solutions join in as ordinary solution sets (the spec's
     join-of-multisets), so OPTIONAL/FILTER/BIND/aggregates/modifiers all
     behave exactly as in select_join."""
     default, named = dataset_frames(quads, query)
-    prejoined: list[DataFrame] = []
-    for gterm, group in getattr(query, "graph_groups", []):
-        if isinstance(gterm, Var):
-            prejoined.append(_var_graph_plan(named, gterm.name, group))
-        else:
-            prejoined.append(_named_graph_plan(named, gterm.value, group))
-    query.prejoined = prejoined
+    saved = (
+        list(getattr(query, "optionals", [])),
+        list(getattr(query, "minuses", [])),
+        list(getattr(query, "exists_groups", [])),
+    )
+    query.prejoined = _graph_group_plans(named, getattr(query, "graph_groups", []))
+    query.optionals = [
+        _lower_group(default, named, g, optimize, stats) for g in saved[0]
+    ]
+    query.minuses = [
+        _lower_group(default, named, g, optimize, stats) for g in saved[1]
+    ]
+    query.exists_groups = [
+        (pos, _lower_group(default, named, g, optimize, stats))
+        for pos, g in saved[2]
+    ]
     try:
         return bgp.select_join(default, query, optimize=optimize, stats=stats)
     finally:
         query.prejoined = []
+        query.optionals, query.minuses, query.exists_groups = saved

@@ -387,17 +387,21 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                     or sub.exists_groups
                     or sub.binds
                     or sub.subqueries
-                    or sub.graph_groups
                 ):
                     raise QueryError(
-                        f"{kw} groups support triple, path, and FILTER "
-                        f"patterns only"
+                        f"{kw} groups support triple, path, FILTER, and "
+                        f"GRAPH patterns only"
                     )
-                if not sub.conds and not sub.paths:
+                if not sub.conds and not sub.paths and not sub.graph_groups:
                     raise QueryError(f"{kw} group is empty")
-                # paths or group-scoped FILTERs (r6) → keep the Sparql
-                # form; plain groups keep the historical pattern-list form
-                grp = sub if (sub.paths or sub.filters) else sub.conds
+                # paths, group-scoped FILTERs (r6), or GRAPH scopes → keep
+                # the Sparql form; plain groups keep the historical
+                # pattern-list form
+                grp = (
+                    sub
+                    if (sub.paths or sub.filters or sub.graph_groups)
+                    else sub.conds
+                )
                 if kw == "OPTIONAL":
                     q.optionals.append(grp)
                 else:
@@ -456,15 +460,18 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
                         or sub.exists_groups
                         or sub.binds
                         or sub.subqueries
-                        or sub.graph_groups
                     ):
                         raise QueryError(
-                            "EXISTS groups support triple and path patterns only"
+                            "EXISTS groups support triple, path, and GRAPH "
+                            "patterns only"
                         )
-                    if not sub.conds and not sub.paths:
+                    if not sub.conds and not sub.paths and not sub.graph_groups:
                         raise QueryError("EXISTS group is empty")
                     q.exists_groups.append(
-                        (positive, sub if sub.paths else sub.conds)
+                        (
+                            positive,
+                            sub if (sub.paths or sub.graph_groups) else sub.conds,
+                        )
                     )
                 else:
                     q.filter_expr(parse_filter(t, term))

@@ -163,6 +163,35 @@ def test_ask_with_graph(qs):
     assert qs.sparql("ASK { GRAPH ?g { ?m in_nation n2 } }").count() == 1
 
 
+def test_optional_graph_group(qs, spark):
+    # OPTIONAL { GRAPH ... }: unmatched default-graph rows NULL-extend
+    qs2 = qs.insert([(None, "n9", "in_region", "r1")])
+    df = qs2.sparql(
+        "SELECT ?n ?m WHERE { ?n in_region ?r . "
+        "OPTIONAL { GRAPH <g:cust> { ?m in_nation ?n } } }"
+    )
+    got = rows(df, "n", "m")
+    assert ("n9", None) in got and ("n1", "c1") in got and ("n1", "c2") in got
+
+
+def test_exists_and_minus_graph_groups(qs, spark):
+    qs2 = qs.insert([(None, "n9", "in_region", "r1")])
+    has = qs2.sparql(
+        "SELECT ?n WHERE { ?n in_region ?r . "
+        "FILTER EXISTS { GRAPH ?g { ?m in_nation ?n } } }"
+    )
+    assert rows(has, "n") == [("n1",), ("n2",), ("n3",)]
+    without = qs2.sparql(
+        "SELECT ?n WHERE { ?n in_region ?r . "
+        "FILTER NOT EXISTS { GRAPH ?g { ?m in_nation ?n } } }"
+    )
+    assert rows(without, "n") == [("n9",)]
+    minus = qs2.sparql(
+        "SELECT ?n WHERE { ?n in_region ?r . MINUS { GRAPH ?g { ?m in_nation ?n } } }"
+    )
+    assert rows(minus, "n") == [("n9",)]
+
+
 def test_union_with_graph_arms(qs):
     df = qs.sparql(
         "SELECT ?m WHERE { "

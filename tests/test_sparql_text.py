@@ -463,7 +463,7 @@ def test_exists_builder_equivalence(store):
 def test_exists_errors_are_loud(store):
     with pytest.raises(QueryError, match="EXISTS after FILTER NOT"):
         store.sparql("SELECT ?s WHERE { ?s next ?o . FILTER NOT THERE { a alt ?z } }")
-    with pytest.raises(QueryError, match="triple and path patterns only"):
+    with pytest.raises(QueryError, match="triple, path, and GRAPH patterns only"):
         store.sparql(
             "SELECT ?s WHERE { ?s next ?o . "
             "FILTER EXISTS { OPTIONAL { ?s alt ?x } } }"
