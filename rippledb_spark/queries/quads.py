@@ -319,6 +319,33 @@ def sparql_graph_var_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sparql_optional_graph_members",
+    oracle=f"""
+    WITH {QUADS_CTE.strip()}
+    SELECT geo.s AS n,
+           CAST(COUNT(mem.s) AS BIGINT) AS n_customers
+    FROM quads geo
+    LEFT JOIN quads mem
+      ON mem.o_value = geo.s AND mem.g = 'graph:customers' AND mem.p = 'in_nation'
+    WHERE geo.g IS NULL AND geo.p = 'in_region'
+    GROUP BY geo.s ORDER BY n
+    """,
+)
+def sparql_optional_graph_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIONAL { GRAPH <iri> { ... } }: default-graph nations LEFT-OUTER
+    extended by one named graph's membership (nations with no customers
+    survive as NULL rows — COUNT(?m) counts bound rows only), certifying
+    the pre-lowered-group join path (plans/graphs.py:_lower_group)
+    against the SQL LEFT JOIN twin."""
+    return _qstore(spark, sf_dir).sparql(
+        "SELECT ?n (COUNT(?m) AS ?n_customers) WHERE { "
+        "  ?n in_region ?r . "
+        "  OPTIONAL { GRAPH <graph:customers> { ?m in_nation ?n } } "
+        "} GROUP BY ?n ORDER BY ?n"
+    )
+
+
 _NQ_ESC_SQL = (
     "replace(replace(replace(replace(replace(o_value,"
     " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'),"
