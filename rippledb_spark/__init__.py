@@ -19,7 +19,8 @@ Everything is declarative DataFrame code — Catalyst owns physical planning.
 
 from rippledb_spark.session import get_spark
 from rippledb_spark.store import TripleStore
+from rippledb_spark.quadstore import QuadStore
 from rippledb_spark.plans.sparql import Sparql
 
-__all__ = ["get_spark", "TripleStore", "Sparql"]
+__all__ = ["get_spark", "TripleStore", "QuadStore", "Sparql"]
 __version__ = "0.1.0"
