@@ -210,8 +210,9 @@ def _var_graph_plan(named_quads: DataFrame, gname: str, group: Sparql) -> DataFr
     ALL graphs — see _tagged_triples)."""
     if not group.conds and not group.paths:
         raise QueryError("GRAPH group is empty")
+    conds = bgp._order_patterns(group.conds, None) if group.conds else []
     plans: list[DataFrame] = []
-    for cond in group.conds:
+    for cond in conds:
         bounds = tuple(None if isinstance(u, Var) else u.value for u in cond)
         ci = pattern_filter(named_quads, *bounds)
         vpos = [(i, u.name) for i, u in enumerate(cond) if isinstance(u, Var)]

@@ -193,6 +193,31 @@ class QuadStore:
             cond = eq if cond is None else (cond & eq)
         return QuadStore(self.spark, self.df.join(drop, on=cond, how="left_anti"))
 
+    # -- dataset set algebra (TripleStore.union/intersect/difference,
+    #    lifted to the quad identity) ---------------------------------------
+
+    def union(self, other: "QuadStore") -> "QuadStore":
+        """Dataset merge — set semantics on the full quad identity (each
+        graph merges with its same-named counterpart; default with
+        default)."""
+        return QuadStore(
+            self.spark,
+            self.df.unionByName(other.df).dropDuplicates(model.QUAD_KEY),
+        )
+
+    def intersect(self, other: "QuadStore") -> "QuadStore":
+        """Quads present in BOTH datasets."""
+        return QuadStore(self.spark, self.df.intersect(other.df))
+
+    def difference(self, other: "QuadStore") -> "QuadStore":
+        """Quads in this dataset but not in ``other`` (≡ bulk remove)."""
+        return QuadStore(self.spark, self.df.exceptAll(other.df).distinct())
+
+    def create_view(self, name: str = "quads") -> None:
+        """Register the dataset as a temp view → full spark.sql over
+        quads (the SQL escape hatch, graph label included)."""
+        self.df.createOrReplaceTempView(name)
+
     # -- query --------------------------------------------------------------
 
     def select_dataset(self, query: Sparql) -> DataFrame:

@@ -334,6 +334,36 @@ def test_quad_insert_remove_set_semantics(qs):
     assert noop.df.count() == qs.df.count()
 
 
+def test_set_algebra_and_sql_view(spark, qs):
+    other = QuadStore.from_rows(
+        spark,
+        [("g:cust", "c1", "in_nation", "n1"), ("g:new", "z", "p", "w")],
+    )
+    assert qs.union(other).df.count() == qs.df.count() + 1
+    assert qs.intersect(other).df.count() == 1
+    assert qs.difference(other).df.count() == qs.df.count() - 1
+    qs.create_view("quads_v")
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM quads_v WHERE g = 'g:cust'"
+    ).collect()[0]["n"]
+    assert n == 4
+
+
+def test_quad_format_roundrobin(spark, qs, tmp_path):
+    # dataset survives nquads -> trig -> parquet unchanged
+    p1, p2, p3 = (str(tmp_path / n) for n in ("a_nq", "b_trig", "c_parq"))
+    qs.write_nquads(p1)
+    ds1 = QuadStore.from_nquads(spark, p1)
+    ds1.write_trig(p2)
+    ds2 = QuadStore.from_trig(spark, p2)
+    ds2.persist_to(p3)
+    ds3 = QuadStore.from_backup(spark, p3)
+    key = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    assert sorted(map(tuple, ds3.df.collect()), key=key) == sorted(
+        map(tuple, qs.df.collect()), key=key
+    )
+
+
 # -- N-Quads -----------------------------------------------------------------
 
 
