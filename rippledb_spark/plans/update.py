@@ -89,6 +89,22 @@ class Modify:
 
 
 @dataclass(frozen=True)
+class ModifyQuads:
+    """The modify form with QUAD patterns (GRAPH blocks in templates
+    and/or WHERE — quads mode only). Templates are (g, [s, p, o]) pairs
+    where ``g`` is None (the WITH graph, or default), an IRI, or
+    ``'$var'``; the WHERE group's GRAPH blocks live in ``query``'s
+    graph_groups. Deletion matches on (g, s, p, o_value) — the
+    flattened-model value identity, like the single-graph modify form."""
+
+    delete_template: list[tuple]  # [(g, [s,p,o]), ...]; [] = no DELETE
+    insert_template: list[tuple]
+    query: Sparql
+    graph: str | None = None  # WITH graph
+    using: str | None = None  # USING graph
+
+
+@dataclass(frozen=True)
 class GraphManage:
     """CLEAR/DROP/CREATE/MOVE/COPY/ADD (quads mode). ``src``/``dst`` are
     graph IRIs or None for DEFAULT; ``scope`` distinguishes the CLEAR/DROP
@@ -109,7 +125,9 @@ class Load:
     graph: str | None = None
 
 
-UpdateForm = InsertData | DeleteData | DeleteWhere | Modify | GraphManage | Load
+UpdateForm = (
+    InsertData | DeleteData | DeleteWhere | Modify | ModifyQuads | GraphManage | Load
+)
 
 _UNSUPPORTED = ("GRAPH", "WITH", "USING", "LOAD", "CLEAR", "DROP", "CREATE", "MOVE", "COPY", "ADD")
 
@@ -162,13 +180,18 @@ def _parse_term(t: _Tokens, prefixes: dict[str, str]) -> tuple:
 
 
 def _parse_triple_block(
-    t: _Tokens, prefixes: dict[str, str], quads: bool = False, graph: str | None = None
+    t: _Tokens,
+    prefixes: dict[str, str],
+    quads: bool = False,
+    graph: str | None = None,
+    allow_var_graph: bool = False,
 ) -> list[tuple]:
     """Parse '{ s p o . ... }' (the opening brace already expected by the
     caller) → list of (g, s_term, p_term, o_term) tuples; ``g`` is None
-    outside GRAPH sub-blocks. In quads mode the block may contain
-    ``GRAPH <iri> { ... }`` sub-blocks (SPARQL 1.1 Update QuadData);
-    in triples mode any graph keyword refuses loudly."""
+    outside GRAPH sub-blocks, an IRI inside ``GRAPH <iri> { ... }``, or
+    ``'$name'`` inside ``GRAPH ?var { ... }`` (templates/WHERE only —
+    ``allow_var_graph``; DATA forms stay ground). In triples mode any
+    graph keyword refuses loudly."""
     t.expect("{")
     out: list[tuple] = []
     while True:
@@ -184,9 +207,21 @@ def _parse_triple_block(
             t.take()
             gtok = t.take()
             if gtok.startswith("?") or gtok.startswith("$"):
-                raise QueryError("QuadData GRAPH takes a ground IRI, not a variable")
+                if not allow_var_graph:
+                    raise QueryError(
+                        "QuadData GRAPH takes a ground IRI, not a variable"
+                    )
+                glabel = "$" + gtok[1:]
+            else:
+                glabel = _expand(gtok, prefixes)
             out.extend(
-                _parse_triple_block(t, prefixes, quads=True, graph=_expand(gtok, prefixes))
+                _parse_triple_block(
+                    t,
+                    prefixes,
+                    quads=True,
+                    graph=glabel,
+                    allow_var_graph=allow_var_graph,
+                )
             )
             if t.peek() == ".":
                 t.take()
@@ -217,6 +252,28 @@ def _ground_rows(block: list, what: str, quads: bool = False) -> list[tuple]:
         row = (s[0], s[1], p[0], o[0], o[1], o[2], o[3])
         rows.append((g, *row) if quads else row)
     return rows
+
+
+def _quad_patterns(block: list) -> list[tuple]:
+    """Term tuples → (g, [s, p, o]) pairs, keeping GRAPH scopes."""
+    return [(g, [s[0], p[0], o[0]]) for g, s, p, o in block]
+
+
+def _where_query(block: list) -> Sparql:
+    """A WHERE block (possibly with GRAPH sub-blocks) → Sparql: g=None
+    entries are default-graph conds, same-label GRAPH entries fold into
+    one graph group each."""
+    q = Sparql()
+    plain = [[s[0], p[0], o[0]] for g, s, p, o in block if g is None]
+    if plain:
+        q.filter(plain)
+    by_label: dict[str, list[list[str]]] = {}
+    for g, s, p, o in block:
+        if g is not None:
+            by_label.setdefault(g, []).append([s[0], p[0], o[0]])
+    for label, pats in by_label.items():
+        q.graph(label, pats)
+    return q
 
 
 def _patterns(block: list) -> list[list[str]]:
@@ -324,22 +381,34 @@ def parse_update(text: str, quads: bool = False) -> UpdateForm:
         )
     elif head == "DELETE" and _is_kw(t.peek(), "WHERE"):
         t.take()
-        block = _parse_triple_block(t, prefixes, quads=quads)
+        block = _parse_triple_block(t, prefixes, quads=quads, allow_var_graph=quads)
         if not block:
             raise QueryError("DELETE WHERE needs at least one pattern")
-        q = Sparql()
-        q.filter(_patterns(block))
-        form = DeleteWhere(q, graph=with_graph)
+        if any(g is not None for g, *_ in block):
+            # DELETE WHERE { QuadPattern } ≡ DELETE {Q} WHERE {Q} (§3.1.3.2)
+            form = ModifyQuads(
+                _quad_patterns(block), [], _where_query(block), graph=with_graph
+            )
+        else:
+            q = Sparql()
+            q.filter(_patterns(block))
+            form = DeleteWhere(q, graph=with_graph)
     elif head in ("DELETE", "INSERT"):
-        delete_tmpl: list[list[str]] = []
-        insert_tmpl: list[list[str]] = []
+        delete_blk: list = []
+        insert_blk: list = []
         if head == "DELETE":
-            delete_tmpl = _patterns(_parse_triple_block(t, prefixes, quads=quads))
+            delete_blk = _parse_triple_block(
+                t, prefixes, quads=quads, allow_var_graph=quads
+            )
             if _is_kw(t.peek(), "INSERT"):
                 t.take()
-                insert_tmpl = _patterns(_parse_triple_block(t, prefixes, quads=quads))
+                insert_blk = _parse_triple_block(
+                    t, prefixes, quads=quads, allow_var_graph=quads
+                )
         else:
-            insert_tmpl = _patterns(_parse_triple_block(t, prefixes, quads=quads))
+            insert_blk = _parse_triple_block(
+                t, prefixes, quads=quads, allow_var_graph=quads
+            )
         using: str | None = None
         if _is_kw(t.peek(), "USING"):
             if not quads:
@@ -351,12 +420,27 @@ def parse_update(text: str, quads: bool = False) -> UpdateForm:
                 raise QueryError("USING NAMED is not supported; use GRAPH groups")
             using = _expand(t.take(), prefixes)
         t.expect("WHERE")
-        block = _parse_triple_block(t, prefixes, quads=quads)
+        block = _parse_triple_block(t, prefixes, quads=quads, allow_var_graph=quads)
         if not block:
             raise QueryError("the modify form needs a non-empty WHERE group")
-        q = Sparql()
-        q.filter(_patterns(block))
-        form = Modify(delete_tmpl, insert_tmpl, q, graph=with_graph, using=using)
+        graphy = any(
+            g is not None for g, *_ in (*delete_blk, *insert_blk, *block)
+        )
+        if graphy:
+            form = ModifyQuads(
+                _quad_patterns(delete_blk),
+                _quad_patterns(insert_blk),
+                _where_query(block),
+                graph=with_graph,
+                using=using,
+            )
+        else:
+            q = Sparql()
+            q.filter(_patterns(block))
+            form = Modify(
+                _patterns(delete_blk), _patterns(insert_blk), q,
+                graph=with_graph, using=using,
+            )
     else:
         raise QueryError(
             f"expected INSERT/DELETE (optionally DATA/WHERE), got {head!r}"
@@ -445,6 +529,66 @@ def apply_quads(store, form: UpdateForm):
             matched.withColumn("g", F.lit(form.graph).cast("string"))
         )
 
+    if isinstance(form, ModifyQuads):
+        from rippledb_spark.plans import graphs as G
+        from rippledb_spark.plans.sparql import Var
+
+        # WHERE dataset: USING overrides WITH overrides the true default
+        where_g = form.using if form.using is not None else form.graph
+        default_part = (
+            (store.graph(where_g) if where_g else store.default_graph())
+            .df.withColumn("g", F.lit(None).cast("string"))
+            .select(*model.QUAD_KEY)
+        )
+        quads_view = df.filter(F.col("g").isNotNull()).unionByName(default_part)
+
+        q = form.query
+        names: list[str] = []
+        for cond in q.conds:
+            for u in cond:
+                if isinstance(u, Var) and u.name not in names:
+                    names.append(u.name)
+        for gterm, grp in q.graph_groups:
+            if isinstance(gterm, Var) and gterm.name not in names:
+                names.append(gterm.name)
+            for cond in grp.conds:
+                for u in cond:
+                    if isinstance(u, Var) and u.name not in names:
+                        names.append(u.name)
+        sol = None
+        if names:
+            q.select([f"${n}" for n in names])
+            sol = G.select_dataset(quads_view, q)
+
+        out_store = store
+        if form.delete_template:
+            dels = instantiated_quad_values(
+                sol, spark, form.delete_template, form.graph
+            )
+            cond = (
+                df["g"].eqNullSafe(dels["g"])
+                & (df["s"] == dels["s"])
+                & (df["p"] == dels["p"])
+                & (df["o_value"] == dels["o_value"])
+            )
+            out_store = QuadStore(spark, df.join(dels, on=cond, how="left_anti"))
+        if form.insert_template:
+            ins = instantiated_quad_values(
+                sol, spark, form.insert_template, form.graph
+            )
+            rows = ins.select(
+                F.col("g"),
+                F.col("s"),
+                F.lit(model.NAMED).alias("s_kind"),
+                F.col("p"),
+                F.col("o_value"),
+                F.lit(model.NAMED).alias("o_kind"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit(None).cast("string").alias("o_datatype"),
+            )
+            out_store = out_store.insert(rows)
+        return out_store
+
     if isinstance(form, Modify):
         from rippledb_spark.plans import bgp as _bgp
 
@@ -516,6 +660,65 @@ def matched_triples(triples: DataFrame, q: Sparql) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.dropDuplicates(model.TRIPLE_KEY)
+
+
+def instantiated_quad_values(
+    sol: DataFrame | None, spark, template: list[tuple], default_g: str | None
+) -> DataFrame:
+    """Quad templates × solutions → DataFrame(g, s, p, o_value). A
+    template's ``g`` of None falls back to ``default_g`` (the WITH graph;
+    None = the default graph), ``'$var'`` takes the solution binding,
+    anything else is a ground label. Rows with an unbound triple-term
+    variable are skipped per spec; an unbound GRAPH variable skips too
+    (no graph to target)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ("g", "s", "p", "o_value")]
+    )
+    null_g = F.lit(default_g).cast("string")
+
+    def gexpr(g: str | None) -> F.Column:
+        if g is None:
+            return null_g
+        if g.startswith("$"):
+            return F.col(g[1:])
+        return F.lit(g)
+
+    parts = []
+    for g, pat in template:
+        units = tuple(parse_unit(x) for x in pat)
+        if sol is None:
+            if any(isinstance(u, Var) for u in units) or (g or "").startswith("$"):
+                raise QueryError(
+                    "template variables need a WHERE group that binds them"
+                )
+            parts.append(
+                spark.createDataFrame(
+                    [(default_g if g is None else g, *[u.value for u in units])],
+                    schema,
+                )
+            )
+            continue
+        term = lambda u: F.col(u.name) if isinstance(u, Var) else F.lit(u.value)  # noqa: E731
+        row = sol.select(
+            gexpr(g).alias("g"),
+            term(units[0]).alias("s"),
+            term(units[1]).alias("p"),
+            term(units[2]).alias("o_value"),
+        )
+        keep = (
+            F.col("s").isNotNull()
+            & F.col("p").isNotNull()
+            & F.col("o_value").isNotNull()
+        )
+        if g is not None and g.startswith("$"):
+            keep = keep & F.col("g").isNotNull()
+        parts.append(row.filter(keep))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
 
 
 def instantiated_values(sol: DataFrame | None, spark, template: list[list[str]]) -> DataFrame:

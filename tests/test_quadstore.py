@@ -306,6 +306,39 @@ def test_move_copy_add(qs):
     assert to_def.default_graph().df.count() == 5
 
 
+def test_quad_modify_templates(qs):
+    # template GRAPH variable bound from the WHERE's GRAPH ?g
+    audit = qs.update(
+        "INSERT { GRAPH <g:audit> { ?m was_in ?g } } "
+        "WHERE { GRAPH ?g { ?m in_nation ?n } }"
+    )
+    assert rows(audit.graph("g:audit").df, "s", "o_value") == [
+        ("c1", "g:cust"),
+        ("c2", "g:cust"),
+        ("c3", "g:cust"),
+        ("s1", "g:supp"),
+        ("s2", "g:supp"),
+    ]
+    # DELETE+INSERT across graphs keyed off a default-graph pattern
+    moved = qs.update(
+        "DELETE { GRAPH <g:cust> { ?m in_nation ?n } } "
+        "INSERT { GRAPH <g:former> { ?m in_nation ?n } } "
+        "WHERE { ?n in_region r1 . GRAPH <g:cust> { ?m in_nation ?n } }"
+    )
+    assert rows(moved.graph("g:former").df, "s") == [("c1",), ("c2",)]
+    assert rows(moved.graph("g:cust").df, "s", "p") == [
+        ("c1", "has_name"),
+        ("c3", "in_nation"),  # n3 is in r2 — untouched
+    ]
+
+
+def test_delete_where_quad_pattern(qs):
+    left = qs.update("DELETE WHERE { GRAPH ?g { ?m in_nation n1 } }")
+    assert left.graph("g:cust").df.count() == 2  # c3 (n3) + the literal row
+    assert left.graph("g:supp").df.count() == 1  # s2 (n2)
+    assert left.default_graph().df.count() == 3  # default untouched
+
+
 def test_load_into_graph(qs, tmp_path):
     nt = tmp_path / "inc.nt"
     nt.write_text("<u:a> <u:p> <u:b> .\n<u:a> <u:p> \"lit\" .\n")
