@@ -24,6 +24,8 @@ raise QueryError. The QuadStore path (``parse_update(text, quads=True)``
     INSERT/DELETE DATA { ... GRAPH <iri> { ... } ... }   -- QuadData
     WITH <iri> DELETE/INSERT ... WHERE { ... }           -- scoped modify
     DELETE/INSERT { ... } USING <iri> WHERE { ... }      -- WHERE dataset
+    DELETE/INSERT { GRAPH <iri>|?var { ... } ... }
+                   WHERE { ... GRAPH <iri>|?var { ... } } -- quad patterns
     CLEAR/DROP  [SILENT] GRAPH <iri> | DEFAULT | NAMED | ALL
     CREATE [SILENT] GRAPH <iri>                          -- validation only
     MOVE/COPY/ADD [SILENT] (GRAPH <iri>|DEFAULT) TO (GRAPH <iri>|DEFAULT)
