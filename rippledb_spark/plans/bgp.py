@@ -676,6 +676,13 @@ def ask_ground(triples: DataFrame, query: Sparql) -> DataFrame:
         or getattr(query, "subqueries", [])
     ):
         raise QueryError("ask_ground() evaluates ground patterns and paths only")
+    if getattr(query, "graph_groups", []):
+        # single-graph evaluation must not silently widen a GRAPH scope to
+        # the whole store; the dataset path (quadstore.sparql) strips the
+        # graph groups and gates them against their named graphs itself
+        raise QueryError(
+            "query has GRAPH groups; evaluate it over a QuadStore"
+        )
     gates: list[DataFrame] = []
     for cond in query.conds:
         if _var_positions(cond):

@@ -92,12 +92,20 @@ def _named_graph_plan(named_quads: DataFrame, iri: str, group: Sparql) -> DataFr
     triples = named_quads.filter(F.col("g") == F.lit(iri)).select(*model.TRIPLE_KEY)
     names = _group_all_vars(group)
     if not names:
-        # ground group: survives iff every pattern matches in the graph
+        # ground group: survives iff every pattern AND path matches in the
+        # graph (paths with ground ends gate exactly like bgp.ask_ground's)
         gate = None
         for cond in group.conds:
             bounds = tuple(None if isinstance(u, Var) else u.value for u in cond)
             ci = pattern_filter(triples, *bounds).limit(1).select(F.lit(1).alias("__gate"))
             gate = ci if gate is None else gate.intersect(ci)
+        for s_u, expr, o_u in group.paths:
+            pg = (
+                bgp._path_plan(triples, s_u, expr, o_u)
+                .limit(1)
+                .select(F.lit(1).alias("__gate"))
+            )
+            gate = pg if gate is None else gate.intersect(pg)
         if gate is None:
             raise QueryError("GRAPH group is empty")
         return gate

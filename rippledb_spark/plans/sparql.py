@@ -325,6 +325,20 @@ class Sparql:
             raise QueryError(f"graph() takes a Sparql group or patterns, got {group!r}")
         if group.graph_groups:
             raise QueryError("GRAPH groups do not nest")
+        if (
+            group.optionals
+            or group.minuses
+            or group.values_blocks
+            or group.exists_groups
+            or group.binds
+            or group.subqueries
+        ):
+            # the evaluator (plans.graphs) builds the group plan from
+            # conds/paths/filters only — anything else would be silently
+            # dropped, so refuse here (the text parser enforces the same)
+            raise QueryError(
+                "GRAPH groups support triple, path, and FILTER patterns only"
+            )
         if not group.conds and not group.paths:
             raise QueryError("GRAPH group is empty")
         self.graph_groups.append((parse_unit(gterm), group))

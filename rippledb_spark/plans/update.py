@@ -533,16 +533,25 @@ def apply_quads(store, form: UpdateForm):
 
     if isinstance(form, ModifyQuads):
         from rippledb_spark.plans import graphs as G
-        from rippledb_spark.plans.sparql import Var
+        from rippledb_spark.plans.sparql import Var, parse_unit
 
-        # WHERE dataset: USING overrides WITH overrides the true default
+        if not form.delete_template and not form.insert_template:
+            raise QueryError("the modify form needs a DELETE or INSERT clause")
+        # WHERE dataset: USING overrides WITH overrides the true default.
+        # USING behaves like FROM (§3.1.3): it REPLACES the dataset, so
+        # with USING given the named-graph set is empty — GRAPH groups in
+        # the WHERE then match nothing, exactly like FROM without
+        # FROM NAMED.
         where_g = form.using if form.using is not None else form.graph
         default_part = (
             (store.graph(where_g) if where_g else store.default_graph())
             .df.withColumn("g", F.lit(None).cast("string"))
             .select(*model.QUAD_KEY)
         )
-        quads_view = df.filter(F.col("g").isNotNull()).unionByName(default_part)
+        named_part = (
+            df.limit(0) if form.using is not None else df.filter(F.col("g").isNotNull())
+        )
+        quads_view = named_part.unionByName(default_part)
 
         q = form.query
         names: list[str] = []
@@ -561,6 +570,35 @@ def apply_quads(store, form: UpdateForm):
         if names:
             q.select([f"${n}" for n in names])
             sol = G.select_dataset(quads_view, q)
+        else:
+            # ground WHERE (patterns AND graph scopes all ground): one
+            # empty solution iff every part matches, else a no-op
+            from rippledb_spark.plans import bgp as _bgp
+
+            core = Sparql()
+            core.conds = list(q.conds)
+            ok = True
+            if core.conds and _bgp.ask_ground(default_part.select(*model.TRIPLE_KEY), core).count() == 0:
+                ok = False
+            for gterm, grp in q.graph_groups:
+                if not ok:
+                    break
+                gate = G._named_graph_plan(named_part, gterm.value, grp)
+                if gate.count() == 0:
+                    ok = False
+            if not ok:
+                return store
+
+        # unbound template variables are an error, not an AnalysisException
+        bound = set(names)
+        for g, pat in form.delete_template + form.insert_template:
+            tvars = [g[1:]] if (g or "").startswith("$") else []
+            tvars += [parse_unit(x).name for x in pat if isinstance(parse_unit(x), Var)]
+            for name in tvars:
+                if name not in bound:
+                    raise QueryError(
+                        f"template variable ${name} is not bound by the WHERE group"
+                    )
 
         out_store = store
         if form.delete_template:
@@ -593,7 +631,10 @@ def apply_quads(store, form: UpdateForm):
 
     if isinstance(form, Modify):
         from rippledb_spark.plans import bgp as _bgp
+        from rippledb_spark.plans.sparql import Var, parse_unit
 
+        if not form.delete_template and not form.insert_template:
+            raise QueryError("the modify form needs a DELETE or INSERT clause")
         # WHERE scope: USING overrides WITH overrides the default graph
         where_g = form.using if form.using is not None else form.graph
         where_triples = (
@@ -602,6 +643,20 @@ def apply_quads(store, form: UpdateForm):
         # template scope: always the WITH graph (or default)
         tmpl_g = F.lit(form.graph).cast("string")
         sol = _bound_solutions(where_triples, form.query)
+        if sol is None:
+            # ground WHERE: one empty solution iff every pattern matches,
+            # else the whole modify is a no-op (store.py's gate, mirrored)
+            if _bgp.ask_ground(where_triples, form.query).count() == 0:
+                return store
+        bound = set(sol.columns) if sol is not None else set()
+        for pat in form.delete_template + form.insert_template:
+            for raw in pat:
+                u = parse_unit(raw)
+                if isinstance(u, Var) and u.name not in bound:
+                    raise QueryError(
+                        f"template variable ${u.name} is not bound by the "
+                        f"WHERE group"
+                    )
         out = df
         if form.delete_template:
             dels = instantiated_values(sol, spark, form.delete_template)

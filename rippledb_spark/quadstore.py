@@ -244,17 +244,24 @@ class QuadStore:
             inner = q.query
             names = _pattern_vars(inner, required=False)
             if not names:
+                default, named = graphs.dataset_frames(self.df, inner)
                 if inner.graph_groups:
-                    # ground patterns inside GRAPH scopes: gate per group
-                    df, _ = graphs.dataset_frames(self.df, inner)
-                    ask = bgp.ask_ground(df, inner) if inner.conds else None
+                    # ground patterns/paths + GRAPH scopes: every part gates
+                    core = Sparql()
+                    core.conds = list(inner.conds)
+                    core.paths = list(inner.paths)
+                    ask = (
+                        bgp.ask_ground(default, core)
+                        if (core.conds or core.paths)
+                        else None
+                    )
                     for gterm, group in inner.graph_groups:
                         gate = graphs._named_graph_plan(
-                            self.df.filter(F.col("g").isNotNull()), gterm.value, group
+                            named, gterm.value, group
                         ).select(F.lit(True).alias("ask"))
                         ask = gate if ask is None else ask.intersect(gate)
                     return ask.limit(1)
-                return bgp.ask_ground(self.default_graph().df, inner)
+                return bgp.ask_ground(default, inner)
             inner.select([f"${n}" for n in names])
             sols = self.select_dataset(inner)
             return sols.limit(1).select(F.lit(True).alias("ask"))

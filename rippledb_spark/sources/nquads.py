@@ -63,23 +63,27 @@ def parse_nquads_line(line: str) -> Optional[tuple]:
     return (g, s, s_kind, p, lit, model.LITERAL, None, None)
 
 
-def read_nquads(spark: SparkSession, path: str) -> DataFrame:
-    """N-Quads scan: line-parallel, Arrow-batched."""
+def nquads_parse_batch(batches):
+    """Arrow kernel: batches of text lines → QUADS_SCHEMA frames
+    (malformed/blank lines skipped). Stateless, so it serves both the
+    batch reader here and the streaming reader
+    (streaming/rdf_stream.read_nquads_stream)."""
     import pandas as pd
 
+    cols = [f.name for f in model.QUADS_SCHEMA.fields]
+    for pdf in batches:
+        out = [
+            row
+            for row in (parse_nquads_line(v) for v in pdf["value"])
+            if row is not None
+        ]
+        yield pd.DataFrame(out, columns=cols)
+
+
+def read_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """N-Quads scan: line-parallel, Arrow-batched."""
     lines = spark.read.text(path)
-
-    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in model.QUADS_SCHEMA.fields]
-        for pdf in batches:
-            out = [
-                row
-                for row in (parse_nquads_line(v) for v in pdf["value"])
-                if row is not None
-            ]
-            yield pd.DataFrame(out, columns=cols)
-
-    return lines.mapInPandas(parse_batch, schema=model.QUADS_SCHEMA)
+    return lines.mapInPandas(nquads_parse_batch, schema=model.QUADS_SCHEMA)
 
 
 def nquads_line_expr() -> "F.Column":

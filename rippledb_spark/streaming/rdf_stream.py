@@ -50,27 +50,14 @@ def read_ntriples_stream(spark: SparkSession, path: str) -> DataFrame:
 
 def read_nquads_stream(spark: SparkSession, path: str) -> DataFrame:
     """Streaming QUADS DataFrame from a directory of N-Quads files — the
-    dataset-tier twin of :func:`read_ntriples_stream` (same line-split
-    parallelism, same stateless Arrow kernel as the batch reader), so a
-    continuously-fed QuadStore layout can serve GRAPH queries between
-    micro-batches."""
-    import pandas as pd
-
-    from rippledb_spark.sources.nquads import parse_nquads_line
+    dataset-tier twin of :func:`read_ntriples_stream`: the SAME stateless
+    Arrow kernel as the batch reader (sources/nquads.nquads_parse_batch),
+    applied to a file-source stream, so a continuously-fed QuadStore
+    layout can serve GRAPH queries between micro-batches."""
+    from rippledb_spark.sources.nquads import nquads_parse_batch
 
     lines = spark.readStream.text(path)
-
-    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in model.QUADS_SCHEMA.fields]
-        for pdf in batches:
-            out = [
-                row
-                for row in (parse_nquads_line(v) for v in pdf["value"])
-                if row is not None
-            ]
-            yield pd.DataFrame(out, columns=cols)
-
-    return lines.mapInPandas(parse_batch, schema=model.QUADS_SCHEMA)
+    return lines.mapInPandas(nquads_parse_batch, schema=model.QUADS_SCHEMA)
 
 
 def start_store_append_sink(

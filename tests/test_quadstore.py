@@ -157,6 +157,67 @@ def test_plain_store_refuses_graph_groups(qs):
         qs.default_graph().sparql("SELECT ?m WHERE { GRAPH ?g { ?m in_nation ?n } }")
 
 
+def test_ground_modify_gates_on_where(qs):
+    # WHERE is ground and does NOT match → the whole modify is a no-op
+    same = qs.update(
+        "WITH <g:cust> DELETE { c1 in_nation n1 } WHERE { nope in_nation n1 }"
+    )
+    assert same.graph("g:cust").df.count() == qs.graph("g:cust").df.count()
+    # matching ground WHERE → the delete applies
+    gone = qs.update(
+        "WITH <g:cust> DELETE { c1 in_nation n1 } WHERE { c2 in_nation n1 }"
+    )
+    assert gone.graph("g:cust").df.count() == qs.graph("g:cust").df.count() - 1
+    # same gate for the quad-pattern form
+    same2 = qs.update(
+        "DELETE { GRAPH <g:cust> { c1 in_nation n1 } } "
+        "WHERE { GRAPH <g:supp> { nope in_nation n1 } }"
+    )
+    assert same2.graph("g:cust").df.count() == qs.graph("g:cust").df.count()
+
+
+def test_modify_validation_errors(qs):
+    with pytest.raises(QueryError, match="not bound"):
+        qs.update("WITH <g:cust> DELETE { ?x in_nation n1 } WHERE { ?m in_nation n1 }")
+    with pytest.raises(QueryError, match="not bound"):
+        qs.update(
+            "DELETE { GRAPH ?h { ?m in_nation n1 } } "
+            "WHERE { GRAPH <g:cust> { ?m in_nation n1 } }"
+        )
+
+
+def test_using_empties_named_set(qs):
+    # USING replaces the dataset (like FROM): GRAPH ?g then matches nothing
+    out = qs.update(
+        "INSERT { ?m tagged ?g } USING <g:supp> WHERE { GRAPH ?g { ?m in_nation ?n } }"
+    )
+    assert out.df.count() == qs.df.count()
+
+
+def test_ask_ground_graph_semantics(qs):
+    # ground path inside GRAPH <iri> gates (not silently dropped)
+    qs2 = qs.update("INSERT DATA { GRAPH <g:chain2> { a next b . b next c } }")
+    assert qs2.sparql("ASK { GRAPH <g:chain2> { a next+ c } }").count() == 1
+    assert qs2.sparql("ASK { GRAPH <g:chain2> { c next+ a } }").count() == 0
+    # a failing ground default-graph path is not ignored beside GRAPH gates
+    assert qs2.sparql(
+        "ASK { nope next+ c . GRAPH <g:chain2> { a next b } }"
+    ).count() == 0
+    # plain TripleStore refuses ground ASK with GRAPH scopes loudly
+    with pytest.raises(QueryError):
+        qs2.default_graph().sparql("ASK { GRAPH <g:chain2> { a next b } }")
+
+
+def test_builder_graph_rejects_unsupported(spark):
+    from rippledb_spark.plans.sparql import Sparql
+
+    g = Sparql()
+    g.filter([["$s", "p", "$o"]])
+    g.minus([["$s", "bad", "$o"]])
+    with pytest.raises(QueryError, match="triple, path, and FILTER"):
+        Sparql().graph("g:x", g)
+
+
 def test_ask_with_graph(qs):
     assert qs.sparql("ASK { GRAPH <g:supp> { s2 in_nation n2 } }").count() == 1
     assert qs.sparql("ASK { GRAPH <g:supp> { s2 in_nation n9 } }").count() == 0
