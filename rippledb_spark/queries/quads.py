@@ -346,6 +346,44 @@ def sparql_optional_graph_members(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "update_quad_template_audit",
+    oracle=f"""
+    WITH {QUADS_CTE.strip()},
+    audit AS (
+      SELECT DISTINCT 'graph:audit' AS g, s, g AS o_value
+      FROM quads WHERE p = 'in_nation' AND g IS NOT NULL
+    ),
+    after AS (
+      SELECT g, s, p, o_value FROM quads
+      UNION ALL
+      SELECT g, s, 'was_in', o_value FROM audit
+    )
+    SELECT g, COUNT(*) AS n_quads, COUNT(DISTINCT s) AS n_subjects
+    FROM after GROUP BY g ORDER BY g
+    """,
+)
+def update_quad_template_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quad-pattern INSERT template with a GRAPH VARIABLE binding: every
+    named-graph membership row is re-materialized into an audit graph as
+    ``?m was_in ?g`` (the template's object takes the WHERE's graph
+    binding), then per-graph accounting is hash-checked. Certifies the
+    ModifyQuads path end to end (plans/update.py:instantiated_quad_values
+    + the dataset WHERE evaluation)."""
+    qs = _qstore(spark, sf_dir).update(
+        "INSERT { GRAPH <graph:audit> { ?m was_in ?g } } "
+        "WHERE { GRAPH ?g { ?m in_nation ?n } }"
+    )
+    return (
+        qs.df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_quads"),
+            F.countDistinct("s").alias("n_subjects"),
+        )
+        .orderBy("g")
+    )
+
+
 _NQ_ESC_SQL = (
     "replace(replace(replace(replace(replace(o_value,"
     " '\\', '\\\\'), '\"', '\\\"'), chr(10), '\\n'), chr(13), '\\r'),"
