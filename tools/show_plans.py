@@ -42,6 +42,10 @@ DEFAULT = [
     "sparql_exists_no_urgent_customers",
     "path_negated_nation_edges",
     "rdfxml_export_accounting",
+    # dataset tier (receipts in docs/PLANS.md §round-6 dataset section)
+    "sparql_graph_var_membership",
+    "sparql_graph_cross_default_join",
+    "sparql_graph_var_closure",
 ]
 
 
