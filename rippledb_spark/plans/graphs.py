@@ -85,6 +85,24 @@ def _group_all_vars(group: Sparql) -> list[str]:
     return seen
 
 
+def _const_filter_gate(spark, filters: list) -> DataFrame | None:
+    """Ground-group FILTERs: with no variables in scope a filter must be
+    a constant expression — unbound references raise (matching the
+    variable-bearing branch's loud error), constants fold into one 0/1
+    gate frame. None when there are no filters."""
+    if not filters:
+        return None
+    from rippledb_spark.plans.filters import filter_vars, to_column
+
+    gate = spark.range(1).select(F.lit(1).alias("__gate"))
+    for fexpr in filters:
+        unbound = sorted(filter_vars(fexpr))
+        if unbound:
+            raise QueryError(f"FILTER references unbound variables {unbound}")
+        gate = gate.filter(to_column(fexpr))
+    return gate
+
+
 def _named_graph_plan(named_quads: DataFrame, iri: str, group: Sparql) -> DataFrame:
     """GRAPH <iri> { group }: the scope is a filter, then the ordinary
     single-graph evaluator runs the whole group (patterns, paths,
@@ -106,6 +124,11 @@ def _named_graph_plan(named_quads: DataFrame, iri: str, group: Sparql) -> DataFr
                 .select(F.lit(1).alias("__gate"))
             )
             gate = pg if gate is None else gate.intersect(pg)
+        fg = _const_filter_gate(named_quads.sparkSession, group.filters)
+        if fg is not None and gate is not None:
+            gate = gate.intersect(fg.limit(1))
+        elif fg is not None:
+            gate = fg.limit(1)
         if gate is None:
             raise QueryError("GRAPH group is empty")
         return gate

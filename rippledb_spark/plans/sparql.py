@@ -332,6 +332,15 @@ class Sparql:
             or group.exists_groups
             or group.binds
             or group.subqueries
+            or group.aggregates
+            or group.group_vars
+            or group.having
+            or group.from_graphs
+            or group.from_named
+            or group.order_keys
+            or group.is_distinct
+            or group.row_limit is not None
+            or group.row_offset
         ):
             # the evaluator (plans.graphs) builds the group plan from
             # conds/paths/filters only — anything else would be silently

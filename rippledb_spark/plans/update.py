@@ -97,7 +97,11 @@ class ModifyQuads:
     where ``g`` is None (the WITH graph, or default), an IRI, or
     ``'$var'``; the WHERE group's GRAPH blocks live in ``query``'s
     graph_groups. Deletion matches on (g, s, p, o_value) — the
-    flattened-model value identity, like the single-graph modify form."""
+    flattened-model value identity, like the single-graph modify form —
+    and INSERT templates lift every instantiated term as a NAMED node
+    (the engine-wide CONSTRUCT convention, src/lib.rs:17-19: solution
+    rows carry values, not kinds, so a literal binding re-materializes
+    as a named node — identical to TripleStore's modify INSERT)."""
 
     delete_template: list[tuple]  # [(g, [s,p,o]), ...]; [] = no DELETE
     insert_template: list[tuple]
@@ -566,30 +570,8 @@ def apply_quads(store, form: UpdateForm):
                 for u in cond:
                     if isinstance(u, Var) and u.name not in names:
                         names.append(u.name)
-        sol = None
-        if names:
-            q.select([f"${n}" for n in names])
-            sol = G.select_dataset(quads_view, q)
-        else:
-            # ground WHERE (patterns AND graph scopes all ground): one
-            # empty solution iff every part matches, else a no-op
-            from rippledb_spark.plans import bgp as _bgp
-
-            core = Sparql()
-            core.conds = list(q.conds)
-            ok = True
-            if core.conds and _bgp.ask_ground(default_part.select(*model.TRIPLE_KEY), core).count() == 0:
-                ok = False
-            for gterm, grp in q.graph_groups:
-                if not ok:
-                    break
-                gate = G._named_graph_plan(named_part, gterm.value, grp)
-                if gate.count() == 0:
-                    ok = False
-            if not ok:
-                return store
-
-        # unbound template variables are an error, not an AnalysisException
+        # static validation FIRST: an unbound template variable is an
+        # error regardless of whether the WHERE happens to match
         bound = set(names)
         for g, pat in form.delete_template + form.insert_template:
             tvars = [g[1:]] if (g or "").startswith("$") else []
@@ -599,6 +581,32 @@ def apply_quads(store, form: UpdateForm):
                     raise QueryError(
                         f"template variable ${name} is not bound by the WHERE group"
                     )
+
+        sol = None
+        if names:
+            q.select([f"${n}" for n in names])
+            sol = G.select_dataset(quads_view, q)
+        else:
+            # ground WHERE (patterns AND graph scopes all ground): one
+            # empty solution iff every part matches, else a no-op. Gates
+            # compose lazily (intersect) and evaluate as ONE job, the
+            # same shape as quadstore.sparql's ground-ASK branch.
+            from rippledb_spark.plans import bgp as _bgp
+
+            core = Sparql()
+            core.conds = list(q.conds)
+            gate = (
+                _bgp.ask_ground(default_part.select(*model.TRIPLE_KEY), core)
+                if core.conds
+                else None
+            )
+            for gterm, grp in q.graph_groups:
+                gg = G._named_graph_plan(named_part, gterm.value, grp).select(
+                    F.lit(True).alias("ask")
+                )
+                gate = gg if gate is None else gate.intersect(gg)
+            if gate is not None and gate.count() == 0:
+                return store
 
         out_store = store
         if form.delete_template:
@@ -642,13 +650,14 @@ def apply_quads(store, form: UpdateForm):
         ).df
         # template scope: always the WITH graph (or default)
         tmpl_g = F.lit(form.graph).cast("string")
-        sol = _bound_solutions(where_triples, form.query)
-        if sol is None:
-            # ground WHERE: one empty solution iff every pattern matches,
-            # else the whole modify is a no-op (store.py's gate, mirrored)
-            if _bgp.ask_ground(where_triples, form.query).count() == 0:
-                return store
-        bound = set(sol.columns) if sol is not None else set()
+        # static validation FIRST: an unbound template variable is an
+        # error regardless of whether the WHERE happens to match
+        bound = {
+            u.name
+            for cond in form.query.conds
+            for u in cond
+            if isinstance(u, Var)
+        }
         for pat in form.delete_template + form.insert_template:
             for raw in pat:
                 u = parse_unit(raw)
@@ -657,6 +666,12 @@ def apply_quads(store, form: UpdateForm):
                         f"template variable ${u.name} is not bound by the "
                         f"WHERE group"
                     )
+        sol = _bound_solutions(where_triples, form.query)
+        if sol is None:
+            # ground WHERE: one empty solution iff every pattern matches,
+            # else the whole modify is a no-op (store.py's gate, mirrored)
+            if _bgp.ask_ground(where_triples, form.query).count() == 0:
+                return store
         out = df
         if form.delete_template:
             dels = instantiated_values(sol, spark, form.delete_template)

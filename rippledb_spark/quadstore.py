@@ -246,6 +246,18 @@ class QuadStore:
             if not names:
                 default, named = graphs.dataset_frames(self.df, inner)
                 if inner.graph_groups:
+                    if (
+                        inner.optionals
+                        or inner.minuses
+                        or inner.values_blocks
+                        or inner.exists_groups
+                        or inner.binds
+                        or inner.subqueries
+                    ):
+                        raise QueryError(
+                            "ground ASK with GRAPH scopes supports triple, "
+                            "path, and FILTER patterns only"
+                        )
                     # ground patterns/paths + GRAPH scopes: every part gates
                     core = Sparql()
                     core.conds = list(inner.conds)
@@ -260,6 +272,11 @@ class QuadStore:
                             named, gterm.value, group
                         ).select(F.lit(True).alias("ask"))
                         ask = gate if ask is None else ask.intersect(gate)
+                    fg = graphs._const_filter_gate(self.spark, inner.filters)
+                    if fg is not None:
+                        ask = ask.intersect(
+                            fg.limit(1).select(F.lit(True).alias("ask"))
+                        )
                     return ask.limit(1)
                 return bgp.ask_ground(default, inner)
             inner.select([f"${n}" for n in names])

@@ -12,7 +12,6 @@ store, src/datastore/graph.rs), so both directions are engine-tier.
 from __future__ import annotations
 
 import re
-from collections.abc import Iterator
 from typing import Optional
 
 import pyspark.sql.functions as F

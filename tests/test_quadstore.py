@@ -208,6 +208,35 @@ def test_ask_ground_graph_semantics(qs):
         qs2.default_graph().sparql("ASK { GRAPH <g:chain2> { a next b } }")
 
 
+def test_ground_group_constant_filters_gate(qs):
+    # a constant-false FILTER inside a ground GRAPH group fails the ASK
+    assert qs.sparql(
+        'ASK { GRAPH <g:supp> { s2 in_nation n2 . FILTER(1 = 2) } }'
+    ).count() == 0
+    assert qs.sparql(
+        'ASK { GRAPH <g:supp> { s2 in_nation n2 . FILTER(2 = 2) } }'
+    ).count() == 1
+    # top-level constant filter beside a GRAPH gate
+    assert qs.sparql(
+        'ASK { n1 in_region r1 . FILTER(1 = 2) . GRAPH <g:supp> { s2 in_nation n2 } }'
+    ).count() == 0
+    # unbound-variable filter in a ground group refuses loudly
+    with pytest.raises(QueryError, match="unbound"):
+        qs.sparql('ASK { GRAPH <g:supp> { s2 in_nation n2 . FILTER(?z = 1) } }')
+
+
+def test_template_validation_precedes_ground_gate(qs):
+    # the unbound template variable errors even when the ground WHERE
+    # does not match (a static error must not be data-dependent)
+    with pytest.raises(QueryError, match="not bound"):
+        qs.update(
+            "DELETE { GRAPH <g:cust> { ?x in_nation n1 } } "
+            "WHERE { GRAPH <g:cust> { nope in_nation n1 } }"
+        )
+    with pytest.raises(QueryError, match="not bound"):
+        qs.update("WITH <g:cust> DELETE { ?x in_nation n1 } WHERE { nope in_nation n1 }")
+
+
 def test_builder_graph_rejects_unsupported(spark):
     from rippledb_spark.plans.sparql import Sparql
 
