@@ -739,6 +739,25 @@ def _pattern_vars(q: Sparql, required: bool = True) -> list[str]:
         for n in _pattern_vars(group, required=False):
             if n not in seen:
                 seen.append(n)
+    # OPTIONAL variables are in scope per spec §18.2.1 (NULL-extended);
+    # MINUS/EXISTS variables are NOT and stay excluded
+    for group in getattr(q, "optionals", []):
+        if isinstance(group, Sparql):
+            names = _pattern_vars(group, required=False)
+        else:
+            names = []
+            for cond in group:
+                for u in cond:
+                    if isinstance(u, Var) and u.name not in names:
+                        names.append(u.name)
+        for n in names:
+            if n not in seen:
+                seen.append(n)
+    for vnames, _rows in getattr(q, "values_blocks", []):
+        for v in vnames:
+            n = v.lstrip("$?")
+            if n not in seen:
+                seen.append(n)
     for alias, _ in getattr(q, "binds", []):
         if alias not in seen:
             seen.append(alias)

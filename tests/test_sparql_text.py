@@ -460,6 +460,18 @@ def test_exists_builder_equivalence(store):
     assert rows(text, "s") == rows(built, "s")
 
 
+def test_select_star_projects_optional_and_values_vars(store):
+    # spec §18.2.1: OPTIONAL and VALUES variables are in scope for * —
+    # MINUS/EXISTS variables are not
+    df = store.sparql("SELECT * WHERE { ?s next ?o . OPTIONAL { ?o alt ?x } }")
+    assert df.columns == ["s", "o", "x"]
+    df2 = store.sparql('SELECT * WHERE { ?s alt ?o . VALUES (?tag) { ("t1") } }')
+    assert df2.columns == ["s", "o", "tag"]
+    assert [r["tag"] for r in df2.collect()] == ["t1"]
+    df3 = store.sparql("SELECT * WHERE { ?s next ?o . MINUS { ?s zz ?hidden } }")
+    assert df3.columns == ["s", "o"]
+
+
 def test_exists_errors_are_loud(store):
     with pytest.raises(QueryError, match="EXISTS after FILTER NOT"):
         store.sparql("SELECT ?s WHERE { ?s next ?o . FILTER NOT THERE { a alt ?z } }")
