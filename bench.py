@@ -109,6 +109,8 @@ HEADLINE = [
     # dataset tier: GRAPH ?g as a distributed join dimension (the quad
     # join-chain family — one aggregation over the labeled quads frame)
     "sparql_graph_var_membership",
+    # Gopher repetition/quality gate (explode + doc-keyed hash-agg family)
+    "gopher_repetition_accounting",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Pipeline query batch 5 (r6): Gopher-style repetition/quality filtering
+over documents (operators/quality.py) — the published pre-training quality
+gate family (Rae et al. 2021, Appendix A1), oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.operators import quality as Q
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+_GOPHER_CTE = Q.repetition_metrics_sql("documents", "text", "doc_id")
+
+
+@query(
+    "gopher_repetition_metrics",
+    oracle=f"""
+    WITH {_GOPHER_CTE.strip()}
+    SELECT id, n_words, word_chars, n_stopwords_distinct,
+           mean_word_len, alpha_frac,
+           top1_frac, top2_frac, top3_frac, dup5_frac, keep
+    FROM gopher ORDER BY id
+    """,
+)
+def gopher_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule metrics + keep decision (operators/
+    quality.py): word/char counts, mean word length, alphabetic-word and
+    stopword presence, top-{1,2,3}-gram char coverage, duplicated-5-gram
+    char coverage. The oracle replays the identical gram enumeration and
+    coverage arithmetic in DuckDB, so a green row certifies every rule's
+    formula — one row per input document, short docs included."""
+    d = load(spark, sf_dir, "documents")
+    return Q.repetition_metrics(d, "text", "doc_id").orderBy("id")
+
+
+@query(
+    "gopher_repetition_accounting",
+    oracle=f"""
+    WITH {_GOPHER_CTE.strip()},
+    docs AS (SELECT doc_id AS id, source FROM documents)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           AVG(g.mean_word_len) AS avg_word_len,
+           AVG(g.top2_frac)     AS avg_top2_frac,
+           AVG(g.dup5_frac)     AS avg_dup5_frac
+    FROM gopher g JOIN docs d ON g.id = d.id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def gopher_repetition_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality-gate accounting: per ingestion source, how many
+    documents the Gopher rules keep and the mean repetition profile — the
+    report a 100 TB filtering run emits per crawl segment. Metrics join
+    back to the documents table on doc id (both sides doc-partitioned)."""
+    d = load(spark, sf_dir, "documents")
+    m = Q.repetition_metrics(d, "text", "doc_id")
+    return (
+        m.join(d.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.avg("mean_word_len").alias("avg_word_len"),
+            F.avg("top2_frac").alias("avg_top2_frac"),
+            F.avg("dup5_frac").alias("avg_dup5_frac"),
+        )
+        .orderBy("source")
+    )

@@ -96,5 +96,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.triples2  # noqa: F401
     import rippledb_spark.queries.relational6  # noqa: F401
     import rippledb_spark.queries.quads  # noqa: F401
+    import rippledb_spark.queries.pipeline5  # noqa: F401
 
     _LOADED = True
