@@ -350,6 +350,17 @@ def parse_sparql(text: str) -> Sparql | SparqlUnion:
             if tok == "}":
                 t.take()
                 return
+            if _is_kw(tok, "SERVICE"):
+                # refuse loudly: federated query (spec §28 / SERVICE) calls
+                # out to a REMOTE endpoint mid-plan — out of scope for a
+                # single-dataset engine, and silently treating it as a local
+                # group would return wrong (local-only) answers.
+                raise QueryError(
+                    "SERVICE (federated query) is not supported: this engine "
+                    "evaluates one local dataset; materialize the remote "
+                    "graph (from_rdf / N-Quads ingest) and query it as a "
+                    "named graph instead"
+                )
             if _is_kw(tok, "GRAPH"):
                 # GRAPH ?g { group } / GRAPH <iri> { group } (§13.3) —
                 # dataset-tier: evaluated by plans.graphs over a QuadStore

@@ -149,6 +149,10 @@ def test_compact_trailing_dot(store):
         ("SELECT ?s WHERE { ?s next ?o", "unclosed"),
         ("SELECT ?s WHERE { { ?s next ?o } UNION { ?s child ?o } } LIMIT 2", "UNION"),
         ("PREFIX ex <http://e/> SELECT ?s WHERE { ?s next ?o }", "PREFIX"),
+        (
+            "SELECT ?s WHERE { SERVICE <http://ex/sparql> { ?s next ?o } }",
+            "SERVICE .*not supported",
+        ),
     ],
 )
 def test_errors_are_loud(store, bad, msg):
