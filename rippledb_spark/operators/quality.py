@@ -80,9 +80,18 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     input document yields exactly one output row (short documents produce
     empty gram sets → zero repetition coverage, not a dropped row)."""
     stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # Gram enumeration + the partial count are CPU-bound per scan task; a
+    # small corpus arrives as one file split and would otherwise run the
+    # whole explode on one core. At real scale the scan already has
+    # thousands of splits and this branch never fires (metadata-only
+    # check, no job).
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want, "id")
+    base = src.select(
+        "id",
+        F.split(F.trim(F.col("__text")), r"\s+").alias("t"),
     ).select(
         "id",
         "t",
