@@ -8,6 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rippledb_spark.operators import clustering as KM
 from rippledb_spark.operators import quality as Q
 from rippledb_spark.registry import query
 from rippledb_spark.tables import load
@@ -71,4 +72,31 @@ def gopher_repetition_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("dup5_frac").alias("avg_dup5_frac"),
         )
         .orderBy("source")
+    )
+
+
+_KM_CTE = KM.kmeans_assignments_sql("embeddings", "embedding", "vec_id", dims=64)
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle=f"""
+    WITH {_KM_CTE.strip()}
+    SELECT cid, COUNT(*) AS n_points, SUM(d2) AS sum_d2
+    FROM km_final GROUP BY cid ORDER BY cid
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two fixed Lloyd rounds of k-means (k=4) over the embeddings table
+    (operators/clustering.py), reporting per-cluster membership count and
+    total squared distance. The oracle unrolls the identical rounds —
+    deterministic lowest-id init, expanded-dot-product distances, 6dp
+    centroid rounding per round — so a green row certifies assignment AND
+    update arithmetic through two full iterations."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        KM.kmeans_assignments(e, "embedding", "vec_id", k=4, iterations=2)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_points"), F.sum("d2").alias("sum_d2"))
+        .orderBy("cid")
     )

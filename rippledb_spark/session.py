@@ -46,6 +46,20 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local[N] runs one JVM over small test files: with the stock
+        # 128 MiB split every sf≤1 table is a SINGLE scan task, so
+        # CPU-bound scan-side work (gram explode, regex scrub, shingling)
+        # serializes onto one core while 31 idle. 1 MiB splits spread it
+        # across the box (measured 10-40% on the scan-bound headline
+        # queries). A cluster deployment overrides this back to the
+        # default via $SPARK_GRAFT_MAX_PARTITION_BYTES — at 100 TB the
+        # natural split count already saturates every executor, and 1 MiB
+        # tasks would drown the scheduler.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"),
+        )
+        .config("spark.sql.files.openCostInBytes", "131072")
         # testdata events.parquet carries TIMESTAMP(NANOS) — read as long,
         # converted back to timestamp in tables.load (truncation to micros
         # matches DuckDB's ns→us handling).
