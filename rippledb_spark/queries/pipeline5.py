@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rippledb_spark.operators import clustering as KM
 from rippledb_spark.operators import quality as Q
+from rippledb_spark.operators import semdedup as SD
 from rippledb_spark.registry import query
 from rippledb_spark.tables import load
 
@@ -76,6 +77,70 @@ def gopher_repetition_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_CTE = KM.kmeans_assignments_sql("embeddings", "embedding", "vec_id", dims=64)
+_SD_CTE = SD.semantic_dedup_sql("embeddings", "embedding", "vec_id", dims=64)
+
+
+@query(
+    "dedup_semantic_embedding",
+    oracle=f"""
+    WITH {_SD_CTE.strip()},
+    per_pair AS (
+      SELECT cid, COUNT(*) AS n_dup_pairs, MAX(cos_sim) AS max_cos
+      FROM sd_pairs GROUP BY cid
+    ),
+    per_flag AS (
+      SELECT cid, COUNT(*) AS n_points,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM sd_flags GROUP BY cid
+    )
+    SELECT f.cid, f.n_points,
+           COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+           f.n_removed, p.max_cos
+    FROM per_flag f LEFT JOIN per_pair p ON f.cid = p.cid
+    ORDER BY f.cid
+    """,
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/semdedup.py, Abbas et al.
+    2023): k-means-cluster the embeddings (the deterministic Lloyd trainer),
+    gate within-cluster pairs on 6dp-rounded cosine ≥ 0.35, remove the
+    higher id of each pair. Reports per cluster: membership, qualifying
+    pair count, removed-vector count, and the tightest pair's cosine. The
+    oracle replays clustering, pair gate, and keep policy in DuckDB, so a
+    green row certifies the full composition."""
+    e = load(spark, sf_dir, "embeddings")
+    # one clustering pass shared by both views (k×dims centroid state is
+    # tiny; caching the assignment avoids re-running Lloyd per view)
+    assigned = KM.kmeans_assignments(e, "embedding", "vec_id").localCheckpoint(
+        eager=False
+    )
+    pairs = SD.semantic_dedup_pairs(
+        e, "embedding", "vec_id", assigned=assigned
+    ).localCheckpoint(eager=False)
+    flags = SD.semantic_dedup_flags(
+        e, "embedding", "vec_id", assigned=assigned, pairs=pairs
+    )
+    per_pair = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"), F.max("cos_sim").alias("max_cos")
+    )
+    per_flag = flags.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+    return (
+        per_flag.join(per_pair, "cid", "left")
+        .select(
+            "cid",
+            "n_points",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            "n_removed",
+            "max_cos",
+        )
+        .orderBy("cid")
+    )
 
 
 @query(

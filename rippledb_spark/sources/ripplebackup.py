@@ -337,9 +337,13 @@ def read_ripplebackup(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     if glob.glob(os.path.join(trees_dir, "*.json")):
+        # pathGlobFilter on the directory (not a glob in the path) — a glob
+        # path makes Spark's FileStreamSink probe log a spurious WARN stack
+        # trace ("Error while looking for metadata directory").
         files = (
             spark.read.format("binaryFile")
-            .load(os.path.join(trees_dir, "*.json"))
+            .option("pathGlobFilter", "*.json")
+            .load(trees_dir)
             .select("path", "content")
         )
         ids = files.mapInPandas(_decode, schema="slice long, s_id long, o_id long")
