@@ -111,6 +111,8 @@ HEADLINE = [
     "sparql_graph_var_membership",
     # Gopher repetition/quality gate (explode + doc-keyed hash-agg family)
     "gopher_repetition_accounting",
+    # SemDeDup semantic dedup (Lloyd k-means + within-cluster cosine gate)
+    "dedup_semantic_embedding",
 ]
 
 
