@@ -15,8 +15,12 @@ Determinism contract (what makes the DuckDB oracle possible):
 - clustering: operators/clustering.kmeans_assignments — lowest-id init,
   expanded-dot-product distances, 6dp centroid rounding per round, fixed
   iteration count (its module docstring is the full contract);
-- pair gate: cosine ROUNDED to 6dp before the threshold comparison, so a
-  1-ulp engine difference cannot flip membership;
+- pair gate: each row's L2 norm is computed ONCE and carried as a
+  column, so the per-pair cosine dot(a,b)/(nrm_a·nrm_b) costs a single
+  sequential-fold dot product — one fold per pair instead of three, the
+  identical arithmetic (same formula shape both engines); the result is
+  ROUNDED to 6dp before the threshold comparison, so a 1-ulp engine
+  difference cannot flip membership;
 - keep policy: within a duplicate pair the LOWER id survives — a vector is
   "removed" iff some lower-id same-cluster vector sits within the
   threshold (the same min-id convention as operators/dedup.exact_dedup).
@@ -38,7 +42,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from rippledb_spark.functions.vector import as_double_array, cosine, cosine_sql
+from rippledb_spark.functions.vector import as_double_array, dot, norm
 from rippledb_spark.operators.clustering import (
     kmeans_assignments,
     kmeans_assignments_sql,
@@ -65,17 +69,23 @@ def semantic_dedup_pairs(
     """
     pts = df.select(
         F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
-    )
+    ).select("pid", "v", norm(F.col("v")).alias("nrm"))
     if assigned is None:
         assigned = kmeans_assignments(
             df, vec_col, id_col, k=k, iterations=iterations
         )
     tagged = assigned.select("pid", "cid").join(pts, "pid")
     a = tagged.select(
-        F.col("cid"), F.col("pid").alias("id_a"), F.col("v").alias("va")
+        F.col("cid"),
+        F.col("pid").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = tagged.select(
-        F.col("cid"), F.col("pid").alias("id_b"), F.col("v").alias("vb")
+        F.col("cid"),
+        F.col("pid").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, "cid")
@@ -84,7 +94,10 @@ def semantic_dedup_pairs(
             "cid",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), COS_DP).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                COS_DP,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
@@ -143,15 +156,18 @@ def semantic_dedup_sql(
     km = kmeans_assignments_sql(
         table, vec_col, id_col, dims=dims, k=k, iterations=iterations
     )
-    cos = cosine_sql("va.v", "vb.v")
+    cos = "(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm))"
     return f"""{km},
+    sd_nrm AS (
+      SELECT pid, v, sqrt(list_dot_product(v, v)) AS nrm FROM km_pts
+    ),
     sd_pairs AS (
       SELECT a.cid, a.pid AS id_a, b.pid AS id_b,
              ROUND({cos}, {COS_DP}) AS cos_sim
       FROM km_final a
       JOIN km_final b ON a.cid = b.cid AND a.pid < b.pid
-      JOIN km_pts va ON va.pid = a.pid
-      JOIN km_pts vb ON vb.pid = b.pid
+      JOIN sd_nrm va ON va.pid = a.pid
+      JOIN sd_nrm vb ON vb.pid = b.pid
       WHERE ROUND({cos}, {COS_DP}) >= {threshold}
     ),
     sd_flags AS (

@@ -77,7 +77,12 @@ def gopher_repetition_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_CTE = KM.kmeans_assignments_sql("embeddings", "embedding", "vec_id", dims=64)
-_SD_CTE = SD.semantic_dedup_sql("embeddings", "embedding", "vec_id", dims=64)
+# k=16 is the SemDeDup operating point for this corpus (cluster size ~30
+# at sf0.01, ~300 at sf0.1): the within-cluster pair space shrinks k×, and
+# production scales k with the corpus to hold cluster size constant.
+_SD_CTE = SD.semantic_dedup_sql(
+    "embeddings", "embedding", "vec_id", dims=64, k=16
+)
 
 
 @query(
@@ -112,9 +117,9 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # one clustering pass shared by both views (k×dims centroid state is
     # tiny; caching the assignment avoids re-running Lloyd per view)
-    assigned = KM.kmeans_assignments(e, "embedding", "vec_id").localCheckpoint(
-        eager=False
-    )
+    assigned = KM.kmeans_assignments(
+        e, "embedding", "vec_id", k=16
+    ).localCheckpoint(eager=False)
     pairs = SD.semantic_dedup_pairs(
         e, "embedding", "vec_id", assigned=assigned
     ).localCheckpoint(eager=False)

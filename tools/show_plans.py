@@ -42,6 +42,8 @@ DEFAULT = [
     "sparql_exists_no_urgent_customers",
     "path_negated_nation_edges",
     "rdfxml_export_accounting",
+    # SemDeDup composition (clustering + within-cluster cosine gate)
+    "dedup_semantic_embedding",
     # dataset tier (receipts in docs/PLANS.md §round-6 dataset section)
     "sparql_graph_var_membership",
     "sparql_graph_cross_default_join",
