@@ -162,13 +162,14 @@ def semantic_dedup_sql(
       SELECT pid, v, sqrt(list_dot_product(v, v)) AS nrm FROM km_pts
     ),
     sd_pairs AS (
-      SELECT a.cid, a.pid AS id_a, b.pid AS id_b,
-             ROUND({cos}, {COS_DP}) AS cos_sim
-      FROM km_final a
-      JOIN km_final b ON a.cid = b.cid AND a.pid < b.pid
-      JOIN sd_nrm va ON va.pid = a.pid
-      JOIN sd_nrm vb ON vb.pid = b.pid
-      WHERE ROUND({cos}, {COS_DP}) >= {threshold}
+      SELECT cid, id_a, id_b, cos_sim FROM (
+        SELECT a.cid, a.pid AS id_a, b.pid AS id_b,
+               ROUND({cos}, {COS_DP}) AS cos_sim
+        FROM km_final a
+        JOIN km_final b ON a.cid = b.cid AND a.pid < b.pid
+        JOIN sd_nrm va ON va.pid = a.pid
+        JOIN sd_nrm vb ON vb.pid = b.pid
+      ) WHERE cos_sim >= {threshold}
     ),
     sd_flags AS (
       SELECT f.pid, f.cid,

@@ -51,6 +51,8 @@ def corpus(spark, n: int):
 
 def main() -> None:
     base_n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    if base_n < 10:
+        raise SystemExit("base_n must be >= 10 (one twin per 10 base vectors)")
     spark = get_spark(app_name="scale_probe_semdedup")
 
     for mult in (1, 4):
