@@ -113,6 +113,8 @@ HEADLINE = [
     "gopher_repetition_accounting",
     # SemDeDup semantic dedup (Lloyd k-means + within-cluster cosine gate)
     "dedup_semantic_embedding",
+    # fractional-epoch mixture upsampling (projection + explode family)
+    "mixture_epochs_applied",
 ]
 
 

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from rippledb_spark.operators import clustering as KM
+from rippledb_spark.operators import mixture as MX
 from rippledb_spark.operators import quality as Q
 from rippledb_spark.operators import semdedup as SD
 from rippledb_spark.registry import query
@@ -169,4 +170,87 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("n_points"), F.sum("d2").alias("sum_d2"))
         .orderBy("cid")
+    )
+
+
+@query(
+    "mixture_epochs_applied",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    lt AS (SELECT lang, SUM(n_tok) AS lang_tok FROM tok GROUP BY lang),
+    tot AS (SELECT COUNT(*) AS n_langs, SUM(lang_tok) AS all_tok FROM lt),
+    w AS (
+      SELECT lang,
+             ROUND((all_tok / CAST(n_langs AS DOUBLE)) / lang_tok, 6) AS wt
+      FROM lt, tot
+    ),
+    j AS (
+      SELECT t.doc_id, t.lang, t.n_tok, w.wt,
+             {MX.mixture_epochs_sql("w.wt", "t.doc_id")}
+      FROM tok t JOIN w USING (lang)
+    ),
+    rep AS (
+      SELECT lang, n_tok, unnest(generate_series(1, n_copies)) AS i FROM j
+    ),
+    src AS (SELECT lang, COUNT(*) AS n_docs FROM tok GROUP BY lang),
+    em AS (
+      SELECT lang, COUNT(*) AS n_emitted, SUM(n_tok) AS emitted_tokens
+      FROM rep GROUP BY lang
+    )
+    SELECT s.lang, w.wt AS mix_weight, s.n_docs,
+           CAST(COALESCE(e.n_emitted, 0) AS BIGINT) AS n_emitted,
+           CAST(COALESCE(e.emitted_tokens, 0) AS BIGINT) AS emitted_tokens
+    FROM src s
+    JOIN w USING (lang)
+    LEFT JOIN em e USING (lang)
+    ORDER BY s.lang
+    """,
+)
+def mixture_epochs_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPSAMPLING half of the data-mixture loop (operators/mixture.py,
+    complementing rebalance_sample_applied's capped downsample): each
+    language's equal-token-share weight is left UNCAPPED, so rare
+    languages get fractional epochs > 1 and are physically repeated —
+    floor(w) copies plus one hash-gated extra — while common languages
+    fall through to the keep-test. Per-language emitted row/token counts
+    certify the copy-count arithmetic and the explode end to end."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    lt = tok.groupBy("lang").agg(F.sum("n_tok").alias("lang_tok"))
+    tot = lt.agg(
+        F.count(F.lit(1)).alias("n_langs"), F.sum("lang_tok").alias("all_tok")
+    )
+    w = lt.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.round(
+            (F.col("all_tok") / F.col("n_langs").cast("double")) / F.col("lang_tok"),
+            6,
+        ).alias("wt"),
+    )
+    j = tok.join(F.broadcast(w), "lang")
+    rep = MX.apply_mixture_epochs(j, "wt", "doc_id")
+    src = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    em = rep.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_emitted"),
+        F.sum("n_tok").alias("emitted_tokens"),
+    )
+    return (
+        src.join(w, "lang")
+        .join(em, "lang", "left")
+        .select(
+            "lang",
+            F.col("wt").alias("mix_weight"),
+            "n_docs",
+            F.coalesce("n_emitted", F.lit(0)).cast("bigint").alias("n_emitted"),
+            F.coalesce("emitted_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("emitted_tokens"),
+        )
+        .orderBy("lang")
     )
