@@ -110,6 +110,18 @@ def _truncate(df: DataFrame, checkpoint_dir: str | None, eager: bool = True) -> 
     return df.checkpoint(eager=eager)
 
 
+def _undirected_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected edge set (u, v): symmetric closure of the
+    input, self-loops dropped, distinct — the shared prep for every
+    undirected-graph operator (label propagation, k-core, ...)."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def degrees(triples: DataFrame) -> DataFrame:
     """Per-node out/in degree over named→named edges (entity graph only —
     literal objects are attributes, not edges)."""
@@ -384,12 +396,7 @@ def label_propagation(
     label table, one (node, label) count aggregate, and one min-struct
     argmax — the tie-break rides in ``min(struct(-count, label))``, so
     no window over high-degree nodes."""
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = _undirected_edges(edges, src, dst)
     n_edges = und.persist().count()
     with _iteration_conf(edges.sparkSession, n_edges):
         e = _truncate(und.repartition(
@@ -445,12 +452,7 @@ def k_core(
     if k < 1:
         raise QueryError("k must be >= 1")
     spark = edges.sparkSession
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = (
-        fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    und = _undirected_edges(edges, src, dst)
     n_edges_est = und.persist().count()
     converged = False
     with _iteration_conf(spark, n_edges_est):
@@ -524,6 +526,7 @@ def shortest_paths(
             checkpoint_dir,
         )
         frontier = dist
+        drained = False
         for _ in range(max_iterations):
             relaxed = e.join(frontier, e.a == frontier.node).select(
                 F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
@@ -554,7 +557,18 @@ def shortest_paths(
             ).select("node", "dist")
             dist = folded.drop("old")
             if frontier.limit(1).count() == 0:
+                drained = True
                 break  # no distance improved → exact fixpoint
+    if not drained:
+        # refuse loudly, like k_core: a distance table cut off mid-
+        # relaxation under-reaches (and over-estimates) silently, and
+        # the caller cannot tell it from the converged one. Rounds are
+        # bounded by the shortest-path tree's hop depth — raise
+        # max_iterations for deep graphs.
+        raise QueryError(
+            f"shortest_paths did not reach its fixpoint within"
+            f" {max_iterations} rounds"
+        )
     out = dist
     _release_iteration_garbage(out)
     return out

@@ -224,12 +224,23 @@ def _var_graph_path_plan(
     cols = [F.col(gname)]
     if isinstance(s_u, Var):
         if isinstance(o_u, Var) and o_u.name == s_u.name:
-            return out.filter(F.col("__ps") == F.col("__po")).select(
-                F.col(gname), F.col("__ps").alias(s_u.name)
-            )
-        cols.append(F.col("__ps").alias(s_u.name))
+            out = out.filter(F.col("__ps") == F.col("__po"))
+            if s_u.name == gname:  # GRAPH ?g { ?g path ?g }
+                return out.filter(F.col("__ps") == F.col(gname)).select(
+                    F.col(gname)
+                )
+            return out.select(F.col(gname), F.col("__ps").alias(s_u.name))
+        if s_u.name == gname:
+            # the graph variable as a path end (GRAPH ?g { ?g path ?y }):
+            # an equality constraint, not a second same-named column
+            out = out.filter(F.col("__ps") == F.col(gname))
+        else:
+            cols.append(F.col("__ps").alias(s_u.name))
     if isinstance(o_u, Var):
-        cols.append(F.col("__po").alias(o_u.name))
+        if o_u.name == gname:
+            out = out.filter(F.col("__po") == F.col(gname))
+        else:
+            cols.append(F.col("__po").alias(o_u.name))
     return out.select(*cols)
 
 
@@ -362,18 +373,23 @@ def select_dataset(
         list(getattr(query, "minuses", [])),
         list(getattr(query, "exists_groups", [])),
     )
-    query.prejoined = _graph_group_plans(named, getattr(query, "graph_groups", []))
-    query.optionals = [
-        _lower_group(default, named, g, optimize, stats) for g in saved[0]
-    ]
-    query.minuses = [
-        _lower_group(default, named, g, optimize, stats) for g in saved[1]
-    ]
-    query.exists_groups = [
-        (pos, _lower_group(default, named, g, optimize, stats))
-        for pos, g in saved[2]
-    ]
+    # the whole mutation window sits inside the try: if lowering a later
+    # group raises (e.g. "must bind at least one variable"), the finally
+    # still restores the query object so it stays reusable
     try:
+        query.prejoined = _graph_group_plans(
+            named, getattr(query, "graph_groups", [])
+        )
+        query.optionals = [
+            _lower_group(default, named, g, optimize, stats) for g in saved[0]
+        ]
+        query.minuses = [
+            _lower_group(default, named, g, optimize, stats) for g in saved[1]
+        ]
+        query.exists_groups = [
+            (pos, _lower_group(default, named, g, optimize, stats))
+            for pos, g in saved[2]
+        ]
         return bgp.select_join(default, query, optimize=optimize, stats=stats)
     finally:
         query.prejoined = []

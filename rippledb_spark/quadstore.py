@@ -211,7 +211,7 @@ class QuadStore:
 
     def difference(self, other: "QuadStore") -> "QuadStore":
         """Quads in this dataset but not in ``other`` (≡ bulk remove)."""
-        return QuadStore(self.spark, self.df.exceptAll(other.df).distinct())
+        return QuadStore(self.spark, self.df.subtract(other.df))
 
     def create_view(self, name: str = "quads") -> None:
         """Register the dataset as a temp view → full spark.sql over

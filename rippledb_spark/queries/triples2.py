@@ -807,12 +807,19 @@ def graph_kcore_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("src"), F.col("o_value").alias("dst")
     )
     core = k_core(edges, KCORE_K)
-    return core.withColumn("h", F.col("node")).agg(
+    return core.agg(
         F.count(F.lit(1)).alias("n_core_nodes"),
         F.md5(
             F.concat_ws("", F.array_sort(F.collect_list("node"))).cast("binary")
         ).alias("core_md5"),
         F.lit(True).alias("converged"),
+    ).select(
+        "n_core_nodes",
+        # an EMPTY core must hash as NULL on both sides: DuckDB's
+        # string_agg over zero rows is NULL (md5(NULL) = NULL) while
+        # concat_ws over an empty list is '' — align to the oracle
+        F.when(F.col("n_core_nodes") > 0, F.col("core_md5")).alias("core_md5"),
+        "converged",
     )
 
 

@@ -318,3 +318,21 @@ def test_personalized_pagerank_localizes_to_seed(spark):
     out2 = {r["node"] for r in
             personalized_pagerank(edges, ["s", "x"], iterations=8).collect()}
     assert out2 == {"s", "a", "b", "x", "y"}
+
+
+def test_shortest_paths_refuses_partial_result(spark):
+    from rippledb_spark.errors import QueryError
+    from rippledb_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "e", 1.0)],
+        ["src", "dst", "w"],
+    )
+    with pytest.raises(QueryError, match="fixpoint"):
+        shortest_paths(edges, ["a"], max_iterations=2)
+    # enough rounds: converges and is complete
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, ["a"], max_iterations=6).collect()
+    }
+    assert got["e"] == 4.0

@@ -587,3 +587,41 @@ def test_parser_error_surfaces(qs):
         qs.update("INSERT DATA { GRAPH ?g { a p b } }")
     with pytest.raises(QueryError):
         qs.update("MOVE GRAPH <g:a> TO NAMED")
+
+
+def test_graph_var_as_path_end(qs):
+    # the graph variable reused as a path END constrains subject == label
+    # (same semantics as the triple-pattern form GRAPH ?g { ?g ?p ?o })
+    qs2 = qs.update(
+        "INSERT DATA { GRAPH <a> { a next b . b next c } "
+        "GRAPH <g:z> { q next r } }"
+    )
+    df = qs2.sparql("SELECT ?g ?y WHERE { GRAPH ?g { ?g next+ ?y } }")
+    assert rows(df, "g", "y") == [("a", "b"), ("a", "c")]
+    # and as the object end
+    df = qs2.sparql("SELECT ?g ?s WHERE { GRAPH ?g { ?s next+ ?g } }")
+    assert rows(df, "g", "s") == []
+
+
+def test_select_dataset_restores_query_on_lowering_error(qs):
+    from rippledb_spark.plans.sparql import Sparql
+
+    bad_inner = Sparql()
+    bad_inner.filter([["c1", "in_nation", "n1"]])  # ground — binds nothing
+    bad_opt = Sparql()
+    bad_opt.graph("g:cust", bad_inner)
+
+    outer = Sparql()
+    outer.filter([["$n", "in_region", "$r"]])
+    outer.graph("g:cust", [["$c", "in_nation", "$n"]])
+    outer.optional_group(bad_opt)
+    outer.select(["$n", "$r"])
+    with pytest.raises(QueryError, match="bind at least one"):
+        qs.select_dataset(outer)
+    # the failed lowering must not leave pre-lowered state behind
+    assert outer.prejoined == []
+    assert len(outer.optionals) == 1 and isinstance(outer.optionals[0], Sparql)
+    # the object is still reusable once the bad group is removed
+    outer.optionals = []
+    got = rows(qs.select_dataset(outer), "n", "r")
+    assert ("n1", "r1") in got
