@@ -7,20 +7,31 @@ INSIDE each cluster whose cosine similarity clears a threshold — the
 clustering bounds the candidate space so the quadratic all-pairs step never
 runs corpus-wide. The engine tier has no reference analogue (the reference
 has no vector surface at all); this composes the deterministic Lloyd
-trainer (operators/clustering.py) with the JVM-side cosine kernel
+trainer (operators/clustering.py) with the JVM-side fold kernels
 (functions/vector.py).
+
+Vectors are L2-NORMALIZED FIRST, and everything — clustering AND the pair
+gate — runs on the unit sphere (the paper's setup: spherical clustering
+over normalized embeddings). This is what makes the blocking sound for a
+COSINE gate: two colinear vectors of different magnitude are
+cosine-identical but L2-distant, so raw-vector k-means could split them
+into different clusters and the gate would never compare them. On unit
+vectors, L2 distance is a monotone function of cosine (|a−b|² = 2−2cosθ),
+so near-duplicates by the gate's own metric always co-cluster. A
+zero-norm vector has no direction: it is dropped up front (both engines),
+and the flags view covers the nonzero universe.
 
 Determinism contract (what makes the DuckDB oracle possible):
 
-- clustering: operators/clustering.kmeans_assignments — lowest-id init,
-  expanded-dot-product distances, 6dp centroid rounding per round, fixed
-  iteration count (its module docstring is the full contract);
-- pair gate: each row's L2 norm is computed ONCE and carried as a
-  column, so the per-pair cosine dot(a,b)/(nrm_a·nrm_b) costs a single
-  sequential-fold dot product — one fold per pair instead of three, the
-  identical arithmetic (same formula shape both engines); the result is
-  ROUNDED to 6dp before the threshold comparison, so a 1-ulp engine
-  difference cannot flip membership;
+- normalization: each component divided by the row's norm, double
+  arithmetic, identical expression shape in both engines;
+- clustering: operators/clustering.kmeans_assignments over the unit
+  vectors — lowest-id init, expanded-dot-product distances, 6dp centroid
+  rounding per round, fixed iteration count (its module docstring is the
+  full contract);
+- pair gate: the cosine of unit vectors is a single sequential-fold dot
+  product, ROUNDED to 6dp before the threshold comparison so a 1-ulp
+  engine difference cannot flip membership;
 - keep policy: within a duplicate pair the LOWER id survives — a vector is
   "removed" iff some lower-id same-cluster vector sits within the
   threshold (the same min-id convention as operators/dedup.exact_dedup).
@@ -34,7 +45,9 @@ LAION-scale data) so the EXPECTED cluster size, and therefore the per-key
 join fan-out of the within-cluster self-join, stays constant as the corpus
 grows. The self-join shuffles (pid, cid, v) once on cid; AQE skew-join
 splitting handles an oversized cluster. Nothing here is corpus-wide
-all-pairs, and nothing collects to the driver.
+all-pairs, and nothing collects to the driver. (Catalyst inlines the
+norm fold into the normalize lambda — an O(dims²) expression per row —
+but that is one narrow scan term, dwarfed by the pair join it feeds.)
 """
 
 from __future__ import annotations
@@ -51,6 +64,31 @@ from rippledb_spark.operators.clustering import (
 COS_DP = 6
 
 
+def unit_vectors(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """→ DataFrame(pid, v): L2-normalized double vectors; zero-norm rows
+    (no direction → cosine undefined) are dropped."""
+    return (
+        df.select(F.col(id_col).alias("pid"), as_double_array(vec_col).alias("__r"))
+        .select("pid", "__r", norm(F.col("__r")).alias("__n"))
+        .where(F.col("__n") > 0)
+        .select(
+            "pid",
+            F.transform(F.col("__r"), lambda x: x / F.col("__n")).alias("v"),
+        )
+    )
+
+
+def unit_vectors_sql(table: str, vec_col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`unit_vectors` as an inline FROM subquery."""
+    dv = f"CAST({vec_col} AS DOUBLE[])"
+    return (
+        f"(SELECT {id_col},"
+        f" list_transform({dv}, x -> x / sqrt(list_dot_product({dv}, {dv})))"
+        f" AS {vec_col} FROM {table}"
+        f" WHERE sqrt(list_dot_product({dv}, {dv})) > 0)"
+    )
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -59,33 +97,28 @@ def semantic_dedup_pairs(
     iterations: int = 2,
     threshold: float = 0.35,
     assigned: DataFrame | None = None,
+    pts: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame(cid, id_a, id_b, cos_sim): within-cluster near-duplicate
     pairs (id_a < id_b, 6dp-rounded cosine ≥ threshold).
 
-    ``assigned`` lets a caller reuse one clustering pass (typically a
-    cached ``kmeans_assignments`` result) across the pairs and flags
-    views instead of re-training per view.
+    ``assigned`` / ``pts`` let a caller reuse one clustering pass and one
+    normalization pass (typically cached/checkpointed) across the pairs
+    and flags views. Supplying ``pts`` matters for wall time: the
+    normalize lambda is an interpreted higher-order expression (no
+    whole-stage codegen), so every re-evaluation of :func:`unit_vectors`
+    re-pays an O(dims²)-per-row interpreted scan.
     """
-    pts = df.select(
-        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
-    ).select("pid", "v", norm(F.col("v")).alias("nrm"))
+    if pts is None:
+        pts = unit_vectors(df, vec_col, id_col)
     if assigned is None:
-        assigned = kmeans_assignments(
-            df, vec_col, id_col, k=k, iterations=iterations
-        )
+        assigned = kmeans_assignments(pts, "v", "pid", k=k, iterations=iterations)
     tagged = assigned.select("pid", "cid").join(pts, "pid")
     a = tagged.select(
-        F.col("cid"),
-        F.col("pid").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
+        F.col("cid"), F.col("pid").alias("id_a"), F.col("v").alias("va")
     )
     b = tagged.select(
-        F.col("cid"),
-        F.col("pid").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
+        F.col("cid"), F.col("pid").alias("id_b"), F.col("v").alias("vb")
     )
     return (
         a.join(b, "cid")
@@ -94,10 +127,7 @@ def semantic_dedup_pairs(
             "cid",
             "id_a",
             "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
-                COS_DP,
-            ).alias("cos_sim"),
+            F.round(dot(F.col("va"), F.col("vb")), COS_DP).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
     )
@@ -112,14 +142,16 @@ def semantic_dedup_flags(
     threshold: float = 0.35,
     assigned: DataFrame | None = None,
     pairs: DataFrame | None = None,
+    pts: DataFrame | None = None,
 ) -> DataFrame:
-    """→ DataFrame(pid, cid, is_dup): every input vector with its cluster
-    and whether the keep-lowest-id policy removes it. ``assigned`` /
-    ``pairs`` reuse an already-built clustering / pair view."""
+    """→ DataFrame(pid, cid, is_dup): every nonzero input vector with its
+    cluster and whether the keep-lowest-id policy removes it.
+    ``assigned`` / ``pairs`` / ``pts`` reuse already-built clustering /
+    pair / unit-vector views."""
+    if pts is None:
+        pts = unit_vectors(df, vec_col, id_col)
     if assigned is None:
-        assigned = kmeans_assignments(
-            df, vec_col, id_col, k=k, iterations=iterations
-        )
+        assigned = kmeans_assignments(pts, "v", "pid", k=k, iterations=iterations)
     if pairs is None:
         pairs = semantic_dedup_pairs(
             df,
@@ -129,6 +161,7 @@ def semantic_dedup_flags(
             iterations=iterations,
             threshold=threshold,
             assigned=assigned,
+            pts=pts,
         )
     removed = (
         pairs.select(F.col("id_b").alias("pid"))
@@ -152,23 +185,26 @@ def semantic_dedup_sql(
     threshold: float = 0.35,
 ) -> str:
     """DuckDB CTE chain twin; yields relations ``sd_pairs`` (cid, id_a,
-    id_b, cos_sim) and ``sd_flags`` (pid, cid, is_dup)."""
+    id_b, cos_sim) and ``sd_flags`` (pid, cid, is_dup). The k-means CTEs
+    consume the normalized inline subquery, so km_pts IS the unit-vector
+    frame and the pair cosine is a plain dot product."""
     km = kmeans_assignments_sql(
-        table, vec_col, id_col, dims=dims, k=k, iterations=iterations
+        unit_vectors_sql(table, vec_col, id_col),
+        vec_col,
+        id_col,
+        dims=dims,
+        k=k,
+        iterations=iterations,
     )
-    cos = "(list_dot_product(va.v, vb.v) / (va.nrm * vb.nrm))"
     return f"""{km},
-    sd_nrm AS (
-      SELECT pid, v, sqrt(list_dot_product(v, v)) AS nrm FROM km_pts
-    ),
     sd_pairs AS (
       SELECT cid, id_a, id_b, cos_sim FROM (
         SELECT a.cid, a.pid AS id_a, b.pid AS id_b,
-               ROUND({cos}, {COS_DP}) AS cos_sim
+               ROUND(list_dot_product(va.v, vb.v), {COS_DP}) AS cos_sim
         FROM km_final a
         JOIN km_final b ON a.cid = b.cid AND a.pid < b.pid
-        JOIN sd_nrm va ON va.pid = a.pid
-        JOIN sd_nrm vb ON vb.pid = b.pid
+        JOIN km_pts va ON va.pid = a.pid
+        JOIN km_pts vb ON vb.pid = b.pid
       ) WHERE cos_sim >= {threshold}
     ),
     sd_flags AS (

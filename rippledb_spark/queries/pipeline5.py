@@ -109,23 +109,35 @@ _SD_CTE = SD.semantic_dedup_sql(
 )
 def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/semdedup.py, Abbas et al.
-    2023): k-means-cluster the embeddings (the deterministic Lloyd trainer),
-    gate within-cluster pairs on 6dp-rounded cosine ≥ 0.35, remove the
-    higher id of each pair. Reports per cluster: membership, qualifying
-    pair count, removed-vector count, and the tightest pair's cosine. The
-    oracle replays clustering, pair gate, and keep policy in DuckDB, so a
-    green row certifies the full composition."""
+    2023): L2-normalize, k-means-cluster the UNIT vectors (spherical
+    blocking — cosine-identical vectors co-cluster regardless of
+    magnitude), gate within-cluster pairs on 6dp-rounded cosine ≥ 0.35,
+    remove the higher id of each pair. Reports per cluster: membership,
+    qualifying pair count, removed-vector count, and the tightest pair's
+    cosine. The oracle replays normalization, clustering, pair gate, and
+    keep policy in DuckDB, so a green row certifies the full
+    composition."""
     e = load(spark, sf_dir, "embeddings")
-    # one clustering pass shared by both views (k×dims centroid state is
-    # tiny; caching the assignment avoids re-running Lloyd per view)
-    assigned = KM.kmeans_assignments(
-        e, "embedding", "vec_id", k=16
-    ).localCheckpoint(eager=False)
+    # normalization, clustering, and pairs each run ONCE behind a lazy
+    # checkpoint and are shared by both views: the normalize lambda is
+    # interpreted (no codegen for higher-order exprs), the Lloyd pass
+    # scans the points three times, and the pair set feeds two aggregates
+    # repartition before the checkpoint: the embeddings table scans as a
+    # couple of file-splits, which would serialize the interpreted fold
+    # expressions (normalize + Lloyd distances) onto two cores
+    unit = (
+        SD.unit_vectors(e, "embedding", "vec_id")
+        .repartition(spark.sparkContext.defaultParallelism, "pid")
+        .localCheckpoint(eager=False)
+    )
+    assigned = KM.kmeans_assignments(unit, "v", "pid", k=16).localCheckpoint(
+        eager=False
+    )
     pairs = SD.semantic_dedup_pairs(
-        e, "embedding", "vec_id", assigned=assigned
+        e, "embedding", "vec_id", assigned=assigned, pts=unit
     ).localCheckpoint(eager=False)
     flags = SD.semantic_dedup_flags(
-        e, "embedding", "vec_id", assigned=assigned, pairs=pairs
+        e, "embedding", "vec_id", assigned=assigned, pairs=pairs, pts=unit
     )
     per_pair = pairs.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_dup_pairs"), F.max("cos_sim").alias("max_cos")
