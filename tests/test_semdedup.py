@@ -73,3 +73,24 @@ def test_spark_matches_duckdb_twin(spark):
         f"WITH {cte} SELECT pid, cid, is_dup FROM sd_flags ORDER BY pid"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_exact_duplicates_always_found_random_corpora(spark):
+    # structural guarantee: identical vectors normalize identically, get
+    # identical distances, and the id tie-break co-clusters them — so
+    # exact-duplicate recall is 1.0 whatever the data looks like
+    import random
+
+    for seed in (7, 41, 1913):
+        rng = random.Random(seed)
+        n, dims = 40, 6
+        base = [
+            (i, [rng.uniform(-1, 1) for _ in range(dims)]) for i in range(n)
+        ]
+        twins = [(n + j, list(base[j * 4][1])) for j in range(n // 4)]
+        pairs = SD.semantic_dedup_pairs(
+            _df(spark, base + twins), "vec", "vid", k=5, threshold=0.999999
+        )
+        found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        planted = {(j * 4, n + j) for j in range(n // 4)}
+        assert planted <= found, (seed, planted - found)
