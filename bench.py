@@ -115,6 +115,8 @@ HEADLINE = [
     "dedup_semantic_embedding",
     # fractional-epoch mixture upsampling (projection + explode family)
     "mixture_epochs_applied",
+    # WARC container round-trip (Common Crawl ingest/egress family)
+    "warc_roundtrip_accounting",
 ]
 
 

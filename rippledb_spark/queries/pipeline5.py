@@ -266,3 +266,74 @@ def mixture_epochs_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "warc_roundtrip_accounting",
+    oracle="""
+    WITH u AS (
+      SELECT source,
+             'http://corpus.example/' || source || '/' ||
+               CAST(doc_id AS VARCHAR) AS uri,
+             CAST(octet_length(encode(text)) AS BIGINT) AS octets
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_records,
+           CAST(SUM(octets) AS BIGINT) AS total_octets,
+           md5(string_agg(uri, '' ORDER BY uri)) AS uri_md5
+    FROM u GROUP BY source ORDER BY source
+    """,
+)
+def warc_roundtrip_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the documents corpus through WARC (sources/warc.py —
+    the ISO 28500 container Common Crawl ships): distributed write (one
+    .warc part per partition, pure-expression records) then the
+    Content-Length-framed reader, accounting per crawl source. The
+    oracle derives the same counts/octets/uri-hash from the raw table,
+    so a green row certifies serializer framing AND reader slicing end
+    to end — a payload byte lost or an octet count misdeclared in either
+    direction changes a number."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from rippledb_spark.sources.warc import read_warc, write_warc
+
+    d = load(spark, sf_dir, "documents")
+    recs = d.select(
+        F.concat(
+            F.lit("http://corpus.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        F.col("text").alias("payload"),
+    )
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(),
+        f"rippledb_warc_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(recs, out_dir)
+    back = read_warc(spark, out_dir)
+    return (
+        back.select(
+            F.regexp_extract(
+                "target_uri", r"http://corpus\.example/([^/]+)/", 1
+            ).alias("source"),
+            "target_uri",
+            "content_length",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("content_length").cast("bigint").alias("total_octets"),
+            F.md5(
+                F.concat_ws("", F.array_sort(F.collect_list("target_uri")))
+                .cast("binary")
+            ).alias("uri_md5"),
+        )
+        .orderBy("source")
+    )
