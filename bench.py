@@ -117,6 +117,8 @@ HEADLINE = [
     "mixture_epochs_applied",
     # WARC container round-trip (Common Crawl ingest/egress family)
     "warc_roundtrip_accounting",
+    # HTML -> text extraction (codegen regexp-chain family)
+    "html_text_extraction",
 ]
 
 

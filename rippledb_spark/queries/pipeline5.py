@@ -8,6 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rippledb_spark.functions import html as HTML
 from rippledb_spark.operators import clustering as KM
 from rippledb_spark.operators import mixture as MX
 from rippledb_spark.operators import quality as Q
@@ -337,3 +338,62 @@ def warc_roundtrip_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_HTML_PRE = (
+    '<html><head><title>Doc ' # noqa: Q000
+)
+# deterministic per-doc HTML synthesized identically in both engines: a
+# style block, a script whose BODY contains tags/entities/a bare '<'
+# (framing traps), the doc text as a paragraph, and an entity-bearing
+# footer. No real HTML corpus ships in testdata, so the synthesis IS the
+# fixture — the certified object is the strip chain itself.
+_HTML_MID = (
+    '</title><style>p { color: red }</style>'
+    '<script>if (1 < 2) { var x = "<b>&amp;</b>"; }</script>'
+    '</head><body><h1>'
+)
+_HTML_TAIL = '</p><br><div>footer &amp; &lt;end&gt;</div></body></html>'
+
+
+@query(
+    "html_text_extraction",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || CAST(doc_id AS VARCHAR) || '{_HTML_MID}'
+               || source || '</h1><p>' || text || '{_HTML_TAIL}' AS page
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {HTML.strip_html_sql("page")} AS txt FROM h)
+    SELECT doc_id,
+           CAST(octet_length(encode(txt)) AS BIGINT) AS n_octets,
+           md5(txt) AS text_md5
+    FROM s ORDER BY doc_id
+    """,
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py): every document is
+    wrapped in deterministic markup — script/style blocks with framing
+    traps, block tags, entities — and the codegen regexp chain strips it
+    back out. Per-doc octet counts and text hashes must match the DuckDB
+    twin running the IDENTICAL chain (Java-regex ∩ RE2), certifying tag
+    removal, single-pass entity decode, and whitespace normalization
+    byte-for-byte. One projection over the corpus, no shuffle before the
+    final sort."""
+    d = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(_HTML_TAIL),
+    )
+    txt = HTML.strip_html(page)
+    return d.select(
+        "doc_id",
+        F.octet_length(txt).cast("bigint").alias("n_octets"),
+        F.md5(txt.cast("binary")).alias("text_md5"),
+    ).orderBy("doc_id")
