@@ -397,3 +397,103 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(txt).cast("bigint").alias("n_octets"),
         F.md5(txt.cast("binary")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+_SYNTH_PAGE_SQL = (
+    "('" + _HTML_PRE + "' || CAST(doc_id AS VARCHAR) || '" + _HTML_MID
+    + "' || source || '</h1><p>' || text || '" + _HTML_TAIL + "')"
+)
+
+
+@query(
+    "crawl_to_corpus_pipeline",
+    oracle=f"""
+    WITH stripped AS (
+      SELECT doc_id, source,
+             {HTML.strip_html_sql(_SYNTH_PAGE_SQL)} AS txt
+      FROM documents
+    ),
+    {{GOPHER}}
+    SELECT s.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(octet_length(encode(s.txt))) AS BIGINT) AS total_octets,
+           md5(string_agg(s.txt, '' ORDER BY s.doc_id)) AS corpus_md5
+    FROM stripped s JOIN gopher g ON g.id = s.doc_id
+    GROUP BY s.source ORDER BY s.source
+    """.replace(
+        "{GOPHER}", Q.repetition_metrics_sql("stripped", "txt", "doc_id").strip()
+    ),
+)
+def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl tier end to end, every stage the registered operator:
+    documents wrapped in framing-trap HTML → written as WARC (ISO 28500
+    records, sources/warc.py) → read back via Content-Length framing →
+    HTML-stripped (functions/html.py) → Gopher-gated (operators/
+    quality.py) → per-source accounting with an exact corpus hash. The
+    oracle replays synthesis → strip → gate directly over the raw table,
+    so a green row additionally certifies that the WARC hop was
+    byte-lossless — any octet dropped in serialization, framing, or
+    slicing changes corpus_md5."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from rippledb_spark.sources.warc import read_warc, write_warc
+
+    d = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(_HTML_TAIL),
+    )
+    recs = d.select(
+        F.concat(
+            F.lit("http://corpus.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        page.alias("payload"),
+    )
+    out_dir = _os.path.join(
+        _tempfile.gettempdir(),
+        f"rippledb_crawl_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(recs, out_dir)
+    back = read_warc(spark, out_dir).select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract(
+            "target_uri", r"http://corpus\.example/([^/]+)/", 1
+        ).alias("source"),
+        HTML.strip_html(F.col("payload").cast("string")).alias("txt"),
+    )
+    m = Q.repetition_metrics(back, "txt", "doc_id")
+    per_doc = back.join(m.select(F.col("id").alias("doc_id"), "keep"), "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.octet_length("txt")).cast("bigint").alias("total_octets"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "txt"))),
+                        lambda s: s["txt"],
+                    ),
+                ).cast("binary")
+            ).alias("corpus_md5"),
+        )
+        .orderBy("source")
+    )
