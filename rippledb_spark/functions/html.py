@@ -41,7 +41,11 @@ _TAG_STEPS: list[tuple[str, str]] = [
     (r"(?is)<script[^>]*>.*?</script>", " "),
     (r"(?is)<style[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
-    (r"(?i)<(?:br|hr|/p|/div|/li|/tr|/h[1-6]|/title)[^>]*>", "\n"),
+    # after the tag name: end-of-tag, whitespace, or '/', so that e.g.
+    # <brand> or </party> fall through to the generic tag→space step
+    # instead of prefix-matching br / /p (no lookahead in Java∩RE2, so
+    # the boundary is spelled as the optional [\s/]-led suffix)
+    (r"(?i)<(?:br|hr|/p|/div|/li|/tr|/h[1-6]|/title)(?:[\s/][^>]*)?>", "\n"),
     (r"<[^>]*>", " "),
 ]
 

@@ -312,9 +312,12 @@ def warc_roundtrip_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
         F.col("text").alias("payload"),
     )
+    # PID in the key: two concurrent processes (bench + gate, or two
+    # checkouts) must not rmtree/overwrite each other's scratch between
+    # one run's eager write and its lazy read-back
     out_dir = _os.path.join(
         _tempfile.gettempdir(),
-        f"rippledb_warc_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"rippledb_warc_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
     )
     _shutil.rmtree(out_dir, ignore_errors=True)
     write_warc(recs, out_dir)
@@ -464,17 +467,19 @@ def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = _os.path.join(
         _tempfile.gettempdir(),
-        f"rippledb_crawl_{_os.path.basename(sf_dir.rstrip('/'))}",
+        f"rippledb_crawl_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
     )
     _shutil.rmtree(out_dir, ignore_errors=True)
     write_warc(recs, out_dir)
+    # one WARC read + Python parse + strip, shared by the metrics subtree
+    # and the per_doc join probe side (distinct subplans otherwise)
     back = read_warc(spark, out_dir).select(
         F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long").alias("doc_id"),
         F.regexp_extract(
             "target_uri", r"http://corpus\.example/([^/]+)/", 1
         ).alias("source"),
         HTML.strip_html(F.col("payload").cast("string")).alias("txt"),
-    )
+    ).localCheckpoint(eager=False)
     m = Q.repetition_metrics(back, "txt", "doc_id")
     per_doc = back.join(m.select(F.col("id").alias("doc_id"), "keep"), "doc_id")
     return (

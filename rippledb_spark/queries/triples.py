@@ -230,9 +230,12 @@ def backup_migration_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rippledb_spark.store import TripleStore
 
     st = _store(spark, sf_dir)
+    # PID in the key: concurrent processes must not rmtree each other's
+    # scratch between the eager write and the lazy read-back
     out_dir = os.path.join(
         tempfile.gettempdir(),
-        f"rippledb_backup_mig_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"rippledb_backup_mig_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     write_ripplebackup(st.df, out_dir)

@@ -58,15 +58,17 @@ def parse_warc_bytes(data: bytes) -> list[tuple]:
         start = data.find(_MARKER, pos)
         if start < 0:
             break
-        # header block ends at the first blank line
-        hdr_end = data.find(b"\r\n\r\n", start)
-        sep = b"\r\n"
-        if hdr_end < 0:
-            # tolerate bare-\n header blocks (hand-made fixtures)
-            hdr_end = data.find(b"\n\n", start)
-            sep = b"\n"
-            if hdr_end < 0:
-                break
+        # header block ends at the first blank line — WHICHEVER terminator
+        # comes first (a later CRLF record must not shadow a bare-\n
+        # record's own, earlier terminator)
+        i_crlf = data.find(b"\r\n\r\n", start)
+        i_lf = data.find(b"\n\n", start)
+        if i_crlf < 0 and i_lf < 0:
+            break
+        if i_lf < 0 or (0 <= i_crlf < i_lf):
+            hdr_end, sep = i_crlf, b"\r\n"
+        else:
+            hdr_end, sep = i_lf, b"\n"
         headers: dict[str, str] = {}
         for line in data[start : hdr_end].split(sep)[1:]:
             name, _, value = line.partition(b":")
@@ -83,7 +85,11 @@ def parse_warc_bytes(data: bytes) -> list[tuple]:
             pos = start + len(_MARKER)  # malformed: skip this record
             continue
         if body_start + clen > n:
-            break  # truncated final record
+            # truncated final record OR a corrupt overdeclared length
+            # mid-member: resync at the next marker instead of aborting
+            # the member (skip semantics — at EOF the find simply fails)
+            pos = start + len(_MARKER)
+            continue
         payload = data[body_start : body_start + clen]
         out.append(
             (

@@ -55,3 +55,20 @@ def test_strip_semantics(spark):
 
 def test_spark_matches_duckdb_byte_for_byte(spark):
     assert _spark_strip(spark, CASES) == _duck_strip(CASES)
+
+
+def test_block_tag_names_are_boundary_exact(spark):
+    cases = [
+        # 'brand'/'broken-widget' start with 'br' but are NOT line breaks;
+        # '</party>' starts with '/p' but is not a paragraph close
+        "<brand>x</brand> y",
+        "<broken-widget/>z",
+        "a<p>one</p>b</party>c",
+        "w<br>v<BR />u",
+    ]
+    got = _spark_strip(spark, cases)
+    assert got[0] == "x y"
+    assert got[1] == "z"
+    assert got[2] == "a one\nb c"
+    assert got[3] == "w\nv\nu"
+    assert got == _duck_strip(cases)

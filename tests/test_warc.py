@@ -91,3 +91,30 @@ def test_gzip_member(spark, tmp_path):
         f.write(gzip.compress(raw))
     rows = W.read_warc(spark, p).collect()
     assert len(rows) == 1 and bytes(rows[0]["payload"]) == b"zipped payload"
+
+
+def test_corrupt_length_resyncs_not_aborts():
+    # an overdeclared Content-Length mid-member must lose only that
+    # record; the scanner resyncs at the next marker
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://corrupt\r\n"
+        b"Content-Length: 999999\r\n\r\nshort\r\n\r\n"
+    )
+    data = _record("http://a", b"one") + bad + _record("http://b", b"two")
+    assert [r[2] for r in W.parse_warc_bytes(data)] == ["http://a", "http://b"]
+
+
+def test_bare_lf_record_before_crlf_record():
+    # a bare-\n header block must use ITS terminator, not a later CRLF
+    # record's: both records survive
+    bare = (
+        b"WARC/1.0\nWARC-Type: response\n"
+        b"WARC-Target-URI: http://bare\nContent-Length: 4\n\nbody\n\n"
+    )
+    data = bare + _record("http://crlf", b"tail")
+    rows = W.parse_warc_bytes(data)
+    assert [(r[2], bytes(r[6])) for r in rows] == [
+        ("http://bare", b"body"),
+        ("http://crlf", b"tail"),
+    ]

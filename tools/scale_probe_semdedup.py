@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 from rippledb_spark.operators.clustering import kmeans_assignments
-from rippledb_spark.operators.semdedup import semantic_dedup_pairs
+from rippledb_spark.operators.semdedup import semantic_dedup_pairs, unit_vectors
 from rippledb_spark.session import get_spark
 
 DIMS = 8
@@ -61,14 +61,18 @@ def main() -> None:
         pts = corpus(spark, n).persist()
         total = pts.count()
         t0 = time.perf_counter()
-        assigned = kmeans_assignments(pts, "vec", "vid", k=k, iterations=2)
+        # cluster the UNIT vectors — the shipped configuration (spherical
+        # blocking); clustering raw vectors here would certify a blocking
+        # the operator no longer uses
+        unit = unit_vectors(pts, "vec", "vid").persist()
+        assigned = kmeans_assignments(unit, "v", "pid", k=k, iterations=2)
         assigned = assigned.persist()
         sizes = assigned.groupBy("cid").count()
         cand = sizes.agg(
             F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("c")
         ).collect()[0]["c"]
         pairs = semantic_dedup_pairs(
-            pts, "vec", "vid", k=k, threshold=0.999, assigned=assigned
+            pts, "vec", "vid", k=k, threshold=0.999, assigned=assigned, pts=unit
         )
         found = {
             (r["id_a"], r["id_b"])
@@ -86,6 +90,7 @@ def main() -> None:
         assert recall >= 0.99, recall
         assert cand < all_pairs / 10, (cand, all_pairs)
         pts.unpersist(blocking=False)
+        unit.unpersist(blocking=False)
         assigned.unpersist(blocking=False)
 
 
