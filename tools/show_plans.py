@@ -44,6 +44,9 @@ DEFAULT = [
     "rdfxml_export_accounting",
     # SemDeDup composition (clustering + within-cluster cosine gate)
     "dedup_semantic_embedding",
+    # crawl tier: codegen strip chain + mixture explode
+    "html_text_extraction",
+    "mixture_epochs_applied",
     # dataset tier (receipts in docs/PLANS.md §round-6 dataset section)
     "sparql_graph_var_membership",
     "sparql_graph_cross_default_join",
