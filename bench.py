@@ -119,6 +119,8 @@ HEADLINE = [
     "warc_roundtrip_accounting",
     # HTML -> text extraction (codegen regexp-chain family)
     "html_text_extraction",
+    # URL canonicalization + crawl-frontier dedup (short-key double agg)
+    "url_dedup_accounting",
 ]
 
 

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from rippledb_spark.functions import html as HTML
+from rippledb_spark.functions import url as URL
 from rippledb_spark.operators import clustering as KM
 from rippledb_spark.operators import mixture as MX
 from rippledb_spark.operators import quality as Q
@@ -501,4 +502,94 @@ def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_md5"),
         )
         .orderBy("source")
+    )
+
+
+_RAW_URL_SQL = (
+    "('HTTPS://User:Pw@WWW.Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN '' ELSE"
+    " '/Docs/Item' || CAST(doc_id % 50 AS VARCHAR) END"
+    " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=crawler&b=2&a=1'"
+    " ELSE '?a=1&b=2' END"
+    " || '#sect' || CAST(doc_id % 5 AS VARCHAR))"
+)
+
+
+@query(
+    "url_dedup_accounting",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, {URL.url_normalize_sql("url")} AS url_norm,
+             {URL.url_host_sql("url")} AS host
+      FROM raw
+    ),
+    canon AS (
+      SELECT host, url_norm, COUNT(*) AS n_fetches,
+             MIN(doc_id) AS keep_doc_id
+      FROM norm GROUP BY host, url_norm
+    )
+    SELECT host,
+           CAST(SUM(n_fetches) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_urls,
+           CAST(SUM(n_fetches) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           MIN(url_norm) AS sample_url,
+           CAST(SUM(keep_doc_id) AS BIGINT) AS keep_id_sum
+    FROM canon GROUP BY host ORDER BY host
+    """,
+)
+def url_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (functions/url.py) — the CCNet/RefinedWeb
+    step that precedes content hashing: canonicalize (lowercase scheme +
+    host, drop userinfo/default port/fragment/tracking params, sort the
+    query string, empty path -> '/'), keep the min doc id per canonical
+    URL, and account per host. The fixture URLs are synthesized
+    identically in both engines with case noise, ':443', userinfo,
+    tracking params, and shuffled param order, so a green row certifies
+    every normalization rule byte-for-byte: a missed lowercase, an
+    unsorted param, or a kept utm_* changes n_urls/sample_url, and a
+    wrong keep-min changes keep_id_sum. One projection + two short-key
+    hash aggregations; no UDF, no pre-agg shuffle beyond the dedup key."""
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://User:Pw@WWW.Example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/Docs/Item"), (F.col("doc_id") % 50).cast("string"))
+            ),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=crawler&b=2&a=1")
+            ).otherwise(F.lit("?a=1&b=2")),
+            F.lit("#sect"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+    )
+    norm = raw.select(
+        "doc_id",
+        URL.url_normalize("url").alias("url_norm"),
+        URL.url_host("url").alias("host"),
+    )
+    canon = norm.groupBy("host", "url_norm").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.sum("n_fetches").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_urls"),
+            (F.sum("n_fetches") - F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.min("url_norm").alias("sample_url"),
+            F.sum("keep_doc_id").cast("bigint").alias("keep_id_sum"),
+        )
+        .orderBy("host")
     )
