@@ -121,6 +121,8 @@ HEADLINE = [
     "html_text_extraction",
     # URL canonicalization + crawl-frontier dedup (short-key double agg)
     "url_dedup_accounting",
+    # real pixel decode (zlib inflate + unfilter) + nearest resize
+    "image_resize_accounting",
 ]
 
 

@@ -538,6 +538,66 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_resize_accounting",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(4 + d.doc_id % 13 AS INT) AS src_width,
+             CAST(3 + d.doc_id % 7 AS INT) AS src_height,
+             i.i, j.j
+      FROM documents d,
+           generate_series(0, 7) AS i(i),
+           generate_series(0, 7) AS j(j)
+    ),
+    vals AS (
+      SELECT doc_id, src_width, src_height, i, j,
+             (31 * doc_id
+              + 7 * (((i * src_height) // 8) * src_width
+                     + (j * src_width) // 8)) % 256 AS pix
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+           TRUE AS decode_ok,
+           MIN(src_width) AS src_width,
+           MIN(src_height) AS src_height,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(SUM(pix) AS BIGINT) AS pixel_sum,
+           CAST(SUM((i * 8 + j + 1) * pix) AS BIGINT) AS pixel_wsum
+    FROM vals GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def image_resize_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode + resize (r6 — the former pixel-level stub):
+    synthesize grayscale PNGs whose pixel CONTENT is id-arithmetic
+    (synth_pattern_pixels), run the full pipeline per row inside Arrow
+    mapInPandas — chunk walk + CRC, zlib inflate, scanline unfilter,
+    nearest-neighbor resample to 8×8, PNG re-encode — and report
+    closed-form pixel digests. The oracle recomputes every RESIZED
+    pixel from id arithmetic alone (floor-map indices as integer
+    division), so a green row certifies the compressed-pixel round trip
+    end to end: a byte lost in inflate, a filter mis-reversed, or a
+    resample index off by one changes pixel_sum, and any pixel
+    REORDERING changes the position-weighted pixel_wsum."""
+    d = load(spark, sf_dir, "documents")
+    media = MM.synthesize_pattern_pngs(d, "doc_id")
+    return (
+        MM.resize_images(media, out_w=8, out_h=8)
+        .select(
+            "media_id",
+            "decode_ok",
+            "src_width",
+            "src_height",
+            "width",
+            "height",
+            "pixel_sum",
+            "pixel_wsum",
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "corpus_cleaning_pipeline",
     oracle=f"""
     WITH quality AS (

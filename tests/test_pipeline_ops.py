@@ -780,3 +780,153 @@ def test_bigram_lm_heldout_unseen_mass(spark):
     assert out[2] == 2.0
     # unseen bigram under the SEEN context a: .5/(2+.5*4) = 1/8 → 3 bits
     assert out[3] == 3.0
+
+
+# -- pixel decode + resize (r6: the former pixel-level stub) ----------------
+
+
+def test_png_pixel_roundtrip():
+    px = bytes((31 * 5 + 7 * k) % 256 for k in range(12 * 9))
+    payload = MM.encode_png(12, 9, px)
+    w, h, got = MM.decode_png_pixels(payload)
+    assert (w, h) == (12, 9)
+    assert got == px
+
+
+def _encode_png_filtered(width, height, px, filter_type):
+    """Writer twin applying a NON-zero scanline filter, to prove the
+    decoder reverses filters the module's own writer never emits."""
+    import struct as S
+    import zlib as Z
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(width)
+    for y in range(height):
+        line = px[y * width : (y + 1) * width]
+        raw.append(filter_type)
+        for x in range(width):
+            left = line[x - 1] if x else 0
+            ul = prev[x - 1] if x else 0
+            if filter_type == 1:
+                raw.append((line[x] - left) & 0xFF)
+            elif filter_type == 2:
+                raw.append((line[x] - prev[x]) & 0xFF)
+            elif filter_type == 3:
+                raw.append((line[x] - ((left + prev[x]) >> 1)) & 0xFF)
+            elif filter_type == 4:
+                raw.append((line[x] - paeth(left, prev[x], ul)) & 0xFF)
+            else:
+                raw.append(line[x])
+        prev = line
+
+    def chunk(tag, body):
+        return (
+            S.pack(">I", len(body))
+            + tag
+            + body
+            + S.pack(">I", Z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = S.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", Z.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_five_types():
+    px = bytes((k * k + 3 * k) % 256 for k in range(10 * 6))
+    for ft in (0, 1, 2, 3, 4):
+        payload = _encode_png_filtered(10, 6, px, ft)
+        w, h, got = MM.decode_png_pixels(payload)
+        assert (w, h, got) == (10, 6, px), f"filter {ft}"
+
+
+def test_png_pixel_decode_rejects_corruption():
+    import pytest as PT
+
+    payload = bytearray(MM.encode_png(6, 4, bytes(range(24))))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with PT.raises(ValueError):
+        MM.decode_png_pixels(bytes(payload))
+    # non-grayscale rejected loudly (header decode still fine)
+    rgb_ihdr = MM.encode_png(2, 2, b"\x00" * 4)
+    with PT.raises(ValueError):
+        # patch color type to 2 (truecolor) with a fixed-up CRC
+        import struct as S
+        import zlib as Z
+
+        body = bytearray(rgb_ihdr[16:29])
+        body[9] = 2
+        patched = (
+            rgb_ihdr[:16]
+            + bytes(body)
+            + S.pack(">I", Z.crc32(b"IHDR" + bytes(body)) & 0xFFFFFFFF)
+            + rgb_ihdr[33:]
+        )
+        MM.decode_png_pixels(patched)
+
+
+def test_resize_nearest_floor_map():
+    # 4x2 source, resize to 2x2: out[i][j] = src[i*2//2][j*4//2]... wait,
+    # yi = (i*2)//2 = i, xi = (j*4)//2 = 2j → picks columns 0 and 2
+    src = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    out = MM.resize_nearest(4, 2, src, 2, 2)
+    assert list(out) == [10, 30, 50, 70]
+    # identity resize is a no-op
+    assert MM.resize_nearest(4, 2, src, 4, 2) == src
+    # upscale repeats nearest pixels
+    up = MM.resize_nearest(2, 1, bytes([1, 9]), 4, 1)
+    assert list(up) == [1, 1, 9, 9]
+
+
+def test_resize_images_operator(spark):
+    df = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    media = MM.synthesize_pattern_pngs(df, "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in MM.resize_images(media, out_w=8, out_h=8).collect()
+    }
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        assert r["decode_ok"]
+        w, h = MM.synth_dims(mid)
+        assert (r["src_width"], r["src_height"]) == (w, h)
+        # closed-form expectation, same floor map as the oracle
+        px = MM.synth_pattern_pixels(mid, w, h)
+        exp = [
+            px[((i * h) // 8) * w + (j * w) // 8]
+            for i in range(8)
+            for j in range(8)
+        ]
+        assert r["pixel_sum"] == sum(exp)
+        assert r["pixel_wsum"] == sum((k + 1) * v for k, v in enumerate(exp))
+        # the re-encoded payload decodes back to the resized pixels
+        w2, h2, px2 = MM.decode_png_pixels(bytes(r["payload"]))
+        assert (w2, h2) == (8, 8)
+        assert list(px2) == exp
+
+
+def test_resize_images_corrupt_payload_survives(spark):
+    import pandas as pd
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1, 2],
+                "payload": [MM.encode_png(4, 4, bytes(16)), b"not a png"],
+                "media_type": ["image/png", "image/png"],
+            }
+        ),
+        schema=MM.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in MM.resize_images(media).collect()}
+    assert rows[1]["decode_ok"] is True
+    assert rows[2]["decode_ok"] is False and rows[2]["pixel_sum"] is None
