@@ -51,6 +51,9 @@ DEFAULT = [
     "sparql_graph_var_membership",
     "sparql_graph_cross_default_join",
     "sparql_graph_var_closure",
+    # crawl tier round-6 tail: URL canonicalization + pixel resize
+    "url_dedup_accounting",
+    "image_resize_accounting",
 ]
 
 
