@@ -735,3 +735,50 @@ def test_streaming_pii_scrub_matches_batch(spark, tmp_path):
     assert got[1] == "mail <EMAIL> and <IP>"
     assert got[2] == "call <PHONE> now"
     assert got[3] == "nothing sensitive"
+
+
+def test_streaming_url_dedup_matches_batch(spark, tmp_path):
+    """url_normalize is a stateless codegen projection, so the SAME
+    expression runs unchanged on a stream; composed with
+    dropDuplicatesWithinWatermark on the canonical key it is the
+    streaming form of crawl-frontier dedup — variants of one URL arriving
+    within the watermark collapse to a single row."""
+    import json as _json
+
+    from rippledb_spark.functions.url import url_normalize
+
+    fetches = [
+        {"ts": "2024-01-01T00:00:01", "url": "https://Example.com/a?x=1&y=2"},
+        {"ts": "2024-01-01T00:00:02", "url": "HTTPS://example.COM:443/a?y=2&x=1#f"},
+        {"ts": "2024-01-01T00:00:03", "url": "https://example.com/a?utm_s=1&x=1&y=2"},
+        {"ts": "2024-01-01T00:00:04", "url": "https://example.com/b"},
+        {"ts": "2024-01-01T00:00:05", "url": "mailto:x@example.com"},
+    ]
+    d = tmp_path / "url_stream"
+    d.mkdir()
+    (d / "p1.json").write_text("\n".join(_json.dumps(r) for r in fetches))
+    schema = "ts timestamp, url string"
+
+    def canon(df):
+        return (
+            df.select(F.col("ts"), url_normalize("url").alias("u"))
+            .where(F.col("u").isNotNull())
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["u"])
+        )
+
+    stream = spark.readStream.schema(schema).json(str(d))
+    out = _run_stream(spark, canon(stream), "t_url_dedup", mode="append")
+    urls = sorted(r["u"] for r in out.collect())
+    assert urls == [
+        "https://example.com/a?x=1&y=2",
+        "https://example.com/b",
+    ]
+    # batch twin: same projection, dedup via groupBy-min
+    batch = (
+        spark.read.schema(schema).json(str(d))
+        .select(url_normalize("url").alias("u"))
+        .where(F.col("u").isNotNull())
+        .distinct()
+    )
+    assert sorted(r["u"] for r in batch.collect()) == urls
