@@ -44,8 +44,10 @@ _TAG_STEPS: list[tuple[str, str]] = [
     # after the tag name: end-of-tag, whitespace, or '/', so that e.g.
     # <brand> or </party> fall through to the generic tag→space step
     # instead of prefix-matching br / /p (no lookahead in Java∩RE2, so
-    # the boundary is spelled as the optional [\s/]-led suffix)
-    (r"(?i)<(?:br|hr|/p|/div|/li|/tr|/h[1-6]|/title)(?:[\s/][^>]*)?>", "\n"),
+    # the boundary is spelled as the optional whitespace-led suffix).
+    # The class is spelled out rather than \s: Java's \s includes \x0B
+    # but RE2's does not, and the contract is byte-for-byte parity.
+    (r"(?i)<(?:br|hr|/p|/div|/li|/tr|/h[1-6]|/title)(?:[ \t\n\r\f\x0B/][^>]*)?>", "\n"),
     (r"<[^>]*>", " "),
 ]
 

@@ -559,12 +559,27 @@ def shortest_paths(
             if frontier.limit(1).count() == 0:
                 drained = True
                 break  # no distance improved → exact fixpoint
+        if not drained:
+            # the frontier only provably empties one round AFTER the last
+            # improvement, so a budget equal to the exact hop depth leaves
+            # a complete-but-unproven table. Spend one relaxation JOIN
+            # (no fold/checkpoint) to test it: zero improvements ⇔ the
+            # table already is the fixpoint — max_iterations == hop depth
+            # therefore succeeds, as documented.
+            cand = e.join(frontier, e.a == frontier.node).select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+            )
+            improves = cand.join(dist, "node", "left_outer").filter(
+                F.col("dist").isNull() | (F.col("cand") < F.col("dist"))
+            )
+            drained = improves.limit(1).count() == 0
     if not drained:
         # refuse loudly, like k_core: a distance table cut off mid-
         # relaxation under-reaches (and over-estimates) silently, and
-        # the caller cannot tell it from the converged one. Rounds are
-        # bounded by the shortest-path tree's hop depth — raise
-        # max_iterations for deep graphs.
+        # the caller cannot tell it from the converged one. Relaxation
+        # rounds are bounded by the shortest-path tree's hop depth —
+        # raise max_iterations for deep graphs.
         raise QueryError(
             f"shortest_paths did not reach its fixpoint within"
             f" {max_iterations} rounds"

@@ -117,13 +117,25 @@ class QuadStore:
 
     # -- persistence --------------------------------------------------------
 
-    def persist_to(self, path: str, mode: str = "overwrite") -> None:
-        """Parquet snapshot partitioned by predicate — the same vertical
-        partitioning as TripleStore (bound-p pruning); ``g`` stays a data
-        column so graph counts never dictate directory fan-out (a store
-        with millions of graphs would explode a partitionBy("g") layout,
-        while predicates stay bounded)."""
-        self.df.write.mode(mode).partitionBy("p").parquet(path)
+    def persist_to(
+        self,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: tuple[str, ...] = ("p",),
+    ) -> None:
+        """Parquet snapshot, partitioned by predicate by default — the
+        same vertical partitioning as TripleStore (bound-p pruning);
+        ``g`` stays a data column so graph counts never dictate directory
+        fan-out (a store with millions of graphs would explode a
+        partitionBy("g") layout, while predicates stay bounded).
+
+        For stores with FEW named graphs, pass ``partition_by=("g",)``
+        (or ``("g", "p")``): GRAPH <iri> scopes are plain g-equality
+        predicates, so the parquet reader prunes whole graph directories
+        — the plan shows ``PartitionFilters: [(g = <iri>)]`` and
+        non-matching graphs are never opened (receipt in docs/PLANS.md,
+        pinned by tests/test_quadstore.py)."""
+        self.df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
     def write_nquads(self, path: str, mode: str = "overwrite") -> None:
         from rippledb_spark.sources.nquads import write_nquads

@@ -15,7 +15,7 @@ from rippledb_spark.operators import mixture as MX
 from rippledb_spark.operators import quality as Q
 from rippledb_spark.operators import semdedup as SD
 from rippledb_spark.registry import query
-from rippledb_spark.tables import load
+from rippledb_spark.tables import load, scratch_dir
 
 _GOPHER_CTE = Q.repetition_metrics_sql("documents", "text", "doc_id")
 
@@ -296,10 +296,6 @@ def warc_roundtrip_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a green row certifies serializer framing AND reader slicing end
     to end — a payload byte lost or an octet count misdeclared in either
     direction changes a number."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from rippledb_spark.sources.warc import read_warc, write_warc
 
     d = load(spark, sf_dir, "documents")
@@ -313,14 +309,9 @@ def warc_roundtrip_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
         F.col("text").alias("payload"),
     )
-    # PID in the key: two concurrent processes (bench + gate, or two
-    # checkouts) must not rmtree/overwrite each other's scratch between
-    # one run's eager write and its lazy read-back
-    out_dir = _os.path.join(
-        _tempfile.gettempdir(),
-        f"rippledb_warc_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
-    )
-    _shutil.rmtree(out_dir, ignore_errors=True)
+    # scratch_dir handles PID isolation AND atexit removal (the lazy
+    # read-back forbids removing it here)
+    out_dir = scratch_dir("rippledb_warc", sf_dir)
     write_warc(recs, out_dir)
     back = read_warc(spark, out_dir)
     return (
@@ -440,10 +431,6 @@ def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a green row additionally certifies that the WARC hop was
     byte-lossless — any octet dropped in serialization, framing, or
     slicing changes corpus_md5."""
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
-
     from rippledb_spark.sources.warc import read_warc, write_warc
 
     d = load(spark, sf_dir, "documents")
@@ -466,11 +453,7 @@ def crawl_to_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
         page.alias("payload"),
     )
-    out_dir = _os.path.join(
-        _tempfile.gettempdir(),
-        f"rippledb_crawl_{_os.path.basename(sf_dir.rstrip('/'))}_{_os.getpid()}",
-    )
-    _shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = scratch_dir("rippledb_crawl", sf_dir)
     write_warc(recs, out_dir)
     # one WARC read + Python parse + strip, shared by the metrics subtree
     # and the per_doc join probe side (distinct subplans otherwise)

@@ -224,20 +224,14 @@ def backup_migration_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode) AND the migration reader (per-tree distributed decode + id
     resolution joins) end to end: any bit mis-walked in either direction
     changes a count."""
-    import tempfile
-
     from rippledb_spark.sources.ripplebackup import write_ripplebackup
     from rippledb_spark.store import TripleStore
+    from rippledb_spark.tables import scratch_dir
 
     st = _store(spark, sf_dir)
-    # PID in the key: concurrent processes must not rmtree each other's
-    # scratch between the eager write and the lazy read-back
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"rippledb_backup_mig_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{os.getpid()}",
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # scratch_dir handles PID isolation AND atexit removal (the lazy
+    # read-back forbids removing it here)
+    out_dir = scratch_dir("rippledb_backup_mig", sf_dir)
     write_ripplebackup(st.df, out_dir)
     migrated = TripleStore.from_ripplebackup(spark, out_dir)
     return (

@@ -477,21 +477,31 @@ def write_ripplebackup(df: DataFrame, path: str) -> None:
     written = pairs.groupBy("pid").applyInPandas(_build_tree, schema="pid long, n long")
     written.collect()  # drive the write; one row per predicate back
 
-    # head.json: the one inherently-single-file piece of the format
-    dict_rows = with_ids.orderBy("id").collect()
-    head = {
-        "dictMax": int(dict_rows[-1]["id"]) if dict_rows else 0,
-        "dictTombstones": [],
-        "dict": [
-            [_node_to_json(r["value"], r["kind"], r["lang"], r["datatype"]), int(r["id"])]
-            for r in dict_rows
-        ],
-        "predTombstones": [],
-        "predicates": [
-            [_node_to_json(p, model.NAMED, None, None), i] for p, i in pred_ids.items()
-        ],
-        "persistLocation": path,
-    }
+    # head.json: the one inherently-single-file piece of the format.
+    # The dict is STREAMED to disk via toLocalIterator — the driver holds
+    # one partition of rows at a time, never the whole dictionary — so a
+    # billion-node store is bounded by a partition, not the corpus (ids
+    # are dense from 0, so dictMax is just the node count minus one).
+    n_nodes = with_ids.count()
     with open(os.path.join(path, "head.json"), "w") as f:
-        json.dump(head, f)
+        f.write(
+            '{"dictMax": %d, "dictTombstones": [], "dict": ['
+            % (n_nodes - 1 if n_nodes else 0)
+        )
+        for i, r in enumerate(with_ids.orderBy("id").toLocalIterator()):
+            entry = json.dumps(
+                [
+                    _node_to_json(r["value"], r["kind"], r["lang"], r["datatype"]),
+                    int(r["id"]),
+                ]
+            )
+            f.write(entry if i == 0 else "," + entry)
+        f.write('], "predTombstones": [], "predicates": ')
+        json.dump(
+            [[_node_to_json(p, model.NAMED, None, None), i] for p, i in pred_ids.items()],
+            f,
+        )
+        f.write(', "persistLocation": ')
+        json.dump(path, f)
+        f.write("}")
     with_ids.unpersist(blocking=False)

@@ -18,8 +18,12 @@ The READER is Content-Length-driven (the spec's framing): the payload is
 sliced by its declared byte count, so payloads may contain anything —
 including the literal text ``WARC/1.0`` — without confusing the scanner.
 Records with a missing/invalid Content-Length or a truncated payload are
-skipped (skip semantics, like the N-Triples reader); inter-record
-whitespace is tolerated. ``.gz`` members decompress in-task via stdlib
+skipped (skip semantics, like the N-Triples reader); the scanner resyncs
+just past the bad record's header block. Documented residual: a
+malformed record's payload extent is unknown, so record-looking text
+embedded in THAT payload can surface as phantom records — well-framed
+records are immune (their payloads are length-sliced, never rescanned).
+Inter-record whitespace is tolerated. ``.gz`` members decompress in-task via stdlib
 gzip (Common Crawl ships ``.warc.gz``).
 
 Spark shape: one task per WARC file (binaryFile + mapInPandas — the
@@ -82,13 +86,24 @@ def parse_warc_bytes(data: bytes) -> list[tuple]:
             if clen < 0:
                 raise ValueError
         except (KeyError, ValueError):
-            pos = start + len(_MARKER)  # malformed: skip this record
+            # malformed: resync AFTER the declared header block, not at
+            # start+8 — never re-match marker-looking text inside the bad
+            # record's own header bytes. DOCUMENTED RESIDUAL of skip-mode
+            # resync: the bad record's payload extent is unknown, so
+            # content-controlled payload text that spells a complete
+            # record ("WARC/1.0\r\nContent-Length: N\r\n\r\n...") can
+            # surface as a phantom record; only well-framed records are
+            # immune (their payloads are sliced, never rescanned).
+            pos = body_start
             continue
         if body_start + clen > n:
             # truncated final record OR a corrupt overdeclared length
-            # mid-member: resync at the next marker instead of aborting
-            # the member (skip semantics — at EOF the find simply fails)
-            pos = start + len(_MARKER)
+            # mid-member: resync past the header block (skip semantics —
+            # at EOF the find simply fails). Same documented residual as
+            # above: the tail claimed by the overdeclared frame is
+            # rescanned, so payload-embedded record text there can
+            # surface.
+            pos = body_start
             continue
         payload = data[body_start : body_start + clen]
         out.append(

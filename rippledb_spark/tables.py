@@ -7,6 +7,11 @@ scale the same call reads a partitioned directory tree unchanged.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -58,6 +63,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
     return df
+
+
+_SCRATCH_DIRS: set[str] = set()
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in list(_SCRATCH_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Process-scoped scratch directory under /tmp for round-trip queries
+    (WARC, crawl, backup migration) that write eagerly and read back
+    lazily.
+
+    The PID is in the key so concurrent processes (bench + gate, two
+    checkouts) never rmtree each other's scratch between one run's write
+    and its lazy read-back. That same laziness means the dir cannot be
+    removed at the end of the query function — so every dir is registered
+    here and removed at interpreter exit (atexit), closing the leak of
+    one corpus-sized directory per process."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH_DIRS.add(d)
+    return d
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

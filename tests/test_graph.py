@@ -336,3 +336,20 @@ def test_shortest_paths_refuses_partial_result(spark):
         for r in shortest_paths(edges, ["a"], max_iterations=6).collect()
     }
     assert got["e"] == 4.0
+
+
+def test_shortest_paths_budget_equal_to_hop_depth(spark):
+    """The frontier only provably empties one round AFTER the last
+    improvement — a budget equal to the exact hop depth must still
+    succeed via the post-budget relaxation check (r6 ADVICE)."""
+    from rippledb_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0), ("d", "e", 1.0)],
+        ["src", "dst", "w"],
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(edges, ["a"], max_iterations=4).collect()
+    }
+    assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0, "e": 4.0}

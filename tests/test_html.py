@@ -72,3 +72,15 @@ def test_block_tag_names_are_boundary_exact(spark):
     assert got[2] == "a one\nb c"
     assert got[3] == "w\nv\nu"
     assert got == _duck_strip(cases)
+
+
+def test_block_tag_vertical_tab_parity(spark):
+    # \x0B after the tag name: Java's \s includes it but RE2's does not,
+    # so the boundary class is spelled out explicitly — byte-for-byte
+    # parity must hold even for '</p\x0B...>' (r6 ADVICE)
+    cases = ["a</p\x0bclass='x'>b", "q<br\x0b/>r", "plain \x0b text"]
+    got = _spark_strip(spark, cases)
+    assert got[0] == "a\nb"
+    assert got[1] == "q\nr"
+    assert got[2] == "plain text"
+    assert got == _duck_strip(cases)

@@ -930,3 +930,23 @@ def test_resize_images_corrupt_payload_survives(spark):
     rows = {r["media_id"]: r for r in MM.resize_images(media).collect()}
     assert rows[1]["decode_ok"] is True
     assert rows[2]["decode_ok"] is False and rows[2]["pixel_sum"] is None
+
+
+def test_scratch_dir_registers_atexit_cleanup(tmp_path, monkeypatch):
+    """Round-trip scratch dirs (WARC/crawl/backup) can't be removed before
+    their lazy read-back is consumed, so they register for atexit removal
+    instead of leaking one corpus-sized dir per process (r6 ADVICE)."""
+    import os
+
+    from rippledb_spark import tables
+
+    monkeypatch.setattr(tables.tempfile, "gettempdir", lambda: str(tmp_path))
+    d = tables.scratch_dir("rippledb_test_scratch", "/data/sf0.01")
+    assert str(tmp_path) in d and str(os.getpid()) in d
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0"), "w") as f:
+        f.write("payload")
+    assert d in tables._SCRATCH_DIRS
+    tables._cleanup_scratch()  # what atexit runs
+    assert not os.path.exists(d)
+    tables._SCRATCH_DIRS.discard(d)

@@ -625,3 +625,31 @@ def test_select_dataset_restores_query_on_lowering_error(qs):
     outer.optionals = []
     got = rows(qs.select_dataset(outer), "n", "r")
     assert ("n1", "r1") in got
+
+
+def test_graph_scope_prunes_graph_partitions(spark, qs, tmp_path_factory):
+    """plans/graphs.py promises GRAPH <iri> is partition-prunable when the
+    store is persisted partitioned by g — prove it: the scan's
+    PartitionFilters carries the g-equality, so non-matching graph
+    directories are never opened (receipt in docs/PLANS.md)."""
+    path = str(tmp_path_factory.mktemp("quads") / "by_g")
+    qs.persist_to(path, partition_by=("g",))
+    restored = QuadStore.from_backup(spark, path)
+    df = restored.graph("g:cust").df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flat = plan.replace("#", "").replace("\n", " ")
+    assert "PartitionFilters" in flat and "g:cust" in flat
+    # the filter is a PARTITION filter, not a post-scan data filter
+    assert "(g" in flat.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert df.count() == 4
+    # default persistence stays p-partitioned (bounded fan-out)
+    path_p = str(tmp_path_factory.mktemp("quads") / "by_p")
+    qs.persist_to(path_p)
+    plan_p = (
+        QuadStore.from_backup(spark, path_p)
+        .df.filter("p = 'in_nation'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan_p and "in_nation" in plan_p

@@ -207,3 +207,31 @@ def test_empty_store_roundtrip(spark, tmp_path):
     path = str(tmp_path / "empty_backup")
     empty.to_ripplebackup(path)
     assert TripleStore.from_ripplebackup(spark, path).df.count() == 0
+
+
+def test_head_json_streamed_write_is_valid_json(spark, tmp_path):
+    """head.json is streamed row-by-row (toLocalIterator) rather than
+    collected — the emitted bytes must still be one valid JSON document
+    with a dense, id-ordered dict and correct dictMax (r6 verdict #7)."""
+    import json as _json
+
+    from rippledb_spark.sources.ripplebackup import write_ripplebackup
+    from rippledb_spark.store import TripleStore
+
+    st = TripleStore.from_rows(
+        spark,
+        [
+            ("s1", "p1", "o1"),
+            ("s2", "p1", "o2"),
+            ("s1", "p2", "o2"),
+        ],
+    )
+    out = str(tmp_path / "bk")
+    write_ripplebackup(st.df, out)
+    head = _json.load(open(f"{out}/head.json"))
+    ids = [i for _, i in head["dict"]]
+    assert ids == sorted(ids) == list(range(len(ids)))
+    assert head["dictMax"] == len(ids) - 1
+    assert head["persistLocation"] == out
+    assert head["dictTombstones"] == [] and head["predTombstones"] == []
+    assert len(head["predicates"]) == 2

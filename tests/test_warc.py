@@ -118,3 +118,31 @@ def test_bare_lf_record_before_crlf_record():
         ("http://bare", b"body"),
         ("http://crlf", b"tail"),
     ]
+
+
+def test_malformed_resync_skips_header_block():
+    # a marker-looking header VALUE inside a malformed record is never
+    # re-scanned: resync starts after the declared header block (r6
+    # ADVICE), and the next real record is still recovered
+    bad = (
+        b"WARC/1.0\r\n"
+        b"X-Echo: WARC/1.0\r\n"
+        b"WARC-Target-URI: http://bad\r\n\r\npayload without framing "
+    )
+    data = bad + _record("http://good", b"ok")
+    assert [r[2] for r in W.parse_warc_bytes(data)] == ["http://good"]
+
+
+def test_malformed_payload_phantom_is_documented_residual():
+    # once framing is lost (no Content-Length), a complete record spelled
+    # inside the bad record's payload DOES surface — the documented
+    # residual of skip-mode resync — and scanning still recovers the next
+    # real record afterwards; well-framed payloads remain immune (see
+    # test_parse_content_length_framing)
+    embedded = _record("http://phantom", b"xyz")
+    bad = (
+        b"WARC/1.0\r\nWARC-Target-URI: http://bad\r\n\r\n" + embedded + b"tail "
+    )
+    data = bad + _record("http://good", b"ok")
+    uris = [r[2] for r in W.parse_warc_bytes(data)]
+    assert uris == ["http://phantom", "http://good"]
