@@ -245,6 +245,51 @@ def backup_migration_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "jsonld_export_accounting",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()}
+    SELECT p, COUNT(*) AS n_triples,
+           COUNT(DISTINCT s)       AS n_subjects,
+           COUNT(DISTINCT o_value) AS n_objects,
+           CAST(SUM(CASE WHEN o_kind IN ('named', 'blank') THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_literals
+    FROM triples GROUP BY p ORDER BY p
+    """,
+)
+def jsonld_export_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips the WHOLE derived graph through flat JSON-LD
+    (sources/jsonld.py — the web's most-used RDF serialization; the
+    reference is RDF/XML-only, src/rdf/parser.rs:88-122) and accounts per
+    predicate. Write is executor-parallel (one {{"@graph": [...]}}
+    document per Arrow batch), read is one task per part file. The oracle
+    derives the same stats from the raw tables, so a green row certifies
+    serializer grouping, @type/@value/@language spelling, AND the reader's
+    expansion end to end — a node kind mis-tagged or a literal dropped in
+    either direction changes a count."""
+    from rippledb_spark.sources.jsonld import read_jsonld, write_jsonld
+    from rippledb_spark.tables import scratch_dir
+
+    st = _store(spark, sf_dir)
+    out_dir = scratch_dir("rippledb_jsonld", sf_dir)
+    write_jsonld(st.df, out_dir)
+    back = read_jsonld(spark, out_dir)
+    return (
+        back.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.count_distinct("s").alias("n_subjects"),
+            F.count_distinct("o_value").alias("n_objects"),
+            F.sum(
+                F.when(F.col("o_kind").isin("named", "blank"), 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("n_literals"),
+        )
+        .orderBy("p")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Access paths (Q5 _po, Q7 sp_, Q10 s__, Q11 ___ shapes)
 # ---------------------------------------------------------------------------

@@ -113,6 +113,16 @@ class TripleStore:
         return cls.from_df(spark, read_rdfjson(spark, path))
 
     @classmethod
+    def from_jsonld(cls, spark: SparkSession, path: str) -> "TripleStore":
+        """Bulk load flat JSON-LD 1.0 file/dir/glob (engine-tier format —
+        the web's most-used RDF serialization; the reference reads RDF/XML
+        only). Distributed per file; each file may be one document or
+        JSON-lines. Local simple @context only — see sources/jsonld.py."""
+        from rippledb_spark.sources.jsonld import read_jsonld
+
+        return cls.from_df(spark, read_jsonld(spark, path))
+
+    @classmethod
     def from_backup(cls, spark: SparkSession, path: str) -> "TripleStore":
         """Restore a persisted store (S5)."""
         return cls(spark, spark.read.parquet(path).select(*model.TRIPLE_KEY))
@@ -566,6 +576,14 @@ class TripleStore:
         from rippledb_spark.sources.rdfjson import write_rdfjson
 
         write_rdfjson(self.df, path, mode=mode)
+
+    def to_jsonld(self, path: str, mode: str = "overwrite") -> None:
+        """Distributed flat JSON-LD export — executor-parallel; every line
+        of every part file is a complete {"@graph": [...]} document (graph
+        union on concatenation), readable back via :meth:`from_jsonld`."""
+        from rippledb_spark.sources.jsonld import write_jsonld
+
+        write_jsonld(self.df, path, mode=mode)
 
     def to_rdfxml_dir(self, path: str, mode: str = "overwrite") -> None:
         """Distributed RDF/XML export — executor-parallel like

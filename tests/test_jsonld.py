@@ -1,0 +1,179 @@
+"""Flat JSON-LD 1.0 subset in/out (sources/jsonld.py)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rippledb_spark import model
+from rippledb_spark.errors import RdfParseError
+from rippledb_spark.sources.jsonld import (
+    RDF_TYPE,
+    XSD,
+    parse_jsonld,
+    serialize_jsonld_rows,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure parser
+# ---------------------------------------------------------------------------
+
+
+def test_parse_all_value_forms():
+    doc = {
+        "@graph": [
+            {
+                "@id": "ex:a",
+                "@type": "ex:Person",
+                "ex:name": "Alice",
+                "ex:label": {"@value": "Alicia", "@language": "es"},
+                "ex:age": {"@value": "30", "@type": "ex:years"},
+                "ex:knows": [{"@id": "ex:b"}, {"@id": "_:n1"}],
+            }
+        ]
+    }
+    rows = sorted(parse_jsonld(json.dumps(doc)))
+    assert ("ex:a", "named", RDF_TYPE, "ex:Person", "named", None, None) in rows
+    assert ("ex:a", "named", "ex:name", "Alice", "literal", None, None) in rows
+    assert ("ex:a", "named", "ex:label", "Alicia", "lang_literal", "es", None) in rows
+    assert ("ex:a", "named", "ex:age", "30", "typed_literal", None, "ex:years") in rows
+    assert ("ex:a", "named", "ex:knows", "ex:b", "named", None, None) in rows
+    assert ("ex:a", "named", "ex:knows", "_:n1", "blank", None, None) in rows
+    assert len(rows) == 6
+
+
+def test_parse_native_json_types():
+    doc = {"@id": "ex:a", "ex:n": 42, "ex:f": 1.5, "ex:b": True}
+    rows = {r[2]: r for r in parse_jsonld(json.dumps(doc))}
+    assert rows["ex:n"][3:] == ("42", "typed_literal", None, XSD + "integer")
+    assert rows["ex:f"][3:] == ("1.5", "typed_literal", None, XSD + "double")
+    assert rows["ex:b"][3:] == ("true", "typed_literal", None, XSD + "boolean")
+
+
+def test_parse_root_forms_and_json_lines():
+    node = {"@id": "ex:a", "ex:p": "v"}
+    assert parse_jsonld(json.dumps(node)) == parse_jsonld(json.dumps([node]))
+    assert parse_jsonld(json.dumps({"@graph": [node]})) == parse_jsonld(
+        json.dumps(node)
+    )
+    two_lines = json.dumps(node) + "\n" + json.dumps({"@id": "ex:b", "ex:p": "w"})
+    assert len(parse_jsonld(two_lines)) == 2
+    assert parse_jsonld("") == []
+
+
+def test_context_vocab_term_and_prefix_expansion():
+    doc = {
+        "@context": {
+            "@vocab": "http://schema.org/",
+            "ex": "http://example.org/",
+            "homepage": "http://xmlns.com/foaf/0.1/homepage",
+        },
+        "@id": "ex:item",  # compact IRI: prefix-expands (but @vocab never
+        "@type": "Product",  # applies to @id values, only to keys/@type)
+        "name": "Widget",
+        "homepage": {"@id": "ex:home"},
+        "ex:sku": "W-1",
+    }
+    rows = {(r[2], r[3]) for r in parse_jsonld(json.dumps(doc))}
+    assert (RDF_TYPE, "http://schema.org/Product") in rows
+    assert ("http://schema.org/name", "Widget") in rows
+    assert (
+        "http://xmlns.com/foaf/0.1/homepage",
+        "http://example.org/home",
+    ) in rows
+    assert ("http://example.org/sku", "W-1") in rows
+    subjects = {r[0] for r in parse_jsonld(json.dumps(doc))}
+    assert subjects == {"http://example.org/item"}
+
+
+def test_refusals_are_loud():
+    with pytest.raises(RdfParseError, match="remote @context"):
+        parse_jsonld('{"@context": "https://schema.org", "@id": "x", "a": "b"}')
+    with pytest.raises(RdfParseError, match="without @id"):
+        parse_jsonld('{"name": "anonymous"}')
+    with pytest.raises(RdfParseError, match="dataset-tier"):
+        parse_jsonld('{"@id": "g1", "@graph": [{"@id": "x", "p": "v"}]}')
+    with pytest.raises(RdfParseError, match="flatten"):
+        parse_jsonld('{"@id": "a", "p": {"@id": "b", "q": "nested"}}')
+    with pytest.raises(RdfParseError, match="non-string definition"):
+        parse_jsonld('{"@context": {"p": {"@container": "@set"}}, "@id": "a", "p": "v"}')
+    with pytest.raises(RdfParseError, match="not JSON-LD"):
+        parse_jsonld("not json at all {")
+    with pytest.raises(RdfParseError, match="both @language and @type"):
+        parse_jsonld(
+            '{"@id": "a", "p": {"@value": "v", "@language": "en", "@type": "t"}}'
+        )
+
+
+def test_serialize_emits_type_keyword_and_sorts():
+    rows = [
+        dict(zip(model.TRIPLE_KEY, t))
+        for t in [
+            ("ex:b", "named", "ex:p", "vb", "literal", None, None),
+            ("ex:a", "named", RDF_TYPE, "ex:T", "named", None, None),
+            ("ex:a", "named", "ex:p", "va", "literal", None, None),
+        ]
+    ]
+    doc = json.loads(serialize_jsonld_rows(rows))
+    assert [n["@id"] for n in doc["@graph"]] == ["ex:a", "ex:b"]
+    assert doc["@graph"][0]["@type"] == ["ex:T"]
+    assert doc["@graph"][0]["ex:p"] == [{"@value": "va"}]
+
+
+# ---------------------------------------------------------------------------
+# distributed round-trip
+# ---------------------------------------------------------------------------
+
+
+def test_store_roundtrip_all_node_kinds(spark, tmp_path):
+    from rippledb_spark.store import TripleStore
+
+    rows = [
+        model.triple_row("ex:a", "ex:knows", "ex:b"),
+        model.triple_row("ex:a", RDF_TYPE, "ex:Person"),
+        model.triple_row("ex:a", "ex:name", "Alice", o_kind=model.LITERAL),
+        model.triple_row(
+            "ex:a", "ex:label", "Alicia", o_kind=model.LANG_LITERAL, o_lang="es"
+        ),
+        model.triple_row(
+            "ex:a", "ex:age", "30",
+            o_kind=model.TYPED_LITERAL, o_datatype="xsd:integer",
+        ),
+        model.triple_row(
+            "_:n1", "ex:knows", "_:n2", s_kind=model.BLANK, o_kind=model.BLANK
+        ),
+        model.triple_row("ex:b", "ex:quote", 'say "hi"\nnow', o_kind=model.LITERAL),
+    ]
+    st = TripleStore(spark, spark.createDataFrame(rows, model.TRIPLES_SCHEMA))
+    path = str(tmp_path / "out.jsonld")
+    st.to_jsonld(path)
+    back = TripleStore.from_jsonld(spark, path)
+    assert sorted(map(tuple, back.df.collect())) == sorted(map(tuple, rows))
+    # every emitted line is a complete, independently-parseable document
+    import glob
+
+    for part in glob.glob(f"{path}/part-*"):
+        for line in open(part):
+            if line.strip():
+                doc = json.loads(line)
+                assert set(doc) == {"@graph"}
+
+
+def test_multipart_blank_node_labels_survive(spark, tmp_path):
+    """Blank labels are verbatim (the N-Triples convention): a subject's
+    rows landing in a different part file than references to it must
+    still reunify on read."""
+    from rippledb_spark.store import TripleStore
+
+    rows = [
+        model.triple_row("_:x", "ex:p", f"o{i}", s_kind=model.BLANK)
+        for i in range(8)
+    ] + [model.triple_row("ex:s", "ex:ref", "_:x", o_kind=model.BLANK)]
+    df = spark.createDataFrame(rows, model.TRIPLES_SCHEMA).repartition(4)
+    path = str(tmp_path / "multi.jsonld")
+    TripleStore(spark, df).to_jsonld(path)
+    back = TripleStore.from_jsonld(spark, path)
+    assert back.df.count() == 9
+    assert back.df.filter("s = '_:x' OR o_value = '_:x'").count() == 9
