@@ -10,19 +10,22 @@ needed for header/structure decode):
 - WAV: PCM writer (RIFF/WAVE/fmt/data) and a chunk-walking decoder
   (sample rate/channels/bits/sample count). Public format: RIFF spec.
 - GIF: animated GIF89a writer (per-frame graphic-control + image
-  descriptor + fixed-width LZW) and a structural frame-walk decoder
-  (per-frame dims/delay/data — no pixel decompression needed). Public
-  format spec: GIF89a (CompuServe 1990). Frame sampling over GIF
-  payloads is therefore REAL (r6).
+  descriptor + fixed-width LZW, optional 4-color pattern pixels) and a
+  structural frame-walk decoder (per-frame dims/delay/min-code-size/
+  interlace/data). Public format spec: GIF89a (CompuServe 1990). Frame
+  sampling over GIF payloads is therefore REAL (r6).
 
-PIXEL-level work is REAL for 8-bit grayscale PNG (r6): full IDAT
-pipeline — chunk walk with CRC checks, zlib inflate, scanline
-UNfiltering for all five PNG filter types (None/Sub/Up/Average/Paeth),
-then nearest-neighbor resize as a numpy index map and re-encode. Real
-video codecs are the one remaining stub — those genuinely need codec
-libraries. The Spark-side shape is production-real throughout: binary
-columns, Arrow-batched ``mapInPandas`` with explicit output schemas,
-partition-sized batches, no collect, no per-row Python UDFs.
+PIXEL-level work is REAL for 8-bit grayscale PNG (r6) AND for GIF (r7):
+PNG runs the full IDAT pipeline — chunk walk with CRC checks, zlib
+inflate, scanline UNfiltering for all five PNG filter types
+(None/Sub/Up/Average/Paeth) — and GIF runs the general variable-width
+LZW decompressor (code-table growth, 12-bit cap, KwKwK case, four-pass
+deinterlace); both feed the same nearest-neighbor numpy resize. Real
+video codecs (H.264/VP9 etc.) are the one remaining stub — those
+genuinely need codec libraries. The Spark-side shape is production-real
+throughout: binary columns, Arrow-batched ``mapInPandas`` with explicit
+output schemas, partition-sized batches, no collect, no per-row Python
+UDFs.
 """
 
 from __future__ import annotations
@@ -253,37 +256,54 @@ def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
     return rate, channels, bits, data_size // block_align
 
 
-def encode_gif(frames: list[tuple[int, int, int]]) -> bytes:
+def encode_gif(
+    frames: list[tuple[int, int, int]],
+    pixels: list[bytes] | None = None,
+) -> bytes:
     """Minimal VALID animated GIF89a (public format spec: GIF89a,
-    CompuServe 1990): header + logical screen descriptor + 2-color global
-    color table, then per frame a Graphic Control Extension (delay in
+    CompuServe 1990): header + logical screen descriptor + global color
+    table, then per frame a Graphic Control Extension (delay in
     centiseconds) + Image Descriptor + LZW image data, then trailer.
 
-    ``frames`` is a list of (width, height, delay_cs). Pixel content is a
-    solid color-0 field compressed with the fixed-width LZW trick (emit a
-    CLEAR code before every pixel code so the code table never grows —
-    3-bit codes throughout at min-code-size 2), which every conforming
-    decoder accepts."""
+    ``frames`` is a list of (width, height, delay_cs). ``pixels`` is an
+    optional per-frame index field (one byte per pixel, values 0–3 over
+    a 4-color table); None keeps the legacy solid color-0 field over a
+    2-color table. Either way the stream compresses with the fixed-width
+    LZW trick (emit a CLEAR code before every pixel code so the code
+    table never grows — 3-bit codes throughout at min-code-size 2),
+    which every conforming decoder accepts."""
     if not frames:
         raise ValueError("gif needs at least one frame")
+    if pixels is not None and len(pixels) != len(frames):
+        raise ValueError("pixels must align one field per frame")
     max_w = max(w for w, _, _ in frames)
     max_h = max(h for _, h, _ in frames)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", max_w, max_h)
-    out += bytes([0x80, 0, 0])  # GCT present, 2 entries; bg 0; aspect 0
-    out += b"\x00\x00\x00\xff\xff\xff"  # global color table: black, white
+    if pixels is None:
+        out += bytes([0x80, 0, 0])  # GCT present, 2 entries; bg 0; aspect 0
+        out += b"\x00\x00\x00\xff\xff\xff"  # global color table: black, white
+    else:
+        out += bytes([0x81, 0, 0])  # GCT present, 4 entries
+        # 4-level gray ramp
+        out += b"\x00\x00\x00\x55\x55\x55\xaa\xaa\xaa\xff\xff\xff"
 
-    for w, h, delay_cs in frames:
+    for k, (w, h, delay_cs) in enumerate(frames):
         if w <= 0 or h <= 0:
             raise ValueError("gif frame dimensions must be positive")
+        field = pixels[k] if pixels is not None else bytes(w * h)
+        if len(field) != w * h:
+            raise ValueError(f"frame {k}: pixel field does not match dims")
+        if pixels is not None and max(field) > 3:
+            raise ValueError(f"frame {k}: index beyond the 4-color table")
         # Graphic Control Extension (delay rides here)
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
         # Image Descriptor at origin, no local color table
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
         # LZW data: min code size 2 → 3-bit codes, clear=4, end=5
         codes: list[int] = []
-        for _ in range(w * h):
-            codes.extend((4, 0))  # CLEAR, pixel(color 0)
+        for px in field:
+            codes.extend((4, px))  # CLEAR, pixel index
         codes.append(5)  # END
         buf, nbits, acc = bytearray(), 0, 0
         for code in codes:
@@ -363,7 +383,8 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                 pos += 3 * (2 << (ipacked & 0x07))  # local color table
             if pos >= len(payload):
                 raise ValueError("truncated GIF image data")
-            pos += 1  # LZW minimum code size
+            min_code_size = payload[pos]
+            pos += 1
             data, pos = sub_blocks(pos)
             frames.append(
                 {
@@ -373,12 +394,108 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                     "width": w,
                     "height": h,
                     "delay_cs": delay_cs,
+                    "min_code_size": min_code_size,
+                    "interlace": bool(ipacked & 0x40),
                     "data": data,
                 }
             )
             delay_cs = 0  # GCE applies to the one following image
             continue
         raise ValueError(f"unknown GIF block introducer 0x{intro:02x}")
+
+
+def decode_gif_lzw(data: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW decompression (GIF89a spec, Appendix F) →
+    one byte per pixel (color-table INDEX, palette mapping is the
+    caller's concern). The general decoder: LSB-first bit packing,
+    CLEAR/END codes, code-table growth with width escalation capped at
+    12 bits, and the KwKwK (code == next slot) case. Raises ValueError
+    on truncation or out-of-range codes — a mis-framed stream must never
+    silently yield a short pixel field."""
+    if not 1 <= min_code_size <= 11:
+        raise ValueError(f"bad GIF LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh() -> list[bytes]:
+        return [bytes([i]) for i in range(clear)] + [b"", b""]
+
+    table = fresh()
+    width = min_code_size + 1
+    out = bytearray()
+    acc = nbits = pos = 0
+    prev: bytes | None = None
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream (no END code)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh()
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW first code after CLEAR not a root")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+
+
+def deinterlace_gif(pix: bytes, width: int, height: int) -> bytes:
+    """Reorder an interlaced frame's rows into display order (GIF89a
+    four-pass interlace: rows 0,8,16… then 4,12… then 2,6… then 1,3…)."""
+    rows = [pix[r * width : (r + 1) * width] for r in range(height)]
+    order = (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+    out: list[bytes] = [b""] * height
+    for src_r, dst_r in enumerate(order):
+        out[dst_r] = rows[src_r]
+    return b"".join(out)
+
+
+def decode_gif_pixels(payload: bytes, every_n: int = 1) -> list[dict]:
+    """Frame walk + REAL pixel decode: every ``every_n``-th frame's LZW
+    stream decompressed to its index field (deinterlaced if flagged).
+    Each dict is decode_gif_frames's plus ``pixels`` (exactly
+    width×height index bytes — a length mismatch raises, short pixel
+    fields must not pass silently)."""
+    out: list[dict] = []
+    for fr in decode_gif_frames(payload)[::every_n]:
+        pix = decode_gif_lzw(fr["data"], fr["min_code_size"])
+        n = fr["width"] * fr["height"]
+        if len(pix) != n:
+            raise ValueError(
+                f"GIF frame {fr['frame_no']}: {len(pix)} pixels decoded, "
+                f"descriptor says {n}"
+            )
+        if fr["interlace"]:
+            pix = deinterlace_gif(pix, fr["width"], fr["height"])
+        out.append({**fr, "pixels": pix})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -422,6 +539,48 @@ def synthesize_gifs(df: DataFrame, id_col: str) -> DataFrame:
             payloads = [
                 encode_gif(synth_gif_frames(int(mid))) for mid in pdf["media_id"]
             ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synth_gif_pixels(media_id: int, frame_no: int, width: int, height: int) -> bytes:
+    """Deterministic per-frame GIF index field — pure id arithmetic
+    (idx[p] = (31*id + 5*frame + 7*p) mod 4), so a SQL oracle can
+    recompute any pixel of any frame, and therefore any pixel of a
+    nearest-neighbor resample, in closed form (synth_pattern_pixels'
+    convention, lifted to the frame dimension)."""
+    return bytes(
+        (31 * media_id + 5 * frame_no + 7 * p) % 4 for p in range(width * height)
+    )
+
+
+def synthesize_pattern_gifs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL animated GIFs whose pixel
+    CONTENT (not just frame structure) is id-deterministic
+    (synth_gif_pixels × synth_gif_frames); built per-batch in
+    mapInPandas like synthesize_gifs."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                frames = synth_gif_frames(mid)
+                fields = [
+                    synth_gif_pixels(mid, k, w, h)
+                    for k, (w, h, _) in enumerate(frames)
+                ]
+                payloads.append(encode_gif(frames, pixels=fields))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -572,6 +731,66 @@ def sample_frames(media: DataFrame, every_n: int = 4, resize_to: int = 64) -> Da
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batch_fn, schema=FRAME_SCHEMA)
+
+
+FRAME_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("resized_wsum", T.LongType()),
+    ]
+)
+
+
+def gif_frame_pixel_stats(
+    media: DataFrame, every_n: int = 2, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL per-frame pixel decode (r7 — closes the GIF half of the
+    former pixel stub): sample every ``every_n``-th frame, LZW-decompress
+    its index field (decode_gif_pixels: variable-width codes, KwKwK,
+    deinterlace), feed resize_nearest, and emit closed-form digests —
+    the raw field's index sum and the position-weighted sum of the
+    out_w×out_h resample (weight i·out_w+j+1, so any pixel REORDERING
+    changes it). 1→N row expansion inside Arrow ``mapInPandas``, the
+    sample_frames shape — no driver loop, fans out by partition."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [f.name for f in FRAME_PIXEL_SCHEMA.fields]
+    weights = np.arange(1, out_w * out_h + 1, dtype=np.int64)
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for fr in decode_gif_pixels(bytes(payload), every_n=every_n):
+                    idx = np.frombuffer(fr["pixels"], dtype=np.uint8)
+                    resized = np.frombuffer(
+                        resize_nearest(
+                            fr["width"], fr["height"], fr["pixels"], out_w, out_h
+                        ),
+                        dtype=np.uint8,
+                    ).astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid),
+                            fr["frame_no"],
+                            fr["width"],
+                            fr["height"],
+                            int(idx.size),
+                            int(idx.sum()),
+                            int((weights * resized).sum()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=FRAME_PIXEL_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = T.StructType(

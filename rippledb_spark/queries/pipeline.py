@@ -538,6 +538,68 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gif_pixel_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+    fr AS (
+      SELECT doc_id, k,
+             CAST(2 + (doc_id + k) % 6 AS BIGINT) AS w,
+             CAST(2 + (doc_id + k) % 4 AS BIGINT) AS h
+      FROM ids, UNNEST(range(0, 1 + doc_id % 5, 2)) AS u(k)
+    ),
+    raw AS (
+      SELECT doc_id, k, COUNT(*) AS n_pixels,
+             SUM((31 * doc_id + 5 * k + 7 * p) % 4) AS pixel_sum
+      FROM fr, UNNEST(range(0, w * h)) AS q(p)
+      GROUP BY doc_id, k
+    ),
+    res AS (
+      SELECT doc_id, k,
+             SUM((i * 4 + j + 1)
+                 * ((31 * doc_id + 5 * k
+                     + 7 * (((i * h) // 4) * w + (j * w) // 4)) % 4))
+               AS resized_wsum
+      FROM fr, generate_series(0, 3) AS gi(i), generate_series(0, 3) AS gj(j)
+      GROUP BY doc_id, k
+    )
+    SELECT r.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(SUM(r.n_pixels) AS BIGINT) AS total_pixels,
+           CAST(SUM(r.pixel_sum) AS BIGINT) AS pixel_sum,
+           CAST(SUM(s.resized_wsum) AS BIGINT) AS resized_wsum
+    FROM raw r JOIN res s ON r.doc_id = s.doc_id AND r.k = s.k
+    GROUP BY r.doc_id ORDER BY media_id
+    """,
+)
+def gif_pixel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode (r7 — closes the GIF half of the pixel
+    stub): synthesize animated GIFs whose per-frame index fields are
+    id-arithmetic (synth_gif_pixels), sample every 2nd frame, run the
+    general variable-width LZW decompressor inside Arrow mapInPandas
+    (operators.multimodal.decode_gif_pixels), resize each frame 4×4 via
+    the shared nearest-neighbor index map, and report closed-form pixel
+    digests per media. The oracle recomputes every frame's every pixel —
+    raw AND resized — from id arithmetic alone, so a green row certifies
+    the LZW encoder+decoder pair and the resample end to end: a code
+    mis-read, a pixel dropped, or a resample index off by one changes
+    pixel_sum, and any pixel REORDERING changes the position-weighted
+    resized_wsum."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    media = MM.synthesize_pattern_gifs(d, "doc_id")
+    stats = MM.gif_frame_pixel_stats(media, every_n=2, out_w=4, out_h=4)
+    return (
+        stats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("pixel_sum").alias("pixel_sum"),
+            F.sum("resized_wsum").alias("resized_wsum"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "image_resize_accounting",
     oracle="""
     WITH px AS (

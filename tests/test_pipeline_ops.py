@@ -593,6 +593,98 @@ def test_gif_decoder_rejects_garbage():
             MM.decode_gif_frames(bad)
 
 
+def _lzw_encode(field: bytes, mcs: int) -> bytes:
+    """Real (table-growing) GIF-LZW packer, used only to exercise the
+    decoder's general path — the library encoder is fixed-width."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    codes, w = [clear], b""
+    for c in field:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+        else:
+            codes.append(table[w])
+            table[wc] = next_code
+            next_code += 1
+            w = bytes([c])
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    buf, acc, nbits = bytearray(), 0, 0
+    tbl_size, width, first = clear + 2, mcs + 1, True
+    for code in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            tbl_size, width, first = clear + 2, mcs + 1, True
+        elif code != end:
+            if first:
+                first = False
+            else:
+                tbl_size += 1  # decoder adds one entry per code after the first
+            if tbl_size >= (1 << width) and width < 12:
+                width += 1
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def test_gif_lzw_general_decode():
+    """decode_gif_lzw handles the GENERAL stream family, not just the
+    library's fixed-width trick: growing code tables with width
+    escalation, the KwKwK (code == next slot) case, and CLEAR resets."""
+    import random
+
+    rng = random.Random(7)
+    for mcs in (2, 3, 8):
+        for _ in range(8):
+            field = bytes(
+                rng.randrange(1 << mcs) for _ in range(rng.randrange(1, 500))
+            )
+            assert MM.decode_gif_lzw(_lzw_encode(field, mcs), mcs) == field
+    # KwKwK explicitly: a run of one symbol forces code == next slot
+    run = b"\x01" * 9
+    assert MM.decode_gif_lzw(_lzw_encode(run, 2), 2) == run
+    with pytest.raises(ValueError, match="truncated"):
+        MM.decode_gif_lzw(_lzw_encode(b"\x01\x02\x03", 2)[:-2], 2)
+
+
+def test_gif_pattern_pixel_roundtrip():
+    """encode_gif(pixels=...) → decode_gif_pixels recovers every frame's
+    exact index field (r7: real GIF pixel decode)."""
+    frames = MM.synth_gif_frames(11)
+    fields = [
+        MM.synth_gif_pixels(11, k, w, h) for k, (w, h, _) in enumerate(frames)
+    ]
+    out = MM.decode_gif_pixels(MM.encode_gif(frames, pixels=fields))
+    assert [f["pixels"] for f in out] == fields
+    out2 = MM.decode_gif_pixels(MM.encode_gif(frames, pixels=fields), every_n=2)
+    assert [f["frame_no"] for f in out2] == list(range(0, len(frames), 2))
+    with pytest.raises(ValueError, match="4-color"):
+        MM.encode_gif([(2, 2, 0)], pixels=[b"\x00\x05\x00\x00"])
+    with pytest.raises(ValueError, match="match dims"):
+        MM.encode_gif([(2, 2, 0)], pixels=[b"\x00"])
+
+
+def test_gif_deinterlace_reorders_rows():
+    w, h = 3, 10
+    display = [bytes([r] * w) for r in range(h)]
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    interlaced = b"".join(display[r] for r in order)
+    assert MM.deinterlace_gif(interlaced, w, h) == b"".join(display)
+
+
 def test_gif_frame_sampling_real(spark, docs):
     """sample_frames on image/gif payloads reports REAL per-frame dims
     and delays (id-deterministic via synth_gif_frames), sampled every_n."""
