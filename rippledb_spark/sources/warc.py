@@ -121,31 +121,34 @@ def parse_warc_bytes(data: bytes) -> list[tuple]:
     return out
 
 
+def warc_pandas_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body shared by the batch AND streaming WARC readers:
+    (path, content) file batches → parsed record batches, with
+    transparent .gz member decompression."""
+    cols = [
+        "record_id",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "content_type",
+        "content_length",
+        "payload",
+    ]
+    for pdf in it:
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            data = bytes(content)
+            if str(fpath).endswith(".gz") or data[:2] == b"\x1f\x8b":
+                data = gzip.decompress(data)
+            rows = parse_warc_bytes(data)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC file(s)/glob → DataFrame(WARC_SCHEMA); one task per file,
     transparent .gz member decompression."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [
-            "record_id",
-            "warc_type",
-            "target_uri",
-            "warc_date",
-            "content_type",
-            "content_length",
-            "payload",
-        ]
-        for pdf in it:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                data = bytes(content)
-                if str(fpath).endswith(".gz") or data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                rows = parse_warc_bytes(data)
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(batches, schema=WARC_SCHEMA)
+    return files.mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
 
 
 def warc_record_expr(

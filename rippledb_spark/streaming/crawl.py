@@ -1,0 +1,161 @@
+"""Streaming crawl tier: WARC ingest → HTML→text → Gopher quality gate
+as one Structured Streaming pipeline (r7 — composes the r6 crawl tier's
+batch operators into the continuous form a live crawl feeds).
+
+Shape:
+
+- ``read_warc_stream`` — file-source streaming over a WARC directory
+  (``readStream.format("binaryFile")``): new ``.warc``/``.warc.gz``
+  members appearing in the directory become micro-batch rows through the
+  SAME parser as the batch reader (sources/warc.py —
+  ``warc_pandas_batches``), so batch and stream cannot drift.
+- ``gate_crawl_records`` — the batch-agnostic per-record pipeline:
+  canonicalize the target URI (functions/url.py), strip markup
+  (functions/html.py, pure codegen), run the Gopher repetition gate
+  (operators/quality.py). Everything is per-document — no cross-record
+  state — which is exactly why it composes into ``foreachBatch``
+  unchanged.
+- ``start_crawl_corpus_sink`` — foreachBatch: gate the micro-batch, then
+  upsert by canonical URI into a parquet corpus snapshot (the
+  read-merge-overwrite cycle of sinks.start_upsert_parquet_sink, torn
+  snapshots treated as absent via ``snapshot_ready``). Exactly-once by
+  key under the replay contract: a replayed batch re-upserts the same
+  URIs — idempotent. Re-crawls of a URI take the latest fetch.
+
+100 TB shape: the file source lists incrementally and checkpoints
+progress, one gzip member = one task (Common Crawl's shipped layout);
+the gate is one explode + two doc-keyed hash-aggs per micro-batch; the
+snapshot merge is one key shuffle. For corpus-scale snapshots the
+parquet overwrite becomes the bottleneck — swap the sink body for a
+MERGE INTO on a table format (Delta/Iceberg) outside this container;
+the gate and reader need no change.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.functions.html import strip_html
+from rippledb_spark.functions.url import url_normalize
+from rippledb_spark.operators.merge import merge_upsert
+from rippledb_spark.operators.quality import repetition_metrics
+from rippledb_spark.sources.warc import WARC_SCHEMA, warc_pandas_batches
+from rippledb_spark.streaming.sinks import snapshot_ready
+
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+CORPUS_COLS = [
+    "uri",
+    "warc_date",
+    "text",
+    "n_words",
+    "mean_word_len",
+    "top2_frac",
+    "dup5_frac",
+    "keep",
+]
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC reader: the batch reader's parser behind a
+    file-source stream (new members in ``path`` arrive as micro-batches;
+    one task per member, .gz transparent)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile source's FIXED schema — streaming sources don't
+        # infer, so it must be spelled
+        .schema(BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+
+
+def gate_crawl_records(warc_df: DataFrame) -> DataFrame:
+    """WARC records → gated corpus rows (CORPUS_COLS): canonical URI,
+    markup-stripped text, Gopher repetition metrics + keep decision.
+    Pure per-document work — runs identically on a batch read and inside
+    a foreachBatch micro-batch (the batch-twin equivalence pinned by
+    tests/test_streaming.py). Records without a canonicalizable URI
+    (non-HTTP schemes) are dropped, like the crawl-frontier dedup."""
+    docs = (
+        warc_df.select(
+            url_normalize("target_uri").alias("uri"),
+            "warc_date",
+            strip_html(F.col("payload").cast("string")).alias("text"),
+        )
+        .where(F.col("uri").isNotNull())
+        # one fetch per canonical URI per batch (duplicate fetches of one
+        # URI inside a batch collapse deterministically to the min date)
+        .groupBy("uri")
+        .agg(F.min("warc_date").alias("warc_date"), F.min("text").alias("text"))
+    )
+    m = repetition_metrics(docs, "text", "uri")
+    return docs.join(
+        m.select(
+            F.col("id").alias("uri"),
+            "n_words",
+            "mean_word_len",
+            "top2_frac",
+            "dup5_frac",
+            "keep",
+        ),
+        "uri",
+    ).select(*CORPUS_COLS)
+
+
+def crawl_accounting(corpus: DataFrame) -> DataFrame:
+    """Per-host accounting of a gated corpus — the report a filtering
+    run emits per crawl segment (host = the URI's authority)."""
+    return (
+        corpus.select(
+            F.regexp_extract("uri", r"^https?://([^/]+)", 1).alias("host"),
+            "n_words",
+            "keep",
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+        .orderBy("host")
+    )
+
+
+def start_crawl_corpus_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
+    (gate_crawl_records) and upsert by canonical URI into the parquet
+    corpus snapshot at ``path``. Returns the StreamingQuery.
+
+    Exactly-once by key: foreachBatch replays re-upsert the same URIs
+    (idempotent), torn overwrites read as absent and the replayed batch
+    rebuilds (snapshot_ready's contract, shared with the other sinks)."""
+
+    def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        gated = gate_crawl_records(batch_df)
+        if snapshot_ready(spark, path):
+            target = spark.read.parquet(path)
+            merged = merge_upsert(target, gated.select(*target.columns), "uri")
+        else:
+            merged = gated
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_gate_and_merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

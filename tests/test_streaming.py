@@ -782,3 +782,109 @@ def test_streaming_url_dedup_matches_batch(spark, tmp_path):
         .distinct()
     )
     assert sorted(r["u"] for r in batch.collect()) == urls
+
+
+def _warc_fixture(tmp_path):
+    """Two .warc members of HTML pages: quality prose, a Gopher-failing
+    repetitive page, a duplicate fetch of one URI (variant URL), and a
+    non-HTTP record the frontier drops."""
+
+    def record(uri, html):
+        payload = html.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    # ≥50 words, varied vocabulary: passes every Gopher rule
+    prose = (
+        "<html><body><h1>Harbor</h1><p>the morning light settles over a"
+        " quiet harbor while weathered fishermen haul heavy nets across"
+        " wooden decks and hungry gulls wheel above the stone breakwater"
+        " waiting for scraps of herring that spill from every crate as"
+        " the tide turns slowly toward evening when lanterns begin to"
+        " glow along the crooked pier where children count returning"
+        " sails before supper and trade stories about distant storms"
+        " that never quite reached this coast</p></body></html>"
+    )
+    junk = "<p>" + "buy now " * 120 + "</p>"
+    d = tmp_path / "warc_stream"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        record("https://News.example.com/roast?utm_x=1", prose)
+        + record("https://news.example.com:443/roast", prose)  # dup fetch
+        + record("https://spam.example.net/junk", junk)
+    )
+    (d / "b.warc").write_bytes(
+        record("https://news.example.com/water", prose.replace("harbor", "inlet"))
+        + record("mailto:editor@example.com", "<p>not a web fetch</p>")
+    )
+    return str(d)
+
+
+def test_streaming_crawl_pipeline_matches_batch(spark, tmp_path):
+    """The r7 streaming crawl tier: WARC file-source stream → foreachBatch
+    (HTML strip → Gopher gate → URI-keyed upsert snapshot) equals the
+    batch twin over the same fixture — corpus rows AND per-host
+    accounting. maxFilesPerTrigger=1 forces multiple micro-batches, so
+    the cross-batch upsert path is exercised, not just a single batch."""
+    from rippledb_spark.sources.warc import read_warc
+    from rippledb_spark.streaming import crawl as SC
+
+    warc_dir = _warc_fixture(tmp_path)
+    snap = str(tmp_path / "corpus_snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    from rippledb_spark.sources.warc import WARC_SCHEMA, warc_pandas_batches
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(stream, snap, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(snap)
+    want = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    got_rows = sorted(map(tuple, got.select(*SC.CORPUS_COLS).collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(got_rows) == 3  # dup + mailto gone
+
+    # the gate actually gates: prose kept, repetitive junk dropped
+    keeps = {r["uri"]: r["keep"] for r in got.collect()}
+    assert keeps["https://news.example.com/roast"] is True
+    assert keeps["https://spam.example.net/junk"] is False
+
+    # accounting equality (the driver-facing rollup)
+    acc_s = sorted(map(tuple, SC.crawl_accounting(got).collect()))
+    acc_b = sorted(map(tuple, SC.crawl_accounting(want).collect()))
+    assert acc_s == acc_b
+    assert [a[0] for a in acc_s] == ["news.example.com", "spam.example.net"]
+
+
+def test_streaming_crawl_reader_matches_batch_reader(spark, tmp_path):
+    """read_warc_stream shares the batch reader's parser — record sets
+    must be identical over the same members."""
+    from rippledb_spark.sources.warc import read_warc
+    from rippledb_spark.streaming.crawl import read_warc_stream
+
+    warc_dir = _warc_fixture(tmp_path)
+    out = _run_stream(
+        spark, read_warc_stream(spark, warc_dir), "t_warc_stream", mode="append"
+    )
+    s_rows = sorted(
+        (r["target_uri"], r["content_length"], bytes(r["payload"]))
+        for r in out.collect()
+    )
+    b_rows = sorted(
+        (r["target_uri"], r["content_length"], bytes(r["payload"]))
+        for r in read_warc(spark, warc_dir).collect()
+    )
+    assert s_rows == b_rows and len(s_rows) == 5
