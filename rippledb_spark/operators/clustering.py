@@ -148,3 +148,104 @@ def kmeans_assignments_sql(
         f"km_final AS (SELECT pid, cid, d2 FROM km_a{iterations})"
     )
     return ",\n    ".join(parts)
+
+
+def kmeans_assignments_fast(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    keep_vector: bool = False,
+) -> DataFrame:
+    """Production numpy fast path of :func:`kmeans_assignments` — same
+    contract (lowest-id init, v·v−2v·c+c·c distances, argmin tie-broken
+    by lowest cid, 6dp-rounded centroid means, emptied clusters drop
+    out), but distances run as one matmul per Arrow batch instead of
+    interpreted fold expressions, and each round's centroid update is a
+    per-batch partial-sum ``mapInPandas`` plus a bounded (≤ batches×k
+    rows) driver combine.
+
+    NOT oracle-certified: BLAS summation order differs from the
+    sequential fold at the ulp level, so d2 values can differ by ~1e-15
+    relative — after the 6dp centroid rounding the ROUNDS re-enter
+    bit-identical, and tests pin assignments equal to the certified path
+    on the test corpora. Use the certified form where the DuckDB twin
+    must replay; use this where throughput matters.
+
+    Scale shape: identical to the certified path — the points never
+    shuffle (per-batch partials), centroids are k×dims broadcast via the
+    task closure, and the per-round driver combine is k-bounded, not
+    corpus-bounded."""
+    import numpy as np
+    import pandas as pd
+
+    if k <= 0 or iterations <= 0:
+        raise ValueError("k and iterations must be positive")
+    pts = df.select(
+        F.col(id_col).cast("long").alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    init = pts.orderBy("pid").limit(k).collect()  # k×dims — always tiny
+    cids = np.arange(len(init), dtype=np.int64)
+    C = np.array([r["v"] for r in init], dtype=np.float64)
+
+    def _assign_np(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # v·v − 2 v·c + c·c per (point, centroid); argmin takes the FIRST
+        # minimum = lowest index = lowest cid (cids stay sorted)
+        d2 = (
+            (V * V).sum(1)[:, None]
+            - 2.0 * (V @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+        return d2.argmin(1), d2
+
+    def _partials(C: "np.ndarray", n_live: int):
+        def fn(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                a, _ = _assign_np(V, C)
+                rows = []
+                for j in range(n_live):
+                    m = a == j
+                    cnt = int(m.sum())
+                    if cnt:
+                        rows.append((j, V[m].sum(0).tolist(), cnt))
+                yield pd.DataFrame(rows, columns=["j", "s", "n"])
+        return fn
+
+    for _ in range(iterations - 1):
+        part = pts.mapInPandas(
+            _partials(C, len(cids)), schema="j long, s array<double>, n long"
+        ).collect()
+        sums = np.zeros_like(C)
+        counts = np.zeros(len(cids))
+        for r in part:
+            sums[r["j"]] += np.asarray(r["s"])
+            counts[r["j"]] += r["n"]
+        live = counts > 0  # emptied clusters drop out, like the certified path
+        cids = cids[live]
+        C = np.round(sums[live] / counts[live, None], ROUND_DP)
+
+    final_cids, final_C = cids.copy(), C.copy()
+
+    def _final(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            a, d2 = _assign_np(V, final_C)
+            out = {
+                "pid": pdf["pid"].to_numpy(),
+                "cid": final_cids[a],
+                "d2": d2[np.arange(len(a)), a],
+            }
+            if keep_vector:  # saves the caller a re-join on pid
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
+
+    schema = "pid long, cid long, d2 double"
+    if keep_vector:
+        schema += ", v array<double>"
+    return pts.mapInPandas(_final, schema=schema)

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame
 from rippledb_spark.functions.vector import as_double_array, dot, norm
 from rippledb_spark.operators.clustering import (
     kmeans_assignments,
+    kmeans_assignments_fast,
     kmeans_assignments_sql,
 )
 
@@ -212,3 +213,151 @@ def semantic_dedup_sql(
              (f.pid IN (SELECT id_b FROM sd_pairs)) AS is_dup
       FROM km_final f
     )"""
+
+
+def unit_vectors_fast(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Production numpy fast path of :func:`unit_vectors` (the normalize
+    lambda is an interpreted higher-order expression — O(dims²) per row,
+    no codegen): one vectorized divide per Arrow batch. Same semantics,
+    zero-norm rows dropped; ids must be integral (cast to long). NOT
+    oracle-certified; tests pin it equal to the certified expression."""
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("pid"), as_double_array(vec_col).alias("r")
+    )
+
+    def fn(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["r"].tolist(), dtype=np.float64)
+            n = np.sqrt((V * V).sum(1))
+            keep = n > 0
+            U = V[keep] / n[keep, None]
+            yield pd.DataFrame(
+                {"pid": pdf["pid"].to_numpy()[keep], "v": list(map(list, U))}
+            )
+
+    return src.mapInPandas(fn, schema="pid long, v array<double>")
+
+
+def semantic_dedup_pairs_fast(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    assigned: DataFrame | None = None,
+    pts: DataFrame | None = None,
+) -> DataFrame:
+    """Production numpy fast path of :func:`semantic_dedup_pairs`: the
+    within-cluster cosine gate runs as ONE matmul per cluster inside
+    ``applyInPandas`` (grouped by cid) instead of a per-pair interpreted
+    fold. Same 6dp rounding before the threshold, same id_a < id_b
+    orientation. NOT oracle-certified (BLAS vs sequential-fold summation
+    differ at the ulp level; the 6dp rounding absorbs it everywhere a
+    test has looked — pytest pins pair-set equality and 1e-9 cosine
+    agreement against the certified path).
+
+    Scale shape: identical blocking to the certified path — pairs form
+    only within a cluster, k ∝ corpus keeps cluster sizes constant, so
+    the per-group matmul is bounded (size²·8 bytes; a 4k-vector cluster
+    is a 128 MB similarity matrix — strip-mine the kernel like
+    similarity.knn_blocked before raising cluster sizes past that)."""
+    import numpy as np
+    import pandas as pd
+
+    if pts is None:
+        pts = unit_vectors_fast(df, vec_col, id_col)
+    if assigned is None:
+        assigned = kmeans_assignments(pts, "v", "pid", k=k, iterations=iterations)
+    tagged = assigned.select("pid", "cid").join(pts, "pid")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("pid")
+        ids = pdf["pid"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"cid": [], "id_a": [], "id_b": [], "cos_sim": []}
+            ).astype({"cid": "int64", "id_a": "int64", "id_b": "int64",
+                      "cos_sim": "float64"})
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        S = np.round(V @ V.T, COS_DP)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cid": np.full(int(keep.sum()), int(pdf["cid"].iloc[0])),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": S[ia[keep], ib[keep]],
+            }
+        )
+
+    return tagged.groupBy("cid").applyInPandas(
+        kernel, schema="cid long, id_a long, id_b long, cos_sim double"
+    )
+
+
+def semantic_dedup_summary_fast(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Production fast path of the full SemDeDup summary — one row per
+    cluster (cid, n_points, n_dup_pairs, n_removed, max_cos), the same
+    shape the certified dedup_semantic_embedding query aggregates to.
+
+    Whole pipeline in three actions and ONE shuffle: numpy normalize
+    (unit_vectors_fast), numpy Lloyd carrying the vector through the
+    final assignment (kmeans_assignments_fast(keep_vector=True) — no
+    re-join on pid), then per-cluster ``applyInPandas`` computing pairs
+    AND the keep policy AND the rollup inside one matmul kernel (the
+    pair set never materializes as rows). Same 6dp rounding and
+    keep-lowest-id policy; pytest pins equality to the certified query.
+
+    Scale shape: identical blocking (within-cluster only, k ∝ corpus);
+    the kernel is size²-bounded per cluster like
+    semantic_dedup_pairs_fast."""
+    import numpy as np
+    import pandas as pd
+
+    unit = unit_vectors_fast(df, vec_col, id_col).localCheckpoint(eager=False)
+    tagged = kmeans_assignments_fast(
+        unit, "v", "pid", k=k, iterations=iterations, keep_vector=True
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("pid")
+        cid = int(pdf["cid"].iloc[0])
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                [(cid, n, 0, 0, None)],
+                columns=["cid", "n_points", "n_dup_pairs", "n_removed", "max_cos"],
+            )
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        S = np.round(V @ V.T, COS_DP)
+        ia, ib = np.triu_indices(n, k=1)
+        keep = S[ia, ib] >= threshold
+        n_pairs = int(keep.sum())
+        max_cos = float(S[ia[keep], ib[keep]].max()) if n_pairs else None
+        n_removed = int(np.unique(ib[keep]).size)  # higher id of each pair
+        return pd.DataFrame(
+            [(cid, n, n_pairs, n_removed, max_cos)],
+            columns=["cid", "n_points", "n_dup_pairs", "n_removed", "max_cos"],
+        )
+
+    return tagged.groupBy("cid").applyInPandas(
+        kernel,
+        schema=(
+            "cid long, n_points bigint, n_dup_pairs bigint,"
+            " n_removed bigint, max_cos double"
+        ),
+    )
