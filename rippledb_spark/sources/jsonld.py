@@ -137,6 +137,14 @@ def _object_rows(subj, s_kind, pred, v, ctx, vocab, rows) -> None:
     elif isinstance(v, dict):
         if "@value" in v:
             val = v["@value"]
+            if val is None:
+                # JSON-LD expansion drops a null @value — no triple emitted
+                return
+            if not isinstance(val, (str, bool, int, float)):
+                raise RdfParseError(
+                    f"@value of {subj!r}/{pred!r} must be a scalar, got "
+                    f"{type(val).__name__} {val!r}"
+                )
             lang = v.get("@language")
             dtype = v.get("@type")
             if lang is not None and dtype is not None:

@@ -38,7 +38,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rippledb_spark.functions.html import strip_html
 from rippledb_spark.functions.url import url_normalize
-from rippledb_spark.operators.merge import merge_upsert
 from rippledb_spark.operators.quality import repetition_metrics
 from rippledb_spark.sources.warc import WARC_SCHEMA, warc_pandas_batches
 from rippledb_spark.streaming.sinks import snapshot_ready
@@ -88,10 +87,16 @@ def gate_crawl_records(warc_df: DataFrame) -> DataFrame:
             strip_html(F.col("payload").cast("string")).alias("text"),
         )
         .where(F.col("uri").isNotNull())
-        # one fetch per canonical URI per batch (duplicate fetches of one
-        # URI inside a batch collapse deterministically to the min date)
+        # one fetch per canonical URI per batch: ONE struct max keeps the
+        # (date, text) of a single real fetch together (independent mins
+        # could pair one fetch's date with another's text), and
+        # latest-fetch-wins matches the sink's cross-batch upsert policy,
+        # so duplicates collapse to the same row whether they share a
+        # micro-batch or span two (ties on warc_date break on text)
         .groupBy("uri")
-        .agg(F.min("warc_date").alias("warc_date"), F.min("text").alias("text"))
+        .agg(F.max(F.struct("warc_date", "text")).alias("__f"))
+        .select("uri", F.col("__f.warc_date").alias("warc_date"),
+                F.col("__f.text").alias("text"))
     )
     m = repetition_metrics(docs, "text", "uri")
     return docs.join(
@@ -140,14 +145,33 @@ def start_crawl_corpus_sink(
 
     Exactly-once by key: foreachBatch replays re-upsert the same URIs
     (idempotent), torn overwrites read as absent and the replayed batch
-    rebuilds (snapshot_ready's contract, shared with the other sinks)."""
+    rebuilds (snapshot_ready's contract, shared with the other sinks).
+
+    Duplicate policy — ONE rule at both granularities: the fetch with the
+    greatest (warc_date, text) struct wins, within a micro-batch
+    (gate_crawl_records) AND across batches (the merge below keeps the
+    struct-max row per URI over snapshot ∪ batch). That makes the final
+    snapshot equal to the batch twin run over all members at once, no
+    matter how fetches of one URI split across micro-batches or what
+    order the file source lists them in — and the merge stays one key
+    shuffle, same as merge_upsert."""
 
     def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gated = gate_crawl_records(batch_df)
         if snapshot_ready(spark, path):
             target = spark.read.parquet(path)
-            merged = merge_upsert(target, gated.select(*target.columns), "uri")
+            rest = [c for c in CORPUS_COLS if c != "uri"]
+            merged = (
+                target.select(*CORPUS_COLS)
+                .unionByName(gated.select(*CORPUS_COLS))
+                # struct comparison hits warc_date then text first; the
+                # metric fields are functions of text, so the winner is a
+                # single real fetch's intact row
+                .groupBy("uri")
+                .agg(F.max(F.struct(*rest)).alias("__r"))
+                .select("uri", *[F.col(f"__r.{c}").alias(c) for c in rest])
+            )
         else:
             merged = gated
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)

@@ -105,6 +105,16 @@ def test_refusals_are_loud():
         parse_jsonld(
             '{"@id": "a", "p": {"@value": "v", "@language": "en", "@type": "t"}}'
         )
+    with pytest.raises(RdfParseError, match="must be a scalar"):
+        parse_jsonld('{"@id": "a", "p": {"@value": {"nested": 1}}}')
+    with pytest.raises(RdfParseError, match="must be a scalar"):
+        parse_jsonld('{"@id": "a", "p": {"@value": ["x"]}}')
+
+
+def test_null_value_object_dropped_like_expansion():
+    # JSON-LD expansion drops a null @value: no triple, no bogus "None"
+    rows = parse_jsonld('{"@id": "ex:a", "ex:p": {"@value": null}, "ex:q": "v"}')
+    assert [r[2] for r in rows] == ["ex:q"]
 
 
 def test_serialize_emits_type_keyword_and_sorts():

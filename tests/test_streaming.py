@@ -869,6 +869,59 @@ def test_streaming_crawl_pipeline_matches_batch(spark, tmp_path):
     assert [a[0] for a in acc_s] == ["news.example.com", "spam.example.net"]
 
 
+def test_streaming_crawl_cross_batch_duplicate_latest_fetch_wins(spark, tmp_path):
+    """Duplicate fetches of one URI SPLIT ACROSS micro-batches, with the
+    later-listed member holding the EARLIER fetch — the adversarial
+    ordering for an upsert sink. The struct-max merge must still land on
+    the latest fetch, equal to the batch twin (ADVICE r7)."""
+    from rippledb_spark.sources.warc import WARC_SCHEMA, read_warc, warc_pandas_batches
+    from rippledb_spark.streaming import crawl as SC
+
+    def record(uri, html, date):
+        payload = html.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: " + date.encode() + b"\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    words = " ".join(
+        f"w{i} steady calm delta" for i in range(20)
+    )  # varied enough for the gate
+    d = tmp_path / "warc_xbatch"
+    d.mkdir()
+    # a.warc (first batch): the NEWER fetch; b.warc (second batch): an
+    # older re-fetch of the same canonical URI with different text
+    (d / "a.warc").write_bytes(
+        record("https://x.example.org/page", f"<p>new {words}</p>",
+               "2024-06-01T00:00:00Z")
+    )
+    (d / "b.warc").write_bytes(
+        record("https://X.example.org:443/page", f"<p>old {words}</p>",
+               "2024-01-01T00:00:00Z")
+    )
+    snap, ckpt = str(tmp_path / "snap_x"), str(tmp_path / "ckpt_x")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(stream, snap, ckpt)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(snap).select(*SC.CORPUS_COLS).collect()
+    assert len(got) == 1
+    assert got[0]["warc_date"] == "2024-06-01T00:00:00Z"
+    assert got[0]["text"].startswith("new ")
+    want = SC.gate_crawl_records(read_warc(spark, str(d))).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_streaming_crawl_reader_matches_batch_reader(spark, tmp_path):
     """read_warc_stream shares the batch reader's parser — record sets
     must be identical over the same members."""
