@@ -149,6 +149,39 @@ HEADLINE = [
 ]
 
 
+# --- host-noise probe (r8) -------------------------------------------------
+# This host shows 3-5x same-code wall-time swings under CPU steal; BENCH_r07
+# recorded 2.6-5.7x phantom regressions that same-session re-measurement
+# disproved. The probe is a FIXED, data-independent, codegen-only job
+# (2G-row xxhash64 max: no shuffle, no IO, no Python) timed immediately
+# before every pass, so each pass carries a same-instant host-speed marker.
+# PROBE_REF_SEC is the quiet-host median (pinned r8, local[32]).
+# Normalization (deliberately conservative): each warm pass is BRACKETED by
+# probes; its load is min(probe_before, probe_after) / PROBE_REF_SEC,
+# floored at 1.0 — a pass only normalizes when the host was provably slow
+# on BOTH sides of it, so bursty steal that a probe missed can never
+# flatter a number (it just stays visibly slow in the raw samples). The
+# per-query normalized value is the MEDIAN of normalized samples; there is
+# intentionally no normalized min (dividing one quiet sample by a noisy
+# pass's load manufactures a fake speedup). Raw samples for every pass +
+# the probe series land in BENCH_DETAIL.json; the stdout line carries
+# probe_load (median warm load — >~1.5 means read this round's deltas
+# against the normalized/raw record, not at face value).
+PROBE_REF_SEC = 0.40
+
+
+def _probe(spark) -> float:
+    """Best-of-2 fixed-work probe (sheds one-off scheduling blips)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).select(
+            F.xxhash64("id").alias("h")
+        ).agg(F.max("h").alias("m")).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -181,30 +214,67 @@ def main() -> None:
     # steal (docs/SCALING.md variance note) — a single warm pass nearly
     # mis-flagged a regression in r02 and muddied r03; median-of-3 makes
     # round-over-round deltas signal instead of noise.
+    probes: list[float] = [_probe(spark)]
     cold = run_pass()
     for name, v in cold.items():
         print(f"# cold {name}: {v:.3f}s", file=sys.stderr)
-    warm_passes = [run_pass() for _ in range(3)]
+    warm_passes = []
+    for _ in range(3):
+        probes.append(_probe(spark))
+        warm_passes.append(run_pass())
+    probes.append(_probe(spark))
+    # warm pass i sits between probes[1+i] and probes[2+i]; see the
+    # normalization note above for why the bracket takes the min
+    warm_loads = [
+        max(min(probes[1 + i], probes[2 + i]) / PROBE_REF_SEC, 1.0)
+        for i in range(3)
+    ]
+    print(
+        f"# probe runs: {', '.join(f'{p:.3f}' for p in probes)}"
+        f" (ref {PROBE_REF_SEC:.2f}s; warm loads"
+        f" {', '.join(f'{ld:.2f}' for ld in warm_loads)})",
+        file=sys.stderr,
+    )
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
+    norm_med: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        samples = sorted(p[name] for p in warm_passes)
+        raw = [p[name] for p in warm_passes]
+        runs[name] = raw
+        samples = sorted(raw)
         timings[name] = samples[len(samples) // 2]
         mins[name] = samples[0]
+        normed = sorted(
+            round(t / ld, 3) for t, ld in zip(raw, warm_loads)
+        )
+        norm_med[name] = normed[len(normed) // 2]
         print(
             f"# warm {name}: median {timings[name]:.3f}s min {mins[name]:.3f}s"
+            f" norm-median {norm_med[name]:.3f}s"
             f" (runs: {', '.join(f'{s:.3f}' for s in samples)})",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
+    probe_load = round(sorted(warm_loads)[len(warm_loads) // 2], 3)
     record = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "queries_min": mins,
+        "queries_runs": runs,  # ALL raw warm samples, pass order
+        "queries_cold": cold,
+        "queries_norm": norm_med,  # per-query probe-normalized medians
         "min_sec": round(sum(mins.values()), 3),
+        "median_sec_norm": round(sum(norm_med.values()), 3),
+        "probe": {
+            "ref_sec": PROBE_REF_SEC,
+            "runs": probes,
+            "warm_loads": [round(x, 3) for x in warm_loads],
+            "load": probe_load,  # median warm load; >1.5 = noisy round
+        },
         "sf": sf,
         "cold_sec": round(sum(cold.values()), 3),
     }
@@ -247,6 +317,12 @@ def main() -> None:
         "sf": sf,
         "median_sec": total,
         "cold_sec": record["cold_sec"],
+        # host-noise marker + probe-normalized total (see _probe above):
+        # compare value/median_sec at face value only when probe_load ~= 1;
+        # median_sec_norm and BENCH_DETAIL.json's raw samples are the
+        # weather-proof record for a noisy round
+        "probe_load": probe_load,
+        "median_sec_norm": record["median_sec_norm"],
     }
     if "bulk_load" in record:
         compact["bulk_ratio"] = round(
