@@ -73,23 +73,46 @@ def _last_green_round() -> dict[str, int]:
 
 
 def ordered_defs() -> list:
-    """Registry entries, least-RECENTLY-certified first (stable on
-    registration order within a round cohort; never-certified queries
-    sort as round 0, i.e. first). The driver certifies only the FIRST 50
-    entries of ``queries()`` per round, so with 160+ registered queries a
-    fixed order would starve the tail forever; recency rotation
-    guarantees every query recertifies within ceil(N/50) rounds — the
-    prior total-COUNT key stranded early-round cohorts behind everything
-    certified exactly once since, which recency cannot (a certified
-    query moves to the BACK of the queue, a failed one re-enters the
-    front). Scheduling lives HERE (the driver-facing adapter) so the
-    library's ``registry.all_queries`` stays deterministic."""
-    from rippledb_spark.registry import registered_defs
+    """Registry entries in certification-priority order. The driver
+    certifies only the FIRST 50 entries of ``queries()`` per round, so
+    with 200+ registered queries a fixed order would starve the tail
+    forever. Three priority bands (tiering policy, r8):
+
+    1. NEVER-CERTIFIED queries — a new query always lands in its first
+       round's window (there are at most a handful per round);
+    2. HEADLINE queries (registry.HEADLINE — the bench throughput set)
+       whose staleness is ≥ 2 rounds — jumping the recency queue caps
+       headline staleness at ~2 in steady state (budget 3,
+       registry.STALENESS_BUDGET), so the queries whose wall-times are
+       compared round-over-round are also the ones whose CORRECTNESS
+       rows stay freshest;
+    3. everything else, least-recently-certified first (recency
+       rotation: a certified query moves to the back, a failed one
+       re-enters the front), bounding long-tail staleness at
+       ~ceil(N/window) rounds (budget 6).
+
+    Within a band, ties break on registration order — deterministic
+    across checkouts. Scheduling lives HERE (the driver-facing adapter)
+    so the library's ``registry.all_queries`` stays deterministic;
+    ``tools/certification_ledger.py`` reports per-tier staleness against
+    the budgets."""
+    from rippledb_spark.registry import registered_defs, tier
 
     last = _last_green_round()
+    cur = max(last.values(), default=0)
     defs = registered_defs()
     index = {q.name: i for i, q in enumerate(defs)}
-    return sorted(defs, key=lambda q: (last.get(q.name, 0), index[q.name]))
+
+    def key(q):
+        if q.name not in last:
+            band = 0
+        elif tier(q.name) == "headline" and cur - last[q.name] >= 2:
+            band = 1
+        else:
+            band = 2
+        return (band, last.get(q.name, 0), index[q.name])
+
+    return sorted(defs, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

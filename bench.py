@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import pyspark.sql.functions as F
 
+from rippledb_spark.registry import HEADLINE as REG_HEADLINE
 from rippledb_spark.registry import all_queries
 from rippledb_spark.session import get_spark
 
@@ -73,80 +74,10 @@ BENCH_OVERRIDES = {
     "dedup_semantic_embedding": _semdedup_fast_bench,
 }
 
-# Headline set: one per operator family — scans/agg, joins, window, BGP
-# semi-join chain, BGP multi-var join, dedup (exact + LSH), similarity,
-# text, sessionization.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "top3_customers_per_nation",
-    "topk_parts_by_revenue",
-    "bgp_get_building_in_nation0",
-    "bgp_get_dup_preserving",
-    "bgp_join_urgent_building_orders",
-    "triples_stats",
-    "dedup_documents_exact",
-    "dedup_minhash_lsh",
-    "knn_bruteforce_cosine",
-    "knn_blocked_top1",
-    "text_doc_stats",
-    "text_bpe_token_estimate",
-    "sessionize_events",
-    "window_tumbling_events",
-    "asof_error_to_click",
-    "graph_pagerank",
-    "udaf_weighted_avg_price",
-    # round-3 additions: 7-table star (broadcast-chain family) and
-    # window-pass sequence packing (LLM-pipeline batch construction)
-    "q8_market_share",
-    "pack_documents_token_budget",
-    # round-4 additions: SPARQL OPTIONAL (left-outer BGP superset) and the
-    # bucketed distribution-window composition (no single-partition window)
-    "bgp_optional_order_parts",
-    "percentile_rank_customers_bucketed",
-    # property-path transitive closure (iterative fixpoint family, beside
-    # graph_pagerank) — times the semi-naive frontier loop end to end
-    "path_within_closure",
-    # round-5 additions: SPARQL aggregation through the text frontend,
-    # the real PNG/WAV decode kernel (Arrow mapInPandas family), and the
-    # distributed RDF/XML serialization expression
-    "sparql_agg_members_per_nation",
-    "multimodal_features",
-    "rdfxml_export_accounting",
-    "chunk_documents_overlapping",
-    # round-6 additions: PII scrub (codegen regexp family), line-level
-    # boilerplate removal, GIF frame walk (Arrow expansion), bounded path
-    # quantifier (structural level bound vs the closure family), and the
-    # builtins/ORDER-BY-expression SPARQL surface. The backup-migration
-    # query is deliberately NOT here: its sink targets the reference's
-    # single-node format (head.json holds the whole term dictionary), so
-    # its wall time is dominated by that format's inherent driver-side
-    # serialization, not by engine throughput.
-    "pii_scrub_accounting",
-    "clean_frequent_line_removal",
-    "multimodal_frames",
-    "path_quantified_containment",
-    "sparql_builtins_order_expr",
-    # dataset tier: GRAPH ?g as a distributed join dimension (the quad
-    # join-chain family — one aggregation over the labeled quads frame)
-    "sparql_graph_var_membership",
-    # Gopher repetition/quality gate (explode + doc-keyed hash-agg family)
-    "gopher_repetition_accounting",
-    # SemDeDup semantic dedup (Lloyd k-means + within-cluster cosine gate)
-    "dedup_semantic_embedding",
-    # fractional-epoch mixture upsampling (projection + explode family)
-    "mixture_epochs_applied",
-    # WARC container round-trip (Common Crawl ingest/egress family)
-    "warc_roundtrip_accounting",
-    # HTML -> text extraction (codegen regexp-chain family)
-    "html_text_extraction",
-    # URL canonicalization + crawl-frontier dedup (short-key double agg)
-    "url_dedup_accounting",
-    # real pixel decode (zlib inflate + unfilter) + nearest resize
-    "image_resize_accounting",
-]
+# Headline set: one query per operator family, timed round-over-round. The
+# list lives in the registry (tier metadata shared with the certification
+# scheduler and ledger); bench.py is a consumer.
+HEADLINE = list(REG_HEADLINE)
 
 
 # --- host-noise probe (r8) -------------------------------------------------

