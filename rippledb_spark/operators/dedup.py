@@ -511,3 +511,145 @@ def prefix_containment_pairs(
         )
         .select("contained_id", "container_id")
     )
+
+
+def duplicated_substring_runs(
+    df: DataFrame,
+    content_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document EXACT-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — the dedup that most changes LM memorization):
+    → DataFrame(doc_id, n_tokens, n_dup_runs, dup_tokens,
+    max_run_tokens, dup_frac) where a "run" is a MAXIMAL span of tokens
+    every length-``n`` window of which occurs at least twice corpus-wide
+    (other documents or elsewhere in the same one — the paper dedups
+    both).
+
+    The paper builds a suffix array; the distributed equivalent here is
+    window-fingerprint seeds + run stitching, the same
+    blocked-never-all-pairs shape as the rest of this module:
+
+    1. every token offset emits the md5 of its n-token window
+       (one projection, one explode);
+    2. a window is DUPLICATED iff its fingerprint occurs ≥ 2 times
+       corpus-wide (one fp-keyed window count — the positions shuffle
+       ONCE on fp and are read once; a corpus-frequent gram
+       concentrates into one window partition whose count is linear,
+       never a pair explosion, the quality.py hot-gram argument);
+    3. duplicated offsets within a doc stitch into maximal runs by
+       gaps-and-islands (offset − row_number over the doc's offsets —
+       one doc-keyed window);
+    4. a run of consecutive duplicated offsets [s..e] covers tokens
+       s..e+n−1, so dup_tokens = Σ(e − s + n) over runs (maximal runs
+       cannot overlap).
+
+    COMPLETENESS: any duplicated substring of ≥ n tokens makes all its
+    n-windows duplicated, so it is always found (no false negatives at
+    the window length). A reported run is the UNION of duplicated
+    windows — it can stitch two different duplication sources into one
+    maximal span, which over-approximates the paper's per-match spans
+    but never the duplicated token COUNT a removal pass would cut.
+
+    Scale shape: one fp-keyed shuffle (window count — single pass over
+    the positions, no recompute), one doc-keyed window + hash-agg.
+    Nothing is all-pairs; nothing is driver-side. Docs with < n tokens
+    have no windows and report zeros.
+    """
+    if n < 2:
+        raise ValueError("window length n must be >= 2")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(content_col), " ").alias("__t"),
+    ).select("doc_id", "__t", F.size("__t").cast("bigint").alias("n_tokens"))
+    pos = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_tokens") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("__t", i + 1, n))
+                    ),
+                )
+            ).alias("off", "fp"),
+        )
+    )
+    dpos = (
+        pos.withColumn("__c", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("__c") >= 2)
+        .select("doc_id", "off")
+    )
+    w = Window.partitionBy("doc_id").orderBy("off")
+    runs = (
+        dpos.withColumn("__isl", F.col("off") - F.row_number().over(w))
+        .groupBy("doc_id", "__isl")
+        .agg(F.min("off").alias("s"), F.max("off").alias("e"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        F.sum(F.col("e") - F.col("s") + n).cast("bigint").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + n).cast("bigint").alias("max_run_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_runs", F.lit(0)).cast("bigint").alias("n_dup_runs"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("max_run_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("max_run_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicated_substring_runs_sql(table: str, content_col: str, id_col: str,
+                                  n: int = 5) -> str:
+    """DuckDB CTE-chain twin of :func:`duplicated_substring_runs`; yields
+    a relation ``dsr`` with the same six columns."""
+    return f"""dsr_base AS (
+      SELECT {id_col} AS doc_id, string_split({content_col}, ' ') AS t,
+             CAST(len(string_split({content_col}, ' ')) AS BIGINT) AS n_tokens
+      FROM {table}
+    ),
+    dsr_pos AS (
+      SELECT doc_id, i - 1 AS off,
+             md5(array_to_string(t[i:i+{n - 1}], ' ')) AS fp
+      FROM dsr_base, UNNEST(range(1, CAST(n_tokens AS INT) - {n - 2})) AS s(i)
+      WHERE n_tokens >= {n}
+    ),
+    dsr_dup AS (SELECT fp FROM dsr_pos GROUP BY fp HAVING COUNT(*) >= 2),
+    dsr_runs AS (
+      SELECT doc_id, MIN(off) AS s, MAX(off) AS e
+      FROM (
+        SELECT doc_id, off,
+               off - row_number() OVER (PARTITION BY doc_id ORDER BY off)
+                 AS isl
+        FROM dsr_pos WHERE fp IN (SELECT fp FROM dsr_dup)
+      ) GROUP BY doc_id, isl
+    ),
+    dsr_per AS (
+      SELECT doc_id, COUNT(*) AS n_dup_runs,
+             CAST(SUM(e - s + {n}) AS BIGINT) AS dup_tokens,
+             CAST(MAX(e - s + {n}) AS BIGINT) AS max_run_tokens
+      FROM dsr_runs GROUP BY doc_id
+    ),
+    dsr AS (
+      SELECT b.doc_id, b.n_tokens,
+             CAST(COALESCE(p.n_dup_runs, 0) AS BIGINT) AS n_dup_runs,
+             CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             CAST(COALESCE(p.max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+             ROUND(COALESCE(p.dup_tokens, 0) / b.n_tokens, 6) AS dup_frac
+      FROM dsr_base b LEFT JOIN dsr_per p ON b.doc_id = p.doc_id
+    )"""

@@ -88,3 +88,35 @@ def avi_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+from rippledb_spark.operators import dedup as DD  # noqa: E402
+
+_DSR_CTE = DD.duplicated_substring_runs_sql("documents", "text", "doc_id", n=5)
+
+
+@query(
+    "dedup_exact_substring_runs",
+    oracle=f"""
+    WITH {_DSR_CTE.strip()}
+    SELECT doc_id, n_tokens, n_dup_runs, dup_tokens, max_run_tokens, dup_frac
+    FROM dsr ORDER BY doc_id
+    """,
+)
+def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (Lee et al. 2021 class,
+    operators/dedup.duplicated_substring_runs): every maximal token span
+    whose 5-token windows all occur ≥ 2 times corpus-wide, reported per
+    document as run count, duplicated-token total, longest run, and
+    duplicated fraction — the numbers a removal pass would act on. The
+    oracle replays the identical window fingerprints, ≥2 gate, and
+    gaps-and-islands stitching in DuckDB, so a green row certifies seed
+    detection AND run stitching arithmetic for all 500 docs (zeros
+    included). Reference comparison: n/a (no text surface in the
+    reference); the suffix-array original is the paper's single-node
+    form — the window-seed + stitch form is the distributed equivalent
+    (one fp-keyed count, one semi-join, one doc-keyed window)."""
+    d = load(spark, sf_dir, "documents")
+    return DD.duplicated_substring_runs(d, "text", "doc_id", n=5).orderBy(
+        "doc_id"
+    )
