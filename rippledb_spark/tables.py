@@ -8,6 +8,7 @@ scale the same call reads a partitioned directory tree unchanged.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
@@ -66,6 +67,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SCRATCH_DIRS: set[str] = set()
+_SCRATCH_SEQ = itertools.count()
 
 
 @atexit.register
@@ -81,13 +83,18 @@ def scratch_dir(prefix: str, sf_dir: str) -> str:
 
     The PID is in the key so concurrent processes (bench + gate, two
     checkouts) never rmtree each other's scratch between one run's write
-    and its lazy read-back. That same laziness means the dir cannot be
-    removed at the end of the query function — so every dir is registered
-    here and removed at interpreter exit (atexit), closing the leak of
-    one corpus-sized directory per process."""
+    and its lazy read-back, and a process-local sequence number makes
+    every CALL unique, so two builds of the same query inside one
+    process (two SparkSessions, or one session building the plan twice)
+    cannot rmtree each other's dir either (r7 ADVICE #9). That same
+    read-back laziness means the dir cannot be removed at the end of the
+    query function — so every dir is registered here and removed at
+    interpreter exit (atexit), closing the leak of one corpus-sized
+    directory per process."""
     d = os.path.join(
         tempfile.gettempdir(),
-        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
+        f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}_{next(_SCRATCH_SEQ)}",
     )
     shutil.rmtree(d, ignore_errors=True)
     _SCRATCH_DIRS.add(d)

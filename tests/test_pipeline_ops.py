@@ -1042,3 +1042,24 @@ def test_scratch_dir_registers_atexit_cleanup(tmp_path, monkeypatch):
     tables._cleanup_scratch()  # what atexit runs
     assert not os.path.exists(d)
     tables._SCRATCH_DIRS.discard(d)
+
+
+def test_scratch_dir_unique_per_call_within_process(tmp_path, monkeypatch):
+    """Two builds of the same (prefix, sf) in ONE process — two
+    SparkSessions, or one session planning twice — must get distinct
+    dirs, or the second call's rmtree deletes the first build's data
+    between its eager write and lazy read-back (r7 ADVICE #9)."""
+    import os
+
+    from rippledb_spark import tables
+
+    monkeypatch.setattr(tables.tempfile, "gettempdir", lambda: str(tmp_path))
+    d1 = tables.scratch_dir("rippledb_test_scratch", "/data/sf0.01")
+    os.makedirs(d1)
+    with open(os.path.join(d1, "part-0"), "w") as f:
+        f.write("payload")
+    d2 = tables.scratch_dir("rippledb_test_scratch", "/data/sf0.01")
+    assert d1 != d2
+    assert os.path.exists(os.path.join(d1, "part-0"))  # d1 untouched
+    tables._cleanup_scratch()
+    tables._SCRATCH_DIRS.difference_update({d1, d2})
