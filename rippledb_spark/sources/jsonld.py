@@ -12,8 +12,17 @@ Supported subset (flat documents, stdlib-``json`` parseable):
   be JSON-LINES — one complete document per line, the writer's output;
 - node objects carry ``@id`` (IRI, or ``_:label`` for blank nodes —
   labels kept verbatim, the same multi-part round-trip convention as
-  sources/rdfjson.py); a node object WITHOUT ``@id`` is rejected (the
-  flat subset has no anonymous-node allocation);
+  sources/rdfjson.py); a node object WITHOUT ``@id`` (top-level or
+  nested) gets a DETERMINISTIC content-addressed blank label (r8):
+  ``_:c`` + md5 of (parent subject, predicate, sibling index, canonical
+  node JSON), so independent distributed parses of the same document
+  allocate identical labels — no RNG, no parse-order counter — while
+  distinct-but-identical siblings stay distinct via the index;
+- NESTED node objects (r8 — schema.org crawl data's default shape) are
+  flattened locally: the parent emits a reference triple to the nested
+  node's ``@id`` (given or allocated) and the nested node's own
+  properties recurse as that subject's triples. JSON documents are
+  trees, so recursion terminates; nested ``@context`` scopes apply;
 - ``@type``: string or array of strings → ``rdf:type`` triples;
 - every other key is a predicate; values may be arrays (multi-valued),
   strings (plain literals), numbers/booleans (typed literals with the
@@ -43,6 +52,7 @@ Scale shape (identical to sources/rdfjson.py):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import math
 from collections.abc import Iterator
@@ -124,10 +134,26 @@ def _xsd_literal(v) -> tuple[str, str]:
     return repr(float(v)), XSD + "double"
 
 
-def _object_rows(subj, s_kind, pred, v, ctx, vocab, rows) -> None:
+def _content_label(parent_subj, pred, index, node) -> str:
+    """Deterministic blank label for a node object without @id:
+    content-addressed over (parent subject, predicate, sibling index,
+    canonical node JSON) — independent parses of the same document agree
+    byte-for-byte, and identical-content siblings stay DISTINCT nodes
+    via the index (JSON-LD expansion allocates one blank node per
+    occurrence, not per content)."""
+    basis = json.dumps(
+        [parent_subj, pred, index, node],
+        sort_keys=True,
+        separators=(",", ":"),
+        ensure_ascii=False,
+    )
+    return "_:c" + hashlib.md5(basis.encode("utf-8")).hexdigest()[:16]
+
+
+def _object_rows(subj, s_kind, pred, v, ctx, vocab, rows, index=0) -> None:
     if isinstance(v, list):
-        for item in v:
-            _object_rows(subj, s_kind, pred, item, ctx, vocab, rows)
+        for i, item in enumerate(v):
+            _object_rows(subj, s_kind, pred, item, ctx, vocab, rows, index=i)
         return
     if isinstance(v, str):
         rows.append((subj, s_kind, pred, v, model.LITERAL, None, None))
@@ -173,29 +199,31 @@ def _object_rows(subj, s_kind, pred, v, ctx, vocab, rows) -> None:
                 )
             else:
                 rows.append((subj, s_kind, pred, str(val), model.LITERAL, None, None))
-        elif "@id" in v:
-            extra = set(v) - {"@id"}
-            if extra:
-                raise RdfParseError(
-                    f"nested node object under {subj!r}/{pred!r} carries "
-                    f"properties {sorted(extra)} — flatten the document first "
-                    "(the flat subset takes @id references only)"
-                )
-            ref = _expand_id(str(v["@id"]), ctx)
+        elif "@graph" in v:
+            raise RdfParseError(
+                f"named graph under {subj!r}/{pred!r} is dataset-tier — "
+                "serialize datasets as N-Quads or TriG"
+            )
+        else:
+            # node object (reference, or nested — flattened here, r8):
+            # emit the reference triple, then recurse into its own
+            # properties with the nested node as subject
+            if "@id" in v:
+                ref = _expand_id(str(v["@id"]), ctx)
+            else:
+                ref = _content_label(subj, pred, index, v)
             kind = model.BLANK if ref.startswith("_:") else model.NAMED
             rows.append((subj, s_kind, pred, ref, kind, None, None))
-        else:
-            raise RdfParseError(
-                f"object of {subj!r}/{pred!r} must be a value object "
-                f"(@value) or a node reference (@id), got {v!r}"
-            )
+            if set(v) - {"@id"}:
+                _node_rows(v, ctx, vocab, rows, assigned_id=ref)
     else:
         raise RdfParseError(f"null object of {subj!r}/{pred!r} (JSON-LD drops "
                             "null values at expansion — remove the key)")
 
 
 def _node_rows(node: dict, ctx: dict[str, str], vocab: str | None,
-               rows: list[tuple]) -> None:
+               rows: list[tuple], assigned_id: str | None = None,
+               index: int | list = 0) -> None:
     if "@context" in node:
         local_ctx, local_vocab = _parse_context(node["@context"])
         ctx = {**ctx, **local_ctx}
@@ -209,17 +237,20 @@ def _node_rows(node: dict, ctx: dict[str, str], vocab: str | None,
         g = node["@graph"]
         if not isinstance(g, list):
             raise RdfParseError("@graph must be an array of node objects")
-        for child in g:
+        for i, child in enumerate(g):
             if not isinstance(child, dict):
                 raise RdfParseError(f"@graph entry must be an object, got {child!r}")
-            _node_rows(child, ctx, vocab, rows)
+            # extend the incoming position, so identical anonymous nodes
+            # at the same @graph slot of DIFFERENT documents stay distinct
+            _node_rows(child, ctx, vocab, rows, index=[index, i])
         return
-    if "@id" not in node:
-        raise RdfParseError(
-            f"node object without @id: {sorted(node)!r} — the flat subset "
-            "has no anonymous-node allocation"
-        )
-    subj = _expand_id(str(node["@id"]), ctx)
+    if assigned_id is not None:
+        subj = assigned_id  # nested recursion passes the expanded/allocated id
+    elif "@id" in node:
+        subj = _expand_id(str(node["@id"]), ctx)
+    else:
+        # top-level anonymous node: deterministic content-addressed label
+        subj = _content_label(None, None, index, node)
     s_kind = model.BLANK if subj.startswith("_:") else model.NAMED
     for t in (
         node["@type"] if isinstance(node.get("@type"), list)
@@ -255,14 +286,16 @@ def parse_jsonld(data: bytes | str) -> list[tuple]:
             raise RdfParseError(f"not JSON-LD (nor JSON-lines): {ex}") from ex
 
     rows: list[tuple] = []
-    for doc in docs:
+    for d, doc in enumerate(docs):
+        # the (document, position) index keys anonymous-node labels, so
+        # identical anonymous nodes in different lines/slots stay distinct
         if isinstance(doc, list):
-            for node in doc:
+            for i, node in enumerate(doc):
                 if not isinstance(node, dict):
                     raise RdfParseError(f"array entry must be an object, got {node!r}")
-                _node_rows(node, {}, None, rows)
+                _node_rows(node, {}, None, rows, index=[d, i])
         elif isinstance(doc, dict):
-            _node_rows(doc, {}, None, rows)
+            _node_rows(doc, {}, None, rows, index=[d, 0])
         else:
             raise RdfParseError(
                 f"JSON-LD root must be an object or array, got {type(doc)}"

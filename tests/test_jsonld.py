@@ -91,12 +91,10 @@ def test_context_vocab_term_and_prefix_expansion():
 def test_refusals_are_loud():
     with pytest.raises(RdfParseError, match="remote @context"):
         parse_jsonld('{"@context": "https://schema.org", "@id": "x", "a": "b"}')
-    with pytest.raises(RdfParseError, match="without @id"):
-        parse_jsonld('{"name": "anonymous"}')
     with pytest.raises(RdfParseError, match="dataset-tier"):
         parse_jsonld('{"@id": "g1", "@graph": [{"@id": "x", "p": "v"}]}')
-    with pytest.raises(RdfParseError, match="flatten"):
-        parse_jsonld('{"@id": "a", "p": {"@id": "b", "q": "nested"}}')
+    with pytest.raises(RdfParseError, match="dataset-tier"):
+        parse_jsonld('{"@id": "a", "p": {"@graph": [{"@id": "x"}]}}')
     with pytest.raises(RdfParseError, match="non-string definition"):
         parse_jsonld('{"@context": {"p": {"@container": "@set"}}, "@id": "a", "p": "v"}')
     with pytest.raises(RdfParseError, match="not JSON-LD"):
@@ -115,6 +113,83 @@ def test_null_value_object_dropped_like_expansion():
     # JSON-LD expansion drops a null @value: no triple, no bogus "None"
     rows = parse_jsonld('{"@id": "ex:a", "ex:p": {"@value": null}, "ex:q": "v"}')
     assert [r[2] for r in rows] == ["ex:q"]
+
+
+# ---------------------------------------------------------------------------
+# nested node objects + anonymous nodes (r8 flattening)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_node_with_id_flattens():
+    doc = {
+        "@id": "ex:a",
+        "ex:author": {"@id": "ex:b", "ex:name": "Bea", "@type": "ex:Person"},
+    }
+    rows = set(parse_jsonld(json.dumps(doc)))
+    assert ("ex:a", "named", "ex:author", "ex:b", "named", None, None) in rows
+    assert ("ex:b", "named", "ex:name", "Bea", "literal", None, None) in rows
+    assert ("ex:b", "named", RDF_TYPE, "ex:Person", "named", None, None) in rows
+    assert len(rows) == 3
+
+
+def test_anonymous_nested_nodes_deterministic_and_distinct():
+    # schema.org's default shape: nested author/publisher without @id
+    doc = {
+        "@id": "ex:art",
+        "ex:author": [{"ex:name": "Ann"}, {"ex:name": "Ann"}],  # twins
+    }
+    r1 = parse_jsonld(json.dumps(doc))
+    r2 = parse_jsonld(json.dumps(doc))
+    assert sorted(r1) == sorted(r2)  # content-addressed: parses agree
+    refs = sorted(r[3] for r in r1 if r[2] == "ex:author")
+    assert len(refs) == 2 and refs[0] != refs[1]  # twins stay DISTINCT
+    assert all(r.startswith("_:c") for r in refs)
+    # each blank carries its own name triple
+    names = {(r[0], r[3]) for r in r1 if r[2] == "ex:name"}
+    assert names == {(refs[0], "Ann"), (refs[1], "Ann")}
+
+
+def test_deep_nesting_and_scoped_context():
+    doc = {
+        "@context": {"name": "http://s.example/name"},
+        "@id": "ex:a",
+        "ex:child": {
+            "@context": {"name": "http://deep.example/name"},
+            "name": "inner",
+            "ex:grand": {"@id": "ex:g", "name": "deepest"},
+        },
+    }
+    rows = parse_jsonld(json.dumps(doc))
+    preds = {r[2] for r in rows}
+    # the nested @context override reaches the nested node AND its child
+    assert "http://deep.example/name" in preds
+    assert "http://s.example/name" not in preds
+    by_subj = {(r[0], r[2], r[3]) for r in rows}
+    assert ("ex:g", "http://deep.example/name", "deepest") in by_subj
+
+
+def test_top_level_anonymous_node_allocates():
+    rows = parse_jsonld('{"ex:name": "anonymous"}')
+    assert len(rows) == 1
+    s, s_kind = rows[0][0], rows[0][1]
+    assert s.startswith("_:c") and s_kind == "blank"
+    # identical anonymous docs on separate JSON-LINES stay distinct
+    two = parse_jsonld('{"ex:name": "anonymous"}\n{"ex:name": "anonymous"}')
+    assert len({r[0] for r in two}) == 2
+
+
+def test_nested_round_trip_through_flat_writer():
+    doc = {
+        "@id": "ex:art",
+        "@type": "ex:Article",
+        "ex:author": {"ex:name": "Ann", "ex:email": {"@value": "a@x", "@language": "en"}},
+        "ex:tag": ["t1", {"@id": "ex:t2"}],
+    }
+    rows = parse_jsonld(json.dumps(doc))
+    cols = ["s", "s_kind", "p", "o_value", "o_kind", "o_lang", "o_datatype"]
+    line = serialize_jsonld_rows(dict(zip(cols, r)) for r in rows)
+    again = parse_jsonld(line)
+    assert sorted(again) == sorted(rows)
 
 
 def test_serialize_emits_type_keyword_and_sorts():
