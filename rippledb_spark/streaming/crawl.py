@@ -112,6 +112,101 @@ def gate_crawl_records(warc_df: DataFrame) -> DataFrame:
     ).select(*CORPUS_COLS)
 
 
+# <script type="application/ld+json"> islands — the way schema.org
+# structured data ships inside crawled HTML. Java regex, (?is) =
+# case-insensitive + DOTALL so islands span lines; group 1 is the body.
+JSONLD_SCRIPT_RE = (
+    r"(?is)<script[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+    r"(.*?)</script>"
+)
+
+
+def extract_jsonld_triples(warc_df: DataFrame) -> DataFrame:
+    """Gated pages → the RDF triples of their embedded JSON-LD islands
+    (r8 — the structured-data half of a crawl pipeline, beside the text
+    corpus): per fetch, run the Gopher gate on the stripped text, and for
+    fetches that PASS, regex out every ``application/ld+json`` script
+    island (codegen ``regexp_extract_all``) and parse it with the
+    sources/jsonld.py flattening parser inside Arrow ``mapInPandas``.
+
+    Batch-agnostic BY CONSTRUCTION — every decision reads one fetch's own
+    bytes (gate on its own text, islands from its own HTML), and triples
+    carry set semantics downstream — so any micro-batch split or replay
+    unions to the same triple set as one batch run (the equivalence
+    tests/test_streaming.py pins). Two crawl-robustness policies, both
+    deliberate: a malformed island is DROPPED (one broken page must not
+    kill a 100 TB stream — unlike the loud file-level readers, which
+    parse trusted exports), and blank-node labels are rescoped per fetch
+    (``_:u<md5(uri)[:8]>…`` on top of the parser's content-addressed
+    labels), so anonymous nodes from different pages can never collide
+    while replays still reproduce identical labels.
+
+    100 TB shape: one codegen projection (strip + gate + regex), one
+    Arrow kernel where the HTML lives; no driver loop, no per-row UDF;
+    output is TRIPLES_SCHEMA ready for TripleStore.from_df."""
+    import hashlib
+
+    import pandas as pd
+
+    from rippledb_spark import model
+    from rippledb_spark.sources.jsonld import parse_jsonld
+    from rippledb_spark.errors import RdfParseError
+
+    recs = warc_df.select(
+        url_normalize("target_uri").alias("uri"),
+        F.col("payload").cast("string").alias("__html"),
+    ).where(F.col("uri").isNotNull())
+    # per-FETCH gate (not per-URI winner): keeps the stage batch-agnostic
+    recs = recs.withColumn("__fid", F.md5(F.concat("uri", "__html")))
+    m = repetition_metrics(
+        recs.select("__fid", strip_html(F.col("__html")).alias("__text")),
+        "__text",
+        "__fid",
+    )
+    kept = recs.join(
+        m.where(F.col("keep")).select(F.col("id").alias("__fid")),
+        "__fid",
+        "left_semi",
+    )
+    islands = kept.select(
+        "uri",
+        F.explode(
+            F.regexp_extract_all("__html", F.lit(JSONLD_SCRIPT_RE), 1)
+        ).alias("__island"),
+    )
+
+    cols = [f.name for f in model.TRIPLES_SCHEMA.fields]
+    blank_i = {c: i for i, c in enumerate(cols)}
+
+    def parse_batch(batches):
+        for pdf in batches:
+            out: list[tuple] = []
+            for uri, island in zip(pdf["uri"], pdf["__island"]):
+                try:
+                    rows = parse_jsonld(island)
+                except RdfParseError:
+                    continue  # crawl policy: drop the broken island
+                scope = hashlib.md5(uri.encode("utf-8")).hexdigest()[:8]
+                for r in rows:
+                    r = list(r)
+                    if r[blank_i["s_kind"]] == model.BLANK:
+                        r[blank_i["s"]] = _rescope(r[blank_i["s"]], scope)
+                    if r[blank_i["o_kind"]] == model.BLANK:
+                        r[blank_i["o_value"]] = _rescope(
+                            r[blank_i["o_value"]], scope
+                        )
+                    out.append(tuple(r))
+            yield pd.DataFrame(out, columns=cols)
+
+    return islands.mapInPandas(parse_batch, schema=model.TRIPLES_SCHEMA)
+
+
+def _rescope(label: str, scope: str) -> str:
+    """Blank label → fetch-scoped label (document-scoped blank nodes)."""
+    bare = label[2:] if label.startswith("_:") else label
+    return f"_:u{scope}_{bare}"
+
+
 def crawl_accounting(corpus: DataFrame) -> DataFrame:
     """Per-host accounting of a gated corpus — the report a filtering
     run emits per crawl segment (host = the URI's authority)."""
@@ -138,10 +233,18 @@ def start_crawl_corpus_sink(
     path: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    triples_path: str | None = None,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
-    corpus snapshot at ``path``. Returns the StreamingQuery.
+    corpus snapshot at ``path``. With ``triples_path`` set, the SAME
+    foreachBatch additionally extracts each batch's embedded JSON-LD
+    islands (extract_jsonld_triples) and set-merges them into a
+    TRIPLES_SCHEMA snapshot there — a TripleStore.from_df-queryable
+    graph growing beside the text corpus (r8). The triple merge is
+    union + dropDuplicates on the full triple key: idempotent under
+    replay and batch-split-invariant because the extraction itself is
+    per-fetch. Returns the StreamingQuery.
 
     Exactly-once by key: foreachBatch replays re-upsert the same URIs
     (idempotent), torn overwrites read as absent and the replayed batch
@@ -175,6 +278,18 @@ def start_crawl_corpus_sink(
         else:
             merged = gated
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        if triples_path is not None:
+            from rippledb_spark import model
+
+            t = extract_jsonld_triples(batch_df)
+            if snapshot_ready(spark, triples_path):
+                t = spark.read.parquet(triples_path).unionByName(t)
+            (
+                t.dropDuplicates(model.TRIPLE_KEY)
+                .localCheckpoint(eager=True)
+                .write.mode("overwrite")
+                .parquet(triples_path)
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_gate_and_merge)

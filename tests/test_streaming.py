@@ -922,6 +922,100 @@ def test_streaming_crawl_cross_batch_duplicate_latest_fetch_wins(spark, tmp_path
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_streaming_crawl_extracts_jsonld_graph_matching_batch(spark, tmp_path):
+    """r8 structured-data stage: the SAME foreachBatch that gates pages
+    also extracts their embedded application/ld+json islands into a
+    TRIPLES_SCHEMA snapshot. Live stream (one file per micro-batch) must
+    produce the exact triple set of the batch twin; junk pages' islands
+    are gated out; malformed islands drop without killing the stream;
+    the snapshot is TripleStore-queryable."""
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.store import TripleStore
+    from rippledb_spark.streaming import crawl as SC
+
+    def record(uri, html):
+        payload = html.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    words = (
+        "the morning light settles over a quiet harbor while weathered"
+        " fishermen haul heavy nets across wooden decks and hungry gulls"
+        " wheel above the stone breakwater waiting for scraps of herring"
+        " that spill from every crate as the tide turns slowly toward"
+        " evening when lanterns begin to glow along the crooked pier"
+    )
+    island_a = (
+        '{"@id":"ex:art1","@type":"ex:Article",'
+        '"ex:author":{"ex:name":"Ann"},"ex:title":"First"}'
+    )
+    island_b = '{"@id":"ex:art2","ex:title":"Second"}'
+    junk_island = '{"@id":"ex:spam","ex:title":"never extracted"}'
+    good1 = (
+        f"<html><head><script type=\"application/ld+json\">{island_a}"
+        f"</script></head><body><p>{words}</p>"
+        "<script type='application/ld+json'>not json {{{</script></body></html>"
+    )
+    good2 = (
+        "<html><body><script other=1 type=\"application/LD+JSON\">"
+        f"{island_b}</script><p>{words} extra tail</p></body></html>"
+    )
+    junk = (
+        f"<script type=\"application/ld+json\">{junk_island}</script>"
+        "<p>" + "buy now " * 120 + "</p>"
+    )
+    d = tmp_path / "warc_ld"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        record("https://news.example.com/a1", good1)
+        + record("https://spam.example.net/j", junk)
+    )
+    (d / "b.warc").write_bytes(record("https://news.example.com/a2", good2))
+
+    snap = str(tmp_path / "corpus_ld")
+    tsnap = str(tmp_path / "triples_ld")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, str(tmp_path / "ckpt_ld"), triples_path=tsnap
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(tsnap)
+    want = SC.extract_jsonld_triples(read_warc(spark, str(d)))
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.dropDuplicates().collect()))
+    assert got_rows == want_rows and got_rows
+
+    by_pred = {(r[0], r[2], r[3]) for r in got_rows}
+    assert ("ex:art1", "ex:title", "First") in by_pred
+    assert ("ex:art2", "ex:title", "Second") in by_pred
+    # gated-out junk page contributed nothing; malformed island dropped
+    assert not any(r[0] == "ex:spam" for r in got_rows)
+    # the anonymous nested author got a fetch-scoped deterministic blank
+    authors = [r for r in got_rows if r[2] == "ex:author"]
+    assert len(authors) == 1 and authors[0][3].startswith("_:u")
+    # and the snapshot is a queryable graph
+    st = TripleStore.from_df(spark, got)
+    names = st.df.where("p = 'ex:name'").select("o_value").collect()
+    assert [r["o_value"] for r in names] == ["Ann"]
+
+
 def test_streaming_crawl_reader_matches_batch_reader(spark, tmp_path):
     """read_warc_stream shares the batch reader's parser — record sets
     must be identical over the same members."""
