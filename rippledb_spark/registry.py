@@ -121,6 +121,12 @@ HEADLINE: tuple[str, ...] = (
     "url_dedup_accounting",
     # real pixel decode (zlib inflate + unfilter) + nearest resize
     "image_resize_accounting",
+    # round-8 additions: AVI video frame extraction (RIFF walk + DIB/RLE8
+    # pixel decode, the Arrow frame-expansion family's video member) and
+    # exact-substring dedup (Lee et al. 2021: window-fingerprint seeds +
+    # gaps-and-islands stitching — the fp-keyed window-count family)
+    "avi_frame_accounting",
+    "dedup_exact_substring_runs",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)

@@ -50,6 +50,10 @@ DEFAULT = [
     # dataset tier (receipts in docs/PLANS.md §round-6 dataset section)
     "sparql_graph_var_membership",
     "sparql_graph_cross_default_join",
+    # r8: substring dedup (fp-window + doc-window, 2 shuffles) and the
+    # AVI frame expansion (Arrow mapInPandas + media-keyed hash-agg)
+    "dedup_exact_substring_runs",
+    "avi_frame_accounting",
     "sparql_graph_var_closure",
     # crawl tier round-6 tail: URL canonicalization + pixel resize
     "url_dedup_accounting",
