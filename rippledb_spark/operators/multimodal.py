@@ -21,13 +21,16 @@ checks, zlib inflate, scanline UNfiltering for all five PNG filter types
 (None/Sub/Up/Average/Paeth) — GIF runs the general variable-width LZW
 decompressor (code-table growth, 12-bit cap, KwKwK case, four-pass
 deinterlace), and AVI walks the RIFF/hdrl/movi container to per-frame
-pixel decode for uncompressed bottom-up padded DIB and the full BI_RLE8
-spec (runs, absolute mode, end-of-line/bitmap, delta); all three feed
-the same nearest-neighbor numpy resize. Modern compressed video codecs
-(H.264/VP9 etc.) remain the one stub — those genuinely need codec
-libraries; decode_avi_frames refuses them loudly and everything up to
-the codec boundary (container walk, stream headers, frame slicing) is
-the same code path they would feed. The Spark-side shape is
+pixel decode for uncompressed bottom-up padded DIB, the full BI_RLE8
+spec (runs, absolute mode, end-of-line/bitmap, delta), AND MJPEG —
+baseline-JPEG frames with real entropy coding (operators/jpeg.py:
+Annex K Huffman tables, DC differential + AC run/size symbols, byte
+stuffing, orthonormal 8x8 DCT); all of them feed the same
+nearest-neighbor numpy resize. Interframe-predicted codecs (H.264/VP9
+etc.) remain the one stub — those genuinely need codec libraries;
+decode_avi_frames refuses them loudly and everything up to the codec
+boundary (container walk, stream headers, frame slicing) is the same
+code path they would feed. The Spark-side shape is
 production-real throughout: binary columns, Arrow-batched
 ``mapInPandas`` with explicit output schemas, partition-sized batches,
 no collect, no per-row Python UDFs.
@@ -989,14 +992,27 @@ def encode_avi(
     frames: list[bytes],
     us_per_frame: int = 40000,
     rle: bool = False,
+    codec: str | None = None,
 ) -> bytes:
     """Minimal VALID AVI ('AVI RIFF File Reference' layout): RIFF/AVI →
     LIST hdrl (avih + one 'vids' LIST strl with strh + BITMAPINFOHEADER
-    strf and a 256-entry grayscale palette) → LIST movi with one '00db'
-    (uncompressed bottom-up padded DIB) or '00dc' (BI_RLE8) chunk per
-    frame. ``frames`` are row-major TOP-DOWN 8-bit grayscale buffers of
-    exactly width×height bytes (the natural orientation; the DIB flip
-    happens here)."""
+    strf and a 256-entry grayscale palette) → LIST movi with one chunk
+    per frame. ``codec`` (overrides the legacy ``rle`` flag):
+
+    - ``"dib"``  — '00db' uncompressed bottom-up padded DIB;
+    - ``"rle8"`` — '00dc' BI_RLE8;
+    - ``"mjpg"`` — '00dc' baseline-JPEG frames (operators/jpeg.py), the
+      MJPEG stream layout (fourcc/biCompression 'MJPG'; frames are
+      top-down JPEG raster — no DIB flip, no palette semantics, still
+      declared 8-bit grayscale).
+
+    ``frames`` are row-major TOP-DOWN 8-bit grayscale buffers of exactly
+    width×height bytes (the natural orientation; any flip happens
+    here)."""
+    if codec is None:
+        codec = "rle8" if rle else "dib"
+    if codec not in ("dib", "rle8", "mjpg"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
     if width <= 0 or height <= 0 or not frames:
         raise ValueError("AVI needs positive dims and at least one frame")
     for f in frames:
@@ -1012,10 +1028,15 @@ def encode_avi(
     pad = _dib_pad(width)
     movi_chunks: list[bytes] = []
     for f in frames:
+        if codec == "mjpg":
+            from rippledb_spark.operators.jpeg import encode_jpeg_gray
+
+            movi_chunks.append(chunk(b"00dc", encode_jpeg_gray(width, height, f)))
+            continue
         rows_bu = [
             f[r * width : (r + 1) * width] for r in range(height - 1, -1, -1)
         ]
-        if rle:
+        if codec == "rle8":
             movi_chunks.append(
                 chunk(b"00dc", rle8_encode_frame(width, height, rows_bu))
             )
@@ -1033,17 +1054,20 @@ def encode_avi(
     # AVIStreamHeader after the two FOURCCs: flags, priority, language,
     # initialFrames, scale, rate, start, length, suggestedBuffer,
     # quality (signed; -1 = default), sampleSize, rcFrame(4×int16)
+    handler = {"dib": b"DIB ", "rle8": b"RLE8", "mjpg": b"MJPG"}[codec]
     strh = (
-        b"vids" + (b"RLE8" if rle else b"DIB ")
+        b"vids" + handler
         + struct.pack(
             "<IHHIIIIIIiI4h",
             0, 0, 0, 0, us_per_frame, 1_000_000, 0, len(frames), max_buf,
             -1, 0, 0, 0, min(width, 2**15 - 1), min(height, 2**15 - 1),
         )
     )
+    # biCompression: 0 = BI_RGB, 1 = BI_RLE8, fourcc 'MJPG' for MJPEG
+    bi_comp = {"dib": 0, "rle8": 1, "mjpg": struct.unpack("<I", b"MJPG")[0]}[codec]
     bmih = struct.pack(
         "<IiiHHIIiiII",
-        40, width, height, 1, 8, 1 if rle else 0,
+        40, width, height, 1, 8, bi_comp,
         sum(len(c) - 8 for c in movi_chunks), 0, 0, 256, 0,
     )
     palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
@@ -1059,13 +1083,16 @@ def encode_avi(
 
 def decode_avi_frames(payload: bytes) -> dict:
     """RIFF walk of an AVI → header metadata + REAL decoded frames:
-    {width, height, us_per_frame, n_frames, compression ('rgb'|'rle8'),
-    frames: [top-down row-major 8-bit grayscale bytes]}. Handles
-    uncompressed bottom-up padded DIB ('00db', biCompression 0) and
-    BI_RLE8 ('00dc', biCompression 1); any other biCompression raises —
-    H.264/VP9 etc. genuinely need codec libraries (the documented stub).
-    Raises ValueError on structural violations (bad magic, missing
-    hdrl/strf/movi, truncated chunks, frame-size mismatches)."""
+    {width, height, us_per_frame, n_frames, compression
+    ('rgb'|'rle8'|'mjpg'), frames: [top-down row-major 8-bit grayscale
+    bytes]}. Handles uncompressed bottom-up padded DIB ('00db',
+    biCompression 0), BI_RLE8 ('00dc', biCompression 1), and MJPEG
+    ('00dc' baseline-JPEG frames, biCompression fourcc 'MJPG' —
+    operators/jpeg.py does the Huffman+DCT work, r8); any other
+    biCompression raises — H.264/VP9 etc. genuinely need codec
+    libraries (the documented stub). Raises ValueError on structural
+    violations (bad magic, missing hdrl/strf/movi, truncated chunks,
+    frame-size mismatches)."""
     if (
         len(payload) < 12
         or payload[:4] != b"RIFF"
@@ -1105,6 +1132,8 @@ def decode_avi_frames(payload: bytes) -> dict:
                     compression = "rgb"
                 elif comp == 1:
                     compression = "rle8"
+                elif comp == struct.unpack("<I", b"MJPG")[0]:
+                    compression = "mjpg"
                 else:
                     raise ValueError(
                         f"biCompression {comp}: real video codecs need codec"
@@ -1126,6 +1155,17 @@ def decode_avi_frames(payload: bytes) -> dict:
     pad = _dib_pad(width)
     stride = width + pad
     for i, data in enumerate(frames):
+        if compression == "mjpg":
+            from rippledb_spark.operators.jpeg import decode_jpeg_gray
+
+            w2, h2, pix = decode_jpeg_gray(bytes(data))
+            if (w2, h2) != (width, height):
+                raise ValueError(
+                    f"AVI frame {i}: JPEG is {w2}x{h2}, strf says"
+                    f" {width}x{height}"
+                )
+            out_frames.append(pix)  # JPEG raster is already top-down
+            continue
         if compression == "rgb":
             if len(data) != stride * height:
                 raise ValueError(
@@ -1269,3 +1309,66 @@ def avi_frame_pixel_stats(
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=AVI_FRAME_SCHEMA
     )
+
+
+def synth_mjpeg_dims(media_id: int) -> tuple[int, int, int, int]:
+    """Id-deterministic MJPEG shape: (width, height, n_frames,
+    us_per_frame); dims are 8-multiples so frames are block-aligned."""
+    return (
+        8 * (1 + media_id % 3),
+        8 * (1 + media_id % 2),
+        1 + media_id % 3,
+        33000 + 100 * (media_id % 5),
+    )
+
+
+def synth_mjpeg_pixels(media_id: int, frame_no: int, width: int, height: int) -> bytes:
+    """Deterministic BLOCK-CONSTANT grayscale field — constant on each
+    8×8 JPEG block (val(b) = (37·id + 17·frame + 11·b) mod 256, b the
+    row-major block index): exactly the content class where baseline
+    JPEG is numerically lossless with a unit quant table (only the DC
+    coefficient is nonzero and it is an exact integer — operators/
+    jpeg.py module docstring), so a SQL oracle can recompute every
+    decoded pixel in closed form despite the codec being lossy in
+    general."""
+    bw = width // 8
+    return bytes(
+        (37 * media_id + 17 * frame_no + 11 * ((y // 8) * bw + (x // 8))) % 256
+        for y in range(height)
+        for x in range(width)
+    )
+
+
+def synthesize_mjpeg_avis(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL MJPEG videos (AVI container,
+    baseline-JPEG frames) whose pixel content is id-deterministic and
+    block-constant (synth_mjpeg_pixels × synth_mjpeg_dims); built
+    per-batch in mapInPandas like the other synthesizers."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, nf, uspf = synth_mjpeg_dims(mid)
+                payloads.append(
+                    encode_avi(
+                        w,
+                        h,
+                        [synth_mjpeg_pixels(mid, f, w, h) for f in range(nf)],
+                        us_per_frame=uspf,
+                        codec="mjpg",
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo;codec=mjpeg",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

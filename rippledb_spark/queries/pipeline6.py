@@ -120,3 +120,81 @@ def dedup_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicated_substring_runs(d, "text", "doc_id", n=5).orderBy(
         "doc_id"
     )
+
+
+@query(
+    "mjpeg_frame_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+    dims AS (
+      SELECT doc_id,
+             CAST(8 * (1 + doc_id % 3) AS BIGINT) AS w,
+             CAST(8 * (1 + doc_id % 2) AS BIGINT) AS h,
+             CAST(1 + doc_id % 3 AS BIGINT) AS bw,
+             CAST(1 + doc_id % 3 AS BIGINT) AS nf
+      FROM ids
+    ),
+    fr AS (SELECT doc_id, w, h, bw, f FROM dims, UNNEST(range(0, nf, 2)) AS u(f)),
+    raw AS (
+      SELECT doc_id, f, w * h AS n_pixels,
+             64 * SUM((37 * doc_id + 17 * f + 11 * b) % 256) AS pixel_sum
+      FROM fr, UNNEST(range(0, bw * (h // 8))) AS q(b)
+      GROUP BY doc_id, f, w, h
+    ),
+    res AS (
+      SELECT doc_id, f,
+             SUM((i * 4 + j + 1)
+                 * ((37 * doc_id + 17 * f
+                     + 11 * ((((i * h) // 4) // 8) * bw
+                             + ((j * w) // 4) // 8)) % 256))
+               AS resized_wsum
+      FROM fr, generate_series(0, 3) AS gi(i), generate_series(0, 3) AS gj(j)
+      GROUP BY doc_id, f
+    )
+    SELECT r.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(MIN(33000 + 100 * (r.doc_id % 5)) AS BIGINT) AS us_per_frame,
+           CAST(SUM(r.n_pixels) AS BIGINT) AS total_pixels,
+           CAST(SUM(r.pixel_sum) AS BIGINT) AS pixel_sum,
+           CAST(SUM(s.resized_wsum) AS BIGINT) AS resized_wsum
+    FROM raw r JOIN res s ON r.doc_id = s.doc_id AND r.f = s.f
+    GROUP BY r.doc_id ORDER BY media_id
+    """,
+)
+def mjpeg_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video decode (r8 — MJPEG: the first AVI codec
+    here with actual entropy coding): synthesize MJPEG videos whose
+    frames are baseline JPEGs (operators/jpeg.py — Annex K Huffman
+    tables, DC differential + AC run/size entropy coding, byte stuffing,
+    orthonormal 8×8 DCT), RIFF-walk them back, Huffman-decode +
+    dequantize + IDCT every 2nd frame, resize 4×4 via the shared
+    resize_nearest, and report closed-form pixel digests. JPEG is lossy
+    in general, so the fixture frames are BLOCK-CONSTANT with a unit
+    quant table — the content class where baseline JPEG is numerically
+    exact (only the DC coefficient survives and it is an exact integer;
+    jpeg.py module docstring) — which is precisely what lets a SQL
+    oracle recompute every decoded pixel from id arithmetic. A Huffman
+    table off by one code, a mis-signed amplitude, a zigzag slot
+    swapped, or an IDCT scaling error changes pixel_sum; any pixel
+    REORDERING changes the position-weighted resized_wsum. Arbitrary
+    (non-block-constant) content is covered by pytest round-trip
+    tolerance tests instead. Reference comparison: n/a (no binary
+    surface in the reference).
+
+    100 TB shape: identical to avi_frame_accounting — one Arrow
+    mapInPandas where the payload bytes live, 1→n_frames expansion in
+    the kernel, one media-keyed hash-agg."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 3)
+    media = MM.synthesize_mjpeg_avis(d, "doc_id")
+    stats = MM.avi_frame_pixel_stats(media, every_n=2, out_w=4, out_h=4)
+    return (
+        stats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.min("us_per_frame").alias("us_per_frame"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("pixel_sum").alias("pixel_sum"),
+            F.sum("resized_wsum").alias("resized_wsum"),
+        )
+        .orderBy("media_id")
+    )
