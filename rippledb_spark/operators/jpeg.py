@@ -1,32 +1,41 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) for 8-bit
-grayscale — dependency-free (struct + numpy): a full sequential-DCT
-encoder and decoder pair, the codec inside MJPEG video streams.
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) — dependency-free
+(struct + numpy): a full sequential-DCT encoder and decoder pair covering
+the stream shapes real web JPEGs use.
 
-Scope (the baseline grayscale profile, everything a single-component
-JFIF stream uses):
+Scope (the baseline profile):
 
-- markers: SOI, APP0 (JFIF 1.1), DQT, SOF0 (8-bit, one component, 1×1
-  sampling), DHT (the Annex K standard luminance DC + AC tables), SOS,
-  EOI; unknown APPn/COM segments are skipped by length on decode;
-- entropy coding: canonical Huffman per Annex C, DC differential
-  categories, AC run/size symbols with ZRL (15,0) and EOB (0,0), byte
-  stuffing (FF → FF 00) in the entropy-coded segment;
+- markers: SOI, APP0 (JFIF 1.1), DQT (multiple tables), SOF0 (8-bit,
+  1 or 3 components, sampling factors), DHT (the Annex K standard
+  luminance tables, canonical Annex C code assignment), DRI + RSTn
+  restart markers, SOS, EOI; unknown APPn/COM segments are skipped by
+  length on decode;
+- entropy coding: per-component DC differential categories, AC run/size
+  symbols with ZRL (15,0) and EOB (0,0), byte stuffing (FF → FF 00),
+  restart-interval predictor resets with byte alignment;
+- multi-component interleaved MCUs: grayscale (1×1), YCbCr 4:4:4
+  (1×1 chroma beside 1×1 luma), 4:2:2 (2×1 luma), and 4:2:0 (2×2 luma)
+  — the overwhelmingly common web layouts; chroma upsampling by
+  replication and the JFIF/T.871 YCbCr→RGB conversion live in
+  :func:`jpeg_to_rgb`;
 - transform: orthonormal 8×8 DCT-II/III as one numpy matrix product per
-  frame (M·B·Mᵀ over a block stack — no Python pixel loops), level
-  shift ±128, right/bottom edge replication to 8×8 multiples, clip and
-  crop on decode.
+  component (M·B·Mᵀ over a block stack — no Python pixel loops), level
+  shift ±128, edge replication out to MCU coverage, clip and crop on
+  decode.
 
 DETERMINISM FOR THE ORACLE: JPEG is lossy, so decoded pixels are not
-generally SQL-recomputable — EXCEPT for images that are CONSTANT on
-each 8×8 block and a quantization table of all ones: a constant block's
-AC coefficients are exactly zero and its DC is the exact integer
-8·(v−128), so quantize → entropy → dequantize → IDCT reproduces v
-EXACTLY (float error ~1e-13, far inside the final round-to-int). The
-registered mjpeg query synthesizes exactly such frames; arbitrary
-content is covered by pytest round-trip-within-tolerance tests instead.
+generally SQL-recomputable — EXCEPT for component planes that are
+CONSTANT on each 8×8 block under a quantization table of all ones: a
+constant block's AC coefficients are exactly zero and its DC is the
+exact integer 8·(v−128), so quantize → entropy → dequantize → IDCT
+reproduces v EXACTLY (float error ~1e-13, far inside the final
+round-to-int). The registered mjpeg/color queries synthesize exactly
+such planes; arbitrary content is covered by pytest round-trip
+tolerance tests instead. RGB conversion is NOT part of any oracle (its
+half-way rounding is engine-sensitive); oracles certify the decoded
+Y/Cb/Cr planes.
 
-Progressive/arithmetic modes, restart markers, multi-component color,
-and chroma subsampling are out of scope — decode refuses them loudly.
+Progressive/arithmetic/hierarchical modes, 12-bit precision, and
+sampling factors above 2 are out of scope — decode refuses them loudly.
 """
 
 from __future__ import annotations
@@ -63,7 +72,7 @@ AC_VALUES = [
     0xF9, 0xFA,
 ]
 
-# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+# zigzag scan order: _Z[k] = (row, col) of the k-th coefficient
 _Z = [
     (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
     (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
@@ -74,6 +83,8 @@ _Z = [
     (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
     (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
 ]
+_Z_ROWS = [r for r, _ in _Z]
+_Z_COLS = [c for _, c in _Z]
 
 
 def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
@@ -125,10 +136,18 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """1-pad to a byte boundary (before RSTn / EOI, per F.1.2.3)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-pad the final byte
+            self.write((1 << pad) - 1, pad)
+
+    def marker(self, lo: int) -> None:
+        self.align()
+        self.out += bytes((0xFF, lo))  # markers are never stuffed
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -177,6 +196,19 @@ class _BitReader:
                 return sym
         raise ValueError("invalid Huffman code in JPEG scan")
 
+    def restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker (F.2.2.5)."""
+        self.acc = 0
+        self.nbits = 0  # discard the 1-padding of the finished interval
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated JPEG at restart boundary")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != 0xD0 + n:
+            raise ValueError(
+                f"expected RST{n} at {self.pos}, got "
+                f"{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        self.pos += 2
+
 
 def _category(v: int) -> int:
     return 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
@@ -187,12 +219,121 @@ def _amplitude(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _plane_qblocks(plane, pw: int, ph: int, cover_x: int, cover_y: int, Q):
+    """Plane bytes → quantized DCT blocks (cover_y, cover_x, 8, 8): pad by
+    edge replication out to the MCU coverage grid, one matrix-product DCT
+    over the whole block stack."""
+    import numpy as np
+
+    a = np.frombuffer(plane, dtype=np.uint8).reshape(ph, pw)
+    padded = np.pad(
+        a, ((0, cover_y * 8 - ph), (0, cover_x * 8 - pw)), mode="edge"
+    )
+    blocks = (
+        padded.reshape(cover_y, 8, cover_x, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+        - 128.0
+    )
+    M = _dct_matrix()
+    coefs = np.einsum("ux,ijxy,vy->ijuv", M, blocks, M)
+    return np.round(coefs / Q).astype(np.int64)
+
+
+def _encode_block(w: "_BitWriter", zz, prev_dc: int) -> int:
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    size = _category(diff)
+    code, ln = _DC_ENC[size]
+    w.write(code, ln)
+    if size:
+        w.write(_amplitude(diff, size), size)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l2 = _AC_ENC[0xF0]  # ZRL
+            w.write(c, l2)
+            run -= 16
+        size = _category(v)
+        c, l2 = _AC_ENC[(run << 4) | size]
+        w.write(c, l2)
+        w.write(_amplitude(v, size), size)
+        run = 0
+    if last_nz < 63:
+        c, l2 = _AC_ENC[0x00]  # EOB
+        w.write(c, l2)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _zz_table(q: list[int]) -> bytes:
+    return bytes(q[r * 8 + c] for r, c in _Z)
+
+
+def _headers(width: int, height: int, comps, qtabs: list[list[int]],
+             restart_interval: int) -> bytes:
+    """comps: list of (component id, h, v, tq)."""
+    out = b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qtabs):
+        out += _seg(0xFFDB, bytes([tq]) + _zz_table(q))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, h, v, tq in comps:
+        sof += bytes((cid, (h << 4) | v, tq))
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALUES))
+    out += _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALUES))
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for cid, _, _, _ in comps:
+        sos += bytes((cid, 0x00))  # DC table 0, AC table 0 for every comp
+    out += _seg(0xFFDA, sos + b"\x00\x3f\x00")
+    return out
+
+
+def _encode_scan(qblocks_per_comp, samplings, mcus_x: int, mcus_y: int,
+                 restart_interval: int) -> bytes:
+    w = _BitWriter()
+    prev = [0] * len(qblocks_per_comp)
+    rst = 0
+    since_restart = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                prev = [0] * len(qblocks_per_comp)
+                since_restart = 0
+            for ci, (qb, (h, v)) in enumerate(
+                zip(qblocks_per_comp, samplings)
+            ):
+                for by in range(v):
+                    for bx in range(h):
+                        blk = qb[my * v + by, mx * h + bx]
+                        prev[ci] = _encode_block(
+                            w, blk[_Z_ROWS, _Z_COLS], prev[ci]
+                        )
+            since_restart += 1
+    return w.flush()
+
+
 def encode_jpeg_gray(width: int, height: int, pixels: bytes,
-                     quant: list[int] | None = None) -> bytes:
+                     quant: list[int] | None = None,
+                     restart_interval: int = 0) -> bytes:
     """8-bit grayscale row-major pixels → baseline JFIF bytes. ``quant``
     is the 64-entry quantization table in NATURAL (row-major) order;
     default all ones (numerically lossless for block-constant content,
-    see module docstring)."""
+    see module docstring). ``restart_interval`` emits DRI + RSTn every
+    that many MCUs (0 = none)."""
     import numpy as np
 
     if len(pixels) != width * height:
@@ -202,71 +343,81 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes,
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
         raise ValueError("quant table must be 64 values in 1..255")
-
-    a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    bw, bh = -(-width // 8), -(-height // 8)
-    padded = np.pad(a, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    ).astype(np.float64) - 128.0
-    M = _dct_matrix()
+    mcus_x, mcus_y = -(-width // 8), -(-height // 8)
     Q = np.array(q, dtype=np.float64).reshape(8, 8)
-    coefs = np.einsum("ux,nxy,vy->nuv", M, blocks, M)
-    quantized = np.round(coefs / Q).astype(np.int64)
-
-    zz_rows = [r for r, _ in _Z]
-    zz_cols = [c for _, c in _Z]
-    w = _BitWriter()
-    prev_dc = 0
-    for blk in quantized:
-        zz = blk[zz_rows, zz_cols]
-        diff = int(zz[0]) - prev_dc
-        prev_dc = int(zz[0])
-        size = _category(diff)
-        code, ln = _DC_ENC[size]
-        w.write(code, ln)
-        if size:
-            w.write(_amplitude(diff, size), size)
-        run = 0
-        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-        for k in range(1, last_nz + 1):
-            v = int(zz[k])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = _AC_ENC[0xF0]  # ZRL
-                w.write(code, ln)
-                run -= 16
-            size = _category(v)
-            code, ln = _AC_ENC[(run << 4) | size]
-            w.write(code, ln)
-            w.write(_amplitude(v, size), size)
-            run = 0
-        if last_nz < 63:
-            code, ln = _AC_ENC[0x00]  # EOB
-            w.write(code, ln)
-    scan = w.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    zz_q = bytes(q[r * 8 + c] for r, c in _Z)
-    out = b"\xff\xd8"  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + zz_q)
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00")
-    out += seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALUES))
-    out += seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALUES))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    out += scan + b"\xff\xd9"  # EOI
-    return out
+    qb = _plane_qblocks(pixels, width, height, mcus_x, mcus_y, Q)
+    scan = _encode_scan([qb], [(1, 1)], mcus_x, mcus_y, restart_interval)
+    return (
+        _headers(width, height, [(1, 1, 1, 0)], [q], restart_interval)
+        + scan
+        + b"\xff\xd9"
+    )
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
-    """Baseline grayscale JFIF bytes → (width, height, row-major pixels).
-    Raises ValueError on structural violations or non-baseline /
-    multi-component streams (refuse-loudly, like the other decoders)."""
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    sampling: tuple[int, int] = (2, 2),
+    quant_y: list[int] | None = None,
+    quant_c: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """YCbCr planes → baseline JFIF bytes. ``sampling`` is the LUMA
+    (H, V) factor pair — (1,1) = 4:4:4, (2,1) = 4:2:2, (2,2) = 4:2:0;
+    chroma is always 1×1, so ``cb``/``cr`` are ceil(width/H) ×
+    ceil(height/V) planes (the caller supplies already-subsampled
+    chroma — how to downsample is an editorial choice the codec does
+    not make). Quant table 0 serves luma, table 1 chroma; both default
+    to all ones."""
+    import numpy as np
+
+    hy, vy = sampling
+    if (hy, vy) not in ((1, 1), (2, 1), (2, 2)):
+        raise ValueError("sampling must be (1,1), (2,1) or (2,2)")
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("dimensions out of JPEG range")
+    cw, ch = -(-width // hy), -(-height // vy)
+    if len(y) != width * height:
+        raise ValueError("luma plane does not match dimensions")
+    if len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError(f"chroma planes must be {cw}x{ch} for {hy}x{vy}")
+    qy = list(quant_y) if quant_y is not None else [1] * 64
+    qc = list(quant_c) if quant_c is not None else [1] * 64
+    for q in (qy, qc):
+        if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
+            raise ValueError("quant tables must be 64 values in 1..255")
+    mcus_x = -(-width // (8 * hy))
+    mcus_y = -(-height // (8 * vy))
+    QY = np.array(qy, dtype=np.float64).reshape(8, 8)
+    QC = np.array(qc, dtype=np.float64).reshape(8, 8)
+    qb_y = _plane_qblocks(y, width, height, mcus_x * hy, mcus_y * vy, QY)
+    qb_cb = _plane_qblocks(cb, cw, ch, mcus_x, mcus_y, QC)
+    qb_cr = _plane_qblocks(cr, cw, ch, mcus_x, mcus_y, QC)
+    scan = _encode_scan(
+        [qb_y, qb_cb, qb_cr],
+        [(hy, vy), (1, 1), (1, 1)],
+        mcus_x,
+        mcus_y,
+        restart_interval,
+    )
+    comps = [(1, hy, vy, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    return (
+        _headers(width, height, comps, [qy, qc], restart_interval)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_planes(payload: bytes) -> dict:
+    """Baseline JFIF bytes → {width, height, components: [{id, h, v,
+    width, height, plane}]} with each component's plane decoded at ITS
+    OWN resolution (ceil(width·h/hmax) × ceil(height·v/vmax)) — the full
+    entropy + dequantize + IDCT path, restart markers included, NO
+    upsampling or color conversion (see jpeg_to_rgb). Raises ValueError
+    on structural violations or non-baseline streams."""
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -275,7 +426,9 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    sof_comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, td, ta)
+    restart_interval = 0
     scan_at = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -312,77 +465,173 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG is not baseline")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    f"{ncomp}-component JPEG: only grayscale is supported"
+                    f"{ncomp}-component JPEG: grayscale and YCbCr only"
                 )
-            if body[7] != 0x11:
-                raise ValueError("subsampled grayscale is not meaningful")
-            comp_q = body[8]
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF component list")
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError(
+                        f"sampling factor {h}x{v} out of the supported 1..2"
+                    )
+                sof_comps.append((cid, h, v, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"SOF{marker - 0xC0}: progressive/extended JPEG is not baseline"
             )
         elif marker == 0xDD:
-            raise ValueError("restart intervals are not supported")
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("multi-component scan")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(sof_comps):
+                raise ValueError(
+                    "partial-scan JPEG (SOS components != SOF components)"
+                    " is not baseline-interleaved"
+                )
+            for ci in range(ns):
+                cid, tables = body[1 + 2 * ci : 3 + 2 * ci]
+                scan_comps.append((cid, tables >> 4, tables & 0xF))
             scan_at = pos + 2 + seglen
             break
         # APPn / COM / others: skipped by length
         pos += 2 + seglen
     if scan_at is None or width is None:
         raise ValueError("JPEG missing SOF0/SOS")
-    if comp_q not in quant or (0, comp_dc) not in huff or (1, comp_ac) not in huff:
-        raise ValueError("JPEG scan references missing DQT/DHT tables")
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in sof_comps}
+    order = []
+    for cid, td, ta in scan_comps:
+        if cid not in by_id:
+            raise ValueError(f"SOS names unknown component {cid}")
+        h, v, tq = by_id[cid]
+        if tq not in quant or (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references missing DQT/DHT tables")
+        order.append((cid, h, v, tq, td, ta))
 
-    Q = np.array(quant[comp_q], dtype=np.float64).reshape(8, 8)
-    dc_tbl, ac_tbl = huff[(0, comp_dc)], huff[(1, comp_ac)]
-    bw, bh = -(-width // 8), -(-height // 8)
+    hmax = max(h for _, h, _, _, _, _ in order)
+    vmax = max(v for _, _, v, _, _, _ in order)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
     r = _BitReader(payload, scan_at)
-    zz_rows = [x for x, _ in _Z]
-    zz_cols = [c for _, c in _Z]
-    coefs = np.zeros((bh * bw, 8, 8), dtype=np.float64)
-    prev_dc = 0
+    coefs = [
+        np.zeros((mcus_y * v, mcus_x * h, 8, 8), dtype=np.float64)
+        for _, h, v, _, _, _ in order
+    ]
+    prev = [0] * len(order)
+    rst = 0
+    since_restart = 0
 
     def receive_extend(size: int) -> int:
         if size == 0:
             return 0
-        v = r.bits(size)
-        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        raw = r.bits(size)
+        return raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
 
-    for bi in range(bh * bw):
-        zz = [0] * 64
-        size = r.huff(dc_tbl)
-        prev_dc += receive_extend(size)
-        zz[0] = prev_dc
-        k = 1
-        while k < 64:
-            sym = r.huff(ac_tbl)
-            if sym == 0x00:  # EOB
-                break
-            run, size = sym >> 4, sym & 0xF
-            if size == 0:
-                if run != 15:
-                    raise ValueError(f"invalid AC symbol {sym:02X}")
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63:
-                raise ValueError("AC run past block end")
-            zz[k] = receive_extend(size)
-            k += 1
-        blk = coefs[bi]
-        blk[zz_rows, zz_cols] = zz
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and since_restart == restart_interval:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0] * len(order)
+                since_restart = 0
+            for ci, (cid, h, v, tq, td, ta) in enumerate(order):
+                dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = [0] * 64
+                        size = r.huff(dc_tbl)
+                        prev[ci] += receive_extend(size)
+                        zz[0] = prev[ci]
+                        k = 1
+                        while k < 64:
+                            sym = r.huff(ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"invalid AC symbol {sym:02X}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = receive_extend(size)
+                            k += 1
+                        blk = coefs[ci][my * v + by, mx * h + bx]
+                        blk[_Z_ROWS, _Z_COLS] = zz
+            since_restart += 1
+
     M = _dct_matrix()
-    spatial = np.einsum("xu,nuv,yv->nxy", M.T, coefs * Q, M.T)
-    img = (
-        spatial.reshape(bh, bw, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(bh * 8, bw * 8)
-    )
-    out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
-    return width, height, out[:height, :width].tobytes()
+    components = []
+    for ci, (cid, h, v, tq, _, _) in enumerate(order):
+        Q = np.array(quant[tq], dtype=np.float64).reshape(8, 8)
+        spatial = np.einsum("xu,ijuv,yv->ijxy", M.T, coefs[ci] * Q, M.T)
+        bh, bw = spatial.shape[:2]
+        img = (
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        pw = -(-width * h // hmax)
+        ph = -(-height * v // vmax)
+        out = np.clip(np.round(img + 128.0), 0, 255).astype(np.uint8)
+        components.append(
+            {
+                "id": cid,
+                "h": h,
+                "v": v,
+                "width": pw,
+                "height": ph,
+                "plane": out[:ph, :pw].tobytes(),
+            }
+        )
+    return {"width": width, "height": height, "components": components}
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Baseline grayscale JFIF bytes → (width, height, row-major pixels).
+    Raises ValueError on structural violations or on color streams
+    (use decode_jpeg_planes / jpeg_to_rgb for those)."""
+    d = decode_jpeg_planes(payload)
+    if len(d["components"]) != 1:
+        raise ValueError(
+            f"{len(d['components'])}-component JPEG: only grayscale is"
+            " supported here — decode_jpeg_planes handles color"
+        )
+    return d["width"], d["height"], d["components"][0]["plane"]
+
+
+def jpeg_to_rgb(payload: bytes) -> tuple[int, int, bytes]:
+    """Color JPEG → (width, height, interleaved RGB bytes): decode the
+    planes, upsample chroma by replication to full resolution, and apply
+    the JFIF/T.871 full-range YCbCr→RGB conversion. Grayscale input
+    yields R=G=B=Y. NOT oracle-certified (the ±0.5-boundary rounding of
+    the conversion is engine-sensitive); pytest pins it against
+    closed-form fixtures with conversion values away from .5
+    boundaries."""
+    import numpy as np
+
+    d = decode_jpeg_planes(payload)
+    w, h = d["width"], d["height"]
+    comps = d["components"]
+    if len(comps) == 1:
+        y = np.frombuffer(comps[0]["plane"], np.uint8).reshape(h, w)
+        return w, h, np.repeat(y[:, :, None], 3, axis=2).tobytes()
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        a = np.frombuffer(c["plane"], np.uint8).reshape(c["height"], c["width"])
+        a = np.repeat(np.repeat(a, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(a[:h, :w].astype(np.float64))
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()

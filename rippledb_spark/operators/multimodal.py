@@ -1372,3 +1372,135 @@ def synthesize_mjpeg_avis(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synth_color_jpeg_shape(media_id: int) -> tuple[int, int, int, int, int]:
+    """Id-deterministic color-JPEG shape: (width, height, luma_h, luma_v,
+    restart_interval). Sampling cycles 4:4:4 → 4:2:2 → 4:2:0 with the id,
+    dims are 16-multiples so every plane is block-aligned under any of
+    the three samplings."""
+    w = 16 * (1 + media_id % 2)
+    h = 16 * (1 + media_id % 3)
+    mode = media_id % 3
+    hy = 1 if mode == 0 else 2
+    vy = 2 if mode == 2 else 1
+    return w, h, hy, vy, 1 + media_id % 3
+
+
+def synth_color_jpeg_planes(media_id: int) -> tuple[bytes, bytes, bytes]:
+    """Block-constant Y/Cb/Cr planes (the class where baseline JPEG is
+    numerically exact — operators/jpeg.py module docstring), each from
+    its own id-arithmetic sequence over ITS OWN 8×8 block grid:
+    y(b) = (41·id + 13·b) mod 256, cb(b) = (23·id + 7·b) mod 256,
+    cr(b) = (29·id + 5·b) mod 256."""
+    w, h, hy, vy, _ = synth_color_jpeg_shape(media_id)
+    cw, ch = w // hy, h // vy
+
+    def plane(pw: int, ph: int, a: int, step: int) -> bytes:
+        bw = pw // 8
+        return bytes(
+            (a * media_id + step * ((yy // 8) * bw + (xx // 8))) % 256
+            for yy in range(ph)
+            for xx in range(pw)
+        )
+
+    return plane(w, h, 41, 13), plane(cw, ch, 23, 7), plane(cw, ch, 29, 5)
+
+
+def synthesize_color_jpegs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL baseline COLOR JPEGs
+    (operators/jpeg.py: 3-component interleaved MCUs across 4:4:4 /
+    4:2:2 / 4:2:0, restart markers every 1–3 MCUs, Annex K Huffman
+    entropy coding), pixel content id-deterministic and block-constant;
+    built per-batch in mapInPandas like the other synthesizers."""
+    import pandas as pd
+
+    from rippledb_spark.operators.jpeg import encode_jpeg_color
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, hy, vy, dri = synth_color_jpeg_shape(mid)
+                y, cb, cr = synth_color_jpeg_planes(mid)
+                payloads.append(
+                    encode_jpeg_color(
+                        w, h, y, cb, cr, sampling=(hy, vy),
+                        restart_interval=dri,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+JPEG_PLANE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("luma_h", T.IntegerType()),
+        T.StructField("luma_v", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("cb_sum", T.LongType()),
+        T.StructField("cr_sum", T.LongType()),
+        T.StructField("resized_y_wsum", T.LongType()),
+    ]
+)
+
+
+def jpeg_plane_stats(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """REAL color-JPEG decode (r8): full baseline pipeline per payload
+    inside Arrow ``mapInPandas`` — marker walk, interleaved-MCU Huffman
+    decode with restart resets, dequantize, IDCT — emitting per-plane
+    pixel sums plus the position-weighted nearest-resample digest of the
+    LUMA plane (shared resize_nearest). One row per image; no driver
+    loop, no per-row Python UDF."""
+    import numpy as np
+    import pandas as pd
+
+    from rippledb_spark.operators.jpeg import decode_jpeg_planes
+
+    cols = [f.name for f in JPEG_PLANE_SCHEMA.fields]
+    weights = np.arange(1, out_w * out_h + 1, dtype=np.int64)
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_jpeg_planes(bytes(payload))
+                y, cb, cr = d["components"]
+                ya = np.frombuffer(y["plane"], dtype=np.uint8)
+                resized = np.frombuffer(
+                    resize_nearest(
+                        y["width"], y["height"], y["plane"], out_w, out_h
+                    ),
+                    dtype=np.uint8,
+                ).astype(np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        y["h"],
+                        y["v"],
+                        int(ya.astype(np.int64).sum()),
+                        int(np.frombuffer(cb["plane"], np.uint8).astype(np.int64).sum()),
+                        int(np.frombuffer(cr["plane"], np.uint8).astype(np.int64).sum()),
+                        int((weights * resized).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=JPEG_PLANE_SCHEMA
+    )

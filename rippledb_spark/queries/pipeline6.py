@@ -198,3 +198,78 @@ def mjpeg_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "jpeg_color_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    shp AS (
+      SELECT doc_id,
+             CAST(16 * (1 + doc_id % 2) AS BIGINT) AS w,
+             CAST(16 * (1 + doc_id % 3) AS BIGINT) AS h,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) AS hy,
+             CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS INT) AS vy
+      FROM ids
+    ),
+    ysum AS (
+      SELECT doc_id,
+             64 * SUM((41 * doc_id + 13 * b) % 256) AS y_sum
+      FROM shp, UNNEST(range(0, (w // 8) * (h // 8))) AS q(b)
+      GROUP BY doc_id
+    ),
+    csum AS (
+      SELECT doc_id,
+             64 * SUM((23 * doc_id + 7 * b) % 256) AS cb_sum,
+             64 * SUM((29 * doc_id + 5 * b) % 256) AS cr_sum
+      FROM shp, UNNEST(range(0, ((w // hy) // 8) * ((h // vy) // 8))) AS q(b)
+      GROUP BY doc_id
+    ),
+    res AS (
+      SELECT doc_id,
+             SUM((i * 4 + j + 1)
+                 * ((41 * doc_id
+                     + 13 * ((((i * h) // 4) // 8) * (w // 8)
+                             + ((j * w) // 4) // 8)) % 256))
+               AS resized_y_wsum
+      FROM shp, generate_series(0, 3) AS gi(i), generate_series(0, 3) AS gj(j)
+      GROUP BY doc_id
+    )
+    SELECT s.doc_id AS media_id,
+           CAST(s.w AS INT) AS width,
+           CAST(s.h AS INT) AS height,
+           s.hy AS luma_h,
+           s.vy AS luma_v,
+           CAST(y.y_sum AS BIGINT) AS y_sum,
+           CAST(c.cb_sum AS BIGINT) AS cb_sum,
+           CAST(c.cr_sum AS BIGINT) AS cr_sum,
+           CAST(r.resized_y_wsum AS BIGINT) AS resized_y_wsum
+    FROM shp s
+    JOIN ysum y ON y.doc_id = s.doc_id
+    JOIN csum c ON c.doc_id = s.doc_id
+    JOIN res r ON r.doc_id = s.doc_id
+    ORDER BY media_id
+    """,
+)
+def jpeg_color_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG decode (r8 — the web's image format, in color):
+    synthesize baseline YCbCr JPEGs cycling 4:4:4 / 4:2:2 / 4:2:0 with
+    restart markers every 1–3 MCUs (operators/jpeg.py — interleaved
+    MCUs, per-component DC predictors, Annex K Huffman tables, byte
+    stuffing), decode every plane back (marker walk → entropy decode
+    with RSTn predictor resets → dequantize → IDCT), resize the luma
+    plane 4×4 via the shared resize_nearest, and report closed-form
+    digests. The planes are block-constant with unit quant tables — the
+    content class where baseline JPEG is numerically exact — so the
+    oracle recomputes every decoded pixel of every plane from id
+    arithmetic: a restart predictor not reset, an MCU block mis-ordered,
+    a chroma table mixed up, or an IDCT scale error changes a plane sum,
+    and any luma reordering changes the position-weighted resample.
+    Arbitrary content and the RGB conversion are covered by pytest
+    tolerance tests. Reference comparison: n/a (no binary surface).
+
+    100 TB shape: one Arrow mapInPandas where the payloads live; one row
+    per image out; no shuffle before the final sort."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    media = MM.synthesize_color_jpegs(d, "doc_id")
+    return MM.jpeg_plane_stats(media, out_w=4, out_h=4).orderBy("media_id")

@@ -81,13 +81,32 @@ def test_decoder_refusals_are_loud():
     )
     with pytest.raises(ValueError, match="truncated JPEG"):
         decode_jpeg_gray(big[:-40])
-    # 3-component SOF refuses (patch ncomp + length won't match, so build
-    # a fake SOF body by editing the component count byte directly)
+    # SOF claiming 3 components without their bytes refuses cleanly
     at = ok.index(b"\xff\xc0")
     multi = bytearray(ok)
     multi[at + 9] = 3  # ncomp field of SOF0
-    with pytest.raises(ValueError, match="grayscale"):
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
         decode_jpeg_gray(bytes(multi))
+    # SOF/SOS component-count mismatch (partial scan) refuses too
+    from rippledb_spark.operators.jpeg import encode_jpeg_color as _ejc
+
+    color_ok = _ejc(8, 8, bytes(64), bytes(64), bytes(64), sampling=(1, 1))
+    sos_at = color_ok.index(b"\xff\xda")
+    partial = bytearray(color_ok)
+    # shrink the SOS to 1 component: ns=1, keep comp 1, splice tail
+    partial[sos_at : sos_at + 12] = (
+        b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    )
+    with pytest.raises(ValueError, match="partial-scan"):
+        decode_jpeg_gray(bytes(partial))
+    # decode_jpeg_gray on a genuine color stream points at the color API
+    from rippledb_spark.operators.jpeg import encode_jpeg_color
+
+    color = encode_jpeg_color(
+        8, 8, bytes(64), bytes(64), bytes(64), sampling=(1, 1)
+    )
+    with pytest.raises(ValueError, match="decode_jpeg_planes handles color"):
+        decode_jpeg_gray(color)
 
 
 def test_mjpeg_avi_round_trip_exact():
@@ -110,3 +129,117 @@ def test_mjpeg_frame_dims_must_match_container():
     struct.pack_into("<i", bad, at + 4, 16)  # biWidth = 16
     with pytest.raises(ValueError, match="strf says"):
         decode_avi_frames(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# color / sampling / restart (r8 generalization)
+# ---------------------------------------------------------------------------
+
+from rippledb_spark.operators.jpeg import (  # noqa: E402
+    decode_jpeg_planes,
+    encode_jpeg_color,
+    jpeg_to_rgb,
+)
+
+
+def _block_constant(w, h, rng):
+    vals = rng.integers(0, 256, (h // 8, w // 8), dtype=np.uint8)
+    return np.repeat(np.repeat(vals, 8, 0), 8, 1)
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 1), (2, 2)])
+def test_color_block_constant_exact_with_restarts(sampling):
+    hy, vy = sampling
+    rng = np.random.default_rng(sum(sampling))
+    w, h = 32, 32
+    y = _block_constant(w, h, rng)
+    cb = _block_constant(w // hy, h // vy, rng)
+    cr = _block_constant(w // hy, h // vy, rng)
+    enc = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(),
+        sampling=sampling, restart_interval=1,
+    )
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc  # DRI + RST0 present
+    d = decode_jpeg_planes(enc)
+    got = [np.frombuffer(c["plane"], np.uint8) for c in d["components"]]
+    assert (got[0] == y.ravel()).all()
+    assert (got[1] == cb.ravel()).all()
+    assert (got[2] == cr.ravel()).all()
+    assert [(c["h"], c["v"]) for c in d["components"]] == [
+        (hy, vy), (1, 1), (1, 1),
+    ]
+
+
+def test_color_arbitrary_content_within_rounding_444():
+    rng = np.random.default_rng(17)
+    w, h = 24, 16
+    planes = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(3)]
+    enc = encode_jpeg_color(
+        w, h, *(p.tobytes() for p in planes), sampling=(1, 1)
+    )
+    d = decode_jpeg_planes(enc)
+    for want, c in zip(planes, d["components"]):
+        got = np.frombuffer(c["plane"], np.uint8).reshape(h, w).astype(int)
+        assert np.abs(got - want.astype(int)).max() <= 1
+
+
+def test_restart_predictors_actually_reset():
+    # two MCUs with wildly different DC; interval 1 forces a reset between
+    # them — if the decoder kept the predictor, block 2 would be wrong
+    img = np.concatenate(
+        [np.full((8, 8), 250, np.uint8), np.full((8, 8), 3, np.uint8)], axis=1
+    )
+    enc = encode_jpeg_gray(16, 8, img.tobytes(), restart_interval=1)
+    _, _, pix = decode_jpeg_gray(enc)
+    assert np.frombuffer(pix, np.uint8).reshape(8, 16).tolist() == img.tolist()
+    # a wrong RST index refuses loudly
+    bad = enc.replace(b"\xff\xd0", b"\xff\xd3", 1)
+    with pytest.raises(ValueError, match="expected RST0"):
+        decode_jpeg_gray(bad)
+
+
+def test_jpeg_to_rgb_known_values():
+    # flat planes away from .5 conversion boundaries: Y=120, Cb=100, Cr=200
+    # R = 120 + 1.402·72 = 220.944 → 221
+    # G = 120 − 0.344136·(−28) − 0.714136·72 = 78.24 → 78
+    # B = 120 + 1.772·(−28) = 70.384 → 70
+    w = h = 16
+    enc = encode_jpeg_color(
+        w, h,
+        bytes([120] * (w * h)),
+        bytes([100] * (w * h)),
+        bytes([200] * (w * h)),
+        sampling=(1, 1),
+    )
+    gw, gh, rgb = jpeg_to_rgb(enc)
+    assert (gw, gh) == (w, h)
+    px = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert px[0, 0].tolist() == [221, 78, 70]
+    assert (px == px[0, 0]).all()
+    # grayscale input → R=G=B=Y
+    _, _, rgb2 = jpeg_to_rgb(encode_jpeg_gray(8, 8, bytes([77] * 64)))
+    assert set(np.frombuffer(rgb2, np.uint8).tolist()) == {77}
+
+
+def test_chroma_upsampling_replicates_into_place():
+    # 4:2:0, chroma plane with a single distinctive 8x8 block pattern:
+    # each chroma sample must cover a 2x2 luma-resolution cell
+    w = h = 16
+    y = np.zeros((16, 16), np.uint8)
+    cb = np.arange(64, dtype=np.uint8).reshape(8, 8)  # full chroma plane
+    cr = np.full((8, 8), 128, np.uint8)
+    enc = encode_jpeg_color(
+        w, h, y.tobytes(), cb.tobytes(), cr.tobytes(), sampling=(2, 2)
+    )
+    # decoded chroma plane is exact (block-constant not needed: single
+    # block, unit quant, values ≤ 63 keep IDCT rounding inside 1... use
+    # tolerance)
+    d = decode_jpeg_planes(enc)
+    got_cb = np.frombuffer(d["components"][1]["plane"], np.uint8).reshape(8, 8)
+    assert np.abs(got_cb.astype(int) - cb.astype(int)).max() <= 1
+    _, _, rgb = jpeg_to_rgb(enc)
+    px = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3).astype(int)
+    # B channel ≈ Y + 1.772(cb−128): the 2x2 cell (0..1, 2..3) must read
+    # the SAME upsampled chroma sample cb[0,1]
+    cell = px[0:2, 2:4, 2]
+    assert (cell == cell[0, 0]).all()
