@@ -134,19 +134,30 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL pixel decode for 8-bit grayscale PNG → (width, height, raw
-    pixel bytes, row-major). Walks every chunk (CRC-verified),
-    concatenates the IDAT stream, zlib-inflates, and reverses the
-    per-scanline filter — all five PNG filter types (None/Sub/Up/
-    Average/Paeth), so output from any conforming encoder decodes, not
-    just this module's filter-0 writer. Raises ValueError on other color
-    types / bit depths (pixel support is grayscale-8; header decode
-    covers the rest structurally)."""
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # color type → samples per pixel
+
+
+def decode_png_any(payload: bytes) -> dict:
+    """REAL pixel decode for 8-bit PNGs of all four common color types
+    (r8 — color generalization of the r6 grayscale path) →
+    {width, height, color_type, channels, pixels}: grayscale (0),
+    truecolor RGB (2), palette (3 — PLTE expanded to RGB, channels 3),
+    and RGBA (6). Walks every chunk (CRC-verified), concatenates the
+    IDAT stream, zlib-inflates, and reverses the per-scanline filter —
+    all five filter types with the CORRECT bytes-per-pixel stride (Sub/
+    Average/Paeth reference the sample one PIXEL left, not one byte,
+    per RFC 2083 §6.3). Raises ValueError on other depths/types, a
+    missing PLTE, an out-of-range palette index, or a palette tRNS
+    chunk (alpha would be silently lost — refuse-loudly policy)."""
     w, h, depth, color = decode_png_header(payload)
-    if depth != 8 or color != 0:
-        raise ValueError("pixel decode supports 8-bit grayscale PNG only")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise ValueError(
+            f"pixel decode supports 8-bit color types 0/2/3/6, got "
+            f"depth {depth} type {color}"
+        )
+    bpp = _PNG_CHANNELS[color]
     pos, idat = 8, []
+    palette: bytes | None = None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -160,6 +171,15 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IDAT":
             idat.append(body)
+        elif tag == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ValueError("PNG PLTE length must be 3x entries <= 768")
+            palette = body
+        elif tag == b"tRNS" and color == 3:
+            raise ValueError(
+                "palette PNG with tRNS alpha is not supported — the "
+                "expansion would silently drop transparency"
+            )
         if tag == b"IEND":
             break
         pos += 12 + length
@@ -169,33 +189,69 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from None
-    if len(raw) != (w + 1) * h:
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(w * h)
-    prev = bytes(w)
+    out = bytearray(stride * h)
+    prev = bytes(stride)
     for y in range(h):
-        ft = raw[y * (w + 1)]
-        line = bytearray(raw[y * (w + 1) + 1 : (y + 1) * (w + 1)])
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
         if ft == 1:  # Sub
-            for x in range(1, w):
-                line[x] = (line[x] + line[x - 1]) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
         elif ft == 2:  # Up
-            for x in range(w):
+            for x in range(stride):
                 line[x] = (line[x] + prev[x]) & 0xFF
         elif ft == 3:  # Average
-            for x in range(w):
-                left = line[x - 1] if x else 0
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
-            for x in range(w):
-                left = line[x - 1] if x else 0
-                ul = prev[x - 1] if x else 0
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
                 line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
         elif ft != 0:
             raise ValueError(f"unknown PNG filter type {ft}")
-        out[y * w : (y + 1) * w] = line
+        out[y * stride : (y + 1) * stride] = line
         prev = line
-    return w, h, bytes(out)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG is missing its PLTE chunk")
+        n_entries = len(palette) // 3
+        rgb = bytearray(w * h * 3)
+        for k, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
+            rgb[3 * k : 3 * k + 3] = palette[3 * idx : 3 * idx + 3]
+        return {
+            "width": w,
+            "height": h,
+            "color_type": 3,
+            "channels": 3,
+            "pixels": bytes(rgb),
+        }
+    return {
+        "width": w,
+        "height": h,
+        "color_type": color,
+        "channels": bpp,
+        "pixels": bytes(out),
+    }
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL pixel decode for 8-bit grayscale PNG → (width, height, raw
+    pixel bytes, row-major) — the r6 contract, now a wrapper over
+    :func:`decode_png_any` (which also does color types 2/3/6)."""
+    w, h, depth, color = decode_png_header(payload)
+    if depth != 8 or color != 0:
+        raise ValueError("pixel decode supports 8-bit grayscale PNG only")
+    d = decode_png_any(payload)
+    return d["width"], d["height"], d["pixels"]
 
 
 def resize_nearest(
@@ -1503,4 +1559,325 @@ def jpeg_plane_stats(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFr
 
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=JPEG_PLANE_SCHEMA
+    )
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM decode (r8): RIFF walk → the data chunk's samples as an
+    int16 numpy array (mono 16-bit PCM — the encode_wav profile; other
+    layouts refuse loudly). Complements decode_wav_header, which stops
+    at the chunk metadata."""
+    import numpy as np
+
+    rate, channels, bits, n = decode_wav_header(payload)
+    if channels != 1 or bits != 16:
+        raise ValueError(
+            f"sample decode supports mono 16-bit PCM, got {channels}ch/{bits}bit"
+        )
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"data":
+            raw = payload[pos + 8 : pos + 8 + size]
+            return rate, np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV missing data chunk")  # header walk already checks
+
+
+def synth_pcm_samples(media_id: int, n: int) -> list[int]:
+    """Deterministic s16 sample sequence — pure id arithmetic
+    (s(i) = ((17·id + 3·i) mod 4001) − 2000, range ±2000), so a SQL
+    oracle can recompute every sample, and therefore every energy /
+    peak / zero-crossing statistic, in closed form."""
+    return [((17 * media_id + 3 * i) % 4001) - 2000 for i in range(n)]
+
+
+def synthesize_pcm_wavs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL PCM WAVs whose SAMPLE CONTENT
+    (not just container structure) is id-deterministic
+    (synth_pcm_samples × synth_audio); built per-batch in mapInPandas
+    like the other synthesizers."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rate, n = synth_audio(mid)
+                payloads.append(
+                    encode_wav(
+                        rate,
+                        b"".join(
+                            struct.pack("<h", s)
+                            for s in synth_pcm_samples(mid, n)
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("max_abs", T.LongType()),
+        T.StructField("n_zero_crossings", T.LongType()),
+        T.StructField("n_loud_windows", T.LongType()),
+    ]
+)
+
+
+def wav_audio_stats(media: DataFrame, window: int = 16,
+                    loud_energy: int = 2_000_000) -> DataFrame:
+    """REAL audio analysis (r8 — the audio tier's pixel-decode
+    equivalent): decode every WAV's PCM samples inside Arrow
+    ``mapInPandas`` and emit EXACT integer digests — total energy
+    (Σ s², the quantity VAD/loudness gates threshold), peak |s|,
+    zero-crossing count (s_i·s_{i+1} < 0 — the classic voicing
+    feature), and how many non-overlapping ``window``-sample windows
+    clear ``loud_energy`` (a windowed activity gate; the tail partial
+    window counts too). Everything is integer arithmetic on int16
+    samples, so a SQL oracle recomputes every statistic bit-exactly —
+    no float tolerance anywhere. One row per clip; no driver loop, no
+    per-row Python UDF."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [f.name for f in AUDIO_STATS_SCHEMA.fields]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav_samples(bytes(payload))
+                sq = s * s
+                n = int(s.size)
+                nw = -(-n // window)
+                wsum = np.zeros(nw, dtype=np.int64)
+                np.add.at(wsum, np.arange(n) // window, sq)
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        n,
+                        int(sq.sum()),
+                        int(np.abs(s).max()) if n else 0,
+                        int(((s[:-1] * s[1:]) < 0).sum()) if n > 1 else 0,
+                        int((wsum > loud_energy).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=AUDIO_STATS_SCHEMA
+    )
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_color(width: int, height: int, pixels: bytes,
+                     alpha: bool = False) -> bytes:
+    """Minimal VALID 8-bit truecolor PNG (RFC 2083): color type 2 (RGB)
+    or 6 (RGBA with ``alpha``); ``pixels`` is the interleaved row-major
+    buffer of exactly width·height·channels bytes."""
+    ch = 4 if alpha else 3
+    if width <= 0 or height <= 0:
+        raise ValueError("png dimensions must be positive")
+    if len(pixels) != width * height * ch:
+        raise ValueError(f"pixel buffer must be {ch} bytes per pixel")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6 if alpha else 2, 0, 0, 0)
+    stride = width * ch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(width: int, height: int, indices: bytes,
+                       palette: bytes) -> bytes:
+    """Minimal VALID 8-bit palette PNG (color type 3): ``indices`` is one
+    PLTE index per pixel, ``palette`` the concatenated RGB triplets
+    (3·entries bytes, ≤ 256 entries)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("png dimensions must be positive")
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if len(palette) % 3 or not (3 <= len(palette) <= 768):
+        raise ValueError("palette must be 3x entries, 1..256 entries")
+    if max(indices) >= len(palette) // 3:
+        raise ValueError("palette index out of range")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + indices[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_color_png_shape(media_id: int) -> tuple[int, int, int]:
+    """Id-deterministic color-PNG shape: (width, height, color_type) —
+    color type cycles truecolor (2) → palette (3) → RGBA (6)."""
+    return 4 + media_id % 9, 3 + media_id % 5, (2, 3, 6)[media_id % 3]
+
+
+def synth_color_png_pixels(media_id: int) -> bytes:
+    """Deterministic interleaved pixel field by color type — pure id
+    arithmetic, so a SQL oracle recomputes every decoded channel value:
+
+    - truecolor/RGBA: r(k)=(43·id+7k)%256, g(k)=(47·id+11k)%256,
+      b(k)=(53·id+13k)%256, a(k)=(59·id+17k)%256;
+    - palette: index(k)=(31·id+7k)%16 into a 16-entry palette with
+      palette[j] = ((61·id+5j)%256, (67·id+3j)%256, (71·id+9j)%256), so
+      the DECODED rgb is the composition of the two formulas.
+
+    PNG is lossless, so unlike JPEG the oracle needs no special content
+    class — any formula works; these keep all three code paths distinct."""
+    w, h, ct = synth_color_png_shape(media_id)
+    n = w * h
+    if ct == 3:
+        return bytes((31 * media_id + 7 * k) % 16 for k in range(n))
+    out = bytearray()
+    for k in range(n):
+        out += bytes(
+            (
+                (43 * media_id + 7 * k) % 256,
+                (47 * media_id + 11 * k) % 256,
+                (53 * media_id + 13 * k) % 256,
+            )
+        )
+        if ct == 6:
+            out.append((59 * media_id + 17 * k) % 256)
+    return bytes(out)
+
+
+def synth_color_png_palette(media_id: int) -> bytes:
+    return b"".join(
+        bytes(
+            (
+                (61 * media_id + 5 * j) % 256,
+                (67 * media_id + 3 * j) % 256,
+                (71 * media_id + 9 * j) % 256,
+            )
+        )
+        for j in range(16)
+    )
+
+
+def synthesize_color_pngs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL color PNGs cycling truecolor
+    / palette / RGBA, pixel content id-deterministic; built per-batch in
+    mapInPandas like the other synthesizers."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, ct = synth_color_png_shape(mid)
+                px = synth_color_png_pixels(mid)
+                if ct == 3:
+                    payloads.append(
+                        encode_png_palette(w, h, px, synth_color_png_palette(mid))
+                    )
+                else:
+                    payloads.append(encode_png_color(w, h, px, alpha=(ct == 6)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+PNG_COLOR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("a_sum", T.LongType()),
+        T.StructField("rgb_wsum", T.LongType()),
+    ]
+)
+
+
+def png_color_stats(media: DataFrame) -> DataFrame:
+    """REAL color-PNG decode (r8): full chunk walk + inflate + bpp-aware
+    unfilter + palette expansion per payload inside Arrow
+    ``mapInPandas``, emitting per-channel pixel sums and the
+    position-weighted Σ(k+1)·(r+g+b) digest (any pixel REORDERING
+    changes it). One row per image; a_sum is 0 for alpha-less types."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [f.name for f in PNG_COLOR_SCHEMA.fields]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_png_any(bytes(payload))
+                a = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+                    -1, d["channels"]
+                ).astype(np.int64)
+                k1 = np.arange(1, a.shape[0] + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        d["color_type"],
+                        d["channels"],
+                        int(a[:, 0].sum()),
+                        int(a[:, 1].sum()),
+                        int(a[:, 2].sum()),
+                        int(a[:, 3].sum()) if d["channels"] == 4 else 0,
+                        int((k1 * a[:, :3].sum(1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=PNG_COLOR_SCHEMA
     )

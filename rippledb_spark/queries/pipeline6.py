@@ -273,3 +273,138 @@ def jpeg_color_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
     media = MM.synthesize_color_jpegs(d, "doc_id")
     return MM.jpeg_plane_stats(media, out_w=4, out_h=4).orderBy("media_id")
+
+
+@query(
+    "wav_audio_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+    shp AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+             CAST(16 + doc_id % 49 AS BIGINT) AS n
+      FROM ids
+    ),
+    smp AS (
+      SELECT doc_id, i,
+             ((17 * doc_id + 3 * i) % 4001) - 2000 AS s
+      FROM shp, UNNEST(range(0, n)) AS u(i)
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(SUM(s * s) AS BIGINT) AS total_energy,
+             CAST(MAX(ABS(s)) AS BIGINT) AS max_abs
+      FROM smp GROUP BY doc_id
+    ),
+    zc AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.s * b.s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_crossings
+      FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    ),
+    loud AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN wsum > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loud_windows
+      FROM (
+        SELECT doc_id, i // 16 AS w, SUM(s * s) AS wsum
+        FROM smp GROUP BY doc_id, i // 16
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id AS media_id,
+           s.sample_rate,
+           s.n AS n_samples,
+           b.total_energy,
+           b.max_abs,
+           COALESCE(z.n_zero_crossings, 0) AS n_zero_crossings,
+           l.n_loud_windows
+    FROM shp s
+    JOIN base b ON b.doc_id = s.doc_id
+    LEFT JOIN zc z ON z.doc_id = s.doc_id
+    JOIN loud l ON l.doc_id = s.doc_id
+    ORDER BY media_id
+    """,
+)
+def wav_audio_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio analysis (r8 — closes the audio half of the
+    sample-level tier, beside the pixel decoders): synthesize mono
+    16-bit PCM WAVs whose samples are id-arithmetic
+    (operators/multimodal.synth_pcm_samples), decode the data chunk
+    back (decode_wav_samples), and compute the integer statistics a
+    100 TB audio pipeline gates on — total energy Σs², peak |s|,
+    zero-crossing count, and loud-window count (16-sample windows over
+    a 2e6 energy threshold). Everything is exact integer arithmetic on
+    int16, so the oracle recomputes every statistic bit-exactly from id
+    arithmetic — a sample lost, an endianness flip, or an off-by-one
+    window boundary changes a number. Reference comparison: n/a (no
+    binary surface).
+
+    100 TB shape: one Arrow mapInPandas where the payload bytes live;
+    one row per clip; no shuffle before the final sort."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    media = MM.synthesize_pcm_wavs(d, "doc_id")
+    return MM.wav_audio_stats(media, window=16, loud_energy=2_000_000).orderBy(
+        "media_id"
+    )
+
+
+@query(
+    "png_color_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    shp AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 9 AS BIGINT) AS w,
+             CAST(3 + doc_id % 5 AS BIGINT) AS h,
+             doc_id % 3 AS m
+      FROM ids
+    ),
+    px AS (
+      SELECT doc_id, m, w, h, k,
+             CASE WHEN m = 1
+                  THEN (61 * doc_id + 5 * ((31 * doc_id + 7 * k) % 16)) % 256
+                  ELSE (43 * doc_id + 7 * k) % 256 END AS r,
+             CASE WHEN m = 1
+                  THEN (67 * doc_id + 3 * ((31 * doc_id + 7 * k) % 16)) % 256
+                  ELSE (47 * doc_id + 11 * k) % 256 END AS g,
+             CASE WHEN m = 1
+                  THEN (71 * doc_id + 9 * ((31 * doc_id + 7 * k) % 16)) % 256
+                  ELSE (53 * doc_id + 13 * k) % 256 END AS b,
+             CASE WHEN m = 2 THEN (59 * doc_id + 17 * k) % 256 ELSE 0 END AS a
+      FROM shp, UNNEST(range(0, w * h)) AS q(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(MIN(w) AS INT) AS width,
+           CAST(MIN(h) AS INT) AS height,
+           CAST(MIN(CASE m WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 6 END) AS INT)
+             AS color_type,
+           CAST(MIN(CASE WHEN m = 2 THEN 4 ELSE 3 END) AS INT) AS channels,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(a) AS BIGINT) AS a_sum,
+           CAST(SUM((k + 1) * (r + g + b)) AS BIGINT) AS rgb_wsum
+    FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def png_color_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-PNG decode (r8 — generalizes the r6 grayscale pixel
+    path to the color types web PNGs actually use): synthesize PNGs
+    cycling truecolor RGB (2) / palette (3, PLTE expansion) / RGBA (6)
+    with id-arithmetic pixel content, decode every payload back
+    (operators/multimodal.decode_png_any — CRC-checked chunk walk, zlib
+    inflate, bytes-per-pixel-aware unfilter, palette expansion with
+    range checks), and report per-channel pixel sums plus the
+    position-weighted Σ(k+1)·(r+g+b) digest. PNG is lossless, so the
+    oracle recomputes every decoded channel of every pixel exactly —
+    a stride-blind filter (byte-left instead of pixel-left), a palette
+    entry misread, or a channel swap changes a sum, and any pixel
+    REORDERING changes rgb_wsum. Reference comparison: n/a (no binary
+    surface).
+
+    100 TB shape: one Arrow mapInPandas where the payloads live; one
+    row per image; no shuffle before the final sort."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = MM.synthesize_color_pngs(d, "doc_id")
+    return MM.png_color_stats(media).orderBy("media_id")

@@ -129,3 +129,66 @@ def F_col_id():
     import pyspark.sql.functions as F
 
     return F.col("id")
+
+
+# ---------------------------------------------------------------------------
+# PCM audio analysis (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_sample_round_trip_and_refusals():
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from rippledb_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        synth_pcm_samples,
+    )
+
+    samples = synth_pcm_samples(9, 40)
+    wav = encode_wav(16000, b"".join(_s.pack("<h", s) for s in samples))
+    rate, got = decode_wav_samples(wav)
+    assert rate == 16000 and got.tolist() == samples
+    # stereo refusal: patch the channels field of fmt
+    bad = bytearray(wav)
+    at = bad.index(b"fmt ") + 8
+    _s.pack_into("<H", bad, at + 2, 2)
+    with _pt.raises(ValueError, match="mono 16-bit"):
+        decode_wav_samples(bytes(bad))
+    assert isinstance(got, np.ndarray)
+
+
+def test_wav_audio_stats_match_closed_form(spark):
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.multimodal import (
+        synth_audio,
+        synth_pcm_samples,
+        synthesize_pcm_wavs,
+        wav_audio_stats,
+    )
+
+    ids = spark.range(0, 25).select(F.col("id"))
+    stats = {
+        r["media_id"]: r
+        for r in wav_audio_stats(
+            synthesize_pcm_wavs(ids, "id"), window=16, loud_energy=2_000_000
+        ).collect()
+    }
+    for mid in range(25):
+        rate, n = synth_audio(mid)
+        s = synth_pcm_samples(mid, n)
+        r = stats[mid]
+        assert (r["sample_rate"], r["n_samples"]) == (rate, n)
+        assert r["total_energy"] == sum(v * v for v in s)
+        assert r["max_abs"] == max(abs(v) for v in s)
+        assert r["n_zero_crossings"] == sum(
+            1 for a, b in zip(s, s[1:]) if a * b < 0
+        )
+        wins = [s[i : i + 16] for i in range(0, n, 16)]
+        assert r["n_loud_windows"] == sum(
+            1 for w in wins if sum(v * v for v in w) > 2_000_000
+        )
