@@ -96,6 +96,59 @@ def kmeans_assignments(
     return assign(cents).select("pid", "cid", "d2")
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """→ DataFrame(cid, c): the centroids the FINAL assignment round of
+    :func:`kmeans_assignments` uses (same contract — lowest-id init, 6dp
+    rounding per round, emptied clusters drop out). Exposed for
+    consumers that need the codebook itself, e.g. product quantization
+    (operators/pq.py): pq's ADC distances read centroid VALUES, not just
+    memberships. The SQL twin is the ``{prefix}_c{iterations-1}``
+    relation of :func:`kmeans_assignments_sql`."""
+    if k <= 0 or iterations <= 0:
+        raise ValueError("k and iterations must be positive")
+    pts = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    cents = (
+        pts.orderBy("pid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("pid")) - 1)
+            .cast("bigint")
+            .alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+    for _ in range(iterations - 1):
+        a = pts.crossJoin(F.broadcast(cents)).select(
+            "pid", "v", "cid", _dist2(F.col("v"), F.col("c")).alias("d2")
+        )
+        assigned = (
+            a.groupBy("pid")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"), F.first("v").alias("v"))
+            .select("pid", "v", F.col("m.cid").alias("cid"))
+        )
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("x"), ROUND_DP).alias("x"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "x"))),
+                    lambda s: s["x"],
+                ).alias("c")
+            )
+        )
+    return cents
+
+
 def kmeans_assignments_sql(
     table: str,
     vec_col: str,
@@ -103,9 +156,14 @@ def kmeans_assignments_sql(
     dims: int,
     k: int = 4,
     iterations: int = 2,
+    prefix: str = "km",
 ) -> str:
     """DuckDB CTE chain unrolling the identical Lloyd rounds; yields a
-    relation ``km_final`` with columns (pid, cid, d2)."""
+    relation ``{prefix}_final`` with columns (pid, cid, d2). ``prefix``
+    namespaces the relations so several chains (e.g. one per product-
+    quantization subspace) compose inside one WITH; the final-round
+    codebook is the ``{prefix}_c{iterations-1}`` relation (cid, c) —
+    the SQL twin of :func:`kmeans_centroids`."""
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
     d2 = (
@@ -113,39 +171,39 @@ def kmeans_assignments_sql(
         " + list_dot_product(c.c, c.c))"
     )
     parts = [
-        f"km_pts AS (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v"
+        f"{prefix}_pts AS (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v"
         f" FROM {table})",
-        f"""km_c0 AS (
+        f"""{prefix}_c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cid,
              v AS c
-      FROM (SELECT * FROM km_pts ORDER BY pid LIMIT {k})
+      FROM (SELECT * FROM {prefix}_pts ORDER BY pid LIMIT {k})
     )""",
     ]
-    prev_c = "km_c0"
+    prev_c = f"{prefix}_c0"
     for r in range(1, iterations + 1):
         parts.append(
-            f"""km_a{r} AS (
+            f"""{prefix}_a{r} AS (
       SELECT pid, v, cid, d2 FROM (
         SELECT p.pid, p.v, c.cid, {d2} AS d2,
                row_number() OVER (PARTITION BY p.pid ORDER BY {d2}, c.cid)
                  AS rn
-        FROM km_pts p, {prev_c} c
+        FROM {prefix}_pts p, {prev_c} c
       ) WHERE rn = 1
     )"""
         )
         if r < iterations:
             parts.append(
-                f"""km_c{r} AS (
+                f"""{prefix}_c{r} AS (
       SELECT cid, list(x ORDER BY i) AS c FROM (
         SELECT cid, i, ROUND(AVG(v[i]), {ROUND_DP}) AS x
-        FROM km_a{r}, generate_series(1, {dims}) AS s(i)
+        FROM {prefix}_a{r}, generate_series(1, {dims}) AS s(i)
         GROUP BY cid, i
       ) GROUP BY cid
     )"""
             )
-            prev_c = f"km_c{r}"
+            prev_c = f"{prefix}_c{r}"
     parts.append(
-        f"km_final AS (SELECT pid, cid, d2 FROM km_a{iterations})"
+        f"{prefix}_final AS (SELECT pid, cid, d2 FROM {prefix}_a{iterations})"
     )
     return ",\n    ".join(parts)
 

@@ -1,0 +1,283 @@
+"""Product quantization (PQ) for ANN over embedding columns — the
+codebook-compression technique production vector search runs at 100 TB
+scale (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", IEEE TPAMI 2011).
+
+Method: split each d-dim vector into ``m`` contiguous subvectors, train
+an independent k-means codebook per subspace (the deterministic Lloyd
+trainer, operators/clustering.py — lowest-id init, fold-order distances,
+6dp centroid rounding), and store each vector as ``m`` small codes. At
+query time, asymmetric distance computation (ADC) precomputes one
+``k``-entry lookup table per subspace (exact distance from the query's
+subvector to each centroid) and estimates any stored vector's distance
+as the SUM of ``m`` table lookups — the stored vectors are never read
+again.
+
+Scale shape (why PQ at 100 TB): the corpus-side state shrinks from
+d×8 bytes to m codes per vector (64-dim float64 → 4 bytes at m=4/k≤256),
+the query-side work is one broadcast of nq·m·k lookup entries and ONE
+(query, pid)-keyed aggregation over the exploded code table — no
+full-vector distance is ever computed against the corpus. Training cost
+is m independent Lloyd runs over subvector slices (each the clustering
+module's documented one-broadcast-per-round shape).
+
+Determinism contract: everything inherits the clustering module's
+contract, ADC sums are rounded to 6dp before ranking, and ties break on
+pid — so the DuckDB oracle replays codebooks, codes, lookup tables, and
+the final ranking bit-for-bit. The exact-twin flag (``in_exact_topk``)
+is the CERTIFICATION form, like minhash's inverted-index twin: it
+recomputes true full-dimension distances for the query set so a green
+row also measures recall; production would drop that column.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from rippledb_spark.functions.vector import as_double_array
+from rippledb_spark.operators.clustering import (
+    _dist2,
+    kmeans_assignments_sql,
+    kmeans_centroids,
+)
+
+ADC_DP = 6
+
+
+def _sliced(df: DataFrame, vec_col: str, id_col: str, s: int, d0: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("pid"),
+        F.slice(as_double_array(vec_col), s * d0 + 1, d0).alias("v"),
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (codes, codebooks): ``codes`` is DataFrame(pid, s, cid) — one
+    row per (vector, subspace) with the vector's code; ``codebooks`` is
+    DataFrame(s, cid, c) with each subspace's final-round centroids.
+    ``dims`` must divide evenly into ``m`` subspaces."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    d0 = dims // m
+    # one materialization of the decoded vectors feeds all m subspace
+    # trainings (instead of m re-scans re-paying the interpreted casts)
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    codes = None
+    books = None
+    for s in range(m):
+        sl = full.select("pid", F.slice("v", s * d0 + 1, d0).alias("v"))
+        # train once (kmeans_centroids), then ENCODE with one broadcast
+        # assign over the final codebook — kmeans_assignments would
+        # re-run the whole Lloyd loop just to throw the centroids away
+        b = kmeans_centroids(sl, "v", "pid", k=k, iterations=iterations)
+        b = b.localCheckpoint(eager=False)
+        a = (
+            sl.crossJoin(F.broadcast(b))
+            .select(
+                "pid",
+                "cid",
+                _dist2(F.col("v"), F.col("c")).alias("d2"),
+            )
+            .groupBy("pid")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select("pid", F.lit(s).cast("int").alias("s"), F.col("m.cid").alias("cid"))
+        )
+        b = b.select(F.lit(s).cast("int").alias("s"), "cid", "c")
+        codes = a if codes is None else codes.unionByName(a)
+        books = b if books is None else books.unionByName(b)
+    return codes, books
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 3,
+    topk: int = 5,
+) -> DataFrame:
+    """→ DataFrame(q_pid, rank, pid, adc_d2, in_exact_topk): for each of
+    the ``n_queries`` lowest-id vectors, the PQ/ADC top-``topk``
+    neighbors (6dp-rounded estimated distance, pid tiebreak) plus the
+    certification flag marking whether each hit is also in the EXACT
+    full-dimension top-``topk`` (self-verifying recall, the minhash-twin
+    pattern). Self-matches are excluded on pid, not distance."""
+    codes, books = pq_codes(
+        df, vec_col, id_col, dims, m=m, k=k, iterations=iterations
+    )
+    d0 = dims // m
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    queries = full.orderBy("pid").limit(n_queries).select(
+        F.col("pid").alias("q_pid"), F.col("v").alias("qv")
+    )
+    # per-(query, subspace, centroid) lookup table — nq·m·k rows, broadcast
+    lt = queries.crossJoin(F.broadcast(books)).select(
+        "q_pid",
+        "s",
+        "cid",
+        _dist2(
+            F.slice(F.col("qv"), F.col("s") * d0 + 1, d0), F.col("c")
+        ).alias("lt_d2"),
+    )
+    est = (
+        codes.join(F.broadcast(lt), ["s", "cid"])
+        .where(F.col("pid") != F.col("q_pid"))
+        .groupBy("q_pid", "pid")
+        .agg(F.round(F.sum("lt_d2"), ADC_DP).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_pid").orderBy("adc_d2", "pid")
+    approx = est.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= topk
+    )
+    # exact twin (certification): true full-dim top-k per query
+    exact = (
+        queries.crossJoin(full)
+        .where(F.col("pid") != F.col("q_pid"))
+        .select(
+            "q_pid",
+            "pid",
+            F.round(_dist2(F.col("qv"), F.col("v")), ADC_DP).alias("x_d2"),
+        )
+    )
+    xw = Window.partitionBy("q_pid").orderBy("x_d2", "pid")
+    exact_top = (
+        exact.withColumn("xr", F.row_number().over(xw))
+        .where(F.col("xr") <= topk)
+        .select("q_pid", "pid", F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        approx.join(exact_top, ["q_pid", "pid"], "left")
+        .select(
+            "q_pid",
+            "rank",
+            "pid",
+            "adc_d2",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("q_pid", "rank")
+    )
+
+
+def pq_adc_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 3,
+    topk: int = 5,
+) -> str:
+    """DuckDB CTE-chain twin of :func:`pq_adc_topk`; yields a relation
+    ``pq_topk`` with the same five columns. One namespaced k-means chain
+    per subspace (kmeans_assignments_sql ``prefix``), codebooks read
+    from each chain's final-round centroid relation."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    d0 = dims // m
+    parts = []
+    for s in range(m):
+        lo, hi = s * d0 + 1, (s + 1) * d0
+        sub = (
+            f"(SELECT {id_col}, CAST({vec_col} AS DOUBLE[])[{lo}:{hi}]"
+            f" AS sub_v FROM {table})"
+        )
+        parts.append(
+            kmeans_assignments_sql(
+                sub, "sub_v", id_col, dims=d0, k=k,
+                iterations=iterations, prefix=f"pq{s}",
+            )
+        )
+    book_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, c FROM pq{s}_c{iterations - 1}"
+        for s in range(m)
+    )
+    code_union = " UNION ALL ".join(
+        f"SELECT pid, {s} AS s, cid FROM pq{s}_final" for s in range(m)
+    )
+    # EXACT term order of clustering._dist2 (v·v − 2·v·c + c·c): float
+    # addition is order-sensitive and the 6dp round must not flip
+    d2 = (
+        "(list_dot_product(q.sub_q, q.sub_q)"
+        " - 2 * list_dot_product(q.sub_q, b.c)"
+        " + list_dot_product(b.c, b.c))"
+    )
+    parts.append(f"pq_books AS ({book_union})")
+    parts.append(f"pq_codes AS ({code_union})")
+    parts.append(
+        f"""pq_queries AS (
+      SELECT {id_col} AS q_pid, CAST({vec_col} AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY {id_col} LIMIT {n_queries}
+    )"""
+    )
+    parts.append(
+        f"""pq_lt AS (
+      SELECT q.q_pid, b.s, b.cid, {d2} AS lt_d2
+      FROM (SELECT q_pid, s,
+                   qv[s * {d0} + 1 : (s + 1) * {d0}] AS sub_q
+            FROM pq_queries, (SELECT UNNEST(range(0, {m})) AS s)) q
+      JOIN pq_books b ON b.s = q.s
+    )"""
+    )
+    parts.append(
+        f"""pq_est AS (
+      SELECT l.q_pid, c.pid, ROUND(SUM(l.lt_d2), {ADC_DP}) AS adc_d2
+      FROM pq_codes c JOIN pq_lt l ON l.s = c.s AND l.cid = c.cid
+      WHERE c.pid <> l.q_pid
+      GROUP BY l.q_pid, c.pid
+    )"""
+    )
+    parts.append(
+        f"""pq_approx AS (
+      SELECT q_pid, pid, adc_d2,
+             row_number() OVER (PARTITION BY q_pid ORDER BY adc_d2, pid)
+               AS rank
+      FROM pq_est
+    )"""
+    )
+    xd2 = (  # _dist2(qv, v): q·q − 2·q·v + v·v, same order
+        "(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, v.fv)"
+        " + list_dot_product(v.fv, v.fv))"
+    )
+    parts.append(
+        f"""pq_exact AS (
+      SELECT q_pid, pid FROM (
+        SELECT q.q_pid, v.pid,
+               row_number() OVER (
+                 PARTITION BY q.q_pid
+                 ORDER BY ROUND({xd2}, {ADC_DP}), v.pid) AS xr
+        FROM pq_queries q,
+             (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS fv
+              FROM {table}) v
+        WHERE v.pid <> q.q_pid
+      ) WHERE xr <= {topk}
+    )"""
+    )
+    parts.append(
+        f"""pq_topk AS (
+      SELECT a.q_pid, a.rank, a.pid, a.adc_d2,
+             (e.pid IS NOT NULL) AS in_exact_topk
+      FROM pq_approx a LEFT JOIN pq_exact e
+        ON e.q_pid = a.q_pid AND e.pid = a.pid
+      WHERE a.rank <= {topk}
+    )"""
+    )
+    return ",\n    ".join(parts)

