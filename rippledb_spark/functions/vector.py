@@ -42,3 +42,34 @@ def cosine_sql(a: str, b: str) -> str:
         f"(list_dot_product({da}, {db}) / "
         f"(sqrt(list_dot_product({da}, {da})) * sqrt(list_dot_product({db}, {db}))))"
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization — the 8× storage shrink a
+    100 TB embedding store applies before PQ/ANN: scale = max|x|/127,
+    q_i = HALF_UP-round(x_i/scale) ∈ [−127, 127]; a zero vector (scale
+    0) quantizes to all zeros. Returns struct(scale double,
+    q array<int>). Deterministic across engines: max, divide, and
+    HALF_UP round are the same double arithmetic DuckDB's list_max /
+    ROUND perform (the module's usual twin contract)."""
+    v = vec
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(v, lambda x: F.round(x / scale, 0).cast("int"))
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def quantize_int8_sql(vec: str) -> str:
+    """DuckDB twin of :func:`quantize_int8`: yields columns ``scale``
+    and ``q`` when SELECTed as ``{expr} AS s`` then ``s.scale, s.q`` —
+    emitted here as the two expressions (scale_expr, q_expr)."""
+    dv = f"CAST({vec} AS DOUBLE[])"
+    scale = f"(list_max(list_transform({dv}, x -> abs(x))) / 127.0)"
+    q = (
+        f"CASE WHEN {scale} = 0"
+        f" THEN list_transform({dv}, x -> 0)"
+        f" ELSE list_transform({dv}, x -> CAST(ROUND(x / {scale}, 0) AS INT))"
+        f" END"
+    )
+    return f"{scale} AS scale, {q} AS q"

@@ -444,3 +444,73 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire compression + search composition."""
     e = load(spark, sf_dir, "embeddings")
     return PQ.pq_adc_topk(e, "embedding", "vec_id", dims=64, m=8, k=16)
+
+
+from rippledb_spark.functions import vector as VEC  # noqa: E402
+
+
+@query(
+    "embedding_int8_accounting",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, {VEC.quantize_int8_sql("embedding")}
+      FROM embeddings
+    ),
+    flat AS (
+      SELECT q1.vec_id, q1.scale,
+             q1.q[CAST(u.i AS INT)] AS qv,
+             CAST(e2.embedding[CAST(u.i AS INT)] AS DOUBLE) AS xv
+      FROM qz q1
+      JOIN embeddings e2 ON e2.vec_id = q1.vec_id,
+      UNNEST(range(1, len(q1.q) + 1)) AS u(i)
+    )
+    SELECT vec_id, scale,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(MIN(qv) AS INT) AS q_min,
+           CAST(MAX(qv) AS INT) AS q_max,
+           ROUND(MAX(ABS(xv - qv * scale)), 6) AS recon_err_max
+    FROM flat GROUP BY vec_id, scale ORDER BY vec_id
+    """,
+)
+def embedding_int8_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (functions/vector.quantize_int8 — the
+    8× storage shrink production embedding stores apply): per vector,
+    the symmetric scale (max|x|/127), quantized-component sum and range
+    (certifying every q_i), and the 6dp-rounded maximum reconstruction
+    error |x_i − q_i·scale| — which also proves the quantizer's error
+    bound (≤ scale/2) holds on real data. The oracle replays scale,
+    HALF_UP rounding, and reconstruction per component in DuckDB, so a
+    green row certifies the full quantize→dequantize loop bit-for-bit.
+
+    100 TB shape: one pure-expression projection plus one explode-free
+    aggregate per vector (the explode here is certification detail; the
+    production path stores struct(scale, q) straight back to parquet)."""
+    e = load(spark, sf_dir, "embeddings")
+    qz = e.select(
+        F.col("vec_id"),
+        VEC.as_double_array("embedding").alias("x"),
+        VEC.quantize_int8(VEC.as_double_array("embedding")).alias("s"),
+    )
+    comp = qz.select(
+        "vec_id",
+        F.col("s.scale").alias("scale"),
+        F.posexplode(F.col("s.q")).alias("i", "qv"),
+        F.col("x"),
+    ).select(
+        "vec_id",
+        "scale",
+        "qv",
+        F.element_at("x", F.col("i") + 1).alias("xv"),
+    )
+    return (
+        comp.groupBy("vec_id", "scale")
+        .agg(
+            F.sum("qv").cast("bigint").alias("q_sum"),
+            F.min("qv").cast("int").alias("q_min"),
+            F.max("qv").cast("int").alias("q_max"),
+            F.round(F.max(F.abs(F.col("xv") - F.col("qv") * F.col("scale"))), 6)
+            .alias("recon_err_max"),
+        )
+        .select("vec_id", "scale", "q_sum", "q_min", "q_max", "recon_err_max")
+        .orderBy("vec_id")
+    )

@@ -94,3 +94,35 @@ def test_dims_divisibility_refusal(spark):
         PQ.pq_codes(df, "vec", "pid", dims=8, m=3)
     with pytest.raises(ValueError, match="not divisible"):
         PQ.pq_adc_sql("emb", "vec", "pid", dims=8, m=3)
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.functions.vector import as_double_array, quantize_int8
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 1.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector → all-zero codes
+        (2, [127.0, -127.0, 63.5, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "pid long, vec array<double>")
+    out = {
+        r["pid"]: r["s"]
+        for r in df.select(
+            "pid", quantize_int8(as_double_array("vec")).alias("s")
+        ).collect()
+    }
+    for pid, vec in rows:
+        s = out[pid]
+        assert all(-127 <= q <= 127 for q in s["q"]), pid
+        if all(v == 0 for v in vec):
+            assert s["scale"] == 0.0 and s["q"] == [0, 0, 0, 0]
+            continue
+        scale = max(abs(v) for v in vec) / 127.0
+        assert s["scale"] == scale
+        # reconstruction error bound: |x - q*scale| <= scale/2
+        for v, q in zip(vec, s["q"]):
+            assert abs(v - q * scale) <= scale / 2 + 1e-12, (pid, v, q)
+        # the max-magnitude component hits ±127 exactly
+        assert 127 in [abs(q) for q in s["q"]]
