@@ -266,3 +266,42 @@ def test_persist_bucketed_qualified_names_and_zombie_location(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS r6db.t_persist")
         spark.sql("DROP DATABASE IF EXISTS r6db")
+
+
+def test_substring_dedup_plan_shape(spark):
+    """r8 exact-substring dedup: the duplicate gate must stay ONE
+    fp-keyed window (no groupBy-plus-join recompute of the positions),
+    nothing cartesian, and no single-partition exchange."""
+    from rippledb_spark.operators.dedup import duplicated_substring_runs
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        duplicated_substring_runs(d, "text", "doc_id", n=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    # exactly one Generate (the window explode) — a second one would mean
+    # the position frame is being recomputed for the gate
+    assert plan.count("Generate") == 1, plan.count("Generate")
+
+
+def test_pq_query_path_broadcasts_lookup_table(spark):
+    """r8 PQ/ADC: the corpus-side join against the lookup table must be
+    a broadcast join (the lt is nq·m·k rows), never a cartesian."""
+    from rippledb_spark.operators.pq import pq_adc_topk
+
+    df = spark.range(0, 64).select(
+        F.col("id").alias("pid"),
+        F.array(*[(F.col("id") % 4 + F.col("id") / 100.0)] * 8).alias("vec"),
+    )
+    plan = (
+        pq_adc_topk(df, "vec", "pid", dims=8, m=2, k=2, n_queries=2, topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
