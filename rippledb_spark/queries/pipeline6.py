@@ -1,8 +1,16 @@
-"""Pipeline query batch 6 (r8): real video frame extraction (AVI RIFF
-container — uncompressed DIB + BI_RLE8, operators/multimodal.py) and the
-cross-document exact-substring dedup family (Lee et al. 2021,
-"Deduplicating Training Data Makes Language Models Better",
-arXiv:2107.06499), each oracle-checked end to end.
+"""Pipeline query batch 6 (r8), each oracle-checked end to end:
+
+- real video frame extraction — AVI RIFF container with uncompressed
+  DIB, BI_RLE8, and MJPEG (baseline-JPEG entropy coding) frame decode
+  (operators/multimodal.py, operators/jpeg.py);
+- color JPEG stills (4:4:4 / 4:2:2 / 4:2:0 with restart markers) and
+  color PNG (truecolor/palette/RGBA) decode;
+- PCM audio analysis (exact integer energy/peak/zero-crossing digests);
+- cross-document exact-substring dedup (Lee et al. 2021,
+  arXiv:2107.06499);
+- product-quantization ANN (Jégou et al. 2011) and symmetric int8
+  embedding quantization;
+- robots.txt crawl gating (RFC 9309) as pure window/LIKE expressions.
 """
 
 from __future__ import annotations
@@ -513,4 +521,140 @@ def embedding_int8_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "scale", "q_sum", "q_min", "q_max", "recon_err_max")
         .orderBy("vec_id")
+    )
+
+
+from rippledb_spark.functions import robots as RB  # noqa: E402
+
+_RB_HOSTS_SQL = """rb_hosts AS (
+      SELECT hid,
+             'h' || hid AS host,
+             '# robots for h' || hid || chr(10) ||
+             'User-agent: googlebot' || chr(10) ||
+             'Disallow: /secret' || chr(10) ||
+             chr(10) ||
+             'User-agent: *' || chr(10) ||
+             'Allow: /pub' || hid || '/open*' || chr(10) ||
+             'Disallow: /pub' || hid || '/' || chr(10) ||
+             'Disallow: /tmp' || hid || '$' ||
+             CASE WHEN hid % 2 = 0
+                  THEN chr(10) || 'Disallow: /x' || hid || '_*'
+                  ELSE '' END AS robots
+      FROM (SELECT DISTINCT doc_id % 20 AS hid FROM documents)
+    )"""
+
+_RB_URLS_SQL = """rb_urls AS (
+      SELECT 'h' || (doc_id % 20) AS host,
+             CASE doc_id % 5
+               WHEN 0 THEN '/pub' || (doc_id % 20) || '/open' || doc_id
+               WHEN 1 THEN '/pub' || (doc_id % 20) || '/page' || doc_id
+               WHEN 2 THEN '/tmp' || (doc_id % 20)
+               WHEN 3 THEN '/tmp' || (doc_id % 20) || '/f' || doc_id
+               ELSE '/x' || (doc_id % 20) || '_' || doc_id
+             END AS path
+      FROM documents
+    )"""
+
+
+@query(
+    "robots_gate_accounting",
+    oracle=f"""
+    WITH {_RB_HOSTS_SQL.strip()},
+    {_RB_URLS_SQL.strip()},
+    {RB.robots_rules_sql("rb_hosts", "host", "robots").strip()},
+    {RB.robots_decisions_sql("rb_urls").strip()}
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(SUM(CASE WHEN allowed AND matched_rule IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_default_allowed,
+           MIN(CASE WHEN NOT allowed THEN path END) AS sample_blocked
+    FROM rb_decisions GROUP BY host ORDER BY host
+    """,
+)
+def robots_gate_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate (functions/robots.py, RFC 9309): synthesize
+    id-deterministic robots files (a decoy googlebot group that must NOT
+    apply, a `*` group with Allow/Disallow prefixes, a `*` wildcard
+    rule, a `$`-anchored rule, and a host-conditional extra rule) plus a
+    URL table, parse the rules with pure window expressions, gate every
+    URL with the LIKE-compiled longest-match/Allow-wins precedence, and
+    account per host. Spark and the DuckDB oracle each build the SAME
+    robots text from id arithmetic and run their own parse+match, so a
+    green row certifies group segmentation, comment/empty-value
+    handling, wildcard/anchor compilation, and RFC precedence end to
+    end — no UDF anywhere in the plan.
+
+    100 TB shape: parsing is one explode + two host-keyed windows over
+    robots FILES (small by nature); decisions join per-host rule sets
+    (broadcast) against the URL table with one row_number window."""
+    d = load(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 20).cast("bigint")
+    hosts = (
+        d.select(hid.alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid")).alias("host"),
+            F.concat(
+                F.lit("# robots for h"), F.col("hid"), F.lit("\n"),
+                F.lit("User-agent: googlebot\n"),
+                F.lit("Disallow: /secret\n"),
+                F.lit("\n"),
+                F.lit("User-agent: *\n"),
+                F.lit("Allow: /pub"), F.col("hid"), F.lit("/open*\n"),
+                F.lit("Disallow: /pub"), F.col("hid"), F.lit("/\n"),
+                F.lit("Disallow: /tmp"), F.col("hid"), F.lit("$"),
+                F.when(
+                    F.col("hid") % 2 == 0,
+                    F.concat(
+                        F.lit("\nDisallow: /x"), F.col("hid"), F.lit("_*")
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("robots"),
+        )
+    )
+    urls = d.select(
+        F.concat(F.lit("h"), hid).alias("host"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/pub"), hid, F.lit("/open"), F.col("doc_id")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/pub"), hid, F.lit("/page"), F.col("doc_id")),
+        )
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/tmp"), hid))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("/tmp"), hid, F.lit("/f"), F.col("doc_id")),
+        )
+        .otherwise(F.concat(F.lit("/x"), hid, F.lit("_"), F.col("doc_id")))
+        .alias("path"),
+    )
+    dec = RB.robots_decisions(urls, RB.robots_rules(hosts, "host", "robots"))
+    return (
+        dec.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_allowed"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.sum(
+                F.when(
+                    F.col("allowed") & F.col("matched_rule").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_default_allowed"),
+            F.min(F.when(~F.col("allowed"), F.col("path"))).alias(
+                "sample_blocked"
+            ),
+        )
+        .orderBy("host")
     )
