@@ -100,3 +100,24 @@ def strip_html_sql(col: str) -> str:
         r = "chr(10)" if repl == "\n" else f"'{repl}'"
         expr = f"regexp_replace({expr}, '{q(pat)}', {r}, 'g')"
     return expr
+
+
+# anchor-href extraction: the (?is) flags make it case-insensitive and
+# let attributes span lines; group 1 is the quoted href value. The SAME
+# pattern compiles under Java regex (Spark) and RE2 (DuckDB) — no
+# backreferences, no lookarounds (the Java∩RE2 contract of this module).
+_HREF_RE = "(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']+)[\"']"
+
+
+def extract_links(col: Column | str) -> Column:
+    """→ array<string> of every ``<a href="...">`` target in document
+    order (quoted hrefs, single or double; unquoted hrefs are rare
+    enough in modern HTML that the frontier treats them as no-link)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_HREF_RE), 1)
+
+
+def extract_links_sql(col: str) -> str:
+    """DuckDB twin of :func:`extract_links`."""
+    pat = _HREF_RE.replace("'", "''")
+    return f"regexp_extract_all({col}, '{pat}', 1)"

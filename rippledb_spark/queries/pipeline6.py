@@ -658,3 +658,155 @@ def robots_gate_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+from rippledb_spark.functions import html as HTML6  # noqa: E402
+from rippledb_spark.functions import url as URL6  # noqa: E402
+
+
+@query(
+    "crawl_frontier_accounting",
+    oracle=f"""
+    WITH {_RB_HOSTS_SQL.strip()},
+    pages AS (
+      SELECT 'h' || (doc_id % 20) AS host,
+             '<html><body><a href="https://h' || (doc_id % 20) ||
+             '/pub' || (doc_id % 20) || '/open' || (doc_id + 1) ||
+             '">a</a><p>text</p><a href=''/tmp' || (doc_id % 20) ||
+             '''>b</a><a target="_b" HREF="https://h' ||
+             ((doc_id + 1) % 20) || '/x' || ((doc_id + 1) % 20) || '_' ||
+             (doc_id % 7) || '">c</a></body></html>' AS html
+      FROM documents
+    ),
+    raw_links AS (
+      SELECT host AS src_host, UNNEST({HTML6.extract_links_sql("html")}) AS link
+      FROM pages
+    ),
+    absu AS (
+      SELECT CASE WHEN link LIKE '/%'
+                  THEN 'https://' || src_host || link ELSE link END AS u
+      FROM raw_links
+    ),
+    canon AS (
+      SELECT {URL6.url_host_sql("u")} AS host,
+             {URL6.url_normalize_sql("u")} AS url
+      FROM absu
+    ),
+    occ AS (
+      SELECT host, url,
+             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path,
+             COUNT(*) AS n_occ
+      FROM canon WHERE url IS NOT NULL
+      GROUP BY host, url
+    ),
+    {RB.robots_rules_sql("rb_hosts", "host", "robots").strip()},
+    {RB.robots_decisions_sql("(SELECT host, path FROM occ)").strip()}
+    SELECT o.host,
+           CAST(SUM(o.n_occ) AS BIGINT) AS n_link_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_urls,
+           CAST(SUM(CASE WHEN d.allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN NOT d.allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           MIN(CASE WHEN NOT d.allowed THEN o.url END) AS sample_blocked
+    FROM occ o JOIN rb_decisions d ON d.host = o.host AND d.path = o.path
+    GROUP BY o.host ORDER BY o.host
+    """,
+)
+def crawl_frontier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl FRONTIER planning — the top of the crawl loop, composed
+    end to end (r8): extract every ``<a href>`` from the pages
+    (functions/html.extract_links, codegen regexp), resolve relative
+    links against the page host, canonicalize
+    (functions/url.url_normalize), collapse duplicate targets with
+    occurrence counts (frontier dedup), gate each distinct URL against
+    its host's robots.txt (functions/robots.py, RFC 9309), and account
+    per target host. Both engines build identical id-deterministic
+    pages and robots files and run their OWN extract → resolve →
+    canonicalize → dedup → gate chain, so a green row certifies the
+    whole frontier composition — link extraction, relative resolution,
+    normalization, and politeness — with zero UDFs.
+
+    100 TB shape: extraction is a codegen projection; the dedup is one
+    (host, url)-keyed agg; the gate broadcasts per-host rule sets; one
+    short-key rollup."""
+    d = load(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 20).cast("bigint")
+    hid2 = ((F.col("doc_id") + 1) % 20).cast("bigint")
+    pages = d.select(
+        F.concat(F.lit("h"), hid).alias("host"),
+        F.concat(
+            F.lit('<html><body><a href="https://h'), hid,
+            F.lit("/pub"), hid, F.lit("/open"),
+            (F.col("doc_id") + 1).cast("bigint"),
+            F.lit('">a</a><p>text</p><a href=\'/tmp'), hid,
+            F.lit("'>b</a>"),
+            F.lit('<a target="_b" HREF="https://h'), hid2,
+            F.lit("/x"), hid2, F.lit("_"),
+            (F.col("doc_id") % 7).cast("bigint"),
+            F.lit('">c</a></body></html>'),
+        ).alias("html"),
+    )
+    links = pages.select(
+        F.col("host").alias("src_host"),
+        F.explode(HTML6.extract_links("html")).alias("link"),
+    )
+    absu = links.select(
+        F.when(
+            F.col("link").startswith("/"),
+            F.concat(F.lit("https://"), F.col("src_host"), F.col("link")),
+        )
+        .otherwise(F.col("link"))
+        .alias("u")
+    )
+    canon = absu.select(
+        URL6.url_host("u").alias("host"), URL6.url_normalize("u").alias("url")
+    ).where(F.col("url").isNotNull())
+    occ = canon.groupBy("host", "url").agg(F.count(F.lit(1)).alias("n_occ"))
+    occ = occ.withColumn(
+        "path", F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1)
+    )
+    hosts = (
+        d.select(hid.alias("hid"))
+        .distinct()
+        .select(
+            F.concat(F.lit("h"), F.col("hid")).alias("host"),
+            F.concat(
+                F.lit("# robots for h"), F.col("hid"), F.lit("\n"),
+                F.lit("User-agent: googlebot\n"),
+                F.lit("Disallow: /secret\n"),
+                F.lit("\n"),
+                F.lit("User-agent: *\n"),
+                F.lit("Allow: /pub"), F.col("hid"), F.lit("/open*\n"),
+                F.lit("Disallow: /pub"), F.col("hid"), F.lit("/\n"),
+                F.lit("Disallow: /tmp"), F.col("hid"), F.lit("$"),
+                F.when(
+                    F.col("hid") % 2 == 0,
+                    F.concat(
+                        F.lit("\nDisallow: /x"), F.col("hid"), F.lit("_*")
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("robots"),
+        )
+    )
+    dec = RB.robots_decisions(
+        occ.select("host", "path"), RB.robots_rules(hosts, "host", "robots")
+    )
+    return (
+        occ.join(dec, ["host", "path"])
+        .groupBy("host")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_link_occurrences"),
+            F.count(F.lit(1)).alias("n_distinct_urls"),
+            F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_allowed"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.min(F.when(~F.col("allowed"), F.col("url"))).alias(
+                "sample_blocked"
+            ),
+        )
+        .orderBy("host")
+    )
