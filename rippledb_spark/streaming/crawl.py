@@ -234,6 +234,7 @@ def start_crawl_corpus_sink(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     triples_path: str | None = None,
+    media_path: str | None = None,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
@@ -241,10 +242,12 @@ def start_crawl_corpus_sink(
     foreachBatch additionally extracts each batch's embedded JSON-LD
     islands (extract_jsonld_triples) and set-merges them into a
     TRIPLES_SCHEMA snapshot there — a TripleStore.from_df-queryable
-    graph growing beside the text corpus (r8). The triple merge is
-    union + dropDuplicates on the full triple key: idempotent under
-    replay and batch-split-invariant because the extraction itself is
-    per-fetch. Returns the StreamingQuery.
+    graph growing beside the text corpus (r8). With ``media_path`` set,
+    it also decodes each batch's media fetches (crawl_media_features:
+    PNG/GIF/JPEG/WAV/AVI by Content-Type) into a feature snapshot.
+    Both side-merges are union + dropDuplicates on the full row/key:
+    idempotent under replay and batch-split-invariant because the
+    extraction itself is per-fetch. Returns the StreamingQuery.
 
     Exactly-once by key: foreachBatch replays re-upsert the same URIs
     (idempotent), torn overwrites read as absent and the replayed batch
@@ -290,6 +293,18 @@ def start_crawl_corpus_sink(
                 .write.mode("overwrite")
                 .parquet(triples_path)
             )
+        if media_path is not None:
+            # set-merge on the full row (features are a pure function of
+            # the payload, so replays and duplicate fetches coincide)
+            mrows = crawl_media_features(batch_df)
+            if snapshot_ready(spark, media_path):
+                mrows = spark.read.parquet(media_path).unionByName(mrows)
+            (
+                mrows.dropDuplicates()
+                .localCheckpoint(eager=True)
+                .write.mode("overwrite")
+                .parquet(media_path)
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_gate_and_merge)
@@ -298,3 +313,102 @@ def start_crawl_corpus_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+MEDIA_FEATURES_SCHEMA = (
+    "uri string, media_type string, n_bytes bigint, decode_ok boolean,"
+    " width int, height int, channels int, n_frames int,"
+    " sample_rate int, n_samples int, checksum string"
+)
+
+# content types the crawl media stage decodes (everything else passes by)
+_MEDIA_TYPES = (
+    "image/png",
+    "image/gif",
+    "image/jpeg",
+    "audio/wav",
+    "audio/x-wav",
+    "video/x-msvideo",
+)
+
+
+def crawl_media_features(warc_df: DataFrame) -> DataFrame:
+    """Crawl records → REAL decoded media features (r8): filter fetches
+    whose Content-Type is a decodable media type and run the matching
+    stdlib decoder (PNG/GIF/JPEG pixels-capable parsers, WAV header,
+    AVI container walk — operators/multimodal.py + operators/jpeg.py)
+    inside Arrow ``mapInPandas``. Corrupt or mis-labeled payloads emit
+    ``decode_ok = false`` rows (one broken image must not kill a 100 TB
+    stream), matching the batch feature extractor's contract. Pure
+    per-record work → batch-agnostic, so the streaming sink's snapshot
+    equals a batch run over the same members (pinned in
+    tests/test_streaming.py)."""
+    import hashlib
+
+    import pandas as pd
+
+    from rippledb_spark.operators.jpeg import decode_jpeg_planes
+    from rippledb_spark.operators.multimodal import (
+        decode_avi_frames,
+        decode_gif_frames,
+        decode_png_any,
+        decode_wav_header,
+    )
+
+    recs = warc_df.select(
+        url_normalize("target_uri").alias("uri"),
+        F.lower(F.trim(F.col("content_type"))).alias("media_type"),
+        "payload",
+    ).where(F.col("uri").isNotNull() & F.col("media_type").isin(*_MEDIA_TYPES))
+
+    cols = [c.split(" ")[0] for c in MEDIA_FEATURES_SCHEMA.split(", ")]
+
+    def decode_batch(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for uri, mt, payload in zip(
+                pdf["uri"], pdf["media_type"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                row = {
+                    "width": None, "height": None, "channels": None,
+                    "n_frames": None, "sample_rate": None, "n_samples": None,
+                }
+                ok = True
+                try:
+                    if mt == "image/png":
+                        d = decode_png_any(data)
+                        row.update(width=d["width"], height=d["height"],
+                                   channels=d["channels"], n_frames=1)
+                    elif mt == "image/gif":
+                        frames = decode_gif_frames(data)
+                        row.update(
+                            width=frames[0]["width"],
+                            height=frames[0]["height"],
+                            channels=1,
+                            n_frames=len(frames),
+                        )
+                    elif mt == "image/jpeg":
+                        d = decode_jpeg_planes(data)
+                        row.update(width=d["width"], height=d["height"],
+                                   channels=len(d["components"]), n_frames=1)
+                    elif mt in ("audio/wav", "audio/x-wav"):
+                        rate, ch, _bits, n = decode_wav_header(data)
+                        row.update(channels=ch, sample_rate=rate, n_samples=n)
+                    else:  # video/x-msvideo
+                        v = decode_avi_frames(data)
+                        row.update(width=v["width"], height=v["height"],
+                                   channels=1, n_frames=v["n_frames"])
+                except ValueError:
+                    ok = False  # crawl policy: feature row, not task death
+                rows.append(
+                    (
+                        uri, mt, len(data), ok,
+                        row["width"], row["height"], row["channels"],
+                        row["n_frames"], row["sample_rate"], row["n_samples"],
+                        hashlib.md5(data).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return recs.mapInPandas(decode_batch, schema=MEDIA_FEATURES_SCHEMA)

@@ -1016,6 +1016,84 @@ def test_streaming_crawl_extracts_jsonld_graph_matching_batch(spark, tmp_path):
     assert [r["o_value"] for r in names] == ["Ann"]
 
 
+def test_streaming_crawl_media_features_match_batch(spark, tmp_path):
+    """r8 media stage: the SAME foreachBatch decodes media fetches
+    (PNG/GIF/JPEG/WAV/AVI by Content-Type) into a feature snapshot;
+    stream (one file per batch) must equal the batch twin, corrupt
+    payloads surface as decode_ok=false rows, non-media types pass by."""
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray
+    from rippledb_spark.operators.multimodal import (
+        encode_avi,
+        encode_gif,
+        encode_png,
+        encode_wav,
+    )
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.streaming import crawl as SC
+
+    def record(uri, ctype, payload: bytes):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-05-01T00:00:00Z\r\n"
+            b"Content-Type: " + ctype.encode() + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    png = encode_png(6, 4, bytes(range(24)))
+    gif = encode_gif([(4, 3, 10), (4, 3, 20)])
+    jpg = encode_jpeg_gray(16, 8, bytes(128))
+    wav = encode_wav(8000, bytes(64))
+    avi = encode_avi(5, 4, [bytes(20)], rle=False)
+    d = tmp_path / "warc_media"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        record("https://m.example.com/i.png", "image/png", png)
+        + record("https://m.example.com/a.gif", "image/gif", gif)
+        + record("https://m.example.com/broken.png", "image/png", b"nope")
+        + record("https://m.example.com/page.html", "text/html", b"<p>x</p>")
+    )
+    (d / "b.warc").write_bytes(
+        record("https://m.example.com/p.jpg", "image/jpeg", jpg)
+        + record("https://m.example.com/s.wav", "audio/wav", wav)
+        + record("https://m.example.com/v.avi", "video/x-msvideo", avi)
+    )
+    snap = str(tmp_path / "corpus_m")
+    msnap = str(tmp_path / "media_m")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, str(tmp_path / "ckpt_m"), media_path=msnap
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(msnap)
+    want = SC.crawl_media_features(read_warc(spark, str(d)))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.dropDuplicates().collect())
+    )
+    by_uri = {r["uri"]: r for r in got.collect()}
+    assert len(by_uri) == 6  # the html record never enters the stage
+    assert by_uri["https://m.example.com/i.png"]["width"] == 6
+    assert by_uri["https://m.example.com/i.png"]["decode_ok"] is True
+    assert by_uri["https://m.example.com/a.gif"]["n_frames"] == 2
+    assert by_uri["https://m.example.com/broken.png"]["decode_ok"] is False
+    assert by_uri["https://m.example.com/p.jpg"]["width"] == 16
+    assert by_uri["https://m.example.com/s.wav"]["sample_rate"] == 8000
+    assert by_uri["https://m.example.com/s.wav"]["n_samples"] == 32
+    assert by_uri["https://m.example.com/v.avi"]["n_frames"] == 1
+
+
 def test_streaming_crawl_reader_matches_batch_reader(spark, tmp_path):
     """read_warc_stream shares the batch reader's parser — record sets
     must be identical over the same members."""
