@@ -810,3 +810,35 @@ def crawl_frontier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+from rippledb_spark.operators import retrieval as RET  # noqa: E402
+
+_BM25_TERMS = ["shuffle", "broadcast", "filter", "quantile"]
+
+
+@query(
+    "bm25_top_documents",
+    oracle=f"""
+    WITH {RET.bm25_topk_sql("documents", "text", "doc_id",
+                            _BM25_TERMS, topk=20).strip()}
+    SELECT rank, doc_id, n_query_terms_hit, score FROM bm25_topk
+    ORDER BY rank
+    """,
+)
+def bm25_top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 corpus retrieval (operators/retrieval.py, Robertson &
+    Zaragoza 2009, the Lucene idf form): rank the documents table for a
+    fixed 4-term query, top-20 by 6dp-rounded score with doc-id
+    tiebreak. The oracle replays tokenization, per-term tf, document
+    frequency, the corpus avgdl, every idf/tf saturation factor, and
+    the ranking in DuckDB — so a green row certifies the full scoring
+    pipeline, not just row counts.
+
+    100 TB shape: one corpus scan filtered to query terms BEFORE the
+    (doc, term) aggregation, two broadcast side-tables (df + corpus
+    stats), one doc-keyed sum; top-k never global-sorts."""
+    d = load(spark, sf_dir, "documents")
+    return RET.bm25_topk(
+        d, "text", "doc_id", _BM25_TERMS, topk=20
+    ).orderBy("rank")

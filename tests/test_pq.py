@@ -126,3 +126,45 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
             assert abs(v - q * scale) <= scale / 2 + 1e-12, (pid, v, q)
         # the max-magnitude component hits ±127 exactly
         assert 127 in [abs(q) for q in s["q"]]
+
+
+# ---------------------------------------------------------------------------
+# BM25 (operators/retrieval.py, r8)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranking_properties(spark):
+    import duckdb as _dd
+
+    from rippledb_spark.operators.retrieval import bm25_topk, bm25_topk_sql
+
+    rows = [
+        (0, "apple banana apple apple"),      # tf-heavy on apple
+        (1, "apple banana"),                   # both terms once
+        (2, "banana banana banana banana banana banana banana banana"),
+        (3, "cherry date"),                    # no query terms: never ranks
+        (4, "apple " + "filler " * 50),        # long doc: length-normalized
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "text", "doc_id", ["apple", "banana"], topk=10)
+    got = [(r["rank"], r["doc_id"], r["n_query_terms_hit"], r["score"])
+           for r in out.orderBy("rank").collect()]
+    ids = [g[1] for g in got]
+    assert 3 not in ids                 # zero-hit docs never rank
+    assert len(got) == 4
+    assert got[0][1] in (0, 1)          # two-term / tf-heavy docs lead
+    d = {g[1]: g for g in got}
+    assert d[0][2] == 2 and d[1][2] == 2 and d[2][2] == 1 and d[4][2] == 1
+    # length normalization: doc 4 (one apple in 51 tokens) scores below
+    # doc 0's apple contribution
+    assert d[4][3] < d[0][3]
+    # DuckDB twin equality
+    con = _dd.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    cte = bm25_topk_sql("docs", "text", "doc_id", ["apple", "banana"], topk=10)
+    want = con.execute(
+        f"WITH {cte} SELECT rank, doc_id, n_query_terms_hit, score"
+        " FROM bm25_topk ORDER BY rank"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
