@@ -121,3 +121,22 @@ def extract_links_sql(col: str) -> str:
     """DuckDB twin of :func:`extract_links`."""
     pat = _HREF_RE.replace("'", "''")
     return f"regexp_extract_all({col}, '{pat}', 1)"
+
+
+# sitemap <loc> extraction (sitemaps.org protocol): the other half of
+# frontier discovery beside <a href>. Same Java∩RE2 contract.
+_SITEMAP_LOC_RE = "(?is)<loc>\\s*([^<]+?)\\s*</loc>"
+
+
+def extract_sitemap_urls(col: Column | str) -> Column:
+    """→ array<string> of every ``<loc>`` URL in a sitemap.xml document
+    (also matches ``<sitemap><loc>`` index entries — callers decide
+    whether a target is a page or a nested sitemap)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_SITEMAP_LOC_RE), 1)
+
+
+def extract_sitemap_urls_sql(col: str) -> str:
+    """DuckDB twin of :func:`extract_sitemap_urls`."""
+    pat = _SITEMAP_LOC_RE.replace("'", "''")
+    return f"regexp_extract_all({col}, '{pat}', 1)"

@@ -842,3 +842,48 @@ def bm25_top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RET.bm25_topk(
         d, "text", "doc_id", _BM25_TERMS, topk=20
     ).orderBy("rank")
+
+
+from rippledb_spark.operators import scd as SCD  # noqa: E402
+
+
+@query(
+    "scd2_customer_priority",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority
+      FROM orders WHERE o_custkey % 50 = 0
+    ),
+    {SCD.scd2_from_changes_sql("ev", "o_custkey", "o_orderdate",
+                               "o_orderpriority").strip()}
+    SELECT key AS custkey, value AS priority, valid_from, valid_to,
+           is_current
+    FROM scd2 ORDER BY custkey, valid_from, priority
+    """,
+)
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 (operators/scd.py, the Kimball
+    warehouse pattern): each sampled customer's order-priority history
+    becomes validity intervals — consecutive same-priority orders
+    collapse, valid_to is the next change's timestamp, the last state
+    is current. The oracle replays the (ts, value)-ordered windows
+    (the value tiebreak makes equal-date events deterministic) in
+    DuckDB, so a green row certifies collapse + interval arithmetic
+    including NULL open intervals. One shuffle on the dimension key;
+    per-partition work is one customer's history."""
+    ev = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 50 == 0)
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        SCD.scd2_from_changes(ev, "o_custkey", "o_orderdate", "o_orderpriority")
+        .select(
+            F.col("key").alias("custkey"),
+            F.col("value").alias("priority"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("custkey", "valid_from", "priority")
+    )

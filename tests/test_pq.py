@@ -168,3 +168,24 @@ def test_bm25_ranking_properties(spark):
         " FROM bm25_topk ORDER BY rank"
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def test_scd2_collapse_and_intervals(spark):
+    from rippledb_spark.operators.scd import scd2_from_changes
+
+    rows = [
+        (1, 10, "A"), (1, 20, "A"),   # no-op change collapses
+        (1, 30, "B"), (1, 40, "A"),   # value returns: new interval
+        (2, 5, "X"),                   # single event: current from start
+        (3, 7, "P"), (3, 7, "Q"),      # equal-ts tie: value tiebreak
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v string")
+    out = {(r["key"], r["value"], r["valid_from"]): (r["valid_to"], r["is_current"])
+           for r in scd2_from_changes(df, "k", "ts", "v").collect()}
+    assert out[(1, "A", 10)] == (30, False)   # 20 collapsed away
+    assert out[(1, "B", 30)] == (40, False)
+    assert out[(1, "A", 40)] == (None, True)
+    assert out[(2, "X", 5)] == (None, True)
+    assert out[(3, "P", 7)] == (7, False)     # zero-length, deterministic
+    assert out[(3, "Q", 7)] == (None, True)
+    assert len(out) == 6
