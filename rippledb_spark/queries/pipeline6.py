@@ -887,3 +887,80 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "valid_from", "priority")
     )
+
+
+from rippledb_spark.functions import html as _H  # noqa: E402
+from rippledb_spark.operators import quality as Q6  # noqa: E402
+
+
+@query(
+    "crawl_gate_accounting",
+    oracle=f"""
+    WITH cg_fetch AS (
+      SELECT 'https://crawl.example/p' || (doc_id % 400) ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '?utm_source=x&b=2&a=1' ELSE '' END AS raw_uri,
+             '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+               || 'T00:00:00Z' AS warc_date,
+             '<html><body><h1>Page</h1><p>' || text ||
+               '</p></body></html>' AS html
+      FROM documents
+    ),
+    canon AS (
+      SELECT {URL6.url_normalize_sql("raw_uri")} AS uri, warc_date,
+             {_H.strip_html_sql("html")} AS text
+      FROM cg_fetch
+    ),
+    collapsed AS (
+      SELECT uri, warc_date, text FROM (
+        SELECT *, row_number() OVER (
+                 PARTITION BY uri ORDER BY warc_date DESC, text DESC) AS rn
+        FROM canon WHERE uri IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    {Q6.repetition_metrics_sql("collapsed", "text", "uri").strip()}
+    SELECT c.uri, c.warc_date, g.n_words, g.mean_word_len,
+           g.top2_frac, g.dup5_frac, g.keep
+    FROM collapsed c JOIN gopher g ON g.id = c.uri
+    ORDER BY c.uri
+    """,
+)
+def crawl_gate_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the streaming crawl gate, driver-certified (r8 —
+    until now the crawl pipeline's only gate was pytest's live
+    batch-twin equivalence; this row puts the SAME composition under
+    the DuckDB oracle): synthesize warc-shaped fetches from documents
+    (duplicate URIs, tracking-parameter variants, HTML-wrapped text),
+    run the production gate_crawl_records (streaming/crawl.py —
+    canonicalize → strip markup → latest-fetch-wins struct-max collapse
+    → Gopher metrics), and emit per-URI corpus rows. The oracle replays
+    URL normalization, the HTML strip chain, the (warc_date, text)-
+    lexicographic collapse, and every Gopher rule in SQL, so a green
+    row certifies the full gate composition — and, via the pinned
+    streaming equivalence tests, transitively the streaming path."""
+    from rippledb_spark.streaming.crawl import gate_crawl_records
+
+    d = load(spark, sf_dir, "documents")
+    fetch = d.select(
+        F.concat(
+            F.lit("https://crawl.example/p"),
+            (F.col("doc_id") % 400).cast("bigint"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&b=2&a=1")
+            ).otherwise(F.lit("")),
+        ).alias("target_uri"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ).alias("warc_date"),
+        F.concat(
+            F.lit("<html><body><h1>Page</h1><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("payload"),
+    )
+    return gate_crawl_records(fetch).select(
+        "uri", "warc_date", "n_words", "mean_word_len",
+        "top2_frac", "dup5_frac", "keep",
+    ).orderBy("uri")
