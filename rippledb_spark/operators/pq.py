@@ -99,6 +99,48 @@ def pq_codes(
     return codes, books
 
 
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    books: DataFrame,
+    dims: int,
+    m: int,
+) -> DataFrame:
+    """Encode NEW vectors against an already-trained codebook — the
+    production ingest path (train once on a sample, encode the stream
+    forever; retraining per batch would shift codes under existing
+    data). ``books`` is pq_codes' (s, cid, c) frame. → DataFrame(pid,
+    s, cid), one broadcast assign per subspace, same argmin/tiebreak
+    contract as training-time encoding, so re-encoding the training
+    corpus reproduces its codes exactly."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    d0 = dims // m
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    codes = None
+    for s in range(m):
+        sl = full.select("pid", F.slice("v", s * d0 + 1, d0).alias("v"))
+        b = books.where(F.col("s") == s).select("cid", "c")
+        a = (
+            sl.crossJoin(F.broadcast(b))
+            .select(
+                "pid", "cid", _dist2(F.col("v"), F.col("c")).alias("d2")
+            )
+            .groupBy("pid")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(
+                "pid",
+                F.lit(s).cast("int").alias("s"),
+                F.col("m.cid").alias("cid"),
+            )
+        )
+        codes = a if codes is None else codes.unionByName(a)
+    return codes
+
+
 def pq_adc_topk(
     df: DataFrame,
     vec_col: str,

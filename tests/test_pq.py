@@ -189,3 +189,26 @@ def test_scd2_collapse_and_intervals(spark):
     assert out[(3, "P", 7)] == (7, False)     # zero-length, deterministic
     assert out[(3, "Q", 7)] == (None, True)
     assert len(out) == 6
+
+
+def test_pq_encode_reproduces_training_codes_and_places_new_vectors(spark):
+    from rippledb_spark.operators.pq import pq_codes, pq_encode
+
+    df = _clustered_corpus(spark)
+    codes, books = PQ.pq_codes(df, "vec", "pid", dims=8, m=2, k=4)
+    books = books.localCheckpoint(eager=True)
+    # re-encoding the training corpus against the trained codebook must
+    # reproduce the training-time codes exactly (same contract)
+    again = pq_encode(df, "vec", "pid", books, dims=8, m=2)
+    a = sorted(map(tuple, codes.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+    # a brand-new vector near group 2's corner gets group 2's codes
+    new = spark.createDataFrame(
+        [(999, [9.02] * 4 + [0.03] * 4)], "pid long, vec array<double>"
+    )
+    got = {r["s"]: r["cid"] for r in pq_encode(
+        new, "vec", "pid", books, dims=8, m=2
+    ).collect()}
+    member = {r["s"]: r["cid"] for r in codes.where("pid = 2").collect()}
+    assert got == member  # pid 2 is a group-2 (corner (9,0)) member
