@@ -964,3 +964,86 @@ def crawl_gate_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uri", "warc_date", "n_words", "mean_word_len",
         "top2_frac", "dup5_frac", "keep",
     ).orderBy("uri")
+
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+
+@query(
+    "graph_scc_event_transitions",
+    oracle="""
+    WITH RECURSIVE
+    tr AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS b
+      FROM events
+    ),
+    cnt AS (SELECT a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL
+            GROUP BY a, b),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_pairs FROM cnt),
+    sedges AS (
+      SELECT a, b FROM cnt, tot
+      WHERE 100 * c * n_pairs >= 101 * total AND a <> b
+    ),
+    snodes AS (SELECT a AS node FROM sedges UNION SELECT b FROM sedges),
+    cl AS (
+      SELECT a, b FROM sedges
+      UNION
+      SELECT cl.a, e.b FROM cl JOIN sedges e ON cl.b = e.a
+    ),
+    mut AS (
+      SELECT c1.a AS u, c1.b AS v FROM cl c1
+      JOIN cl c2 ON c1.a = c2.b AND c1.b = c2.a
+    ),
+    scc AS (
+      SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
+      FROM snodes n LEFT JOIN mut m ON m.v = n.node
+      GROUP BY n.node
+    )
+    SELECT s.node, s.scc,
+           CAST(COUNT(*) OVER (PARTITION BY s.scc) AS BIGINT) AS n_members
+    FROM scc s ORDER BY s.node
+    """,
+)
+def graph_scc_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (operators/graph.py, r8 — the
+    directed-cycle complement of the undirected CC operator) over the
+    ABOVE-AVERAGE event-transition graph: per user, consecutive events
+    (ts then event_id tiebreak) form directed type→type transitions;
+    only transitions at least 1% above the mean pair count become edges
+    (the relative threshold keeps the graph shape scale-dependent, not
+    hardcoded), so the graph has real non-trivial SCC structure. The
+    Spark side runs the semi-naive closure + mutual-reachability
+    min-label; the oracle recomputes the identical graph and SCC ids
+    with a recursive CTE — node sets, scc assignment, and member counts
+    all hash-checked. Deterministic: labels are the node strings
+    (lexicographic min), no id allocation anywhere."""
+    from rippledb_spark.operators.graph import strongly_connected_components
+
+    ev = load(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    cnt = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    edges = (
+        cnt.crossJoin(F.broadcast(tot))
+        .where(
+            (100 * F.col("c") * F.col("n_pairs") >= 101 * F.col("total"))
+            & (F.col("a") != F.col("b"))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    scc = strongly_connected_components(edges, max_iterations=8)
+    return scc.select(
+        "node",
+        "scc",
+        F.count(F.lit(1)).over(_W.partitionBy("scc")).cast("bigint").alias(
+            "n_members"
+        ),
+    ).orderBy("node")

@@ -353,3 +353,33 @@ def test_shortest_paths_budget_equal_to_hop_depth(spark):
         for r in shortest_paths(edges, ["a"], max_iterations=4).collect()
     }
     assert got == {"a": 0.0, "b": 1.0, "c": 2.0, "d": 3.0, "e": 4.0}
+
+
+def test_strongly_connected_components(spark):
+    from rippledb_spark.operators.graph import strongly_connected_components
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),  # 3-cycle
+        ("d", "e"), ("e", "d"),              # 2-cycle
+        ("f", "a"),                          # feeds the cycle, no return
+        ("g", "d"),                          # same
+        ("c", "d"),                          # bridge BETWEEN cycles (one way)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["scc"] for r in
+           strongly_connected_components(df).collect()}
+    assert got == {
+        "a": "a", "b": "a", "c": "a",   # cycle 1 labels by its min node
+        "d": "d", "e": "d",             # cycle 2 stays separate (one-way bridge)
+        "f": "f", "g": "g",             # acyclic feeders are singletons
+    }
+
+
+def test_scc_handles_self_loops_and_isolated_edges(spark):
+    from rippledb_spark.operators.graph import strongly_connected_components
+
+    edges = [("x", "x"), ("x", "y")]  # self-loop dropped; y is a sink
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["scc"] for r in
+           strongly_connected_components(df).collect()}
+    assert got == {"x": "x", "y": "y"}
