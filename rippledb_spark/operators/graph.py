@@ -864,3 +864,69 @@ def strongly_connected_components(
     )
     _release_iteration_garbage(scc)
     return scc
+
+
+def dag_longest_path_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Longest-path layering of a DAG → DataFrame(node, layer): sources
+    sit at layer 0 and every node's layer is 1 + the max layer of its
+    predecessors — the schedule depth dependency resolution assigns
+    (build systems, pipeline stages, column-lineage graphs).
+
+    Bellman-Ford-style relaxation: layer(v) ← max(layer(v),
+    1 + max over preds); converges in ≤ DAG-depth rounds with an exact
+    no-change exit. A CYCLE never converges — if the bound is hit with
+    changes still flowing, this raises ValueError rather than returning
+    a partial layering (run strongly_connected_components first to find
+    the cycles). One label-table shuffle per round, same iteration
+    discipline as pagerank/CC."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = _truncate(e, checkpoint_dir)
+    n_edges = e.count()
+    nodes = _truncate(
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct(),
+        checkpoint_dir,
+    )
+    layer = nodes.withColumn("layer", F.lit(0).cast("bigint"))
+    with _iteration_conf(edges.sparkSession, n_edges):
+        for _ in range(max_iterations):
+            pred_max = (
+                e.join(layer, e.a == layer.node)
+                .select(F.col("b").alias("node"), (F.col("layer") + 1).alias("pl"))
+                .groupBy("node")
+                .agg(F.max("pl").alias("pmax"))
+            )
+            new_layer = _truncate(
+                layer.join(pred_max, "node", "left_outer").select(
+                    "node",
+                    F.greatest(
+                        F.col("layer"), F.coalesce("pmax", F.col("layer"))
+                    ).alias("layer"),
+                    F.col("layer").alias("old_layer"),
+                ),
+                checkpoint_dir,
+            )
+            changed = (
+                new_layer.filter(F.col("layer") != F.col("old_layer"))
+                .limit(1)
+                .count()
+            )
+            layer = new_layer.drop("old_layer")
+            if changed == 0:
+                _release_iteration_garbage(layer)
+                return layer
+    raise ValueError(
+        f"no fixpoint after {max_iterations} rounds — the graph has a "
+        "cycle (or max_iterations is below the DAG depth)"
+    )

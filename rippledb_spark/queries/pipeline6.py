@@ -1047,3 +1047,59 @@ def graph_scc_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members"
         ),
     ).orderBy("node")
+
+
+@query(
+    "dag_layer_scheduling",
+    oracle="""
+    WITH RECURSIVE
+    ids AS (SELECT doc_id AS d FROM documents WHERE doc_id >= 1),
+    mx AS (SELECT MAX(d) AS m FROM ids),
+    dedges AS (
+      SELECT d AS a, 2 * d AS b FROM ids, mx WHERE 2 * d <= m
+      UNION ALL
+      SELECT d, 3 * d FROM ids, mx WHERE 3 * d <= m
+    ),
+    dnodes AS (SELECT a AS node FROM dedges UNION SELECT b FROM dedges),
+    walk AS (
+      SELECT node, 0 AS l FROM dnodes n
+      WHERE NOT EXISTS (SELECT 1 FROM dedges e WHERE e.b = n.node)
+      UNION ALL
+      SELECT e.b, w.l + 1 FROM walk w JOIN dedges e ON e.a = w.node
+    )
+    SELECT node, CAST(MAX(l) AS BIGINT) AS layer
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def dag_layer_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAG longest-path layering (operators/graph.py, r8 — the schedule
+    depth dependency resolution assigns): over the doubling/tripling
+    divisor DAG on document ids (d → 2d, d → 3d while in range — depth
+    ~log₂(max id), multiple converging paths per node), relax every
+    node to 1 + the max layer of its predecessors until the exact
+    fixpoint. The oracle walks all source-rooted paths with a recursive
+    CTE and takes each node's maximum depth — the same quantity — so a
+    green row certifies the relaxation, the convergence exit, and the
+    source handling per node. A cycle raises instead of returning a
+    partial layering (certified by unit test; SCC finds the cycles)."""
+    from rippledb_spark.operators.graph import dag_longest_path_layers
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("d")
+    ).where(F.col("d") >= 1)
+    mx = d.agg(F.max("d").alias("m"))
+    ids = d.crossJoin(F.broadcast(mx))
+    edges = (
+        ids.where(2 * F.col("d") <= F.col("m"))
+        .select(F.col("d").alias("src"), (2 * F.col("d")).alias("dst"))
+        .unionByName(
+            ids.where(3 * F.col("d") <= F.col("m")).select(
+                F.col("d").alias("src"), (3 * F.col("d")).alias("dst")
+            )
+        )
+    )
+    return (
+        dag_longest_path_layers(edges, max_iterations=16)
+        .select("node", "layer")
+        .orderBy("node")
+    )

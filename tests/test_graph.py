@@ -383,3 +383,22 @@ def test_scc_handles_self_loops_and_isolated_edges(spark):
     got = {r["node"]: r["scc"] for r in
            strongly_connected_components(df).collect()}
     assert got == {"x": "x", "y": "y"}
+
+
+def test_dag_longest_path_layers_and_cycle_refusal(spark):
+    import pytest
+
+    from rippledb_spark.operators.graph import dag_longest_path_layers
+
+    # diamond + tail: converging paths take the LONGEST, not the first
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+             ("f", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["layer"] for r in dag_longest_path_layers(df).collect()}
+    assert got == {"a": 0, "f": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    # a cycle must raise, never return a partial layering
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        dag_longest_path_layers(cyc, max_iterations=8)
