@@ -801,7 +801,11 @@ def strongly_connected_components(
     instead, which trades determinism for bound memory.
 
     ``max_iterations`` bounds the closure rounds (≥ longest shortest
-    path; the exit test is exact — an empty frontier stops early)."""
+    path; the exit test is exact — an empty frontier stops early). If
+    the bound is hit with the frontier still non-empty the closure is
+    INCOMPLETE and components computed from it would be silently wrong,
+    so this raises ValueError instead of returning — the same
+    non-convergence contract as :func:`dag_longest_path_layers`."""
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -817,6 +821,7 @@ def strongly_connected_components(
     closure = e
     frontier = e
     it = 0
+    converged = False
     n_edges = e.count()
     with _iteration_conf(edges.sparkSession, n_edges):
         while it < max_iterations:
@@ -840,11 +845,19 @@ def strongly_connected_components(
                 grown.join(closure, ["a", "b"], "left_anti"), checkpoint_dir
             )
             if new_frontier.limit(1).count() == 0:
+                converged = True
                 break
             closure = _truncate(
                 closure.unionByName(new_frontier).distinct(), checkpoint_dir
             )
             frontier = new_frontier
+    if not converged and n_edges > 0:
+        raise ValueError(
+            f"transitive closure did not converge in {max_iterations} "
+            "rounds — SCCs from a partial closure would be wrong; raise "
+            "max_iterations (or use scc_forward_backward for long-path "
+            "graphs whose closure is too large)"
+        )
     rev = closure.select(
         F.col("b").alias("a"), F.col("a").alias("b")
     )

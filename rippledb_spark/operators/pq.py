@@ -45,13 +45,6 @@ from rippledb_spark.operators.clustering import (
 ADC_DP = 6
 
 
-def _sliced(df: DataFrame, vec_col: str, id_col: str, s: int, d0: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("pid"),
-        F.slice(as_double_array(vec_col), s * d0 + 1, d0).alias("v"),
-    )
-
-
 def pq_codes(
     df: DataFrame,
     vec_col: str,

@@ -89,11 +89,18 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("n_query_terms_hit"),
         F.round(F.sum("part"), SCORE_DP).alias("score"),
     )
+    # top-k FIRST via orderBy().limit() — plans as TakeOrderedAndProject
+    # (per-partition heap heads, driver merge of ≤ topk·partitions rows),
+    # so no partition ever holds more than topk candidate rows. The rank
+    # window then runs over ≤ topk rows, which is why its unpartitioned
+    # frame is safe. (r8 ADVICE: the old rank-then-filter window shuffled
+    # EVERY matching doc through one partition unless the
+    # InferWindowGroupLimit rule happened to rescue it.) The ordering is
+    # total (doc_id is unique), so the limit is deterministic.
+    top = agg.orderBy(F.col("score").desc(), F.col("doc_id")).limit(topk)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select("rank", "doc_id", "n_query_terms_hit", "score")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "n_query_terms_hit", "score"
     )
 
 

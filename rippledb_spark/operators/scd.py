@@ -4,12 +4,17 @@ into validity-interval rows (key, value, valid_from, valid_to,
 is_current), collapsing consecutive events that did not change the
 value.
 
-Determinism contract: events order by (ts, value) within a key — the
-value tiebreak makes equal-timestamp events deterministic in both
-engines; the collapse keeps an event iff its value differs from the
-previous event's (lag); valid_to is the NEXT kept event's ts (lead),
-NULL for the current row. Pure window arithmetic — the DuckDB oracle
-replays it exactly.
+Determinism contract: events order by (ts, value NULLS FIRST) within a
+key — the value tiebreak makes equal-timestamp events deterministic in
+both engines (NULLS FIRST pinned explicitly: Spark's ASC default is
+nulls-first, DuckDB's is nulls-last); the collapse keeps an event iff
+it is the key's FIRST event (row_number = 1) or its value is
+null-safely different from the previous event's (Spark ``eqNullSafe`` ≡
+DuckDB ``IS DISTINCT FROM`` — a plain ``!=`` would evaluate to NULL
+against a NULL value and silently drop the row, collapsing a
+non-NULL→NULL→non-NULL history); valid_to is the NEXT kept event's ts
+(lead), NULL for the current row. Pure window arithmetic — the DuckDB
+oracle replays it exactly.
 
 Scale shape: two windows over the same (key → ts, value) ordering —
 one shuffle on the key, per-partition work bounded by the busiest
@@ -31,11 +36,20 @@ def scd2_from_changes(
         F.col(ts_col).alias("ts"),
         F.col(value_col).alias("value"),
     )
-    w = Window.partitionBy("key").orderBy("ts", "value")
-    changed = ev.withColumn("__prev", F.lag("value").over(w)).where(
-        F.col("__prev").isNull() | (F.col("value") != F.col("__prev"))
+    w = Window.partitionBy("key").orderBy(
+        "ts", F.col("value").asc_nulls_first()
     )
-    w2 = Window.partitionBy("key").orderBy("ts", "value")
+    changed = (
+        ev.withColumn("__prev", F.lag("value").over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(
+            (F.col("__rn") == 1)
+            | ~F.col("value").eqNullSafe(F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy("key").orderBy(
+        "ts", F.col("value").asc_nulls_first()
+    )
     return changed.select(
         "key",
         "value",
@@ -55,16 +69,19 @@ def scd2_from_changes_sql(
     ),
     scd2_changed AS (
       SELECT key, ts, value FROM (
-        SELECT *, lag(value) OVER (PARTITION BY key ORDER BY ts, value)
-                 AS prev
+        SELECT *,
+               lag(value) OVER (
+                 PARTITION BY key ORDER BY ts, value NULLS FIRST) AS prev,
+               row_number() OVER (
+                 PARTITION BY key ORDER BY ts, value NULLS FIRST) AS rn
         FROM scd2_ev
-      ) WHERE prev IS NULL OR value <> prev
+      ) WHERE rn = 1 OR value IS DISTINCT FROM prev
     ),
     scd2 AS (
       SELECT key, value, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY key ORDER BY ts, value)
+             lead(ts) OVER (PARTITION BY key ORDER BY ts, value NULLS FIRST)
                AS valid_to,
-             lead(ts) OVER (PARTITION BY key ORDER BY ts, value) IS NULL
-               AS is_current
+             lead(ts) OVER (PARTITION BY key ORDER BY ts, value NULLS FIRST)
+               IS NULL AS is_current
       FROM scd2_changed
     )"""

@@ -26,7 +26,7 @@ from rippledb_spark.tables import load
 @query(
     "avi_frame_accounting",
     oracle="""
-    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 2),
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (1, 2)),
     dims AS (
       SELECT doc_id,
              CAST(4 + doc_id % 5 AS BIGINT) AS w,
@@ -75,14 +75,21 @@ def avi_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     a green row certifies the container writer, both frame codecs, and
     the resample end to end: a run mis-reassembled, a DIB row pad
     miscounted, or a bottom-up flip skipped changes pixel_sum, and any
-    pixel REORDERING changes resized_wsum. Reference comparison: n/a
-    (the reference has no binary/vector surface; video is engine-tier).
+    pixel REORDERING changes resized_wsum. The id filter keeps BOTH
+    parities (doc_id % 4 ∈ {1, 2}) because synthesize_avis keys the
+    codec on parity — odd ids RLE8, even ids DIB — so the certified
+    corpus really does exercise both frame codecs (r8 ADVICE fix: the
+    old % 4 == 2 filter silently pinned the corpus to DIB-only).
+    Reference comparison: n/a (the reference has no binary/vector
+    surface; video is engine-tier).
 
     100 TB shape: one Arrow mapInPandas where the payload bytes live —
     per-partition batches, 1→n_frames row expansion inside the kernel,
     no driver loop, no per-row Python UDF; the rollup is one
     media_id-keyed hash-agg."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 2)
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 4).isin(1, 2)
+    )
     media = MM.synthesize_avis(d, "doc_id")
     stats = MM.avi_frame_pixel_stats(media, every_n=2, out_w=4, out_h=4)
     return (
@@ -211,7 +218,7 @@ def mjpeg_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "jpeg_color_accounting",
     oracle="""
-    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
     shp AS (
       SELECT doc_id,
              CAST(16 * (1 + doc_id % 2) AS BIGINT) AS w,
@@ -274,11 +281,16 @@ def jpeg_color_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     a chroma table mixed up, or an IDCT scale error changes a plane sum,
     and any luma reordering changes the position-weighted resample.
     Arbitrary content and the RGB conversion are covered by pytest
-    tolerance tests. Reference comparison: n/a (no binary surface).
+    tolerance tests. The id filter is doc_id % 4 == 1 — coprime to the
+    sampling/restart modulus 3 — so the certified ids (1, 5, 9, …)
+    really do cycle through all three samplings and all three restart
+    intervals (r8 ADVICE fix: the old % 3 == 1 filter pinned every
+    certified image to 4:2:2 with restart_interval 2). Reference
+    comparison: n/a (no binary surface).
 
     100 TB shape: one Arrow mapInPandas where the payloads live; one row
     per image out; no shuffle before the final sort."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
     media = MM.synthesize_color_jpegs(d, "doc_id")
     return MM.jpeg_plane_stats(media, out_w=4, out_h=4).orderBy("media_id")
 

@@ -191,6 +191,46 @@ def test_scd2_collapse_and_intervals(spark):
     assert len(out) == 6
 
 
+def test_scd2_null_valued_history(spark):
+    """r8 ADVICE fix: NULL is a legal dimension value. A plain != would
+    NULL out against a NULL prev and DROP the row, collapsing a
+    non-NULL→NULL→non-NULL history; eqNullSafe + the row_number=1 first
+    marker keep all three intervals — in BOTH twins."""
+    from rippledb_spark.operators.scd import (
+        scd2_from_changes,
+        scd2_from_changes_sql,
+    )
+
+    rows = [
+        (1, 10, "A"), (1, 20, None), (1, 30, "A"),  # A → NULL → A
+        (2, 5, None), (2, 6, None),                  # NULL→NULL collapses
+        (3, 1, None),                                # first event IS NULL
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, v string")
+    got = {
+        (r["key"], r["value"], r["valid_from"]): (r["valid_to"], r["is_current"])
+        for r in scd2_from_changes(df, "k", "ts", "v").collect()
+    }
+    assert got[(1, "A", 10)] == (20, False)
+    assert got[(1, None, 20)] == (30, False)   # the NULL interval survives
+    assert got[(1, "A", 30)] == (None, True)
+    assert got[(2, None, 5)] == (None, True)   # ts-6 duplicate collapsed
+    assert got[(3, None, 1)] == (None, True)
+    assert len(got) == 5
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ch (k BIGINT, ts BIGINT, v VARCHAR)")
+    con.executemany("INSERT INTO ch VALUES (?, ?, ?)", rows)
+    cte = scd2_from_changes_sql("ch", "k", "ts", "v")
+    want = {
+        (r[0], r[1], r[2]): (r[3], r[4])
+        for r in con.execute(
+            f"WITH {cte} SELECT key, value, valid_from, valid_to,"
+            " is_current FROM scd2"
+        ).fetchall()
+    }
+    assert got == want
+
+
 def test_pq_encode_reproduces_training_codes_and_places_new_vectors(spark):
     from rippledb_spark.operators.pq import pq_codes, pq_encode
 

@@ -288,6 +288,21 @@ def test_substring_dedup_plan_shape(spark):
     assert plan.count("Generate") == 1, plan.count("Generate")
 
 
+def test_bm25_topk_plan_shape(spark):
+    """r9 (verdict ask #3): the BM25 top-k must plan as
+    TakeOrderedAndProject — the per-partition-heads global top-k — so no
+    partition ever carries more than topk candidate rows. The old form
+    relied on Spark 4.x's InferWindowGroupLimit rescuing a rank-filtered
+    unpartitioned window; this pins the scale-safe shape explicitly."""
+    from rippledb_spark.operators.retrieval import bm25_topk
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    q = bm25_topk(d, "text", "doc_id", ["the", "data"], topk=10)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_query_path_broadcasts_lookup_table(spark):
     """r8 PQ/ADC: the corpus-side join against the lookup table must be
     a broadcast join (the lt is nq·m·k rows), never a cartesian."""

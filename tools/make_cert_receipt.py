@@ -75,16 +75,20 @@ def last_green_rounds() -> tuple[dict[str, int], int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    rerun_all = "--all" in sys.argv
-    rnd_arg = [a for a in sys.argv if a.startswith("--round")]
+    # hand-rolled parsing broke both documented --round forms (r8 ADVICE):
+    # `--round 9` leaked the 9 into the positionals (becoming sf_dir) and
+    # `--round=9` matched startswith but was never parsed. argparse it.
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true", dest="rerun_all")
+    ap.add_argument("--round", type=int, default=None, dest="round_no")
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
+    rerun_all = ns.rerun_all
     last, cur = last_green_rounds()
-    receipt_round = (
-        int(sys.argv[sys.argv.index(rnd_arg[0]) + 1])
-        if rnd_arg and rnd_arg[0] == "--round"
-        else cur + 1
-    )
+    receipt_round = ns.round_no if ns.round_no is not None else cur + 1
 
     defs = registered_defs()
     fresh = {
