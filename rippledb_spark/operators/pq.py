@@ -209,6 +209,321 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    ncells: int = 4,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the composed IVF-PQ index (FAISS's IndexIVFPQ shape —
+    Jégou et al. 2011 §V: coarse quantizer + product quantization of the
+    RESIDUAL v − centroid(cell), which is far more compressible than the
+    raw vector because the coarse step has already removed the
+    between-cell variance).
+
+    → (assign, coarse, codes, books):
+      assign  DataFrame(pid, cell)      inverted-list membership
+      coarse  DataFrame(cell, cc)       coarse centroids (≤ ncells rows)
+      codes   DataFrame(pid, s, cid)    PQ codes of the residuals
+      books   DataFrame(s, cid, c)      shared residual codebooks
+
+    The PQ codebooks are SHARED across cells (trained on all residuals,
+    the FAISS default) — per-cell codebooks would be ncells× the
+    training cost for marginal recall on balanced corpora. Everything
+    inherits the clustering module's determinism contract (lowest-id
+    init, fixed term-order distances, 6dp centroid rounding, cid/cell
+    tiebreaks), so the whole index replays in DuckDB."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    coarse = (
+        kmeans_centroids(full, "v", "pid", k=ncells, iterations=iterations)
+        .select(F.col("cid").alias("cell"), F.col("c").alias("cc"))
+        .localCheckpoint(eager=False)
+    )
+    # one broadcast argmin over the final coarse codebook (≡ the SQL
+    # twin's ivc_final relation), ties to the lowest cell id
+    assigned = (
+        full.crossJoin(F.broadcast(coarse))
+        .select(
+            "pid", "v", "cell", _dist2(F.col("v"), F.col("cc")).alias("d2")
+        )
+        .groupBy("pid")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"), F.first("v").alias("v"))
+        .select("pid", F.col("m.cell").alias("cell"), "v")
+    )
+    resid = assigned.join(F.broadcast(coarse), "cell").select(
+        "pid",
+        "cell",
+        F.zip_with("v", "cc", lambda a, b: a - b).alias("r"),
+    )
+    codes, books = pq_codes(
+        resid, "r", "pid", dims, m=m, k=k, iterations=iterations
+    )
+    return assigned.select("pid", "cell"), coarse, codes, books
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    ncells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 3,
+    topk: int = 5,
+) -> DataFrame:
+    """→ DataFrame(q_pid, rank, pid, cell, adc_d2, in_exact_topk): for
+    each of the ``n_queries`` lowest-id vectors, the IVF-PQ top-``topk``
+    — the query routes to its ``nprobe`` nearest coarse cells and ADC
+    runs ONLY against codes in those cells, against the residual
+    q − centroid(cell) per probed cell. ``in_exact_topk`` is the
+    self-verifying recall flag (true full-dimension top-k recomputed
+    for the query set — the certification twin; production drops it).
+
+    100 TB shape (what the composition buys over flat PQ): the code
+    table is stored partitioned by ``cell``, so the ADC join scans
+    nprobe/ncells of the corpus — scan work ∝ nprobe/ncells, NOT corpus
+    size (probe receipt: tools/scale_probe_ivfpq.py). The query side is
+    one nq·nprobe·m·k-row broadcast lookup table + one (query, pid)-
+    keyed sum, exactly flat PQ's shape on the pruned scan."""
+    assign, coarse, codes, books = ivfpq_index(
+        df, vec_col, id_col, dims, ncells=ncells, m=m, k=k,
+        iterations=iterations,
+    )
+    d0 = dims // m
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    queries = full.orderBy("pid").limit(n_queries).select(
+        F.col("pid").alias("q_pid"), F.col("v").alias("qv")
+    )
+    # route each query to its nprobe nearest cells; residual per cell
+    # (the window is nq×ncells rows — always tiny)
+    pw = Window.partitionBy("q_pid").orderBy("d2", "cell")
+    probe = (
+        queries.crossJoin(F.broadcast(coarse))
+        .select(
+            "q_pid", "qv", "cell", "cc",
+            _dist2(F.col("qv"), F.col("cc")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            "q_pid",
+            "cell",
+            F.zip_with("qv", "cc", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    # per-(query, cell, subspace, centroid) ADC lookup table — broadcast
+    lt = probe.crossJoin(F.broadcast(books)).select(
+        "q_pid",
+        "cell",
+        "s",
+        "cid",
+        _dist2(
+            F.slice(F.col("qr"), F.col("s") * d0 + 1, d0), F.col("c")
+        ).alias("lt_d2"),
+    )
+    # join on (cell, s, cid): only codes in probed cells ever match —
+    # the inverted-list prune IS this equi-join key
+    cellcodes = codes.join(assign, "pid")
+    est = (
+        cellcodes.join(F.broadcast(lt), ["cell", "s", "cid"])
+        .where(F.col("pid") != F.col("q_pid"))
+        .groupBy("q_pid", "pid")
+        .agg(
+            F.min("cell").alias("cell"),
+            F.round(F.sum("lt_d2"), ADC_DP).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("q_pid").orderBy("adc_d2", "pid")
+    approx = est.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= topk
+    )
+    exact = (
+        queries.crossJoin(full)
+        .where(F.col("pid") != F.col("q_pid"))
+        .select(
+            "q_pid",
+            "pid",
+            F.round(_dist2(F.col("qv"), F.col("v")), ADC_DP).alias("x_d2"),
+        )
+    )
+    xw = Window.partitionBy("q_pid").orderBy("x_d2", "pid")
+    exact_top = (
+        exact.withColumn("xr", F.row_number().over(xw))
+        .where(F.col("xr") <= topk)
+        .select("q_pid", "pid", F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        approx.join(exact_top, ["q_pid", "pid"], "left")
+        .select(
+            "q_pid",
+            "rank",
+            "pid",
+            "cell",
+            "adc_d2",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("q_pid", "rank")
+    )
+
+
+def ivfpq_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    ncells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 3,
+    topk: int = 5,
+) -> str:
+    """DuckDB CTE-chain twin of :func:`ivfpq_topk`; yields a relation
+    ``ivfpq_topk`` with the same six columns. One coarse k-means chain
+    (prefix ``ivc``) + m residual-subspace chains (``ivq{s}``); the
+    residual subtraction is an exact elementwise IEEE op in both engines
+    (Spark ``zip_with`` ≡ DuckDB ``list_transform`` over an index
+    range), so the chains re-enter from bit-identical inputs."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    d0 = dims // m
+    parts = [
+        kmeans_assignments_sql(
+            table, vec_col, id_col, dims=dims, k=ncells,
+            iterations=iterations, prefix="ivc",
+        )
+    ]
+    cbook = f"ivc_c{iterations - 1}"
+    parts.append(
+        f"""iv_resid AS (
+      SELECT p.pid, a.cid AS cell,
+             list_transform(range(1, {dims + 1}), i -> p.v[i] - c.c[i]) AS r
+      FROM ivc_pts p
+      JOIN ivc_final a ON a.pid = p.pid
+      JOIN {cbook} c ON c.cid = a.cid
+    )"""
+    )
+    for s in range(m):
+        lo, hi = s * d0 + 1, (s + 1) * d0
+        sub = f"(SELECT pid, r[{lo}:{hi}] AS sub_v FROM iv_resid)"
+        parts.append(
+            kmeans_assignments_sql(
+                sub, "sub_v", "pid", dims=d0, k=k,
+                iterations=iterations, prefix=f"ivq{s}",
+            )
+        )
+    book_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, cid, c FROM ivq{s}_c{iterations - 1}"
+        for s in range(m)
+    )
+    code_union = " UNION ALL ".join(
+        f"SELECT pid, {s} AS s, cid FROM ivq{s}_final" for s in range(m)
+    )
+    parts.append(f"iv_books AS ({book_union})")
+    parts.append(f"iv_codes AS ({code_union})")
+    parts.append(
+        f"""iv_queries AS (
+      SELECT {id_col} AS q_pid, CAST({vec_col} AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY {id_col} LIMIT {n_queries}
+    )"""
+    )
+    # EXACT term order of clustering._dist2 everywhere (order-sensitive
+    # float sums; the 6dp round must not flip between engines)
+    cd2 = (
+        "(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, c.c)"
+        " + list_dot_product(c.c, c.c))"
+    )
+    parts.append(
+        f"""iv_probe AS (
+      SELECT q_pid, cell, qr FROM (
+        SELECT q.q_pid, c.cid AS cell,
+               list_transform(range(1, {dims + 1}), i -> q.qv[i] - c.c[i])
+                 AS qr,
+               row_number() OVER (PARTITION BY q.q_pid ORDER BY {cd2}, c.cid)
+                 AS rn
+        FROM iv_queries q, {cbook} c
+      ) WHERE rn <= {nprobe}
+    )"""
+    )
+    ld2 = (
+        "(list_dot_product(p.sub_qr, p.sub_qr)"
+        " - 2 * list_dot_product(p.sub_qr, b.c)"
+        " + list_dot_product(b.c, b.c))"
+    )
+    parts.append(
+        f"""iv_lt AS (
+      SELECT p.q_pid, p.cell, b.s, b.cid, {ld2} AS lt_d2
+      FROM (SELECT q_pid, cell, s,
+                   qr[s * {d0} + 1 : (s + 1) * {d0}] AS sub_qr
+            FROM iv_probe, (SELECT UNNEST(range(0, {m})) AS s)) p
+      JOIN iv_books b ON b.s = p.s
+    )"""
+    )
+    parts.append(
+        f"""iv_est AS (
+      SELECT l.q_pid, c.pid, MIN(c.cell) AS cell,
+             ROUND(SUM(l.lt_d2), {ADC_DP}) AS adc_d2
+      FROM (SELECT cd.pid, cd.s, cd.cid, a.cid AS cell
+            FROM iv_codes cd JOIN ivc_final a ON a.pid = cd.pid) c
+      JOIN iv_lt l ON l.cell = c.cell AND l.s = c.s AND l.cid = c.cid
+      WHERE c.pid <> l.q_pid
+      GROUP BY l.q_pid, c.pid
+    )"""
+    )
+    parts.append(
+        f"""iv_approx AS (
+      SELECT q_pid, pid, cell, adc_d2,
+             row_number() OVER (PARTITION BY q_pid ORDER BY adc_d2, pid)
+               AS rank
+      FROM iv_est
+    )"""
+    )
+    xd2 = (
+        "(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, v.fv)"
+        " + list_dot_product(v.fv, v.fv))"
+    )
+    parts.append(
+        f"""iv_exact AS (
+      SELECT q_pid, pid FROM (
+        SELECT q.q_pid, v.pid,
+               row_number() OVER (
+                 PARTITION BY q.q_pid
+                 ORDER BY ROUND({xd2}, {ADC_DP}), v.pid) AS xr
+        FROM iv_queries q,
+             (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS fv
+              FROM {table}) v
+        WHERE v.pid <> q.q_pid
+      ) WHERE xr <= {topk}
+    )"""
+    )
+    parts.append(
+        f"""ivfpq_topk AS (
+      SELECT a.q_pid, a.rank, a.pid, a.cell, a.adc_d2,
+             (e.pid IS NOT NULL) AS in_exact_topk
+      FROM iv_approx a LEFT JOIN iv_exact e
+        ON e.q_pid = a.q_pid AND e.pid = a.pid
+      WHERE a.rank <= {topk}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
 def pq_adc_sql(
     table: str,
     vec_col: str,

@@ -127,6 +127,16 @@ HEADLINE: tuple[str, ...] = (
     # gaps-and-islands stitching — the fp-keyed window-count family)
     "avi_frame_accounting",
     "dedup_exact_substring_runs",
+    # round-9 additions (r8 verdict ask #8 — round-over-round-interesting
+    # operator families that were long-tail-only): PQ/ADC vector search,
+    # BM25 ranking, the closure-based SCC, SCD2 dimension construction;
+    # plus the new composed IVF-PQ index (its wall time is the one to
+    # watch as the ANN story matures)
+    "pq_ann_topk",
+    "bm25_top_documents",
+    "graph_scc_event_transitions",
+    "scd2_customer_priority",
+    "ivfpq_ann_topk",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
@@ -197,5 +207,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.quads  # noqa: F401
     import rippledb_spark.queries.pipeline5  # noqa: F401
     import rippledb_spark.queries.pipeline6  # noqa: F401
+    import rippledb_spark.queries.pipeline7  # noqa: F401
 
     _LOADED = True
