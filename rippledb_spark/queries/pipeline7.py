@@ -52,3 +52,84 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PQ.ivfpq_topk(
         e, "embedding", "vec_id", dims=64, ncells=4, nprobe=2, m=8, k=16
     )
+
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+
+@query(
+    "graph_scc_fwbw_event_transitions",
+    oracle="""
+    WITH RECURSIVE
+    tr AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS b
+      FROM events
+    ),
+    cnt AS (SELECT a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL
+            GROUP BY a, b),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_pairs FROM cnt),
+    sedges AS (
+      SELECT a, b FROM cnt, tot
+      WHERE 100 * c * n_pairs >= 101 * total AND a <> b
+    ),
+    snodes AS (SELECT a AS node FROM sedges UNION SELECT b FROM sedges),
+    cl AS (
+      SELECT a, b FROM sedges
+      UNION
+      SELECT cl.a, e.b FROM cl JOIN sedges e ON cl.b = e.a
+    ),
+    mut AS (
+      SELECT c1.a AS u, c1.b AS v FROM cl c1
+      JOIN cl c2 ON c1.a = c2.b AND c1.b = c2.a
+    ),
+    scc AS (
+      SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
+      FROM snodes n LEFT JOIN mut m ON m.v = n.node
+      GROUP BY n.node
+    )
+    SELECT s.node, s.scc,
+           CAST(COUNT(*) OVER (PARTITION BY s.scc) AS BIGINT) AS n_members
+    FROM scc s ORDER BY s.node
+    """,
+)
+def graph_scc_fwbw_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-backward SCC (operators/graph.scc_forward_backward, r9 —
+    Fleischer et al. 2000 with iterated Trim, the webgraph-scale variant
+    the closure form's contract names) over the SAME above-average
+    event-transition graph as graph_scc_event_transitions, against the
+    SAME recursive-CTE oracle: identical min-node labels from a
+    completely different algorithm (O(V) coloring state + within-color
+    pivot BFS, the transitive closure never materialized) is the
+    strongest cross-check either implementation gets. Probe receipt for
+    the closure-hostile case (giant doubling-cycle SCC):
+    tools/scale_probe_scc_fwbw.py."""
+    from rippledb_spark.operators.graph import scc_forward_backward
+
+    ev = load(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("a"), F.lead("event_type").over(w).alias("b")
+    ).where(F.col("b").isNotNull())
+    cnt = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    edges = (
+        cnt.crossJoin(F.broadcast(tot))
+        .where(
+            (100 * F.col("c") * F.col("n_pairs") >= 101 * F.col("total"))
+            & (F.col("a") != F.col("b"))
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    scc = scc_forward_backward(edges)
+    return scc.select(
+        "node",
+        "scc",
+        F.count(F.lit(1)).over(_W.partitionBy("scc")).cast("bigint").alias(
+            "n_members"
+        ),
+    ).orderBy("node")

@@ -402,3 +402,70 @@ def test_dag_longest_path_layers_and_cycle_refusal(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         dag_longest_path_layers(cyc, max_iterations=8)
+
+
+def test_scc_closure_form_raises_on_nonconvergence(spark):
+    """r8 ADVICE fix: hitting max_iterations with a live frontier must
+    raise, never return components from a partial closure."""
+    from rippledb_spark.operators.graph import strongly_connected_components
+
+    # a 6-chain into a 2-cycle needs >2 closure rounds
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+             ("f", "g"), ("g", "f")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(ValueError, match="did not converge"):
+        strongly_connected_components(df, max_iterations=2)
+    # and with enough rounds the same graph resolves fine
+    got = {r["node"]: r["scc"] for r in
+           strongly_connected_components(df, max_iterations=8).collect()}
+    assert got["f"] == "f" and got["g"] == "f"
+
+
+def test_scc_forward_backward_agrees_with_closure_form(spark):
+    """r9 (verdict ask #4): the FW-BW coloring variant must produce the
+    IDENTICAL deterministic min-node labeling as the closure form."""
+    from rippledb_spark.operators.graph import (
+        scc_forward_backward,
+        strongly_connected_components,
+    )
+
+    fixtures = [
+        # the closure test's graph: two cycles, one-way bridge, feeders
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("e", "d"),
+         ("f", "a"), ("g", "d"), ("c", "d")],
+        # self-loop + sink
+        [("x", "x"), ("x", "y")],
+        # two SCCs sharing no nodes + a pure DAG tail (trim path)
+        [("p", "q"), ("q", "p"), ("r", "s"), ("s", "t"), ("t", "r"),
+         ("q", "r"), ("t", "u"), ("u", "v")],
+    ]
+    for edges in fixtures:
+        df = spark.createDataFrame(edges, "src string, dst string")
+        want = {(r["node"], r["scc"])
+                for r in strongly_connected_components(df).collect()}
+        got = {(r["node"], r["scc"])
+               for r in scc_forward_backward(df).collect()}
+        assert got == want, (edges, got, want)
+
+
+def test_scc_forward_backward_giant_cycle_single_round(spark):
+    """A single giant SCC resolves in ONE FW-BW round (F = B = the whole
+    color) — the case whose closure would be quadratic."""
+    from rippledb_spark.operators.graph import scc_forward_backward
+
+    n = 12
+    edges = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["scc"] for r in
+           scc_forward_backward(df, max_rounds=1).collect()}
+    assert got == {f"n{i:02d}": "n00" for i in range(n)}
+
+
+def test_scc_forward_backward_raises_on_bounds(spark):
+    from rippledb_spark.operators.graph import scc_forward_backward
+
+    n = 12
+    edges = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    with pytest.raises(ValueError, match="BFS did not converge"):
+        scc_forward_backward(df, max_bfs_iterations=3)
