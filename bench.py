@@ -166,18 +166,76 @@ def main() -> None:
         f" {', '.join(f'{ld:.2f}' for ld in warm_loads)})",
         file=sys.stderr,
     )
+    # --- within-query spread guard (r9, verdict ask #2) -----------------
+    # The r8 bench recorded a 1.6/3.7/11.8 s warm series for
+    # dedup_exact_substring_runs with probe_load 1.0: the bracketing host
+    # probes only see BETWEEN-query slowness, so a one-off GC/shuffle stall
+    # INSIDE a pass sails through to the recorded median. Solo re-runs of
+    # that query sit at 1.5-2.0 s warm — the outlier is bench-session heap
+    # pressure, not the plan (its scale receipt is linear). Guard: any
+    # query whose warm spread (max/min) exceeds RESPREAD_AT gets up to
+    # RESPREAD_EXTRA immediate solo re-runs (after a driver gc to shed
+    # accumulated checkpoint blocks); ALL samples land in queries_runs and
+    # the recorded median/min use the full series, so one stalled pass can
+    # no longer own the number. The respread record in BENCH_DETAIL.json
+    # cites which queries re-ran and both spreads.
+    RESPREAD_AT, RESPREAD_EXTRA = 3.0, 3
+    runs: dict[str, list[float]] = {
+        name: [p[name] for p in warm_passes] for name in HEADLINE
+    }
+    run_loads: dict[str, list[float]] = {
+        name: list(warm_loads) for name in HEADLINE
+    }
+    respread: dict[str, dict] = {}
+    for name in HEADLINE:
+        raw = runs[name]
+        spread = max(raw) / max(min(raw), 1e-9)
+        if spread <= RESPREAD_AT:
+            continue
+        import gc as _gc
+
+        _gc.collect()
+        extra_probe_before = _probe(spark)
+        extra: list[float] = []
+        for _ in range(RESPREAD_EXTRA):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            extra.append(round(time.perf_counter() - t0, 3))
+            if (max(raw + extra) / max(min(raw + extra), 1e-9)) < 2.0:
+                break
+        extra_probe_after = _probe(spark)
+        extra_load = max(
+            min(extra_probe_before, extra_probe_after) / PROBE_REF_SEC, 1.0
+        )
+        runs[name] = raw + extra
+        run_loads[name] += [extra_load] * len(extra)
+        respread[name] = {
+            "spread_before": round(spread, 2),
+            "spread_after": round(
+                max(runs[name]) / max(min(runs[name]), 1e-9), 2
+            ),
+            "extra_runs": extra,
+            "extra_probe": [extra_probe_before, extra_probe_after],
+        }
+        print(
+            f"# respread {name}: spread {spread:.1f}x > {RESPREAD_AT}x,"
+            f" extra runs {', '.join(f'{s:.3f}' for s in extra)}"
+            f" (probe {extra_probe_before:.3f}/{extra_probe_after:.3f})",
+            file=sys.stderr,
+        )
+
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     norm_med: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        raw = [p[name] for p in warm_passes]
-        runs[name] = raw
+        raw = runs[name]
         samples = sorted(raw)
         timings[name] = samples[len(samples) // 2]
         mins[name] = samples[0]
         normed = sorted(
-            round(t / ld, 3) for t, ld in zip(raw, warm_loads)
+            round(t / ld, 3) for t, ld in zip(raw, run_loads[name])
         )
         norm_med[name] = normed[len(normed) // 2]
         print(
@@ -206,6 +264,7 @@ def main() -> None:
             "warm_loads": [round(x, 3) for x in warm_loads],
             "load": probe_load,  # median warm load; >1.5 = noisy round
         },
+        "respread": respread,  # spread>3x queries: extra solo re-runs
         "sf": sf,
         "cold_sec": round(sum(cold.values()), 3),
     }
