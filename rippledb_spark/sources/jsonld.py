@@ -30,6 +30,14 @@ Supported subset (flat documents, stdlib-``json`` parseable):
   bool→xsd:boolean), value objects (``@value`` + optional ``@language``
   → language-tagged literal, ``@value`` + optional ``@type`` → typed
   literal), or node references (``{"@id": ...}``);
+- ``@list`` (r9): ordered collections become rdf:first/rdf:rest cons
+  chains ending in rdf:nil — the same triples the Turtle reader emits
+  for ``( ... )`` collections — with content-addressed cell labels;
+  the empty list is ``rdf:nil``; null entries drop (JSON-LD 1.0
+  §6.11); nested ``@list`` recurses (a 1.1 extension, kept for parity
+  with Turtle's nested collections). The writer emits the chain as
+  explicit triples (RDF has no list type — ``@list`` is reader sugar),
+  so write→read round-trips the graph exactly;
 - ``@context``: LOCAL simple contexts only — ``@vocab``, term→IRI
   string mappings, and prefix (compact-IRI) expansion. A remote context
   (string URL) or a non-string term definition refuses loudly: this
@@ -62,7 +70,11 @@ from pyspark.sql import DataFrame, SparkSession
 from rippledb_spark import model
 from rippledb_spark.errors import RdfParseError
 
-RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_TYPE = _RDF_NS + "type"
+RDF_FIRST, RDF_REST, RDF_NIL = (
+    _RDF_NS + "first", _RDF_NS + "rest", _RDF_NS + "nil",
+)
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
 _KEYWORDS = {"@id", "@type", "@value", "@language", "@graph", "@context"}
@@ -161,6 +173,62 @@ def _object_rows(subj, s_kind, pred, v, ctx, vocab, rows, index=0) -> None:
         lex, dt = _xsd_literal(v)
         rows.append((subj, s_kind, pred, lex, model.TYPED_LITERAL, None, dt))
     elif isinstance(v, dict):
+        if "@list" in v:
+            # ordered collection (r9): @list → an rdf:first/rdf:rest cons
+            # chain ending in rdf:nil — the SAME triple shape the Turtle
+            # reader emits for ( ... ) collections (sources/turtle.py),
+            # so schema.org ItemList data round-trips across both
+            # formats. Cell labels are content-addressed like every
+            # anonymous node here. Nested @list values recurse (a
+            # JSON-LD 1.1 extension; 1.0 forbids them — accepting them
+            # keeps parity with the Turtle reader's nested collections).
+            extra = set(v) - {"@list"}
+            if extra:
+                raise RdfParseError(
+                    f"@list of {subj!r}/{pred!r} carries extra keys "
+                    f"{sorted(extra)} — a list object holds @list alone"
+                )
+            items = v["@list"]
+            if not isinstance(items, list):
+                raise RdfParseError(
+                    f"@list of {subj!r}/{pred!r} must be an array, got "
+                    f"{type(items).__name__}"
+                )
+            # expansion drops null list entries (JSON-LD 1.0 §6.11)
+            items = [it for it in items if it is not None]
+            if not items:
+                rows.append(
+                    (subj, s_kind, pred, RDF_NIL, model.NAMED, None, None)
+                )
+                return
+            cells = [
+                _content_label(subj, pred, [index, "l", i], it)
+                for i, it in enumerate(items)
+            ]
+            rows.append((subj, s_kind, pred, cells[0], model.BLANK, None, None))
+            for i, (cell, it) in enumerate(zip(cells, items)):
+                if isinstance(it, list):
+                    raise RdfParseError(
+                        f"plain array inside @list of {subj!r}/{pred!r} — "
+                        "nest it as another {'@list': [...]} object"
+                    )
+                _object_rows(
+                    cell, model.BLANK, RDF_FIRST, it, ctx, vocab, rows,
+                    index=[index, "l", i],
+                )
+                last = i + 1 == len(cells)
+                rows.append(
+                    (
+                        cell,
+                        model.BLANK,
+                        RDF_REST,
+                        RDF_NIL if last else cells[i + 1],
+                        model.NAMED if last else model.BLANK,
+                        None,
+                        None,
+                    )
+                )
+            return
         if "@value" in v:
             val = v["@value"]
             if val is None:

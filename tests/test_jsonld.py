@@ -262,3 +262,109 @@ def test_multipart_blank_node_labels_survive(spark, tmp_path):
     back = TripleStore.from_jsonld(spark, path)
     assert back.df.count() == 9
     assert back.df.filter("s = '_:x' OR o_value = '_:x'").count() == 9
+
+
+# ---------------------------------------------------------------------------
+# @list ordered collections (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_list_becomes_first_rest_chain():
+    from rippledb_spark.sources.jsonld import RDF_FIRST, RDF_NIL, RDF_REST
+
+    doc = {"@id": "ex:menu", "ex:items": {"@list": ["soup", "fish", "pie"]}}
+    rows = parse_jsonld(json.dumps(doc))
+    by_sp = {}
+    for s, sk, p, ov, ok, _, _ in rows:
+        by_sp[(s, p)] = (ov, ok)
+        if s == "ex:menu":
+            head, head_kind = ov, ok
+    assert head_kind == "blank" and head.startswith("_:c")
+    # walk the chain: three cells, firsts in order, nil-terminated
+    items = []
+    cell = head
+    for _ in range(3):
+        first, fk = by_sp[(cell, RDF_FIRST)]
+        assert fk == "literal"
+        items.append(first)
+        cell, rest_kind = by_sp[(cell, RDF_REST)]
+    assert items == ["soup", "fish", "pie"]
+    assert (cell, rest_kind) == (RDF_NIL, "named")
+    assert len(rows) == 1 + 3 * 2  # head ref + (first, rest) per cell
+
+
+def test_list_cells_deterministic_and_empty_is_nil():
+    from rippledb_spark.sources.jsonld import RDF_NIL
+
+    doc = {"@id": "ex:a", "ex:l": {"@list": [1, 2]}}
+    a = sorted(parse_jsonld(json.dumps(doc)))
+    b = sorted(parse_jsonld(json.dumps(doc)))
+    assert a == b  # content-addressed labels: independent parses agree
+    empty = parse_jsonld(json.dumps({"@id": "ex:a", "ex:l": {"@list": []}}))
+    assert empty == [("ex:a", "named", "ex:l", RDF_NIL, "named", None, None)]
+    # null entries drop like expansion does
+    dropped = parse_jsonld(
+        json.dumps({"@id": "ex:a", "ex:l": {"@list": [None]}})
+    )
+    assert dropped == [("ex:a", "named", "ex:l", RDF_NIL, "named", None, None)]
+
+
+def test_nested_list_and_node_items_round_trip():
+    from rippledb_spark.sources.jsonld import RDF_FIRST
+
+    doc = {
+        "@id": "ex:m",
+        "ex:rows": {
+            "@list": [
+                {"@list": [1, 2]},
+                {"@id": "ex:item", "ex:name": "thing"},
+                {"@value": "7", "@type": "ex:n"},
+            ]
+        },
+    }
+    rows = parse_jsonld(json.dumps(doc))
+    # the nested list contributes its own chain: 2 inner cells
+    firsts = [r for r in rows if r[2] == RDF_FIRST]
+    assert len(firsts) == 3 + 2
+    # node item keeps its own property triples
+    assert ("ex:item", "named", "ex:name", "thing", "literal", None, None) in rows
+    # writer round-trip: explicit chain triples reparse to the same graph
+    cols = ["s", "s_kind", "p", "o_value", "o_kind", "o_lang", "o_datatype"]
+    line = serialize_jsonld_rows(dict(zip(cols, r)) for r in rows)
+    assert sorted(parse_jsonld(line)) == sorted(rows)
+
+
+def test_list_refusals_are_loud():
+    with pytest.raises(RdfParseError, match="extra keys"):
+        parse_jsonld(json.dumps(
+            {"@id": "ex:a", "ex:l": {"@list": [], "@index": "x"}}
+        ))
+    with pytest.raises(RdfParseError, match="must be an array"):
+        parse_jsonld(json.dumps({"@id": "ex:a", "ex:l": {"@list": "no"}}))
+    with pytest.raises(RdfParseError, match="plain array inside @list"):
+        parse_jsonld(json.dumps({"@id": "ex:a", "ex:l": {"@list": [[1]]}}))
+
+
+def test_list_turtle_parity(spark):
+    """The @list chain must be the SAME graph the Turtle reader builds
+    for ( ... ) — label-agnostic comparison (blank labels differ by
+    construction; the chain SHAPE and values must match)."""
+    from rippledb_spark.sources.jsonld import RDF_FIRST, RDF_NIL, RDF_REST
+    from rippledb_spark.sources.turtle import parse_turtle
+
+    jrows = parse_jsonld(json.dumps(
+        {"@id": "http://x/m", "http://x/p": {"@list": ["a", "b"]}}
+    ))
+    trows = parse_turtle('<http://x/m> <http://x/p> ("a" "b") .')
+
+    def shape(rows):
+        # canonicalize blank labels by walking from the named subject
+        by_sp = {(r[0], r[2]): (r[3], r[4]) for r in rows}
+        out, cell = [], by_sp[("http://x/m", "http://x/p")][0]
+        while True:
+            out.append(by_sp[(cell, RDF_FIRST)])
+            cell, k = by_sp[(cell, RDF_REST)]
+            if (cell, k) == (RDF_NIL, "named"):
+                return out
+
+    assert shape(jrows) == shape(trows) == [("a", "literal"), ("b", "literal")]
