@@ -320,6 +320,134 @@ def decode_wav_header(payload: bytes) -> tuple[int, int, int, int]:
     return rate, channels, bits, data_size // block_align
 
 
+# --- G.711 / IMA-ADPCM audio codecs (r9) -----------------------------------
+# The two most common non-PCM WAV payloads, both public specs: ITU-T G.711
+# (μ-law format tag 7 / A-law tag 6 — telephony audio, one byte per sample)
+# and IMA/DVI ADPCM (tag 0x11 — 4-bit differential coding, IMA "Recommended
+# Practices for Enhancing Digital Audio Compatibility", 1992). The decode
+# arithmetic below follows the public-domain reference expansions (the
+# widely-reproduced Sun g711.c forms and the IMA step/index tables); both
+# are pure integer recurrences, so a SQL oracle replays every decoded
+# sample exactly — G.711 in closed form, ADPCM via a recursive CTE.
+
+WAVE_FMT_PCM, WAVE_FMT_ALAW, WAVE_FMT_MULAW, WAVE_FMT_IMA = 1, 6, 7, 0x11
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def mulaw_decode_byte(b: int) -> int:
+    """One G.711 μ-law byte → linear s16 (Sun g711.c ulaw2linear form)."""
+    u = ~b & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_decode_byte(b: int) -> int:
+    """One G.711 A-law byte → linear s16 (Sun g711.c alaw2linear form;
+    the sign bit SET means positive after the 0x55 toggle)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def encode_wav_g711(sample_rate: int, encoded: bytes, law: str) -> bytes:
+    """Minimal VALID G.711 WAV: mono 8-bit, format tag 7 (``"ulaw"``) or
+    6 (``"alaw"``); ``encoded`` is the raw one-byte-per-sample stream."""
+    if sample_rate <= 0:
+        raise ValueError("sample rate must be positive")
+    tag = {"ulaw": WAVE_FMT_MULAW, "alaw": WAVE_FMT_ALAW}[law]
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(encoded))
+        + encoded
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ima(
+    sample_rate: int, predictor: int, step_index: int, nibbles: list[int]
+) -> bytes:
+    """Minimal VALID IMA-ADPCM WAV (format tag 0x11), mono, ONE block:
+    4-byte block header (predictor s16, step index u8, reserved) + the
+    4-bit codes packed low-nibble-first. The header predictor IS sample
+    0 (the IMA WAV convention), so the clip holds 1 + len(nibbles)
+    samples. ``nibbles`` must have even length (byte packing)."""
+    if sample_rate <= 0:
+        raise ValueError("sample rate must be positive")
+    if len(nibbles) % 2:
+        raise ValueError("IMA nibble count must be even (byte packing)")
+    if not -32768 <= predictor <= 32767 or not 0 <= step_index <= 88:
+        raise ValueError("IMA block header out of range")
+    if any(not 0 <= d <= 15 for d in nibbles):
+        raise ValueError("IMA codes are 4-bit")
+    data = struct.pack("<hBB", predictor, step_index, 0) + bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    block_align = len(data)
+    samples_per_block = 1 + len(nibbles)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        WAVE_FMT_IMA, 1, sample_rate,
+        (sample_rate * block_align) // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def ima_decode_block(pred: int, index: int, nibbles) -> list[int]:
+    """IMA-ADPCM nibble recurrence → decoded samples (EXCLUDING the
+    header predictor/sample 0): per code d, diff = step/8 (+step/4 if
+    bit0, +step/2 if bit1, +step if bit2), subtracted when bit3 is set;
+    predictor clamps to s16, index moves by IMA_INDEX_TABLE[d&7] and
+    clamps to [0, 88]."""
+    out = []
+    for d in nibbles:
+        step = IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if d & 1:
+            diff += step >> 2
+        if d & 2:
+            diff += step >> 1
+        if d & 4:
+            diff += step
+        pred = pred - diff if d & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + IMA_INDEX_TABLE[d & 7]))
+        out.append(pred)
+    return out
+
+
 def encode_gif(
     frames: list[tuple[int, int, int]],
     pixels: list[bytes] | None = None,
@@ -1563,26 +1691,63 @@ def jpeg_plane_stats(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFr
 
 
 def decode_wav_samples(payload: bytes):
-    """REAL PCM decode (r8): RIFF walk → the data chunk's samples as an
-    int16 numpy array (mono 16-bit PCM — the encode_wav profile; other
-    layouts refuse loudly). Complements decode_wav_header, which stops
-    at the chunk metadata."""
+    """REAL sample decode (r8 PCM; r9 adds G.711 μ-law/A-law and
+    IMA-ADPCM — the most common non-PCM WAV payloads): RIFF walk → the
+    data chunk decoded to linear samples as an int64 numpy array. Mono
+    only; format tags 1 (s16 PCM), 7 (μ-law), 6 (A-law), 0x11
+    (IMA ADPCM, block header = sample 0). Anything else refuses loudly.
+    Complements decode_wav_header, which stops at chunk metadata."""
     import numpy as np
 
-    rate, channels, bits, n = decode_wav_header(payload)
-    if channels != 1 or bits != 16:
-        raise ValueError(
-            f"sample decode supports mono 16-bit PCM, got {channels}ch/{bits}bit"
-        )
-    pos = 12
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE magic")
+    pos, fmt, raw = 12, None, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if tag == b"data":
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif tag == b"data":
             raw = payload[pos + 8 : pos + 8 + size]
-            return rate, np.frombuffer(raw, dtype="<i2").astype(np.int64)
         pos += 8 + size + (size & 1)
-    raise ValueError("WAV missing data chunk")  # header walk already checks
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    ftag, channels, rate, _, block_align, bits = fmt
+    if channels != 1:
+        raise ValueError(f"sample decode supports mono, got {channels}ch")
+    if ftag == WAVE_FMT_PCM:
+        if bits != 16:
+            raise ValueError(f"PCM sample decode supports 16-bit, got {bits}")
+        return rate, np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    if ftag in (WAVE_FMT_MULAW, WAVE_FMT_ALAW):
+        if bits != 8:
+            raise ValueError(f"G.711 is 8-bit, fmt says {bits}")
+        dec = mulaw_decode_byte if ftag == WAVE_FMT_MULAW else alaw_decode_byte
+        lut = np.array([dec(b) for b in range(256)], dtype=np.int64)
+        return rate, lut[np.frombuffer(raw, dtype=np.uint8)]
+    if ftag == WAVE_FMT_IMA:
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM is 4-bit, fmt says {bits}")
+        if block_align < 4 or len(raw) % block_align:
+            raise ValueError("IMA data is not whole blocks")
+        out: list[int] = []
+        for off in range(0, len(raw), block_align):
+            block = raw[off : off + block_align]
+            pred, index, _ = struct.unpack("<hBB", block[:4])
+            if index > 88:
+                raise ValueError(f"IMA step index {index} out of range")
+            nibbles = []
+            for byte in block[4:]:
+                nibbles.append(byte & 0x0F)
+                nibbles.append(byte >> 4)
+            out.append(pred)  # header predictor IS sample 0
+            out.extend(ima_decode_block(pred, index, nibbles))
+        return rate, np.array(out, dtype=np.int64)
+    raise ValueError(f"unsupported WAV format tag {ftag:#x}")
 
 
 def synth_pcm_samples(media_id: int, n: int) -> list[int]:
@@ -1617,6 +1782,64 @@ def synthesize_pcm_wavs(df: DataFrame, id_col: str) -> DataFrame:
                         ),
                     )
                 )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synth_g711_adpcm_params(media_id: int) -> dict:
+    """Id-deterministic parameters for the r9 non-PCM audio corpus:
+    codec cycles μ-law / A-law / IMA-ADPCM with ``media_id % 3``; the
+    ENCODED stream (G.711 bytes, ADPCM header + nibbles) comes from pure
+    id arithmetic, so a SQL oracle can replay the decoder over it —
+    G.711 in closed form, ADPCM as a recursive CTE."""
+    mode = media_id % 3
+    if mode in (0, 1):
+        n = 16 + media_id % 33
+        a, step = (23, 5) if mode == 0 else (29, 7)
+        return {
+            "mode": mode,
+            "n_samples": n,
+            "bytes": bytes((a * media_id + step * i) % 256 for i in range(n)),
+        }
+    n_nib = 16 + 2 * (media_id % 9)
+    return {
+        "mode": mode,
+        "n_samples": 1 + n_nib,
+        "pred0": ((11 * media_id) % 4001) - 2000,
+        "idx0": media_id % 89,
+        "nibbles": [(13 * media_id + 3 * i) % 16 for i in range(n_nib)],
+    }
+
+
+def synthesize_g711_adpcm_wavs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL non-PCM WAVs — G.711 μ-law
+    (tag 7), G.711 A-law (tag 6), IMA-ADPCM (tag 0x11) cycling with the
+    id (synth_g711_adpcm_params); built per-batch in mapInPandas like
+    the other synthesizers. Sample rate is G.711's native 8000 Hz."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                p = synth_g711_adpcm_params(int(mid))
+                if p["mode"] == 0:
+                    payloads.append(encode_wav_g711(8000, p["bytes"], "ulaw"))
+                elif p["mode"] == 1:
+                    payloads.append(encode_wav_g711(8000, p["bytes"], "alaw"))
+                else:
+                    payloads.append(
+                        encode_wav_ima(8000, p["pred0"], p["idx0"], p["nibbles"])
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

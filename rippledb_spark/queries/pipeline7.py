@@ -133,3 +133,151 @@ def graph_scc_fwbw_event_transitions(spark: SparkSession, sf_dir: str) -> DataFr
             "n_members"
         ),
     ).orderBy("node")
+
+
+from rippledb_spark.operators import multimodal as MM  # noqa: E402
+from rippledb_spark.operators.multimodal import IMA_STEP_TABLE  # noqa: E402
+
+# --- adpcm_audio_accounting oracle (built programmatically: the IMA
+# recurrence repeats the nibble expression several times) ------------------
+_STEPS = "[" + ",".join(str(v) for v in IMA_STEP_TABLE) + "]"
+_D = "((13 * r.doc_id + 3 * r.k) % 16)"
+_DIFF = (
+    f"st.step // 8"
+    f" + CASE WHEN {_D} % 2 = 1 THEN st.step // 4 ELSE 0 END"
+    f" + CASE WHEN ({_D} // 2) % 2 = 1 THEN st.step // 2 ELSE 0 END"
+    f" + CASE WHEN ({_D} // 4) % 2 = 1 THEN st.step ELSE 0 END"
+)
+# G.711 closed forms over the complemented/toggled byte a (Sun g711.c):
+# μ-law: a = ~byte; s = ±(((a&15)·8 + 132) << seg) ∓ 132
+# A-law: a = byte ⊕ 0x55; seg-0/1 offsets 8/0x108, sign bit SET = positive
+_ULAW_S = (
+    "CASE WHEN a >= 128"
+    " THEN 132 - (((a % 16) * 8 + 132) * (1 << ((a // 16) % 8)))"
+    " ELSE (((a % 16) * 8 + 132) * (1 << ((a // 16) % 8))) - 132 END"
+)
+_ALAW_S = (
+    "(CASE WHEN a >= 128 THEN 1 ELSE -1 END) *"
+    " (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8"
+    "       WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264"
+    "       ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1)) END)"
+)
+
+_ADPCM_ORACLE = f"""
+    WITH RECURSIVE
+    ids AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    shp AS (
+      SELECT doc_id, doc_id % 3 AS mode,
+             CASE WHEN doc_id % 3 < 2 THEN 16 + doc_id % 33
+                  ELSE 17 + 2 * (doc_id % 9) END AS n
+      FROM ids
+    ),
+    g7 AS (
+      SELECT doc_id, mode, i,
+             CASE WHEN mode = 0 THEN 255 - ((23 * doc_id + 5 * i) % 256)
+                  ELSE xor((29 * doc_id + 7 * i) % 256, 85) END AS a
+      FROM shp, UNNEST(range(0, n)) AS q(i) WHERE mode < 2
+    ),
+    g7s AS (
+      SELECT doc_id, i,
+             CASE WHEN mode = 0 THEN {_ULAW_S} ELSE {_ALAW_S} END AS s
+      FROM g7
+    ),
+    ima_steps AS (
+      SELECT i AS idx, ({_STEPS})[i + 1] AS step FROM range(0, 89) t(i)
+    ),
+    imarec AS (
+      SELECT doc_id, 0 AS k,
+             CAST(((11 * doc_id) % 4001) - 2000 AS BIGINT) AS pred,
+             doc_id % 89 AS idx, n - 1 AS nnib
+      FROM shp WHERE mode = 2
+      UNION ALL
+      SELECT r.doc_id, r.k + 1,
+             GREATEST(-32768, LEAST(32767,
+               CASE WHEN {_D} >= 8 THEN r.pred - ({_DIFF})
+                    ELSE r.pred + ({_DIFF}) END)),
+             GREATEST(0, LEAST(88,
+               r.idx + ([-1,-1,-1,-1,2,4,6,8])[({_D} % 8) + 1])),
+             r.nnib
+      FROM imarec r JOIN ima_steps st ON st.idx = r.idx
+      WHERE r.k < r.nnib
+    ),
+    smp AS (
+      SELECT doc_id, i, s FROM g7s
+      UNION ALL
+      SELECT doc_id, k AS i, pred AS s FROM imarec
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(SUM(s * s) AS BIGINT) AS total_energy,
+             CAST(MAX(ABS(s)) AS BIGINT) AS max_abs
+      FROM smp GROUP BY doc_id
+    ),
+    zc AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.s * b.s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_crossings
+      FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    ),
+    loud AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN wsum > 2000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loud_windows
+      FROM (
+        SELECT doc_id, i // 16 AS w, SUM(s * s) AS wsum
+        FROM smp GROUP BY doc_id, i // 16
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id AS media_id,
+           CASE s.mode WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'
+                ELSE 'ima' END AS codec,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(s.n AS BIGINT) AS n_samples,
+           b.total_energy, b.max_abs,
+           COALESCE(z.n_zero_crossings, 0) AS n_zero_crossings,
+           l.n_loud_windows
+    FROM shp s
+    JOIN base b ON b.doc_id = s.doc_id
+    LEFT JOIN zc z ON z.doc_id = s.doc_id
+    JOIN loud l ON l.doc_id = s.doc_id
+    ORDER BY media_id
+"""
+
+
+@query("adpcm_audio_accounting", oracle=_ADPCM_ORACLE)
+def adpcm_audio_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL non-PCM audio decode (r9 — the WAV decoder's natural next
+    formats, both public specs): synthesize id-deterministic G.711
+    μ-law / A-law / IMA-ADPCM WAVs (format tags 7/6/0x11, codec cycling
+    with the id), decode every payload back through
+    operators/multimodal.decode_wav_samples (G.711 byte expansion per
+    the Sun g711.c reference forms; the full IMA nibble recurrence with
+    predictor/step-index clamping), and report the exact integer digests
+    of the wav_audio_accounting family (energy, peak, zero crossings,
+    loud windows). The oracle replays BOTH decoders over the same
+    id-arithmetic encoded streams — G.711 in closed form (the
+    segment/mantissa expansion is pure integer arithmetic) and IMA as a
+    recursive CTE stepping the actual predictor/step-index state machine
+    sample by sample — so a green row certifies every decoded sample of
+    all three codecs bit-exactly. Reference comparison: n/a (no binary
+    surface in the reference).
+
+    100 TB shape: one Arrow mapInPandas where the payloads live; one
+    row per clip; no shuffle before the final sort."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = MM.synthesize_g711_adpcm_wavs(d, "doc_id")
+    return (
+        MM.wav_audio_stats(media)
+        .withColumn(
+            "codec",
+            F.when(F.col("media_id") % 3 == 0, "ulaw")
+            .when(F.col("media_id") % 3 == 1, "alaw")
+            .otherwise("ima"),
+        )
+        .select(
+            "media_id", "codec", "sample_rate", "n_samples",
+            "total_energy", "max_abs", "n_zero_crossings", "n_loud_windows",
+        )
+        .orderBy("media_id")
+    )

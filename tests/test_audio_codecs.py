@@ -1,0 +1,93 @@
+"""G.711 μ-law/A-law + IMA-ADPCM WAV decode (operators/multimodal.py, r9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rippledb_spark.operators.multimodal import (
+    alaw_decode_byte,
+    decode_wav_samples,
+    encode_wav_g711,
+    encode_wav_ima,
+    ima_decode_block,
+    mulaw_decode_byte,
+    synth_g711_adpcm_params,
+)
+
+
+def test_mulaw_spec_spot_values():
+    # both zero codes decode to 0 (positive and negative zero)
+    assert mulaw_decode_byte(0xFF) == 0
+    assert mulaw_decode_byte(0x7F) == 0
+    # decode is odd-symmetric across the sign bit
+    for b in range(128):
+        assert mulaw_decode_byte(b) == -mulaw_decode_byte(b | 0x80)
+    # monotone within the positive half (higher code = closer to zero)
+    pos = [mulaw_decode_byte(b) for b in range(0x80, 0x100)]
+    assert all(a > b for a, b in zip(pos, pos[1:]))
+    assert pos[0] == 32124  # the G.711 table maximum
+
+
+def test_alaw_spec_spot_values():
+    assert alaw_decode_byte(0x55) == -8   # smallest negative
+    assert alaw_decode_byte(0xD5) == 8    # smallest positive
+    for b in range(128):
+        assert alaw_decode_byte(b) == -alaw_decode_byte(b | 0x80)
+    assert max(alaw_decode_byte(b) for b in range(256)) == 32256
+    # A-law has no zero: smallest magnitudes are +-8
+    assert min(abs(alaw_decode_byte(b)) for b in range(256)) == 8
+
+
+def test_ima_decode_block_recurrence():
+    # pred=0, idx=0 (step 7): code 0 -> diff 0, idx clamps at 0;
+    # code 7 -> diff 0+1+3+7=11, idx 0+8=8 (step 16); code 15 ->
+    # diff 2+4+8+16=30 subtracted -> pred 11-30=-19, idx 8+8=16
+    assert ima_decode_block(0, 0, [0, 7, 15]) == [0, 11, -19]
+    # clamping: from near the rail, a big positive step clamps at 32767
+    out = ima_decode_block(32760, 88, [7])
+    assert out == [32767]
+
+
+def test_g711_wav_roundtrip():
+    raw = bytes(range(256))
+    for law, dec in (("ulaw", mulaw_decode_byte), ("alaw", alaw_decode_byte)):
+        rate, s = decode_wav_samples(encode_wav_g711(8000, raw, law))
+        assert rate == 8000
+        assert list(s) == [dec(b) for b in raw]
+
+
+def test_ima_wav_roundtrip():
+    nibs = [(3 * i) % 16 for i in range(20)]
+    payload = encode_wav_ima(8000, -1234, 40, nibs)
+    rate, s = decode_wav_samples(payload)
+    assert rate == 8000
+    assert list(s) == [-1234] + ima_decode_block(-1234, 40, nibs)
+
+
+def test_ima_encode_refusals():
+    with pytest.raises(ValueError, match="even"):
+        encode_wav_ima(8000, 0, 0, [1, 2, 3])
+    with pytest.raises(ValueError, match="out of range"):
+        encode_wav_ima(8000, 0, 89, [1, 2])
+    with pytest.raises(ValueError, match="4-bit"):
+        encode_wav_ima(8000, 0, 0, [16, 1])
+
+
+def test_unsupported_format_tag_refuses():
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="unsupported WAV format tag"):
+        decode_wav_samples(payload)
+
+
+def test_synth_params_cover_all_codecs_and_are_deterministic():
+    modes = {synth_g711_adpcm_params(i)["mode"] for i in range(9)}
+    assert modes == {0, 1, 2}
+    assert synth_g711_adpcm_params(5) == synth_g711_adpcm_params(5)
+    p = synth_g711_adpcm_params(2)  # mode 2: IMA
+    assert p["n_samples"] == 1 + len(p["nibbles"])
+    assert 0 <= p["idx0"] <= 88 and -2000 <= p["pred0"] <= 2000
