@@ -207,6 +207,53 @@ def _rescope(label: str, scope: str) -> str:
     return f"_:u{scope}_{bare}"
 
 
+def corpus_text_embedding(df: DataFrame, dims: int = 16) -> DataFrame:
+    """Corpus rows (uri, text) → (uri, emb): a DETERMINISTIC
+    feature-hashing text embedding (the hashing trick, Weinberger et al.
+    2009 — the embedding a pipeline computes when no model is in the
+    loop): each word adds ±1 to the dimension ``xxhash64(word) % dims``,
+    sign from a second hash. Pure codegen column expressions — no UDF,
+    no RNG, no model weights — so the SAME text embeds identically in a
+    micro-batch and in the batch twin, which is what lets the
+    incremental PQ-codes snapshot below be compared row-for-row against
+    a batch encoding. dims stays small (the PQ codebook compresses it
+    anyway); cost is O(dims × words) per doc, all inside one projection."""
+    words = F.split(F.col("text"), " ")
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda j: F.aggregate(
+            words,
+            F.lit(0.0),
+            lambda acc, w: acc
+            + F.when(
+                F.pmod(F.xxhash64(w), F.lit(dims)) == j,
+                F.lit(1.0)
+                - F.lit(2.0)
+                * F.pmod(F.xxhash64(w, F.lit(7)), F.lit(2)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    return df.select("uri", emb.alias("emb"))
+
+
+def train_crawl_pq_books(
+    corpus: DataFrame, dims: int = 16, m: int = 2, k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Train the crawl index's PQ codebooks ONCE on a corpus snapshot
+    (kept rows only) — the production pattern: the codebook is fit on a
+    bounded sample and then FROZEN, because retraining per batch would
+    shift every existing vector's codes under the index. → (s, cid, c),
+    pq_codes' books frame, eagerly checkpointed so the foreachBatch
+    closure reuses it without recomputation."""
+    from rippledb_spark.operators.pq import pq_codes
+
+    emb = corpus_text_embedding(corpus.where(F.col("keep")), dims=dims)
+    _, books = pq_codes(emb, "emb", "uri", dims, m=m, k=k,
+                        iterations=iterations)
+    return books.localCheckpoint(eager=True)
+
+
 def crawl_accounting(corpus: DataFrame) -> DataFrame:
     """Per-host accounting of a gated corpus — the report a filtering
     run emits per crawl segment (host = the URI's authority)."""
@@ -235,6 +282,10 @@ def start_crawl_corpus_sink(
     trigger_available_now: bool = True,
     triples_path: str | None = None,
     media_path: str | None = None,
+    pq_path: str | None = None,
+    pq_books: DataFrame | None = None,
+    pq_dims: int = 16,
+    pq_m: int = 2,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
@@ -245,6 +296,16 @@ def start_crawl_corpus_sink(
     graph growing beside the text corpus (r8). With ``media_path`` set,
     it also decodes each batch's media fetches (crawl_media_features:
     PNG/GIF/JPEG/WAV/AVI by Content-Type) into a feature snapshot.
+    With ``pq_path`` + ``pq_books`` set (r9), it maintains a PQ-codes
+    ANN snapshot beside the corpus — exactly how production keeps
+    vector search fresh: the codebook (train_crawl_pq_books) is trained
+    ONCE and frozen; each batch embeds only its own kept winners
+    (corpus_text_embedding, deterministic) and pq_encode's broadcast
+    assign writes their codes, replacing any prior codes for the
+    touched URIs. Codes are derived from the MERGED corpus row (the
+    struct-max winner), not the raw fetch, so the codes snapshot always
+    equals a batch encoding of the corpus snapshot — under replays,
+    batch splits, and out-of-order re-fetches alike.
     Both side-merges are union + dropDuplicates on the full row/key:
     idempotent under replay and batch-split-invariant because the
     extraction itself is per-fetch. Returns the StreamingQuery.
@@ -261,6 +322,12 @@ def start_crawl_corpus_sink(
     matter how fetches of one URI split across micro-batches or what
     order the file source lists them in — and the merge stays one key
     shuffle, same as merge_upsert."""
+
+    if pq_path is not None and pq_books is None:
+        raise ValueError(
+            "pq_path requires pq_books — train once with "
+            "train_crawl_pq_books and pass the frozen codebook"
+        )
 
     def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -280,7 +347,32 @@ def start_crawl_corpus_sink(
             )
         else:
             merged = gated
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+        if pq_path is not None:
+            from rippledb_spark.operators.pq import pq_encode
+
+            touched = gated.select("uri").distinct()
+            src = merged.join(F.broadcast(touched), "uri", "left_semi").where(
+                F.col("keep")
+            )
+            codes = pq_encode(
+                corpus_text_embedding(src, dims=pq_dims),
+                "emb", "uri", pq_books, dims=pq_dims, m=pq_m,
+            ).select(F.col("pid").alias("uri"), "s", "cid")
+            if snapshot_ready(spark, pq_path):
+                # drop every touched URI's old codes (covers re-fetches
+                # AND keep→false flips), then add the fresh ones
+                codes = (
+                    spark.read.parquet(pq_path)
+                    .join(F.broadcast(touched), "uri", "left_anti")
+                    .unionByName(codes)
+                )
+            (
+                codes.localCheckpoint(eager=True)
+                .write.mode("overwrite")
+                .parquet(pq_path)
+            )
         if triples_path is not None:
             from rippledb_spark import model
 

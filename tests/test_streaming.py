@@ -1113,3 +1113,75 @@ def test_streaming_crawl_reader_matches_batch_reader(spark, tmp_path):
         for r in read_warc(spark, warc_dir).collect()
     )
     assert s_rows == b_rows and len(s_rows) == 5
+
+
+def test_streaming_crawl_incremental_pq_codes_match_batch(spark, tmp_path):
+    """r9 (verdict ask #7): the crawl sink's incremental PQ-codes
+    snapshot — codebook trained ONCE, each micro-batch encoding only its
+    own kept winners via pq_encode — must equal the batch-twin encoding
+    of the final corpus snapshot. maxFilesPerTrigger=1 forces the
+    incremental path across multiple batches (including a cross-batch
+    duplicate fetch of one URI), so the touched-URI code replacement is
+    exercised, not just a single-shot encode."""
+    from rippledb_spark.operators.pq import pq_encode
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.streaming import crawl as SC
+
+    warc_dir = _warc_fixture(tmp_path)
+    snap = str(tmp_path / "pq_corpus")
+    pq_snap = str(tmp_path / "pq_codes")
+    ckpt = str(tmp_path / "pq_ckpt")
+
+    # train ONCE on the batch twin's corpus (the frozen production book)
+    batch_corpus = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    books = SC.train_crawl_pq_books(batch_corpus, dims=8, m=2, k=2)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, ckpt,
+        pq_path=pq_snap, pq_books=books, pq_dims=8, pq_m=2,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(pq_snap).collect()))
+    # batch twin: encode the FINAL corpus snapshot's kept rows at once
+    want_src = spark.read.parquet(snap).where(F.col("keep"))
+    want = sorted(
+        map(
+            tuple,
+            pq_encode(
+                SC.corpus_text_embedding(want_src, dims=8),
+                "emb", "uri", books, dims=8, m=2,
+            ).select(F.col("pid").alias("uri"), "s", "cid").collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # only KEPT docs are indexed (the junk page never gets codes)
+    uris = {r[0] for r in got}
+    assert "https://spam.example.net/junk" not in uris
+    assert "https://news.example.com/roast" in uris
+    # codes are one row per (kept uri, subspace)
+    assert len(got) == len(uris) * 2
+
+
+def test_crawl_sink_pq_path_requires_books(spark, tmp_path):
+    import pytest
+
+    from rippledb_spark.streaming import crawl as SC
+
+    dummy = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="pq_path requires pq_books"):
+        SC.start_crawl_corpus_sink(
+            dummy, str(tmp_path / "s"), str(tmp_path / "c"),
+            pq_path=str(tmp_path / "p"),
+        )
