@@ -112,6 +112,124 @@ def learn_bpe_merges(
     return merges, words
 
 
+def apply_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize text with a FROZEN ordered merge list — the production
+    encode path (train once on a sample, tokenize the stream forever;
+    the pq_encode of the tokenizer world). → DataFrame(doc_id, n_words,
+    n_tokens, syms_md5): per document, every word is sentinel-wrapped
+    (wrap_word) and each merge applies in learned order as one plain
+    string replace over the whole document (words join with a space,
+    which contains no sentinel, so a pair pattern can never span a word
+    boundary; the sentinel-wrap argument in the module docstring gives
+    exact greedy-left-to-right BPE semantics). n_tokens counts final
+    symbols (words + intra-word separators); syms_md5 digests the exact
+    final symbol string, so ANY mis-applied merge on any word changes
+    it — the certification column.
+
+    Scale shape: one pure-expression projection over the corpus — no
+    shuffle at all; ``merges`` is a driver-side list (K entries, the
+    trained artifact) folded into the expression tree."""
+    words = F.filter(
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"),
+            lambda w: F.translate(w, SEP, ""),
+        ),
+        lambda w: w != "",
+    )
+    syms = F.array_join(
+        F.transform(
+            words,
+            lambda w: F.concat(
+                F.lit(SEP),
+                F.array_join(F.split(w, ""), SEP + SEP),
+                F.lit(SEP),
+            ),
+        ),
+        " ",
+    )
+    for a, b in merges:
+        syms = F.replace(
+            syms,
+            F.lit(f"{SEP}{a}{SEP}{SEP}{b}{SEP}"),
+            F.lit(f"{SEP}{a}{b}{SEP}"),
+        )
+    n_words = F.size(words).cast("bigint")
+    intra = (
+        (F.length(syms) - F.length(F.replace(syms, F.lit(SEP + SEP), F.lit(""))))
+        / 2
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        (n_words + intra).alias("n_tokens"),
+        F.md5(syms).alias("syms_md5"),
+    )
+
+
+def bpe_apply_sql(n_merges: int = 6, min_pair_count: int = 2) -> str:
+    """DuckDB twin of learn (bpe_oracle_sql's unrolled stages) + APPLY
+    (:func:`apply_bpe_merges`) over the ``documents`` view: the learned
+    b{r} relations feed per-round scalar-subquery replaces over each
+    document's wrapped symbol string. Yields (doc_id, n_words, n_tokens,
+    syms_md5) — byte-identical strings, so the md5 matches exactly."""
+    sep = SEP
+    base = bpe_oracle_sql(n_merges, min_pair_count)
+    ctes = base.split("\n    SELECT ")[0]  # learning chain, swap the SELECT
+    parts = [
+        ctes,
+        f"""
+    d0 AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             array_to_string(
+               list_transform(ws, w ->
+                 '{sep}' || array_to_string(
+                   list_transform(range(1, LENGTH(w) + 1),
+                                  i -> substring(w, i, 1)),
+                   '{sep}{sep}') || '{sep}'),
+               ' ') AS s
+      FROM (
+        SELECT doc_id,
+               list_filter(
+                 list_transform(string_split_regex(trim(text), '\\s+'),
+                                w -> replace(w, chr(31), '')),
+                 w -> w <> '') AS ws
+        FROM documents
+      )
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"""
+    d{r} AS (
+      SELECT doc_id, n_words,
+             CASE WHEN EXISTS (SELECT 1 FROM b{r})
+                  THEN replace(s,
+                       '{sep}' || (SELECT a FROM b{r}) || '{sep}{sep}'
+                               || (SELECT b FROM b{r}) || '{sep}',
+                       '{sep}' || (SELECT a FROM b{r})
+                               || (SELECT b FROM b{r}) || '{sep}')
+                  ELSE s END AS s
+      FROM d{r - 1}
+    )"""
+        )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT doc_id, n_words,
+           n_words + (LENGTH(s) - LENGTH(replace(s, '{sep}{sep}', ''))) // 2
+             AS n_tokens,
+           md5(s) AS syms_md5
+    FROM d{n_merges}
+    ORDER BY doc_id"""
+    )
+
+
 def bpe_oracle_sql(n_merges: int = 6, min_pair_count: int = 2) -> str:
     """DuckDB twin of :func:`learn_bpe_merges` over the ``documents``
     view: ``n_merges`` unrolled stages, each = pair-count aggregate +

@@ -281,3 +281,29 @@ def adpcm_audio_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+from rippledb_spark.operators.bpe import bpe_apply_sql  # noqa: E402
+
+
+@query("bpe_tokenize_accounting", oracle=bpe_apply_sql(6, 2))
+def bpe_tokenize_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with a frozen merge list (operators/bpe.apply_bpe_merges,
+    r9 — the production tokenize path the learner lacked: train once,
+    tokenize the stream forever, like pq_encode beside pq_codes): learn 6
+    merges on the documents corpus (the already-certified trainer), then
+    re-tokenize EVERY document with the frozen list — one sentinel-wrapped
+    string replace per merge over the whole doc, pure expressions, zero
+    shuffle — and report per-doc word/token counts plus the md5 of the
+    exact final symbol string. The oracle replays learning (the unrolled
+    bpe_oracle_sql stages) AND application (per-round scalar-subquery
+    replaces) byte-for-byte, so a green row certifies that every merge
+    landed on every word of every document in learned order. Reference
+    comparison: n/a (no text surface in the reference)."""
+    from rippledb_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    merges, _ = learn_bpe_merges(d, "text", n_merges=6, min_pair_count=2)
+    return apply_bpe_merges(
+        d, "text", "doc_id", [(a, b) for _, a, b, _ in merges]
+    ).orderBy("doc_id")

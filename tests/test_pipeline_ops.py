@@ -1063,3 +1063,30 @@ def test_scratch_dir_unique_per_call_within_process(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(d1, "part-0"))  # d1 untouched
     tables._cleanup_scratch()
     tables._SCRATCH_DIRS.difference_update({d1, d2})
+
+
+def test_apply_bpe_merges_frozen_list(spark):
+    """r9: the frozen-merges encode path — greedy left-to-right merge
+    application per word, word boundaries never merged, token counts and
+    the symbol digest exact."""
+    from rippledb_spark.operators.bpe import apply_bpe_merges
+
+    rows = [(0, "abab ab"), (1, "aaa"), (2, ""), (3, "xy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # merges learned elsewhere, applied frozen: (a,b)->ab, (ab,ab)->abab
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in apply_bpe_merges(
+            df, "text", "doc_id", [("a", "b"), ("ab", "ab")]
+        ).collect()
+    }
+    # "abab" -> a b a b -> ab ab -> abab (1 token); "ab" -> ab (1 token)
+    assert out[0] == (2, 2)
+    # "aaa" -> a a a: merge (a,b) never fires -> 3 tokens
+    assert out[1] == (1, 3)
+    assert out[2] == (0, 0)
+    assert out[3] == (1, 2)  # x y untouched
+    # determinism: identical inputs give identical digests
+    a = apply_bpe_merges(df, "text", "doc_id", [("a", "b")]).collect()
+    b = apply_bpe_merges(df, "text", "doc_id", [("a", "b")]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
