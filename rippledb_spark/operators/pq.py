@@ -269,6 +269,45 @@ def ivfpq_index(
     return assigned.select("pid", "cell"), coarse, codes, books
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    coarse: DataFrame,
+    books: DataFrame,
+    dims: int,
+    m: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Encode NEW vectors against a FROZEN IVF-PQ index — the production
+    ingest path (route once, residual-encode once; retraining would
+    shift cells and codes under the existing index). ``coarse`` is
+    ivfpq_index's (cell, cc) frame, ``books`` its (s, cid, c) frame.
+    → (assign, codes) with the same schemas and the same
+    argmin/tiebreak contract as training-time encoding, so re-encoding
+    the training corpus reproduces its assignment and codes exactly."""
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    assigned = (
+        full.crossJoin(F.broadcast(coarse))
+        .select(
+            "pid", "v", "cell", _dist2(F.col("v"), F.col("cc")).alias("d2")
+        )
+        .groupBy("pid")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"), F.first("v").alias("v"))
+        .select("pid", F.col("m.cell").alias("cell"), "v")
+    )
+    resid = assigned.join(F.broadcast(coarse), "cell").select(
+        "pid",
+        "cell",
+        F.zip_with("v", "cc", lambda a, b: a - b).alias("r"),
+    )
+    codes = pq_encode(resid, "r", "pid", books, dims, m)
+    return assigned.select("pid", "cell"), codes
+
+
 def ivfpq_topk(
     df: DataFrame,
     vec_col: str,

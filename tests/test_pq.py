@@ -323,3 +323,30 @@ def test_ivfpq_dims_divisibility_refusal(spark):
         PQ.ivfpq_index(df, "vec", "pid", dims=8, m=3)
     with pytest.raises(ValueError, match="not divisible"):
         PQ.ivfpq_sql("emb", "vec", "pid", dims=8, m=3)
+
+
+def test_ivfpq_encode_reproduces_index_and_routes_new_vectors(spark):
+    from rippledb_spark.operators.pq import ivfpq_encode, ivfpq_index
+
+    df = _clustered_corpus(spark)
+    assign, coarse, codes, books = PQ.ivfpq_index(
+        df, "vec", "pid", dims=8, ncells=4, m=2, k=4
+    )
+    coarse = coarse.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    # re-encoding the training corpus against the frozen index must
+    # reproduce both the cell assignment and the codes exactly
+    a2, c2 = ivfpq_encode(df, "vec", "pid", coarse, books, dims=8, m=2)
+    assert sorted(map(tuple, assign.collect())) == sorted(map(tuple, a2.collect()))
+    assert sorted(map(tuple, codes.collect())) == sorted(map(tuple, c2.collect()))
+    # a brand-new vector near group 2's corner routes to group 2's cell
+    # and gets a group-2 member's codes
+    new = spark.createDataFrame(
+        [(999, [9.02] * 4 + [0.03] * 4)], "pid long, vec array<double>"
+    )
+    na, nc = ivfpq_encode(new, "vec", "pid", coarse, books, dims=8, m=2)
+    member_cell = {r["pid"]: r["cell"] for r in assign.collect()}[2]
+    assert na.collect()[0]["cell"] == member_cell
+    got = {r["s"]: r["cid"] for r in nc.collect()}
+    member = {r["s"]: r["cid"] for r in codes.where("pid = 2").collect()}
+    assert got == member
