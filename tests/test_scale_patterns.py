@@ -320,3 +320,26 @@ def test_pq_query_path_broadcasts_lookup_table(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_query_path_broadcasts_and_never_cartesians_the_corpus(spark):
+    """r9 IVF-PQ: the ADC join against the lookup table must be a
+    broadcast equi-join on (cell, s, cid) — the inverted-list prune IS
+    that key — and nothing in the query path may cartesian the corpus
+    (the only cross joins are against broadcast 1-row/k-row frames and
+    the bounded exact-twin certification block)."""
+    from rippledb_spark.operators.pq import ivfpq_topk
+
+    df = spark.range(0, 64).select(
+        F.col("id").alias("pid"),
+        F.array(*[(F.col("id") % 4 + F.col("id") / 100.0)] * 8).alias("vec"),
+    )
+    plan = (
+        ivfpq_topk(df, "vec", "pid", dims=8, ncells=4, nprobe=2, m=2, k=2,
+                   n_queries=2, topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
