@@ -38,6 +38,10 @@ Supported subset (flat documents, stdlib-``json`` parseable):
   with Turtle's nested collections). The writer emits the chain as
   explicit triples (RDF has no list type — ``@list`` is reader sugar),
   so write→read round-trips the graph exactly;
+- ``@reverse`` (r9): reverse properties become triples whose SUBJECT
+  is the referenced node object and whose object is the carrying node
+  (JSON-LD 1.0 §6.12); values must be node objects — a literal or
+  list under ``@reverse`` refuses loudly (it cannot be a subject);
 - ``@context``: LOCAL simple contexts only — ``@vocab``, term→IRI
   string mappings, and prefix (compact-IRI) expansion. A remote context
   (string URL) or a non-string term definition refuses loudly: this
@@ -77,7 +81,8 @@ RDF_FIRST, RDF_REST, RDF_NIL = (
 )
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
-_KEYWORDS = {"@id", "@type", "@value", "@language", "@graph", "@context"}
+_KEYWORDS = {"@id", "@type", "@value", "@language", "@graph", "@context",
+             "@reverse"}
 
 
 def _expand(term: str, ctx: dict[str, str], vocab: str | None) -> str:
@@ -329,6 +334,47 @@ def _node_rows(node: dict, ctx: dict[str, str], vocab: str | None,
         rows.append(
             (subj, s_kind, RDF_TYPE, _expand(t, ctx, vocab), model.NAMED, None, None)
         )
+    if "@reverse" in node:
+        # reverse properties (r9, JSON-LD 1.0 §6.12 — how schema.org
+        # spells "things that point AT me", e.g. a person's works via
+        # {"@reverse": {"author": [...]}}): each value is a node object
+        # that becomes the SUBJECT of a triple whose object is this
+        # node; literals/lists under @reverse are illegal (a literal
+        # cannot be a subject) and refuse loudly. Anonymous reverse
+        # subjects get content-addressed labels keyed under a
+        # "@reverse:"-prefixed predicate so they can never collide with
+        # a forward property's allocation at the same index.
+        rv = node["@reverse"]
+        if not isinstance(rv, dict):
+            raise RdfParseError(
+                f"@reverse of {subj!r} must be an object mapping "
+                f"predicates to node references, got {type(rv).__name__}"
+            )
+        for rkey, rvals in rv.items():
+            if rkey.startswith("@"):
+                raise RdfParseError(
+                    f"keyword {rkey!r} is not a valid @reverse property"
+                )
+            pred = _expand(rkey, ctx, vocab)
+            items = rvals if isinstance(rvals, list) else [rvals]
+            for i, item in enumerate(items):
+                if (
+                    not isinstance(item, dict)
+                    or "@value" in item
+                    or "@list" in item
+                ):
+                    raise RdfParseError(
+                        f"@reverse {pred!r} of {subj!r} needs node "
+                        "objects (a literal or list cannot be a subject)"
+                    )
+                if "@id" in item:
+                    ref = _expand_id(str(item["@id"]), ctx)
+                else:
+                    ref = _content_label(subj, "@reverse:" + pred, i, item)
+                kind = model.BLANK if ref.startswith("_:") else model.NAMED
+                rows.append((ref, kind, pred, subj, s_kind, None, None))
+                if set(item) - {"@id"}:
+                    _node_rows(item, ctx, vocab, rows, assigned_id=ref)
     for key, v in node.items():
         if key in _KEYWORDS:
             continue

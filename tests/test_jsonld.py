@@ -368,3 +368,61 @@ def test_list_turtle_parity(spark):
                 return out
 
     assert shape(jrows) == shape(trows) == [("a", "literal"), ("b", "literal")]
+
+
+# ---------------------------------------------------------------------------
+# @reverse properties (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_reverse_properties_flip_direction():
+    doc = {
+        "@id": "ex:alice",
+        "ex:name": "Alice",
+        "@reverse": {"ex:author": [{"@id": "ex:book1"}, {"@id": "ex:book2"}]},
+    }
+    rows = parse_jsonld(json.dumps(doc))
+    assert ("ex:book1", "named", "ex:author", "ex:alice", "named", None, None) in rows
+    assert ("ex:book2", "named", "ex:author", "ex:alice", "named", None, None) in rows
+    assert ("ex:alice", "named", "ex:name", "Alice", "literal", None, None) in rows
+    assert len(rows) == 3
+
+
+def test_reverse_nested_node_properties_and_anonymous_subject():
+    doc = {
+        "@id": "ex:alice",
+        "@reverse": {
+            "ex:knows": {"ex:name": "Bob"},  # anonymous reverse subject
+        },
+    }
+    a = sorted(parse_jsonld(json.dumps(doc)))
+    b = sorted(parse_jsonld(json.dumps(doc)))
+    assert a == b  # content-addressed: independent parses agree
+    rev = [r for r in a if r[2] == "ex:knows"]
+    assert len(rev) == 1
+    bob, kind = rev[0][0], rev[0][1]
+    assert kind == "blank" and bob.startswith("_:c")
+    assert rev[0][3] == "ex:alice" and rev[0][4] == "named"
+    # the anonymous node's own property attaches to IT
+    assert (bob, "blank", "ex:name", "Bob", "literal", None, None) in a
+    # writer round-trip: plain triples reparse to the same graph
+    cols = ["s", "s_kind", "p", "o_value", "o_kind", "o_lang", "o_datatype"]
+    line = serialize_jsonld_rows(dict(zip(cols, r)) for r in a)
+    assert sorted(parse_jsonld(line)) == a
+
+
+def test_reverse_refusals_are_loud():
+    with pytest.raises(RdfParseError, match="@reverse of"):
+        parse_jsonld(json.dumps({"@id": "ex:a", "@reverse": "nope"}))
+    with pytest.raises(RdfParseError, match="cannot be a subject"):
+        parse_jsonld(json.dumps(
+            {"@id": "ex:a", "@reverse": {"ex:p": "a literal"}}
+        ))
+    with pytest.raises(RdfParseError, match="cannot be a subject"):
+        parse_jsonld(json.dumps(
+            {"@id": "ex:a", "@reverse": {"ex:p": {"@list": []}}}
+        ))
+    with pytest.raises(RdfParseError, match="not a valid @reverse property"):
+        parse_jsonld(json.dumps(
+            {"@id": "ex:a", "@reverse": {"@type": {"@id": "ex:b"}}}
+        ))
