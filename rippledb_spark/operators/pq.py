@@ -287,6 +287,9 @@ def ivfpq_index(
     )
     # one broadcast argmin over the final coarse codebook (≡ the SQL
     # twin's ivc_final relation), ties to the lowest cell id
+    # checkpoint the assignment and residuals: pq_codes' init/train/encode
+    # paths and the caller's inverted-list join all re-read them, and an
+    # unmaterialized lineage would re-run the coarse argmin each time
     assigned = (
         full.crossJoin(F.broadcast(coarse))
         .select(
@@ -295,12 +298,13 @@ def ivfpq_index(
         .groupBy("pid")
         .agg(F.min(F.struct("d2", "cell")).alias("m"), F.first("v").alias("v"))
         .select("pid", F.col("m.cell").alias("cell"), "v")
+        .localCheckpoint(eager=False)
     )
     resid = assigned.join(F.broadcast(coarse), "cell").select(
         "pid",
         "cell",
         F.zip_with("v", "cc", lambda a, b: a - b).alias("r"),
-    )
+    ).localCheckpoint(eager=False)
     codes, books = pq_codes(
         resid, "r", "pid", dims, m=m, k=k, iterations=iterations
     )
