@@ -307,3 +307,60 @@ def bpe_tokenize_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe_merges(
         d, "text", "doc_id", [(a, b) for _, a, b, _ in merges]
     ).orderBy("doc_id")
+
+
+from rippledb_spark.operators.redirects import (  # noqa: E402
+    resolve_redirect_chains,
+    resolve_redirect_chains_sql,
+)
+
+_RR_CTE = resolve_redirect_chains_sql("rr_edges", "from_url", "to_url", 16)
+
+
+@query(
+    "redirect_chain_resolution",
+    oracle=f"""
+    WITH RECURSIVE
+    rr_edges AS (
+      SELECT 'https://ex.org/p' || CAST(doc_id AS VARCHAR) AS from_url,
+             'https://ex.org/p' || CAST(
+               CASE WHEN doc_id % 16 = 15 THEN doc_id - 2
+                    WHEN doc_id % 16 IN (13, 14) THEN doc_id + 1
+                    ELSE doc_id - 1 END AS VARCHAR) AS to_url
+      FROM documents WHERE doc_id % 16 <> 0
+    ),
+    {_RR_CTE.strip()}
+    SELECT url, final_url, n_hops, resolved
+    FROM redirects_resolved ORDER BY url
+    """,
+)
+def redirect_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP redirect-chain resolution (operators/redirects.py, r9 — the
+    crawl-frontier step between URL canonicalization and fetching):
+    synthesize an id-arithmetic redirect graph over the documents ids —
+    every non-multiple-of-16 id redirects one step toward its group's
+    multiple-of-16 terminal (chains up to 12 hops), while each group's
+    13→14→15→13 trio is a planted redirect LOOP — resolve every source
+    URL to its terminal with the hop count, loops flagged unresolved
+    (NULL terminal, never a partial answer). The oracle replays the
+    identical deterministic walk as a recursive CTE with the same
+    min-target edge dedup and hop bound, so a green row certifies chain
+    following, hop arithmetic, loop detection, and the terminal gate
+    for every chain shape in the corpus. Reference comparison: n/a (no
+    crawl surface in the reference).
+
+    100 TB shape: state is one row per source URL; ≤ max_hops
+    key-shuffled joins with checkpoint truncation and an exact empty-
+    frontier early exit — never a closure."""
+    d = load(spark, sf_dir, "documents")
+    r = F.col("doc_id") % 16
+    url = lambda c: F.concat(F.lit("https://ex.org/p"), c.cast("string"))  # noqa: E731
+    edges = d.where(r != 0).select(
+        url(F.col("doc_id")).alias("from_url"),
+        url(
+            F.when(r == 15, F.col("doc_id") - 2)
+            .when(r.isin(13, 14), F.col("doc_id") + 1)
+            .otherwise(F.col("doc_id") - 1)
+        ).alias("to_url"),
+    )
+    return resolve_redirect_chains(edges, max_hops=16).orderBy("url")
