@@ -448,6 +448,220 @@ def ima_decode_block(pred: int, index: int, nibbles) -> list[int]:
     return out
 
 
+# --- TIFF (r9) --------------------------------------------------------------
+# Baseline TIFF 6.0 (Adobe, public spec): grayscale 8-bit, uncompressed
+# (Compression=1) or PackBits RLE (32773, spec §9 — the classic scanned-
+# document payload), both byte orders, multi-strip. Everything outside
+# that profile refuses loudly.
+
+def packbits_encode(row: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: runs of ≥2 equal bytes → (257−n) repeat
+    packets, everything else → literal packets, both capped at 128.
+    Deterministic greedy — the decoder inverts any valid stream, so the
+    exact packet choice only needs to be consistent, not canonical."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        # literal run: until the next ≥2-byte repeat or the 128 cap
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 1 < n and row[j + 1] == row[j])
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out.extend(row[i:j])
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`packbits_encode`, reading until ``expected``
+    output bytes; control byte 128 is a no-op per spec."""
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("PackBits stream truncated")
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > len(data):
+                raise ValueError("PackBits literal overruns stream")
+            out.extend(data[i : i + c + 1])
+            i += c + 1
+        elif c > 128:
+            if i >= len(data):
+                raise ValueError("PackBits repeat missing byte")
+            out.extend(data[i : i + 1] * (257 - c))
+            i += 1
+        # c == 128: no-op
+    if len(out) != expected:
+        raise ValueError("PackBits output overran expected size")
+    return bytes(out)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal VALID baseline TIFF: grayscale 8-bit, single sample,
+    uncompressed or PackBits (rows packed separately per spec §9),
+    either byte order, ``rows_per_strip`` strips (default: one strip)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    bo = ">" if big_endian else "<"
+    rps = height if rows_per_strip is None else rows_per_strip
+    if rps <= 0:
+        raise ValueError("rows_per_strip must be positive")
+    strips: list[bytes] = []
+    for y0 in range(0, height, rps):
+        raw = pixels[y0 * width : min(y0 + rps, height) * width]
+        if packbits:
+            strips.append(
+                b"".join(
+                    packbits_encode(raw[r * width : (r + 1) * width])
+                    for r in range(len(raw) // width)
+                )
+            )
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+    # layout: header(8) | IFD | [offset/count arrays] | strip data
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    pos = 8 + ifd_size
+    extra = b""
+    if n_strips > 1:
+        offsets_at = pos
+        pos += 4 * n_strips
+        counts_at = pos
+        pos += 4 * n_strips
+    data_at = pos
+    offs, cnts = [], []
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
+    if n_strips > 1:
+        extra = struct.pack(f"{bo}{n_strips}I", *offs) + struct.pack(
+            f"{bo}{n_strips}I", *cnts
+        )
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:  # SHORT packs into the value slot
+            return struct.pack(f"{bo}HHIHH", tag, typ, count, value, 0)
+        return struct.pack(f"{bo}HHII", tag, typ, count, value)
+
+    entries = [
+        entry(256, 3, 1, width),                      # ImageWidth
+        entry(257, 3, 1, height),                     # ImageLength
+        entry(258, 3, 1, 8),                          # BitsPerSample
+        entry(259, 3, 1, 32773 if packbits else 1),   # Compression
+        entry(262, 3, 1, 1),                          # Photometric: BlackIsZero
+        entry(273, 4, n_strips,
+              offs[0] if n_strips == 1 else offsets_at),  # StripOffsets
+        entry(277, 3, 1, 1),                          # SamplesPerPixel
+        entry(278, 3, 1, rps),                        # RowsPerStrip
+        entry(279, 4, n_strips,
+              cnts[0] if n_strips == 1 else counts_at),   # StripByteCounts
+    ]
+    ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(
+        f"{bo}I", 0
+    )
+    header = (b"MM" if big_endian else b"II") + struct.pack(f"{bo}HI", 42, 8)
+    return header + ifd + extra + b"".join(strips)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """Baseline-TIFF decode → {"width", "height", "pixels"}: header +
+    first-IFD walk (both byte orders), SHORT/LONG tag values inline or
+    via offset arrays, strip reassembly, PackBits expansion. Anything
+    outside the grayscale-8-bit profile (other compressions, bit depths,
+    photometrics, samples) refuses loudly."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF: bad byte-order mark")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_at = struct.unpack_from(f"{bo}HI", payload, 2)
+    if magic != 42:
+        raise ValueError(f"not a TIFF: magic {magic}")
+    if ifd_at + 2 > len(payload):
+        raise ValueError("TIFF IFD offset out of bounds")
+    (n_entries,) = struct.unpack_from(f"{bo}H", payload, ifd_at)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        at = ifd_at + 2 + i * 12
+        if at + 12 > len(payload):
+            raise ValueError("TIFF IFD truncated")
+        tag, typ, count = struct.unpack_from(f"{bo}HHI", payload, at)
+        if typ == 3 and count == 1:
+            (value,) = struct.unpack_from(f"{bo}H", payload, at + 8)
+        else:
+            (value,) = struct.unpack_from(f"{bo}I", payload, at + 8)
+        tags[tag] = (typ, count, value)
+
+    def scalar(tag: int, default: int | None = None) -> int:
+        if tag not in tags:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return tags[tag][2]
+
+    def array(tag: int) -> list[int]:
+        typ, count, value = tags[tag]
+        if count == 1:
+            return [value]
+        width_ = 2 if typ == 3 else 4
+        fmt = "H" if typ == 3 else "I"
+        end = value + count * width_
+        if end > len(payload):
+            raise ValueError(f"TIFF tag {tag} array out of bounds")
+        return list(struct.unpack_from(f"{bo}{count}{fmt}", payload, value))
+
+    width = scalar(256)
+    height = scalar(257)
+    if scalar(258, 8) != 8:
+        raise ValueError("TIFF decode supports 8-bit samples only")
+    comp = scalar(259, 1)
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if scalar(262) not in (0, 1):
+        raise ValueError("TIFF decode supports grayscale photometric only")
+    if scalar(277, 1) != 1:
+        raise ValueError("TIFF decode supports 1 sample/pixel only")
+    rps = scalar(278, height)
+    offs, cnts = array(273), array(279)
+    if len(offs) != len(cnts):
+        raise ValueError("TIFF strip offset/count mismatch")
+    pixels = bytearray()
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        if o + c > len(payload):
+            raise ValueError("TIFF strip out of bounds")
+        raw = payload[o : o + c]
+        n_rows = min(rps, height - i * rps)
+        if comp == 32773:
+            raw = packbits_decode(raw, n_rows * width)
+        elif len(raw) != n_rows * width:
+            raise ValueError("TIFF strip size does not match dimensions")
+        pixels.extend(raw)
+    if len(pixels) != width * height:
+        raise ValueError("TIFF strips do not cover the image")
+    return {"width": width, "height": height, "pixels": bytes(pixels)}
+
+
 def encode_gif(
     frames: list[tuple[int, int, int]],
     pixels: list[bytes] | None = None,
@@ -1791,6 +2005,123 @@ def synthesize_pcm_wavs(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synth_tiff_params(media_id: int) -> dict:
+    """Id-deterministic TIFF corpus parameters: dims from id arithmetic;
+    PackBits for odd ids (with x-varying rows for id%4==3 so literal
+    packets are exercised, constant rows for id%4==1 so repeat packets
+    are); big-endian for id%4>=2; two strips for id%8>=4. Pixel
+    p(y,x) = (7·id + 3·y + xc·x) mod 256 with xc ∈ {0, 5} — closed form
+    for the SQL oracle."""
+    w, h = 5 + media_id % 6, 3 + media_id % 4
+    return {
+        "w": w,
+        "h": h,
+        "xc": 5 if media_id % 4 in (0, 3) else 0,
+        "packbits": media_id % 2 == 1,
+        "big_endian": media_id % 4 >= 2,
+        "rows_per_strip": h if media_id % 8 < 4 else (h + 1) // 2,
+    }
+
+
+def synthesize_tiffs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL baseline TIFFs cycling
+    uncompressed/PackBits × little/big endian × one/two strips
+    (synth_tiff_params); built per-batch in mapInPandas like the other
+    synthesizers."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = synth_tiff_params(mid)
+                pix = bytes(
+                    (7 * mid + 3 * y + p["xc"] * x) % 256
+                    for y in range(p["h"])
+                    for x in range(p["w"])
+                )
+                payloads.append(
+                    encode_tiff(
+                        p["w"], p["h"], pix,
+                        packbits=p["packbits"],
+                        big_endian=p["big_endian"],
+                        rows_per_strip=p["rows_per_strip"],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/tiff",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+TIFF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("packbits", T.BooleanType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_wsum", T.LongType()),
+    ]
+)
+
+
+def tiff_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL TIFF decode digests: per image, the raw pixel sum and the
+    position-weighted Σ(k+1)·p — any pixel change OR reordering (a
+    strip misassembled, a PackBits run miscounted, an endianness mixup
+    in the IFD) changes one of them. Arrow mapInPandas, one row per
+    image, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [f.name for f in TIFF_STATS_SCHEMA.fields]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                d = decode_tiff(data)
+                px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+                # compression read back from the actual IFD, not assumed
+                bo = "<" if data[:2] == b"II" else ">"
+                (ifd_at,) = struct.unpack_from(f"{bo}I", data, 4)
+                (n,) = struct.unpack_from(f"{bo}H", data, ifd_at)
+                comp = 1
+                for i in range(n):
+                    tag, typ = struct.unpack_from(
+                        f"{bo}HH", data, ifd_at + 2 + i * 12
+                    )
+                    if tag == 259:
+                        (comp,) = struct.unpack_from(
+                            f"{bo}H", data, ifd_at + 2 + i * 12 + 8
+                        )
+                rows.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        comp == 32773,
+                        int(px.sum()),
+                        int((px * np.arange(1, px.size + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=TIFF_STATS_SCHEMA
+    )
 
 
 def synth_g711_adpcm_params(media_id: int) -> dict:

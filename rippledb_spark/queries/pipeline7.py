@@ -364,3 +364,52 @@ def redirect_chain_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("to_url"),
     )
     return resolve_redirect_chains(edges, max_hops=16).orderBy("url")
+
+
+@query(
+    "tiff_pixel_accounting",
+    oracle="""
+    WITH shp AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 6 AS BIGINT) AS w,
+             CAST(3 + doc_id % 4 AS BIGINT) AS h,
+             CASE WHEN doc_id % 4 IN (0, 3) THEN 5 ELSE 0 END AS xc
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             k,
+             (7 * doc_id + 3 * (k // w) + xc * (k % w)) % 256 AS p
+      FROM shp, UNNEST(range(0, w * h)) AS u(k)
+    )
+    SELECT s.doc_id AS media_id,
+           CAST(MIN(s.w) AS INT) AS width,
+           CAST(MIN(s.h) AS INT) AS height,
+           (MIN(s.doc_id) % 2 = 1) AS packbits,
+           CAST(SUM(x.p) AS BIGINT) AS pixel_sum,
+           CAST(SUM((x.k + 1) * x.p) AS BIGINT) AS pixel_wsum
+    FROM shp s JOIN px x ON x.doc_id = s.doc_id
+    GROUP BY s.doc_id ORDER BY media_id
+    """,
+)
+def tiff_pixel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (operators/multimodal.decode_tiff, r9 —
+    the scanned-document format, TIFF 6.0 public spec): synthesize TIFFs
+    cycling uncompressed/PackBits × little/big endian × one/two strips
+    with id-arithmetic pixel content, decode every payload back (byte-
+    order-aware IFD walk, SHORT/LONG tags inline or via offset arrays,
+    strip reassembly, PackBits §9 expansion), and report raw +
+    position-weighted pixel digests. TIFF is lossless, so the oracle
+    recomputes every decoded pixel in closed form: a PackBits run
+    miscounted, a strip misassembled, or a big-endian IFD misread
+    changes a sum, and any pixel REORDERING changes pixel_wsum. The
+    corpus covers repeat-packet rows (constant), literal-packet rows
+    (x-varying), and both endiannesses BY CONSTRUCTION of the id cycle
+    (coprime moduli — the r8 ADVICE lesson). Reference comparison: n/a
+    (no binary surface).
+
+    100 TB shape: one Arrow mapInPandas where the payloads live; one
+    row per image; no shuffle before the final sort."""
+    d = load(spark, sf_dir, "documents")
+    media = MM.synthesize_tiffs(d, "doc_id")
+    return MM.tiff_pixel_stats(media).orderBy("media_id")

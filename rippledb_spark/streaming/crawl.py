@@ -418,6 +418,7 @@ _MEDIA_TYPES = (
     "image/png",
     "image/gif",
     "image/jpeg",
+    "image/tiff",
     "audio/wav",
     "audio/x-wav",
     "video/x-msvideo",
@@ -444,6 +445,7 @@ def crawl_media_features(warc_df: DataFrame) -> DataFrame:
         decode_avi_frames,
         decode_gif_frames,
         decode_png_any,
+        decode_tiff,
         decode_wav_header,
     )
 
@@ -484,6 +486,10 @@ def crawl_media_features(warc_df: DataFrame) -> DataFrame:
                         d = decode_jpeg_planes(data)
                         row.update(width=d["width"], height=d["height"],
                                    channels=len(d["components"]), n_frames=1)
+                    elif mt == "image/tiff":
+                        d = decode_tiff(data)
+                        row.update(width=d["width"], height=d["height"],
+                                   channels=1, n_frames=1)
                     elif mt in ("audio/wav", "audio/x-wav"):
                         rate, ch, _bits, n = decode_wav_header(data)
                         row.update(channels=ch, sample_rate=rate, n_samples=n)

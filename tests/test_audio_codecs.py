@@ -91,3 +91,66 @@ def test_synth_params_cover_all_codecs_and_are_deterministic():
     p = synth_g711_adpcm_params(2)  # mode 2: IMA
     assert p["n_samples"] == 1 + len(p["nibbles"])
     assert 0 <= p["idx0"] <= 88 and -2000 <= p["pred0"] <= 2000
+
+
+# ---------------------------------------------------------------------------
+# TIFF (r9) — grayscale baseline, PackBits, both endians, multi-strip
+# ---------------------------------------------------------------------------
+
+
+def test_packbits_roundtrip_and_spec_cases():
+    from rippledb_spark.operators.multimodal import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaa",                      # pure run
+        b"abcdef",                    # pure literal
+        b"aaabccccdd",                # mixed
+        bytes(range(256)),            # long literal (cap at 128)
+        b"z" * 300,                   # long run (cap at 128)
+    ]
+    for raw in cases:
+        enc = packbits_encode(raw)
+        assert packbits_decode(enc, len(raw)) == raw, raw[:16]
+    # the spec's no-op byte is skipped
+    assert packbits_decode(b"\x80\x00a", 1) == b"a"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="truncated"):
+        packbits_decode(b"", 1)
+
+
+def test_tiff_roundtrip_all_profile_corners():
+    from rippledb_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    pix = bytes((3 * k) % 256 for k in range(7 * 5))
+    for packbits in (False, True):
+        for big in (False, True):
+            for rps in (5, 2):
+                payload = encode_tiff(
+                    7, 5, pix, packbits=packbits, big_endian=big,
+                    rows_per_strip=rps,
+                )
+                d = decode_tiff(payload)
+                assert (d["width"], d["height"]) == (7, 5)
+                assert d["pixels"] == pix, (packbits, big, rps)
+
+
+def test_tiff_refusals():
+    import struct as _s
+
+    import pytest as _pt
+
+    from rippledb_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    with _pt.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX\x2a\x00")
+    payload = bytearray(encode_tiff(2, 2, b"abcd"))
+    # patch Compression (tag 259) to LZW (5): unsupported, loud
+    at = payload.index(_s.pack("<HH", 259, 3))
+    _s.pack_into("<H", payload, at + 8, 5)
+    with _pt.raises(ValueError, match="unsupported TIFF compression"):
+        decode_tiff(bytes(payload))
