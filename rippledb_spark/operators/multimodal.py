@@ -1384,6 +1384,96 @@ def _dib_pad(width: int) -> int:
     return (-width) % 4  # DIB rows pad to 4-byte boundaries
 
 
+def encode_bmp(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: list[tuple[int, int, int]],
+    rle8: bool = False,
+    topdown: bool = False,
+) -> bytes:
+    """Minimal VALID 8-bit paletted BMP (the Windows DIB file format —
+    BITMAPFILEHEADER + BITMAPINFOHEADER + 256×BGRA palette + pixel
+    field): ``indices`` is the TOP-DOWN logical pixel field; storage is
+    bottom-up padded rows (BI_RGB), top-down via negative biHeight, or
+    a BI_RLE8 stream (always bottom-up, per spec)."""
+    if len(indices) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if len(palette) != 256:
+        raise ValueError("8-bit BMP needs a 256-entry palette")
+    if rle8 and topdown:
+        raise ValueError("BI_RLE8 BMPs are always bottom-up (spec)")
+    rows_td = [indices[y * width : (y + 1) * width] for y in range(height)]
+    if rle8:
+        pix = rle8_encode_frame(width, height, rows_td[::-1])
+    else:
+        pad = b"\x00" * _dib_pad(width)
+        stored = rows_td if topdown else rows_td[::-1]
+        pix = b"".join(r + pad for r in stored)
+    pal = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    off = 14 + 40 + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if topdown else height, 1, 8,
+        1 if rle8 else 0, len(pix), 2835, 2835, 256, 0,
+    )
+    head = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    return head + info + pal + pix
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """8-bit paletted BMP decode → {"width", "height", "indices",
+    "palette"}: ``indices`` is TOP-DOWN regardless of storage order
+    (bottom-up BI_RGB, top-down negative-height, or BI_RLE8 via the
+    shared AVI decoder). Other bit depths/compressions refuse loudly."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    size, width, raw_h, planes, bits, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if size < 40:
+        raise ValueError(f"unsupported BMP header size {size}")
+    if bits != 8:
+        raise ValueError(f"BMP decode supports 8-bit palette, got {bits}")
+    if comp not in (0, 1):
+        raise ValueError(f"unsupported BMP compression {comp}")
+    topdown = raw_h < 0
+    height = -raw_h if topdown else raw_h
+    if comp == 1 and topdown:
+        raise ValueError("BI_RLE8 BMP cannot be top-down")
+    (n_colors,) = struct.unpack_from("<I", payload, 46)
+    n_colors = n_colors or 256
+    pal_at = 14 + size
+    if pal_at + 4 * n_colors > len(payload):
+        raise ValueError("BMP palette out of bounds")
+    palette = [
+        (payload[pal_at + 4 * i + 2], payload[pal_at + 4 * i + 1],
+         payload[pal_at + 4 * i])
+        for i in range(n_colors)
+    ]
+    while len(palette) < 256:
+        palette.append((0, 0, 0))
+    pix = payload[off:]
+    if comp == 1:
+        rows_bu = rle8_decode_frame(pix, width, height)
+        rows_td = rows_bu[::-1]
+    else:
+        stride = width + _dib_pad(width)
+        if len(pix) < stride * height:
+            raise ValueError("BMP pixel field truncated")
+        stored = [
+            pix[y * stride : y * stride + width] for y in range(height)
+        ]
+        rows_td = stored if topdown else stored[::-1]
+    return {
+        "width": width,
+        "height": height,
+        "indices": b"".join(rows_td),
+        "palette": palette,
+    }
+
+
 def encode_avi(
     width: int,
     height: int,
@@ -2121,6 +2211,113 @@ def tiff_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=TIFF_STATS_SCHEMA
+    )
+
+
+def synth_bmp_params(media_id: int) -> dict:
+    """Id-deterministic BMP corpus parameters: BI_RLE8 for odd ids,
+    top-down storage for id%4==2 (BI_RGB only — RLE8 is bottom-up by
+    spec); index p(y,x) = (19·id + 3y + 7x) mod 256 and a NON-grayscale
+    id-keyed palette (r,g,b) = ((11·id+i), (13·id+3i), (17·id+5i)) mod
+    256 — so a palette misread or channel swap changes a digest."""
+    return {
+        "w": 4 + media_id % 5,
+        "h": 3 + media_id % 3,
+        "rle8": media_id % 2 == 1,
+        "topdown": media_id % 4 == 2,
+        "palette": [
+            (
+                (11 * media_id + i) % 256,
+                (13 * media_id + 3 * i) % 256,
+                (17 * media_id + 5 * i) % 256,
+            )
+            for i in range(256)
+        ],
+    }
+
+
+def synthesize_bmps(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL 8-bit paletted BMPs cycling
+    BI_RGB bottom-up / BI_RLE8 / top-down (synth_bmp_params)."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = synth_bmp_params(mid)
+                idx = bytes(
+                    (19 * mid + 3 * y + 7 * x) % 256
+                    for y in range(p["h"])
+                    for x in range(p["w"])
+                )
+                payloads.append(
+                    encode_bmp(
+                        p["w"], p["h"], idx, p["palette"],
+                        rle8=p["rle8"], topdown=p["topdown"],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("rgb_wsum", T.LongType()),
+    ]
+)
+
+
+def bmp_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL BMP decode digests: palette-mapped per-channel sums plus the
+    position-weighted Σ(k+1)·(r+g+b) over the TOP-DOWN pixel order — a
+    bottom-up flip skipped, an RLE8 run miscounted, or a BGRA palette
+    entry read in the wrong channel order changes one of them."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [f.name for f in BMP_STATS_SCHEMA.fields]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                d = decode_bmp(bytes(payload))
+                idx = np.frombuffer(d["indices"], dtype=np.uint8)
+                pal = np.array(d["palette"], dtype=np.int64)
+                rgb = pal[idx]  # (n, 3) in top-down pixel order
+                w = np.arange(1, idx.size + 1)
+                rows.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        int(rgb[:, 0].sum()),
+                        int(rgb[:, 1].sum()),
+                        int(rgb[:, 2].sum()),
+                        int((w * rgb.sum(1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=BMP_STATS_SCHEMA
     )
 
 

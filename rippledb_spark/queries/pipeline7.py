@@ -413,3 +413,55 @@ def tiff_pixel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = MM.synthesize_tiffs(d, "doc_id")
     return MM.tiff_pixel_stats(media).orderBy("media_id")
+
+
+@query(
+    "bmp_pixel_accounting",
+    oracle="""
+    WITH shp AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS BIGINT) AS w,
+             CAST(3 + doc_id % 3 AS BIGINT) AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, k,
+             (19 * doc_id + 3 * (k // w) + 7 * (k % w)) % 256 AS p
+      FROM shp, UNNEST(range(0, w * h)) AS u(k)
+    ),
+    rgb AS (
+      SELECT doc_id, k,
+             (11 * doc_id + p) % 256 AS r,
+             (13 * doc_id + 3 * p) % 256 AS g,
+             (17 * doc_id + 5 * p) % 256 AS b
+      FROM px
+    )
+    SELECT s.doc_id AS media_id,
+           CAST(MIN(s.w) AS INT) AS width,
+           CAST(MIN(s.h) AS INT) AS height,
+           CAST(SUM(c.r) AS BIGINT) AS r_sum,
+           CAST(SUM(c.g) AS BIGINT) AS g_sum,
+           CAST(SUM(c.b) AS BIGINT) AS b_sum,
+           CAST(SUM((c.k + 1) * (c.r + c.g + c.b)) AS BIGINT) AS rgb_wsum
+    FROM shp s JOIN rgb c ON c.doc_id = s.doc_id
+    GROUP BY s.doc_id ORDER BY media_id
+    """,
+)
+def bmp_pixel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 8-bit paletted BMP decode (operators/multimodal.decode_bmp,
+    r9 — the Windows DIB file format, reusing the AVI tier's RLE8
+    decoder): synthesize BMPs cycling BI_RGB bottom-up / BI_RLE8 /
+    top-down storage with id-arithmetic indices and a NON-grayscale
+    id-keyed palette, decode every payload back (header walk, BGRA
+    palette read, padded-row or RLE8 strip reassembly, storage-order
+    flip), and report palette-mapped per-channel sums plus the
+    position-weighted Σ(k+1)·(r+g+b). The oracle recomputes every
+    decoded channel of every pixel in closed form: a flip skipped, a
+    run miscounted, a padding byte leaked, or a BGRA channel swap
+    changes a digest. Reference comparison: n/a (no binary surface).
+
+    100 TB shape: one Arrow mapInPandas where the payloads live; one
+    row per image; no shuffle before the final sort."""
+    d = load(spark, sf_dir, "documents")
+    media = MM.synthesize_bmps(d, "doc_id")
+    return MM.bmp_pixel_stats(media).orderBy("media_id")

@@ -154,3 +154,38 @@ def test_tiff_refusals():
     _s.pack_into("<H", payload, at + 8, 5)
     with _pt.raises(ValueError, match="unsupported TIFF compression"):
         decode_tiff(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# BMP (r9) — 8-bit paletted, BI_RGB/BI_RLE8, bottom-up/top-down
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_all_storage_orders():
+    from rippledb_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    pal = [(i, (3 * i) % 256, (7 * i) % 256) for i in range(256)]
+    idx = bytes((5 * k) % 256 for k in range(6 * 4))
+    for rle8, topdown in ((False, False), (False, True), (True, False)):
+        d = decode_bmp(encode_bmp(6, 4, idx, pal, rle8=rle8, topdown=topdown))
+        assert (d["width"], d["height"]) == (6, 4)
+        assert d["indices"] == idx, (rle8, topdown)
+        assert d["palette"][:256] == pal
+
+
+def test_bmp_refusals():
+    import struct as _s
+
+    import pytest as _pt
+
+    from rippledb_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    pal = [(0, 0, 0)] * 256
+    with _pt.raises(ValueError, match="always bottom-up"):
+        encode_bmp(2, 2, b"abcd", pal, rle8=True, topdown=True)
+    with _pt.raises(ValueError, match="bad magic"):
+        decode_bmp(b"XY" + b"\x00" * 60)
+    payload = bytearray(encode_bmp(2, 2, b"abcd", pal))
+    _s.pack_into("<H", payload, 28, 24)  # biBitCount -> 24bpp
+    with _pt.raises(ValueError, match="8-bit palette"):
+        decode_bmp(bytes(payload))
