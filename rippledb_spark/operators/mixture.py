@@ -59,6 +59,72 @@ def apply_mixture_epochs(
     return df.withColumn(copy_col, F.explode(copies))
 
 
+def temperature_mixture_weights(
+    df: DataFrame,
+    count_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    budget: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture weights — the multilingual-LM sampling
+    recipe (Conneau et al. 2020 §3.1 / the mC4 mixing rule): source i
+    with ``n_i`` rows gets sampling probability p_i ∝ n_i^α, and the
+    per-source EPOCH weight that realizes p under a ``budget``-row total
+    is budget·p_i / n_i. α < 1 flattens the head (big sources downweight
+    per-row, small languages upsample) — exactly the knob the published
+    mixes turn. → DataFrame(source, n_rows, p, epochs); p and epochs
+    round to ``round_dp`` so downstream hash-gate comparisons
+    (apply_mixture_epochs) see bit-identical weights in both engines.
+
+    Scale shape: input is the per-source count table (tiny by nature —
+    one row per source); one broadcast of the 1-row normalizer."""
+    if alpha < 0:
+        raise ValueError("alpha must be non-negative")
+    t = df.select(
+        F.col(key_col).alias("source"),
+        F.col(count_col).cast("double").alias("n"),
+    ).withColumn("__x", F.pow("n", F.lit(float(alpha))))
+    tot = t.agg(F.sum("__x").alias("__t"))
+    return t.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("__x") / F.col("__t"), round_dp).alias("p"),
+        F.round(
+            F.lit(float(budget)) * (F.col("__x") / F.col("__t")) / F.col("n"),
+            round_dp,
+        ).alias("epochs"),
+    )
+
+
+def temperature_mixture_sql(
+    counts_rel: str,
+    count_col: str,
+    key_col: str,
+    alpha: float = 0.7,
+    budget: float = 1.0,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB CTE twin of :func:`temperature_mixture_weights`; yields
+    ``temp_mix`` with the same four columns."""
+    if alpha < 0:
+        raise ValueError("alpha must be non-negative")
+    return f"""tm_x AS (
+      SELECT {key_col} AS source,
+             CAST({count_col} AS DOUBLE) AS n,
+             POW(CAST({count_col} AS DOUBLE), {float(alpha)}) AS x
+      FROM {counts_rel}
+    ),
+    tm_t AS (SELECT SUM(x) AS t FROM tm_x),
+    temp_mix AS (
+      SELECT source,
+             CAST(n AS BIGINT) AS n_rows,
+             ROUND(x / t, {round_dp}) AS p,
+             ROUND({float(budget)} * (x / t) / n, {round_dp}) AS epochs
+      FROM tm_x, tm_t
+    )"""
+
+
 def mixture_epochs_sql(
     weight_expr: str, id_expr: str, n_alias: str = "n_copies"
 ) -> str:

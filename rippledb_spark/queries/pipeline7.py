@@ -465,3 +465,92 @@ def bmp_pixel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = MM.synthesize_bmps(d, "doc_id")
     return MM.bmp_pixel_stats(media).orderBy("media_id")
+
+
+from rippledb_spark.operators import mixture as MX  # noqa: E402
+
+
+@query(
+    "temperature_mixture_accounting",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    agg AS (
+      SELECT SUM(SQRT(CAST(n_docs AS DOUBLE))) AS t,
+             SUM(n_docs) AS total
+      FROM counts
+    ),
+    temp_mix AS (
+      SELECT lang,
+             n_docs,
+             ROUND(SQRT(CAST(n_docs AS DOUBLE)) / t, 6) AS p,
+             ROUND(2.0 * total * (SQRT(CAST(n_docs AS DOUBLE)) / t)
+                   / n_docs, 6) AS epochs
+      FROM counts, agg
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang, m.epochs,
+             {MX.mixture_epochs_sql("m.epochs", "d.doc_id")}
+      FROM documents d JOIN temp_mix m USING (lang)
+    ),
+    rep AS (
+      SELECT lang, unnest(generate_series(1, n_copies)) AS i FROM j
+    ),
+    em AS (SELECT lang, COUNT(*) AS n_emitted FROM rep GROUP BY lang)
+    SELECT m.lang, m.n_docs, m.p, m.epochs,
+           CAST(COALESCE(e.n_emitted, 0) AS BIGINT) AS n_emitted
+    FROM temp_mix m LEFT JOIN em e USING (lang)
+    ORDER BY m.lang
+    """,
+)
+def temperature_mixture_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (operators/mixture.
+    temperature_mixture_weights is the generic-α operator; this query
+    runs the α = 0.5 instance via IEEE sqrt, which is CORRECTLY ROUNDED
+    and therefore bit-identical across engines — pow(x, α) for general
+    α is only ulp-close, so the certified form pins the α every
+    multilingual mix actually publishes near): per-language sampling
+    probability p ∝ √n flattens the language head (Conneau et al. 2020
+    §3.1, the mC4 recipe), a 2×-corpus row budget converts p into
+    fractional epochs — one rounding, after the full expression, in
+    both engines — and apply_mixture_epochs MATERIALIZES them (floor
+    copies + one hash-gated extra per doc). Per-language p, epochs, and
+    emitted counts certify temperature arithmetic, budget conversion,
+    and materialization end to end. Reference comparison: n/a.
+
+    100 TB shape: weights come from the per-source count table (one row
+    per language, broadcast); materialization is projection + explode."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    agg = counts.agg(
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("t"),
+        F.sum("n_docs").alias("total"),
+    )
+    w = counts.crossJoin(F.broadcast(agg)).select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")) / F.col("t"), 6).alias("p"),
+        F.round(
+            F.lit(2.0)
+            * F.col("total")
+            * (F.sqrt(F.col("n_docs").cast("double")) / F.col("t"))
+            / F.col("n_docs"),
+            6,
+        ).alias("epochs"),
+    )
+    j = d.join(F.broadcast(w.select("lang", "epochs")), "lang")
+    rep = MX.apply_mixture_epochs(j, "epochs", "doc_id")
+    em = rep.groupBy("lang").agg(F.count(F.lit(1)).alias("n_emitted"))
+    return (
+        w.join(em, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "p",
+            "epochs",
+            F.coalesce("n_emitted", F.lit(0)).cast("bigint").alias("n_emitted"),
+        )
+        .orderBy("lang")
+    )

@@ -67,3 +67,78 @@ def test_copy_counts_match_duckdb_twin(spark):
     )
     for i, w in rows:
         assert got.get(i, 0) == want[i], (i, w)
+
+
+def test_temperature_mixture_weights_flattens_head(spark):
+    """r9: α<1 upweights small sources per-row; α=1 is proportional
+    (epochs all equal); α=0 is uniform across sources. Budget converts
+    p to epochs exactly: sum over sources of epochs·n == budget."""
+    from rippledb_spark.operators.mixture import temperature_mixture_weights
+
+    rows = [("big", 400), ("mid", 100), ("small", 4)]
+    df = spark.createDataFrame(rows, "src string, n long")
+
+    def weights(alpha):
+        return {
+            r["source"]: (r["p"], r["epochs"])
+            for r in temperature_mixture_weights(
+                df, "n", "src", alpha=alpha, budget=504.0
+            ).collect()
+        }
+
+    w05 = weights(0.5)
+    # flattening: small's per-row epoch weight exceeds big's
+    assert w05["small"][1] > w05["mid"][1] > w05["big"][1]
+    # α=1: proportional sampling = every source at 1 epoch (budget=total)
+    w1 = weights(1.0)
+    for src in ("big", "mid", "small"):
+        assert abs(w1[src][1] - 1.0) < 1e-9, w1
+    # α=0: uniform p = 1/3 each
+    w0 = weights(0.0)
+    assert all(abs(v[0] - round(1 / 3, 6)) < 1e-9 for v in w0.values())
+    # budget conservation (within rounding): Σ epochs·n ≈ budget
+    got = sum(w05[s][1] * n for s, n in rows)
+    assert abs(got - 504.0) < 0.01
+
+
+def test_temperature_mixture_sql_twin(spark):
+    import duckdb
+
+    from rippledb_spark.operators.mixture import (
+        temperature_mixture_sql,
+        temperature_mixture_weights,
+    )
+
+    rows = [("a", 4), ("b", 16), ("c", 64)]  # power-of-2 counts: pow exact
+    df = spark.createDataFrame(rows, "src string, n long")
+    got = sorted(
+        map(tuple, temperature_mixture_weights(
+            df, "n", "src", alpha=0.5, budget=100.0
+        ).collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE cnt (src VARCHAR, n BIGINT)")
+    con.executemany("INSERT INTO cnt VALUES (?, ?)", rows)
+    cte = temperature_mixture_sql("cnt", "n", "src", alpha=0.5, budget=100.0)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {cte} SELECT source, n_rows, p, epochs FROM temp_mix"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_temperature_mixture_refuses_negative_alpha(spark):
+    import pytest
+
+    from rippledb_spark.operators.mixture import (
+        temperature_mixture_sql,
+        temperature_mixture_weights,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "src string, n long")
+    with pytest.raises(ValueError, match="non-negative"):
+        temperature_mixture_weights(df, "n", "src", alpha=-1.0)
+    with pytest.raises(ValueError, match="non-negative"):
+        temperature_mixture_sql("t", "n", "src", alpha=-0.1)
