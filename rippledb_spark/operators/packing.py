@@ -64,3 +64,76 @@ def pack_by_token_budget(
     return out.withColumn(
         "pack_id", F.floor(cum_before / float(budget)).cast("bigint")
     )
+
+
+def epoch_shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic epoch shuffle into shards (r9 — the global-shuffle
+    step between mixture materialization and sequence packing: every
+    epoch the corpus is re-ordered with a new seed so batches don't
+    repeat, but the order must be REPRODUCIBLE across reruns, engines,
+    and cluster sizes, so it is a pure hash order, not an RNG):
+    shard = hash(seed, id) mod n_shards, position within the shard by
+    (hash, id) order. → DataFrame(id, shard, pos). Changing ``seed``
+    re-deals both assignments; identical inputs always re-shuffle
+    identically.
+
+    Scale shape: one projection + one shard-keyed window — each window
+    partition is ~corpus/n_shards (pick n_shards ≥ cluster parallelism;
+    the production writer emits one output file per shard). No global
+    ordering anywhere: position is PER SHARD, which is all a shard-file
+    writer needs."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("__h")
+    )
+    base = df.select(F.col(id_col).alias("id"), h)
+    w = Window.partitionBy("shard").orderBy("__h", "id")
+    return (
+        base.withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("id", "shard", "pos")
+    )
+
+
+def epoch_shuffle_sql(
+    table: str, id_col: str, n_shards: int, seed: int = 0
+) -> str:
+    """DuckDB CTE twin of :func:`epoch_shuffle_shards`; yields
+    ``epoch_shuffle`` with the same three columns."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = (
+        f"CAST(('0x' || substr(md5('{seed}' || '|' ||"
+        f" CAST({id_col} AS VARCHAR)), 1, 12)) AS BIGINT)"
+    )
+    return f"""es_h AS (
+      SELECT {id_col} AS id, {h} AS h FROM {table}
+    ),
+    epoch_shuffle AS (
+      SELECT id,
+             CAST(h % {n_shards} AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY h % {n_shards} ORDER BY h, id) AS BIGINT)
+               AS pos
+      FROM es_h
+    )"""

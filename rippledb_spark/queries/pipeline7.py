@@ -554,3 +554,40 @@ def temperature_mixture_accounting(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+from rippledb_spark.operators.packing import (  # noqa: E402
+    epoch_shuffle_shards,
+    epoch_shuffle_sql,
+)
+
+_ES_CTE = epoch_shuffle_sql("documents", "doc_id", n_shards=8, seed=3)
+
+
+@query(
+    "epoch_shuffle_accounting",
+    oracle=f"""
+    WITH {_ES_CTE.strip()}
+    SELECT id AS doc_id, shard, pos FROM epoch_shuffle
+    ORDER BY shard, pos
+    """,
+)
+def epoch_shuffle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/packing.
+    epoch_shuffle_shards, r9 — the reshuffle-every-epoch step between
+    mixture materialization and packing): every document lands in a
+    seed-keyed hash shard with a hash-ordered position — reproducible
+    across reruns, engines, and cluster sizes BECAUSE it is a pure hash
+    order, not an RNG. The oracle replays the md5 shard assignment and
+    per-shard (hash, id) ordering row for row, so a green row certifies
+    the complete epoch-3 deal of all 500 documents. Reference
+    comparison: n/a (no pipeline surface).
+
+    100 TB shape: one projection + one shard-keyed window; position is
+    per shard (what a shard-file writer needs), never global."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        epoch_shuffle_shards(d, "doc_id", n_shards=8, seed=3)
+        .select(F.col("id").alias("doc_id"), "shard", "pos")
+        .orderBy("shard", "pos")
+    )

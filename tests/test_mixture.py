@@ -142,3 +142,28 @@ def test_temperature_mixture_refuses_negative_alpha(spark):
         temperature_mixture_weights(df, "n", "src", alpha=-1.0)
     with pytest.raises(ValueError, match="non-negative"):
         temperature_mixture_sql("t", "n", "src", alpha=-0.1)
+
+
+def test_epoch_shuffle_reseeds_and_is_deterministic(spark):
+    from rippledb_spark.operators.packing import epoch_shuffle_shards
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r["id"]: (r["shard"], r["pos"])
+         for r in epoch_shuffle_shards(df, "doc_id", 4, seed=1).collect()}
+    b = {r["id"]: (r["shard"], r["pos"])
+         for r in epoch_shuffle_shards(df, "doc_id", 4, seed=1).collect()}
+    c = {r["id"]: (r["shard"], r["pos"])
+         for r in epoch_shuffle_shards(df, "doc_id", 4, seed=2).collect()}
+    assert a == b                       # same seed: identical deal
+    assert a != c                       # new seed: a different epoch
+    assert len(a) == 200
+    # positions are 1..n within each shard, no gaps
+    by_shard = {}
+    for shard, pos in a.values():
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    import pytest
+    with pytest.raises(ValueError, match="positive"):
+        epoch_shuffle_shards(df, "doc_id", 0)
