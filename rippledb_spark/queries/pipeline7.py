@@ -591,3 +591,156 @@ def epoch_shuffle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+from rippledb_spark.operators.quality import (  # noqa: E402
+    repetition_metrics,
+    repetition_metrics_sql,
+)
+
+_PP_GOPHER = repetition_metrics_sql("documents", "text", "doc_id")
+_PP_BUDGET = 2048
+
+
+@query(
+    "pretraining_pipeline_accounting",
+    oracle=f"""
+    WITH {_PP_GOPHER.strip()},
+    pp_kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN gopher g ON g.id = d.doc_id
+      WHERE g.keep
+    ),
+    pp_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM pp_kept GROUP BY md5(text)
+    ),
+    pp_docs AS (
+      SELECT k.doc_id, k.lang, k.text
+      FROM pp_kept k JOIN pp_canon c USING (doc_id)
+    ),
+    pp_counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM pp_docs GROUP BY lang
+    ),
+    pp_agg AS (
+      SELECT SUM(SQRT(CAST(n AS DOUBLE))) AS t, SUM(n) AS total
+      FROM pp_counts
+    ),
+    pp_w AS (
+      SELECT lang,
+             ROUND(2.0 * total * (SQRT(CAST(n AS DOUBLE)) / t) / n, 6)
+               AS epochs
+      FROM pp_counts, pp_agg
+    ),
+    pp_j AS (
+      SELECT d.doc_id, d.text, w.epochs,
+             {MX.mixture_epochs_sql("w.epochs", "d.doc_id")}
+      FROM pp_docs d JOIN pp_w w USING (lang)
+    ),
+    pp_rep AS (
+      SELECT doc_id, text,
+             CAST(doc_id AS VARCHAR) || '#' || CAST(i - 1 AS VARCHAR) AS rid
+      FROM (
+        SELECT doc_id, text, unnest(generate_series(1, n_copies)) AS i
+        FROM pp_j
+      )
+    ),
+    {epoch_shuffle_sql("pp_rep", "rid", 8, seed=1).strip()},
+    pp_tok AS (
+      SELECT e.shard, e.pos,
+             CAST(len(string_split(r.text, ' ')) AS BIGINT) AS n_tok
+      FROM epoch_shuffle e JOIN pp_rep r ON r.rid = e.id
+    ),
+    pp_packed AS (
+      SELECT shard, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM pp_tok
+    )
+    SELECT shard,
+           CAST(FLOOR(cb / {_PP_BUDGET}.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+    FROM pp_packed GROUP BY shard, pack_id ORDER BY shard, pack_id
+    """,
+)
+def pretraining_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE WHOLE PRETRAINING RECIPE AS ONE CERTIFIED QUERY (r9): Gopher
+    quality gate (operators/quality.repetition_metrics) → exact dedup
+    (min-id per content hash) → temperature mixture (√n sampling under
+    a 2×-corpus budget, operators/mixture) → materialized fractional
+    epochs (apply_mixture_epochs) → deterministic epoch shuffle into 8
+    shards (operators/packing.epoch_shuffle_shards, seed 1) → fixed
+    2048-token sequence packing per shard — reported per (shard, pack).
+    Every stage is individually certified elsewhere; THIS row certifies
+    the COMPOSITION: the keep set feeding dedup, the survivor counts
+    feeding the temperature weights, the copy ids feeding the shuffle,
+    and the shuffle order feeding the packer all have to line up in
+    both engines for a single hash to match. Reference comparison: n/a
+    (the reference has no pipeline surface).
+
+    100 TB shape: gate = explode + doc-keyed hash-aggs; dedup = one
+    content-hash shuffle; mixture weights = per-language broadcast;
+    materialization = projection + explode; shuffle + packing = one
+    shard-keyed window each. No stage collects; no global order —
+    everything is per-shard."""
+    d = load(spark, sf_dir, "documents")
+    keep = (
+        repetition_metrics(d, "text", "doc_id")
+        .where(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    kept = d.join(keep, "doc_id", "left_semi").select("doc_id", "lang", "text")
+    canon = kept.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    agg = counts.agg(
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("t"),
+        F.sum("n").alias("total"),
+    )
+    w = counts.crossJoin(F.broadcast(agg)).select(
+        "lang",
+        F.round(
+            F.lit(2.0)
+            * F.col("total")
+            * (F.sqrt(F.col("n").cast("double")) / F.col("t"))
+            / F.col("n"),
+            6,
+        ).alias("epochs"),
+    )
+    j = docs.join(F.broadcast(w), "lang")
+    rep = MX.apply_mixture_epochs(j, "epochs", "doc_id").withColumn(
+        "rid",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"), F.col("epoch_idx").cast("string")
+        ),
+    )
+    sh = epoch_shuffle_shards(rep, "rid", 8, seed=1)
+    tok = rep.select(
+        F.col("rid").alias("id"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    from pyspark.sql import Window as _Wnd
+
+    wnd = (
+        _Wnd.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(_Wnd.unboundedPreceding, -1)
+    )
+    packed = sh.join(tok, "id").select(
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(wnd), F.lit(0)).alias("cb"),
+    )
+    return (
+        packed.groupBy(
+            "shard",
+            F.floor(F.col("cb") / float(_PP_BUDGET)).cast("bigint").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )

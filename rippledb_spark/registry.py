@@ -137,6 +137,10 @@ HEADLINE: tuple[str, ...] = (
     "graph_scc_event_transitions",
     "scd2_customer_priority",
     "ivfpq_ann_topk",
+    # the whole pretraining recipe composed end to end (gate → dedup →
+    # temperature mixture → epoch shuffle → packing) — the single wall
+    # that moves when ANY pipeline stage regresses
+    "pretraining_pipeline_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
