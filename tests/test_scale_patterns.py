@@ -343,3 +343,31 @@ def test_ivfpq_query_path_broadcasts_and_never_cartesians_the_corpus(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pretraining_pipeline_single_partition_only_for_scalar_aggs(spark):
+    """r9 composition guard: every window in the end-to-end pipeline is
+    shard-keyed. The only SinglePartition exchanges allowed are the
+    grand-total normalizer combines (zero-key HashAggregate over
+    per-language PARTIAL rows — bounded by #languages × #tasks, the
+    standard scalar-agg shape); a refactor reintroducing a global
+    window or sort would trip this."""
+    from rippledb_spark.queries.pipeline7 import (
+        pretraining_pipeline_accounting,
+    )
+
+    plan = (
+        pretraining_pipeline_accounting(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "HashAggregate(keys=[]" in child, (
+                "SinglePartition feeding a non-scalar-agg operator:\n"
+                + "\n".join(lines[max(0, i - 3) : i + 2])
+            )
