@@ -744,3 +744,130 @@ def pretraining_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("shard", "pack_id")
     )
+
+
+from rippledb_spark.operators.dedup import shingles_sql  # noqa: E402
+
+_LS_FRAC = (
+    "(CAST(('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 6)) AS BIGINT)"
+    " / 16777216.0)"
+)
+
+
+@query(
+    "leakage_safe_split_accounting",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {shingles_sql('text', 3)} AS shingles FROM documents
+    ),
+    sized AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+    inv AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            WHERE len(shingles) > 0),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sized na ON na.doc_id = id_a JOIN sized nb ON nb.doc_id = id_b
+      WHERE shared / (na.n + nb.n - shared) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node, node AS r FROM nodes
+      UNION
+      SELECT e.b AS node, r.r FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS grp,
+             (c.node IS NOT NULL) AS in_cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, grp, in_cluster,
+             CASE WHEN {_LS_FRAC} < 0.8 THEN 'train'
+                  WHEN {_LS_FRAC} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM grouped
+    ),
+    xsplit AS (
+      SELECT COUNT(*) AS n FROM pairs p
+      JOIN assigned a ON a.doc_id = p.id_a
+      JOIN assigned b ON b.doc_id = p.id_b
+      WHERE a.split <> b.split
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs,
+           CAST((SELECT n FROM xsplit) AS BIGINT) AS cross_split_pairs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def leakage_safe_split_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting (r9 — the data-leakage rule
+    every eval pipeline must enforce: near-duplicate documents MUST land
+    in the SAME split, or the test set leaks into training): near-dup
+    pairs (exact 3-gram Jaccard ≥ 0.5) chain into clusters via
+    min-label connected components, every document's split is decided by
+    the md5 hash of its CLUSTER id (singletons hash their own id) at
+    80/10/10 — so cluster members can never straddle a boundary BY
+    CONSTRUCTION, which the certified ``cross_split_pairs = 0`` column
+    proves on the actual pair set rather than asserting. The oracle
+    replays shingling, the Jaccard gate, the recursive-CTE closure, the
+    group hash, and the leakage count. Reference comparison: n/a.
+
+    100 TB shape: the pair graph ∝ duplicates, not docs (LSH banding
+    replaces the exact pair join at scale, same composition); the split
+    itself is a pure hash projection — no shuffle beyond CC's rounds."""
+    from rippledb_spark.operators.dedup import ngram_jaccard_pairs
+    from rippledb_spark.operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b", iterations=None)
+    grouped = d.select("doc_id").join(
+        cc.select(F.col("node").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("grp"),
+        F.col("comp").isNotNull().alias("in_cluster"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("grp").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        / F.lit(16777216.0)
+    )
+    assigned = grouped.withColumn(
+        "split",
+        F.when(frac < 0.8, "train").when(frac < 0.9, "val").otherwise("test"),
+    )
+    xsplit = (
+        pairs.join(
+            assigned.select(F.col("doc_id").alias("id_a"),
+                            F.col("split").alias("__sa")), "id_a")
+        .join(
+            assigned.select(F.col("doc_id").alias("id_b"),
+                            F.col("split").alias("__sb")), "id_b")
+        .where(F.col("__sa") != F.col("__sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("in_cluster"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clustered_docs"),
+        )
+        .crossJoin(F.broadcast(xsplit))
+        .withColumn("cross_split_pairs", F.col("n").cast("bigint"))
+        .drop("n")
+        .orderBy("split")
+    )
