@@ -871,3 +871,82 @@ def leakage_safe_split_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         .drop("n")
         .orderBy("split")
     )
+
+
+from rippledb_spark.operators.packing import pack_by_token_budget  # noqa: E402
+
+_PA_BUDGET = 256
+_PA_SHARDS = 8
+
+
+@query(
+    "pack_assembly_accounting",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % {_PA_SHARDS} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, shard, doc_id, text, n_tok,
+             CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {_PA_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, shard, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           CAST(LENGTH(string_agg(text, chr(30) ORDER BY doc_id))
+                AS BIGINT) AS packed_chars,
+           md5(string_agg(text, chr(30) ORDER BY doc_id)) AS packed_md5
+    FROM packed GROUP BY lang, shard, pack_id
+    ORDER BY lang, shard, pack_id
+    """,
+)
+def pack_assembly_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pack ASSEMBLY (r9 — the final materialization step after
+    pack assignment: concatenate each pack's documents, in order, with a
+    separator token, producing the byte string a training loader maps):
+    documents pack per (lang, hash-shard) under a 256-token budget (the
+    certified pack_by_token_budget shape), then each pack's text
+    assembles as the doc_id-ordered separator join, certified by LENGTH
+    and md5 of the EXACT assembled string — a document out of order,
+    dropped, or assigned to the wrong pack changes the digest. The
+    separator is U+001E (record separator), chr(30) in both engines.
+    Reference comparison: n/a (no pipeline surface).
+
+    100 TB shape: pack assignment is one (lang, shard)-keyed window;
+    assembly is one (lang, shard, pack)-keyed sort-agg whose group size
+    is bounded by the token budget — the packed artifact, not the
+    corpus, is the unit of memory."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("bigint")
+    packed = pack_by_token_budget(
+        d.select("doc_id", "lang", "text", n_tok.alias("n_tok")),
+        token_col="n_tok",
+        order_col="doc_id",
+        group_cols=["lang"],
+        budget=_PA_BUDGET,
+        n_shards=_PA_SHARDS,
+    )
+    asm = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\x1e",
+    )
+    return (
+        packed.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+            F.length(asm).cast("bigint").alias("packed_chars"),
+            F.md5(asm).alias("packed_md5"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
