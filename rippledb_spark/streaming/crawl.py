@@ -254,6 +254,28 @@ def train_crawl_pq_books(
     return books.localCheckpoint(eager=True)
 
 
+def train_crawl_ivfpq_index(
+    corpus: DataFrame, dims: int = 16, ncells: int = 4, m: int = 2,
+    k: int = 4, iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the ROUTED crawl index once (coarse cells + shared residual
+    codebooks — operators/pq.ivfpq_index) on a corpus snapshot's kept
+    rows; → (coarse, books), both eagerly checkpointed for reuse inside
+    the foreachBatch closure. Same freeze-after-training contract as
+    :func:`train_crawl_pq_books`."""
+    from rippledb_spark.operators.pq import ivfpq_index
+
+    emb = corpus_text_embedding(corpus.where(F.col("keep")), dims=dims)
+    _, coarse, _, books = ivfpq_index(
+        emb, "emb", "uri", dims, ncells=ncells, m=m, k=k,
+        iterations=iterations,
+    )
+    return (
+        coarse.localCheckpoint(eager=True),
+        books.localCheckpoint(eager=True),
+    )
+
+
 def crawl_accounting(corpus: DataFrame) -> DataFrame:
     """Per-host accounting of a gated corpus — the report a filtering
     run emits per crawl segment (host = the URI's authority)."""
@@ -286,6 +308,7 @@ def start_crawl_corpus_sink(
     pq_books: DataFrame | None = None,
     pq_dims: int = 16,
     pq_m: int = 2,
+    pq_coarse: DataFrame | None = None,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
@@ -305,7 +328,11 @@ def start_crawl_corpus_sink(
     touched URIs. Codes are derived from the MERGED corpus row (the
     struct-max winner), not the raw fetch, so the codes snapshot always
     equals a batch encoding of the corpus snapshot — under replays,
-    batch splits, and out-of-order re-fetches alike.
+    batch splits, and out-of-order re-fetches alike. With ``pq_coarse``
+    additionally set (train_crawl_ivfpq_index), each batch ROUTES its
+    vectors to coarse cells and encodes residuals (ivfpq_encode) — the
+    snapshot then carries (uri, cell, s, cid), i.e. the IVF-PQ
+    inverted-list state itself, kept fresh incrementally.
     Both side-merges are union + dropDuplicates on the full row/key:
     idempotent under replay and batch-split-invariant because the
     extraction itself is per-fetch. Returns the StreamingQuery.
@@ -350,16 +377,27 @@ def start_crawl_corpus_sink(
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(path)
         if pq_path is not None:
-            from rippledb_spark.operators.pq import pq_encode
+            from rippledb_spark.operators.pq import ivfpq_encode, pq_encode
 
             touched = gated.select("uri").distinct()
             src = merged.join(F.broadcast(touched), "uri", "left_semi").where(
                 F.col("keep")
             )
-            codes = pq_encode(
-                corpus_text_embedding(src, dims=pq_dims),
-                "emb", "uri", pq_books, dims=pq_dims, m=pq_m,
-            ).select(F.col("pid").alias("uri"), "s", "cid")
+            emb = corpus_text_embedding(src, dims=pq_dims)
+            if pq_coarse is not None:
+                # routed form (r9): cells travel with the codes, so the
+                # snapshot is directly the IVF-PQ inverted-list state
+                assign, cds = ivfpq_encode(
+                    emb, "emb", "uri", pq_coarse, pq_books,
+                    dims=pq_dims, m=pq_m,
+                )
+                codes = cds.join(assign, "pid").select(
+                    F.col("pid").alias("uri"), "cell", "s", "cid"
+                )
+            else:
+                codes = pq_encode(
+                    emb, "emb", "uri", pq_books, dims=pq_dims, m=pq_m
+                ).select(F.col("pid").alias("uri"), "s", "cid")
             if snapshot_ready(spark, pq_path):
                 # drop every touched URI's old codes (covers re-fetches
                 # AND keep→false flips), then add the fresh ones

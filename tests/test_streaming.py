@@ -1185,3 +1185,61 @@ def test_crawl_sink_pq_path_requires_books(spark, tmp_path):
             dummy, str(tmp_path / "s"), str(tmp_path / "c"),
             pq_path=str(tmp_path / "p"),
         )
+
+
+def test_streaming_crawl_incremental_ivfpq_codes_match_batch(spark, tmp_path):
+    """r9: the ROUTED variant — with a frozen coarse quantizer the sink
+    maintains the IVF-PQ inverted-list state (uri, cell, s, cid)
+    incrementally, equal to a batch ivfpq_encode of the final corpus."""
+    from rippledb_spark.operators.pq import ivfpq_encode
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.streaming import crawl as SC
+
+    warc_dir = _warc_fixture(tmp_path)
+    snap = str(tmp_path / "ivfpq_corpus")
+    pq_snap = str(tmp_path / "ivfpq_codes")
+    ckpt = str(tmp_path / "ivfpq_ckpt")
+
+    batch_corpus = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    coarse, books = SC.train_crawl_ivfpq_index(
+        batch_corpus, dims=8, ncells=2, m=2, k=2
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, ckpt,
+        pq_path=pq_snap, pq_books=books, pq_dims=8, pq_m=2,
+        pq_coarse=coarse,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, spark.read.parquet(pq_snap).collect()))
+    want_src = SC.corpus_text_embedding(
+        spark.read.parquet(snap).where(F.col("keep")), dims=8
+    )
+    assign, codes = ivfpq_encode(
+        want_src, "emb", "uri", coarse, books, dims=8, m=2
+    )
+    want = sorted(
+        map(
+            tuple,
+            codes.join(assign, "pid")
+            .select(F.col("pid").alias("uri"), "cell", "s", "cid")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # snapshot schema carries the inverted-list cell column
+    assert set(spark.read.parquet(pq_snap).columns) == {
+        "uri", "cell", "s", "cid",
+    }
