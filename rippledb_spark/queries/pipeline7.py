@@ -950,3 +950,52 @@ def pack_assembly_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard", "pack_id")
     )
+
+
+from rippledb_spark.operators.retrieval import (  # noqa: E402
+    bm25_topk_batch,
+    bm25_topk_batch_sql,
+)
+
+# three fixed queries over the corpus vocabulary; q2 shares a term with
+# q1 (the batch form must score shared terms under per-query idf sums)
+_BM25_BATCH = [
+    (1, "shuffle"), (1, "broadcast"),
+    (2, "broadcast"), (2, "filter"), (2, "quantile"),
+    (3, "window"),
+]
+_BM25_BATCH_VALUES = ", ".join(f"({q}, '{t}')" for q, t in _BM25_BATCH)
+
+
+@query(
+    "bm25_batch_top_documents",
+    oracle=f"""
+    WITH {bm25_topk_batch_sql(
+        "documents", "text", "doc_id",
+        f"(SELECT * FROM (VALUES {_BM25_BATCH_VALUES})"
+        " AS t(query_id, term))",
+        topk=10).strip()}
+    SELECT query_id, rank, doc_id, n_query_terms_hit, score
+    FROM bm25_batch ORDER BY query_id, rank
+    """,
+)
+def bm25_batch_top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BM25 retrieval (operators/retrieval.bm25_topk_batch, r9 —
+    the production shape: many queries against one corpus in ONE pass):
+    three fixed queries (with a shared term, so per-query idf sums are
+    exercised against common tf rows) rank the documents table top-10
+    each. One corpus scan gated to the union of all query terms, df and
+    corpus stats broadcast, one (query, doc)-keyed sum, and a
+    query-partitioned rank window — the WindowGroupLimit shape, correct
+    where the single-query orderBy().limit() cannot apply. The oracle
+    replays the whole batch in one CTE chain. Reference comparison: n/a
+    (no text surface).
+
+    100 TB shape: corpus work is independent of query count until the
+    final broadcast join; adding queries adds broadcast rows, not
+    scans."""
+    d = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_BATCH, "query_id int, term string")
+    return bm25_topk_batch(d, "text", "doc_id", q, topk=10).orderBy(
+        "query_id", "rank"
+    )

@@ -350,3 +350,37 @@ def test_ivfpq_encode_reproduces_index_and_routes_new_vectors(spark):
     got = {r["s"]: r["cid"] for r in nc.collect()}
     member = {r["s"]: r["cid"] for r in codes.where("pid = 2").collect()}
     assert got == member
+
+
+def test_bm25_batch_matches_single_query_form(spark):
+    """r9: the batched form must reproduce the single-query operator for
+    each query id, and a WindowGroupLimit rank-pushdown must appear in
+    the plan (the partitioned-top-k shape PLANS.md documents)."""
+    from rippledb_spark.operators.retrieval import bm25_topk, bm25_topk_batch
+
+    rows = [
+        (0, "apple banana apple apple"),
+        (1, "apple banana"),
+        (2, "banana banana banana banana"),
+        (3, "cherry date"),
+        (4, "apple " + "filler " * 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        [(1, "apple"), (1, "banana"), (2, "banana"), (2, "cherry")],
+        "query_id int, term string",
+    )
+    batch = bm25_topk_batch(df, "text", "doc_id", q, topk=10)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["n_query_terms_hit"], r["score"])
+        for r in batch.collect()
+    }
+    for qid, terms in ((1, ["apple", "banana"]), (2, ["banana", "cherry"])):
+        single = {
+            r["rank"]: (r["doc_id"], r["n_query_terms_hit"], r["score"])
+            for r in bm25_topk(df, "text", "doc_id", terms, topk=10).collect()
+        }
+        for rank, v in single.items():
+            assert got[(qid, rank)] == v, (qid, rank)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
