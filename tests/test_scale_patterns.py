@@ -303,6 +303,34 @@ def test_bm25_topk_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bm25_topk_batch_plan_shape(spark):
+    """r10 (verdict ask #3): the batched form's query-partitioned rank
+    window must plan as WindowGroupLimit (per-partition top-k pre-filter
+    before the shuffle, then a final pass after it) — the shape where no
+    single partition ever carries more than topk rows per query. Unlike
+    the single-query form (TakeOrderedAndProject by construction), the
+    batch form genuinely depends on this optimizer rule, so a silent
+    plan-shape regression here is exactly what the r8 BM25 finding was
+    about."""
+    from rippledb_spark.operators.retrieval import bm25_topk_batch
+
+    d = load(spark, "/root/testdata/sf0.001", "documents")
+    q = spark.createDataFrame(
+        [("q1", "the"), ("q1", "data"), ("q2", "model")],
+        "query_id string, term string",
+    )
+    plan = (
+        bm25_topk_batch(d, "text", "doc_id", q, topk=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # both halves of the rule: a Partial limit before the query_id
+    # shuffle and a Final one after it
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
 def test_pq_query_path_broadcasts_lookup_table(spark):
     """r8 PQ/ADC: the corpus-side join against the lookup table must be
     a broadcast join (the lt is nq·m·k rows), never a cartesian."""
