@@ -350,6 +350,190 @@ def ivfpq_encode(
     return assigned.select("pid", "cell"), codes
 
 
+def _route_queries(
+    queries: DataFrame, coarse: DataFrame, nprobe: int
+) -> DataFrame:
+    """Route each query to its ``nprobe`` nearest coarse cells; → one
+    (q_pid, cell, qr) row per probed cell with the residual
+    q − centroid(cell). The window is nq×ncells rows — always tiny."""
+    pw = Window.partitionBy("q_pid").orderBy("d2", "cell")
+    return (
+        queries.crossJoin(F.broadcast(coarse))
+        .select(
+            "q_pid", "qv", "cell", "cc",
+            _dist2(F.col("qv"), F.col("cc")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") <= nprobe)
+        .select(
+            "q_pid",
+            "cell",
+            F.zip_with("qv", "cc", lambda a, b: a - b).alias("qr"),
+        )
+    )
+
+
+def _adc_estimates(
+    probe: DataFrame, books: DataFrame, cellcodes: DataFrame, d0: int
+) -> DataFrame:
+    """Routed ADC: per-(query, cell, subspace, centroid) lookup table
+    (nq·nprobe·m·k rows, broadcast) joined to the code table on
+    (cell, s, cid) — only codes in probed cells ever match, the
+    inverted-list prune IS this equi-join key. → DataFrame(q_pid, pid,
+    cell, adc_d2), one row per surviving candidate."""
+    lt = probe.crossJoin(F.broadcast(books)).select(
+        "q_pid",
+        "cell",
+        "s",
+        "cid",
+        _dist2(
+            F.slice(F.col("qr"), F.col("s") * d0 + 1, d0), F.col("c")
+        ).alias("lt_d2"),
+    )
+    return (
+        cellcodes.join(F.broadcast(lt), ["cell", "s", "cid"])
+        .where(F.col("pid") != F.col("q_pid"))
+        .groupBy("q_pid", "pid")
+        .agg(
+            F.min("cell").alias("cell"),
+            F.round(F.sum("lt_d2"), ADC_DP).alias("adc_d2"),
+        )
+    )
+
+
+def ivfpq_query_topk(
+    queries: DataFrame,
+    coarse: DataFrame,
+    books: DataFrame,
+    cellcodes: DataFrame,
+    dims: int,
+    m: int,
+    nprobe: int = 2,
+    topk: int = 5,
+) -> DataFrame:
+    """Answer ANN queries against a FROZEN IVF-PQ index — the production
+    serving path (train/save once, load/query forever; no training, no
+    exact twin). ``queries`` is DataFrame(q_pid, qv); ``coarse``/
+    ``books``/``cellcodes`` are :func:`load_index`'s frames (cellcodes =
+    (cell, pid, s, cid)). → DataFrame(q_pid, rank, pid, cell, adc_d2),
+    the same ADC arithmetic and tiebreaks as :func:`ivfpq_topk`'s
+    approximate half.
+
+    100 TB shape: the probed cells are collected up front (a BOUNDED
+    nq·nprobe-row routing table, nothing corpus-sized) and applied as a
+    LITERAL ``cell IN (...)`` filter — so when ``cellcodes`` comes from
+    :func:`load_index`'s partitionBy("cell") store, the scan itself is
+    pruned (PartitionFilters; pinned by
+    tests/test_scale_patterns.py::test_saved_index_query_path_prunes_partitions)
+    and the executors never open files outside the probed cells."""
+    d0 = dims // m
+    probe = _route_queries(queries, coarse, nprobe).localCheckpoint(
+        eager=True
+    )
+    probed = sorted(
+        r["cell"] for r in probe.select("cell").distinct().collect()
+    )
+    pruned = cellcodes.where(F.col("cell").isin(probed))
+    est = _adc_estimates(probe, books, pruned, d0)
+    w = Window.partitionBy("q_pid").orderBy("adc_d2", "pid")
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("q_pid", "rank", "pid", "cell", "adc_d2")
+    )
+
+
+def pq_query_topk(
+    queries: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    dims: int,
+    m: int,
+    topk: int = 5,
+) -> DataFrame:
+    """Answer ANN queries against FROZEN flat-PQ state — the serving
+    path for :func:`pq_codes`' output (no training, no exact twin;
+    :func:`ivfpq_query_topk` is the routed sibling). ``queries`` is
+    DataFrame(q_pid, qv). → DataFrame(q_pid, rank, pid, adc_d2), the
+    same ADC arithmetic and tiebreaks as :func:`pq_adc_topk`'s
+    approximate half: one nq·m·k-row broadcast lookup table, one
+    (query, pid)-keyed sum over the code table — no full vector is ever
+    read."""
+    d0 = dims // m
+    lt = queries.crossJoin(F.broadcast(books)).select(
+        "q_pid",
+        "s",
+        "cid",
+        _dist2(
+            F.slice(F.col("qv"), F.col("s") * d0 + 1, d0), F.col("c")
+        ).alias("lt_d2"),
+    )
+    est = (
+        codes.join(F.broadcast(lt), ["s", "cid"])
+        .where(F.col("pid") != F.col("q_pid"))
+        .groupBy("q_pid", "pid")
+        .agg(F.round(F.sum("lt_d2"), ADC_DP).alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_pid").orderBy("adc_d2", "pid")
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("q_pid", "rank", "pid", "adc_d2")
+    )
+
+
+def save_index(
+    path: str,
+    assign: DataFrame,
+    coarse: DataFrame,
+    codes: DataFrame,
+    books: DataFrame,
+) -> None:
+    """Persist a trained IVF-PQ index (:func:`ivfpq_index`'s four
+    frames) as three parquet tables under ``path``: ``coarse/`` and
+    ``books/`` (both tiny — ≤ ncells and m·k rows), and ``codes/``
+    written ``partitionBy("cell")`` with columns (pid, s, cid) — the
+    inverted-list layout, so a probed-cells filter prunes at the
+    PARTITION level and a query reads only nprobe/ncells of the files
+    (reference backup comparison: graph.rs:630-695 serializes the whole
+    store as driver-side JSON; here every table is a distributed
+    parquet write)."""
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    save_cellcodes(path, codes.join(assign, "pid"))
+
+
+def save_cellcodes(path: str, cellcodes: DataFrame) -> None:
+    """Write just the code table of an index store — (pid, s, cid, cell)
+    rows, ``partitionBy("cell")`` under ``path/codes``. The incremental
+    path (the streaming crawl sink re-merges codes every micro-batch
+    while coarse/books stay frozen) uses this directly; :func:`save_index`
+    composes it."""
+    (
+        cellcodes.select("pid", "s", "cid", "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def load_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a :func:`save_index` store → (coarse, books, cellcodes)
+    ready for :func:`ivfpq_query_topk` / :func:`ivfpq_encode`. The
+    partition column comes back as the inferred int type, so it is cast
+    to bigint to match the in-memory frames; Catalyst unwraps the cast
+    (UnwrapCastInBinaryComparison), so literal cell filters still reach
+    the scan as PartitionFilters."""
+    coarse = spark.read.parquet(f"{path}/coarse")
+    books = spark.read.parquet(f"{path}/books")
+    cellcodes = spark.read.parquet(f"{path}/codes").withColumn(
+        "cell", F.col("cell").cast("bigint")
+    )
+    return coarse, books, cellcodes
+
+
 def ivfpq_topk(
     df: DataFrame,
     vec_col: str,
@@ -388,45 +572,9 @@ def ivfpq_topk(
     queries = full.orderBy("pid").limit(n_queries).select(
         F.col("pid").alias("q_pid"), F.col("v").alias("qv")
     )
-    # route each query to its nprobe nearest cells; residual per cell
-    # (the window is nq×ncells rows — always tiny)
-    pw = Window.partitionBy("q_pid").orderBy("d2", "cell")
-    probe = (
-        queries.crossJoin(F.broadcast(coarse))
-        .select(
-            "q_pid", "qv", "cell", "cc",
-            _dist2(F.col("qv"), F.col("cc")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(pw))
-        .where(F.col("rn") <= nprobe)
-        .select(
-            "q_pid",
-            "cell",
-            F.zip_with("qv", "cc", lambda a, b: a - b).alias("qr"),
-        )
-    )
-    # per-(query, cell, subspace, centroid) ADC lookup table — broadcast
-    lt = probe.crossJoin(F.broadcast(books)).select(
-        "q_pid",
-        "cell",
-        "s",
-        "cid",
-        _dist2(
-            F.slice(F.col("qr"), F.col("s") * d0 + 1, d0), F.col("c")
-        ).alias("lt_d2"),
-    )
-    # join on (cell, s, cid): only codes in probed cells ever match —
-    # the inverted-list prune IS this equi-join key
+    probe = _route_queries(queries, coarse, nprobe)
     cellcodes = codes.join(assign, "pid")
-    est = (
-        cellcodes.join(F.broadcast(lt), ["cell", "s", "cid"])
-        .where(F.col("pid") != F.col("q_pid"))
-        .groupBy("q_pid", "pid")
-        .agg(
-            F.min("cell").alias("cell"),
-            F.round(F.sum("lt_d2"), ADC_DP).alias("adc_d2"),
-        )
-    )
+    est = _adc_estimates(probe, books, cellcodes, d0)
     w = Window.partitionBy("q_pid").orderBy("adc_d2", "pid")
     approx = est.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= topk
@@ -460,6 +608,111 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    ncells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 3,
+    shortlist: int = 15,
+    topk: int = 5,
+) -> DataFrame:
+    """Two-stage retrieval (r10 — the production ANN answer shape,
+    FAISS's refine step): IVF-PQ ADC ranks a SHORTLIST of
+    ``shortlist`` ≫ ``topk`` candidates per query, those R·nq full
+    vectors are fetched by pid, and the final top-``topk`` is the EXACT
+    full-dimension re-rank of the shortlist. Recall becomes tunable via
+    R instead of fixed by ADC quantization error — and the re-rank
+    top-k provably contains every true top-k member the shortlist
+    caught (true neighbors beat all non-neighbors on exact distance),
+    so recall@k ≥ plain ADC's on any corpus, deterministically.
+
+    → DataFrame(q_pid, rank, pid, cell, adc_rank, exact_d2,
+    in_exact_topk): ``rank`` is the re-ranked position (6dp-rounded
+    exact distance, pid tiebreak), ``adc_rank`` the candidate's
+    position in the pure-ADC ordering, ``in_exact_topk`` the
+    self-verifying recall flag (certification twin; production drops
+    it).
+
+    100 TB shape: the shortlist is nq·R rows — BROADCAST to the corpus
+    scan, so the fetch is one broadcast semi-join (scan work ∝ corpus
+    for the one projection pass, matched rows ∝ R·nq), and the exact
+    arithmetic runs on R·nq rows only — never corpus×queries (probe
+    receipt: tools/scale_probe_rerank.py)."""
+    assign, coarse, codes, books = ivfpq_index(
+        df, vec_col, id_col, dims, ncells=ncells, m=m, k=k,
+        iterations=iterations,
+    )
+    d0 = dims // m
+    full = df.select(
+        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    )
+    queries = full.orderBy("pid").limit(n_queries).select(
+        F.col("pid").alias("q_pid"), F.col("v").alias("qv")
+    )
+    probe = _route_queries(queries, coarse, nprobe)
+    est = _adc_estimates(probe, books, codes.join(assign, "pid"), d0)
+    w = Window.partitionBy("q_pid").orderBy("adc_d2", "pid")
+    short = (
+        est.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= shortlist)
+        .select("q_pid", "pid", "cell", "adc_rank")
+    )
+    # fetch: ONE pass over the corpus, broadcast shortlist — the exact
+    # distance is computed for R·nq rows only
+    fetch = (
+        full.join(F.broadcast(short), "pid")
+        .join(F.broadcast(queries), "q_pid")
+        .select(
+            "q_pid",
+            "pid",
+            "cell",
+            "adc_rank",
+            F.round(_dist2(F.col("qv"), F.col("v")), ADC_DP).alias(
+                "exact_d2"
+            ),
+        )
+    )
+    rw = Window.partitionBy("q_pid").orderBy("exact_d2", "pid")
+    rr = fetch.withColumn("rank", F.row_number().over(rw)).where(
+        F.col("rank") <= topk
+    )
+    # certification twin: true full-dimension top-k over the whole corpus
+    exact = (
+        queries.crossJoin(full)
+        .where(F.col("pid") != F.col("q_pid"))
+        .select(
+            "q_pid",
+            "pid",
+            F.round(_dist2(F.col("qv"), F.col("v")), ADC_DP).alias("x_d2"),
+        )
+    )
+    xw = Window.partitionBy("q_pid").orderBy("x_d2", "pid")
+    exact_top = (
+        exact.withColumn("xr", F.row_number().over(xw))
+        .where(F.col("xr") <= topk)
+        .select("q_pid", "pid", F.lit(True).alias("in_exact_topk"))
+    )
+    return (
+        rr.join(exact_top, ["q_pid", "pid"], "left")
+        .select(
+            "q_pid",
+            "rank",
+            "pid",
+            "cell",
+            "adc_rank",
+            "exact_d2",
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy("q_pid", "rank")
+    )
+
+
 def ivfpq_sql(
     table: str,
     vec_col: str,
@@ -479,6 +732,99 @@ def ivfpq_sql(
     residual subtraction is an exact elementwise IEEE op in both engines
     (Spark ``zip_with`` ≡ DuckDB ``list_transform`` over an index
     range), so the chains re-enter from bit-identical inputs."""
+    parts = _ivfpq_parts(
+        table, vec_col, id_col, dims, ncells=ncells, nprobe=nprobe, m=m,
+        k=k, iterations=iterations, n_queries=n_queries, topk=topk,
+    )
+    parts.append(
+        f"""ivfpq_topk AS (
+      SELECT a.q_pid, a.rank, a.pid, a.cell, a.adc_d2,
+             (e.pid IS NOT NULL) AS in_exact_topk
+      FROM iv_approx a LEFT JOIN iv_exact e
+        ON e.q_pid = a.q_pid AND e.pid = a.pid
+      WHERE a.rank <= {topk}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def ivfpq_rerank_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    ncells: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    n_queries: int = 3,
+    shortlist: int = 15,
+    topk: int = 5,
+) -> str:
+    """DuckDB CTE-chain twin of :func:`ivfpq_rerank_topk`; yields a
+    relation ``ivfpq_rerank`` with the same seven columns. Shares the
+    whole index/ADC chain with :func:`ivfpq_sql` (the shortlist is
+    iv_approx rows with rank ≤ R) and appends the exact-distance
+    re-rank — the same _dist2 term order and 6dp round as iv_exact, so
+    the re-ranked ordering replays bit-for-bit."""
+    parts = _ivfpq_parts(
+        table, vec_col, id_col, dims, ncells=ncells, nprobe=nprobe, m=m,
+        k=k, iterations=iterations, n_queries=n_queries, topk=topk,
+    )
+    xd2 = (
+        "(list_dot_product(q.qv, q.qv)"
+        " - 2 * list_dot_product(q.qv, v.fv)"
+        " + list_dot_product(v.fv, v.fv))"
+    )
+    parts.append(
+        f"""iv_short AS (
+      SELECT q_pid, pid, cell, rank AS adc_rank
+      FROM iv_approx WHERE rank <= {shortlist}
+    )"""
+    )
+    parts.append(
+        f"""iv_fetch AS (
+      SELECT s.q_pid, s.pid, s.cell, s.adc_rank,
+             ROUND({xd2}, {ADC_DP}) AS exact_d2
+      FROM iv_short s
+      JOIN iv_queries q ON q.q_pid = s.q_pid
+      JOIN (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS fv
+            FROM {table}) v ON v.pid = s.pid
+    )"""
+    )
+    parts.append(
+        f"""ivfpq_rerank AS (
+      SELECT r.q_pid, r.rank, r.pid, r.cell, r.adc_rank, r.exact_d2,
+             (e.pid IS NOT NULL) AS in_exact_topk
+      FROM (
+        SELECT f.*, row_number() OVER (
+          PARTITION BY q_pid ORDER BY exact_d2, pid) AS rank
+        FROM iv_fetch f
+      ) r LEFT JOIN iv_exact e
+        ON e.q_pid = r.q_pid AND e.pid = r.pid
+      WHERE r.rank <= {topk}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ivfpq_parts(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    ncells: int,
+    nprobe: int,
+    m: int,
+    k: int,
+    iterations: int,
+    n_queries: int,
+    topk: int,
+) -> list[str]:
+    """The shared IVF-PQ CTE chain (train → route → ADC → iv_approx +
+    iv_exact), consumed by :func:`ivfpq_sql` and
+    :func:`ivfpq_rerank_sql`."""
     if dims % m:
         raise ValueError(f"dims {dims} not divisible into {m} subspaces")
     d0 = dims // m
@@ -593,16 +939,7 @@ def ivfpq_sql(
       ) WHERE xr <= {topk}
     )"""
     )
-    parts.append(
-        f"""ivfpq_topk AS (
-      SELECT a.q_pid, a.rank, a.pid, a.cell, a.adc_d2,
-             (e.pid IS NOT NULL) AS in_exact_topk
-      FROM iv_approx a LEFT JOIN iv_exact e
-        ON e.q_pid = a.q_pid AND e.pid = a.pid
-      WHERE a.rank <= {topk}
-    )"""
-    )
-    return ",\n    ".join(parts)
+    return parts
 
 
 def pq_adc_sql(

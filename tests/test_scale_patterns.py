@@ -373,6 +373,28 @@ def test_ivfpq_query_path_broadcasts_and_never_cartesians_the_corpus(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivfpq_rerank_fetch_is_broadcast_never_cartesian(spark):
+    """r10: the two-stage re-rank's candidate fetch must be a broadcast
+    join of the nq·R shortlist against the corpus — the exact-distance
+    arithmetic runs on R·nq rows, never corpus×queries. The only
+    non-equi join allowed is the bounded certification twin."""
+    from rippledb_spark.operators.pq import ivfpq_rerank_topk
+
+    df = spark.range(0, 64).select(
+        F.col("id").alias("pid"),
+        F.array(*[(F.col("id") % 4 + F.col("id") / 100.0)] * 8).alias("vec"),
+    )
+    plan = (
+        ivfpq_rerank_topk(df, "vec", "pid", dims=8, ncells=4, nprobe=2,
+                          m=2, k=2, n_queries=2, shortlist=8, topk=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pretraining_pipeline_single_partition_only_for_scalar_aggs(spark):
     """r9 composition guard: every window in the end-to-end pipeline is
     shard-keyed. The only SinglePartition exchanges allowed are the
@@ -401,14 +423,19 @@ def test_pretraining_pipeline_single_partition_only_for_scalar_aggs(spark):
             )
 
 
-def test_ivfpq_code_table_partitioned_by_cell_prunes_probed_cells(
-    spark, tmp_path_factory
-):
-    """r9: the SCALING claim made executable — an IVF-PQ code table
-    stored partitionBy("cell") serves a probed-cells filter with
-    partition PRUNING (PartitionFilters at the scan), so the ADC join
-    reads only nprobe/ncells of the files before any row is touched."""
-    from rippledb_spark.operators.pq import ivfpq_index
+def test_saved_index_query_path_prunes_partitions(spark, tmp_path_factory):
+    """r10 (verdict ask #2 — the r9 pin moved onto the API): an index
+    persisted with pq.save_index stores codes partitionBy("cell"), and
+    pq.ivfpq_query_topk's probed-cells literal filter reaches that scan
+    as PartitionFilters — the executors never open files outside the
+    probed cells. The bigint cast load_index applies must not break the
+    pruning (Catalyst unwraps it)."""
+    from rippledb_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_query_topk,
+        load_index,
+        save_index,
+    )
 
     df = spark.range(0, 64).select(
         F.col("id").alias("pid"),
@@ -417,11 +444,23 @@ def test_ivfpq_code_table_partitioned_by_cell_prunes_probed_cells(
     assign, coarse, codes, books = ivfpq_index(
         df, "vec", "pid", dims=8, ncells=4, m=2, k=2
     )
-    path = str(tmp_path_factory.mktemp("ivfpq") / "codes")
-    codes.join(assign, "pid").write.partitionBy("cell").parquet(path)
-    probed = spark.read.parquet(path).where(F.col("cell").isin(0, 1))
-    plan = probed._jdf.queryExecution().executedPlan().toString()
+    path = str(tmp_path_factory.mktemp("ivfpq") / "store")
+    save_index(path, assign, coarse, codes, books)
+    lcoarse, lbooks, lcellcodes = load_index(spark, path)
+    queries = df.select(
+        F.col("pid").alias("q_pid"), F.col("vec").alias("qv")
+    ).orderBy("q_pid").limit(2)
+    out = ivfpq_query_topk(
+        queries, lcoarse, lbooks, lcellcodes, dims=8, m=2, nprobe=1, topk=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
     flat = plan.replace("\n", " ")
-    assert "PartitionFilters" in flat and "cell" in flat
-    # the filter is partition-level: no post-scan Filter on cell remains
+    # the probed-cells filter is partition-level at the codes scan
+    assert "PartitionFilters" in flat and "cell" in flat, flat
+    assert "CartesianProduct" not in plan
+    assert out.count() == 6  # 2 queries x top-3
+    # direct read sanity: the store's layout itself prunes
+    probed = spark.read.parquet(f"{path}/codes").where(
+        F.col("cell").isin(0, 1)
+    )
     assert probed.count() == assign.where(F.col("cell").isin(0, 1)).count() * 2
