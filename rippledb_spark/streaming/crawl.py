@@ -330,9 +330,13 @@ def start_crawl_corpus_sink(
     equals a batch encoding of the corpus snapshot — under replays,
     batch splits, and out-of-order re-fetches alike. With ``pq_coarse``
     additionally set (train_crawl_ivfpq_index), each batch ROUTES its
-    vectors to coarse cells and encodes residuals (ivfpq_encode) — the
-    snapshot then carries (uri, cell, s, cid), i.e. the IVF-PQ
-    inverted-list state itself, kept fresh incrementally.
+    vectors to coarse cells and encodes residuals (ivfpq_encode), and
+    ``pq_path`` becomes a FIRST-CLASS index store (r10 — the
+    operators/pq save/load layout): codes partitionBy("cell") under
+    ``pq_path/codes`` (pid = the uri), frozen coarse/books beside them
+    — so ``pq.load_index(spark, pq_path)`` + ``pq.ivfpq_query_topk``
+    serve partition-pruned ANN straight off the crawl snapshot, kept
+    fresh incrementally.
     Both side-merges are union + dropDuplicates on the full row/key:
     idempotent under replay and batch-split-invariant because the
     extraction itself is per-fetch. Returns the StreamingQuery.
@@ -385,32 +389,56 @@ def start_crawl_corpus_sink(
             )
             emb = corpus_text_embedding(src, dims=pq_dims)
             if pq_coarse is not None:
-                # routed form (r9): cells travel with the codes, so the
-                # snapshot is directly the IVF-PQ inverted-list state
+                # routed form (r9; r10: persisted through the first-class
+                # index store — operators/pq.save_cellcodes/load_index —
+                # so pq_path IS a loadable IVF-PQ index: codes live
+                # partitionBy("cell") under pq_path/codes (probed-cells
+                # queries prune at the partition level), and the frozen
+                # coarse/books are written beside them so
+                # pq.load_index(spark, pq_path) + pq.ivfpq_query_topk
+                # serve ANN straight off the crawl snapshot
+                from rippledb_spark.operators.pq import (
+                    load_index,
+                    save_cellcodes,
+                )
+
                 assign, cds = ivfpq_encode(
                     emb, "emb", "uri", pq_coarse, pq_books,
                     dims=pq_dims, m=pq_m,
                 )
-                codes = cds.join(assign, "pid").select(
-                    F.col("pid").alias("uri"), "cell", "s", "cid"
+                cellcodes = cds.join(assign, "pid")
+                if snapshot_ready(spark, f"{pq_path}/codes"):
+                    # drop every touched URI's old codes (covers
+                    # re-fetches AND keep→false flips), then add fresh
+                    _, _, old = load_index(spark, pq_path)
+                    cellcodes = old.join(
+                        F.broadcast(touched.select(F.col("uri").alias("pid"))),
+                        "pid",
+                        "left_anti",
+                    ).unionByName(cellcodes)
+                save_cellcodes(
+                    pq_path, cellcodes.localCheckpoint(eager=True)
                 )
+                # frozen quantizers: tiny frames, rewritten per batch so
+                # a torn first write can never leave a codes table
+                # without its codebooks
+                pq_coarse.write.mode("overwrite").parquet(f"{pq_path}/coarse")
+                pq_books.write.mode("overwrite").parquet(f"{pq_path}/books")
             else:
                 codes = pq_encode(
                     emb, "emb", "uri", pq_books, dims=pq_dims, m=pq_m
                 ).select(F.col("pid").alias("uri"), "s", "cid")
-            if snapshot_ready(spark, pq_path):
-                # drop every touched URI's old codes (covers re-fetches
-                # AND keep→false flips), then add the fresh ones
-                codes = (
-                    spark.read.parquet(pq_path)
-                    .join(F.broadcast(touched), "uri", "left_anti")
-                    .unionByName(codes)
+                if snapshot_ready(spark, pq_path):
+                    codes = (
+                        spark.read.parquet(pq_path)
+                        .join(F.broadcast(touched), "uri", "left_anti")
+                        .unionByName(codes)
+                    )
+                (
+                    codes.localCheckpoint(eager=True)
+                    .write.mode("overwrite")
+                    .parquet(pq_path)
                 )
-            (
-                codes.localCheckpoint(eager=True)
-                .write.mode("overwrite")
-                .parquet(pq_path)
-            )
         if triples_path is not None:
             from rippledb_spark import model
 

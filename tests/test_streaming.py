@@ -1189,9 +1189,12 @@ def test_crawl_sink_pq_path_requires_books(spark, tmp_path):
 
 def test_streaming_crawl_incremental_ivfpq_codes_match_batch(spark, tmp_path):
     """r9: the ROUTED variant — with a frozen coarse quantizer the sink
-    maintains the IVF-PQ inverted-list state (uri, cell, s, cid)
-    incrementally, equal to a batch ivfpq_encode of the final corpus."""
-    from rippledb_spark.operators.pq import ivfpq_encode
+    maintains the IVF-PQ inverted-list state incrementally, equal to a
+    batch ivfpq_encode of the final corpus. r10: the state is persisted
+    through the first-class index store (pq.save_cellcodes layout), so
+    pq.load_index serves it back directly — codes partitioned by cell,
+    frozen coarse/books beside them."""
+    from rippledb_spark.operators.pq import ivfpq_encode, load_index
     from rippledb_spark.sources.warc import (
         WARC_SCHEMA,
         read_warc,
@@ -1223,7 +1226,10 @@ def test_streaming_crawl_incremental_ivfpq_codes_match_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    got = sorted(map(tuple, spark.read.parquet(pq_snap).collect()))
+    lcoarse, lbooks, lcellcodes = load_index(spark, pq_snap)
+    got = sorted(
+        map(tuple, lcellcodes.select("pid", "cell", "s", "cid").collect())
+    )
     want_src = SC.corpus_text_embedding(
         spark.read.parquet(snap).where(F.col("keep")), dims=8
     )
@@ -1234,12 +1240,21 @@ def test_streaming_crawl_incremental_ivfpq_codes_match_batch(spark, tmp_path):
         map(
             tuple,
             codes.join(assign, "pid")
-            .select(F.col("pid").alias("uri"), "cell", "s", "cid")
+            .select("pid", "cell", "s", "cid")
             .collect(),
         )
     )
     assert got == want and len(got) > 0
-    # snapshot schema carries the inverted-list cell column
-    assert set(spark.read.parquet(pq_snap).columns) == {
-        "uri", "cell", "s", "cid",
-    }
+    # the snapshot IS a loadable index: frozen quantizers round-trip too
+    assert sorted(map(tuple, lcoarse.collect())) == sorted(
+        map(tuple, coarse.collect())
+    )
+    assert sorted(map(tuple, lbooks.collect())) == sorted(
+        map(tuple, books.collect())
+    )
+    # and the codes table is cell-partitioned on disk (pruning layout)
+    import os as _os
+
+    assert any(
+        d.startswith("cell=") for d in _os.listdir(f"{pq_snap}/codes")
+    )
