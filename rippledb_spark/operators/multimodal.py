@@ -448,11 +448,12 @@ def ima_decode_block(pred: int, index: int, nibbles) -> list[int]:
     return out
 
 
-# --- TIFF (r9) --------------------------------------------------------------
+# --- TIFF (r9; LZW r10) ------------------------------------------------------
 # Baseline TIFF 6.0 (Adobe, public spec): grayscale 8-bit, uncompressed
-# (Compression=1) or PackBits RLE (32773, spec §9 — the classic scanned-
-# document payload), both byte orders, multi-strip. Everything outside
-# that profile refuses loudly.
+# (Compression=1), PackBits RLE (32773, spec §9 — the classic scanned-
+# document payload), or LZW (5, spec §13 — the other common scanned-corpus
+# variant, with the §14 horizontal-differencing Predictor=2), both byte
+# orders, multi-strip. Everything outside that profile refuses loudly.
 
 def packbits_encode(row: bytes) -> bytes:
     """TIFF 6.0 §9 PackBits: runs of ≥2 equal bytes → (257−n) repeat
@@ -510,6 +511,145 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+def tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW compression: MSB-first bit packing, ClearCode
+    256 / EndOfInformation 257, table entries from 258, and the spec's
+    EARLY code-width change — the encoder bumps 9→10→11→12 bits as soon
+    as NextCode reaches 511/1023/2047 (one code earlier than GIF's
+    LSB-first variant, decode_gif_lzw), and emits ClearCode to reset the
+    table when NextCode reaches 4094. Distinct from the GIF machinery in
+    bit order, width schedule, and framing, which is why it is a
+    sibling, not a reuse."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def write(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def reset() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    write(CLEAR, width)
+    omega = b""
+    for b in data:
+        k = bytes([b])
+        if omega + k in table:
+            omega += k
+            continue
+        write(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        if next_code in (511, 1023, 2047):
+            width += 1
+        elif next_code == 4094:
+            write(CLEAR, width)
+            table, next_code, width = reset()
+        omega = k
+    if omega:
+        write(table[omega], width)
+    write(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """Inverse of :func:`tiff_lzw_encode` (TIFF 6.0 §13 decoder
+    pseudocode), reading MSB-first codes until EndOfInformation or
+    ``expected`` output bytes. The decoder's width bumps at NextCode
+    510/1022/2046 — one entry before the encoder's 511/1023/2047,
+    because its table trails the encoder's by exactly one entry when a
+    code is read (the spec's early-change contract)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream (no EOI)")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        return code
+
+    table: list[bytes] = []
+
+    def reset() -> tuple[int, int]:
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.extend((b"", b""))  # 256/257 placeholders
+        return 258, 9
+
+    next_code, width = reset()
+    old: bytes | None = None
+    while len(out) < expected:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            next_code, width = reset()
+            code = read(width)
+            if code == EOI:
+                break
+            if code >= 256:
+                raise ValueError("TIFF LZW first code after CLEAR not a root")
+            out.extend(table[code])
+            old = table[code]
+            continue
+        if old is None:
+            raise ValueError("TIFF LZW stream does not start with CLEAR")
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = old + old[:1]
+        else:
+            raise ValueError(f"TIFF LZW code {code} out of range")
+        out.extend(entry)
+        table.append(old + entry[:1])
+        next_code += 1
+        if next_code in (510, 1022, 2046):
+            width += 1
+        old = entry
+    if len(out) != expected:
+        raise ValueError("TIFF LZW output does not match expected size")
+    return bytes(out)
+
+
+def _tiff_diff_rows(raw: bytes, width: int) -> bytes:
+    """Predictor=2 (TIFF 6.0 §14, horizontal differencing) forward pass:
+    per row, keep byte 0 and store pixel deltas mod 256."""
+    out = bytearray()
+    for r in range(len(raw) // width):
+        row = raw[r * width : (r + 1) * width]
+        out.append(row[0])
+        out.extend((row[x] - row[x - 1]) % 256 for x in range(1, width))
+    return bytes(out)
+
+
+def _tiff_undiff_rows(raw: bytes, width: int) -> bytes:
+    """Predictor=2 inverse: per-row cumulative sum mod 256."""
+    out = bytearray()
+    for r in range(len(raw) // width):
+        row = raw[r * width : (r + 1) * width]
+        acc = row[0]
+        out.append(acc)
+        for x in range(1, width):
+            acc = (acc + row[x]) % 256
+            out.append(acc)
+    return bytes(out)
+
+
 def encode_tiff(
     width: int,
     height: int,
@@ -517,12 +657,20 @@ def encode_tiff(
     packbits: bool = False,
     big_endian: bool = False,
     rows_per_strip: int | None = None,
+    lzw: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """Minimal VALID baseline TIFF: grayscale 8-bit, single sample,
-    uncompressed or PackBits (rows packed separately per spec §9),
-    either byte order, ``rows_per_strip`` strips (default: one strip)."""
+    uncompressed, PackBits (rows packed separately per spec §9), or LZW
+    (§13, per strip — r10), optional horizontal-differencing
+    ``predictor=2`` (§14), either byte order, ``rows_per_strip`` strips
+    (default: one strip)."""
     if len(pixels) != width * height:
         raise ValueError("pixel buffer does not match dimensions")
+    if packbits and lzw:
+        raise ValueError("pick one compression: packbits or lzw")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     bo = ">" if big_endian else "<"
     rps = height if rows_per_strip is None else rows_per_strip
     if rps <= 0:
@@ -530,6 +678,8 @@ def encode_tiff(
     strips: list[bytes] = []
     for y0 in range(0, height, rps):
         raw = pixels[y0 * width : min(y0 + rps, height) * width]
+        if predictor == 2:
+            raw = _tiff_diff_rows(raw, width)
         if packbits:
             strips.append(
                 b"".join(
@@ -537,11 +687,13 @@ def encode_tiff(
                     for r in range(len(raw) // width)
                 )
             )
+        elif lzw:
+            strips.append(tiff_lzw_encode(raw))
         else:
             strips.append(raw)
     n_strips = len(strips)
     # layout: header(8) | IFD | [offset/count arrays] | strip data
-    n_entries = 9
+    n_entries = 9 + (1 if predictor == 2 else 0)
     ifd_size = 2 + n_entries * 12 + 4
     pos = 8 + ifd_size
     extra = b""
@@ -566,11 +718,12 @@ def encode_tiff(
             return struct.pack(f"{bo}HHIHH", tag, typ, count, value, 0)
         return struct.pack(f"{bo}HHII", tag, typ, count, value)
 
+    comp = 5 if lzw else (32773 if packbits else 1)
     entries = [
         entry(256, 3, 1, width),                      # ImageWidth
         entry(257, 3, 1, height),                     # ImageLength
         entry(258, 3, 1, 8),                          # BitsPerSample
-        entry(259, 3, 1, 32773 if packbits else 1),   # Compression
+        entry(259, 3, 1, comp),                       # Compression
         entry(262, 3, 1, 1),                          # Photometric: BlackIsZero
         entry(273, 4, n_strips,
               offs[0] if n_strips == 1 else offsets_at),  # StripOffsets
@@ -579,6 +732,8 @@ def encode_tiff(
         entry(279, 4, n_strips,
               cnts[0] if n_strips == 1 else counts_at),   # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append(entry(317, 3, 1, 2))           # Predictor (tag-sorted)
     ifd = struct.pack(f"{bo}H", n_entries) + b"".join(entries) + struct.pack(
         f"{bo}I", 0
     )
@@ -589,9 +744,10 @@ def encode_tiff(
 def decode_tiff(payload: bytes) -> dict:
     """Baseline-TIFF decode → {"width", "height", "pixels"}: header +
     first-IFD walk (both byte orders), SHORT/LONG tag values inline or
-    via offset arrays, strip reassembly, PackBits expansion. Anything
-    outside the grayscale-8-bit profile (other compressions, bit depths,
-    photometrics, samples) refuses loudly."""
+    via offset arrays, strip reassembly, PackBits/LZW expansion,
+    Predictor=2 undifferencing. Anything outside the grayscale-8-bit
+    profile (other compressions, predictors, bit depths, photometrics,
+    samples) refuses loudly."""
     if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF: bad byte-order mark")
     bo = "<" if payload[:2] == b"II" else ">"
@@ -636,12 +792,15 @@ def decode_tiff(payload: bytes) -> dict:
     if scalar(258, 8) != 8:
         raise ValueError("TIFF decode supports 8-bit samples only")
     comp = scalar(259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if scalar(262) not in (0, 1):
         raise ValueError("TIFF decode supports grayscale photometric only")
     if scalar(277, 1) != 1:
         raise ValueError("TIFF decode supports 1 sample/pixel only")
+    predictor = scalar(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     rps = scalar(278, height)
     offs, cnts = array(273), array(279)
     if len(offs) != len(cnts):
@@ -654,8 +813,12 @@ def decode_tiff(payload: bytes) -> dict:
         n_rows = min(rps, height - i * rps)
         if comp == 32773:
             raw = packbits_decode(raw, n_rows * width)
+        elif comp == 5:
+            raw = tiff_lzw_decode(raw, n_rows * width)
         elif len(raw) != n_rows * width:
             raise ValueError("TIFF strip size does not match dimensions")
+        if predictor == 2:
+            raw = _tiff_undiff_rows(raw, width)
         pixels.extend(raw)
     if len(pixels) != width * height:
         raise ValueError("TIFF strips do not cover the image")
@@ -2211,6 +2374,125 @@ def tiff_pixel_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=TIFF_STATS_SCHEMA
+    )
+
+
+def synth_tiff_lzw_params(media_id: int) -> dict:
+    """Id-deterministic LZW-TIFF corpus parameters (r10): dims from id
+    arithmetic; Predictor=2 horizontal differencing for odd ids;
+    big-endian for id%3==2; two strips for id%4==2 (coprime moduli — the
+    r8 ADVICE lesson, every compression×predictor×endian×strip corner is
+    hit). Pixel p(y,x) = (7·id + 3·y + xc·x) mod 256 with xc ∈ {0, 5} —
+    xc=0 rows are constant (long LZW runs), xc=5 rows vary (fresh table
+    entries) — closed form for the SQL oracle."""
+    w, h = 5 + media_id % 6, 3 + media_id % 4
+    return {
+        "w": w,
+        "h": h,
+        "xc": 5 if media_id % 4 in (0, 3) else 0,
+        "predictor": 2 if media_id % 2 == 1 else 1,
+        "big_endian": media_id % 3 == 2,
+        "rows_per_strip": h if media_id % 4 != 2 else (h + 1) // 2,
+    }
+
+
+def synthesize_tiffs_lzw(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL LZW-compressed TIFFs cycling
+    Predictor 1/2 × little/big endian × one/two strips
+    (synth_tiff_lzw_params); built per-batch in mapInPandas like the
+    other synthesizers."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = synth_tiff_lzw_params(mid)
+                pix = bytes(
+                    (7 * mid + 3 * y + p["xc"] * x) % 256
+                    for y in range(p["h"])
+                    for x in range(p["w"])
+                )
+                payloads.append(
+                    encode_tiff(
+                        p["w"], p["h"], pix,
+                        lzw=True,
+                        predictor=p["predictor"],
+                        big_endian=p["big_endian"],
+                        rows_per_strip=p["rows_per_strip"],
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/tiff",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+TIFF_LZW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("predictor2", T.BooleanType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_wsum", T.LongType()),
+    ]
+)
+
+
+def tiff_lzw_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL LZW-TIFF decode digests: per image, the raw pixel sum and
+    the position-weighted Σ(k+1)·p, plus the Predictor read back from
+    the actual IFD (tag 317) — a width-schedule slip, a missed table
+    reset, or an undifferencing error changes a digest. Arrow
+    mapInPandas, one row per image, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    cols = [f.name for f in TIFF_LZW_STATS_SCHEMA.fields]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                d = decode_tiff(data)
+                px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+                # predictor read back from the actual IFD, not assumed
+                bo = "<" if data[:2] == b"II" else ">"
+                (ifd_at,) = struct.unpack_from(f"{bo}I", data, 4)
+                (n,) = struct.unpack_from(f"{bo}H", data, ifd_at)
+                pred = 1
+                for i in range(n):
+                    tag, typ = struct.unpack_from(
+                        f"{bo}HH", data, ifd_at + 2 + i * 12
+                    )
+                    if tag == 317:
+                        (pred,) = struct.unpack_from(
+                            f"{bo}H", data, ifd_at + 2 + i * 12 + 8
+                        )
+                rows.append(
+                    (
+                        int(mid),
+                        d["width"],
+                        d["height"],
+                        pred == 2,
+                        int(px.sum()),
+                        int((px * np.arange(1, px.size + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=TIFF_LZW_STATS_SCHEMA
     )
 
 

@@ -149,11 +149,72 @@ def test_tiff_refusals():
     with _pt.raises(ValueError, match="byte-order"):
         decode_tiff(b"XX\x2a\x00")
     payload = bytearray(encode_tiff(2, 2, b"abcd"))
-    # patch Compression (tag 259) to LZW (5): unsupported, loud
+    # patch Compression (tag 259) to JPEG-in-TIFF (7): unsupported, loud
+    # (LZW=5 became a supported profile member in r10)
     at = payload.index(_s.pack("<HH", 259, 3))
-    _s.pack_into("<H", payload, at + 8, 5)
+    _s.pack_into("<H", payload, at + 8, 7)
     with _pt.raises(ValueError, match="unsupported TIFF compression"):
         decode_tiff(bytes(payload))
+    # patch Predictor (tag 317) to floating-point differencing (3)
+    payload = bytearray(encode_tiff(2, 2, b"abcd", lzw=True, predictor=2))
+    at = payload.index(_s.pack("<HH", 317, 3))
+    _s.pack_into("<H", payload, at + 8, 3)
+    with _pt.raises(ValueError, match="unsupported TIFF predictor"):
+        decode_tiff(bytes(payload))
+
+
+def test_tiff_lzw_stream_roundtrip_and_width_schedule():
+    """TIFF 6.0 §13 LZW: MSB-first codes, EARLY width changes, table
+    reset via ClearCode at 4094 — exercised by a stream long enough to
+    cross every width bump and force a reset."""
+    from rippledb_spark.operators.multimodal import (
+        tiff_lzw_decode,
+        tiff_lzw_encode,
+    )
+
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaa",                       # run: reuses table entries
+        b"abcdef",                     # literals only
+        bytes(range(256)) * 3,         # every root, then pairs
+        b"z" * 5000,                   # long run (width bumps on runs)
+        bytes((i * 7 + (i >> 3)) % 256 for i in range(30000)),  # reset
+    ]
+    for raw in cases:
+        enc = tiff_lzw_encode(raw)
+        assert tiff_lzw_decode(enc, len(raw)) == raw, len(raw)
+    # the stream begins with CLEAR (256 at 9 bits = 0b100000000 MSB-first)
+    enc = tiff_lzw_encode(b"a")
+    assert enc[0] == 0x80
+    import pytest as _pt
+    with _pt.raises(ValueError, match="truncated"):
+        tiff_lzw_decode(b"", 1)
+    with _pt.raises(ValueError, match="does not start with CLEAR"):
+        # 9-bit code 97 ('a') without a leading CLEAR
+        tiff_lzw_decode(bytes([97 >> 1, (97 & 1) << 7]), 2)
+
+
+def test_tiff_lzw_roundtrip_all_profile_corners():
+    from rippledb_spark.operators.multimodal import decode_tiff, encode_tiff
+
+    pix = bytes((3 * k) % 256 for k in range(7 * 5))
+    for pred in (1, 2):
+        for big in (False, True):
+            for rps in (5, 2):
+                payload = encode_tiff(
+                    7, 5, pix, lzw=True, predictor=pred, big_endian=big,
+                    rows_per_strip=rps,
+                )
+                d = decode_tiff(payload)
+                assert (d["width"], d["height"]) == (7, 5)
+                assert d["pixels"] == pix, (pred, big, rps)
+    # predictor composes with the other compressions too (spec §14)
+    for kw in (dict(packbits=True, predictor=2), dict(predictor=2)):
+        assert decode_tiff(encode_tiff(7, 5, pix, **kw))["pixels"] == pix
+    import pytest as _pt
+    with _pt.raises(ValueError, match="pick one compression"):
+        encode_tiff(7, 5, pix, packbits=True, lzw=True)
 
 
 # ---------------------------------------------------------------------------
