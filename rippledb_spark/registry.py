@@ -141,6 +141,10 @@ HEADLINE: tuple[str, ...] = (
     # temperature mixture → epoch shuffle → packing) — the single wall
     # that moves when ANY pipeline stage regresses
     "pretraining_pipeline_accounting",
+    # round-10 addition: two-stage retrieval (ADC shortlist → exact
+    # re-rank) — the production ANN answer shape; its wall vs
+    # ivfpq_ann_topk's measures what the refine step costs
+    "ivfpq_rerank_topk",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
@@ -212,5 +216,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.pipeline5  # noqa: F401
     import rippledb_spark.queries.pipeline6  # noqa: F401
     import rippledb_spark.queries.pipeline7  # noqa: F401
+    import rippledb_spark.queries.pipeline8  # noqa: F401
 
     _LOADED = True
