@@ -74,6 +74,62 @@ BENCH_OVERRIDES = {
     "dedup_semantic_embedding": _semdedup_fast_bench,
 }
 
+
+def _ann_phase_split(spark, sf_dir) -> dict[str, dict[str, float]]:
+    """Train vs query sub-walls for the self-certifying ANN headline keys
+    (r10, verdict ask #3/#8): their registered forms train the index AND
+    run the exact-recall twin inside one job, so a regression in the
+    cheap serving path can hide under Lloyd noise. Measured once per
+    bench run with the frozen-index serving APIs (pq.pq_query_topk /
+    pq.ivfpq_query_topk) at the registered queries' exact index params —
+    train = fit + materialize the index, query = answer the 3 registered
+    queries off the frozen state."""
+    from rippledb_spark.functions.vector import as_double_array
+    from rippledb_spark.operators import pq as PQ
+    from rippledb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = (
+        e.select(
+            F.col("vec_id").alias("q_pid"),
+            as_double_array("embedding").alias("qv"),
+        )
+        .orderBy("q_pid")
+        .limit(3)
+        .localCheckpoint(eager=True)
+    )
+    out: dict[str, dict[str, float]] = {}
+    # flat PQ — pq_ann_topk's params (queries/pipeline6.py)
+    t0 = time.perf_counter()
+    codes, books = PQ.pq_codes(e, "embedding", "vec_id", dims=64, m=8, k=16)
+    codes = codes.localCheckpoint(eager=True)
+    books = books.localCheckpoint(eager=True)
+    train = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    PQ.pq_query_topk(queries, books, codes, dims=64, m=8, topk=5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["pq_ann_topk"] = {
+        "train": train, "query": round(time.perf_counter() - t0, 3)
+    }
+    # IVF-PQ — ivfpq_ann_topk's params (queries/pipeline7.py)
+    t0 = time.perf_counter()
+    assign, coarse, cds, bks = PQ.ivfpq_index(
+        e, "embedding", "vec_id", dims=64, ncells=4, m=8, k=16
+    )
+    cellcodes = cds.join(assign, "pid").localCheckpoint(eager=True)
+    coarse = coarse.localCheckpoint(eager=True)
+    bks = bks.localCheckpoint(eager=True)
+    train = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    PQ.ivfpq_query_topk(
+        queries, coarse, bks, cellcodes, dims=64, m=8, nprobe=2, topk=5
+    ).write.format("noop").mode("overwrite").save()
+    out["ivfpq_ann_topk"] = {
+        "train": train, "query": round(time.perf_counter() - t0, 3)
+    }
+    return out
+
 # Headline set: one query per operator family, timed round-over-round. The
 # list lives in the registry (tier metadata shared with the certification
 # scheduler and ledger); bench.py is a consumer.
@@ -218,6 +274,7 @@ def main() -> None:
             ),
             "extra_runs": extra,
             "extra_probe": [extra_probe_before, extra_probe_after],
+            "extra_load": extra_load,
         }
         print(
             f"# respread {name}: spread {spread:.1f}x > {RESPREAD_AT}x,"
@@ -226,22 +283,58 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # --- stall-robust recorded medians (r10, verdict ask #4) -------------
+    # When the respread guard's extra solo runs ALL land within 1.3x of
+    # the series min with clean probes, the original outlier pass is a
+    # proven one-off host stall (r9's correlated-stall evidence) — so the
+    # RECORDED median/min come from the steady-state samples only (the
+    # stalled samples are excluded), while the full raw series stays in
+    # BENCH_DETAIL's queries_runs for audit. If the extras do NOT come
+    # back clean (a real regression, or a still-noisy host), the full
+    # series is used, exactly as before.
     timings: dict[str, float] = {}
     mins: dict[str, float] = {}
     norm_med: dict[str, float] = {}
     for name in HEADLINE:
         raw = runs[name]
-        samples = sorted(raw)
+        loads = run_loads[name]
+        use = list(zip(raw, loads))
+        info = respread.get(name)
+        if info:
+            lo = min(raw)
+            extras = info["extra_runs"]
+            clean = (
+                bool(extras)
+                and max(extras) <= 1.3 * lo
+                and info["extra_load"] <= 1.15
+            )
+            info["steady_state"] = clean
+            if clean:
+                use = [(t, ld) for t, ld in use if t <= 1.3 * lo]
+                info["excluded"] = [t for t in raw if t > 1.3 * lo]
+                print(
+                    f"# steady-state {name}: excluding"
+                    f" {', '.join(f'{t:.3f}' for t in info['excluded'])}"
+                    " (stalled pass; extras clean)",
+                    file=sys.stderr,
+                )
+        samples = sorted(t for t, _ in use)
         timings[name] = samples[len(samples) // 2]
         mins[name] = samples[0]
-        normed = sorted(
-            round(t / ld, 3) for t, ld in zip(raw, run_loads[name])
-        )
+        normed = sorted(round(t / ld, 3) for t, ld in use)
         norm_med[name] = normed[len(normed) // 2]
         print(
             f"# warm {name}: median {timings[name]:.3f}s min {mins[name]:.3f}s"
             f" norm-median {norm_med[name]:.3f}s"
             f" (runs: {', '.join(f'{s:.3f}' for s in samples)})",
+            file=sys.stderr,
+        )
+
+    ann_phases = _ann_phase_split(spark, sf_dir)
+    for key, ph in ann_phases.items():
+        print(
+            f"# ann phases {key}: train {ph['train']:.3f}s"
+            f" query {ph['query']:.3f}s",
             file=sys.stderr,
         )
 
@@ -265,6 +358,7 @@ def main() -> None:
             "load": probe_load,  # median warm load; >1.5 = noisy round
         },
         "respread": respread,  # spread>3x queries: extra solo re-runs
+        "ann_phases": ann_phases,  # train vs frozen-index query sub-walls
         "sf": sf,
         "cold_sec": round(sum(cold.values()), 3),
     }
@@ -313,6 +407,13 @@ def main() -> None:
         # weather-proof record for a noisy round
         "probe_load": probe_load,
         "median_sec_norm": record["median_sec_norm"],
+        # ANN [train, query] sub-walls (the registered keys bundle training
+        # + certification; a serving-path regression shows here first) —
+        # array form to keep the stdout line inside the driver's 2 KB tail;
+        # the labeled dict is in BENCH_DETAIL.json
+        "ann_phases": {
+            k: [ph["train"], ph["query"]] for k, ph in ann_phases.items()
+        },
     }
     if "bulk_load" in record:
         compact["bulk_ratio"] = round(
