@@ -1,4 +1,5 @@
-"""Span-level corpus cleaning: frequent n-gram removal (C4-style).
+"""Span-level corpus cleaning: frequent n-gram/line removal (C4-style)
+and first-occurrence paragraph dedup (CCNet-style).
 
 Engine-tier LLM-pipeline operator: the boilerplate-span scrub between
 raw documents and dedup/packing — any n-token span that occurs in more
@@ -111,6 +112,79 @@ def remove_frequent_ngram_spans(
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    §Deduplication — the per-paragraph hash dedup run on Common Crawl
+    before any document-level gate): every repeated normalized paragraph
+    (trimmed, lowercased) keeps ONLY its first occurrence corpus-wide —
+    the lowest (doc id, position) — and later occurrences are removed in
+    place; remaining paragraphs rejoin in order with ``sep``. This
+    differs from :func:`remove_frequent_lines` (C4's rule), which
+    removes EVERY occurrence of super-threshold lines: CCNet keeps one
+    canonical copy, so unique content embedded in a boilerplate-heavy
+    page survives exactly once. Empty-normalized paragraphs are
+    formatting, not content — always kept.
+
+    → DataFrame(id, n_paragraphs, n_kept, cleaned_text), one output row
+    per input document (fully-duplicate docs come back n_kept=0 only if
+    every paragraph lost to an earlier doc; same survival contract as
+    the other scrubs).
+
+    Scale shape: one posexplode; one map-side-combinable min-struct
+    hash-agg keyed by normalized paragraph (the first-occurrence table,
+    one row per DISTINCT paragraph); one norm-keyed equi-join back (a
+    viral paragraph is many probe rows against ONE build row — hash-join
+    uniform); one per-doc ordered reassembly. No window over the corpus,
+    no all-pairs anything."""
+    pars = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "j", "par"
+        ),
+    ).withColumn("norm", F.lower(F.trim("par")))
+    first = (
+        pars.where(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.min(F.struct("id", "j")).alias("f"))
+    )
+    kept = (
+        pars.join(first, "norm", "left")
+        .where(
+            (F.col("norm") == "")
+            | ((F.col("id") == F.col("f.id")) & (F.col("j") == F.col("f.j")))
+        )
+        .select("id", "j", "par")
+    )
+    kept_agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "par"))),
+                lambda s: s["par"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), re.escape(sep))).alias(
+            "n_paragraphs"
+        ),
+    )
+    return base.join(kept_agg, "id", "left_outer").select(
+        F.col("id").alias(id_col),
+        "n_paragraphs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -1090,3 +1090,34 @@ def test_apply_bpe_merges_frozen_list(spark):
     a = apply_bpe_merges(df, "text", "doc_id", [("a", "b")]).collect()
     b = apply_bpe_merges(df, "text", "doc_id", [("a", "b")]).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_dedup_paragraphs_first_occurrence_semantics(spark):
+    """r10 CCNet paragraph dedup: repeated normalized paragraphs keep
+    ONLY the lowest-(doc, position) occurrence; empty paragraphs are
+    always kept (formatting); within-doc repeats dedup too; every doc
+    yields exactly one row."""
+    from rippledb_spark.operators.cleaning import dedup_paragraphs
+
+    rows = [
+        (0, "alpha\nShared Par\nbeta"),
+        (1, "shared par\ngamma"),          # differs only by case: dup
+        (2, "delta\n\ndelta"),             # within-doc repeat + empty par
+        (3, "  shared par  \nepsilon"),    # trim-normalized dup
+        (4, ""),                           # single empty paragraph
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_paragraphs"], r["n_kept"], r["cleaned_text"])
+        for r in dedup_paragraphs(df, "text", "doc_id").collect()
+    }
+    assert len(out) == 5
+    # doc 0 holds the first occurrence of 'shared par' -> intact
+    assert out[0] == (3, 3, "alpha\nShared Par\nbeta")
+    # docs 1 and 3 lose their copy, keep their unique paragraph
+    assert out[1] == (2, 1, "gamma")
+    assert out[3] == (2, 1, "epsilon")
+    # within-doc repeat: second 'delta' goes; the empty paragraph stays
+    assert out[2] == (3, 2, "delta\n")
+    # an all-empty doc keeps its (empty) formatting row
+    assert out[4] == (1, 1, "")
