@@ -309,6 +309,10 @@ def start_crawl_corpus_sink(
     pq_dims: int = 16,
     pq_m: int = 2,
     pq_coarse: DataFrame | None = None,
+    frontier_path: str | None = None,
+    frontier_redirects: DataFrame | None = None,
+    frontier_robots: DataFrame | None = None,
+    frontier_max_hops: int = 16,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
@@ -336,7 +340,14 @@ def start_crawl_corpus_sink(
     ``pq_path/codes`` (pid = the uri), frozen coarse/books beside them
     — so ``pq.load_index(spark, pq_path)`` + ``pq.ivfpq_query_topk``
     serve partition-pruned ANN straight off the crawl snapshot, kept
-    fresh incrementally.
+    fresh incrementally. With ``frontier_path`` + ``frontier_redirects``
+    + ``frontier_robots`` set (r10), the SAME foreachBatch also
+    maintains the crawl FRONTIER beside the corpus: each batch's raw
+    html yields links (operators/frontier.py: extract → resolve →
+    canonicalize → frozen-redirect-map fold → robots gate), and the
+    allowed final addresses set-merge into a (host, url) snapshot —
+    the next crawl segment's fetch list, deduplicated at the terminal
+    address so two links into one redirect chain fetch once.
     Both side-merges are union + dropDuplicates on the full row/key:
     idempotent under replay and batch-split-invariant because the
     extraction itself is per-fetch. Returns the StreamingQuery.
@@ -359,6 +370,24 @@ def start_crawl_corpus_sink(
             "pq_path requires pq_books — train once with "
             "train_crawl_pq_books and pass the frozen codebook"
         )
+    frontier_map = None
+    if frontier_path is not None:
+        if frontier_redirects is None or frontier_robots is None:
+            raise ValueError(
+                "frontier_path requires frontier_redirects and "
+                "frontier_robots — the redirect map and robots files are "
+                "frozen inputs, like the PQ codebooks"
+            )
+        from rippledb_spark.operators.redirects import (
+            resolve_redirect_chains,
+        )
+
+        # resolve the frozen redirect map ONCE at setup; every
+        # micro-batch re-applies the resolved table (the pq_books
+        # freeze-after-training pattern)
+        frontier_map = resolve_redirect_chains(
+            frontier_redirects, max_hops=frontier_max_hops
+        ).localCheckpoint(eager=True)
 
     def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -462,6 +491,39 @@ def start_crawl_corpus_sink(
                 .localCheckpoint(eager=True)
                 .write.mode("overwrite")
                 .parquet(media_path)
+            )
+        if frontier_path is not None:
+            # frontier snapshot (r10): extract links from each batch's
+            # RAW html, fold the frozen redirect map in, gate against
+            # robots, and set-merge the allowed FINAL addresses. The
+            # extraction is per-fetch and the merge a distinct-by-url
+            # union, so replays and batch splits coincide — same
+            # idempotence argument as the media/triples side-merges.
+            from rippledb_spark.functions.url import url_host
+            from rippledb_spark.operators.frontier import (
+                extract_frontier_links,
+                gate_frontier,
+                resolve_frontier,
+            )
+
+            fpages = batch_df.select(
+                url_host(url_normalize("target_uri")).alias("host"),
+                F.col("payload").cast("string").alias("html"),
+            ).where(F.col("host").isNotNull())
+            flinks = extract_frontier_links(fpages, "host", "html")
+            fres = resolve_frontier(flinks, resolved_map=frontier_map)
+            fr = (
+                gate_frontier(fres, frontier_robots)
+                .where(F.col("allowed"))
+                .select("host", "url")
+            )
+            if snapshot_ready(spark, frontier_path):
+                fr = spark.read.parquet(frontier_path).unionByName(fr)
+            (
+                fr.dropDuplicates(["url"])
+                .localCheckpoint(eager=True)
+                .write.mode("overwrite")
+                .parquet(frontier_path)
             )
 
     writer = (

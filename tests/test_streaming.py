@@ -1258,3 +1258,117 @@ def test_streaming_crawl_incremental_ivfpq_codes_match_batch(spark, tmp_path):
     assert any(
         d.startswith("cell=") for d in _os.listdir(f"{pq_snap}/codes")
     )
+
+
+def test_streaming_crawl_frontier_snapshot_matches_batch(spark, tmp_path):
+    """r10: the frontier side-snapshot — each micro-batch's raw html
+    yields links, the FROZEN redirect map folds chains to terminals
+    (loops dropped), robots gates the finals, and the allowed (host,
+    url) set merges idempotently. Equal to the batch composition over
+    all fetches at once, including a duplicate fetch spanning files."""
+    from rippledb_spark.functions.url import url_host, url_normalize
+    from rippledb_spark.operators.frontier import (
+        extract_frontier_links,
+        gate_frontier,
+        resolve_frontier,
+    )
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.streaming import crawl as SC
+
+    def record(uri, html):
+        payload = html.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    page_a = (
+        '<html><body><a href="https://ex.org/old1">m</a>'
+        "<a href='/keep'>k</a><a href='/loopa'>l</a></body></html>"
+    )
+    page_b = (
+        '<html><body><a href="https://ex.org/old2">m</a>'
+        "<a href='/blockme'>b</a></body></html>"
+    )
+    d = tmp_path / "warc_frontier"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        record("https://ex.org/p1", page_a)
+        + record("https://ex.org/p1?utm=1", page_a)  # dup fetch, same links
+    )
+    (d / "b.warc").write_bytes(record("https://other.net/p2", page_b))
+
+    # frozen inputs: old1 -> old2 -> final (chains converge), loopa <-> loopb
+    redirects = spark.createDataFrame(
+        [
+            ("https://ex.org/old1", "https://ex.org/old2"),
+            ("https://ex.org/old2", "https://ex.org/final"),
+            ("https://ex.org/loopa", "https://ex.org/loopb"),
+            ("https://ex.org/loopb", "https://ex.org/loopa"),
+        ],
+        "from_url string, to_url string",
+    ).localCheckpoint(eager=True)
+    robots = spark.createDataFrame(
+        [
+            ("ex.org", ""),
+            # page_b's relative /blockme resolves against ITS host
+            ("other.net", "User-agent: *\nDisallow: /block"),
+        ],
+        "host string, robots string",
+    ).localCheckpoint(eager=True)
+
+    snap = str(tmp_path / "frontier_corpus")
+    fsnap = str(tmp_path / "frontier_snap")
+    ckpt = str(tmp_path / "frontier_ckpt")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, ckpt,
+        frontier_path=fsnap, frontier_redirects=redirects,
+        frontier_robots=robots,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(fsnap).select("host", "url").collect())
+    )
+    # batch twin: same composition over all fetches at once
+    import pyspark.sql.functions as F
+
+    raw = read_warc(spark, str(d)).select(
+        url_host(url_normalize("target_uri")).alias("host"),
+        F.col("payload").cast("string").alias("html"),
+    ).where(F.col("host").isNotNull())
+    links = extract_frontier_links(raw, "host", "html")
+    gated = gate_frontier(
+        resolve_frontier(links, redirects), robots
+    )
+    want = sorted(
+        map(
+            tuple,
+            gated.where(F.col("allowed"))
+            .select("host", "url")
+            .dropDuplicates(["url"])
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    urls = {u for _, u in got}
+    # chains from BOTH pages converge on one terminal fetch
+    assert "https://ex.org/final" in urls
+    assert not any("old" in u or "loop" in u for u in urls)  # no mid-chain/loop
+    assert "https://ex.org/keep" in urls
+    assert not any("/blockme" in u for u in urls)  # robots-gated
