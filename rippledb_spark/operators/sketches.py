@@ -1,0 +1,338 @@
+"""Deterministic cardinality / sampling sketches — the OLAP synopses a
+warehouse keeps when exact distinct-counts or uniform samples are too
+expensive to recompute per query:
+
+- **KMV** (k minimum values — Bar-Yossef et al. 2002; Beyer et al. 2007
+  "On Synopses for Distinct-Value Estimation Under Multiset Operations"):
+  keep the k smallest hash values of the distinct set; the kth smallest
+  ``u_k`` estimates the cardinality as (k−1)/u_k.
+- **HLL-shaped register sketch** (Flajolet, Fusy, Gandouet, Meunier 2007
+  "HyperLogLog"): the hash's first b bits route to one of m=2^b
+  registers; each register keeps the max leading-zero rank ρ of the
+  remaining bits; the harmonic mean of 2^{−M_j} estimates cardinality,
+  with the paper's linear-counting fallback for small ranges.
+- **Weighted reservoir sampling** (A-Res — Efraimidis & Spirakis 2006):
+  each item draws key u^{1/w}; the k largest keys are a weighted sample
+  without replacement. Ranked on ln(u)/w (monotone in the key) so the
+  arithmetic replays cross-engine.
+
+Everything is DETERMINISTIC — no RNG: the uniform draws come from md5 of
+the value (the repo's hash-of-id sampling contract), so the same corpus
+always yields the same sketch and the DuckDB oracle replays every
+register, minimum, and sample bit-for-bit. Spark's built-in
+``approx_count_distinct`` is the production HLL++ path; THIS module
+exists for the engine-tier parity story (an explainable, certifiable
+sketch) and self-verifies by computing the exact distinct count in the
+same job and reporting the relative error.
+
+Determinism contracts shared with the rest of the repo: hash fractions
+are 48-bit md5 prefixes over exact integer arithmetic; the one
+order-sensitive float reduction (the HLL harmonic sum) is computed as an
+EXACT INTEGER (Σ 2^{49−M_j} — every term an integer because M_j ≤ 49)
+before the single IEEE division; estimates round to 6dp; sample ranks
+tiebreak on id.
+
+Scale shape: every sketch is one explode + one or two map-side-
+combinable hash-aggs keyed by (group, register) or (group, hash) — the
+whole point of a sketch is that its state is O(m) or O(k) per group, so
+the combine is tiny at any corpus size. The KMV/A-Res top-k are
+group-partitioned rank windows (the WindowGroupLimit shape).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+EST_DP = 6
+_H48 = float(1 << 48)  # 48-bit hash denominator
+
+
+def _h48(col):
+    """First 48 bits of md5(value) as a bigint — the deterministic
+    uniform draw (12 hex chars; exact in both engines)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def _h48_sql(col: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+def kmv_distinct_by_group(
+    df: DataFrame, val_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """→ DataFrame(group, n_exact, n_sketch, kmv_estimate, rel_error):
+    per group, the KMV estimate of |distinct values| beside the exact
+    count (self-verifying). Groups with fewer than ``k`` distinct values
+    fall back to the exact sketch size (the sketch IS the set there —
+    standard KMV behavior). ``n_sketch`` = min(k, distinct)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(val_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    dh = vals.select("grp", _h48(F.col("v")).alias("h")).groupBy(
+        "grp", "h"
+    ).agg(F.lit(1))
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.max("h").alias("hk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        )
+    )
+    exact = vals.groupBy("grp").agg(
+        F.count_distinct("v").alias("n_exact")
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(_H48))
+    )
+    return (
+        exact.join(sk, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            "n_sketch",
+            F.round(est, EST_DP).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), EST_DP
+            ).alias("rel_error"),
+        )
+    )
+
+
+def kmv_distinct_by_group_sql(
+    table: str, val_col: str, group_col: str, k: int = 64
+) -> str:
+    """DuckDB CTE twin; yields ``kmv_est`` with the same five columns."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return f"""kmv_vals AS (
+      SELECT {group_col} AS grp, {val_col} AS v FROM {table}
+      WHERE {val_col} IS NOT NULL
+    ),
+    kmv_dh AS (
+      SELECT DISTINCT grp, {_h48_sql("v")} AS h FROM kmv_vals
+    ),
+    kmv_sk AS (
+      SELECT grp, MAX(h) AS hk, CAST(COUNT(*) AS BIGINT) AS n_sketch
+      FROM (
+        SELECT grp, h,
+               row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM kmv_dh
+      ) WHERE rn <= {k}
+      GROUP BY grp
+    ),
+    kmv_exact AS (
+      SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_exact
+      FROM kmv_vals GROUP BY grp
+    ),
+    kmv_est AS (
+      SELECT e.grp AS {group_col}, e.n_exact, s.n_sketch,
+             ROUND(CASE WHEN s.n_sketch < {k}
+                        THEN CAST(s.n_sketch AS DOUBLE)
+                        ELSE {float(k - 1)}
+                             / (CAST(s.hk AS DOUBLE) / {_H48}) END,
+                   {EST_DP}) AS kmv_estimate,
+             ROUND(ABS(CASE WHEN s.n_sketch < {k}
+                            THEN CAST(s.n_sketch AS DOUBLE)
+                            ELSE {float(k - 1)}
+                                 / (CAST(s.hk AS DOUBLE) / {_H48}) END
+                       - e.n_exact) / e.n_exact, {EST_DP}) AS rel_error
+      FROM kmv_exact e JOIN kmv_sk s USING (grp)
+    )"""
+
+
+# HLL: m = 256 registers (b = 8 — the first two md5 hex chars), the
+# remaining 48 bits feed the leading-zero rank, so ρ ∈ [1, 49].
+HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct_by_group(
+    df: DataFrame, val_col: str, group_col: str
+) -> DataFrame:
+    """→ DataFrame(group, n_exact, n_registers, n_zero_registers,
+    hll_estimate, rel_error): per group, the 256-register HLL estimate
+    beside the exact distinct count. The harmonic denominator is the
+    EXACT integer Σ_j 2^{49−M_j} (zero registers contribute 2^49), so
+    there is no order-sensitive float sum anywhere — one IEEE division
+    and (for small ranges) one ln produce the estimate, replayed
+    bit-for-bit by the DuckDB twin."""
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(val_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    h = F.md5(F.col("v").cast("string"))
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    w48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
+    rho = F.when(w48 == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(w48))
+    )
+    regs = (
+        vals.select("grp", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("m_j"))
+        .groupBy("grp")
+        .agg(
+            # the SQL form: pyspark's shiftleft() only takes a literal
+            # bit count, but the shift amount is per-register here
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")
+            ).alias("s_present"),
+            F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+        )
+    )
+    exact = vals.groupBy("grp").agg(F.count_distinct("v").alias("n_exact"))
+    zero = F.lit(HLL_M) - F.col("n_registers")
+    s_total = (F.col("s_present") + zero * F.lit(1 << 49)).cast("double")
+    e_raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)) / s_total
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
+    ).otherwise(e_raw)
+    return exact.join(regs, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_exact",
+        "n_registers",
+        zero.cast("bigint").alias("n_zero_registers"),
+        F.round(est, EST_DP).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), EST_DP)
+        .alias("rel_error"),
+    )
+
+
+def hll_distinct_by_group_sql(
+    table: str, val_col: str, group_col: str
+) -> str:
+    """DuckDB CTE twin; yields ``hll_est`` with the same six columns."""
+    h = f"md5(CAST(v AS VARCHAR))"
+    est = (
+        f"CASE WHEN {_HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)}"
+        f" / CAST(s_present + ({HLL_M} - n_registers)"
+        f" * CAST({1 << 49} AS BIGINT) AS DOUBLE) <= {2.5 * HLL_M}"
+        f" AND {HLL_M} - n_registers > 0"
+        f" THEN {float(HLL_M)} * ln({float(HLL_M)}"
+        f" / CAST({HLL_M} - n_registers AS DOUBLE))"
+        f" ELSE {_HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)}"
+        f" / CAST(s_present + ({HLL_M} - n_registers)"
+        f" * CAST({1 << 49} AS BIGINT) AS DOUBLE) END"
+    )
+    return f"""hll_vals AS (
+      SELECT {group_col} AS grp, {val_col} AS v FROM {table}
+      WHERE {val_col} IS NOT NULL
+    ),
+    hll_rho AS (
+      SELECT grp,
+             CAST(('0x' || substr({h}, 1, 2)) AS BIGINT) AS idx,
+             CASE WHEN CAST(('0x' || substr({h}, 3, 12)) AS BIGINT) = 0
+                  THEN 49
+                  ELSE 49 - length(bin(
+                         CAST(('0x' || substr({h}, 3, 12)) AS BIGINT)))
+             END AS rho
+      FROM hll_vals
+    ),
+    hll_regs AS (
+      SELECT grp,
+             CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT)
+               AS s_present,
+             CAST(COUNT(*) AS BIGINT) AS n_registers
+      FROM (SELECT grp, idx, MAX(rho) AS m_j FROM hll_rho
+            GROUP BY grp, idx)
+      GROUP BY grp
+    ),
+    hll_exact AS (
+      SELECT grp, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_exact
+      FROM hll_vals GROUP BY grp
+    ),
+    hll_est AS (
+      SELECT e.grp AS {group_col}, e.n_exact, r.n_registers,
+             CAST({HLL_M} - r.n_registers AS BIGINT) AS n_zero_registers,
+             ROUND({est}, {EST_DP}) AS hll_estimate,
+             ROUND(ABS(({est}) - e.n_exact) / e.n_exact, {EST_DP})
+               AS rel_error
+      FROM hll_exact e JOIN hll_regs r USING (grp)
+    )"""
+
+
+def weighted_sample_by_group(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """A-Res weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): item i draws key u_i^{1/w_i} with u_i the
+    deterministic md5 fraction of its id; the k LARGEST keys per group
+    are the sample — inclusion probability proportional to weight, no
+    RNG, replayable. Ranked on ln(u)/w (monotone transform of the key —
+    larger is better since ln(u) < 0), rounded to 6dp with an id
+    tiebreak so the DuckDB twin reproduces the exact sample.
+
+    → DataFrame(group, rank, id, weight, key_ln). Items with
+    non-positive weight never sample (A-Res precondition)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("double").alias("wt"),
+    ).where(F.col("wt") > 0)
+    u = _h48(F.col("id")).cast("double") / F.lit(_H48)
+    key_ln = F.round(F.log(u) / F.col("wt"), EST_DP)
+    w = Window.partitionBy("grp").orderBy(
+        F.col("key_ln").desc(), F.col("id")
+    )
+    return (
+        base.withColumn("key_ln", key_ln)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "rank",
+            F.col("id").alias(id_col),
+            F.col("wt").alias(weight_col),
+            "key_ln",
+        )
+    )
+
+
+def weighted_sample_by_group_sql(
+    table: str,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    k: int = 3,
+) -> str:
+    """DuckDB CTE twin; yields ``wres_sample`` with the same columns."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _h48_sql("id")
+    u = f"(CAST({h} AS DOUBLE) / {_H48})"
+    return f"""wres_base AS (
+      SELECT {group_col} AS grp, {id_col} AS id,
+             CAST({weight_col} AS DOUBLE) AS wt
+      FROM {table} WHERE {weight_col} > 0
+    ),
+    wres_keyed AS (
+      SELECT grp, id, wt, ROUND(ln({u}) / wt, {EST_DP}) AS key_ln
+      FROM wres_base
+    ),
+    wres_sample AS (
+      SELECT grp AS {group_col}, rank, id AS {id_col},
+             wt AS {weight_col}, key_ln
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY grp ORDER BY key_ln DESC, id) AS rank
+        FROM wres_keyed
+      ) WHERE rank <= {k}
+    )"""

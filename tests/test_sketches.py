@@ -1,0 +1,131 @@
+"""Deterministic sketches (operators/sketches.py, r10): KMV / HLL
+distinct estimation and A-Res weighted sampling — DuckDB-twin equality
+plus the properties that make each sketch correct."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rippledb_spark.operators import sketches as SK
+
+
+def _corpus(spark, n=2000, card=97, groups=3):
+    rows = [
+        (i, f"g{i % groups}", f"tok{i % card}", 1.0 + (i % 5))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, v string, wt double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, grp VARCHAR, v VARCHAR, wt DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    return df, con
+
+
+def test_kmv_matches_duckdb_twin_and_bounds_error(spark):
+    df, con = _corpus(spark)
+    got = sorted(map(tuple, SK.kmv_distinct_by_group(df, "v", "grp", k=16).collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "WITH " + SK.kmv_distinct_by_group_sql("t", "v", "grp", k=16)
+                + " SELECT grp, n_exact, n_sketch, kmv_estimate, rel_error"
+                " FROM kmv_est"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    for _, n_exact, n_sketch, est, rel in got:
+        assert n_exact == 97 and n_sketch == 16
+        # KMV standard error ~ 1/sqrt(k-2) ≈ 27% at k=16; generous 2x cap
+        assert rel < 0.55, (est, rel)
+
+
+def test_kmv_small_group_falls_back_to_exact(spark):
+    rows = [(i, "only", f"v{i % 5}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, grp string, v string")
+    out = SK.kmv_distinct_by_group(df, "v", "grp", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    # 5 distinct < k: the sketch IS the set — estimate exact, zero error
+    assert (r["n_exact"], r["n_sketch"], r["kmv_estimate"], r["rel_error"]) == (
+        5, 5, 5.0, 0.0,
+    )
+
+
+def test_hll_matches_duckdb_twin_and_register_invariants(spark):
+    df, con = _corpus(spark)
+    got = sorted(map(tuple, SK.hll_distinct_by_group(df, "v", "grp").collect()))
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "WITH " + SK.hll_distinct_by_group_sql("t", "v", "grp")
+                + " SELECT grp, n_exact, n_registers, n_zero_registers,"
+                " hll_estimate, rel_error FROM hll_est"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    for _, n_exact, n_regs, n_zero, est, rel in got:
+        assert n_regs + n_zero == SK.HLL_M
+        assert 0 < n_regs <= min(n_exact, SK.HLL_M)
+        # HLL-with-linear-counting error at m=256 is ~6.5%; generous cap
+        assert rel < 0.2, (est, rel)
+
+
+def test_hll_linear_counting_branch_on_tiny_cardinality(spark):
+    rows = [(i, "g", f"v{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, grp string, v string")
+    r = SK.hll_distinct_by_group(df, "v", "grp").collect()[0]
+    # 4 distinct: raw estimate << 2.5m with zero registers present →
+    # the linear-counting branch m·ln(m/V) must fire and land close
+    assert r["n_zero_registers"] >= SK.HLL_M - 4
+    assert abs(r["hll_estimate"] - 4.0) < 0.5, r
+
+
+def test_weighted_sample_matches_twin_and_respects_weights(spark):
+    df, con = _corpus(spark)
+    got = sorted(
+        map(tuple, SK.weighted_sample_by_group(df, "id", "wt", "grp", k=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "WITH "
+                + SK.weighted_sample_by_group_sql("t", "id", "wt", "grp", k=3)
+                + " SELECT grp, rank, id, wt, key_ln FROM wres_sample"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    ranks = {}
+    for grp, rank, _, _, _ in got:
+        ranks.setdefault(grp, []).append(rank)
+    assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
+    # zero/negative weights never sample
+    rows = [(1, "g", 0.0), (2, "g", -1.0), (3, "g", 2.0)]
+    df2 = spark.createDataFrame(rows, "id long, grp string, wt double")
+    out = SK.weighted_sample_by_group(df2, "id", "wt", "grp", k=3).collect()
+    assert [r["id"] for r in out] == [3]
+
+
+def test_weighted_sample_heavy_item_dominates(spark):
+    # one item carries ~10^6x the weight of the rest: A-Res must rank it
+    # first (its key u^(1/w) → 1 while light items' keys stay tiny)
+    rows = [(i, "g", 1.0) for i in range(100)] + [(999, "g", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "id long, grp string, wt double")
+    out = SK.weighted_sample_by_group(df, "id", "wt", "grp", k=1).collect()
+    assert out[0]["id"] == 999
+
+
+def test_sketch_param_refusals(spark):
+    df = spark.createDataFrame([(1, "g", "v", 1.0)], "id long, grp string, v string, wt double")
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_distinct_by_group(df, "v", "grp", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_distinct_by_group_sql("t", "v", "grp", k=1)
+    with pytest.raises(ValueError, match="k must be"):
+        SK.weighted_sample_by_group(df, "id", "wt", "grp", k=0)
