@@ -106,3 +106,396 @@ def tiff_lzw_pixel_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     media = MM.synthesize_tiffs_lzw(d, "doc_id")
     return MM.tiff_lzw_pixel_stats(media).orderBy("media_id")
+
+
+@query(
+    "paragraph_dedup_accounting",
+    oracle="""
+    WITH pard AS (
+      SELECT doc_id,
+             text || chr(10) || 'viral paragraph ' ||
+               CAST(doc_id % 7 AS VARCHAR) || chr(10) ||
+             'unique paragraph ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    ),
+    pars AS (
+      SELECT doc_id, u.j, pn[u.j + 1] AS par,
+             lower(trim(pn[u.j + 1])) AS norm
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS pn FROM pard),
+           UNNEST(range(len(pn))) AS u(j)
+    ),
+    ranked AS (
+      SELECT doc_id, j, par, norm,
+             row_number() OVER (PARTITION BY norm ORDER BY doc_id, j) AS rn
+      FROM pars
+    ),
+    kept AS (
+      SELECT doc_id, j, par FROM ranked WHERE norm = '' OR rn = 1
+    ),
+    kept_agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(par, chr(10) ORDER BY j) AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS n_pars FROM pard
+    )
+    SELECT b.doc_id, CAST(b.n_pars AS INT) AS n_paragraphs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(k.cleaned, '')) AS cleaned_md5
+    FROM base b LEFT JOIN kept_agg k USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def paragraph_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (operators/cleaning.dedup_paragraphs,
+    r10 — Wenzek et al. 2020: repeated normalized paragraphs keep ONLY
+    their first corpus-wide occurrence, unlike C4's remove-all rule in
+    clean_frequent_line_removal): documents get a planted viral
+    paragraph shared by their doc_id%7 cohort plus a unique one; after
+    dedup, exactly one member of each cohort keeps the viral paragraph
+    and every document keeps its unique one. Per-doc kept counts and the
+    md5 of the exact reassembled text are hash-verified against the
+    DuckDB twin (its norm-partitioned rank window replays the Spark
+    side's min-struct first-occurrence rule exactly)."""
+    from rippledb_spark.operators.cleaning import dedup_paragraphs
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nviral paragraph "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nunique paragraph "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(d, "text", "doc_id")
+    return out.select(
+        "doc_id",
+        F.col("n_paragraphs").cast("int").alias("n_paragraphs"),
+        "n_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+from rippledb_spark.functions import html as HTML8  # noqa: E402
+from rippledb_spark.functions import robots as RB8  # noqa: E402
+from rippledb_spark.functions import url as URL8  # noqa: E402
+from rippledb_spark.operators.redirects import (  # noqa: E402
+    resolve_redirect_chains_sql,
+)
+
+_FR_RR_CTE = resolve_redirect_chains_sql("redge", "from_url", "to_url", 8)
+
+
+@query(
+    "crawl_frontier_redirects_accounting",
+    oracle=f"""
+    WITH RECURSIVE
+    hostt AS (SELECT DISTINCT doc_id % 10 AS hid FROM documents),
+    pages AS (
+      SELECT 'r' || (doc_id % 10) AS host,
+             '<html><body><a href="https://r' || (doc_id % 10) ||
+             '/old' || (doc_id % 5) || '">x</a>' ||
+             CASE WHEN doc_id % 4 = 3
+                  THEN '<a href=''/loopa''>y</a>'
+                  ELSE '<a href=''/page' || (doc_id % 4) || '''>y</a>'
+             END || '</body></html>' AS html
+      FROM documents
+    ),
+    redge AS (
+      SELECT 'https://r' || hid || '/old' || j AS from_url,
+             'https://r' || hid || '/old' || (j + 1) AS to_url
+      FROM hostt, UNNEST(range(0, 4)) AS u(j)
+      UNION ALL
+      SELECT 'https://r' || hid || '/old4', 'https://r' || hid || '/new'
+      FROM hostt
+      UNION ALL
+      SELECT 'https://r' || hid || '/loopa', 'https://r' || hid || '/loopb'
+      FROM hostt
+      UNION ALL
+      SELECT 'https://r' || hid || '/loopb', 'https://r' || hid || '/loopa'
+      FROM hostt
+    ),
+    raw_links AS (
+      SELECT host AS src_host,
+             UNNEST({HTML8.extract_links_sql("html")}) AS link
+      FROM pages
+    ),
+    canon AS (
+      SELECT src_host, {URL8.url_normalize_sql("u")} AS url
+      FROM (SELECT src_host,
+                   CASE WHEN link LIKE '/%'
+                        THEN 'https://' || src_host || link
+                        ELSE link END AS u
+            FROM raw_links)
+    ),
+    {_FR_RR_CTE.strip()},
+    resolved AS (
+      SELECT c.src_host, c.url,
+             CASE WHEN r.url IS NULL THEN c.url ELSE r.final_url END
+               AS final_url,
+             (r.url IS NOT NULL) AS redirected,
+             COALESCE(r.resolved, TRUE) AS ok
+      FROM canon c LEFT JOIN redirects_resolved r ON r.url = c.url
+      WHERE c.url IS NOT NULL
+    ),
+    occ AS (
+      SELECT final_url AS url, COUNT(*) AS n_occ
+      FROM resolved WHERE ok GROUP BY final_url
+    ),
+    occp AS (
+      SELECT {URL8.url_host_sql("url")} AS host, url,
+             regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+      FROM occ
+    ),
+    rb_hosts AS (
+      SELECT 'r' || hid AS host,
+             CASE WHEN hid % 2 = 1
+                  THEN 'User-agent: *' || chr(10) || 'Disallow: /new'
+                  ELSE '' END AS robots
+      FROM hostt
+    ),
+    {RB8.robots_rules_sql("rb_hosts", "host", "robots").strip()},
+    {RB8.robots_decisions_sql("(SELECT host, path FROM occp)").strip()},
+    occ_stats AS (
+      SELECT src_host AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_link_occurrences,
+             CAST(SUM(CASE WHEN redirected THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_redirected,
+             CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_loop_dropped
+      FROM resolved GROUP BY src_host
+    ),
+    gate_stats AS (
+      SELECT o.host,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_final,
+             CAST(SUM(CASE WHEN d.allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_allowed,
+             CAST(SUM(CASE WHEN NOT d.allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+             MIN(CASE WHEN NOT d.allowed THEN o.url END) AS sample_blocked
+      FROM occp o JOIN rb_decisions d ON d.host = o.host AND d.path = o.path
+      GROUP BY o.host
+    )
+    SELECT s.host, s.n_link_occurrences, s.n_redirected, s.n_loop_dropped,
+           g.n_distinct_final, g.n_allowed, g.n_blocked, g.sample_blocked
+    FROM occ_stats s JOIN gate_stats g USING (host) ORDER BY s.host
+    """,
+)
+def crawl_frontier_redirects_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Crawl-frontier planning WITH the redirect hop (operators/
+    frontier.py, r10 — closes the gap the r8 composition skipped):
+    extract links → resolve relative → canonicalize → collapse 301
+    chains to terminals (planted per-host /old0→…→/old4→/new chains up
+    to 5 hops, plus a /loopa⇄/loopb redirect LOOP whose links must be
+    dropped, never fetched) → dedup FINAL urls → robots-gate them (odd
+    hosts disallow /new, so a redirect target can be blocked even when
+    its source wasn't). Both engines run their own full chain — the
+    oracle replays link extraction, normalization, the recursive
+    redirect walk with the same min-target dedup and hop cap, the loop
+    drop, final-address dedup, and RFC 9309 precedence — so a green row
+    certifies the entire composition. Reference comparison: n/a (no
+    crawl surface).
+
+    100 TB shape: codegen extraction; ≤ max_hops keyed joins over
+    one-row-per-source redirect state; one (host, url) dedup agg; a
+    broadcast rules gate; two short-key rollups."""
+    from rippledb_spark.operators import frontier as FR
+
+    d = load(spark, sf_dir, "documents")
+    hid = (F.col("doc_id") % 10).cast("bigint")
+    pages = d.select(
+        F.concat(F.lit("r"), hid).alias("host"),
+        F.concat(
+            F.lit('<html><body><a href="https://r'), hid,
+            F.lit("/old"), (F.col("doc_id") % 5).cast("bigint"),
+            F.lit('">x</a>'),
+            F.when(
+                F.col("doc_id") % 4 == 3, F.lit("<a href='/loopa'>y</a>")
+            ).otherwise(
+                F.concat(
+                    F.lit("<a href='/page"),
+                    (F.col("doc_id") % 4).cast("bigint"),
+                    F.lit("'>y</a>"),
+                )
+            ),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    hostt = d.select(hid.alias("hid")).distinct()
+    base = F.concat(F.lit("https://r"), F.col("hid"))
+    chain = hostt.select(
+        "hid", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    ).select(
+        F.concat(base, F.lit("/old"), F.col("j")).alias("from_url"),
+        F.concat(base, F.lit("/old"), F.col("j") + 1).alias("to_url"),
+    )
+    edges = (
+        chain.unionByName(
+            hostt.select(
+                F.concat(base, F.lit("/old4")).alias("from_url"),
+                F.concat(base, F.lit("/new")).alias("to_url"),
+            )
+        )
+        .unionByName(
+            hostt.select(
+                F.concat(base, F.lit("/loopa")).alias("from_url"),
+                F.concat(base, F.lit("/loopb")).alias("to_url"),
+            )
+        )
+        .unionByName(
+            hostt.select(
+                F.concat(base, F.lit("/loopb")).alias("from_url"),
+                F.concat(base, F.lit("/loopa")).alias("to_url"),
+            )
+        )
+    )
+    robots_hosts = hostt.select(
+        F.concat(F.lit("r"), F.col("hid")).alias("host"),
+        F.when(
+            F.col("hid") % 2 == 1,
+            F.lit("User-agent: *\nDisallow: /new"),
+        )
+        .otherwise(F.lit(""))
+        .alias("robots"),
+    )
+    links = FR.extract_frontier_links(pages, "host", "html")
+    resolved = FR.resolve_frontier(links, edges, max_hops=8)
+    gated = FR.gate_frontier(resolved, robots_hosts)
+    occ_stats = resolved.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_link_occurrences"),
+        F.sum(F.when(F.col("redirected"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_redirected"),
+        F.sum(F.when(~F.col("resolved"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_loop_dropped"),
+    )
+    gate_stats = gated.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_distinct_final"),
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_allowed"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked"),
+        F.min(F.when(~F.col("allowed"), F.col("url"))).alias(
+            "sample_blocked"
+        ),
+    )
+    return occ_stats.join(gate_stats, "host").orderBy("host")
+
+
+from rippledb_spark.operators import sketches as SK  # noqa: E402
+
+_TOKS_CTE = """toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tokf AS (SELECT lang, tok FROM toks WHERE tok <> '')"""
+
+
+def _lang_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+@query(
+    "kmv_distinct_tokens",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {SK.kmv_distinct_by_group_sql("tokf", "tok", "lang", k=64).strip()}
+    SELECT lang, n_exact, n_sketch, kmv_estimate, rel_error
+    FROM kmv_est ORDER BY lang
+    """,
+)
+def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-value sketch (operators/sketches.py, r10 — Beyer et
+    al. 2007): per language, estimate the distinct-token cardinality
+    from the 64 smallest md5-derived hash values, beside the EXACT
+    count computed in the same job (self-verifying rel_error column —
+    the sketch is certified against its own ground truth, the
+    minhash-twin pattern). No RNG anywhere: the same corpus always
+    yields the same sketch, so the oracle replays every hash, the
+    per-group k-th minimum, and the (k−1)/u_k estimate bit-for-bit.
+    Groups under k distinct values fall back to the exact sketch size.
+    Reference comparison: n/a (no sketch surface).
+
+    100 TB shape: one explode, one (group, hash) dedup agg, one
+    group-partitioned rank window (WindowGroupLimit) — sketch state is
+    O(k) per group."""
+    return SK.kmv_distinct_by_group(
+        _lang_tokens(spark, sf_dir), "tok", "lang", k=64
+    ).orderBy("lang")
+
+
+@query(
+    "hll_distinct_tokens",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    {SK.hll_distinct_by_group_sql("tokf", "tok", "lang").strip()}
+    SELECT lang, n_exact, n_registers, n_zero_registers, hll_estimate,
+           rel_error
+    FROM hll_est ORDER BY lang
+    """,
+)
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-shaped register sketch (operators/sketches.py, r10 —
+    Flajolet et al. 2007, m=256 registers): per language, the harmonic
+    cardinality estimate with the paper's linear-counting small-range
+    fallback, beside the exact distinct count (self-verifying
+    rel_error). The one order-sensitive float reduction — the harmonic
+    denominator — is computed as the EXACT integer Σ 2^(49−M_j), so
+    both engines reach the single IEEE division from identical inputs
+    and the oracle replays registers, ranks, branch choice, and
+    estimate bit-for-bit. (Spark's approx_count_distinct is the
+    built-in HLL++ production path; this row certifies an explainable
+    sketch the engine can defend end to end.) Reference comparison: n/a.
+
+    100 TB shape: one explode, one (group, register) max-agg (map-side
+    combinable — sketch state is 256 rows per group), one group
+    rollup."""
+    return SK.hll_distinct_by_group(
+        _lang_tokens(spark, sf_dir), "tok", "lang"
+    ).orderBy("lang")
+
+
+@query(
+    "weighted_reservoir_sample",
+    oracle=f"""
+    WITH wdocs AS (
+      SELECT lang, doc_id,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    {SK.weighted_sample_by_group_sql("wdocs", "doc_id", "n_tok", "lang", k=3).strip()}
+    SELECT lang, rank, doc_id, n_tok, key_ln
+    FROM wres_sample ORDER BY lang, rank
+    """,
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (operators/
+    sketches.py, r10 — Efraimidis & Spirakis 2006 A-Res): per language,
+    the 3 documents with the largest u^(1/w) keys, w = token count and
+    u the deterministic md5 fraction of the doc id — inclusion
+    probability ∝ weight, zero RNG, fully replayable. Ranked on the
+    monotone ln(u)/w (6dp, id tiebreak) so the DuckDB twin reproduces
+    the exact sample. The sampling primitive a mixture pipeline uses to
+    draw token-weighted eval/inspection sets. Reference comparison: n/a.
+
+    100 TB shape: one projection + one group-partitioned rank window
+    (WindowGroupLimit); no global sort."""
+    d = load(spark, sf_dir, "documents")
+    wdocs = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+    return SK.weighted_sample_by_group(
+        wdocs, "doc_id", "n_tok", "lang", k=3
+    ).orderBy("lang", "rank")

@@ -373,6 +373,33 @@ def test_ivfpq_query_path_broadcasts_and_never_cartesians_the_corpus(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_sketch_topk_windows_plan_as_window_group_limit(spark):
+    """r10 sketches: the KMV k-minimum and A-Res top-k are
+    group-partitioned rank windows — they must plan as WindowGroupLimit
+    (per-partition pre-filter) so no partition ever carries more than k
+    rows per group, and nothing cartesians."""
+    import pyspark.sql.functions as F2
+
+    from rippledb_spark.operators.sketches import (
+        kmv_distinct_by_group,
+        weighted_sample_by_group,
+    )
+
+    df = spark.range(0, 4000).select(
+        F2.col("id"),
+        F2.concat(F2.lit("g"), (F2.col("id") % 3)).alias("grp"),
+        F2.concat(F2.lit("v"), (F2.col("id") % 97)).alias("v"),
+        (F2.col("id") % 5 + 1).cast("double").alias("wt"),
+    )
+    for out in (
+        kmv_distinct_by_group(df, "v", "grp", k=16),
+        weighted_sample_by_group(df, "id", "wt", "grp", k=3),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, plan
+        assert "CartesianProduct" not in plan
+
+
 def test_ivfpq_rerank_fetch_is_broadcast_never_cartesian(spark):
     """r10: the two-stage re-rank's candidate fetch must be a broadcast
     join of the nq·R shortlist against the corpus — the exact-distance
