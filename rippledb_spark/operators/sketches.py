@@ -263,6 +263,233 @@ def hll_distinct_by_group_sql(
     )"""
 
 
+def cms_token_frequency(
+    df: DataFrame,
+    val_col: str,
+    probe: DataFrame,
+    d: int = 3,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved data
+    stream summary: the count-min sketch and its applications"): a d×w
+    counter table — row i counts occurrences at column
+    h_i(v) = md5(v‖'#'‖i) mod w — estimates any value's frequency as the
+    MIN over its d counters, guaranteed ≥ the true count (collisions
+    only ever add). ``probe`` is a DataFrame with ``val_col`` — the
+    values whose frequencies to estimate.
+
+    → DataFrame(value, n_exact, cms_estimate, overestimate): the exact
+    count computed in the same job (self-verifying — ``overestimate`` =
+    estimate − exact is provably ≥ 0, pinned in pytest). Counters are
+    exact integer sums, so the DuckDB twin replays the entire table and
+    every min bit-for-bit.
+
+    Scale shape: the sketch is ONE groupBy over (row, column) — d·w
+    counter rows total regardless of corpus size (the entire point);
+    probing joins the tiny probe set against it broadcast."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 rows and w >= 2 columns")
+    vals = df.select(F.col(val_col).alias("v")).where(F.col("v").isNotNull())
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i")
+    cell = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("v"), F.col("i"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    table = (
+        vals.select("v", rows)
+        .select("i", cell.alias("c"))
+        .groupBy("i", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    p = probe.select(F.col(val_col).alias("v")).distinct()
+    pcells = p.select("v", rows).select("v", "i", cell.alias("c"))
+    est = (
+        pcells.join(F.broadcast(table), ["i", "c"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        p.join(vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt")), "v", "left")
+        .select("v", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_exact"))
+    )
+    return exact.join(est, "v").select(
+        F.col("v").alias(val_col),
+        "n_exact",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+    )
+
+
+def cms_token_frequency_sql(
+    table: str,
+    val_col: str,
+    probe_rel: str,
+    d: int = 3,
+    w: int = 1024,
+) -> str:
+    """DuckDB CTE twin; yields ``cms_est`` with the same four columns.
+    ``probe_rel`` is a relation with ``val_col``."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 rows and w >= 2 columns")
+    cell = (
+        "CAST(('0x' || substr(md5(v || '#' || CAST(i AS VARCHAR)), 1, 12))"
+        f" AS BIGINT) % {w}"
+    )
+    return f"""cms_vals AS (
+      SELECT {val_col} AS v FROM {table} WHERE {val_col} IS NOT NULL
+    ),
+    cms_table AS (
+      SELECT i, {cell} AS c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM cms_vals, UNNEST(range(0, {d})) AS u(i)
+      GROUP BY 1, 2
+    ),
+    cms_probe AS (
+      SELECT DISTINCT {val_col} AS v FROM {probe_rel}
+    ),
+    cms_cells AS (
+      SELECT v, i, {cell} AS c
+      FROM cms_probe, UNNEST(range(0, {d})) AS u(i)
+    ),
+    cms_min AS (
+      SELECT p.v, MIN(COALESCE(t.n, 0)) AS cms_estimate
+      FROM cms_cells p LEFT JOIN cms_table t ON t.i = p.i AND t.c = p.c
+      GROUP BY p.v
+    ),
+    cms_exact AS (
+      SELECT p.v, CAST(COALESCE(x.cnt, 0) AS BIGINT) AS n_exact
+      FROM cms_probe p LEFT JOIN (
+        SELECT v, COUNT(*) AS cnt FROM cms_vals GROUP BY v
+      ) x ON x.v = p.v
+    ),
+    cms_est AS (
+      SELECT e.v AS {val_col}, e.n_exact, m.cms_estimate,
+             m.cms_estimate - e.n_exact AS overestimate
+      FROM cms_exact e JOIN cms_min m ON m.v = e.v
+    )"""
+
+
+def bloom_membership(
+    members: DataFrame,
+    candidates: DataFrame,
+    val_col: str,
+    m_bits: int = 65536,
+    j: int = 3,
+) -> DataFrame:
+    """Deterministic Bloom filter (Bloom 1970): the filter is the
+    DISTINCT set of bit positions md5(v‖'#'‖i) mod m_bits, i < j, over
+    the ``members`` set; a candidate "hits" iff ALL j of its positions
+    are set. No-false-negative guarantee holds by construction; false
+    positives are a PURE FUNCTION of md5, so the DuckDB twin replays
+    every hit — including the false ones — exactly.
+
+    → DataFrame(value, bloom_hit, exact_member, false_positive): one row
+    per distinct candidate, self-verifying (exact membership via a join
+    in the same job; ``bloom_hit AND NOT exact_member`` is the FP flag,
+    and ``exact_member AND NOT bloom_hit`` is impossible — pinned in
+    pytest).
+
+    Scale shape: the filter is ≤ j·|members| positions — the broadcast
+    side of one join; candidates stream past it. The classic use is the
+    benchmark-contamination gate: the benchmark is small, the corpus is
+    not."""
+    if m_bits < 2 or j < 1:
+        raise ValueError("need m_bits >= 2 and j >= 1")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(j - 1))).alias("i")
+    pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("v"), F.col("i"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(m_bits),
+    )
+    mem = members.select(F.col(val_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).distinct()
+    bits = mem.select(rows, "v").select(pos.alias("p")).distinct()
+    cand = candidates.select(F.col(val_col).alias("v")).where(
+        F.col("v").isNotNull()
+    ).distinct()
+    hits = (
+        cand.select("v", rows)
+        .select("v", pos.alias("p"))
+        .join(F.broadcast(bits), "p", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .where(F.col("n_set") == j)
+        .select("v", F.lit(True).alias("bloom_hit"))
+    )
+    exact = mem.select("v", F.lit(True).alias("exact_member"))
+    return (
+        cand.join(hits, "v", "left")
+        .join(exact, "v", "left")
+        .select(
+            F.col("v").alias(val_col),
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.coalesce("exact_member", F.lit(False)).alias("exact_member"),
+            (
+                F.coalesce("bloom_hit", F.lit(False))
+                & ~F.coalesce("exact_member", F.lit(False))
+            ).alias("false_positive"),
+        )
+    )
+
+
+def bloom_membership_sql(
+    members_rel: str,
+    candidates_rel: str,
+    val_col: str,
+    m_bits: int = 65536,
+    j: int = 3,
+) -> str:
+    """DuckDB CTE twin; yields ``bloom_res`` with the same columns."""
+    if m_bits < 2 or j < 1:
+        raise ValueError("need m_bits >= 2 and j >= 1")
+    pos = (
+        "CAST(('0x' || substr(md5(v || '#' || CAST(i AS VARCHAR)), 1, 12))"
+        f" AS BIGINT) % {m_bits}"
+    )
+    return f"""bl_mem AS (
+      SELECT DISTINCT {val_col} AS v FROM {members_rel}
+      WHERE {val_col} IS NOT NULL
+    ),
+    bl_bits AS (
+      SELECT DISTINCT {pos} AS p
+      FROM bl_mem, UNNEST(range(0, {j})) AS u(i)
+    ),
+    bl_cand AS (
+      SELECT DISTINCT {val_col} AS v FROM {candidates_rel}
+      WHERE {val_col} IS NOT NULL
+    ),
+    bl_hits AS (
+      SELECT v, TRUE AS bloom_hit FROM (
+        SELECT c.v, COUNT(*) AS n_set
+        FROM (SELECT v, {pos} AS p
+              FROM bl_cand, UNNEST(range(0, {j})) AS u(i)) c
+        SEMI JOIN bl_bits b ON b.p = c.p
+        GROUP BY c.v
+      ) WHERE n_set = {j}
+    ),
+    bloom_res AS (
+      SELECT c.v AS {val_col},
+             COALESCE(h.bloom_hit, FALSE) AS bloom_hit,
+             (m.v IS NOT NULL) AS exact_member,
+             (COALESCE(h.bloom_hit, FALSE) AND m.v IS NULL)
+               AS false_positive
+      FROM bl_cand c
+      LEFT JOIN bl_hits h ON h.v = c.v
+      LEFT JOIN bl_mem m ON m.v = c.v
+    )"""
+
+
 def weighted_sample_by_group(
     df: DataFrame,
     id_col: str,

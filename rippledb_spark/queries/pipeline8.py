@@ -499,3 +499,128 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.weighted_sample_by_group(
         wdocs, "doc_id", "n_tok", "lang", k=3
     ).orderBy("lang", "rank")
+
+
+from rippledb_spark.operators.dedup import shingles as _shingles  # noqa: E402
+from rippledb_spark.operators.dedup import shingles_sql as _sh_sql  # noqa: E402
+
+
+@query(
+    "cms_token_frequency_accounting",
+    oracle=f"""
+    WITH cms_grams AS (
+      SELECT unnest({_sh_sql("text", 2)}) AS g FROM documents
+    ),
+    cms_pr AS (
+      SELECT DISTINCT g FROM cms_grams
+      WHERE CAST(('0x' || substr(md5(g), 1, 6)) AS BIGINT) % 8 = 0
+      UNION ALL
+      SELECT 'absent_probe_' || CAST(u.k AS VARCHAR)
+      FROM UNNEST(range(0, 5)) AS u(k)
+    ),
+    {SK.cms_token_frequency_sql("cms_grams", "g", "cms_pr", d=3, w=256).strip()}
+    SELECT g, n_exact, cms_estimate, overestimate
+    FROM cms_est ORDER BY g
+    """,
+)
+def cms_token_frequency_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py, r10 — Cormode
+    & Muthukrishnan 2005): a 3×256 counter table estimates any token
+    BIGRAM's corpus frequency as the min of its 3 counters — provably ≥
+    the true count. The domain (~900 distinct bigrams into 256 columns)
+    guarantees real collisions, so the overestimate column is exercised,
+    not vacuous; probes are a deterministic hash-sample of the bigram
+    vocabulary plus five planted ABSENT values (exact count 0 — their
+    estimates are pure collision mass). Counters are exact integer sums
+    and the cells md5-derived, so the oracle replays the whole table,
+    every min, and every collision bit-for-bit; the exact counts in the
+    same job make the row self-verifying (overestimate ≥ 0 pinned in
+    pytest). Reference comparison: n/a.
+
+    100 TB shape: the sketch is ONE (row, column) groupBy — 768 counter
+    rows at any corpus size; probing broadcasts the table."""
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(F.explode(_shingles("text", 2)).alias("g"))
+    sampled = grams.distinct().where(
+        F.conv(F.substring(F.md5("g"), 1, 6), 16, 10).cast("bigint") % 8
+        == 0
+    )
+    absent = spark.range(5).select(
+        F.concat(F.lit("absent_probe_"), F.col("id")).alias("g")
+    )
+    probe = sampled.unionByName(absent)
+    return SK.cms_token_frequency(grams, "g", probe, d=3, w=256).orderBy("g")
+
+
+from rippledb_spark.operators.dedup import shingles_sql as _shingles_sql  # noqa: E402
+
+
+@query(
+    "bloom_contamination_gate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_shingles_sql("text", 4)}) AS g FROM documents
+    ),
+    bl_members_in AS (SELECT g FROM sh WHERE doc_id % 50 = 0),
+    bl_cands_in AS (SELECT g FROM sh),
+    {SK.bloom_membership_sql("bl_members_in", "bl_cands_in", "g",
+                             m_bits=16384, j=3).strip()}
+    SELECT s.doc_id,
+           CAST(COUNT(DISTINCT s.g) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN b.exact_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN b.false_positive THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_flagged
+    FROM (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 50 <> 0) s
+    JOIN bloom_res b ON b.g = s.g
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def bloom_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination gate (operators/sketches.py, r10 —
+    Bloom 1970, the constant-space form of the exact
+    benchmark_contamination_4gram join): the benchmark slice's 4-gram
+    positions (3 md5 hashes into 2^14 bits) form the filter; every
+    training doc's grams test against it, and the per-doc report carries
+    flagged vs EXACT contamination counts side by side — so false
+    positives are counted, false negatives are provably zero (pinned in
+    pytest), and both are pure md5 functions the oracle replays exactly.
+    The m_bits is deliberately small enough that real collisions occur
+    in the corpus — the FP accounting is exercised, not vacuous.
+    Reference comparison: n/a.
+
+    100 TB shape: the filter is ≤ 3·|benchmark| positions — broadcast;
+    the corpus streams past it; per-doc rollup is one doc-keyed agg.
+    The production trade: the exact join ships the benchmark's full
+    gram STRINGS to every executor, the Bloom gate ships 2^14 bits."""
+    from rippledb_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles("text", 4)).alias("g"))
+    members = sh.where(F.col("doc_id") % 50 == 0).select("g")
+    bm = SK.bloom_membership(
+        members, sh.select("g"), "g", m_bits=16384, j=3
+    )
+    return (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .dropDuplicates(["doc_id", "g"])
+        .join(bm, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_grams"),
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(F.when(F.col("exact_member"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("false_positive"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_false_flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -129,3 +129,76 @@ def test_sketch_param_refusals(spark):
         SK.kmv_distinct_by_group_sql("t", "v", "grp", k=1)
     with pytest.raises(ValueError, match="k must be"):
         SK.weighted_sample_by_group(df, "id", "wt", "grp", k=0)
+
+
+def test_cms_matches_twin_and_never_underestimates(spark):
+    df, con = _corpus(spark, n=5000, card=211)
+    probe = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(0, 300, 7)], "v string"
+    )
+    con.execute("CREATE TABLE pr (v VARCHAR)")
+    con.executemany(
+        "INSERT INTO pr VALUES (?)", [(f"tok{i}",) for i in range(0, 300, 7)]
+    )
+    got = sorted(
+        map(tuple, SK.cms_token_frequency(df, "v", probe, d=3, w=256).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "WITH " + SK.cms_token_frequency_sql("t", "v", "pr", d=3, w=256)
+                + " SELECT v, n_exact, cms_estimate, overestimate FROM cms_est"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    # the CMS guarantee: estimate >= exact, always — and with 211 values
+    # in 256 columns some collision mass must show
+    assert all(r[3] >= 0 for r in got)
+    assert any(r[3] > 0 for r in got)
+    # absent probes (tok217...tok294 beyond card=211) report exact 0
+    absents = [r for r in got if r[1] == 0]
+    assert absents and all(r[2] == r[3] for r in absents)
+
+
+def test_bloom_matches_twin_no_false_negatives(spark):
+    df, con = _corpus(spark)
+    mem = spark.createDataFrame([(f"tok{i}",) for i in range(40)], "v string")
+    cand = spark.createDataFrame([(f"tok{i}",) for i in range(400)], "v string")
+    con.execute("CREATE TABLE mem (v VARCHAR)")
+    con.executemany("INSERT INTO mem VALUES (?)", [(f"tok{i}",) for i in range(40)])
+    con.execute("CREATE TABLE cand (v VARCHAR)")
+    con.executemany("INSERT INTO cand VALUES (?)", [(f"tok{i}",) for i in range(400)])
+    got = sorted(
+        map(tuple, SK.bloom_membership(mem, cand, "v", m_bits=512, j=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "WITH " + SK.bloom_membership_sql("mem", "cand", "v", m_bits=512, j=3)
+                + " SELECT v, bloom_hit, exact_member, false_positive FROM bloom_res"
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 400
+    # Bloom's contract: NO false negatives, ever
+    assert not [r for r in got if r[2] and not r[1]]
+    # every member hits; the small m plants real false positives
+    assert sum(1 for r in got if r[2]) == 40
+    assert any(r[3] for r in got)
+    # fp flag is exactly hit-and-not-member
+    assert all(r[3] == (r[1] and not r[2]) for r in got)
+
+
+def test_cms_bloom_param_refusals(spark):
+    df = spark.createDataFrame([(1, "v")], "id long, v string")
+    with pytest.raises(ValueError, match="need d"):
+        SK.cms_token_frequency(df, "v", df, d=0)
+    with pytest.raises(ValueError, match="need d"):
+        SK.cms_token_frequency_sql("t", "v", "p", w=1)
+    with pytest.raises(ValueError, match="need m_bits"):
+        SK.bloom_membership(df, df, "v", m_bits=1)
+    with pytest.raises(ValueError, match="need m_bits"):
+        SK.bloom_membership_sql("m", "c", "v", j=0)
