@@ -62,6 +62,80 @@ def _h48_sql(col: str) -> str:
     return f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 12)) AS BIGINT)"
 
 
+def kmv_state(
+    df: DataFrame, val_col: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """→ DataFrame(grp, h): the mergeable KMV state — per group, the up
+    to ``k`` smallest distinct 48-bit hashes. WindowGroupLimit top-k
+    over a (group, hash) dedup."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(val_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    dh = vals.select("grp", _h48(F.col("v")).alias("h")).groupBy(
+        "grp", "h"
+    ).agg(F.lit(1))
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_merge_states(k: int, *states: DataFrame) -> DataFrame:
+    """Merge KMV states: the k smallest of the deduped union — exactly
+    the state a single pass over the concatenated inputs would build
+    (hashes are a pure value function, so shared values collide to one
+    row). Associative, commutative, idempotent."""
+    if not states:
+        raise ValueError("need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        out.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("grp", "h")
+    )
+
+
+def kmv_estimate_from_state(state: DataFrame, k: int) -> DataFrame:
+    """→ DataFrame(grp, n_sketch, kmv_estimate) from a (merged) KMV
+    state: (k−1)/u_k, or the exact sketch size when the group never
+    filled its sketch."""
+    sk = state.groupBy("grp").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("hk").cast("double") / F.lit(_H48))
+    )
+    return sk.select(
+        "grp", "n_sketch", F.round(est, EST_DP).alias("kmv_estimate")
+    )
+
+
+def cms_merge_tables(*tables: DataFrame) -> DataFrame:
+    """Merge Count-Min tables ((i, c, n) frames): cell-wise sum —
+    exactly the table one pass over the concatenated inputs builds.
+    Associative and commutative (NOT idempotent: a CMS counts
+    occurrences, so merging a table with itself doubles it — replay
+    safety must come from the snapshot protocol, as in the streaming
+    sinks' read-merge-overwrite cycle)."""
+    if not tables:
+        raise ValueError("need at least one table")
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("i", "c").agg(F.sum("n").cast("bigint").alias("n"))
+
+
 def kmv_distinct_by_group(
     df: DataFrame, val_col: str, group_col: str, k: int = 64
 ) -> DataFrame:
@@ -158,16 +232,22 @@ HLL_M = 256
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 
 
-def hll_distinct_by_group(
-    df: DataFrame, val_col: str, group_col: str
-) -> DataFrame:
-    """→ DataFrame(group, n_exact, n_registers, n_zero_registers,
-    hll_estimate, rel_error): per group, the 256-register HLL estimate
-    beside the exact distinct count. The harmonic denominator is the
-    EXACT integer Σ_j 2^{49−M_j} (zero registers contribute 2^49), so
-    there is no order-sensitive float sum anywhere — one IEEE division
-    and (for small ranges) one ln produce the estimate, replayed
-    bit-for-bit by the DuckDB twin."""
+# --- mergeable sketch state --------------------------------------------------
+# Every sketch here is MERGEABLE — the property that makes a synopsis
+# useful at all in a distributed engine: per-partition (or per-micro-
+# batch) states combine into the exact whole-corpus state, so map-side
+# partial aggregation, streaming incremental maintenance, and cross-
+# datacenter rollups all come for free. Merges: HLL = per-register max,
+# KMV = k smallest of the union, CMS = cell-wise sum. All three are
+# associative/commutative/idempotent-where-it-matters, pinned equal to
+# the single-pass state in tests/test_sketches.py and live in
+# tests/test_streaming.py (foreachBatch incremental == batch).
+
+
+def hll_registers(df: DataFrame, val_col: str, group_col: str) -> DataFrame:
+    """→ DataFrame(grp, idx, m_j): the mergeable HLL state — per group
+    and register, the max leading-zero rank seen. One map-side-
+    combinable (group, register) hash-agg; ≤ m rows per group."""
     vals = df.select(
         F.col(group_col).alias("grp"), F.col(val_col).alias("v")
     ).where(F.col("v").isNotNull())
@@ -177,21 +257,39 @@ def hll_distinct_by_group(
     rho = F.when(w48 == 0, F.lit(49)).otherwise(
         F.lit(49) - F.length(F.bin(w48))
     )
-    regs = (
+    return (
         vals.select("grp", idx.alias("idx"), rho.alias("rho"))
         .groupBy("grp", "idx")
         .agg(F.max("rho").alias("m_j"))
-        .groupBy("grp")
-        .agg(
-            # the SQL form: pyspark's shiftleft() only takes a literal
-            # bit count, but the shift amount is per-register here
-            F.sum(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")
-            ).alias("s_present"),
-            F.count(F.lit(1)).cast("bigint").alias("n_registers"),
-        )
     )
-    exact = vals.groupBy("grp").agg(F.count_distinct("v").alias("n_exact"))
+
+
+def hll_merge_registers(*states: DataFrame) -> DataFrame:
+    """Merge HLL states (hll_registers frames): union + per-register
+    max. Associative, commutative, idempotent — merging a state with
+    itself is a no-op, which is what makes streaming replays safe."""
+    if not states:
+        raise ValueError("need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("grp", "idx").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """→ DataFrame(grp, n_registers, n_zero_registers, hll_estimate):
+    the Flajolet et al. estimate from a (merged) register state. The
+    harmonic denominator is the EXACT integer Σ_j 2^{49−M_j} (zero
+    registers contribute 2^49), so there is no order-sensitive float
+    sum anywhere — one IEEE division and (for small ranges) one ln."""
+    agg = regs.groupBy("grp").agg(
+        # the SQL form: pyspark's shiftleft() only takes a literal
+        # bit count, but the shift amount is per-register here
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("bigint").alias("n_registers"),
+    )
     zero = F.lit(HLL_M) - F.col("n_registers")
     s_total = (F.col("s_present") + zero * F.lit(1 << 49)).cast("double")
     e_raw = F.lit(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 49)) / s_total
@@ -199,14 +297,38 @@ def hll_distinct_by_group(
         (e_raw <= F.lit(2.5 * HLL_M)) & (zero > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
     ).otherwise(e_raw)
-    return exact.join(regs, "grp").select(
-        F.col("grp").alias(group_col),
-        "n_exact",
+    return agg.select(
+        "grp",
         "n_registers",
         zero.cast("bigint").alias("n_zero_registers"),
         F.round(est, EST_DP).alias("hll_estimate"),
-        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), EST_DP)
-        .alias("rel_error"),
+    )
+
+
+def hll_distinct_by_group(
+    df: DataFrame, val_col: str, group_col: str
+) -> DataFrame:
+    """→ DataFrame(group, n_exact, n_registers, n_zero_registers,
+    hll_estimate, rel_error): per group, the 256-register HLL estimate
+    beside the exact distinct count (the self-verifying certification
+    form; :func:`hll_registers` + :func:`hll_estimate_from_registers`
+    are the mergeable production pieces it composes)."""
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(val_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    est = hll_estimate_from_registers(hll_registers(df, val_col, group_col))
+    exact = vals.groupBy("grp").agg(F.count_distinct("v").alias("n_exact"))
+    return exact.join(est, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_exact",
+        "n_registers",
+        "n_zero_registers",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            EST_DP,
+        ).alias("rel_error"),
     )
 
 
@@ -257,10 +379,38 @@ def hll_distinct_by_group_sql(
       SELECT e.grp AS {group_col}, e.n_exact, r.n_registers,
              CAST({HLL_M} - r.n_registers AS BIGINT) AS n_zero_registers,
              ROUND({est}, {EST_DP}) AS hll_estimate,
-             ROUND(ABS(({est}) - e.n_exact) / e.n_exact, {EST_DP})
-               AS rel_error
+             ROUND(ABS(ROUND({est}, {EST_DP}) - e.n_exact) / e.n_exact,
+                   {EST_DP}) AS rel_error
       FROM hll_exact e JOIN hll_regs r USING (grp)
     )"""
+
+
+def cms_table(
+    df: DataFrame, val_col: str, d: int = 3, w: int = 1024
+) -> DataFrame:
+    """→ DataFrame(i, c, n): the mergeable Count-Min state — d·w exact
+    integer counters (row i, column md5(v‖'#'‖i) mod w). ONE map-side-
+    combinable groupBy regardless of corpus size."""
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 rows and w >= 2 columns")
+    vals = df.select(F.col(val_col).alias("v")).where(F.col("v").isNotNull())
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i")
+    cell = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("v"), F.col("i"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(w),
+    )
+    return (
+        vals.select("v", rows)
+        .select("i", cell.alias("c"))
+        .groupBy("i", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
 
 
 def cms_token_frequency(
@@ -301,12 +451,7 @@ def cms_token_frequency(
         ).cast("bigint"),
         F.lit(w),
     )
-    table = (
-        vals.select("v", rows)
-        .select("i", cell.alias("c"))
-        .groupBy("i", "c")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+    table = cms_table(df, val_col, d=d, w=w)
     p = probe.select(F.col(val_col).alias("v")).distinct()
     pcells = p.select("v", rows).select("v", "i", cell.alias("c"))
     est = (

@@ -202,3 +202,61 @@ def test_cms_bloom_param_refusals(spark):
         SK.bloom_membership(df, df, "v", m_bits=1)
     with pytest.raises(ValueError, match="need m_bits"):
         SK.bloom_membership_sql("m", "c", "v", j=0)
+
+
+def test_sketch_states_merge_to_single_pass(spark):
+    """Mergeability — the property that makes a synopsis distributed:
+    states built over arbitrary splits of the corpus merge into EXACTLY
+    the single-pass state (HLL: per-register max; KMV: k smallest of
+    the union; CMS: cell-wise sum), so estimates off merged state are
+    identical, not merely close."""
+    df, _ = _corpus(spark, n=3000, card=211)
+    parts = [
+        df.where(df.id % 3 == r).localCheckpoint(eager=True) for r in range(3)
+    ]
+    # HLL
+    whole = sorted(map(tuple, SK.hll_registers(df, "v", "grp").collect()))
+    merged_regs = SK.hll_merge_registers(
+        *[SK.hll_registers(p, "v", "grp") for p in parts]
+    )
+    assert sorted(map(tuple, merged_regs.collect())) == whole
+    est_w = sorted(
+        map(tuple, SK.hll_estimate_from_registers(
+            SK.hll_registers(df, "v", "grp")).collect())
+    )
+    est_m = sorted(map(tuple, SK.hll_estimate_from_registers(merged_regs).collect()))
+    assert est_w == est_m
+    # merging a state with itself is a no-op (replay safety)
+    self_merged = SK.hll_merge_registers(merged_regs, merged_regs)
+    assert sorted(map(tuple, self_merged.collect())) == whole
+    # KMV
+    whole_k = sorted(map(tuple, SK.kmv_state(df, "v", "grp", k=16).collect()))
+    merged_k = SK.kmv_merge_states(
+        16, *[SK.kmv_state(p, "v", "grp", k=16) for p in parts]
+    )
+    assert sorted(map(tuple, merged_k.collect())) == whole_k
+    assert sorted(
+        map(tuple, SK.kmv_merge_states(16, merged_k, merged_k).collect())
+    ) == whole_k
+    est_w = sorted(map(tuple, SK.kmv_estimate_from_state(
+        SK.kmv_state(df, "v", "grp", k=16), 16).collect()))
+    est_m = sorted(map(tuple, SK.kmv_estimate_from_state(merged_k, 16).collect()))
+    assert est_w == est_m
+    # CMS (NOT idempotent — counts add; merge of disjoint splits only)
+    whole_c = sorted(map(tuple, SK.cms_table(df, "v", d=3, w=256).collect()))
+    merged_c = SK.cms_merge_tables(
+        *[SK.cms_table(p, "v", d=3, w=256) for p in parts]
+    )
+    assert sorted(map(tuple, merged_c.collect())) == whole_c
+
+
+def test_sketch_states_invariant_under_repartitioning(spark):
+    df, _ = _corpus(spark, n=2000, card=97)
+    a = sorted(map(tuple, SK.hll_registers(df, "v", "grp").collect()))
+    b = sorted(
+        map(tuple, SK.hll_registers(df.repartition(7), "v", "grp").collect())
+    )
+    assert a == b
+    c = sorted(map(tuple, SK.cms_table(df, "v", d=2, w=64).collect()))
+    e = sorted(map(tuple, SK.cms_table(df.repartition(13), "v", d=2, w=64).collect()))
+    assert c == e

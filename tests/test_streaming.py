@@ -1372,3 +1372,74 @@ def test_streaming_crawl_frontier_snapshot_matches_batch(spark, tmp_path):
     assert not any("old" in u or "loop" in u for u in urls)  # no mid-chain/loop
     assert "https://ex.org/keep" in urls
     assert not any("/blockme" in u for u in urls)  # robots-gated
+
+
+def test_streaming_incremental_hll_matches_batch(spark, tmp_path):
+    """r10: incremental sketch maintenance — a foreachBatch sink keeps
+    an HLL register snapshot merged per micro-batch (per-register max,
+    idempotent under replay); after the stream drains, the snapshot's
+    registers and estimate are IDENTICAL to the batch single-pass form
+    over all rows — the mergeability contract, live."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+    from rippledb_spark.streaming.sinks import snapshot_ready
+
+    d = tmp_path / "hll_stream"
+    d.mkdir()
+    for part in range(3):
+        rows = [
+            {"grp": f"g{i % 2}", "v": f"tok{(i * 7 + part * 331) % 500}"}
+            for i in range(400)
+        ]
+        (d / f"part{part}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+    snap = str(tmp_path / "hll_snapshot")
+    ckpt = str(tmp_path / "hll_ckpt")
+
+    def merge_batch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        regs = hll_registers(batch_df, "v", "grp")
+        if snapshot_ready(sp, snap):
+            regs = hll_merge_registers(sp.read.parquet(snap), regs)
+        regs.localCheckpoint(eager=True).write.mode("overwrite").parquet(snap)
+
+    stream = spark.readStream.schema("grp string, v string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.read.schema("grp string, v string").json(str(d))
+    want_regs = sorted(
+        map(tuple, hll_registers(batch_df, "v", "grp").collect())
+    )
+    got_regs = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    assert got_regs == want_regs and len(got_regs) > 0
+    want_est = sorted(
+        map(
+            tuple,
+            hll_estimate_from_registers(
+                hll_registers(batch_df, "v", "grp")
+            ).collect(),
+        )
+    )
+    got_est = sorted(
+        map(
+            tuple,
+            hll_estimate_from_registers(spark.read.parquet(snap)).collect(),
+        )
+    )
+    assert got_est == want_est
