@@ -1,0 +1,282 @@
+"""Distributed PCA — top principal component by power iteration
+(Golub & Van Loan, "Matrix Computations" §7.3; the classic dominant-
+eigenpair method) over an embedding column: the whitening / compression
+/ drift-monitoring primitive embedding pipelines run before indexing.
+
+Method: one pass computes the d-vector of dimension means and the d×d
+covariance matrix (both 6dp-rounded — the Lloyd trick: rounding each
+materialized intermediate resets cross-engine float drift, exactly like
+clustering.py's centroid means); then a FIXED number of power-iteration
+rounds v ← round(C·v / ‖C·v‖, 6dp) from the deterministic uniform start
+1/√d. The sign is fixed deterministically (the component with the
+largest |loading| — first index on ties — is made positive), so the
+DuckDB twin replays means, covariances, every iterate, the Rayleigh
+eigenvalue, and the residual bit-for-bit.
+
+Self-verification: the output carries ‖C·v − λ·v‖ (the eigenpair
+residual) — a reader needs no trust in the iteration count, the row
+certifies its own convergence quality, and pytest pins it small on
+corpora with a real spectral gap.
+
+Scale shape: the one corpus-sized job is the covariance pass — the
+standard O(n·d²) PCA cost (each row emits its centered outer product;
+one (i, j)-keyed avg, map-side combinable, d² = dims² keys). Everything
+after runs on d-row / 1-row frames: each iteration is one broadcast of
+the current d-vector against the d-row matrix frame and two bounded
+folds — per-round cost is O(d²) TOTAL, independent of the corpus.
+Determinism of every dot product comes from ordered-array folds
+(aggregate(zip_with(...)) over index-sorted arrays ≡ DuckDB
+list_dot_product — the _dist2 contract).
+
+Reference comparison: n/a (no numeric surface in the reference;
+/root/reference/src/datastore/graph.rs is triple-pattern access only).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from rippledb_spark.functions.vector import as_double_array
+
+PCA_DP = 6
+
+
+def _dot(a, b):
+    """Index-ordered fold dot product — the fixed-order sum both engines
+    share (≡ DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def covariance_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """→ DataFrame(i, j, cij): the 6dp-rounded covariance matrix (biased
+    /n form — the estimator choice is irrelevant to the eigenvectors).
+    One corpus pass: center against the broadcast 6dp-rounded means,
+    explode the outer product, one (i, j)-keyed avg."""
+    v = df.select(as_double_array(vec_col).alias("v")).where(
+        F.size("v") == dims
+    )
+    mu = (
+        v.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), PCA_DP).alias("mu"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu")
+        )
+    )
+    centered = v.crossJoin(F.broadcast(mu)).select(
+        F.zip_with("v", "mu", lambda a, b: a - b).alias("c")
+    )
+    return (
+        centered.select(F.posexplode("c").alias("i", "xi"), F.col("c"))
+        .select("i", "xi", F.posexplode("c").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(F.round(F.avg(F.col("xi") * F.col("xj")), PCA_DP).alias("cij"))
+    )
+
+
+def _matvec(rows: DataFrame, vrow: DataFrame) -> DataFrame:
+    """(i, row) matrix frame × broadcast 1-row (v) → 1-row (w) array,
+    components index-ordered."""
+    return (
+        rows.crossJoin(F.broadcast(vrow))
+        .select("i", _dot(F.col("row"), F.col("v")).alias("w"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "w"))),
+                lambda s: s["w"],
+            ).alias("w")
+        )
+    )
+
+
+def power_iteration_top(
+    cov: DataFrame, dims: int, iterations: int = 8
+) -> DataFrame:
+    """→ 1-row DataFrame(loadings array<double>, eigenvalue, residual):
+    the dominant eigenpair of the (i, j, cij) covariance frame after
+    ``iterations`` rounds of 6dp-rounded power iteration from the
+    uniform start, sign-fixed (largest-|loading| component positive,
+    first index on ties). ``residual`` = 6dp-rounded ‖C·v − λ·v‖ — the
+    self-verifying convergence certificate."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    rows = (
+        cov.groupBy("i")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cij"))),
+                lambda s: s["cij"],
+            ).alias("row")
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark = cov.sparkSession
+    v0 = round(1.0 / dims**0.5, PCA_DP)
+    vrow = spark.range(1).select(
+        F.array_repeat(F.lit(v0), dims).alias("v")
+    )
+    for _ in range(iterations):
+        w = _matvec(rows, vrow)
+        vrow = w.select(
+            F.transform(
+                "w",
+                lambda x: F.round(
+                    x / F.sqrt(_dot(F.col("w"), F.col("w"))), PCA_DP
+                ),
+            ).alias("v")
+        ).localCheckpoint(eager=False)
+    # sign fix + Rayleigh + residual off the FINAL iterate
+    w = _matvec(rows, vrow)
+    both = vrow.crossJoin(w)
+    absv = F.transform("v", lambda x: F.abs(x))
+    sgn = F.signum(
+        F.element_at(F.col("v"), F.array_position(absv, F.array_max(absv)).cast("int"))
+    )
+    lam = _dot(F.col("v"), F.col("w")) / _dot(F.col("v"), F.col("v"))
+    resid = F.sqrt(
+        F.aggregate(
+            F.zip_with("w", "v", lambda wi, vi: (wi - lam * vi) * (wi - lam * vi)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return both.select(
+        F.transform("v", lambda x: F.round(sgn * x, PCA_DP)).alias("loadings"),
+        F.round(lam, PCA_DP).alias("eigenvalue"),
+        F.round(resid, PCA_DP).alias("residual"),
+    )
+
+
+def pca_top_component(
+    df: DataFrame, vec_col: str, dims: int, iterations: int = 8
+) -> DataFrame:
+    """→ DataFrame(dim, mean, loading, eigenvalue, residual), one row
+    per dimension: the corpus' per-dimension mean, the dominant
+    principal component's loading, and (repeated — constants of the
+    decomposition) the top eigenvalue and the eigenpair residual."""
+    cov = covariance_matrix(df, vec_col, dims)
+    top = power_iteration_top(cov, dims, iterations=iterations)
+    v = df.select(as_double_array(vec_col).alias("v")).where(
+        F.size("v") == dims
+    )
+    mu = (
+        v.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), PCA_DP).alias("mean"))
+    )
+    return (
+        mu.crossJoin(F.broadcast(top))
+        .select(
+            F.col("i").alias("dim"),
+            "mean",
+            F.element_at(F.col("loadings"), (F.col("i") + 1).cast("int")).alias(
+                "loading"
+            ),
+            "eigenvalue",
+            "residual",
+        )
+    )
+
+
+def pca_top_component_sql(
+    table: str, vec_col: str, id_col: str, dims: int, iterations: int = 8
+) -> str:
+    """DuckDB CTE twin of :func:`pca_top_component`; yields ``pca_top``
+    with the same five columns. Means, covariances, every 6dp-rounded
+    iterate, the sign fix, Rayleigh quotient, and residual replay the
+    Spark arithmetic exactly (ordered list_dot_product folds ≡ the
+    aggregate(zip_with) folds — the _dist2 contract)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    v0 = round(1.0 / dims**0.5, PCA_DP)
+    parts = [
+        f"""pc_v AS (
+      SELECT CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+      WHERE len({vec_col}) = {dims}
+    )""",
+        f"""pc_mu AS (
+      SELECT i, ROUND(AVG(v[i + 1]), {PCA_DP}) AS mu
+      FROM pc_v, UNNEST(range(0, {dims})) AS u(i)
+      GROUP BY i
+    )""",
+        """pc_mu_arr AS (
+      SELECT list(mu ORDER BY i) AS mu FROM pc_mu
+    )""",
+        f"""pc_cent AS (
+      SELECT list_transform(range(1, {dims} + 1), k -> v[k] - mu[k]) AS c
+      FROM pc_v, pc_mu_arr
+    )""",
+        f"""pc_cov AS (
+      SELECT i, j, ROUND(AVG(c[i + 1] * c[j + 1]), {PCA_DP}) AS cij
+      FROM pc_cent,
+           UNNEST(range(0, {dims})) AS ui(i),
+           UNNEST(range(0, {dims})) AS uj(j)
+      GROUP BY i, j
+    )""",
+        """pc_rows AS (
+      SELECT i, list(cij ORDER BY j) AS row FROM pc_cov GROUP BY i
+    )""",
+        f"""pc_it0 AS (
+      SELECT list_transform(range(0, {dims}), k -> {v0}) AS v
+    )""",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"""pc_w{r} AS (
+      SELECT list(w ORDER BY i) AS w FROM (
+        SELECT i, list_dot_product(row, v) AS w FROM pc_rows, pc_it{r - 1}
+      )
+    )"""
+        )
+        parts.append(
+            f"""pc_it{r} AS (
+      SELECT list_transform(w, x ->
+        ROUND(x / sqrt(list_dot_product(w, w)), {PCA_DP})) AS v
+      FROM pc_w{r}
+    )"""
+        )
+    last = f"pc_it{iterations}"
+    parts.append(
+        f"""pc_wf AS (
+      SELECT list(w ORDER BY i) AS w FROM (
+        SELECT i, list_dot_product(row, v) AS w FROM pc_rows, {last}
+      )
+    )"""
+    )
+    parts.append(
+        f"""pc_final AS (
+      SELECT
+        list_transform(v, x -> ROUND(s * x, {PCA_DP})) AS loadings,
+        ROUND(lam, {PCA_DP}) AS eigenvalue,
+        ROUND(sqrt(list_dot_product(
+          list_transform(range(1, {dims} + 1), k -> w[k] - lam * v[k]),
+          list_transform(range(1, {dims} + 1), k -> w[k] - lam * v[k])
+        )), {PCA_DP}) AS residual
+      FROM (
+        SELECT v, w,
+               list_dot_product(v, w) / list_dot_product(v, v) AS lam,
+               sign(v[list_position(list_transform(v, x -> abs(x)),
+                                    list_max(list_transform(v, x -> abs(x))))])
+                 AS s
+        FROM {last}, pc_wf
+      )
+    )"""
+    )
+    parts.append(
+        f"""pca_top AS (
+      SELECT m.i AS dim, m.mu AS mean, f.loadings[m.i + 1] AS loading,
+             f.eigenvalue, f.residual
+      FROM pc_mu m, pc_final f
+    )"""
+    )
+    return ",\n    ".join(parts)

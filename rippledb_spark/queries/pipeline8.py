@@ -501,6 +501,40 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "rank")
 
 
+from rippledb_spark.operators.pca import (  # noqa: E402
+    pca_top_component,
+    pca_top_component_sql,
+)
+
+_PCA_CTE = pca_top_component_sql("embeddings", "embedding", "vec_id", dims=64)
+
+
+@query(
+    "pca_top_component_embeddings",
+    oracle=f"""
+    WITH {_PCA_CTE.strip()}
+    SELECT dim, mean, loading, eigenvalue, residual
+    FROM pca_top ORDER BY dim
+    """,
+)
+def pca_top_component_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distributed PCA: the embedding corpus' dominant principal
+    component (operators/pca.py, r10 — power iteration with 6dp-rounded
+    iterates, the Lloyd drift-reset trick applied to linear algebra).
+    One O(n·d²) covariance pass, then 8 rounds on d-row frames whose
+    per-round cost is independent of the corpus; sign fixed
+    deterministically; the output's ``residual`` column (‖C·v − λ·v‖)
+    is the self-verifying convergence certificate. The oracle replays
+    means, the 64×64 covariance, every rounded iterate, the sign fix,
+    Rayleigh quotient, and residual in one unrolled CTE chain — a green
+    row certifies the entire decomposition trajectory. Reference
+    comparison: n/a (no numeric surface)."""
+    e = load(spark, sf_dir, "embeddings")
+    return pca_top_component(e, "embedding", dims=64).orderBy("dim")
+
+
 from rippledb_spark.operators.dedup import shingles as _shingles  # noqa: E402
 from rippledb_spark.operators.dedup import shingles_sql as _sh_sql  # noqa: E402
 

@@ -1,0 +1,125 @@
+"""Distributed PCA (operators/pca.py, r10): DuckDB-twin equality plus
+the linear-algebra properties that certify the decomposition."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from rippledb_spark.operators.pca import (
+    covariance_matrix,
+    pca_top_component,
+    pca_top_component_sql,
+    power_iteration_top,
+)
+
+
+def _planted(spark, n=500, noise=True):
+    """Variance concentrated along (3,4)/5 in the first two dims; tiny
+    deterministic noise elsewhere — a clean dominant eigenpair."""
+    rows = []
+    for i in range(n):
+        t = (i % 100) / 10.0 - 5.0
+        rows.append(
+            (
+                i,
+                [
+                    3 * t / 5 + (0.01 * (i % 7) if noise else 0.0),
+                    4 * t / 5 - (0.01 * (i % 5) if noise else 0.0),
+                    (0.05 * (i % 3)) if noise else 0.0,
+                    (0.02 * (i % 2)) if noise else 0.0,
+                ],
+            )
+        )
+    return rows, spark.createDataFrame(rows, "pid long, vec array<double>")
+
+
+def test_pca_matches_duckdb_twin(spark):
+    rows, df = _planted(spark)
+    got = sorted(map(tuple, pca_top_component(df, "vec", 4).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (pid BIGINT, vec DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?,?)", rows)
+    cte = pca_top_component_sql("emb", "vec", "pid", dims=4)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"WITH {cte} SELECT dim, mean, loading, eigenvalue,"
+                " residual FROM pca_top"
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 4
+
+
+def test_pca_recovers_planted_direction_with_certificate(spark):
+    _, df = _planted(spark)
+    out = {r["dim"]: r for r in pca_top_component(df, "vec", 4).collect()}
+    # the planted direction is (0.6, 0.8, ~0, ~0); sign fix makes the
+    # largest-|loading| component positive
+    assert abs(out[0]["loading"] - 0.6) < 0.01
+    assert abs(out[1]["loading"] - 0.8) < 0.01
+    assert abs(out[2]["loading"]) < 0.01 and abs(out[3]["loading"]) < 0.01
+    # the self-verifying certificate: a converged eigenpair
+    assert out[0]["residual"] < 1e-3
+    assert out[0]["eigenvalue"] > 5.0  # spread of t over [-5, 4.9)
+    # the loadings are (up to rounding) unit-norm
+    norm = math.sqrt(sum(out[i]["loading"] ** 2 for i in range(4)))
+    assert abs(norm - 1.0) < 1e-3
+
+
+def test_pca_covariance_is_symmetric_and_centered(spark):
+    _, df = _planted(spark)
+    cov = {(r["i"], r["j"]): r["cij"] for r in covariance_matrix(df, "vec", 4).collect()}
+    assert len(cov) == 16
+    for i in range(4):
+        for j in range(4):
+            assert cov[(i, j)] == cov[(j, i)], (i, j)
+        assert cov[(i, i)] >= 0.0
+
+
+def test_pca_eigenvalue_dominates_total_variance_share(spark):
+    _, df = _planted(spark)
+    cov = covariance_matrix(df, "vec", 4)
+    trace = sum(
+        r["cij"] for r in cov.where("i = j").collect()
+    )
+    top = power_iteration_top(cov, 4).collect()[0]
+    # the planted component carries nearly all the variance
+    assert top["eigenvalue"] / trace > 0.95
+    # eigenvalue can never exceed the trace (PSD matrix)
+    assert top["eigenvalue"] <= trace + 1e-6
+
+
+def test_pca_sign_is_deterministic_under_negation(spark):
+    """Flipping every vector's sign flips the covariance not at all —
+    the output must be bit-identical (the sign fix is a function of the
+    decomposition, not the data orientation)."""
+    import pyspark.sql.functions as F
+
+    _, df = _planted(spark, noise=False)
+    neg = df.select(
+        "pid", F.transform("vec", lambda x: -x).alias("vec")
+    )
+    a = sorted(map(tuple, pca_top_component(df, "vec", 4).collect()))
+    b = [
+        (d, -m if m != 0.0 else m, l, e, r)
+        for d, m, l, e, r in sorted(
+            map(tuple, pca_top_component(neg, "vec", 4).collect())
+        )
+    ]
+    # loadings/eigenvalue/residual identical; means negate
+    assert [(d, l, e, r) for d, _, l, e, r in a] == [
+        (d, l, e, r) for d, _, l, e, r in b
+    ]
+
+
+def test_pca_iterations_refusal(spark):
+    _, df = _planted(spark)
+    with pytest.raises(ValueError, match="iterations"):
+        power_iteration_top(covariance_matrix(df, "vec", 4), 4, iterations=0)
+    with pytest.raises(ValueError, match="iterations"):
+        pca_top_component_sql("t", "v", "id", dims=4, iterations=0)
