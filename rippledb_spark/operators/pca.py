@@ -127,6 +127,11 @@ def power_iteration_top(
     )
     for _ in range(iterations):
         w = _matvec(rows, vrow)
+        # EAGER checkpoint: the iterate is ONE row, but a lazy lineage
+        # would nest every prior round's fold expressions inside the
+        # next round's plan — codegen size (and compile wall) grows
+        # multiplicatively with the round count (measured 163 s for the
+        # 2-component sf0.001 query before this; ~15 s after)
         vrow = w.select(
             F.transform(
                 "w",
@@ -134,7 +139,7 @@ def power_iteration_top(
                     x / F.sqrt(_dot(F.col("w"), F.col("w"))), PCA_DP
                 ),
             ).alias("v")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
     # sign fix + Rayleigh + residual off the FINAL iterate
     w = _matvec(rows, vrow)
     both = vrow.crossJoin(w)
@@ -188,73 +193,144 @@ def pca_top_component(
     )
 
 
-def pca_top_component_sql(
-    table: str, vec_col: str, id_col: str, dims: int, iterations: int = 8
-) -> str:
-    """DuckDB CTE twin of :func:`pca_top_component`; yields ``pca_top``
-    with the same five columns. Means, covariances, every 6dp-rounded
-    iterate, the sign fix, Rayleigh quotient, and residual replay the
-    Spark arithmetic exactly (ordered list_dot_product folds ≡ the
-    aggregate(zip_with) folds — the _dist2 contract)."""
-    if iterations < 1:
-        raise ValueError("iterations must be >= 1")
+def pca_top_components(
+    df: DataFrame,
+    vec_col: str,
+    dims: int,
+    n_components: int = 2,
+    iterations: int = 8,
+) -> DataFrame:
+    """Top-K principal components by DEFLATION (Hotelling): after each
+    dominant eigenpair, C ← round(C − λ·v·vᵀ, 6dp) removes that
+    component's variance and power iteration repeats on the deflated
+    matrix — the standard sequential-eigenpair method, with every
+    deflated matrix rounded so the DuckDB twin replays the whole
+    sequence. → DataFrame(component, dim, loading, eigenvalue,
+    residual), components numbered 0.. in decreasing eigenvalue.
+
+    Scale shape: deflation runs entirely on the d²-row covariance frame
+    — after the one corpus pass, adding components costs O(d²) per
+    round, nothing corpus-sized."""
+    if n_components < 1 or n_components > dims:
+        raise ValueError("need 1 <= n_components <= dims")
+    # EAGER checkpoints throughout: the corpus-sized covariance pass must
+    # run exactly once (not once per component per consumer), and the
+    # deflated matrices are d² rows — trivial to materialize
+    cov = covariance_matrix(df, vec_col, dims).localCheckpoint(eager=True)
+    outs = []
+    for c in range(n_components):
+        top = power_iteration_top(cov, dims, iterations=iterations)
+        outs.append(top.select(F.lit(c).alias("component"), "*"))
+        if c + 1 < n_components:
+            cov = (
+                cov.crossJoin(F.broadcast(top))
+                .select(
+                    "i",
+                    "j",
+                    F.round(
+                        F.col("cij")
+                        - F.col("eigenvalue")
+                        * F.element_at("loadings", (F.col("i") + 1).cast("int"))
+                        * F.element_at("loadings", (F.col("j") + 1).cast("int")),
+                        PCA_DP,
+                    ).alias("cij"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    all_tops = outs[0]
+    for t in outs[1:]:
+        all_tops = all_tops.unionByName(t)
+    return all_tops.select(
+        "component",
+        F.posexplode("loadings").alias("dim", "loading"),
+        "eigenvalue",
+        "residual",
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    components: DataFrame,
+    dims: int,
+) -> DataFrame:
+    """Project every vector onto the given components (the compression /
+    whitening transform): ``components`` is pca_top_components' output.
+    → DataFrame(id, component, coord), coord = (v − μ)·loading with the
+    same 6dp-rounded means as training and an index-ordered fold dot.
+    One broadcast of the K loading vectors; one corpus projection pass —
+    no shuffle beyond the means aggregate."""
+    v = df.select(
+        F.col(id_col).alias("id"), as_double_array(vec_col).alias("v")
+    ).where(F.size("v") == dims)
+    mu = (
+        v.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), PCA_DP).alias("mu"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mu"))),
+                lambda s: s["mu"],
+            ).alias("mu")
+        )
+    )
+    comp = components.groupBy("component").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "loading"))),
+            lambda s: s["loading"],
+        ).alias("pc")
+    )
+    return (
+        v.crossJoin(F.broadcast(mu))
+        .select("id", F.zip_with("v", "mu", lambda a, b: a - b).alias("c"))
+        .crossJoin(F.broadcast(comp))
+        .select(
+            "id",
+            "component",
+            F.round(_dot(F.col("c"), F.col("pc")), PCA_DP).alias("coord"),
+        )
+    )
+
+
+def _power_sql(
+    prefix: str, rows_rel: str, dims: int, iterations: int
+) -> list[str]:
+    """CTE parts for one power-iteration run over ``rows_rel`` (an
+    (i, row) matrix relation): [{prefix}_it0, …, {prefix}_final] with
+    {prefix}_final = (loadings, eigenvalue, residual)."""
     v0 = round(1.0 / dims**0.5, PCA_DP)
     parts = [
-        f"""pc_v AS (
-      SELECT CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
-      WHERE len({vec_col}) = {dims}
-    )""",
-        f"""pc_mu AS (
-      SELECT i, ROUND(AVG(v[i + 1]), {PCA_DP}) AS mu
-      FROM pc_v, UNNEST(range(0, {dims})) AS u(i)
-      GROUP BY i
-    )""",
-        """pc_mu_arr AS (
-      SELECT list(mu ORDER BY i) AS mu FROM pc_mu
-    )""",
-        f"""pc_cent AS (
-      SELECT list_transform(range(1, {dims} + 1), k -> v[k] - mu[k]) AS c
-      FROM pc_v, pc_mu_arr
-    )""",
-        f"""pc_cov AS (
-      SELECT i, j, ROUND(AVG(c[i + 1] * c[j + 1]), {PCA_DP}) AS cij
-      FROM pc_cent,
-           UNNEST(range(0, {dims})) AS ui(i),
-           UNNEST(range(0, {dims})) AS uj(j)
-      GROUP BY i, j
-    )""",
-        """pc_rows AS (
-      SELECT i, list(cij ORDER BY j) AS row FROM pc_cov GROUP BY i
-    )""",
-        f"""pc_it0 AS (
+        f"""{prefix}_it0 AS (
       SELECT list_transform(range(0, {dims}), k -> {v0}) AS v
-    )""",
+    )"""
     ]
     for r in range(1, iterations + 1):
         parts.append(
-            f"""pc_w{r} AS (
+            f"""{prefix}_w{r} AS (
       SELECT list(w ORDER BY i) AS w FROM (
-        SELECT i, list_dot_product(row, v) AS w FROM pc_rows, pc_it{r - 1}
+        SELECT i, list_dot_product(row, v) AS w FROM {rows_rel}, {prefix}_it{r - 1}
       )
     )"""
         )
         parts.append(
-            f"""pc_it{r} AS (
+            f"""{prefix}_it{r} AS (
       SELECT list_transform(w, x ->
         ROUND(x / sqrt(list_dot_product(w, w)), {PCA_DP})) AS v
-      FROM pc_w{r}
+      FROM {prefix}_w{r}
     )"""
         )
-    last = f"pc_it{iterations}"
+    last = f"{prefix}_it{iterations}"
     parts.append(
-        f"""pc_wf AS (
+        f"""{prefix}_wf AS (
       SELECT list(w ORDER BY i) AS w FROM (
-        SELECT i, list_dot_product(row, v) AS w FROM pc_rows, {last}
+        SELECT i, list_dot_product(row, v) AS w FROM {rows_rel}, {last}
       )
     )"""
     )
     parts.append(
-        f"""pc_final AS (
+        f"""{prefix}_final AS (
       SELECT
         list_transform(v, x -> ROUND(s * x, {PCA_DP})) AS loadings,
         ROUND(lam, {PCA_DP}) AS eigenvalue,
@@ -268,10 +344,126 @@ def pca_top_component_sql(
                sign(v[list_position(list_transform(v, x -> abs(x)),
                                     list_max(list_transform(v, x -> abs(x))))])
                  AS s
-        FROM {last}, pc_wf
+        FROM {last}, {prefix}_wf
       )
     )"""
     )
+    return parts
+
+
+def _pca_base_sql(table: str, vec_col: str, dims: int) -> list[str]:
+    """Shared means/centering/covariance CTE parts (pc_v, pc_mu,
+    pc_mu_arr, pc_cent, pc_cov, pc_rows)."""
+    return [
+        f"""pc_v AS MATERIALIZED (
+      SELECT CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+      WHERE len({vec_col}) = {dims}
+    )""",
+        f"""pc_mu AS MATERIALIZED (
+      SELECT i, ROUND(AVG(v[i + 1]), {PCA_DP}) AS mu
+      FROM pc_v, UNNEST(range(0, {dims})) AS u(i)
+      GROUP BY i
+    )""",
+        """pc_mu_arr AS MATERIALIZED (
+      SELECT list(mu ORDER BY i) AS mu FROM pc_mu
+    )""",
+        f"""pc_cent AS MATERIALIZED (
+      SELECT list_transform(range(1, {dims} + 1), k -> v[k] - mu[k]) AS c
+      FROM pc_v, pc_mu_arr
+    )""",
+        f"""pc_cov AS MATERIALIZED (
+      SELECT i, j, ROUND(AVG(c[i + 1] * c[j + 1]), {PCA_DP}) AS cij
+      FROM pc_cent,
+           UNNEST(range(0, {dims})) AS ui(i),
+           UNNEST(range(0, {dims})) AS uj(j)
+      GROUP BY i, j
+    )""",
+        """pc_rows AS MATERIALIZED (
+      SELECT i, list(cij ORDER BY j) AS row FROM pc_cov GROUP BY i
+    )""",
+    ]
+
+
+def pca_top_components_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    n_components: int = 2,
+    iterations: int = 8,
+) -> str:
+    """DuckDB CTE twin of :func:`pca_top_components`; yields
+    ``pca_components`` (component, dim, loading, eigenvalue, residual)
+    and ``pca_projvar`` (component, eigenvalue, coord_variance — the
+    corpus variance along each component, RAW doubles for the gate's
+    1e-9 relative tolerance). Deflated matrices round to 6dp between
+    components, like the Spark side."""
+    if n_components < 1 or n_components > dims:
+        raise ValueError("need 1 <= n_components <= dims")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    parts = _pca_base_sql(table, vec_col, dims)
+    parts.append("pcc0_cov AS (SELECT i, j, cij FROM pc_cov)")
+    for c in range(n_components):
+        parts.append(
+            f"""pcc{c}_rows AS (
+      SELECT i, list(cij ORDER BY j) AS row FROM pcc{c}_cov GROUP BY i
+    )"""
+        )
+        parts.extend(_power_sql(f"pcc{c}", f"pcc{c}_rows", dims, iterations))
+        if c + 1 < n_components:
+            parts.append(
+                f"""pcc{c + 1}_cov AS (
+      SELECT i, j,
+             ROUND(cij - f.eigenvalue * f.loadings[i + 1]
+                   * f.loadings[j + 1], {PCA_DP}) AS cij
+      FROM pcc{c}_cov, pcc{c}_final f
+    )"""
+            )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT {c} AS component, loadings, eigenvalue, residual"
+        f" FROM pcc{c}_final"
+        for c in range(n_components)
+    )
+    parts.append(f"""pcl AS (
+      {union}
+    )""")
+    parts.append(
+        f"""pca_components AS (
+      SELECT l.component, u.k AS dim, l.loadings[u.k + 1] AS loading,
+             l.eigenvalue, l.residual
+      FROM pcl l, UNNEST(range(0, {dims})) AS u(k)
+    )"""
+    )
+    parts.append(
+        f"""pca_proj AS (
+      SELECT l.component, l.eigenvalue,
+             ROUND(list_dot_product(ce.c, l.loadings), {PCA_DP}) AS coord
+      FROM pc_cent ce, pcl l
+    )"""
+    )
+    parts.append(
+        """pca_projvar AS (
+      SELECT component, MIN(eigenvalue) AS eigenvalue,
+             AVG(coord * coord) - AVG(coord) * AVG(coord) AS coord_variance
+      FROM pca_proj GROUP BY component
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def pca_top_component_sql(
+    table: str, vec_col: str, id_col: str, dims: int, iterations: int = 8
+) -> str:
+    """DuckDB CTE twin of :func:`pca_top_component`; yields ``pca_top``
+    with the same five columns. Means, covariances, every 6dp-rounded
+    iterate, the sign fix, Rayleigh quotient, and residual replay the
+    Spark arithmetic exactly (ordered list_dot_product folds ≡ the
+    aggregate(zip_with) folds — the _dist2 contract)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    parts = _pca_base_sql(table, vec_col, dims)
+    parts.extend(_power_sql("pc", "pc_rows", dims, iterations))
     parts.append(
         f"""pca_top AS (
       SELECT m.i AS dim, m.mu AS mean, f.loadings[m.i + 1] AS loading,

@@ -535,6 +535,59 @@ def pca_top_component_embeddings(
     return pca_top_component(e, "embedding", dims=64).orderBy("dim")
 
 
+from rippledb_spark.operators.pca import (  # noqa: E402
+    pca_project,
+    pca_top_components,
+    pca_top_components_sql,
+)
+
+_PCA2_CTE = pca_top_components_sql(
+    "embeddings", "embedding", "vec_id", dims=64, n_components=2,
+    iterations=6,
+)
+
+
+@query(
+    "pca_top2_projection_embeddings",
+    oracle=f"""
+    WITH {_PCA2_CTE.strip()}
+    SELECT c.component, c.dim, c.loading, c.eigenvalue, c.residual,
+           v.coord_variance
+    FROM pca_components c JOIN pca_projvar v USING (component)
+    ORDER BY c.component, c.dim
+    """,
+)
+def pca_top2_projection_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 PCA with deflation AND the projection check (operators/
+    pca.py, r10): after the dominant component, C ← round(C − λ·v·vᵀ)
+    and the iteration repeats — Hotelling deflation, every deflated
+    matrix 6dp-rounded so the twin replays the sequence. The corpus is
+    then PROJECTED onto both components (pca_project — the compression
+    / whitening transform) and each component's coordinate variance
+    rides along: for a converged eigenpair it equals the eigenvalue (up
+    to the 6dp rounding of coords — pinned close in pytest), so the row
+    certifies the decomposition AND the transform that consumes it. The
+    variance is a RAW double (the registry's 1e-9-tolerance guidance);
+    everything else replays bit-for-bit. Reference comparison: n/a.
+
+    100 TB shape: one O(n·d²) covariance pass + one projection pass;
+    deflation and iteration run on d²-row frames in between."""
+    e = load(spark, sf_dir, "embeddings")
+    comps = pca_top_components(
+        e, "embedding", 64, n_components=2, iterations=6
+    ).localCheckpoint(eager=True)
+    proj = pca_project(e, "embedding", "vec_id", comps, 64)
+    pv = proj.groupBy("component").agg(
+        (
+            F.avg(F.col("coord") * F.col("coord"))
+            - F.avg("coord") * F.avg("coord")
+        ).alias("coord_variance")
+    )
+    return comps.join(pv, "component").orderBy("component", "dim")
+
+
 from rippledb_spark.operators.dedup import shingles as _shingles  # noqa: E402
 from rippledb_spark.operators.dedup import shingles_sql as _sh_sql  # noqa: E402
 

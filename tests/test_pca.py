@@ -123,3 +123,97 @@ def test_pca_iterations_refusal(spark):
         power_iteration_top(covariance_matrix(df, "vec", 4), 4, iterations=0)
     with pytest.raises(ValueError, match="iterations"):
         pca_top_component_sql("t", "v", "id", dims=4, iterations=0)
+
+
+def _planted2(spark, n=500):
+    """Two planted orthogonal directions with distinct variances."""
+    rows = []
+    for i in range(n):
+        t = (i % 100) / 10.0 - 5.0
+        u = ((i * 37) % 50) / 10.0 - 2.5
+        rows.append((i, [3 * t / 5 + 0.01 * (i % 7), 4 * t / 5,
+                         u + 0.02 * (i % 3), -u]))
+    return rows, spark.createDataFrame(rows, "pid long, vec array<double>")
+
+
+def test_pca_two_components_match_twin_and_are_orthogonal(spark):
+    from rippledb_spark.operators.pca import (
+        pca_top_components,
+        pca_top_components_sql,
+    )
+
+    rows, df = _planted2(spark)
+    comps = pca_top_components(df, "vec", 4, n_components=2, iterations=6)
+    got = sorted(map(tuple, comps.collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (pid BIGINT, vec DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?,?)", rows)
+    cte = pca_top_components_sql("emb", "vec", "pid", dims=4,
+                                 n_components=2, iterations=6)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"WITH {cte} SELECT component, dim, loading, eigenvalue,"
+                " residual FROM pca_components"
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) == 8
+    by_c = {}
+    for c, d, l, e, r in got:
+        by_c.setdefault(c, {})[d] = (l, e, r)
+    # decreasing eigenvalues; both residuals small
+    assert by_c[0][0][1] > by_c[1][0][1]
+    assert all(by_c[c][0][2] < 1e-2 for c in (0, 1))
+    # deflation recovers the SECOND planted direction (0,0,1,-1)/sqrt2
+    assert abs(abs(by_c[1][2][0]) - 0.7071) < 0.01
+    assert abs(abs(by_c[1][3][0]) - 0.7071) < 0.01
+    # near-orthogonality of the two components
+    dot = sum(by_c[0][d][0] * by_c[1][d][0] for d in range(4))
+    assert abs(dot) < 0.05
+
+
+def test_pca_projection_variance_equals_eigenvalue(spark):
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.pca import pca_project, pca_top_components
+
+    _, df = _planted2(spark)
+    comps = pca_top_components(
+        df, "vec", 4, n_components=2, iterations=6
+    ).localCheckpoint(eager=True)
+    proj = pca_project(df, "vec", "pid", comps, 4)
+    pv = {
+        r["component"]: r["cv"]
+        for r in proj.groupBy("component")
+        .agg(
+            (
+                F.avg(F.col("coord") * F.col("coord"))
+                - F.avg("coord") * F.avg("coord")
+            ).alias("cv")
+        )
+        .collect()
+    }
+    ev = {
+        r["component"]: r["eigenvalue"]
+        for r in comps.select("component", "eigenvalue").distinct().collect()
+    }
+    # the variance along a converged eigenvector IS its eigenvalue
+    for c in (0, 1):
+        assert abs(pv[c] - ev[c]) / ev[c] < 1e-3, (c, pv[c], ev[c])
+    # each vector gets one coordinate per component
+    assert proj.count() == 2 * df.count()
+
+
+def test_pca_components_param_refusal(spark):
+    from rippledb_spark.operators.pca import (
+        pca_top_components,
+        pca_top_components_sql,
+    )
+
+    _, df = _planted2(spark, n=20)
+    with pytest.raises(ValueError, match="n_components"):
+        pca_top_components(df, "vec", 4, n_components=0)
+    with pytest.raises(ValueError, match="n_components"):
+        pca_top_components_sql("t", "v", "id", dims=4, n_components=5)
