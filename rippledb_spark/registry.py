@@ -145,6 +145,14 @@ HEADLINE: tuple[str, ...] = (
     # re-rank) — the production ANN answer shape; its wall vs
     # ivfpq_ann_topk's measures what the refine step costs
     "ivfpq_rerank_topk",
+    # round-10 additions: one representative per new operator family —
+    # the deterministic-sketch tier (HLL is its cheapest member), the
+    # linear-algebra tier (deflated PCA + projection — the O(n·d²)
+    # covariance pass is the wall to watch), and CCNet paragraph dedup
+    # (a different shuffle shape than the document-level dedups)
+    "hll_distinct_tokens",
+    "pca_top2_projection_embeddings",
+    "paragraph_dedup_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
