@@ -244,6 +244,19 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
 # tests/test_streaming.py (foreachBatch incremental == batch).
 
 
+def hll_idx_rho(col):
+    """(register index, leading-zero rank) expressions for a value
+    column — the per-value HLL contribution, shared with consumers that
+    iterate registers through other structures (operators/hyperball.py)."""
+    h = F.md5(col.cast("string"))
+    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
+    w48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
+    rho = F.when(w48 == 0, F.lit(49)).otherwise(
+        F.lit(49) - F.length(F.bin(w48))
+    )
+    return idx, rho
+
+
 def hll_registers(df: DataFrame, val_col: str, group_col: str) -> DataFrame:
     """→ DataFrame(grp, idx, m_j): the mergeable HLL state — per group
     and register, the max leading-zero rank seen. One map-side-
@@ -251,12 +264,7 @@ def hll_registers(df: DataFrame, val_col: str, group_col: str) -> DataFrame:
     vals = df.select(
         F.col(group_col).alias("grp"), F.col(val_col).alias("v")
     ).where(F.col("v").isNotNull())
-    h = F.md5(F.col("v").cast("string"))
-    idx = F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint")
-    w48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
-    rho = F.when(w48 == 0, F.lit(49)).otherwise(
-        F.lit(49) - F.length(F.bin(w48))
-    )
+    idx, rho = hll_idx_rho(F.col("v"))
     return (
         vals.select("grp", idx.alias("idx"), rho.alias("rho"))
         .groupBy("grp", "idx")

@@ -179,6 +179,92 @@ def paragraph_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from rippledb_spark.operators.hyperball import (  # noqa: E402
+    exact_neighborhood_function,
+    hyperball_neighborhood_function,
+    hyperball_sql,
+)
+
+_HB_CTE = hyperball_sql("sedges", "a", "b", rounds=4)
+
+
+@query(
+    "hyperball_event_transitions",
+    oracle=f"""
+    WITH RECURSIVE
+    tr AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS b
+      FROM events
+    ),
+    cnt AS (SELECT a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL
+            GROUP BY a, b),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_pairs FROM cnt),
+    sedges AS (
+      SELECT a, b FROM cnt, tot
+      WHERE 100 * c * n_pairs >= 101 * total AND a <> b
+    ),
+    {_HB_CTE.strip()}
+    SELECT f.t, e.n_pairs_exact, f.hyperball_sum,
+           ABS(f.hyperball_sum - e.n_pairs_exact) / e.n_pairs_exact
+             AS rel_error
+    FROM hyperball_nf f JOIN hb_exact e USING (t)
+    ORDER BY f.t
+    """,
+)
+def hyperball_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/hyperball.py, r10 —
+    Boldi & Vigna 2013, the HLL-per-node algorithm behind the Facebook
+    four-degrees measurement) over the SAME above-average
+    event-transition graph as the SCC queries: per radius t = 0..4, the
+    estimated Σ_v |ball(v, t)| from 256-register sketches merged along
+    edges each round (per-register max — one key shuffle per round,
+    V·256 state, never the closure), joined with the EXACT bounded-
+    closure twin computed in the same job. Every register of every
+    round replays in the oracle (the merges are integer maxes, the
+    estimate path has no order-sensitive float sum); rel_error is the
+    self-verifying accuracy column. At webgraph scale the exact twin is
+    the thing HyperBall exists to replace — here it certifies the
+    estimator. Reference comparison: n/a (no graph-analytics surface)."""
+    ev = load(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    cnt = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    edges = (
+        cnt.crossJoin(F.broadcast(tot))
+        .where(
+            (100 * F.col("c") * F.col("n_pairs") >= 101 * F.col("total"))
+            & (F.col("a") != F.col("b"))
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    nf = hyperball_neighborhood_function(edges, "a", "b", rounds=4)
+    exact = exact_neighborhood_function(edges, "a", "b", rounds=4)
+    return (
+        nf.join(exact, "t")
+        .select(
+            "t",
+            "n_pairs_exact",
+            "hyperball_sum",
+            (
+                F.abs(F.col("hyperball_sum") - F.col("n_pairs_exact"))
+                / F.col("n_pairs_exact")
+            ).alias("rel_error"),
+        )
+        .orderBy("t")
+    )
+
+
+from pyspark.sql import Window as _W  # noqa: E402
+
 from rippledb_spark.functions import html as HTML8  # noqa: E402
 from rippledb_spark.functions import robots as RB8  # noqa: E402
 from rippledb_spark.functions import url as URL8  # noqa: E402

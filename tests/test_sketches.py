@@ -260,3 +260,74 @@ def test_sketch_states_invariant_under_repartitioning(spark):
     c = sorted(map(tuple, SK.cms_table(df, "v", d=2, w=64).collect()))
     e = sorted(map(tuple, SK.cms_table(df.repartition(13), "v", d=2, w=64).collect()))
     assert c == e
+
+
+def test_hyperball_matches_twin_and_tracks_exact(spark):
+    """HyperBall (r10): estimated neighborhood function matches the
+    DuckDB register-replay twin within the float-sum tolerance, tracks
+    the exact bounded closure on a known graph, and is monotone in t."""
+    import duckdb as _dd
+
+    from rippledb_spark.operators.hyperball import (
+        exact_neighborhood_function,
+        hyperball_neighborhood_function,
+        hyperball_sql,
+    )
+
+    # chain 0->..->9 plus hub shortcuts from n0
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(9)] + [
+        ("n0", f"n{k}") for k in (3, 5, 7)
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        map(tuple, hyperball_neighborhood_function(df, rounds=3).collect())
+    )
+    gote = sorted(
+        map(tuple, exact_neighborhood_function(df, rounds=3).collect())
+    )
+    con = _dd.connect()
+    con.execute("CREATE TABLE ed (src VARCHAR, dst VARCHAR)")
+    con.executemany("INSERT INTO ed VALUES (?,?)", edges)
+    cte = hyperball_sql("ed", rounds=3)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"WITH RECURSIVE {cte} SELECT t, hyperball_sum"
+                " FROM hyperball_nf"
+            ).fetchall(),
+        )
+    )
+    wante = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"WITH RECURSIVE {cte} SELECT t, n_pairs_exact FROM hb_exact"
+            ).fetchall(),
+        )
+    )
+    assert gote == wante == [(0, 10), (1, 22), (2, 33), (3, 40)]
+    assert all(
+        abs(a[1] - b[1]) <= 1e-9 * max(1.0, abs(a[1]))
+        for a, b in zip(got, want)
+    )
+    # estimates track the exact function (m=256 on tiny balls is sharp)
+    for (t, est), (_, exact) in zip(got, gote):
+        assert abs(est - exact) / exact < 0.05, (t, est, exact)
+    # monotone in t (balls only grow)
+    assert all(got[i][1] <= got[i + 1][1] for i in range(len(got) - 1))
+
+
+def test_hyperball_rounds_refusal(spark):
+    import pytest as _pt
+
+    from rippledb_spark.operators.hyperball import (
+        hyperball_neighborhood_function,
+        hyperball_sql,
+    )
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with _pt.raises(ValueError, match="rounds"):
+        hyperball_neighborhood_function(df, rounds=-1)
+    with _pt.raises(ValueError, match="rounds"):
+        hyperball_sql("e", rounds=-1)
