@@ -29,8 +29,10 @@ surface).
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from rippledb_spark.operators.graph import _truncate
 from rippledb_spark.operators.sketches import (
@@ -40,8 +42,9 @@ from rippledb_spark.operators.sketches import (
 )
 
 
-def _ball_sum(regs: DataFrame) -> DataFrame:
-    """Σ over nodes of the per-node HLL estimate → 1-row (total)."""
+def _ball_estimates(regs: DataFrame) -> DataFrame:
+    """Per-node HLL estimate from a register frame → (node, est),
+    6dp-rounded."""
     agg = regs.groupBy("node").agg(
         F.sum(
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(49 - m_j AS INT))")
@@ -55,8 +58,20 @@ def _ball_sum(regs: DataFrame) -> DataFrame:
         (e_raw <= F.lit(2.5 * HLL_M)) & (zero > 0),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zero.cast("double")),
     ).otherwise(e_raw)
-    return agg.select(F.round(est, 6).alias("est")).agg(
-        F.sum("est").alias("total")
+    return agg.select("node", F.round(est, 6).alias("est"))
+
+
+def _ball_sum(regs: DataFrame) -> DataFrame:
+    """Σ over nodes of the per-node HLL estimate → 1-row (total). The
+    6dp estimates scale to EXACT integers (×10⁶) before the sum, so the
+    corpus-wide total has NO order-sensitive float reduction — Spark's
+    partial-agg order varies run to run (task scheduling), and a raw
+    double sum here produced last-ulp noise that flipped the oracle
+    gate's row sort between engines on tied rows."""
+    return _ball_estimates(regs).agg(
+        (
+            F.sum(F.round(F.col("est") * 1e6).cast("bigint")) / F.lit(1e6)
+        ).alias("total")
     )
 
 
@@ -109,6 +124,130 @@ def hyperball_neighborhood_function(
     return out.select("t", F.col("total").alias("hyperball_sum"))
 
 
+def hyperball_harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Harmonic centrality estimated from HyperBall's per-radius ball
+    sizes (Boldi & Vigna 2013/2014 — the paper's flagship application):
+    H(v) = Σ_{u reachable in ≤ rounds hops} 1/d(v, u), estimated as
+    Σ_t (B_t(v) − B_{t−1}(v)) / t with the per-round HLL estimates.
+    Register sets only grow, so the per-node estimate is monotone except
+    at the linear-counting→raw branch boundary — negative differences
+    clamp to 0 (the standard HyperBall correction; identical in the SQL
+    twin). → DataFrame(node, harmonic_est)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("w"))
+        .where(F.col("u").isNotNull() & F.col("w").isNotNull())
+        .distinct()
+    )
+    e = _truncate(e, checkpoint_dir)
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("w").alias("node")))
+        .distinct()
+    )
+    idx, rho = hll_idx_rho(F.col("node"))
+    regs = _truncate(
+        nodes.select("node", idx.alias("idx"), rho.alias("m_j")),
+        checkpoint_dir,
+    )
+    ests = _ball_estimates(regs).select(
+        "node", F.lit(0).alias("t"), "est"
+    )
+    for t in range(1, rounds + 1):
+        contrib = e.join(
+            regs.withColumnRenamed("node", "w"), "w"
+        ).select(F.col("u").alias("node"), "idx", "m_j")
+        regs = _truncate(
+            regs.unionByName(contrib)
+            .groupBy("node", "idx")
+            .agg(F.max("m_j").alias("m_j")),
+            checkpoint_dir,
+        )
+        ests = ests.unionByName(
+            _ball_estimates(regs).select("node", F.lit(t).alias("t"), "est")
+        )
+    # integer-exact accumulation: diffs of 6dp estimates scale to exact
+    # ×10⁶ integers, 1/t scales by lcm(1..rounds) — the sum has no
+    # order-sensitive float op (see _ball_sum's note)
+    L = math.lcm(*range(1, rounds + 1))
+    w = Window.partitionBy("node").orderBy("t")
+    diff6 = F.round(
+        F.greatest(F.col("est") - F.col("prev"), F.lit(0.0)) * 1e6
+    ).cast("bigint")
+    return (
+        ests.withColumn("prev", F.lag("est").over(w))
+        .where(F.col("t") > 0)
+        .groupBy("node")
+        .agg(
+            (
+                F.sum(diff6 * F.expr(f"CAST({L} DIV t AS BIGINT)"))
+                / F.lit(1e6 * L)
+            ).alias("harmonic_est")
+        )
+    )
+
+
+def exact_harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """→ DataFrame(node, harmonic_exact): Σ 1/d over nodes within
+    ``rounds`` hops — the bounded-closure certification twin (small
+    graphs only, like exact_neighborhood_function)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    nf = exact_neighborhood_function  # noqa: F841 (doc cross-ref)
+    e = (
+        edges.select(F.col(src).alias("eu"), F.col(dst).alias("ew"))
+        .where(F.col("eu").isNotNull() & F.col("ew").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("eu").alias("node"))
+        .unionByName(e.select(F.col("ew").alias("node")))
+        .distinct()
+    )
+    state = nodes.select(
+        F.col("node").alias("v"),
+        F.col("node").alias("u"),
+        F.lit(0).alias("d"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for t in range(1, rounds + 1):
+        step = (
+            frontier.join(e, frontier["u"] == e["eu"])
+            .select("v", F.col("ew").alias("u"), F.lit(t).alias("d"))
+            .distinct()
+        )
+        new = step.join(state, ["v", "u"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        state = state.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    # integer-exact: Σ 1/d accumulates as Σ lcm/d (an exact integer for
+    # every d ≤ rounds) over one division — no float-sum order anywhere
+    L = math.lcm(*range(1, rounds + 1))
+    return (
+        state.where(F.col("d") > 0)
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            (
+                F.sum(F.expr(f"CAST({L} DIV d AS BIGINT)")) / F.lit(float(L))
+            ).alias("harmonic_exact")
+        )
+    )
+
+
 def hyperball_sql(
     edges_rel: str,
     src: str = "src",
@@ -134,16 +273,20 @@ def hyperball_sql(
     )
 
     def ball_sum(reg_rel: str, t: int) -> str:
-        return f"""hb_sum{t} AS MATERIALIZED (
-      SELECT {t} AS t, SUM(est) AS hyperball_sum FROM (
-        SELECT ROUND({est}, 6) AS est FROM (
-          SELECT node,
-                 CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT)
-                   AS s_present,
-                 CAST(COUNT(*) AS BIGINT) AS n_registers
-          FROM {reg_rel} GROUP BY node
-        )
+        return f"""hb_est{t} AS MATERIALIZED (
+      SELECT node, ROUND({est}, 6) AS est FROM (
+        SELECT node,
+               CAST(SUM(CAST(1 AS BIGINT) << (49 - m_j)) AS BIGINT)
+                 AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS n_registers
+        FROM {reg_rel} GROUP BY node
       )
+    ),
+    hb_sum{t} AS MATERIALIZED (
+      SELECT {t} AS t,
+             SUM(CAST(ROUND(est * 1000000) AS BIGINT)) / 1000000.0
+               AS hyperball_sum
+      FROM hb_est{t}
     )"""
 
     h = "md5(CAST(node AS VARCHAR))"
@@ -214,6 +357,38 @@ def hyperball_sql(
       FROM (SELECT UNNEST(range(0, {rounds + 1})) AS t) ts
       JOIN hb_mind m ON m.d <= ts.t
       GROUP BY ts.t
+    )"""
+    )
+    # harmonic centrality off the per-round estimates (clamped diffs),
+    # plus its exact bounded-closure twin
+    est_union = "\n      UNION ALL\n      ".join(
+        f"SELECT {t} AS t, node, est FROM hb_est{t}"
+        for t in range(rounds + 1)
+    )
+    parts.append(f"""hb_ests AS (
+      {est_union}
+    )""")
+    # integer-exact sums (no order-sensitive float reduction; the Spark
+    # side mirrors this — see hyperball_harmonic_centrality)
+    lcm = math.lcm(*range(1, rounds + 1)) if rounds >= 1 else 1
+    parts.append(
+        f"""hyperball_harmonic AS (
+      SELECT node,
+             SUM(CAST(ROUND(GREATEST(est - prev, 0.0) * 1000000) AS BIGINT)
+                 * CAST({lcm} // t AS BIGINT)) / {float(1_000_000 * lcm)}
+               AS harmonic_est
+      FROM (
+        SELECT node, t, est,
+               lag(est) OVER (PARTITION BY node ORDER BY t) AS prev
+        FROM hb_ests
+      ) WHERE t > 0 GROUP BY node
+    )"""
+    )
+    parts.append(
+        f"""hb_harm_exact AS (
+      SELECT v AS node,
+             SUM(CAST({lcm} // d AS BIGINT)) / {float(lcm)} AS harmonic_exact
+      FROM hb_mind WHERE d > 0 GROUP BY v
     )"""
     )
     return ",\n    ".join(parts)

@@ -206,9 +206,10 @@ _HB_CTE = hyperball_sql("sedges", "a", "b", rounds=4)
       WHERE 100 * c * n_pairs >= 101 * total AND a <> b
     ),
     {_HB_CTE.strip()}
-    SELECT f.t, e.n_pairs_exact, f.hyperball_sum,
-           ABS(f.hyperball_sum - e.n_pairs_exact) / e.n_pairs_exact
-             AS rel_error
+    SELECT f.t, e.n_pairs_exact,
+           ROUND(f.hyperball_sum, 6) AS hyperball_sum,
+           ROUND(ABS(ROUND(f.hyperball_sum, 6) - e.n_pairs_exact)
+                 / e.n_pairs_exact, 6) AS rel_error
     FROM hyperball_nf f JOIN hb_exact e USING (t)
     ORDER BY f.t
     """,
@@ -248,15 +249,21 @@ def hyperball_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nf = hyperball_neighborhood_function(edges, "a", "b", rounds=4)
     exact = exact_neighborhood_function(edges, "a", "b", rounds=4)
+    # 6dp-round the float outputs: the raw Σ of per-node estimates
+    # carries last-ulp noise from partial-agg order that VARIES RUN TO
+    # RUN (task scheduling), and the gate sorts rows by every column —
+    # two converged radii (identical sums) flipped order between
+    # engines and paired mismatched rows. Rounding makes ties exact.
+    s6 = F.round(F.col("hyperball_sum"), 6)
     return (
         nf.join(exact, "t")
         .select(
             "t",
             "n_pairs_exact",
-            "hyperball_sum",
-            (
-                F.abs(F.col("hyperball_sum") - F.col("n_pairs_exact"))
-                / F.col("n_pairs_exact")
+            s6.alias("hyperball_sum"),
+            F.round(
+                F.abs(s6 - F.col("n_pairs_exact")) / F.col("n_pairs_exact"),
+                6,
             ).alias("rel_error"),
         )
         .orderBy("t")
@@ -264,6 +271,98 @@ def hyperball_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from pyspark.sql import Window as _W  # noqa: E402
+
+
+def _event_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The above-average event-transition graph shared by the SCC and
+    HyperBall queries."""
+    ev = load(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    cnt = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .where(
+            (100 * F.col("c") * F.col("n_pairs") >= 101 * F.col("total"))
+            & (F.col("a") != F.col("b"))
+        )
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+
+
+_HB_EDGES_SQL = """tr AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS b
+      FROM events
+    ),
+    cnt AS (SELECT a, b, COUNT(*) AS c FROM tr WHERE b IS NOT NULL
+            GROUP BY a, b),
+    tot AS (SELECT SUM(c) AS total, COUNT(*) AS n_pairs FROM cnt),
+    sedges AS (
+      SELECT a, b FROM cnt, tot
+      WHERE 100 * c * n_pairs >= 101 * total AND a <> b
+    )"""
+
+
+@query(
+    "hyperball_harmonic_event_transitions",
+    oracle=f"""
+    WITH RECURSIVE
+    {_HB_EDGES_SQL},
+    {hyperball_sql("sedges", "a", "b", rounds=4).strip()}
+    SELECT h.node,
+           ROUND(COALESCE(e.harmonic_exact, 0.0), 6) AS harmonic_exact,
+           ROUND(h.harmonic_est, 6) AS harmonic_est
+    FROM hyperball_harmonic h
+    LEFT JOIN hb_harm_exact e USING (node)
+    ORDER BY h.node
+    """,
+)
+def hyperball_harmonic_event_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality estimated from HyperBall's per-radius ball
+    sizes (operators/hyperball.py, r10 — Boldi & Vigna's flagship
+    application: H(v) = Σ 1/d(v,u), the centrality that handles
+    disconnected graphs gracefully): per node, Σ_t (B_t − B_{t−1})/t
+    over the per-round HLL estimates (negative branch-boundary diffs
+    clamp to 0 — the standard correction, identical in both engines),
+    beside the EXACT Σ 1/d from the bounded closure computed in the
+    same job. Sink nodes (no out-reach) report 0 in both columns.
+    Every register of every round replays in the oracle. Reference
+    comparison: n/a."""
+    from rippledb_spark.operators.hyperball import (
+        exact_harmonic_centrality,
+        hyperball_harmonic_centrality,
+    )
+
+    edges = _event_edges(spark, sf_dir)
+    est = hyperball_harmonic_centrality(edges, "a", "b", rounds=4)
+    exact = exact_harmonic_centrality(edges, "a", "b", rounds=4)
+    # 6dp rounds on BOTH float columns: the raw Σ 1/d and Σ diff/t carry
+    # run-varying last-ulp partial-agg noise, and near-tied nodes
+    # flipped the gate's row sort between engines (see
+    # hyperball_event_transitions' note)
+    return (
+        est.join(exact, "node", "left")
+        .select(
+            "node",
+            F.round(
+                F.coalesce("harmonic_exact", F.lit(0.0)), 6
+            ).alias("harmonic_exact"),
+            F.round("harmonic_est", 6).alias("harmonic_est"),
+        )
+        .orderBy("node")
+    )
+
 
 from rippledb_spark.functions import html as HTML8  # noqa: E402
 from rippledb_spark.functions import robots as RB8  # noqa: E402
