@@ -643,6 +643,103 @@ def bloom_membership_sql(
     )"""
 
 
+def feature_hash_vectors(
+    df: DataFrame, text_col: str, id_col: str, dims: int = 16
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, "Feature Hashing for
+    Large Scale Multitask Learning"): bag-of-words → a FIXED d-dim dense
+    vector with no vocabulary table — index = md5(token) mod d, sign =
+    ±1 from an independent md5 bit (the signed variant that makes
+    collisions cancel in expectation). The representation that lets the
+    text tier feed the numeric tier (PCA, k-means, ANN) without an
+    embedding model. → DataFrame(id, v array<double>); tokenless
+    documents yield the zero vector (corpus accounting never loses
+    rows).
+
+    Deterministic like every sketch here — the same corpus always
+    hashes identically, and per-cell sums of ±1 are integer-exact in
+    doubles, so the DuckDB twin replays every vector bit-for-bit.
+
+    Scale shape: one explode + one (id, index)-keyed map-side-combinable
+    sum + one per-doc assembly agg — never a vocabulary join."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.md5(F.col("tok"))
+    idx = F.pmod(
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint"), F.lit(dims)
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 13, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    cells = (
+        toks.select("id", idx.alias("i"), sign.alias("s"))
+        .groupBy("id", "i")
+        .agg(F.sum("s").alias("x"))
+    )
+    vecs = cells.groupBy("id").agg(
+        F.map_from_arrays(
+            F.collect_list("i"), F.collect_list("x")
+        ).alias("m")
+    ).select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: F.coalesce(
+                F.element_at("m", i.cast("bigint")), F.lit(0.0)
+            ),
+        ).alias("v"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(vecs, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(
+            "v", F.array_repeat(F.lit(0.0), dims)
+        ).alias("v"),
+    )
+
+
+def feature_hash_vectors_sql(
+    table: str, text_col: str, id_col: str, dims: int = 16
+) -> str:
+    """DuckDB CTE twin; yields ``hf_vecs`` (doc id col, v DOUBLE[])."""
+    if dims < 1:
+        raise ValueError("dims must be >= 1")
+    h = "md5(tok)"
+    return f"""hf_toks AS (
+      SELECT {id_col} AS id, tok FROM (
+        SELECT {id_col}, UNNEST(string_split({text_col}, ' ')) AS tok
+        FROM {table}
+      ) WHERE tok <> ''
+    ),
+    hf_cells AS (
+      SELECT id,
+             CAST(('0x' || substr({h}, 1, 12)) AS BIGINT) % {dims} AS i,
+             SUM(CASE WHEN CAST(('0x' || substr({h}, 13, 1)) AS BIGINT)
+                           % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) AS x
+      FROM hf_toks GROUP BY id, i
+    ),
+    hf_agg AS (
+      SELECT id, list(i ORDER BY i) AS idxs, list(x ORDER BY i) AS xs
+      FROM hf_cells GROUP BY id
+    ),
+    hf_vecs AS (
+      SELECT b.{id_col},
+             COALESCE(
+               (SELECT list_transform(range(0, {dims}), k ->
+                  COALESCE(a.xs[list_position(a.idxs, k)], 0.0))
+                FROM hf_agg a WHERE a.id = b.{id_col}),
+               list_transform(range(0, {dims}), k -> 0.0)
+             ) AS v
+      FROM {table} b
+    )"""
+
+
 def weighted_sample_by_group(
     df: DataFrame,
     id_col: str,

@@ -773,6 +773,47 @@ def pca_top2_projection_embeddings(
     return comps.join(pv, "component").orderBy("component", "dim")
 
 
+from rippledb_spark.operators.pca import (  # noqa: E402
+    pca_top_component,
+    pca_top_component_sql,
+)
+
+_HF_PCA_CTE = (
+    SK.feature_hash_vectors_sql("documents", "text", "doc_id", dims=16)
+    + ",\n    "
+    + pca_top_component_sql("hf_vecs", "v", "doc_id", dims=16)
+)
+
+
+@query(
+    "hashed_features_pca_documents",
+    oracle=f"""
+    WITH {_HF_PCA_CTE.strip()}
+    SELECT dim, mean, loading, eigenvalue, residual
+    FROM pca_top ORDER BY dim
+    """,
+)
+def hashed_features_pca_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The text tier feeding the numeric tier WITHOUT an embedding
+    model (r10 composition): documents → 16-dim signed feature-hash
+    vectors (sketches.feature_hash_vectors, Weinberger et al. 2009 —
+    index and sign both md5-derived, per-cell ±1 sums integer-exact) →
+    the corpus' dominant principal component (operators/pca.py). The
+    oracle replays tokenization, every hashed cell, every assembled
+    vector, the covariance, and the full 6dp-rounded power-iteration
+    trajectory in one CTE chain — a green row certifies the whole
+    text→vector→linear-algebra composition, and the residual column is
+    its own convergence certificate. Reference comparison: n/a.
+
+    100 TB shape: featurization is one explode + one (doc, index)-keyed
+    sum (no vocabulary join); then PCA's documented covariance pass."""
+    d = load(spark, sf_dir, "documents")
+    vecs = SK.feature_hash_vectors(d, "text", "doc_id", dims=16)
+    return pca_top_component(vecs, "v", dims=16).orderBy("dim")
+
+
 from rippledb_spark.operators.dedup import shingles as _shingles  # noqa: E402
 from rippledb_spark.operators.dedup import shingles_sql as _sh_sql  # noqa: E402
 

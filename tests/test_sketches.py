@@ -331,3 +331,50 @@ def test_hyperball_rounds_refusal(spark):
         hyperball_neighborhood_function(df, rounds=-1)
     with _pt.raises(ValueError, match="rounds"):
         hyperball_sql("e", rounds=-1)
+
+
+def test_feature_hash_vectors_twin_and_contracts(spark):
+    """Feature hashing (r10): DuckDB-twin equality, zero vectors for
+    tokenless docs, integer-exact cells, and linearity (k copies of a
+    token scale its cell by k)."""
+    import duckdb as _dd
+
+    from rippledb_spark.operators.sketches import (
+        feature_hash_vectors,
+        feature_hash_vectors_sql,
+    )
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "banana cherry"),
+        (2, ""),
+        (3, "apple apple apple apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], tuple(r["v"]))
+        for r in feature_hash_vectors(df, "text", "doc_id", dims=8).collect()
+    )
+    con = _dd.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?)", rows)
+    want = sorted(
+        (r[0], tuple(r[1]))
+        for r in con.execute(
+            "WITH "
+            + feature_hash_vectors_sql("docs", "text", "doc_id", dims=8)
+            + " SELECT doc_id, v FROM hf_vecs"
+        ).fetchall()
+    )
+    assert got == want
+    d = dict(got)
+    assert d[2] == (0.0,) * 8                       # tokenless → zero vec
+    assert all(x == int(x) for v in d.values() for x in v)  # integer cells
+    # doc 3 = 4 copies of one token: exactly one cell at ±4
+    assert sorted(abs(x) for x in d[3])[-1] == 4.0
+    assert sum(1 for x in d[3] if x != 0.0) == 1
+    # doc 0 has 2x apple + 1x banana: apple's cell is ±2, banana's ±1
+    assert sorted(abs(x) for x in d[0] if x != 0.0) == [1.0, 2.0]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dims"):
+        feature_hash_vectors(df, "text", "doc_id", dims=0)
