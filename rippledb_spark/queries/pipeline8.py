@@ -814,6 +814,58 @@ def hashed_features_pca_documents(
     return pca_top_component(vecs, "v", dims=16).orderBy("dim")
 
 
+from rippledb_spark.operators.regression import (  # noqa: E402
+    least_squares_3,
+    least_squares_3_sql,
+)
+
+_LSQ_CTE = least_squares_3_sql(
+    "(SELECT 1 AS one, length(text) AS n_chars,"
+    " length(text) - length(replace(text, ' ', '')) AS n_spaces,"
+    " len(string_split(text, ' ')) AS n_tokens FROM documents)",
+    ["one", "n_chars", "n_spaces"],
+    "n_tokens",
+)
+
+
+@query(
+    "least_squares_token_model",
+    oracle=f"""
+    WITH {_LSQ_CTE.strip()}
+    SELECT feature_idx, weight, sse, r2 FROM lsq_fit ORDER BY feature_idx
+    """,
+)
+def least_squares_token_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed least squares (operators/regression.py, r10 —
+    normal equations + Cramer's rule, the small-d calibration primitive
+    a pipeline fits quality/length predictors with): regress each
+    document's token count on (1, n_chars, n_spaces). Single-space
+    text satisfies n_tokens = 1·1 + 0·n_chars + 1·n_spaces EXACTLY, so
+    the fit must recover weights (1, 0, 1) with SSE 0 and R² 1 — the
+    planted ground truth doubles as the convergence certificate. The
+    Gram matrix and moment vector are exact BIGINT sums (integer
+    features — no float reduction anywhere in the fit), so the oracle
+    replays the aggregates, both Cramer determinants, the weights, and
+    the integer-scaled SSE bit-for-bit. Reference comparison: n/a.
+
+    100 TB shape: ONE corpus pass for d²+d integer sums (d=3 keys,
+    map-side combinable), one more for the fit metrics; the solve is
+    scalar arithmetic."""
+    d = load(spark, sf_dir, "documents")
+    feats = d.select(
+        F.lit(1).alias("one"),
+        F.length("text").alias("n_chars"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+        ).alias("n_spaces"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return least_squares_3(
+        feats, ["one", "n_chars", "n_spaces"], "n_tokens"
+    ).orderBy("feature_idx")
+
+
 from rippledb_spark.operators.dedup import shingles as _shingles  # noqa: E402
 from rippledb_spark.operators.dedup import shingles_sql as _sh_sql  # noqa: E402
 
