@@ -814,6 +814,83 @@ def hashed_features_pca_documents(
     return pca_top_component(vecs, "v", dims=16).orderBy("dim")
 
 
+from rippledb_spark.operators.chunking import (  # noqa: E402
+    content_defined_chunks,
+    content_defined_chunks_sql,
+)
+
+_CDC_PASSAGES = [
+    " ".join(f"c{k}_{c}" for k in range(40)) for c in range(5)
+]
+_CDC_PASSAGES_SQL = "ARRAY[" + ", ".join(
+    f"'{p}'" for p in _CDC_PASSAGES
+) + "]"
+
+
+@query(
+    "cdc_chunk_dedup_accounting",
+    oracle=f"""
+    WITH pard AS (
+      SELECT doc_id,
+             text || ' ' ||
+             ({_CDC_PASSAGES_SQL})[CAST(doc_id % 5 AS INT) + 1] AS text
+      FROM documents
+    ),
+    {content_defined_chunks_sql("pard", "text", "doc_id", w=3, divisor=8).strip()},
+    cdc_freq AS (
+      SELECT chunk_hash, COUNT(DISTINCT doc_id) AS ndocs
+      FROM cdc_chunks GROUP BY chunk_hash
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(c.n_chunk_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM cdc_chunks c JOIN cdc_freq f USING (chunk_hash)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def cdc_chunk_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup accounting
+    (operators/chunking.content_defined_chunks, r10 — the LBFS/FastCDC
+    boundary rule on token streams): every document gets a 40-token
+    passage shared by its doc_id%5 cohort appended at a DIFFERENT token
+    offset per document (each doc's own text precedes it) — fixed
+    windows would chunk the copies differently, but content-defined
+    boundaries re-synchronize, so the cohort's interior passage chunks
+    hash identically and surface in n_shared_chunks. The oracle replays
+    tokenization, every md5 boundary decision, the running chunk
+    counter, reassembly, chunk hashes, and the cross-document frequency
+    join. Reference comparison: n/a (no pipeline surface).
+
+    100 TB shape: per-document windows keyed by doc id; the dedup is
+    one chunk-hash-keyed agg — the storage-dedup shape."""
+    d = load(spark, sf_dir, "documents")
+    passage = F.element_at(
+        F.array(*[F.lit(p) for p in _CDC_PASSAGES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    pard = d.select(
+        "doc_id", F.concat("text", F.lit(" "), passage).alias("text")
+    )
+    chunks = content_defined_chunks(pard, "text", "doc_id", w=3, divisor=8)
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 from rippledb_spark.operators.regression import (  # noqa: E402
     least_squares_3,
     least_squares_3_sql,

@@ -1121,3 +1121,56 @@ def test_dedup_paragraphs_first_occurrence_semantics(spark):
     assert out[2] == (3, 2, "delta\n")
     # an all-empty doc keeps its (empty) formatting row
     assert out[4] == (1, 1, "")
+
+
+def test_content_defined_chunks_resync_and_twin(spark):
+    """r10 CDC chunking: boundaries depend only on content, so a shared
+    passage at DIFFERENT offsets re-synchronizes to identical chunk
+    hashes; tokens are conserved; the DuckDB twin replays exactly."""
+    import duckdb as _dd
+
+    from rippledb_spark.operators.chunking import (
+        content_defined_chunks,
+        content_defined_chunks_sql,
+    )
+
+    shared = " ".join(f"w{(i * 13) % 37}" for i in range(40))
+    rows = [
+        (0, "alpha " + shared),
+        (1, "beta gamma delta epsilon " + shared),  # 4-token shift
+        (2, "unrelated text entirely different tokens here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = content_defined_chunks(df, "text", "doc_id", w=3, divisor=8)
+    got = sorted(map(tuple, out.collect()))
+    con = _dd.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?)", rows)
+    cte = content_defined_chunks_sql("docs", "text", "doc_id", w=3, divisor=8)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                f"WITH {cte} SELECT doc_id, chunk_no, n_chunk_tokens,"
+                " chunk_hash, chunk_text FROM cdc_chunks"
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    h = {}
+    tok_tot = {}
+    for doc, _, n, ch, _t in got:
+        h.setdefault(doc, set()).add(ch)
+        tok_tot[doc] = tok_tot.get(doc, 0) + n
+    # the shifted copies share every interior chunk (only the lead-in
+    # chunk blends with each doc's own prefix)
+    assert len(h[0] & h[1]) >= len(h[0]) - 2
+    assert not (h[0] & h[2])          # unrelated text shares nothing
+    assert 3 not in h                  # empty doc yields no chunks
+    assert tok_tot[0] == 41 and tok_tot[1] == 44  # token conservation
+    import pytest as _pt
+    with _pt.raises(ValueError, match="divisor"):
+        content_defined_chunks(df, "text", "doc_id", divisor=1)
+    with _pt.raises(ValueError, match="w must"):
+        content_defined_chunks_sql("t", "x", "id", w=0)
