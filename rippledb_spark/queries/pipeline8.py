@@ -814,6 +814,83 @@ def hashed_features_pca_documents(
     return pca_top_component(vecs, "v", dims=16).orderBy("dim")
 
 
+@query(
+    "rolling_anomaly_event_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    roll AS (
+      SELECT event_type, d, n,
+             COUNT(*) OVER w AS n_prev,
+             AVG(CAST(n AS DOUBLE)) OVER w AS mu,
+             AVG(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) OVER w AS m2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, d, n,
+           ROUND(mu, 6) AS mean7,
+           ROUND(sqrt(GREATEST(m2 - mu * mu, 0.0)), 6) AS std7,
+           ROUND(CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) > 0
+                      THEN (n - mu) / sqrt(GREATEST(m2 - mu * mu, 0.0))
+                      ELSE 0.0 END, 6) AS z,
+           (sqrt(GREATEST(m2 - mu * mu, 0.0)) > 0 AND
+            ABS(CASE WHEN sqrt(GREATEST(m2 - mu * mu, 0.0)) > 0
+                     THEN (n - mu) / sqrt(GREATEST(m2 - mu * mu, 0.0))
+                     ELSE 0.0 END) > 2.0) AS is_anomaly
+    FROM roll WHERE n_prev = 7
+    ORDER BY event_type, d
+    """,
+)
+def rolling_anomaly_event_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling z-score anomaly detection on the event stream (r10 —
+    the timeseries family's monitoring composition): per event type,
+    each day's count is scored against the TRAILING 7 days' mean and
+    population std (the window excludes the current day, so a spike
+    can't mask itself), and |z| > 2 flags the anomaly. Only days with a
+    full 7-day history score — no partial-window false alarms. The
+    window folds run over date-sorted frames, so both engines reduce in
+    the same order and the 6dp rounds replay exactly. Reference
+    comparison: n/a (no window surface).
+
+    100 TB shape: one (type, day) count agg + one type-keyed ordered
+    window pass — nothing global."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        _W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    nd = F.col("n").cast("double")
+    roll = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.avg(nd).over(w).alias("mu"),
+        F.avg(nd * nd).over(w).alias("m2"),
+    ).where(F.col("n_prev") == 7)
+    std = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
+    z = F.when(std > 0, (nd - F.col("mu")) / std).otherwise(F.lit(0.0))
+    return roll.select(
+        "event_type",
+        "d",
+        "n",
+        F.round("mu", 6).alias("mean7"),
+        F.round(std, 6).alias("std7"),
+        F.round(z, 6).alias("z"),
+        ((std > 0) & (F.abs(z) > 2.0)).alias("is_anomaly"),
+    ).orderBy("event_type", "d")
+
+
 from rippledb_spark.operators.chunking import (  # noqa: E402
     content_defined_chunks,
     content_defined_chunks_sql,
