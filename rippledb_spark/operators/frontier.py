@@ -33,26 +33,67 @@ from rippledb_spark.operators.redirects import resolve_redirect_chains
 
 _PATH_RE = "^[a-z]+://[^/]+(/.*)$"
 
+# RFC 3986 scheme prefix — a link carrying ANY scheme (http:, mailto:,
+# javascript:) is kept as-is and left to url_normalize's http(s) gate.
+_SCHEME_PREFIX_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:"
+
+
+def resolve_link(link, src_host) -> "F.Column":
+    """RFC 3986 §4.2-style reference resolution against a page known
+    only by HOST (pages here carry no path, so the base is the host
+    root): ``//h/p`` protocol-relative → ``https://h/p``; ``/p``
+    root-relative → ``https://src_host/p``; a scheme-ful link passes
+    through; anything else (``page.html``, ``./a``, ``?q=1``) resolves
+    against the host root (a leading ``./`` is stripped; ``../``
+    segments are NOT collapsed — there is no base path to pop).
+    Keep in lock-step with :func:`resolve_link_sql`."""
+    link = F.col(link) if isinstance(link, str) else link
+    src_host = F.col(src_host) if isinstance(src_host, str) else src_host
+    return (
+        F.when(link.startswith("//"), F.concat(F.lit("https:"), link))
+        .when(
+            link.startswith("/"),
+            F.concat(F.lit("https://"), src_host, link),
+        )
+        .when(link.rlike(_SCHEME_PREFIX_RE), link)
+        .otherwise(
+            F.concat(
+                F.lit("https://"),
+                src_host,
+                F.lit("/"),
+                F.regexp_replace(link, r"^\./", ""),
+            )
+        )
+    )
+
+
+def resolve_link_sql(link: str, src_host: str) -> str:
+    """DuckDB twin of :func:`resolve_link` (identical CASE chain)."""
+    return (
+        f"CASE WHEN {link} LIKE '//%' THEN 'https:' || {link} "
+        f"WHEN {link} LIKE '/%' THEN 'https://' || {src_host} || {link} "
+        f"WHEN regexp_matches({link}, '^[A-Za-z][A-Za-z0-9+.\\-]*:') "
+        f"THEN {link} "
+        f"ELSE 'https://' || {src_host} || '/' || "
+        f"regexp_replace({link}, '^\\./', '') END"
+    )
+
 
 def extract_frontier_links(
     pages: DataFrame, host_col: str, html_col: str
 ) -> DataFrame:
     """pages(host, html) → one (src_host, url) row per extracted link
-    occurrence: ``<a href>`` extraction, relative-path resolution
-    against the page host, canonicalization; non-canonicalizable links
-    (mailto:, javascript:) drop, like the corpus gate's URI rule."""
+    occurrence: ``<a href>`` extraction, reference resolution against
+    the page host (:func:`resolve_link` — protocol-relative,
+    root-relative, AND scheme-less relative links all resolve),
+    canonicalization; non-http(s) links (mailto:, javascript:) drop,
+    like the corpus gate's URI rule."""
     links = pages.select(
         F.col(host_col).alias("src_host"),
         F.explode(extract_links(html_col)).alias("link"),
     )
     absu = links.select(
-        "src_host",
-        F.when(
-            F.col("link").startswith("/"),
-            F.concat(F.lit("https://"), F.col("src_host"), F.col("link")),
-        )
-        .otherwise(F.col("link"))
-        .alias("u"),
+        "src_host", resolve_link("link", "src_host").alias("u")
     )
     return absu.select(
         "src_host", url_normalize("u").alias("url")

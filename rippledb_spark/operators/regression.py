@@ -65,7 +65,37 @@ def least_squares_3(
     aggs.append(F.sum(y * y).alias("yy"))
     aggs.append(F.count(F.lit(1)).alias("n"))
     aggs.append(F.sum(y).alias("sy"))
-    g = df.agg(*aggs).collect()[0]  # bounded: ONE row of d²+d integers
+    # overflow guard inputs: the largest |feature| / |label| seen, so we
+    # can verify n·max|f_i|·max|f_j| < 2^63 AFTER the one pass (Spark's
+    # non-ANSI BIGINT sum wraps silently; DuckDB raises — without this
+    # check a huge corpus could silently diverge from the oracle).
+    for i in range(3):
+        aggs.append(F.max(F.abs(f[i])).alias(f"mf{i}"))
+    aggs.append(F.max(F.abs(y)).alias("my"))
+    try:
+        g = df.agg(*aggs).collect()[0]  # bounded: ONE row of d²+d integers
+    except Exception as e:  # ANSI mode (Spark 4 default) raises on wrap
+        if "ArithmeticException" in type(e).__name__ or "overflow" in str(e).lower():
+            raise ValueError(
+                "least_squares_3: BIGINT overflow in the Gram/moment sums "
+                "— rescale the integer features (the exact-sum contract "
+                "requires n·max(|f_i|·|f_j|) < 2^63)"
+            ) from e
+        raise
+    if g["n"] == 0 or any(g[k] is None for k in ("a00", "b0", "yy", "sy")):
+        raise ValueError(
+            "least_squares_3: empty (or fully null) input — nothing to fit"
+        )
+    mf = [int(g[f"mf{i}"]) for i in range(3)] + [int(g["my"])]
+    n_rows = int(g["n"])
+    worst = max(mf) * max(mf)
+    if worst and n_rows > (2**63 - 1) // worst:
+        raise ValueError(
+            "least_squares_3: potential BIGINT overflow — "
+            f"n({n_rows})·max|f|²({worst}) ≥ 2^63; rescale the integer "
+            "features (the exact-sum contract requires "
+            "n·max(|f_i|·|f_j|) < 2^63)"
+        )
     a = [[float(g[f"a{min(i, j)}{max(i, j)}"]) for j in range(3)] for i in range(3)]
     b = [float(g[f"b{i}"]) for i in range(3)]
 

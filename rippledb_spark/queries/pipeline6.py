@@ -674,6 +674,10 @@ def robots_gate_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from rippledb_spark.functions import html as HTML6  # noqa: E402
 from rippledb_spark.functions import url as URL6  # noqa: E402
+from rippledb_spark.operators.frontier import (  # noqa: E402
+    resolve_link as FR6_resolve_link,
+    resolve_link_sql as FR6_resolve_link_sql,
+)
 
 
 @query(
@@ -695,8 +699,7 @@ from rippledb_spark.functions import url as URL6  # noqa: E402
       FROM pages
     ),
     absu AS (
-      SELECT CASE WHEN link LIKE '/%'
-                  THEN 'https://' || src_host || link ELSE link END AS u
+      SELECT {FR6_resolve_link_sql("link", "src_host")} AS u
       FROM raw_links
     ),
     canon AS (
@@ -763,14 +766,7 @@ def crawl_frontier_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("host").alias("src_host"),
         F.explode(HTML6.extract_links("html")).alias("link"),
     )
-    absu = links.select(
-        F.when(
-            F.col("link").startswith("/"),
-            F.concat(F.lit("https://"), F.col("src_host"), F.col("link")),
-        )
-        .otherwise(F.col("link"))
-        .alias("u")
-    )
+    absu = links.select(FR6_resolve_link("link", "src_host").alias("u"))
     canon = absu.select(
         URL6.url_host("u").alias("host"), URL6.url_normalize("u").alias("url")
     ).where(F.col("url").isNotNull())

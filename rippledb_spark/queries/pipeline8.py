@@ -367,6 +367,9 @@ def hyperball_harmonic_event_transitions(
 from rippledb_spark.functions import html as HTML8  # noqa: E402
 from rippledb_spark.functions import robots as RB8  # noqa: E402
 from rippledb_spark.functions import url as URL8  # noqa: E402
+from rippledb_spark.operators.frontier import (  # noqa: E402
+    resolve_link_sql as FR8_resolve_link_sql,
+)
 from rippledb_spark.operators.redirects import (  # noqa: E402
     resolve_redirect_chains_sql,
 )
@@ -411,9 +414,7 @@ _FR_RR_CTE = resolve_redirect_chains_sql("redge", "from_url", "to_url", 8)
     canon AS (
       SELECT src_host, {URL8.url_normalize_sql("u")} AS url
       FROM (SELECT src_host,
-                   CASE WHEN link LIKE '/%'
-                        THEN 'https://' || src_host || link
-                        ELSE link END AS u
+                   {FR8_resolve_link_sql("link", "src_host")} AS u
             FROM raw_links)
     ),
     {_FR_RR_CTE.strip()},
@@ -861,8 +862,14 @@ def rolling_anomaly_event_counts(
     100 TB shape: one (type, day) count agg + one type-keyed ordered
     window pass — nothing global."""
     ev = load(spark, sf_dir, "events")
+    # Day bucket pinned to the UTC calendar regardless of
+    # spark.sql.session.timeZone (to_date alone renders the instant in
+    # the session zone; the DuckDB oracle's CAST(ts AS DATE) is the
+    # naive-UTC day the parquet stores) — to_utc_timestamp(ts,
+    # current_timezone()) recovers the UTC wall time on any host.
+    utc_day = F.to_date(F.to_utc_timestamp(F.col("ts"), F.current_timezone()))
     daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("d")
+        "event_type", utc_day.alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w = (
         _W.partitionBy("event_type")

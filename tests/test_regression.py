@@ -74,3 +74,29 @@ def test_least_squares_refusals(spark):
     )
     with pytest.raises(ValueError, match="singular"):
         least_squares_3(dup, ["a", "b", "one"], "y")
+
+
+def test_least_squares_empty_input_refuses_loudly(spark):
+    df = spark.createDataFrame(
+        [], "one bigint, x1 bigint, x2 bigint, y bigint"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        least_squares_3(df, ["one", "x1", "x2"], "y")
+    # all-filtered is the same loud refusal, not a TypeError
+    nz = spark.createDataFrame(
+        [(1, 2, 3, 4)], "one bigint, x1 bigint, x2 bigint, y bigint"
+    ).where("y < 0")
+    with pytest.raises(ValueError, match="empty"):
+        least_squares_3(nz, ["one", "x1", "x2"], "y")
+
+
+def test_least_squares_overflow_guard(spark):
+    # n·max|f|² ≥ 2^63 → Spark would wrap silently where DuckDB raises;
+    # the fit must refuse instead of diverging from the oracle.
+    big = 2**32
+    rows = [(1, big, i, i % 7) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "one bigint, x1 bigint, x2 bigint, y bigint"
+    )
+    with pytest.raises(ValueError, match="overflow"):
+        least_squares_3(df, ["one", "x1", "x2"], "y")
