@@ -1,0 +1,263 @@
+"""Round-11 query pack: the trained quality classifier (deterministic
+logistic regression over hashed features + text metrics — the learned
+gate real pretraining pipelines run beside rule-based scores), its
+composition into the pretraining recipe as an alternative gate, and the
+version-diff / CDC surface.
+
+Every query follows the house contract: identical column aliases in
+Spark and the DuckDB oracle, 6dp-rounded materialized intermediates,
+integer-exact reductions wherever a sum crosses engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.functions.text import (
+    punct_count,
+    punct_count_sql,
+    stopword_count,
+    stopword_count_sql,
+    token_count,
+    token_count_sql,
+)
+from rippledb_spark.operators import sketches as SK
+from rippledb_spark.operators.classifier import (
+    LOGIT_DP,
+    _dot,
+    logistic_metrics,
+    logistic_predict,
+    logistic_train,
+    logistic_train_sql,
+)
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+# --- planted-label quality-classifier fixture --------------------------------
+# Features (d = 12): 8 signed hashed-token cells (scaled /10) ⊕
+# [intercept 1.0, token_count/50, stopword_ratio, punct_count/10].
+# The label is a FIXED linear rule over those features with a dead band
+# (|s| ≤ margin rows excluded), so the training set is margin-separable
+# by construction and the fitted accuracy is a self-verifying
+# certificate: a broken gradient / featurization shows up as accuracy
+# collapse, not just a hash mismatch.
+_QC_DIMS = 12
+_QC_MARGIN = 0.15
+_QC_ITERS = 16
+_QC_LR = 2.0
+_QC_WSTAR = [1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.4, 0.5, 1.0, 0.5]
+_QC_WSTAR_SQL = "[" + ", ".join(str(w) for w in _QC_WSTAR) + "]"
+
+
+def _qc_features(d: DataFrame) -> DataFrame:
+    """documents → (doc_id, x array<double>[12]) — hashed cells plus
+    scaled text metrics, every entry 6dp-rounded (the cross-engine
+    materialization contract)."""
+    hv = SK.feature_hash_vectors(d, "text", "doc_id", dims=8)
+    base = d.select(
+        "doc_id",
+        token_count("text").alias("tc"),
+        stopword_count("text").alias("sw"),
+        punct_count("text").alias("pc"),
+    )
+    return base.join(hv, "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.transform("v", lambda c: F.round(c / 10.0, LOGIT_DP)),
+            F.array(
+                F.lit(1.0),
+                F.round(F.col("tc") / 50.0, LOGIT_DP),
+                F.round(
+                    F.when(F.col("tc") == 0, F.lit(0.0)).otherwise(
+                        F.col("sw").cast("double") / F.col("tc")
+                    ),
+                    LOGIT_DP,
+                ),
+                F.round(F.col("pc") / 10.0, LOGIT_DP),
+            ),
+        ).alias("x"),
+    )
+
+
+def _qc_labeled(d: DataFrame) -> DataFrame:
+    """→ (doc_id, x, s): planted linear score s = round(w*·x, 6dp)."""
+    wstar = F.array(*[F.lit(w) for w in _QC_WSTAR])
+    return _qc_features(d).select(
+        "doc_id", "x", F.round(_dot(F.col("x"), wstar), LOGIT_DP).alias("s")
+    )
+
+
+def _qc_features_sql() -> str:
+    """CTE parts (hf_* + qc_base/qc_x/qc_lab) mirroring
+    :func:`_qc_labeled` over the pre-registered ``documents`` view."""
+    return f"""{SK.feature_hash_vectors_sql("documents", "text", "doc_id", dims=8)},
+    qc_base AS (
+      SELECT doc_id, {token_count_sql('text')} AS tc,
+             {stopword_count_sql('text')} AS sw,
+             {punct_count_sql('text')} AS pc
+      FROM documents
+    ),
+    qc_x AS MATERIALIZED (
+      SELECT b.doc_id,
+             list_concat(
+               list_transform(h.v, c -> ROUND(c / 10.0, {LOGIT_DP})),
+               [1.0, ROUND(b.tc / 50.0, {LOGIT_DP}),
+                ROUND(CASE WHEN b.tc = 0 THEN 0.0
+                           ELSE CAST(b.sw AS DOUBLE) / b.tc END, {LOGIT_DP}),
+                ROUND(b.pc / 10.0, {LOGIT_DP})]) AS x
+      FROM qc_base b JOIN hf_vecs h ON h.doc_id = b.doc_id
+    ),
+    qc_lab AS MATERIALIZED (
+      SELECT doc_id, x,
+             ROUND(list_dot_product(x, {_QC_WSTAR_SQL}), {LOGIT_DP}) AS s
+      FROM qc_x
+    )"""
+
+
+@query(
+    "quality_classifier_accounting",
+    oracle=f"""
+    WITH {_qc_features_sql().strip()},
+    qc_train AS MATERIALIZED (
+      SELECT x, CASE WHEN s > {_QC_MARGIN} THEN 1.0 ELSE 0.0 END AS y
+      FROM qc_lab WHERE abs(s) > {_QC_MARGIN}
+    ),
+    {logistic_train_sql("qc_train", _QC_DIMS, iterations=_QC_ITERS,
+                        lr=_QC_LR, prefix="qc").strip()},
+    qc_excl AS (
+      SELECT CAST(SUM(CASE WHEN abs(s) <= {_QC_MARGIN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_excluded
+      FROM qc_lab
+    )
+    SELECT u.j AS feature_idx, w.w[u.j + 1] AS weight,
+           m.accuracy, m.log_loss, m.n_train, m.n_pos, e.n_excluded
+    FROM qc_w w, UNNEST(range(0, {_QC_DIMS})) AS u(j),
+         qc_metrics m, qc_excl e
+    ORDER BY feature_idx
+    """,
+)
+def quality_classifier_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAINED quality classifier (operators/classifier.py, r11 — the
+    missing learned-gate stage): documents → 12-dim features (8 signed
+    hashed-token cells + intercept + scaled token/stopword/punct
+    metrics) → labels planted by a fixed linear rule with a dead band
+    (margin-separable by construction) → 16 rounds of deterministic
+    full-batch logistic GD (6dp iterates, ×10⁶-BIGINT gradient grid) →
+    per-feature weights with accuracy / log-loss riding every row. The
+    oracle replays featurization, label planting, every gradient sum,
+    every weight iterate, and both metrics in one unrolled CTE chain —
+    a green row certifies the entire train trajectory, and the
+    accuracy column is the planted-rule recovery certificate (pinned
+    ≥ 0.9 in pytest). Reference comparison: n/a (no ML surface in
+    /root/reference/src/).
+
+    100 TB shape: featurization = one explode + (doc, cell) agg;
+    training = 16 corpus passes, each ONE map-side-combinable 12-key
+    integer agg over a checkpointed feature frame with the 12-vector
+    broadcast back; serving is exp-free (z > 0)."""
+    d = load(spark, sf_dir, "documents")
+    lab = _qc_labeled(d).localCheckpoint(eager=True)
+    train = lab.where(F.abs(F.col("s")) > _QC_MARGIN).select(
+        "x", F.when(F.col("s") > _QC_MARGIN, 1.0).otherwise(0.0).alias("y")
+    )
+    w = logistic_train(
+        train, "x", "y", _QC_DIMS, iterations=_QC_ITERS, lr=_QC_LR
+    )
+    met = logistic_metrics(train, "x", "y", w, _QC_DIMS)
+    excl = lab.agg(
+        F.sum(F.when(F.abs(F.col("s")) <= _QC_MARGIN, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_excluded")
+    )
+    return (
+        w.select(F.posexplode("w").alias("feature_idx", "weight"))
+        .crossJoin(F.broadcast(met))
+        .crossJoin(F.broadcast(excl))
+        .orderBy("feature_idx")
+    )
+
+
+@query(
+    "pretraining_classifier_gate_accounting",
+    oracle=f"""
+    WITH {_qc_features_sql().strip()},
+    qc_train AS MATERIALIZED (
+      SELECT x, CASE WHEN s > {_QC_MARGIN} THEN 1.0 ELSE 0.0 END AS y
+      FROM qc_lab WHERE abs(s) > {_QC_MARGIN}
+    ),
+    {logistic_train_sql("qc_train", _QC_DIMS, iterations=_QC_ITERS,
+                        lr=_QC_LR, prefix="qc").strip()},
+    pg_scores AS (
+      SELECT l.doc_id,
+             ROUND(list_dot_product(w.w, l.x), {LOGIT_DP}) AS score
+      FROM qc_lab l, qc_w w
+    ),
+    pg_kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN pg_scores s USING (doc_id)
+      WHERE s.score > 0
+    ),
+    pg_canon AS (
+      SELECT MIN(doc_id) AS doc_id FROM pg_kept GROUP BY md5(text)
+    ),
+    pg_docs AS (
+      SELECT k.doc_id, k.lang, k.text
+      FROM pg_kept k JOIN pg_canon c USING (doc_id)
+    ),
+    pg_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept_unique,
+           CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+           t.n_docs AS n_corpus
+    FROM pg_docs d, pg_tot t
+    GROUP BY d.lang, t.n_docs ORDER BY d.lang
+    """,
+)
+def pretraining_classifier_gate_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The trained classifier WIRED INTO the pretraining recipe as the
+    alternative quality gate (r11 — VERDICT ask #1's second half):
+    train the logistic gate on the planted-rule labels, then run the
+    pipeline's front half with THE FITTED MODEL deciding keep/drop
+    (score = w·x > 0, exp-free serving) → exact dedup (min-id per
+    content hash) → per-language survivor accounting. Both engines
+    train their own model and gate their own corpus — a green row
+    certifies train + serve + dedup composed. Reference comparison:
+    n/a (no pipeline surface).
+
+    100 TB shape: the gate adds ONE broadcast 12-vector projection on
+    top of featurization (no shuffle beyond the hashed-cell agg); the
+    rest is the pipeline's documented dedup shuffle."""
+    d = load(spark, sf_dir, "documents")
+    lab = _qc_labeled(d).localCheckpoint(eager=True)
+    train = lab.where(F.abs(F.col("s")) > _QC_MARGIN).select(
+        "x", F.when(F.col("s") > _QC_MARGIN, 1.0).otherwise(0.0).alias("y")
+    )
+    w = logistic_train(
+        train, "x", "y", _QC_DIMS, iterations=_QC_ITERS, lr=_QC_LR
+    )
+    scores = logistic_predict(lab, "x", "doc_id", w, _QC_DIMS)
+    kept = d.join(
+        scores.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "lang", "text")
+    canon = kept.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    docs = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept_unique"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "n_kept_unique", "n_tokens", F.col("n_docs").alias("n_corpus"))
+        .orderBy("lang")
+    )

@@ -153,6 +153,10 @@ HEADLINE: tuple[str, ...] = (
     "hll_distinct_tokens",
     "pca_top2_projection_embeddings",
     "paragraph_dedup_accounting",
+    # round-11 addition: the trained-model tier's representative — full
+    # corpus featurization + 16 broadcast-GD passes; the wall to watch
+    # as the learned-gate story matures
+    "quality_classifier_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
@@ -225,5 +229,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.pipeline6  # noqa: F401
     import rippledb_spark.queries.pipeline7  # noqa: F401
     import rippledb_spark.queries.pipeline8  # noqa: F401
+    import rippledb_spark.queries.pipeline9  # noqa: F401
 
     _LOADED = True
