@@ -261,3 +261,91 @@ def pretraining_classifier_gate_accounting(
         .select("lang", "n_kept_unique", "n_tokens", F.col("n_docs").alias("n_corpus"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff / change-data-feed (store.diff / apply_diff, r11)
+# ---------------------------------------------------------------------------
+
+from rippledb_spark.queries.triples import TRIPLES_CTE, _store  # noqa: E402
+from rippledb_spark.store import TripleStore  # noqa: E402
+
+_VDIFF_META = (
+    "meta:engine", "named", "meta:name", "rippledb_spark", "literal",
+    None, None,
+)
+
+
+@query(
+    "version_diff_accounting",
+    oracle=f"""
+    WITH {TRIPLES_CTE.strip()},
+    v2 AS (
+      SELECT * FROM triples WHERE p <> 'in_segment'
+      UNION ALL
+      SELECT 'meta:engine', 'named', 'meta:name', 'rippledb_spark',
+             'literal', NULL, NULL
+    ),
+    ins AS (SELECT * FROM v2 EXCEPT SELECT * FROM triples),
+    del AS (SELECT * FROM triples EXCEPT SELECT * FROM v2),
+    dif AS (
+      SELECT 'insert' AS op, * FROM ins
+      UNION ALL
+      SELECT 'delete' AS op, * FROM del
+    ),
+    applied AS (
+      SELECT * FROM (
+        SELECT * FROM triples
+        EXCEPT
+        SELECT s, s_kind, p, o_value, o_kind, o_lang, o_datatype
+        FROM dif WHERE op = 'delete'
+      )
+      UNION
+      SELECT s, s_kind, p, o_value, o_kind, o_lang, o_datatype
+      FROM dif WHERE op = 'insert'
+    ),
+    ok AS (
+      SELECT (SELECT COUNT(*) FROM (
+                SELECT * FROM applied EXCEPT SELECT * FROM v2
+                UNION ALL
+                SELECT * FROM v2 EXCEPT SELECT * FROM applied)) = 0
+             AS roundtrip_ok
+    )
+    SELECT d.op, d.p, CAST(COUNT(*) AS BIGINT) AS n_triples, o.roundtrip_ok
+    FROM dif d, ok o
+    GROUP BY d.op, d.p, o.roundtrip_ok
+    ORDER BY d.op, d.p
+    """,
+)
+def version_diff_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → CDC feed → re-application, certified end to end
+    (store.diff / store.apply_diff, r11 — VERDICT ask #7): v2 is v1
+    with every in_segment triple removed and one meta triple added (the
+    DML query's mutation); ``diff`` derives the minimal (op, triple)
+    change feed via null-safe anti-joins, and the feed is APPLIED back
+    to v1 with the certified D1/D2 semantics. The per-(op, predicate)
+    accounting rides with ``roundtrip_ok`` — the symmetric-difference
+    emptiness of apply_diff(v1, feed) vs v2, i.e. the property that
+    makes a change feed safe for incremental consumers (the r4 CDC
+    fold). Both engines replay diff, application, and the emptiness
+    check independently. Reference comparison: the reference's persist
+    is destructive single-slot (graph.rs:665-680) — no version surface
+    exists there.
+
+    100 TB shape: two null-safe anti-joins on the 7-column identity
+    (AQE broadcasts the small delta side); application is the
+    documented D1/D2 joins; nothing collects."""
+    st1 = _store(spark, sf_dir)
+    seg = st1.df.filter(F.col("p") == "in_segment")
+    st2 = st1.remove(seg).insert([_VDIFF_META])
+    feed = st1.diff(st2).localCheckpoint(eager=True)
+    applied = st1.apply_diff(feed)
+    resid = applied.diff(st2).agg(
+        (F.count(F.lit(1)) == 0).alias("roundtrip_ok")
+    )
+    return (
+        feed.groupBy("op", "p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triples"))
+        .crossJoin(F.broadcast(resid))
+        .orderBy("op", "p")
+    )

@@ -261,6 +261,71 @@ class TripleStore:
         """Triples in this graph but not in ``other`` (≡ bulk remove)."""
         return TripleStore(self.spark, self.df.exceptAll(other.df).distinct())
 
+    # -- snapshot diff / change-data-feed (r11) -----------------------------
+    # Closes the version-history loop the r4 CDC fold consumes: immutable
+    # snapshots (persist_version) → a change feed (diff) → incremental
+    # downstream application (apply_diff). The reference has no version
+    # surface at all (its persist is destructive single-slot,
+    # graph.rs:665-680), so this is engine-tier.
+
+    def diff(self, other: "TripleStore") -> DataFrame:
+        """Change feed turning THIS snapshot into ``other``:
+        → DataFrame(op, s, s_kind, p, o_value, o_kind, o_lang,
+        o_datatype) with op ∈ {'insert', 'delete'} — inserts are triples
+        only in ``other``, deletes only in this store. Because stores
+        are sets, the feed is minimal and applying it to this snapshot
+        reproduces ``other`` exactly (property-tested).
+
+        100 TB shape: two null-safe anti-joins on the full triple
+        identity — one shuffle each on the 7-column key; both sides
+        stay distributed (nothing collects) and Catalyst/AQE picks the
+        join strategy, so a small delta against a huge base plans as a
+        broadcast anti-join."""
+        def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
+            # NULL-SAFE anti-join (o_lang/o_datatype are nullable — a
+            # plain name-equi join would tag every NULL-bearing triple
+            # as both inserted and deleted)
+            r = right.select(*model.TRIPLE_KEY).toDF(
+                *[f"__r_{c}" for c in model.TRIPLE_KEY]
+            )
+            cond = None
+            for c in model.TRIPLE_KEY:
+                eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            return left.join(r, on=cond, how="left_anti")
+
+        inserts = _anti(other.df, self.df).select(
+            F.lit("insert").alias("op"), *model.TRIPLE_KEY
+        )
+        deletes = _anti(self.df, other.df).select(
+            F.lit("delete").alias("op"), *model.TRIPLE_KEY
+        )
+        return inserts.unionByName(deletes)
+
+    @classmethod
+    def diff_versions(
+        cls,
+        spark: SparkSession,
+        base_path: str,
+        v_from: int,
+        v_to: int,
+    ) -> DataFrame:
+        """Change feed between two persisted snapshots (see :meth:`diff`):
+        the CDC export of the version store — what downstream incremental
+        consumers (the relational CDC fold, streaming sinks) apply instead
+        of re-reading the whole new snapshot."""
+        a = cls.from_version(spark, base_path, v_from)
+        b = cls.from_version(spark, base_path, v_to)
+        return a.diff(b)
+
+    def apply_diff(self, diff: DataFrame) -> "TripleStore":
+        """Apply a :meth:`diff` feed to this snapshot: delete ops remove,
+        insert ops add (idempotent set semantics, like D1/D2). Invariant:
+        ``v1.apply_diff(v1.diff(v2))`` is set-equal to ``v2``."""
+        dels = diff.where(F.col("op") == "delete").select(*model.TRIPLE_KEY)
+        ins = diff.where(F.col("op") == "insert").select(*model.TRIPLE_KEY)
+        return self.remove(dels).insert(ins)
+
     # -- SQL surface --------------------------------------------------------
 
     def create_view(self, name: str = "triples") -> None:

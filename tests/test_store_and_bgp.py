@@ -303,3 +303,38 @@ def test_versioned_persistence(spark, store, tmp_path):
     from rippledb_spark.errors import SchemaError
     with _pytest.raises(SchemaError):
         TripleStore.from_version(spark, base, 99)
+
+
+def test_diff_versions_cdc_feed(spark, store, tmp_path):
+    """r11: snapshot diff — the change feed between persisted versions,
+    with null-safe identity (lang-tagged/typed literals carry NULLs)."""
+    base = str(tmp_path / "vdiff")
+    store.persist_version(base)
+    v2 = (
+        store.remove([("person:alice", "knows", "person:bob")])
+        .insert([("person:new", "named", "label", "hi", "literal", "en", None)])
+    )
+    v2.persist_version(base)
+    feed = TripleStore.diff_versions(spark, base, 1, 2)
+    rows = {(r["op"], r["s"], r["o_value"]) for r in feed.collect()}
+    assert ("delete", "person:alice", "person:bob") in rows
+    assert ("insert", "person:new", "hi") in rows
+    assert len(rows) == 2  # minimal feed: nothing else changed
+
+    # applying the feed to v1 reproduces v2 EXACTLY (the incremental-
+    # consumer safety property)
+    v1 = TripleStore.from_version(spark, base, 1)
+    applied = v1.apply_diff(feed)
+    assert applied.diff(TripleStore.from_version(spark, base, 2)).count() == 0
+
+    # identical snapshots → empty feed
+    assert v2.diff(v2).count() == 0
+
+
+def test_diff_null_columns_are_not_phantom_changes(spark):
+    """A triple with NULL o_lang/o_datatype present in both snapshots
+    must NOT appear in the feed (the null-safe join contract)."""
+    rows = [("s1", "named", "p1", "lit", "literal", None, None)]
+    a = TripleStore.from_rows(spark, rows)
+    b = TripleStore.from_rows(spark, rows)
+    assert a.diff(b).count() == 0
