@@ -302,20 +302,20 @@ def _power_sql(
     {prefix}_final = (loadings, eigenvalue, residual)."""
     v0 = round(1.0 / dims**0.5, PCA_DP)
     parts = [
-        f"""{prefix}_it0 AS (
+        f"""{prefix}_it0 AS MATERIALIZED (
       SELECT list_transform(range(0, {dims}), k -> {v0}) AS v
     )"""
     ]
     for r in range(1, iterations + 1):
         parts.append(
-            f"""{prefix}_w{r} AS (
+            f"""{prefix}_w{r} AS MATERIALIZED (
       SELECT list(w ORDER BY i) AS w FROM (
         SELECT i, list_dot_product(row, v) AS w FROM {rows_rel}, {prefix}_it{r - 1}
       )
     )"""
         )
         parts.append(
-            f"""{prefix}_it{r} AS (
+            f"""{prefix}_it{r} AS MATERIALIZED (
       SELECT list_transform(w, x ->
         ROUND(x / sqrt(list_dot_product(w, w)), {PCA_DP})) AS v
       FROM {prefix}_w{r}
@@ -323,7 +323,7 @@ def _power_sql(
         )
     last = f"{prefix}_it{iterations}"
     parts.append(
-        f"""{prefix}_wf AS (
+        f"""{prefix}_wf AS MATERIALIZED (
       SELECT list(w ORDER BY i) AS w FROM (
         SELECT i, list_dot_product(row, v) AS w FROM {rows_rel}, {last}
       )
@@ -403,17 +403,17 @@ def pca_top_components_sql(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     parts = _pca_base_sql(table, vec_col, dims)
-    parts.append("pcc0_cov AS (SELECT i, j, cij FROM pc_cov)")
+    parts.append("pcc0_cov AS MATERIALIZED (SELECT i, j, cij FROM pc_cov)")
     for c in range(n_components):
         parts.append(
-            f"""pcc{c}_rows AS (
+            f"""pcc{c}_rows AS MATERIALIZED (
       SELECT i, list(cij ORDER BY j) AS row FROM pcc{c}_cov GROUP BY i
     )"""
         )
         parts.extend(_power_sql(f"pcc{c}", f"pcc{c}_rows", dims, iterations))
         if c + 1 < n_components:
             parts.append(
-                f"""pcc{c + 1}_cov AS (
+                f"""pcc{c + 1}_cov AS MATERIALIZED (
       SELECT i, j,
              ROUND(cij - f.eigenvalue * f.loadings[i + 1]
                    * f.loadings[j + 1], {PCA_DP}) AS cij

@@ -952,11 +952,21 @@ def pq_adc_sql(
     iterations: int = 2,
     n_queries: int = 3,
     topk: int = 5,
+    prefix: str = "pq",
+    exact_source: tuple[str, str, str] | None = None,
 ) -> str:
     """DuckDB CTE-chain twin of :func:`pq_adc_topk`; yields a relation
-    ``pq_topk`` with the same five columns. One namespaced k-means chain
-    per subspace (kmeans_assignments_sql ``prefix``), codebooks read
-    from each chain's final-round centroid relation."""
+    ``{prefix}_topk`` with the same five columns. One namespaced k-means
+    chain per subspace (kmeans_assignments_sql ``prefix``), codebooks
+    read from each chain's final-round centroid relation.
+
+    ``prefix`` namespaces every CTE (default ``pq`` — the historical
+    names), so two chains can coexist in one oracle (the r11 rotated-
+    vs-plain comparison). ``exact_source`` = (table, vec_col, id_col)
+    points the EXACT certification twin at a different relation — used
+    when the quantized vectors live in a transformed space (the OPQ
+    rotation) but recall must be measured against true neighbors in the
+    ORIGINAL space; default: same relation as the quantized input."""
     if dims % m:
         raise ValueError(f"dims {dims} not divisible into {m} subspaces")
     d0 = dims // m
@@ -970,15 +980,15 @@ def pq_adc_sql(
         parts.append(
             kmeans_assignments_sql(
                 sub, "sub_v", id_col, dims=d0, k=k,
-                iterations=iterations, prefix=f"pq{s}",
+                iterations=iterations, prefix=f"{prefix}{s}",
             )
         )
     book_union = " UNION ALL ".join(
-        f"SELECT {s} AS s, cid, c FROM pq{s}_c{iterations - 1}"
+        f"SELECT {s} AS s, cid, c FROM {prefix}{s}_c{iterations - 1}"
         for s in range(m)
     )
     code_union = " UNION ALL ".join(
-        f"SELECT pid, {s} AS s, cid FROM pq{s}_final" for s in range(m)
+        f"SELECT pid, {s} AS s, cid FROM {prefix}{s}_final" for s in range(m)
     )
     # EXACT term order of clustering._dist2 (v·v − 2·v·c + c·c): float
     # addition is order-sensitive and the 6dp round must not flip
@@ -987,37 +997,37 @@ def pq_adc_sql(
         " - 2 * list_dot_product(q.sub_q, b.c)"
         " + list_dot_product(b.c, b.c))"
     )
-    parts.append(f"pq_books AS ({book_union})")
-    parts.append(f"pq_codes AS ({code_union})")
+    parts.append(f"{prefix}_books AS ({book_union})")
+    parts.append(f"{prefix}_codes AS ({code_union})")
     parts.append(
-        f"""pq_queries AS (
+        f"""{prefix}_queries AS (
       SELECT {id_col} AS q_pid, CAST({vec_col} AS DOUBLE[]) AS qv
       FROM {table} ORDER BY {id_col} LIMIT {n_queries}
     )"""
     )
     parts.append(
-        f"""pq_lt AS (
+        f"""{prefix}_lt AS (
       SELECT q.q_pid, b.s, b.cid, {d2} AS lt_d2
       FROM (SELECT q_pid, s,
                    qv[s * {d0} + 1 : (s + 1) * {d0}] AS sub_q
-            FROM pq_queries, (SELECT UNNEST(range(0, {m})) AS s)) q
-      JOIN pq_books b ON b.s = q.s
+            FROM {prefix}_queries, (SELECT UNNEST(range(0, {m})) AS s)) q
+      JOIN {prefix}_books b ON b.s = q.s
     )"""
     )
     parts.append(
-        f"""pq_est AS (
+        f"""{prefix}_est AS (
       SELECT l.q_pid, c.pid, ROUND(SUM(l.lt_d2), {ADC_DP}) AS adc_d2
-      FROM pq_codes c JOIN pq_lt l ON l.s = c.s AND l.cid = c.cid
+      FROM {prefix}_codes c JOIN {prefix}_lt l ON l.s = c.s AND l.cid = c.cid
       WHERE c.pid <> l.q_pid
       GROUP BY l.q_pid, c.pid
     )"""
     )
     parts.append(
-        f"""pq_approx AS (
+        f"""{prefix}_approx AS (
       SELECT q_pid, pid, adc_d2,
              row_number() OVER (PARTITION BY q_pid ORDER BY adc_d2, pid)
                AS rank
-      FROM pq_est
+      FROM {prefix}_est
     )"""
     )
     xd2 = (  # _dist2(qv, v): q·q − 2·q·v + v·v, same order
@@ -1025,25 +1035,36 @@ def pq_adc_sql(
         " - 2 * list_dot_product(q.qv, v.fv)"
         " + list_dot_product(v.fv, v.fv))"
     )
+    xt, xv, xi = exact_source or (table, vec_col, id_col)
+    if exact_source is not None:
+        # separate query relation in the exact-twin space (same lowest-id
+        # pid set as {prefix}_queries — both relations share ids)
+        parts.append(
+            f"""{prefix}_xqueries AS (
+      SELECT {xi} AS q_pid, CAST({xv} AS DOUBLE[]) AS qv
+      FROM {xt} ORDER BY {xi} LIMIT {n_queries}
+    )"""
+        )
+    xq_rel = f"{prefix}_xqueries" if exact_source is not None else f"{prefix}_queries"
     parts.append(
-        f"""pq_exact AS (
+        f"""{prefix}_exact AS (
       SELECT q_pid, pid FROM (
         SELECT q.q_pid, v.pid,
                row_number() OVER (
                  PARTITION BY q.q_pid
                  ORDER BY ROUND({xd2}, {ADC_DP}), v.pid) AS xr
-        FROM pq_queries q,
-             (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS fv
-              FROM {table}) v
+        FROM {xq_rel} q,
+             (SELECT {xi} AS pid, CAST({xv} AS DOUBLE[]) AS fv
+              FROM {xt}) v
         WHERE v.pid <> q.q_pid
       ) WHERE xr <= {topk}
     )"""
     )
     parts.append(
-        f"""pq_topk AS (
+        f"""{prefix}_topk AS (
       SELECT a.q_pid, a.rank, a.pid, a.adc_d2,
              (e.pid IS NOT NULL) AS in_exact_topk
-      FROM pq_approx a LEFT JOIN pq_exact e
+      FROM {prefix}_approx a LEFT JOIN {prefix}_exact e
         ON e.q_pid = a.q_pid AND e.pid = a.pid
       WHERE a.rank <= {topk}
     )"""

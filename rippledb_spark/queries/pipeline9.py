@@ -349,3 +349,104 @@ def version_diff_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(resid))
         .orderBy("op", "p")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-lite: PCA-rotated product quantization (operators/opq.py, r11)
+# ---------------------------------------------------------------------------
+
+from rippledb_spark.functions.vector import as_double_array  # noqa: E402
+from rippledb_spark.operators import opq as OPQ  # noqa: E402
+from rippledb_spark.operators import pq as PQ9  # noqa: E402
+
+# Planted anisotropic corpus: scale the first 8 dims 10x the rest and mix
+# each with its +8 neighbor — variance concentrates in a correlated
+# 8-dim subspace (the regime Ge et al. 2013 targets), deterministically
+# derived from the embeddings so both engines rebuild it bit-identically.
+_AV_SQL = """av_base AS MATERIALIZED (
+      SELECT vec_id, list_transform(range(0, 64), i -> ROUND(
+               (CASE WHEN i < 8 THEN 3.0 ELSE 0.3 END) * v[i + 1]
+               + 0.9 * (CASE WHEN ((i + 8) % 64) < 8 THEN 3.0 ELSE 0.3 END)
+                 * v[((i + 8) % 64) + 1], 6)) AS av
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )"""
+
+
+def _aniso_vectors(e: DataFrame) -> DataFrame:
+    """Spark twin of _AV_SQL: (vec_id, av array<double>[64])."""
+    v = as_double_array("embedding")
+
+    def scale(i):
+        return F.when(i < 8, F.lit(3.0)).otherwise(F.lit(0.3))
+
+    def mix(i):
+        j = F.pmod(i + 8, F.lit(64))
+        return F.round(
+            scale(i) * F.element_at(v, (i + 1).cast("int"))
+            + F.lit(0.9) * scale(j) * F.element_at(v, (j + 1).cast("int")),
+            6,
+        )
+
+    return e.select(
+        "vec_id",
+        F.transform(F.sequence(F.lit(0), F.lit(63)), mix).alias("av"),
+    )
+
+
+@query(
+    "pq_rotated_topk",
+    oracle=f"""
+    WITH {_AV_SQL.strip()},
+    {OPQ.pq_rotated_sql("av_base", "av", "vec_id", 64, r=8, m=4, k=8,
+                        iterations=2, pca_iterations=6, prefix="rpq").strip()},
+    {PQ9.pq_adc_sql("av_base", "av", "vec_id", 64, m=4, k=8,
+                    iterations=2, prefix="ppq").strip()},
+    rr AS (
+      SELECT ROUND(AVG(CASE WHEN in_exact_topk THEN 1.0 ELSE 0.0 END), 6)
+             AS recall_rotated
+      FROM rpq_topk
+    ),
+    rp AS (
+      SELECT ROUND(AVG(CASE WHEN in_exact_topk THEN 1.0 ELSE 0.0 END), 6)
+             AS recall_plain
+      FROM ppq_topk
+    )
+    SELECT t.q_pid, t.rank, t.pid, t.adc_d2, t.in_exact_topk,
+           rr.recall_rotated, rp.recall_plain
+    FROM rpq_topk t, rr, rp ORDER BY t.q_pid, t.rank
+    """,
+)
+def pq_rotated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite — PCA-rotated PQ vs plain PQ, head to head on a planted
+    anisotropic corpus (operators/opq.py, r11 — VERDICT ask #8): the
+    embeddings are deterministically mixed so variance concentrates in
+    a correlated 8-dim subspace, then BOTH pipelines quantize the same
+    corpus — rotated: top-8 PCA projection (6dp deflation trajectory) →
+    PQ(m=4, k=8) in the rotated space; plain: PQ(m=4, k=8) on the raw
+    64 dims. Each carries the exact ORIGINAL-space top-5 twin, and the
+    row reports both recalls side by side — rotated beats plain ~6× on
+    this corpus (pinned in pytest), the measurable Ge-et-al. claim. The
+    oracle replays the mix, the full PCA chain, the rotation, both PQ
+    chains, both exact twins, and both recall folds. Reference
+    comparison: n/a (no vector surface).
+
+    100 TB shape: one covariance pass + corpus-independent deflation
+    rounds + one projection pass + PQ's documented shape; the only
+    cartesians are the bounded nq=3 exact twins (certification only)."""
+    e = load(spark, sf_dir, "embeddings")
+    av = _aniso_vectors(e).localCheckpoint(eager=True)
+    rotated = OPQ.pq_rotated_topk(
+        av, "av", "vec_id", 64, r=8, m=4, k=8,
+        iterations=2, pca_iterations=6,
+    )
+    plain = PQ9.pq_adc_topk(
+        av, "av", "vec_id", 64, m=4, k=8, iterations=2
+    )
+    flag = F.when(F.col("in_exact_topk"), 1.0).otherwise(0.0)
+    rr = rotated.agg(F.round(F.avg(flag), 6).alias("recall_rotated"))
+    rp = plain.agg(F.round(F.avg(flag), 6).alias("recall_plain"))
+    return (
+        rotated.crossJoin(F.broadcast(rr))
+        .crossJoin(F.broadcast(rp))
+        .orderBy("q_pid", "rank")
+    )

@@ -491,3 +491,45 @@ def test_bm25_batch_matches_single_query_form(spark):
             assert got[(qid, rank)] == v, (qid, rank)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_rotated_pq_beats_plain_on_anisotropic_corpus(spark, sf_dir):
+    """r11 (OPQ-lite): on the planted anisotropic corpus the PCA-rotated
+    PQ's original-space recall must strictly beat plain PQ's — the
+    measurable Ge et al. 2013 claim the registered row carries."""
+    from rippledb_spark.queries.pipeline9 import pq_rotated_topk
+
+    rows = pq_rotated_topk(spark, sf_dir).collect()
+    assert len(rows) == 15
+    r0 = rows[0]
+    assert r0["recall_rotated"] > r0["recall_plain"]
+    assert r0["recall_rotated"] >= 0.4  # the rotation recovers real recall
+    # per-row flags fold to the reported recall
+    got = sum(1.0 for r in rows if r["in_exact_topk"]) / len(rows)
+    assert abs(got - r0["recall_rotated"]) < 1e-6
+
+
+def test_rotate_vectors_shape_and_determinism(spark, sf_dir):
+    """The rotation frame: one R-dim 6dp vector per input id, stable
+    across runs (replayable-iteration contract)."""
+    from rippledb_spark.operators.opq import rotate_vectors
+    from rippledb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    a = rotate_vectors(e, "embedding", "vec_id", 64, r=4, pca_iterations=3)
+    rows = a.collect()
+    assert len(rows) == e.count()
+    assert all(len(r["rv"]) == 4 for r in rows)
+    b = rotate_vectors(e, "embedding", "vec_id", 64, r=4, pca_iterations=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_pq_rotated_refuses_bad_split(spark, sf_dir):
+    import pytest as _pytest
+
+    from rippledb_spark.operators.opq import pq_rotated_topk as op
+    from rippledb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="subspaces"):
+        op(e, "embedding", "vec_id", 64, r=6, m=4)
