@@ -450,3 +450,41 @@ def pq_rotated_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(rp))
         .orderBy("q_pid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py, r11)
+# ---------------------------------------------------------------------------
+
+from rippledb_spark.operators.unigram import (  # noqa: E402
+    unigram_oracle_sql,
+    unigram_train,
+)
+
+
+@query("unigram_tokenize_accounting", oracle=unigram_oracle_sql(rounds=2))
+def unigram_tokenize_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer training + tokenization, certified per EM
+    round (operators/unigram.py, r11 — VERDICT ask #6; Kudo 2018's
+    SentencePiece unigram model in its deterministic Viterbi-EM form):
+    substring seeding → per-round Viterbi segmentation of the distinct
+    words (bounded DP, every cell 6dp-rounded, longest-piece tie-break)
+    → EM piece pruning + renormalization. Each round's row carries
+    vocab_size (the prune visible round-over-round), total corpus
+    tokens, the exact-integer corpus log-likelihood (×10⁶-BIGINT sums —
+    monotone improvement is the EM certificate, pinned in pytest), and
+    seg_md5 — the md5 of EVERY word's segmentation, so one flipped
+    split anywhere breaks the hash. The oracle replays seeding, all 12
+    DP positions of both rounds, backtracking, counts, pruning, and
+    renormalization as unrolled CTEs. Reference comparison: n/a (no
+    tokenizer surface).
+
+    100 TB shape: state is the DISTINCT-word table (the BPE reduction);
+    per round one projection pass (the two folds) + one piece-keyed
+    count agg; the corpus is touched once (word counts). Words longer
+    than the DP bound refuse loudly."""
+    d = load(spark, sf_dir, "documents")
+    _, stats = unigram_train(d, "text", rounds=2)
+    return stats.orderBy("round")
