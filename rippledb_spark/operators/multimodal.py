@@ -26,11 +26,15 @@ spec (runs, absolute mode, end-of-line/bitmap, delta), AND MJPEG —
 baseline-JPEG frames with real entropy coding (operators/jpeg.py:
 Annex K Huffman tables, DC differential + AC run/size symbols, byte
 stuffing, orthonormal 8x8 DCT); all of them feed the same
-nearest-neighbor numpy resize. Interframe-predicted codecs (H.264/VP9
-etc.) remain the one stub — those genuinely need codec libraries;
-decode_avi_frames refuses them loudly and everything up to the codec
-boundary (container walk, stream headers, frame slicing) is the same
-code path they would feed. The Spark-side shape is
+nearest-neighbor numpy resize. MPEG-1 intra-only video is REAL too
+(r11 — operators/mpeg1.py: sequence/GOP/picture/slice/macroblock walk,
+Annex B VLC entropy decode, differential DC, intra dequant with
+oddification, shared zigzag + orthonormal IDCT, 4:2:0 assembly).
+Interframe-PREDICTED codecs (H.264/VP9, and MPEG-1 P/B pictures)
+remain the one stub — motion compensation genuinely needs codec
+libraries; decode_avi_frames and decode_mpeg1_frames refuse them
+loudly and everything up to the codec boundary (container walk, stream
+headers, frame slicing) is the same code path they would feed. The Spark-side shape is
 production-real throughout: binary columns, Arrow-batched
 ``mapInPandas`` with explicit output schemas, partition-sized batches,
 no collect, no per-row Python UDFs.
@@ -2913,4 +2917,150 @@ def png_color_stats(media: DataFrame) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=PNG_COLOR_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 intra-only video (operators/mpeg1.py, r11)
+# ---------------------------------------------------------------------------
+
+MPEG1_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("us_per_frame", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("cb_sum", T.LongType()),
+        T.StructField("cr_sum", T.LongType()),
+        T.StructField("resized_wsum", T.LongType()),
+    ]
+)
+
+
+def synth_mpeg1_dims(media_id: int) -> tuple[int, int, int, int]:
+    """Id-deterministic MPEG-1 shape: (width, height, n_frames,
+    rate_code); dims are 16-multiples (macroblock-aligned)."""
+    return (
+        16 * (1 + media_id % 2),
+        16 * (1 + media_id % 3),
+        1 + media_id % 3,
+        1 + media_id % 5,
+    )
+
+
+def synth_mpeg1_planes(
+    media_id: int, frame_no: int
+) -> tuple[bytes, bytes, bytes]:
+    """Deterministic BLOCK-CONSTANT 4:2:0 planes — constant on each 8×8
+    block of each plane (y(b) = (43·id + 19·f + 13·b) mod 256, cb(b) =
+    (23·id + 7·f + 11·b) mod 256, cr(b) = (29·id + 5·f + 3·b) mod 256):
+    the content class where MPEG-1 intra coding is numerically exact
+    (DC-only blocks, recon = dc·8 — operators/mpeg1.py docstring), so a
+    SQL oracle recomputes every decoded pixel from id arithmetic."""
+    w, h, _, _ = synth_mpeg1_dims(media_id)
+
+    def plane(pw: int, ph: int, a: int, fs: int, step: int) -> bytes:
+        bw = pw // 8
+        return bytes(
+            (a * media_id + fs * frame_no + step * ((y // 8) * bw + (x // 8)))
+            % 256
+            for y in range(ph)
+            for x in range(pw)
+        )
+
+    return (
+        plane(w, h, 43, 19, 13),
+        plane(w // 2, h // 2, 23, 7, 11),
+        plane(w // 2, h // 2, 29, 5, 3),
+    )
+
+
+def synthesize_mpeg1_streams(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL intra-only MPEG-1 video
+    elementary streams (sequence/GOP/picture/slice/macroblock layers,
+    Annex B VLCs — operators/mpeg1.encode_mpeg1_intra), pixel content
+    id-deterministic and block-constant; built per-batch in mapInPandas
+    like the other synthesizers."""
+    import pandas as pd
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, nf, rate = synth_mpeg1_dims(mid)
+                payloads.append(
+                    encode_mpeg1_intra(
+                        w,
+                        h,
+                        [synth_mpeg1_planes(mid, f) for f in range(nf)],
+                        rate_code=rate,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/mpeg;codec=mpeg1",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def mpeg1_frame_pixel_stats(
+    media: DataFrame, every_n: int = 2, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL MPEG-1 I-frame decode (r11): walk each elementary stream,
+    entropy-decode + dequantize + IDCT every ``every_n``-th picture's
+    macroblocks (operators/mpeg1.decode_mpeg1_frames), resize the luma
+    plane with the shared resize_nearest, and emit closed-form digests
+    — per-plane pixel sums and the position-weighted resample sum (any
+    pixel REORDERING changes it). 1→N frame expansion inside Arrow
+    ``mapInPandas`` — the avi_frame_pixel_stats shape."""
+    import numpy as np
+    import pandas as pd
+
+    from rippledb_spark.operators.mpeg1 import decode_mpeg1_frames
+
+    cols = [f.name for f in MPEG1_FRAME_SCHEMA.fields]
+    weights = np.arange(1, out_w * out_h + 1, dtype=np.int64)
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                v = decode_mpeg1_frames(bytes(payload))
+                w, h = v["width"], v["height"]
+                for f in range(0, v["n_frames"], every_n):
+                    py, pcb, pcr = v["frames"][f]
+                    y = np.frombuffer(py, dtype=np.uint8)
+                    resized = np.frombuffer(
+                        resize_nearest(w, h, py, out_w, out_h), dtype=np.uint8
+                    ).astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid),
+                            f,
+                            w,
+                            h,
+                            int(v["us_per_frame"]),
+                            int(y.size),
+                            int(y.astype(np.int64).sum()),
+                            int(np.frombuffer(pcb, dtype=np.uint8).astype(np.int64).sum()),
+                            int(np.frombuffer(pcr, dtype=np.uint8).astype(np.int64).sum()),
+                            int((weights * resized).sum()),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batch_fn, schema=MPEG1_FRAME_SCHEMA
     )

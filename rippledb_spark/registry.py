@@ -157,6 +157,9 @@ HEADLINE: tuple[str, ...] = (
     # corpus featurization + 16 broadcast-GD passes; the wall to watch
     # as the learned-gate story matures
     "quality_classifier_accounting",
+    # round-11 addition: real MPEG-1 I-frame decode (the video member of
+    # the Arrow frame-expansion family with actual entropy coding + IDCT)
+    "mpeg1_frame_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)

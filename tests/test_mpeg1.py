@@ -1,0 +1,180 @@
+"""MPEG-1 intra codec (operators/mpeg1.py, r11): exact DC round-trips,
+the AC path against an independent numpy IDCT, VLC details, refusals,
+and the Spark frame-stats surface."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rippledb_spark.operators.mpeg1 import (
+    _AC_EOB,
+    _AC_TABLE,
+    _Bits,
+    _DC_SIZE_CHROMA,
+    _DC_SIZE_LUMA,
+    _INTRA_Q,
+    _MBA_TABLE,
+    _dc_diff_bits,
+    decode_mpeg1_frames,
+    encode_mpeg1_intra,
+)
+
+
+def _const_planes(w, h, fn_y, cb=128, cr=128):
+    bw = w // 8
+    y = bytes(fn_y((yy // 8) * bw + (xx // 8)) % 256
+              for yy in range(h) for xx in range(w))
+    c1 = bytes([cb]) * (w * h // 4)
+    c2 = bytes([cr]) * (w * h // 4)
+    return y, c1, c2
+
+
+def test_dc_only_roundtrip_is_exact():
+    w, h = 48, 32
+    frames = [_const_planes(w, h, lambda b, f=f: 43 * 9 + 19 * f + 13 * b)
+              for f in range(3)]
+    es = encode_mpeg1_intra(w, h, frames, rate_code=4)
+    v = decode_mpeg1_frames(es)
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, 3)
+    assert v["us_per_frame"] == 33366
+    for f in range(3):
+        assert v["frames"][f] == frames[f]
+
+
+def _handmade_stream_with_ac(run, level, qscale=8):
+    """One 16x16 I-picture whose FIRST luma block carries dc=100 plus
+    one AC coefficient (run, level); everything else flat 128."""
+    bits = _Bits()
+    bits.start_code(0xB3)
+    bits.w(16, 12); bits.w(16, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(0, 1); bits.w(0, 1)
+    bits.start_code(0x00)
+    bits.w(0, 10); bits.w(1, 3); bits.w(0xFFFF, 16); bits.w(0, 1)
+    bits.start_code(0x01)
+    bits.w(qscale, 5); bits.w(0, 1)
+    bits.wstr(_MBA_TABLE[1]); bits.wstr("1")  # MB 0, intra
+    preds = {"y": 128, "cb": 128, "cr": 128}
+    for i, comp in enumerate(("y", "y", "y", "y", "cb", "cr")):
+        dc = 100 if i == 0 else 128
+        diff = dc - preds[comp]
+        preds[comp] = dc
+        size, amp = _dc_diff_bits(diff)
+        tab = _DC_SIZE_LUMA if comp == "y" else _DC_SIZE_CHROMA
+        bits.wstr(tab[size])
+        if size:
+            bits.w(amp, size)
+        if i == 0:
+            bits.wstr(_AC_TABLE[(run, abs(level))])
+            bits.w(0 if level > 0 else 1, 1)  # sign
+        bits.wstr(_AC_EOB)
+    bits.start_code(0xB7)
+    bits.align()
+    return bytes(bits.buf)
+
+
+@pytest.mark.parametrize("run,level", [(0, 1), (1, 1), (0, 2), (2, 3), (5, 1)])
+def test_ac_path_matches_independent_idct(run, level):
+    """The AC dequant + zigzag + IDCT chain checked against a from-
+    scratch numpy reference (NOT jpeg.py's matrix — an independent
+    derivation of the 8x8 DCT-II basis)."""
+    from rippledb_spark.operators.jpeg import _Z
+
+    qscale = 8
+    es = _handmade_stream_with_ac(run, level, qscale)
+    v = decode_mpeg1_frames(es)
+    y = np.frombuffer(v["frames"][0][0], dtype=np.uint8).reshape(16, 16)
+    got = y[:8, :8].astype(np.int64)
+
+    # independent reference: coefficient grid -> pixels
+    k = run + 1  # zigzag index of the AC coefficient
+    r, c = _Z[k]
+    w = _INTRA_Q[r * 8 + c]
+    rec = (2 * level * qscale * w) // 16
+    if rec and rec % 2 == 0:
+        rec -= 1 if rec > 0 else -1
+    F = np.zeros((8, 8))
+    F[0, 0] = 100 * 8
+    F[r, c] = rec
+    x = np.arange(8)
+    basis = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    a = np.full(8, np.sqrt(2.0 / 8))
+    a[0] = np.sqrt(1.0 / 8)
+    # f(y,x) = sum_u sum_v a(u)a(v) F[u,v] cos_u(y) cos_v(x)
+    ref = np.zeros((8, 8))
+    for u in range(8):
+        for vv in range(8):
+            ref += a[u] * a[vv] * F[u, vv] * np.outer(basis[u], basis[vv])
+    ref = np.clip(np.round(ref), 0, 255).astype(np.int64)
+    assert np.array_equal(got, ref)
+    # the rest of the picture decoded flat 128
+    assert (y[8:, :] == 128).all() and (y[:8, 8:] == 128).all()
+
+
+def test_refusals():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_mpeg1_intra(20, 16, [])
+    # non-block-constant content refuses loudly (DC-only fixture class)
+    y = bytes(range(256))
+    c = bytes([128]) * 64
+    with pytest.raises(ValueError, match="non-block-constant"):
+        encode_mpeg1_intra(16, 16, [(y, c, c)])
+    # P-picture refuses loudly
+    bits = _Bits()
+    bits.start_code(0xB3)
+    bits.w(16, 12); bits.w(16, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(0, 1); bits.w(0, 1)
+    bits.start_code(0x00)
+    bits.w(0, 10); bits.w(2, 3)  # P
+    bits.w(0xFFFF, 16)
+    bits.start_code(0xB7)
+    bits.align()
+    with pytest.raises(ValueError, match="picture type"):
+        decode_mpeg1_frames(bytes(bits.buf))
+
+
+def test_custom_intra_matrix_roundtrip():
+    """load_intra_quantizer_matrix parses (DC-only content is matrix-
+    independent, so the round-trip stays exact)."""
+    from rippledb_spark.operators.jpeg import _Z
+    from rippledb_spark.operators.mpeg1 import _Bits as B
+
+    w, h = 16, 16
+    frames = [_const_planes(w, h, lambda b: 50 + b)]
+    es = bytearray(encode_mpeg1_intra(w, h, frames))
+    # rewrite the sequence header with load_intra=1 + a custom matrix
+    bits = B()
+    bits.start_code(0xB3)
+    bits.w(w, 12); bits.w(h, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(1, 1)  # load intra matrix
+    for k in range(64):
+        bits.w(16 if k else 8, 8)  # zigzag order
+    bits.w(0, 1)
+    bits.align()
+    head = bytes(bits.buf)
+    rest = bytes(es[12:])  # original stream after its 12-byte seq header
+    v = decode_mpeg1_frames(head + rest)
+    assert v["frames"][0] == frames[0]
+
+
+def test_spark_frame_stats_surface(spark, sf_dir):
+    from rippledb_spark.operators import multimodal as MM
+    from rippledb_spark.tables import load
+
+    d = load(spark, sf_dir, "documents").filter("doc_id % 4 = 2").limit(6)
+    media = MM.synthesize_mpeg1_streams(d, "doc_id")
+    stats = MM.mpeg1_frame_pixel_stats(media, every_n=1).collect()
+    assert len(stats) > 0
+    for r in stats:
+        w, h = r["width"], r["height"]
+        assert r["n_pixels"] == w * h
+        # closed-form y_sum from the fixture arithmetic
+        bw, bh = w // 8, h // 8
+        want = 64 * sum(
+            (43 * r["media_id"] + 19 * r["frame_no"] + 13 * b) % 256
+            for b in range(bw * bh)
+        )
+        assert r["y_sum"] == want
