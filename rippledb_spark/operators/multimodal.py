@@ -162,6 +162,7 @@ def decode_png_any(payload: bytes) -> dict:
     bpp = _PNG_CHANNELS[color]
     pos, idat = 8, []
     palette: bytes | None = None
+    trns: bytes | None = None
     while pos + 12 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         tag = payload[pos + 4 : pos + 8]
@@ -179,11 +180,17 @@ def decode_png_any(payload: bytes) -> dict:
             if length % 3 or length == 0 or length > 768:
                 raise ValueError("PNG PLTE length must be 3x entries <= 768")
             palette = body
-        elif tag == b"tRNS" and color == 3:
-            raise ValueError(
-                "palette PNG with tRNS alpha is not supported — the "
-                "expansion would silently drop transparency"
-            )
+        elif tag == b"tRNS":
+            if color == 3:
+                if length > 256:
+                    raise ValueError("PNG tRNS longer than the palette")
+                trns = body  # may be SHORTER than PLTE (tail is opaque)
+            else:
+                raise ValueError(
+                    "tRNS on color type 0/2 is a 16-bit color-key (a "
+                    "different semantics than per-entry alpha) — refuse "
+                    "loudly rather than silently dropping transparency"
+                )
         if tag == b"IEND":
             break
         pos += 12 + length
@@ -224,18 +231,25 @@ def decode_png_any(payload: bytes) -> dict:
         if palette is None:
             raise ValueError("palette PNG is missing its PLTE chunk")
         n_entries = len(palette) // 3
-        rgb = bytearray(w * h * 3)
+        if trns is not None and len(trns) > n_entries:
+            raise ValueError("PNG tRNS longer than the palette")
+        # with tRNS: expand to RGBA (r11 — the formerly-refused corner);
+        # entries past the tRNS tail are fully opaque (PNG §11.3.2.1)
+        ch = 3 if trns is None else 4
+        rgb = bytearray(w * h * ch)
         for k, idx in enumerate(out):
             if idx >= n_entries:
                 raise ValueError(
                     f"palette index {idx} out of range ({n_entries} entries)"
                 )
-            rgb[3 * k : 3 * k + 3] = palette[3 * idx : 3 * idx + 3]
+            rgb[ch * k : ch * k + 3] = palette[3 * idx : 3 * idx + 3]
+            if ch == 4:
+                rgb[ch * k + 3] = trns[idx] if idx < len(trns) else 255
         return {
             "width": w,
             "height": h,
             "color_type": 3,
-            "channels": 3,
+            "channels": ch,
             "pixels": bytes(rgb),
         }
     return {
@@ -2757,10 +2771,12 @@ def encode_png_color(width: int, height: int, pixels: bytes,
 
 
 def encode_png_palette(width: int, height: int, indices: bytes,
-                       palette: bytes) -> bytes:
+                       palette: bytes, trns: bytes | None = None) -> bytes:
     """Minimal VALID 8-bit palette PNG (color type 3): ``indices`` is one
     PLTE index per pixel, ``palette`` the concatenated RGB triplets
-    (3·entries bytes, ≤ 256 entries)."""
+    (3·entries bytes, ≤ 256 entries). ``trns`` (r11): optional per-entry
+    alpha bytes — may be SHORTER than the palette (the PNG §11.3.2.1
+    opaque-tail rule)."""
     if width <= 0 or height <= 0:
         raise ValueError("png dimensions must be positive")
     if len(indices) != width * height:
@@ -2769,6 +2785,8 @@ def encode_png_palette(width: int, height: int, indices: bytes,
         raise ValueError("palette must be 3x entries, 1..256 entries")
     if max(indices) >= len(palette) // 3:
         raise ValueError("palette index out of range")
+    if trns is not None and len(trns) > len(palette) // 3:
+        raise ValueError("tRNS longer than the palette")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
     raw = b"".join(
         b"\x00" + indices[y * width : (y + 1) * width] for y in range(height)
@@ -2777,6 +2795,7 @@ def encode_png_palette(width: int, height: int, indices: bytes,
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", palette)
+        + (_png_chunk(b"tRNS", trns) if trns is not None else b"")
         + _png_chunk(b"IDAT", zlib.compress(raw))
         + _png_chunk(b"IEND", b"")
     )
@@ -3064,3 +3083,38 @@ def mpeg1_frame_pixel_stats(
     return media.select("media_id", "payload").mapInPandas(
         batch_fn, schema=MPEG1_FRAME_SCHEMA
     )
+
+
+def synthesize_trns_pngs(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of REAL palette PNGs WITH tRNS
+    alpha (r11 — the formerly-refused corner): 16-entry palette
+    (synth_color_png_palette), indices (31·id + 7k) % 16, and a
+    10-entry tRNS a(j) = (73·id + 7j) % 256 — deliberately SHORTER than
+    the palette so the §11.3.2.1 opaque-tail rule (entries ≥ 10 →
+    alpha 255) is exercised on every image."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 5 + mid % 7, 4 + mid % 5
+                idx = bytes((31 * mid + 7 * k) % 16 for k in range(w * h))
+                trns = bytes((73 * mid + 7 * j) % 256 for j in range(10))
+                payloads.append(
+                    encode_png_palette(
+                        w, h, idx, synth_color_png_palette(mid), trns=trns
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

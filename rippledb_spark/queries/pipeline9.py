@@ -593,3 +593,66 @@ def mpeg1_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Palette PNG with tRNS alpha (r11 — formerly a loud refusal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "png_trns_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 4),
+    shp AS (
+      SELECT doc_id, CAST(5 + doc_id % 7 AS INT) AS w,
+             CAST(4 + doc_id % 5 AS INT) AS h
+      FROM ids
+    ),
+    px AS (
+      SELECT doc_id, w, h, k, (31 * doc_id + 7 * k) % 16 AS idx
+      FROM shp, UNNEST(range(0, w * h)) AS u(k)
+    ),
+    ch AS (
+      SELECT doc_id, w, h, k,
+             (61 * doc_id + 5 * idx) % 256 AS r,
+             (67 * doc_id + 3 * idx) % 256 AS g,
+             (71 * doc_id + 9 * idx) % 256 AS b,
+             CASE WHEN idx < 10 THEN (73 * doc_id + 7 * idx) % 256
+                  ELSE 255 END AS a
+      FROM px
+    )
+    SELECT doc_id AS media_id, MIN(w) AS width, MIN(h) AS height,
+           CAST(3 AS INT) AS color_type, CAST(4 AS INT) AS channels,
+           CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(SUM(g) AS BIGINT) AS g_sum,
+           CAST(SUM(b) AS BIGINT) AS b_sum,
+           CAST(SUM(a) AS BIGINT) AS a_sum,
+           CAST(SUM((k + 1) * (r + g + b)) AS BIGINT) AS rgb_wsum
+    FROM ch GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def png_trns_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette PNG with tRNS alpha decoded for real (r11 — closes the
+    documented refusal at the old multimodal.py tRNS branch): synthesize
+    palette PNGs carrying a 10-entry tRNS against a 16-entry PLTE,
+    decode through the full chunk-walk/inflate/unfilter/palette-expand
+    path with the RGBA expansion (alpha from tRNS; entries past its
+    tail opaque per PNG §11.3.2.1), and report per-channel sums plus
+    the position-weighted digest. The oracle recomputes every decoded
+    channel — including every alpha — from the id arithmetic, so a
+    wrong tRNS lookup, a mis-handled short table, or a channel shift
+    breaks the hash. Reference comparison: n/a (no binary surface).
+
+    100 TB shape: the documented PNG path — Arrow mapInPandas where the
+    payload lives, one media-keyed agg."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 4)
+    media = MM9.synthesize_trns_pngs(d, "doc_id")
+    return (
+        MM9.png_color_stats(media)
+        .select(
+            "media_id", "width", "height", "color_type", "channels",
+            "r_sum", "g_sum", "b_sum", "a_sum", "rgb_wsum",
+        )
+        .orderBy("media_id")
+    )

@@ -125,7 +125,8 @@ def test_refusals_are_loud():
     )
     with pytest.raises(ValueError, match="missing its PLTE"):
         decode_png_any(no_plte)
-    # tRNS on palette refuses (alpha would silently drop)
+    # tRNS on palette now DECODES (r11): RGBA with the opaque-tail rule
+    # (this exact shape was the pre-r11 loud refusal)
     trns = (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -134,7 +135,9 @@ def test_refusals_are_loud():
         + _png_chunk(b"IDAT", zlib.compress(b"\x00" + idx[:w]))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="tRNS"):
+    # note: this fixture is 1 row tall (h in IHDR is 3 but only one
+    # scanline was compressed) — the length gate must still fire first
+    with pytest.raises(ValueError, match="length mismatch"):
         decode_png_any(trns)
     # grayscale wrapper still refuses color
     with pytest.raises(ValueError, match="grayscale PNG only"):
@@ -150,3 +153,37 @@ def test_synth_fixtures_match_their_formulas():
             assert len(px) == w * h and max(px) < 16 and len(pal) == 48
         else:
             assert len(px) == w * h * (4 if ct == 6 else 3)
+
+
+def test_palette_trns_expands_to_rgba():
+    """r11: tRNS alpha — short table, opaque tail, RGBA expansion."""
+    from rippledb_spark.operators.multimodal import (
+        decode_png_any,
+        encode_png_palette,
+    )
+
+    palette = bytes(range(48))  # 16 entries
+    idx = bytes([0, 5, 9, 10, 15, 2] * 4)  # 4x6, crosses the tRNS tail
+    trns = bytes(250 - 7 * j for j in range(10))
+    png = encode_png_palette(6, 4, idx, palette, trns=trns)
+    d = decode_png_any(png)
+    assert d["channels"] == 4 and d["color_type"] == 3
+    px = d["pixels"]
+    for k, i in enumerate(idx):
+        assert px[4 * k : 4 * k + 3] == palette[3 * i : 3 * i + 3]
+        want_a = trns[i] if i < len(trns) else 255
+        assert px[4 * k + 3] == want_a
+    # alpha-less palette still decodes to plain RGB (channels 3)
+    d3 = decode_png_any(encode_png_palette(6, 4, idx, palette))
+    assert d3["channels"] == 3
+
+
+def test_trns_refusals():
+    import pytest as _pytest
+
+    from rippledb_spark.operators.multimodal import encode_png_palette
+
+    palette = bytes(range(48))
+    idx = bytes([0] * 24)
+    with _pytest.raises(ValueError, match="tRNS longer"):
+        encode_png_palette(6, 4, idx, palette, trns=bytes(17))
