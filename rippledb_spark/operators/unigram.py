@@ -302,15 +302,13 @@ def unigram_train(
     return vocab, stats
 
 
-def unigram_oracle_sql(
+def _unigram_parts(
     rounds: int = 2, lmax: int = 4, min_count: int = 2
-) -> str:
-    """DuckDB twin of :func:`unigram_train`'s stats output over the
-    ``documents`` view: seeding, every DP cell of every Viterbi round
-    (one CTE per word position, same 6dp round and score-DESC/j-ASC tie
-    order), the backtrack walk, the M-step counts/prune/renormalize,
-    and the per-round stats rows — (round, vocab_size, total_tokens,
-    corpus_ll, seg_md5), ORDER BY round."""
+) -> list[str]:
+    """Shared CTE parts for the unigram twins: seeding, every DP cell of
+    every Viterbi round (one CTE per word position, same 6dp round and
+    score-DESC/j-ASC tie order), the backtrack walk, the M-step
+    counts/prune/renormalize, and per-round ``u{r}stats`` relations."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if lmax != MAXLEN_LMAX:
@@ -447,9 +445,50 @@ def unigram_oracle_sql(
       FROM uni_m{r}
     )"""
             )
+    return parts
+
+
+def unigram_oracle_sql(
+    rounds: int = 2, lmax: int = 4, min_count: int = 2
+) -> str:
+    """DuckDB twin of :func:`unigram_train`'s stats output over the
+    ``documents`` view: one row per EM round — (round, vocab_size,
+    total_tokens, corpus_ll, seg_md5), ORDER BY round."""
+    parts = _unigram_parts(rounds, lmax, min_count)
     final = " UNION ALL ".join(
         f"SELECT * FROM u{r}stats" for r in range(1, rounds + 1)
     )
     return (
         "WITH " + ",\n    ".join(parts) + f"\n    {final}\n    ORDER BY round"
+    )
+
+
+def unigram_apply_sql(
+    rounds: int = 2, lmax: int = 4, min_count: int = 2
+) -> str:
+    """DuckDB twin of the SERVING path: tokenize every document with
+    the final trained vocab (the last round's Viterbi segmentations,
+    joined back to the corpus word stream) → (doc_id, n_words,
+    n_tokens, tokens_md5) per document, ORDER BY doc_id. tokens_md5
+    hashes the document's full piece sequence in word order."""
+    parts = _unigram_parts(rounds, lmax, min_count)
+    parts.append(
+        """uni_docw AS MATERIALIZED (
+      SELECT doc_id, i, word FROM (
+        SELECT doc_id,
+               UNNEST(string_split_regex(trim(text), '\s+')) AS word,
+               UNNEST(range(1, len(string_split_regex(trim(text), '\s+'))
+                            + 1)) AS i
+        FROM documents
+      ) WHERE word <> ''
+    )"""
+    )
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(s.np) AS BIGINT) AS n_tokens,
+           md5(string_agg(s.seg, ' ' ORDER BY d.i)) AS tokens_md5
+    FROM uni_docw d JOIN u{rounds}segs s USING (word)
+    GROUP BY d.doc_id ORDER BY d.doc_id"""
     )

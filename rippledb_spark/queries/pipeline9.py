@@ -656,3 +656,66 @@ def png_trns_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+from rippledb_spark.operators.unigram import (  # noqa: E402
+    distinct_words as _uni_words,
+    unigram_apply_sql,
+    viterbi_segment as _uni_viterbi,
+)
+
+
+@query("unigram_doc_tokens", oracle=unigram_apply_sql(rounds=2))
+def unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer SERVING path (r11 — beside the training
+    accounting): tokenize every document with the trained-and-pruned
+    vocab — Viterbi runs once per DISTINCT word, and documents join
+    their word stream back to those segmentations (the broadcast-
+    lookup serving shape; the corpus is never re-segmented per
+    occurrence). Per document: word count, subword token count, and
+    tokens_md5 — the md5 of the document's full piece sequence in word
+    order, so one flipped split or one reordered word anywhere in any
+    document breaks the hash. The oracle replays training AND the
+    word-stream join. Reference comparison: n/a.
+
+    100 TB shape: training's documented distinct-word shape + ONE
+    corpus explode joined to the (small) word→segmentation table —
+    broadcast-able, map-side join at scale."""
+    d = load(spark, sf_dir, "documents")
+    words = _uni_words(d, "text").localCheckpoint(eager=True)
+    vocab, _ = unigram_train(d, "text", rounds=2)
+    seg = _uni_viterbi(words, vocab).select(
+        "word",
+        F.size("pieces").alias("np"),
+        F.array_join("pieces", "+").alias("seg"),
+    )
+    docw = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "i0", "word"
+            ),
+        )
+        .where(F.col("word") != "")
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "word")
+    )
+    return (
+        docw.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("i", "seg"))
+                        ),
+                        lambda st: st["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("tokens_md5"),
+        )
+        .orderBy("doc_id")
+    )
