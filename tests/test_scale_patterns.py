@@ -491,3 +491,62 @@ def test_saved_index_query_path_prunes_partitions(spark, tmp_path_factory):
         F.col("cell").isin(0, 1)
     )
     assert probed.count() == assign.where(F.col("cell").isin(0, 1)).count() * 2
+
+
+def test_classifier_serving_is_broadcast_shuffle_free(spark):
+    """r11: logistic_predict must plan as one broadcast of the 1-row
+    weight vector against the corpus — NO shuffle exchange anywhere
+    (the exp-free serving contract in operators/classifier.py)."""
+    from rippledb_spark.operators.classifier import (
+        logistic_predict,
+        logistic_train,
+    )
+
+    df = spark.createDataFrame(
+        [([1.0, float(v)], 1.0 if v > 0 else 0.0) for v in (-2, -1, 1, 2)],
+        "x array<double>, y double",
+    )
+    w = logistic_train(df, "x", "y", 2, iterations=2)
+    ids = df.select(F.monotonically_increasing_id().alias("id"), "x")
+    plan = (
+        logistic_predict(ids, "x", "id", w, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    # every Exchange must be the broadcast — no shuffle in serving
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "BroadcastExchange" in line, line
+
+
+def test_unigram_serving_join_is_broadcastable(spark):
+    """r11: unigram_doc_tokens joins the corpus word stream to the
+    (small) word→segmentation table — the broadcast side must be the
+    segmentation table, never the corpus."""
+    from rippledb_spark.operators.unigram import (
+        distinct_words,
+        seed_vocab,
+        viterbi_segment,
+    )
+
+    df = spark.createDataFrame(
+        [("the fast window fast the",), ("slow window the",)], "text string"
+    )
+    words = distinct_words(df, "text")
+    seg = viterbi_segment(words, seed_vocab(words)).select(
+        "word", F.size("pieces").alias("np")
+    )
+    docw = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    plan = (
+        docw.join(F.broadcast(seg), "word")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
