@@ -108,9 +108,6 @@ def logistic_train(
             .alias("c"),
         )
         grad = contrib.groupBy("j").agg(F.sum("c").alias("gs"))
-        # EAGER checkpoint per iterate (the pca.py lesson: a lazy 1-row
-        # lineage nests every prior round's fold expressions and codegen
-        # wall grows multiplicatively with the round count)
         wrow = (
             grad.crossJoin(F.broadcast(wrow))
             .select(
@@ -129,8 +126,13 @@ def logistic_train(
                     lambda s: s["wj"],
                 ).alias("w")
             )
-            .localCheckpoint(eager=True)
         )
+        # EAGER checkpoint per iterate (the pca.py lesson: a lazy 1-row
+        # lineage nests every prior round's aggregation inside the next
+        # round's broadcast AND gradient plans — measured 2-3x slower
+        # when batched to every-4th-round; the per-round 1-row
+        # materialization is the cheaper side of the trade)
+        wrow = wrow.localCheckpoint(eager=True)
     return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
 
 
