@@ -41,6 +41,7 @@ from rippledb_spark.operators.pca import (
     pca_top_components,
     pca_top_components_sql,
 )
+from rippledb_spark.operators.pca import _dot
 from rippledb_spark.operators.pq import ADC_DP, _dist2, pq_adc_sql, pq_codes
 
 
@@ -210,3 +211,138 @@ def pq_rotated_sql(
         ),
     ]
     return ",\n    ".join(parts)
+
+
+# --- frozen-index persistence + serving (the r10 save/load story, for
+#     the rotated index: train once, rotate-and-query forever) ----------
+
+
+def _corpus_means(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """(i, mu): the 6dp per-dimension corpus means — the SAME rounding
+    pca_project uses, materialized so frozen serving can center new
+    queries with the TRAINING means (re-deriving means from the query
+    batch would silently shift the rotation origin)."""
+    v = df.select(as_double_array(vec_col).alias("v")).where(
+        F.size("v") == dims
+    )
+    return (
+        v.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.round(F.avg("x"), 6).alias("mu"))
+    )
+
+
+def train_rotated_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    r: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    pca_iterations: int = 6,
+):
+    """Train the full rotated-PQ index → (means, comps, codes, books):
+    the four frames :func:`save_rotated_index` persists. codes/books
+    are :func:`pq_codes` over the rotated vectors; means/comps are the
+    frozen rotation."""
+    means = _corpus_means(df, vec_col, dims).localCheckpoint(eager=True)
+    comps = pca_top_components(
+        df, vec_col, dims, n_components=r, iterations=pca_iterations
+    ).localCheckpoint(eager=True)
+    proj = pca_project(df, vec_col, id_col, comps, dims)
+    rdf = proj.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("component", "coord"))),
+            lambda s: s["coord"],
+        ).alias("rv")
+    ).select(F.col("id").alias("pid"), "rv")
+    codes, books = pq_codes(rdf, "rv", "pid", r, m=m, k=k, iterations=iterations)
+    return means, comps, codes, books
+
+
+def save_rotated_index(
+    path: str,
+    means: DataFrame,
+    comps: DataFrame,
+    codes: DataFrame,
+    books: DataFrame,
+) -> None:
+    """Persist the rotated-PQ index as four parquet tables: ``means/``
+    (dims rows), ``rotation/`` (r·dims loading rows), ``books/``
+    (m·k rows), ``codes/`` (pid, s, cid — the corpus-sized table, the
+    only one that grows). All tiny side tables broadcast at serve
+    time; the reference comparison is the same as pq.save_index
+    (graph.rs:630-695 serializes driver-side JSON; these are
+    distributed parquet writes)."""
+    means.write.mode("overwrite").parquet(f"{path}/means")
+    comps.write.mode("overwrite").parquet(f"{path}/rotation")
+    books.write.mode("overwrite").parquet(f"{path}/books")
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+
+def load_rotated_index(spark, path: str):
+    """→ (means, comps, codes, books) ready for
+    :func:`rotated_query_topk`."""
+    return (
+        spark.read.parquet(f"{path}/means"),
+        spark.read.parquet(f"{path}/rotation"),
+        spark.read.parquet(f"{path}/codes"),
+        spark.read.parquet(f"{path}/books"),
+    )
+
+
+def rotated_query_topk(
+    queries: DataFrame,
+    means: DataFrame,
+    comps: DataFrame,
+    books: DataFrame,
+    codes: DataFrame,
+    dims: int,
+    r: int,
+    m: int,
+    topk: int = 5,
+) -> DataFrame:
+    """Serve ANN queries against a FROZEN rotated-PQ index: center each
+    query with the TRAINING means, project onto the stored components
+    (the same 6dp index-ordered folds as training), then the flat-PQ
+    ADC serving path (pq.pq_query_topk). ``queries`` is
+    DataFrame(q_pid, qv in the ORIGINAL space). → (q_pid, rank, pid,
+    adc_d2). All rotation state broadcasts; no full corpus vector is
+    read."""
+    from rippledb_spark.operators.pq import pq_query_topk
+
+    mu = means.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda s: s["mu"],
+        ).alias("mu")
+    )
+    pc = comps.groupBy("component").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "loading"))),
+            lambda s: s["loading"],
+        ).alias("pc")
+    )
+    rq = (
+        queries.where(F.size("qv") == dims)
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "q_pid", F.zip_with("qv", "mu", lambda a, b: a - b).alias("c")
+        )
+        .crossJoin(F.broadcast(pc))
+        .select(
+            "q_pid",
+            "component",
+            F.round(_dot(F.col("c"), F.col("pc")), 6).alias("coord"),
+        )
+        .groupBy("q_pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("component", "coord"))),
+                lambda s: s["coord"],
+            ).alias("qv")
+        )
+    )
+    return pq_query_topk(rq, books, codes, dims=r, m=m, topk=topk)

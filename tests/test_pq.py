@@ -533,3 +533,46 @@ def test_pq_rotated_refuses_bad_split(spark, sf_dir):
     e = load(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="subspaces"):
         op(e, "embedding", "vec_id", 64, r=6, m=4)
+
+
+def test_rotated_index_save_load_serve_roundtrip(spark, sf_dir, tmp_path_factory):
+    """r11: the rotated index's frozen-serving path — save the four
+    frames, reload, serve original-space queries; results identical to
+    serving off the in-memory frames (and the rotation uses the
+    TRAINING means, not query-batch means)."""
+    from rippledb_spark.operators.opq import (
+        load_rotated_index,
+        rotated_query_topk,
+        save_rotated_index,
+        train_rotated_index,
+    )
+    from rippledb_spark.functions.vector import as_double_array
+    from rippledb_spark.tables import load
+    import pyspark.sql.functions as F
+
+    e = load(spark, sf_dir, "embeddings")
+    means, comps, codes, books = train_rotated_index(
+        e, "embedding", "vec_id", 64, r=4, m=2, k=4,
+        iterations=2, pca_iterations=3,
+    )
+    path = str(tmp_path_factory.mktemp("rotidx"))
+    save_rotated_index(path, means, comps, codes, books)
+    lm, lc, lcodes, lbooks = load_rotated_index(spark, path)
+
+    queries = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("q_pid"),
+            as_double_array("embedding").alias("qv"),
+        )
+    )
+    mem = rotated_query_topk(
+        queries, means, comps, books, codes, dims=64, r=4, m=2, topk=5
+    )
+    frozen = rotated_query_topk(
+        queries, lm, lc, lbooks, lcodes, dims=64, r=4, m=2, topk=5
+    )
+    a = sorted(map(tuple, mem.collect()))
+    b = sorted(map(tuple, frozen.collect()))
+    assert a == b and len(a) == 15
