@@ -266,3 +266,18 @@ def logistic_train_sql(
     )"""
     )
     return ",\n    ".join(parts)
+
+
+def save_model(path: str, weights: DataFrame) -> None:
+    """Persist a fitted model (:func:`logistic_train`'s 1-row
+    (w, n) frame) as parquet — the train-once / serve-forever pattern
+    (pq.save_index precedent): a pipeline trains on a labeled sample,
+    freezes, and gates every future corpus batch with the exp-free
+    sign test."""
+    weights.write.mode("overwrite").parquet(path)
+
+
+def load_model(spark, path: str) -> DataFrame:
+    """→ the (w, n) weight frame, ready for :func:`logistic_predict` /
+    :func:`logistic_metrics`."""
+    return spark.read.parquet(path)

@@ -101,3 +101,22 @@ def test_classifier_gate_composes_into_pipeline(spark, sf_dir):
     kept = sum(r["n_kept_unique"] for r in rows)
     assert 0 < kept < total_docs  # the gate actually gates
     assert all(r["n_corpus"] == total_docs for r in rows)
+
+
+def test_model_save_load_serve_roundtrip(spark, tmp_path):
+    from rippledb_spark.operators.classifier import (
+        load_model,
+        logistic_predict,
+        save_model,
+    )
+
+    df = _toy(spark)
+    w = logistic_train(df, "x", "y", 2, iterations=10, lr=2.0)
+    path = str(tmp_path / "model")
+    save_model(path, w)
+    lw = load_model(spark, path)
+    assert lw.collect()[0]["w"] == w.collect()[0]["w"]
+    ids = df.select(F.monotonically_increasing_id().alias("id"), "x")
+    a = sorted(map(tuple, logistic_predict(ids, "x", "id", w, 2).collect()))
+    b = sorted(map(tuple, logistic_predict(ids, "x", "id", lw, 2).collect()))
+    assert a == b
