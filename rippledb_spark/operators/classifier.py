@@ -281,3 +281,50 @@ def load_model(spark, path: str) -> DataFrame:
     """→ the (w, n) weight frame, ready for :func:`logistic_predict` /
     :func:`logistic_metrics`."""
     return spark.read.parquet(path)
+
+
+# --- the standard 12-dim text featurization (hashed cells + metrics) ----
+# Shared by the certified training queries (queries/pipeline9.py) and the
+# streaming crawl gate: 8 signed hashed-token cells (scaled /10) ⊕
+# [intercept 1.0, token_count/50, stopword_ratio, punct_count/10], every
+# entry 6dp-rounded (the cross-engine materialization contract).
+
+TEXT_FEATURE_DIMS = 12
+
+
+def hashed_text_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """→ (id_col, x array<double>[12]) — the featurization the quality
+    classifier trains and serves on (module comment above)."""
+    import pyspark.sql.functions as F  # noqa: F811 (local alias clarity)
+
+    from rippledb_spark.functions.text import (
+        punct_count,
+        stopword_count,
+        token_count,
+    )
+    from rippledb_spark.operators.sketches import feature_hash_vectors
+
+    hv = feature_hash_vectors(df, text_col, id_col, dims=8)
+    base = df.select(
+        id_col,
+        token_count(text_col).alias("tc"),
+        stopword_count(text_col).alias("sw"),
+        punct_count(text_col).alias("pc"),
+    )
+    return base.join(hv, id_col).select(
+        id_col,
+        F.concat(
+            F.transform("v", lambda c: F.round(c / 10.0, LOGIT_DP)),
+            F.array(
+                F.lit(1.0),
+                F.round(F.col("tc") / 50.0, LOGIT_DP),
+                F.round(
+                    F.when(F.col("tc") == 0, F.lit(0.0)).otherwise(
+                        F.col("sw").cast("double") / F.col("tc")
+                    ),
+                    LOGIT_DP,
+                ),
+                F.round(F.col("pc") / 10.0, LOGIT_DP),
+            ),
+        ).alias("x"),
+    )

@@ -51,33 +51,13 @@ _QC_WSTAR_SQL = "[" + ", ".join(str(w) for w in _QC_WSTAR) + "]"
 
 
 def _qc_features(d: DataFrame) -> DataFrame:
-    """documents → (doc_id, x array<double>[12]) — hashed cells plus
-    scaled text metrics, every entry 6dp-rounded (the cross-engine
-    materialization contract)."""
-    hv = SK.feature_hash_vectors(d, "text", "doc_id", dims=8)
-    base = d.select(
-        "doc_id",
-        token_count("text").alias("tc"),
-        stopword_count("text").alias("sw"),
-        punct_count("text").alias("pc"),
-    )
-    return base.join(hv, "doc_id").select(
-        "doc_id",
-        F.concat(
-            F.transform("v", lambda c: F.round(c / 10.0, LOGIT_DP)),
-            F.array(
-                F.lit(1.0),
-                F.round(F.col("tc") / 50.0, LOGIT_DP),
-                F.round(
-                    F.when(F.col("tc") == 0, F.lit(0.0)).otherwise(
-                        F.col("sw").cast("double") / F.col("tc")
-                    ),
-                    LOGIT_DP,
-                ),
-                F.round(F.col("pc") / 10.0, LOGIT_DP),
-            ),
-        ).alias("x"),
-    )
+    """documents → (doc_id, x array<double>[12]): the classifier
+    module's standard featurization (classifier.hashed_text_features —
+    one definition serves the certified queries AND the streaming crawl
+    gate)."""
+    from rippledb_spark.operators.classifier import hashed_text_features
+
+    return hashed_text_features(d, "text", "doc_id")
 
 
 def _qc_labeled(d: DataFrame) -> DataFrame:

@@ -112,6 +112,35 @@ def gate_crawl_records(warc_df: DataFrame) -> DataFrame:
     ).select(*CORPUS_COLS)
 
 
+def apply_classifier_gate(corpus: DataFrame, model: DataFrame) -> DataFrame:
+    """Override the Gopher rule-based ``keep`` with a FROZEN trained
+    quality classifier (r11 — operators/classifier.py): featurize each
+    row's stripped text (hashed_text_features, the same 12-dim chain
+    the certified training queries use) and keep = the model's exp-free
+    sign test. The metrics columns stay (informative); only the
+    decision changes. Pure per-document work + one broadcast of the
+    12-vector — composes into foreachBatch exactly like the rule gate,
+    and the streaming == batch twin is pinned in test_streaming."""
+    from rippledb_spark.operators.classifier import (
+        TEXT_FEATURE_DIMS,
+        hashed_text_features,
+        logistic_predict,
+    )
+
+    feats = hashed_text_features(
+        corpus.select("uri", "text"), "text", "uri"
+    )
+    scores = logistic_predict(
+        feats, "x", "uri", model, TEXT_FEATURE_DIMS
+    ).select("uri", F.col("keep").alias("__keep_clf"))
+    return (
+        corpus.drop("keep")
+        .join(scores, "uri")
+        .withColumn("keep", F.col("__keep_clf"))
+        .select(*CORPUS_COLS)
+    )
+
+
 # <script type="application/ld+json"> islands — the way schema.org
 # structured data ships inside crawled HTML. Java regex, (?is) =
 # case-insensitive + DOTALL so islands span lines; group 1 is the body.
@@ -313,6 +342,7 @@ def start_crawl_corpus_sink(
     frontier_redirects: DataFrame | None = None,
     frontier_robots: DataFrame | None = None,
     frontier_max_hops: int = 16,
+    quality_model: DataFrame | None = None,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
@@ -348,6 +378,9 @@ def start_crawl_corpus_sink(
     allowed final addresses set-merge into a (host, url) snapshot —
     the next crawl segment's fetch list, deduplicated at the terminal
     address so two links into one redirect chain fetch once.
+    With ``quality_model`` set (r11), the keep decision comes from the
+    FROZEN trained classifier (apply_classifier_gate) instead of the
+    Gopher rules — train once on labeled data, gate the stream forever.
     Both side-merges are union + dropDuplicates on the full row/key:
     idempotent under replay and batch-split-invariant because the
     extraction itself is per-fetch. Returns the StreamingQuery.
@@ -389,9 +422,16 @@ def start_crawl_corpus_sink(
             frontier_redirects, max_hops=frontier_max_hops
         ).localCheckpoint(eager=True)
 
+    if quality_model is not None:
+        # freeze the model frame once (the pq_books pattern): every
+        # micro-batch broadcasts the same 1-row weights
+        quality_model = quality_model.localCheckpoint(eager=True)
+
     def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gated = gate_crawl_records(batch_df)
+        if quality_model is not None:
+            gated = apply_classifier_gate(gated, quality_model)
         if snapshot_ready(spark, path):
             target = spark.read.parquet(path)
             rest = [c for c in CORPUS_COLS if c != "uri"]

@@ -1523,3 +1523,64 @@ def test_streaming_incremental_anomaly_matches_batch(spark, tmp_path):
         F.sum("n").cast("bigint").alias("n")
     ).collect()))
     assert re_daily == got_daily
+
+
+def test_streaming_crawl_classifier_gate_matches_batch(spark, tmp_path):
+    """r11: the trained classifier as the streaming crawl sink's
+    quality gate — a FROZEN model (trained once, here on planted labels
+    over the batch corpus) decides keep per micro-batch; the drained
+    snapshot equals the batch twin (gate + apply_classifier_gate), and
+    the decision differs from the Gopher rule where the model says so."""
+    from rippledb_spark.operators.classifier import (
+        TEXT_FEATURE_DIMS,
+        hashed_text_features,
+        logistic_train,
+    )
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.streaming import crawl as SC
+
+    import pyspark.sql.functions as F
+
+    warc_dir = _warc_fixture(tmp_path)
+    batch_corpus = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    # planted trainable labels: long prose = good, dense repetition = bad
+    feats = hashed_text_features(
+        batch_corpus.select("uri", "text"), "text", "uri"
+    )
+    labeled = feats.join(
+        batch_corpus.select("uri", (F.col("top2_frac") < 0.2).cast("double").alias("y")),
+        "uri",
+    )
+    model = logistic_train(
+        labeled, "x", "y", TEXT_FEATURE_DIMS, iterations=12, lr=2.0
+    )
+
+    snap = str(tmp_path / "clf_snapshot")
+    ckpt = str(tmp_path / "clf_ckpt")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(stream, snap, ckpt, quality_model=model)
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(snap).select(*SC.CORPUS_COLS).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            SC.apply_classifier_gate(batch_corpus, model).collect(),
+        )
+    )
+    assert got == want and len(got) == 3
+    keeps = {r[0]: r[-1] for r in got}  # uri -> keep (CORPUS_COLS order)
+    assert keeps["https://news.example.com/roast"] is True
+    assert keeps["https://spam.example.net/junk"] is False
