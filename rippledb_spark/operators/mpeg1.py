@@ -1,26 +1,34 @@
-"""MPEG-1 video, intra-only (I-frame) decode — ISO/IEC 11172-2, the
-"real video codec" of the multimodal tier (closes the documented stub
-in operators/multimodal.py:30-36 for the intra path; H.264/VP9 keep
-refusing loudly — they genuinely need codec libraries).
+"""MPEG-1 video decode: I pictures (full intra path) and zero-residual
+P pictures (motion compensation) — ISO/IEC 11172-2, the "real video
+codec" of the multimodal tier (closes the documented stub in
+operators/multimodal.py for the intra + forward-MC paths; H.264/VP9
+keep refusing loudly — they genuinely need codec libraries).
 
 What's implemented (all public, ISO/IEC 11172-2):
 - bitstream walk: sequence header (§2.4.2.3), GOP (§2.4.2.4), picture
-  (§2.4.2.5, I-type only), slice (§2.4.2.6), macroblock (§2.4.2.7),
+  (§2.4.2.5, I and P), slice (§2.4.2.6), macroblock (§2.4.2.7),
   block (§2.4.2.8);
 - entropy decode: macroblock_address_increment VLC (Table B.1, incl.
-  escape/stuffing), I-picture macroblock_type (Table B.2a), intra DC
-  size VLCs (Tables B.5a/B.5b) with JPEG-style amplitude extension,
-  AC run/level VLC (Table B.5c "dct_coeff_next" incl. the 6-bit-run +
-  8/16-bit-level ESCAPE), EOB;
-- reconstruction: differential DC (predictor 128·8 reset per slice,
-  recon = dc·8 — §2.4.4.1), intra AC dequant (2·QF·scale·W)/16 with
-  the oddification mismatch control and ±2048 clamp, zigzag unscan
-  (jpeg._Z — MPEG-1 shares JPEG's scan), orthonormal IDCT
-  (jpeg._dct_matrix), 4:2:0 plane assembly.
+  escape/stuffing), I- and P-picture macroblock_type (Tables B.2a/
+  B.2b), motion-vector VLC (Table B.4) with f_code residuals,
+  differential prediction and the modulo-32f principal-range wrap
+  (§2.4.4.2), intra DC size VLCs (Tables B.5a/B.5b) with JPEG-style
+  amplitude extension, AC run/level VLC (Table B.5c "dct_coeff_next"
+  incl. the 6-bit-run + 8/16-bit-level ESCAPE), EOB;
+- reconstruction: differential DC (predictor 128·8 reset per slice /
+  non-intra MB / skip, recon = dc·8 — §2.4.4.1), intra AC dequant
+  (2·QF·scale·W)/16 with the oddification mismatch control and ±2048
+  clamp, zigzag unscan (jpeg._Z — MPEG-1 shares JPEG's scan),
+  orthonormal IDCT (jpeg._dct_matrix), 4:2:0 plane assembly;
+- P reconstruction (r11): skipped-macroblock copy (§2.4.4.4), full-pel
+  forward MC at even vectors (the chroma-exact class — MC copy is then
+  numerically LOSSLESS, which is what lets the GOP oracle stay closed-
+  form), intra-refresh macroblocks inside P pictures.
 
-Non-intra pictures (P/B) refuse loudly: motion compensation across
-frames is a different machine, and pretending otherwise would be the
-silent-wrong-answer failure mode this repo bans.
+Loud refusals (the honest boundary, never silent): B pictures
+(bidirectional MC), P residual blocks (coded_block_pattern — would
+need the Table B.3 CBP VLC + non-intra dequant), half-pel vectors and
+odd full-pel vectors (both need pixel interpolation).
 
 The ENCODER here exists to synthesize certified fixtures: intra-only
 streams whose blocks are DC-only (block-constant pixel content) — the
@@ -336,10 +344,74 @@ def _decode_ac_coeff(bits: _Bits) -> tuple[int, int] | None:
     raise ValueError(f"mpeg1: invalid AC VLC prefix {s!r}")
 
 
+# Table B.4: motion_code VLC (magnitude → bitstring; sign bit follows
+# for nonzero codes, 1 = negative — the level-sign convention).
+_MOTION_TABLE = {
+    0: "1", 1: "010", 2: "0010", 3: "00010", 4: "0000110",
+    5: "00001010", 6: "00001000", 7: "00000110", 8: "0000010110",
+    9: "0000010100", 10: "0000010010", 11: "00000100010",
+    12: "00000100000", 13: "00000011110", 14: "00000011100",
+    15: "00000011010", 16: "00000011000",
+}
+_MOTION_DEC = {v: k for k, v in _MOTION_TABLE.items()}
+
+
+def _decode_p_mb_type(bits: _Bits) -> tuple[int, int, int, int]:
+    """P-picture macroblock_type (Table B.2b) →
+    (motion_forward, pattern, intra, quant)."""
+    if bits.bit():
+        return 1, 1, 0, 0        # 1: pred-mc-cbp
+    if bits.bit():
+        return 0, 1, 0, 0        # 01: pred-cbp
+    if bits.bit():
+        return 1, 0, 0, 0        # 001: pred-mc
+    if bits.bit():
+        if bits.bit():
+            return 0, 0, 1, 0    # 00011: intra
+        return 1, 1, 0, 1        # 00010: pred-mc-cbp + quant
+    if bits.bit():
+        return 0, 1, 0, 1        # 00001: pred-cbp + quant
+    if bits.bit():
+        return 0, 0, 1, 1        # 000001: intra + quant
+    raise ValueError("mpeg1: bad P-MB type prefix")
+
+
+def _decode_motion(bits: _Bits, f_size: int, mv_pred: list[int], axis: int) -> int:
+    """One motion-vector component (§2.4.4.2): Table B.4 code (+sign),
+    optional f_size residual bits, differential against the predictor,
+    wrap into the principal range [−16f, 16f−1]. Updates mv_pred[axis]
+    and returns the reconstructed component (in full or half pels per
+    the picture's full_pel flag — caller interprets)."""
+    mag = _vlc_decode(bits, _MOTION_DEC, 11)
+    if mag == 0:
+        delta = 0
+    else:
+        if f_size:
+            residual = bits.bits(f_size)
+            mag = ((mag - 1) << f_size) + residual + 1
+        delta = -mag if bits_sign(bits) else mag
+    f = 1 << f_size
+    v = mv_pred[axis] + delta
+    if v < -16 * f:
+        v += 32 * f
+    elif v > 16 * f - 1:
+        v -= 32 * f
+    mv_pred[axis] = v
+    return v
+
+
+def bits_sign(bits: _Bits) -> int:
+    return bits.bit()
+
+
 def decode_mpeg1_frames(payload: bytes) -> dict:
-    """Parse an intra-only MPEG-1 elementary stream → {width, height,
-    us_per_frame, n_frames, frames: [(Y, Cb, Cr) plane bytes]}. P/B
-    pictures raise loudly (no motion compensation here — module
+    """Parse an MPEG-1 video elementary stream → {width, height,
+    us_per_frame, n_frames, frames: [(Y, Cb, Cr) plane bytes]}.
+    Supported pictures: I (full intra path) and zero-residual P —
+    skipped-macroblock copy, full-pel forward motion compensation
+    (even vectors; odd/half-pel needs interpolation and refuses
+    loudly), and intra-refresh macroblocks. P residual blocks
+    (coded_block_pattern) and B pictures raise loudly (module
     docstring)."""
     import numpy as np
 
@@ -371,6 +443,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     M = _dct_matrix()
     frames: list[tuple[bytes, bytes, bytes]] = []
+    prev_pad = None  # padded planes of the last decoded picture
     code = bits.next_start_code()
     while code is not None and code != _END:
         if code == _GOP:
@@ -382,17 +455,34 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
             continue
         bits.bits(10)  # temporal reference
         ptype = bits.bits(3)
-        if ptype != 1:
+        if ptype not in (1, 2):
             raise ValueError(
-                f"mpeg1: picture type {ptype} — only intra (I) pictures "
-                "are supported; P/B need motion compensation"
+                f"mpeg1: picture type {ptype} — only I and zero-residual "
+                "P pictures are supported; B needs bidirectional motion "
+                "compensation"
             )
         bits.bits(16)  # vbv delay
+        full_pel, f_size = 0, 0
+        if ptype == 2:
+            if prev_pad is None:
+                raise ValueError("mpeg1: P picture before any I picture")
+            full_pel = bits.bit()
+            f_code = bits.bits(3)
+            if not 1 <= f_code <= 7:
+                raise ValueError(f"mpeg1: bad forward_f_code {f_code}")
+            f_size = f_code - 1
         while bits.bit():  # extra_information_picture
             bits.bits(8)
-        Y = np.zeros((mbh * 16, mbw * 16), dtype=np.int32)
-        Cb = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
-        Cr = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
+        if ptype == 2:
+            # prefill with the reference picture: skipped MBs are then
+            # already reconstructed (skip ≡ copy with MV 0, §2.4.4.4)
+            Y = prev_pad[0].copy()
+            Cb = prev_pad[1].copy()
+            Cr = prev_pad[2].copy()
+        else:
+            Y = np.zeros((mbh * 16, mbw * 16), dtype=np.int32)
+            Cb = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
+            Cr = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
         code = bits.next_start_code()
         while code is not None and 0x01 <= code <= 0xAF:  # slices
             svp = code  # slice_vertical_position (1-based MB row)
@@ -400,6 +490,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
             while bits.bit():  # extra_information_slice
                 bits.bits(8)
             preds = {"y": 128, "cb": 128, "cr": 128}
+            mv_pred = [0, 0]
             mb_addr = (svp - 1) * mbw - 1
             while True:
                 # peek for start code: slices are byte-aligned; detect
@@ -434,15 +525,65 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                     break
                 mb_addr += inc
                 if inc > 1:
-                    preds = {"y": 128, "cb": 128, "cr": 128}  # skipped MBs
+                    # skipped MBs: DC and MV predictors reset (§2.4.4.1,
+                    # §2.4.4.4); reconstruction already in the prefill
+                    preds = {"y": 128, "cb": 128, "cr": 128}
+                    mv_pred = [0, 0]
                 mx, my = mb_addr % mbw, mb_addr // mbw
-                # macroblock_type, I-picture (Table B.2a)
-                if bits.bit():
-                    pass  # '1' intra
+                if ptype == 1:
+                    # macroblock_type, I-picture (Table B.2a)
+                    if bits.bit():
+                        pass  # '1' intra
+                    else:
+                        if not bits.bit():
+                            raise ValueError("mpeg1: bad I-MB type")
+                        qscale = bits.bits(5)  # '01' intra+quant
                 else:
-                    if not bits.bit():
-                        raise ValueError("mpeg1: bad I-MB type")
-                    qscale = bits.bits(5)  # '01' intra+quant
+                    # macroblock_type, P-picture (Table B.2b)
+                    mc, cbp, intra_mb, quant = _decode_p_mb_type(bits)
+                    if cbp:
+                        raise ValueError(
+                            "mpeg1: P-picture residual blocks "
+                            "(coded_block_pattern) are not supported — "
+                            "zero-residual MC and intra refresh only"
+                        )
+                    if quant:
+                        qscale = bits.bits(5)
+                    if not intra_mb:
+                        preds = {"y": 128, "cb": 128, "cr": 128}
+                        if mc:
+                            dx = _decode_motion(bits, f_size, mv_pred, 0)
+                            dy = _decode_motion(bits, f_size, mv_pred, 1)
+                        else:
+                            dx = dy = 0
+                            mv_pred = [0, 0]
+                        hx = dx << 1 if full_pel else dx
+                        hy = dy << 1 if full_pel else dy
+                        if (hx | hy) & 1:
+                            raise ValueError(
+                                "mpeg1: half-pel motion is not supported "
+                                "(full-pel MC only — interpolation absent)"
+                            )
+                        px, py = hx >> 1, hy >> 1
+                        if px % 2 or py % 2:
+                            raise ValueError(
+                                "mpeg1: odd full-pel luma vectors need "
+                                "half-pel CHROMA interpolation — only even "
+                                "vectors are supported"
+                            )
+                        sy, sx = my * 16 + py, mx * 16 + px
+                        if not (0 <= sy and sy + 16 <= Y.shape[0]
+                                and 0 <= sx and sx + 16 <= Y.shape[1]):
+                            raise ValueError("mpeg1: MC source out of frame")
+                        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
+                            prev_pad[0][sy:sy + 16, sx:sx + 16]
+                        cy, cx = my * 8 + py // 2, mx * 8 + px // 2
+                        Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                            prev_pad[1][cy:cy + 8, cx:cx + 8]
+                        Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
+                            prev_pad[2][cy:cy + 8, cx:cx + 8]
+                        continue
+                    mv_pred = [0, 0]  # intra MB resets the MV predictor
                 for comp, bx, by in (
                     ("y", 2 * mx, 2 * my), ("y", 2 * mx + 1, 2 * my),
                     ("y", 2 * mx, 2 * my + 1), ("y", 2 * mx + 1, 2 * my + 1),
@@ -483,6 +624,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                     else:
                         Cr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
             code = bits.next_start_code()
+        prev_pad = (Y, Cb, Cr)
         frames.append(
             (
                 Y[:height, :width].astype(np.uint8).tobytes(),
@@ -497,3 +639,81 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
         "n_frames": len(frames),
         "frames": frames,
     }
+
+
+def _encode_motion(bits: _Bits, delta: int) -> None:
+    """Encode one MV differential with f_code=1 (wrapped into the
+    principal range [−16, 15] — the decoder's modulo-32 wrap recovers
+    the intended vector, §2.4.4.2; Table B.4 magnitude + sign bit,
+    1 = negative)."""
+    delta = ((delta + 16) % 32) - 16
+    mag = abs(delta)
+    bits.wstr(_MOTION_TABLE[mag])
+    if mag:
+        bits.w(1 if delta < 0 else 0, 1)
+
+
+def encode_mpeg1_ip(
+    width: int,
+    height: int,
+    iframe: tuple[bytes, bytes, bytes],
+    p_motions: list[list[tuple[int, int] | None]],
+    rate_code: int = 3,
+) -> bytes:
+    """Fixture synthesizer for I+P streams: one leading I picture
+    (block-constant planes — encode_mpeg1_intra's contract) followed by
+    one zero-residual P picture per ``p_motions`` entry. Each entry
+    lists, per macroblock in raster order, its FULL-PEL forward motion
+    vector (dx, dy) — both even, the supported chroma-exact class — or
+    ``None`` to skip (copy in place). The first and last macroblock of
+    a slice cannot be skipped (§2.4.2.7): ``None`` there is coerced to
+    a coded (0, 0) vector, which reconstructs identically."""
+    if width % 16 or height % 16:
+        raise ValueError("mpeg1 fixture dims must be multiples of 16")
+    mbw, mbh = width // 16, height // 16
+    n_mb = mbw * mbh
+    base = encode_mpeg1_intra(width, height, [iframe], rate_code=rate_code)
+    bits = _Bits(base[: len(base) - 4])  # drop the sequence_end code
+    for tref, mvs in enumerate(p_motions, start=1):
+        if len(mvs) != n_mb:
+            raise ValueError(f"p_motions entry needs {n_mb} macroblocks")
+        bits.start_code(_PIC)
+        bits.w(tref % 1024, 10)
+        bits.w(2, 3)        # P picture
+        bits.w(0xFFFF, 16)  # vbv delay
+        bits.w(1, 1)        # full_pel_forward_vector
+        bits.w(1, 3)        # forward_f_code = 1
+        bits.w(0, 1)        # extra_bit_picture
+        bits.start_code(0x01)
+        bits.w(8, 5)        # quantizer_scale
+        bits.w(0, 1)        # extra_bit_slice
+        coerced = list(mvs)
+        if coerced[0] is None:
+            coerced[0] = (0, 0)
+        if coerced[-1] is None:
+            coerced[-1] = (0, 0)
+        mv_pred = [0, 0]
+        pending = 0
+        for mv in coerced:
+            if mv is None:
+                pending += 1
+                mv_pred = [0, 0]  # skip resets the predictor
+                continue
+            inc = pending + 1
+            while inc > 33:
+                bits.wstr(_MBA_ESCAPE)
+                inc -= 33
+            bits.wstr(_MBA_TABLE[inc])
+            pending = 0
+            dx, dy = mv
+            if dx % 2 or dy % 2:
+                raise ValueError(
+                    "fixture vectors must be even (chroma-exact class)"
+                )
+            bits.wstr("001")  # macroblock_type: pred-mc (no residual)
+            _encode_motion(bits, dx - mv_pred[0])
+            _encode_motion(bits, dy - mv_pred[1])
+            mv_pred = [dx, dy]
+    bits.start_code(_END)
+    bits.align()
+    return bytes(bits.buf)

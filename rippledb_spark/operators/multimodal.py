@@ -3118,3 +3118,77 @@ def synthesize_trns_pngs(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synth_mpeg1_gop_dims(media_id: int) -> tuple[int, int, int, int]:
+    """Id-deterministic I+P GOP shape: (width, height, n_p_frames,
+    rate_code) — width 32/48, height 32 (2 MB rows: row 0 MOVES under
+    MC, row 1 HOLDS via skipped macroblocks)."""
+    return 16 * (2 + media_id % 2), 32, 1 + media_id % 2, 1 + media_id % 5
+
+
+def synth_mpeg1_gop_iframe(media_id: int) -> tuple[bytes, bytes, bytes]:
+    """Block-constant I-frame planes for the GOP fixture:
+    y(b) = (41·id + 11·b) % 256, cb(b) = (17·id + 5·b) % 256,
+    cr(b) = (19·id + 3·b) % 256."""
+    w, h, _, _ = synth_mpeg1_gop_dims(media_id)
+
+    def plane(pw: int, ph: int, a: int, step: int) -> bytes:
+        bw = pw // 8
+        return bytes(
+            (a * media_id + step * ((y // 8) * bw + (x // 8))) % 256
+            for y in range(ph)
+            for x in range(pw)
+        )
+
+    return (
+        plane(w, h, 41, 11),
+        plane(w // 2, h // 2, 17, 5),
+        plane(w // 2, h // 2, 19, 3),
+    )
+
+
+def synthesize_mpeg1_gops(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of I+P MPEG-1 streams exercising
+    the r11 motion-compensation path: each P picture SHIFTS macroblock
+    row 0 right by one MB (forward MC, vector (−16, 0); column 0 holds
+    with a coded (0, 0) vector) while row 1 is SKIPPED (copy in place;
+    the slice's last MB is coerced to a coded (0, 0), which
+    reconstructs identically). MC copy of block-constant content is
+    numerically lossless, so every decoded pixel of every frame has a
+    closed form the SQL oracle recomputes."""
+    import pandas as pd
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, n_p, rate = synth_mpeg1_gop_dims(mid)
+                mbw = w // 16
+                motions = []
+                for my in range(h // 16):
+                    for mx in range(mbw):
+                        if my == 0:
+                            motions.append((0, 0) if mx == 0 else (-16, 0))
+                        else:
+                            motions.append(None)
+                payloads.append(
+                    encode_mpeg1_ip(
+                        w, h, synth_mpeg1_gop_iframe(mid),
+                        [list(motions)] * n_p, rate_code=rate,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/mpeg;codec=mpeg1",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

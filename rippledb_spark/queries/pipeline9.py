@@ -699,3 +699,109 @@ def unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mpeg1_gop_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 1),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 * (2 + doc_id % 2) AS BIGINT) AS w,
+             CAST(32 AS BIGINT) AS h,
+             CAST(1 + doc_id % 2 AS BIGINT) AS np,
+             CAST(CASE 1 + doc_id % 5
+                  WHEN 1 THEN 41708 WHEN 2 THEN 41666 WHEN 3 THEN 40000
+                  WHEN 4 THEN 33366 ELSE 33333 END AS BIGINT) AS us
+      FROM ids
+    ),
+    fr AS (
+      SELECT doc_id, w, h, us, f
+      FROM dims, UNNEST(range(0, np + 1)) AS u(f)
+    ),
+    ysum AS (
+      SELECT doc_id, f, w * h AS n_pixels,
+             64 * SUM((41 * doc_id + 11 * (r * (w // 8) +
+                 CASE WHEN r < 2
+                      THEN 2 * GREATEST(c // 2 - f, 0) + c % 2
+                      ELSE c END)) % 256) AS y_sum
+      FROM fr, UNNEST(range(0, 4)) AS ur(r),
+           LATERAL UNNEST(range(0, w // 8)) AS uc(c)
+      GROUP BY doc_id, f, w, h
+    ),
+    csum AS (
+      SELECT doc_id, f,
+             64 * SUM((17 * doc_id + 5 * (r * (w // 16) +
+                 CASE WHEN r = 0 THEN GREATEST(c - f, 0) ELSE c END))
+                 % 256) AS cb_sum,
+             64 * SUM((19 * doc_id + 3 * (r * (w // 16) +
+                 CASE WHEN r = 0 THEN GREATEST(c - f, 0) ELSE c END))
+                 % 256) AS cr_sum
+      FROM fr, UNNEST(range(0, 2)) AS ur(r),
+           LATERAL UNNEST(range(0, w // 16)) AS uc(c)
+      GROUP BY doc_id, f
+    ),
+    res AS (
+      SELECT doc_id, f,
+             SUM((i * 4 + j + 1)
+                 * ((41 * doc_id + 11 * (i * (w // 8) +
+                     CASE WHEN i < 2
+                          THEN 2 * GREATEST((((j * w) // 4) // 8) // 2 - f, 0)
+                               + (((j * w) // 4) // 8) % 2
+                          ELSE ((j * w) // 4) // 8 END)) % 256))
+               AS resized_wsum
+      FROM fr, generate_series(0, 3) AS gi(i), generate_series(0, 3) AS gj(j)
+      GROUP BY doc_id, f
+    )
+    SELECT y.doc_id AS media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(MIN(d.us) AS BIGINT) AS us_per_frame,
+           CAST(SUM(y.n_pixels) AS BIGINT) AS total_pixels,
+           CAST(SUM(y.y_sum) AS BIGINT) AS y_sum,
+           CAST(SUM(c.cb_sum) AS BIGINT) AS cb_sum,
+           CAST(SUM(c.cr_sum) AS BIGINT) AS cr_sum,
+           CAST(SUM(r.resized_wsum) AS BIGINT) AS resized_wsum
+    FROM ysum y
+    JOIN csum c ON c.doc_id = y.doc_id AND c.f = y.f
+    JOIN res r ON r.doc_id = y.doc_id AND r.f = y.f
+    JOIN dims d ON d.doc_id = y.doc_id
+    GROUP BY y.doc_id ORDER BY media_id
+    """,
+)
+def mpeg1_gop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 MOTION COMPENSATION decoded for real (operators/mpeg1.py,
+    r11 — the P-picture extension over mpeg1_frame_accounting's
+    intra-only GOPs): each stream is an I picture followed by 1-2
+    zero-residual P pictures whose macroblock row 0 SHIFTS right by one
+    MB per frame (forward MC, differentially-coded vectors crossing the
+    modulo-32 wrap at the row boundary) while row 1 HOLDS via skipped
+    macroblocks — so one certified row exercises Table B.2b macroblock
+    types, Table B.4 motion VLCs, MV differential prediction + wrap,
+    the skip-copy rule, and 4:2:0 chroma displacement halving. MC copy
+    of block-constant content is lossless, so the oracle recomputes
+    every decoded pixel of every frame (shifted row, held row, chroma)
+    in closed form; a wrong wrap, a swapped sign bit, a missed
+    predictor reset, or an off-by-one-MB copy breaks y_sum/cb_sum/
+    cr_sum, and any pixel reordering breaks resized_wsum. B pictures
+    and residual-coded P blocks keep refusing loudly. Reference
+    comparison: n/a (no binary surface).
+
+    100 TB shape: identical to the other video paths — Arrow
+    mapInPandas where the payload lives, 1→n_frames expansion in the
+    kernel, one media-keyed agg."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 1)
+    media = MM9.synthesize_mpeg1_gops(d, "doc_id")
+    stats = MM9.mpeg1_frame_pixel_stats(media, every_n=1, out_w=4, out_h=4)
+    return (
+        stats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.min("us_per_frame").alias("us_per_frame"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("y_sum").alias("y_sum"),
+            F.sum("cb_sum").alias("cb_sum"),
+            F.sum("cr_sum").alias("cr_sum"),
+            F.sum("resized_wsum").alias("resized_wsum"),
+        )
+        .orderBy("media_id")
+    )

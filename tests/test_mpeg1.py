@@ -120,7 +120,8 @@ def test_refusals():
     c = bytes([128]) * 64
     with pytest.raises(ValueError, match="non-block-constant"):
         encode_mpeg1_intra(16, 16, [(y, c, c)])
-    # P-picture refuses loudly
+    # a P picture with no preceding reference refuses loudly (r11:
+    # P is now decoded, but only after an I establishes the reference)
     bits = _Bits()
     bits.start_code(0xB3)
     bits.w(16, 12); bits.w(16, 12); bits.w(1, 4); bits.w(3, 4)
@@ -131,7 +132,7 @@ def test_refusals():
     bits.w(0xFFFF, 16)
     bits.start_code(0xB7)
     bits.align()
-    with pytest.raises(ValueError, match="picture type"):
+    with pytest.raises(ValueError, match="P picture before"):
         decode_mpeg1_frames(bytes(bits.buf))
 
 
@@ -178,3 +179,146 @@ def test_spark_frame_stats_surface(spark, sf_dir):
             for b in range(bw * bh)
         )
         assert r["y_sum"] == want
+
+
+def _bc_plane(w, h, fn):
+    bw = w // 8
+    return bytes(fn((y // 8) * bw + (x // 8)) % 256
+                 for y in range(h) for x in range(w))
+
+
+def test_p_picture_mc_shift_and_skip_exact():
+    """r11: zero-residual P pictures — skip copy, MC shift, chroma
+    halving, MV differential wrap — all numerically exact."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
+
+    w, h = 48, 32
+    Y = _bc_plane(w, h, lambda b: 30 + 13 * b)
+    Cb = _bc_plane(24, 16, lambda b: 90 + 7 * b)
+    Cr = _bc_plane(24, 16, lambda b: 60 + 5 * b)
+    mbw = w // 16
+    hold = [None] * (mbw * 2)
+    shift = [((0, 0) if mx == 0 else (-16, 0))
+             for my in range(2) for mx in range(mbw)]
+    es = encode_mpeg1_ip(w, h, (Y, Cb, Cr), [hold, shift])
+    v = decode_mpeg1_frames(es)
+    assert v["n_frames"] == 3
+    assert v["frames"][1] == (Y, Cb, Cr)  # all-skip P == reference
+    Y2 = np.frombuffer(v["frames"][2][0], dtype=np.uint8).reshape(h, w)
+    Y0 = np.frombuffer(Y, dtype=np.uint8).reshape(h, w)
+    assert (Y2[:, 16:] == Y0[:, :-16]).all()
+    assert (Y2[:, :16] == Y0[:, :16]).all()
+    Cb2 = np.frombuffer(v["frames"][2][1], dtype=np.uint8).reshape(16, 24)
+    Cb0 = np.frombuffer(Cb, dtype=np.uint8).reshape(16, 24)
+    assert (Cb2[:, 8:] == Cb0[:, :-8]).all()
+
+
+def test_p_picture_refusals():
+    from rippledb_spark.operators.mpeg1 import _Bits, encode_mpeg1_ip
+
+    w, h = 32, 32
+    Y = _bc_plane(w, h, lambda b: 100)
+    C = _bc_plane(16, 16, lambda b: 128)
+    # odd vectors refuse at encode (chroma-exact class)
+    with pytest.raises(ValueError, match="even"):
+        encode_mpeg1_ip(w, h, (Y, C, C), [[(2, 1)] * 4])
+    # P before I refuses at decode
+    bits = _Bits()
+    bits.start_code(0xB3)
+    bits.w(w, 12); bits.w(h, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(0, 1); bits.w(0, 1)
+    bits.start_code(0x00)
+    bits.w(0, 10); bits.w(2, 3); bits.w(0xFFFF, 16)
+    bits.w(1, 1); bits.w(1, 3); bits.w(0, 1)
+    bits.start_code(0xB7); bits.align()
+    with pytest.raises(ValueError, match="P picture before"):
+        decode_mpeg1_frames(bytes(bits.buf))
+    # B picture refuses
+    bits = _Bits()
+    bits.start_code(0xB3)
+    bits.w(w, 12); bits.w(h, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(0, 1); bits.w(0, 1)
+    bits.start_code(0x00)
+    bits.w(0, 10); bits.w(3, 3); bits.w(0xFFFF, 16)
+    bits.start_code(0xB7); bits.align()
+    with pytest.raises(ValueError, match="picture type"):
+        decode_mpeg1_frames(bytes(bits.buf))
+
+
+def test_p_picture_residual_refuses_loudly():
+    """A P macroblock carrying coded_block_pattern must refuse (the
+    documented boundary), not decode garbage."""
+    from rippledb_spark.operators.mpeg1 import (
+        _Bits,
+        _MBA_TABLE,
+        encode_mpeg1_intra,
+    )
+
+    w, h = 16, 16
+    Y = _bc_plane(w, h, lambda b: 100)
+    C = _bc_plane(8, 8, lambda b: 128)
+    base = encode_mpeg1_intra(w, h, [(Y, C, C)])
+    bits = _Bits(base[:-4])
+    bits.start_code(0x00)
+    bits.w(1, 10); bits.w(2, 3); bits.w(0xFFFF, 16)
+    bits.w(1, 1); bits.w(1, 3); bits.w(0, 1)
+    bits.start_code(0x01)
+    bits.w(8, 5); bits.w(0, 1)
+    bits.wstr(_MBA_TABLE[1])
+    bits.wstr("01")  # pred-cbp: pattern-bearing type
+    bits.start_code(0xB7); bits.align()
+    with pytest.raises(ValueError, match="coded_block_pattern"):
+        decode_mpeg1_frames(bytes(bits.buf))
+
+
+def test_intra_refresh_inside_p_picture():
+    """An intra macroblock inside a P picture decodes with fresh DC
+    predictors while its neighbors skip-copy."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import (
+        _Bits,
+        _DC_SIZE_CHROMA,
+        _DC_SIZE_LUMA,
+        _MBA_TABLE,
+        _dc_diff_bits,
+        encode_mpeg1_intra,
+    )
+
+    w, h = 32, 16
+    Y = _bc_plane(w, h, lambda b: 40 + b)
+    C = _bc_plane(16, 8, lambda b: 128)
+    base = encode_mpeg1_intra(w, h, [(Y, C, C)])
+    bits = _Bits(base[:-4])
+    # P picture: MB0 intra-refreshed to value 200, MB1 coded (0,0) copy
+    bits.start_code(0x00)
+    bits.w(1, 10); bits.w(2, 3); bits.w(0xFFFF, 16)
+    bits.w(1, 1); bits.w(1, 3); bits.w(0, 1)
+    bits.start_code(0x01)
+    bits.w(8, 5); bits.w(0, 1)
+    bits.wstr(_MBA_TABLE[1])
+    bits.wstr("00011")  # intra MB in P
+    preds = {"y": 128, "cb": 128, "cr": 128}
+    for comp in ("y", "y", "y", "y", "cb", "cr"):
+        dc = 200 if comp == "y" else 128
+        diff = dc - preds[comp]
+        preds[comp] = dc
+        size, amp = _dc_diff_bits(diff)
+        tab = _DC_SIZE_LUMA if comp == "y" else _DC_SIZE_CHROMA
+        bits.wstr(tab[size])
+        if size:
+            bits.w(amp, size)
+        bits.wstr("10")  # EOB
+    bits.wstr(_MBA_TABLE[1])
+    bits.wstr("001")  # pred-mc, MV (0,0)
+    bits.wstr("1"); bits.wstr("1")  # motion codes 0, 0
+    bits.start_code(0xB7); bits.align()
+    v = decode_mpeg1_frames(bytes(bits.buf))
+    Y1 = np.frombuffer(v["frames"][1][0], dtype=np.uint8).reshape(h, w)
+    Y0 = np.frombuffer(Y, dtype=np.uint8).reshape(h, w)
+    assert (Y1[:, :16] == 200).all()          # refreshed MB
+    assert (Y1[:, 16:] == Y0[:, 16:]).all()   # copied MB
