@@ -26,15 +26,17 @@ spec (runs, absolute mode, end-of-line/bitmap, delta), AND MJPEG —
 baseline-JPEG frames with real entropy coding (operators/jpeg.py:
 Annex K Huffman tables, DC differential + AC run/size symbols, byte
 stuffing, orthonormal 8x8 DCT); all of them feed the same
-nearest-neighbor numpy resize. MPEG-1 intra-only video is REAL too
-(r11 — operators/mpeg1.py: sequence/GOP/picture/slice/macroblock walk,
-Annex B VLC entropy decode, differential DC, intra dequant with
-oddification, shared zigzag + orthonormal IDCT, 4:2:0 assembly).
-Interframe-PREDICTED codecs (H.264/VP9, and MPEG-1 P/B pictures)
-remain the one stub — motion compensation genuinely needs codec
-libraries; decode_avi_frames and decode_mpeg1_frames refuse them
-loudly and everything up to the codec boundary (container walk, stream
-headers, frame slicing) is the same code path they would feed. The Spark-side shape is
+nearest-neighbor numpy resize. MPEG-1 video is REAL too (r11 —
+operators/mpeg1.py): I pictures (sequence/GOP/picture/slice/macroblock
+walk, Annex B VLC entropy decode, differential DC, intra dequant with
+oddification, shared zigzag + orthonormal IDCT, 4:2:0 assembly) AND
+zero-residual P pictures (Table B.2b/B.4 entropy decode, MV
+differential prediction with the modulo wrap, skipped-macroblock copy,
+full-pel forward motion compensation, intra refresh). The remaining
+stubs refuse loudly: H.264/VP9 (genuinely need codec libraries),
+MPEG-1 B pictures, P residual blocks, and sub-pel interpolation —
+everything up to each boundary (container walk, stream headers, frame
+slicing, MC addressing) is the same code path they would feed. The Spark-side shape is
 production-real throughout: binary columns, Arrow-batched
 ``mapInPandas`` with explicit output schemas, partition-sized batches,
 no collect, no per-row Python UDFs.
