@@ -497,26 +497,27 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                 # 23+ zero bits (next start code) to end the slice
                 save = bits.pos
                 try:
+                    # the 11-bit prefix budget is PER CODE: each decoded
+                    # escape/stuffing restarts it (r11 review fix — the
+                    # old shared budget was consumed by the 11-bit escape
+                    # itself, so escapes silently ended the slice)
                     inc = 0
-                    while True:
+                    sym = None
+                    while sym is None:
                         s = ""
-                        sym = None
-                        for _ in range(11):
+                        while len(s) < 11:
                             s += str(bits.bit())
                             if s == _MBA_STUFFING:
-                                s = ""
-                                continue
-                            if s == _MBA_ESCAPE:
+                                s = ""  # discarded; budget restarts
+                            elif s == _MBA_ESCAPE:
                                 inc += 33
-                                s = ""
-                                continue
-                            if s in _MBA_DEC:
+                                s = ""  # increment continues; restart
+                            elif s in _MBA_DEC:
                                 sym = _MBA_DEC[s]
                                 break
-                        if sym is None:
+                        if sym is None and s:
                             raise ValueError("mpeg1: bad MBA prefix " + s)
-                        inc += sym
-                        break
+                    inc += sym
                 except (ValueError, IndexError):
                     bits.pos = save
                     break
@@ -606,7 +607,12 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         if k > 63:
                             raise ValueError("mpeg1: AC index overflow")
                         w = intra_q[_Z[k][0] * 8 + _Z[k][1]]
-                        rec = (2 * level * qscale * w) // 16
+                        prod = 2 * level * qscale * w
+                        # §2.4.4.1 "/" truncates toward ZERO — Python's
+                        # floor division is wrong for negative products
+                        # (r11 review fix: floor(-132/16) = -9 but the
+                        # spec wants trunc = -8 → oddified -7)
+                        rec = prod // 16 if prod >= 0 else -((-prod) // 16)
                         # oddification mismatch control (§2.4.4.1)
                         if rec and rec % 2 == 0:
                             rec -= 1 if rec > 0 else -1

@@ -52,13 +52,19 @@ def rotate_vectors(
     dims: int,
     r: int,
     pca_iterations: int = 6,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """→ DataFrame(id, rv array<double>[r]): each vector's 6dp-rounded
     coordinates in the top-``r`` principal-component basis (centered —
-    pca_project's contract), component order = decreasing eigenvalue."""
-    comps = pca_top_components(
-        df, vec_col, dims, n_components=r, iterations=pca_iterations
-    ).localCheckpoint(eager=True)
+    pca_project's contract), component order = decreasing eigenvalue.
+    Pass ``comps`` (pca_top_components output) to rotate with an
+    ALREADY-TRAINED basis — the single definition of the projection
+    assembly, shared with train_rotated_index so training and serving
+    can't drift."""
+    if comps is None:
+        comps = pca_top_components(
+            df, vec_col, dims, n_components=r, iterations=pca_iterations
+        ).localCheckpoint(eager=True)
     proj = pca_project(df, vec_col, id_col, comps, dims)
     return proj.groupBy("id").agg(
         F.transform(
@@ -251,12 +257,8 @@ def train_rotated_index(
     comps = pca_top_components(
         df, vec_col, dims, n_components=r, iterations=pca_iterations
     ).localCheckpoint(eager=True)
-    proj = pca_project(df, vec_col, id_col, comps, dims)
-    rdf = proj.groupBy("id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("component", "coord"))),
-            lambda s: s["coord"],
-        ).alias("rv")
+    rdf = rotate_vectors(
+        df, vec_col, id_col, dims, r, comps=comps
     ).select(F.col("id").alias("pid"), "rv")
     codes, books = pq_codes(rdf, "rv", "pid", r, m=m, k=k, iterations=iterations)
     return means, comps, codes, books
@@ -297,14 +299,17 @@ def rotated_query_topk(
     queries: DataFrame,
     means: DataFrame,
     comps: DataFrame,
-    books: DataFrame,
     codes: DataFrame,
+    books: DataFrame,
     dims: int,
     r: int,
     m: int,
     topk: int = 5,
 ) -> DataFrame:
-    """Serve ANN queries against a FROZEN rotated-PQ index: center each
+    """Serve ANN queries against a FROZEN rotated-PQ index — the frame
+    order matches train_rotated_index/load_rotated_index, so
+    ``rotated_query_topk(q, *load_rotated_index(spark, path), ...)``
+    is the natural call: center each
     query with the TRAINING means, project onto the stored components
     (the same 6dp index-ordered folds as training), then the flat-PQ
     ADC serving path (pq.pq_query_topk). ``queries`` is

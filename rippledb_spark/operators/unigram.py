@@ -200,6 +200,7 @@ def unigram_train(
     rounds: int = 2,
     lmax: int = 4,
     min_count: int = 2,
+    words: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the unigram LM with ``rounds`` hard-EM rounds → (vocab,
     stats): ``vocab`` is the final (piece, logp) table; ``stats`` has
@@ -208,12 +209,16 @@ def unigram_train(
     per-word 6dp Viterbi scores and seg_md5 hashes every word's
     segmentation (the cross-engine certificate). Words longer than
     MAXLEN refuse loudly (the DP unroll bound — raise, never silently
-    truncate)."""
+    truncate). ``words``: optionally the precomputed distinct-word
+    table (checkpointed), saving the one corpus-sized aggregation."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     if lmax != MAXLEN_LMAX:
         raise ValueError(f"lmax is fixed at {MAXLEN_LMAX} (the DP lookback)")
-    words = distinct_words(df, text_col).localCheckpoint(eager=True)
+    # callers that already hold the distinct-word table pass it in
+    # (r11 review fix: the serving query paid the corpus agg twice)
+    if words is None:
+        words = distinct_words(df, text_col).localCheckpoint(eager=True)
     over = words.agg(F.max(F.length("word")).alias("m")).collect()[0]["m"]
     if over is None:
         raise ValueError("unigram_train: empty corpus")

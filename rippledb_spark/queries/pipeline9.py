@@ -663,7 +663,7 @@ def unigram_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-able, map-side join at scale."""
     d = load(spark, sf_dir, "documents")
     words = _uni_words(d, "text").localCheckpoint(eager=True)
-    vocab, _ = unigram_train(d, "text", rounds=2)
+    vocab, _ = unigram_train(d, "text", rounds=2, words=words)
     seg = _uni_viterbi(words, vocab).select(
         "word",
         F.size("pieces").alias("np"),

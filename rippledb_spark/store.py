@@ -62,6 +62,23 @@ def _normalize_rows(rows: Iterable[TripleLike]) -> list[tuple]:
     return out
 
 
+def _anti_triples(left: DataFrame, right: DataFrame) -> DataFrame:
+    """NULL-SAFE left-anti join on the full 7-column triple identity —
+    the ONE definition of triple-set subtraction (o_lang/o_datatype are
+    nullable: a plain name-equi join would never match NULL-bearing
+    triples). The right side is renamed so a set derived from the left
+    store itself (a self-join lineage) resolves unambiguously. Used by
+    remove (D2) and diff (the CDC feed)."""
+    r = right.select(*model.TRIPLE_KEY).toDF(
+        *[f"__r_{c}" for c in model.TRIPLE_KEY]
+    )
+    cond = None
+    for c in model.TRIPLE_KEY:
+        eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return left.join(r, on=cond, how="left_anti")
+
+
 class TripleStore:
     def __init__(self, spark: SparkSession, df: DataFrame):
         missing = [c for c in model.TRIPLE_KEY if c not in df.columns]
@@ -232,16 +249,7 @@ class TripleStore:
                 _normalize_rows(rows), model.TRIPLES_SCHEMA
             )
             hint = F.broadcast
-        # Rename the delete side so a delete set derived from this very store
-        # (a self-join lineage) resolves unambiguously.
-        del_df = del_df.select(*model.TRIPLE_KEY).toDF(
-            *[f"__del_{c}" for c in model.TRIPLE_KEY]
-        )
-        cond = None
-        for c in model.TRIPLE_KEY:
-            eq = F.col(c).eqNullSafe(F.col(f"__del_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        remaining = self.df.join(hint(del_df), on=cond, how="left_anti")
+        remaining = _anti_triples(self.df, hint(del_df))
         return TripleStore(self.spark, remaining)
 
     # -- graph set algebra (engine tier: set ops over whole graphs) ---------
@@ -281,23 +289,10 @@ class TripleStore:
         stay distributed (nothing collects) and Catalyst/AQE picks the
         join strategy, so a small delta against a huge base plans as a
         broadcast anti-join."""
-        def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
-            # NULL-SAFE anti-join (o_lang/o_datatype are nullable — a
-            # plain name-equi join would tag every NULL-bearing triple
-            # as both inserted and deleted)
-            r = right.select(*model.TRIPLE_KEY).toDF(
-                *[f"__r_{c}" for c in model.TRIPLE_KEY]
-            )
-            cond = None
-            for c in model.TRIPLE_KEY:
-                eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
-                cond = eq if cond is None else (cond & eq)
-            return left.join(r, on=cond, how="left_anti")
-
-        inserts = _anti(other.df, self.df).select(
+        inserts = _anti_triples(other.df, self.df).select(
             F.lit("insert").alias("op"), *model.TRIPLE_KEY
         )
-        deletes = _anti(self.df, other.df).select(
+        deletes = _anti_triples(self.df, other.df).select(
             F.lit("delete").alias("op"), *model.TRIPLE_KEY
         )
         return inserts.unionByName(deletes)

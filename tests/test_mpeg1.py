@@ -74,7 +74,9 @@ def _handmade_stream_with_ac(run, level, qscale=8):
     return bytes(bits.buf)
 
 
-@pytest.mark.parametrize("run,level", [(0, 1), (1, 1), (0, 2), (2, 3), (5, 1)])
+@pytest.mark.parametrize(
+    "run,level", [(0, 1), (1, 1), (0, 2), (2, 3), (5, 1), (5, -1), (0, -2)]
+)
 def test_ac_path_matches_independent_idct(run, level):
     """The AC dequant + zigzag + IDCT chain checked against a from-
     scratch numpy reference (NOT jpeg.py's matrix — an independent
@@ -91,7 +93,8 @@ def test_ac_path_matches_independent_idct(run, level):
     k = run + 1  # zigzag index of the AC coefficient
     r, c = _Z[k]
     w = _INTRA_Q[r * 8 + c]
-    rec = (2 * level * qscale * w) // 16
+    prod = 2 * level * qscale * w
+    rec = prod // 16 if prod >= 0 else -((-prod) // 16)  # trunc toward 0
     if rec and rec % 2 == 0:
         rec -= 1 if rec > 0 else -1
     F = np.zeros((8, 8))

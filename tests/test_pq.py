@@ -557,8 +557,6 @@ def test_rotated_index_save_load_serve_roundtrip(spark, sf_dir, tmp_path_factory
     )
     path = str(tmp_path_factory.mktemp("rotidx"))
     save_rotated_index(path, means, comps, codes, books)
-    lm, lc, lcodes, lbooks = load_rotated_index(spark, path)
-
     queries = (
         e.orderBy("vec_id")
         .limit(3)
@@ -568,10 +566,11 @@ def test_rotated_index_save_load_serve_roundtrip(spark, sf_dir, tmp_path_factory
         )
     )
     mem = rotated_query_topk(
-        queries, means, comps, books, codes, dims=64, r=4, m=2, topk=5
+        queries, means, comps, codes, books, dims=64, r=4, m=2, topk=5
     )
+    # the load tuple order IS the call order (the review's footgun fix)
     frozen = rotated_query_topk(
-        queries, lm, lc, lbooks, lcodes, dims=64, r=4, m=2, topk=5
+        queries, *load_rotated_index(spark, path), dims=64, r=4, m=2, topk=5
     )
     a = sorted(map(tuple, mem.collect()))
     b = sorted(map(tuple, frozen.collect()))
