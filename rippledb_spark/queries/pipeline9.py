@@ -805,3 +805,109 @@ def mpeg1_gop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: threshold sweep (r11)
+# ---------------------------------------------------------------------------
+
+_QC_THRESHOLDS = [-1.0, -0.5, 0.0, 0.5, 1.0]
+_QC_TH_SQL = "[" + ", ".join(str(t) for t in _QC_THRESHOLDS) + "]"
+
+
+@query(
+    "classifier_threshold_sweep",
+    oracle=f"""
+    WITH {_qc_features_sql().strip()},
+    qc_train AS MATERIALIZED (
+      SELECT x, CASE WHEN s > {_QC_MARGIN} THEN 1.0 ELSE 0.0 END AS y
+      FROM qc_lab WHERE abs(s) > {_QC_MARGIN}
+    ),
+    {logistic_train_sql("qc_train", _QC_DIMS, iterations=_QC_ITERS,
+                        lr=_QC_LR, prefix="qc").strip()},
+    ts_scored AS MATERIALIZED (
+      SELECT l.doc_id,
+             ROUND(list_dot_product(w.w, l.x), {LOGIT_DP}) AS score,
+             CASE WHEN l.s > {_QC_MARGIN} THEN 1 ELSE 0 END AS y
+      FROM qc_lab l, qc_w w
+      WHERE abs(l.s) > {_QC_MARGIN}
+    ),
+    ts_counts AS (
+      SELECT t.threshold,
+             CAST(SUM(CASE WHEN score > t.threshold AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN score > t.threshold AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN score <= t.threshold AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM ts_scored, UNNEST({_QC_TH_SQL}) AS t(threshold)
+      GROUP BY t.threshold
+    )
+    SELECT threshold, tp, fp, fn,
+           ROUND(CASE WHEN tp + fp > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fp)
+                      ELSE 0.0 END, {LOGIT_DP}) AS precision,
+           ROUND(CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE) / (tp + fn)
+                      ELSE 0.0 END, {LOGIT_DP}) AS recall
+    FROM ts_counts ORDER BY threshold
+    """,
+)
+def classifier_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model EVALUATION for the trained quality gate (r11 — the
+    standard threshold-calibration sweep a pipeline runs before
+    choosing its operating point): train the certified logistic model,
+    score the labeled corpus once, and report confusion counts +
+    precision/recall at five decision thresholds. Counts are exact
+    integers (both engines agree bit-for-bit), ratios divide those
+    integers identically. Monotonicity (recall non-increasing in the
+    threshold) is pinned in pytest — the structural property a correct
+    sweep must have. Reference comparison: n/a (no ML surface).
+
+    100 TB shape: ONE scoring pass (broadcast 12-vector), then a
+    5-threshold × corpus flag aggregation — map-side combinable, the
+    thresholds ride as a tiny exploded literal array."""
+    d = load(spark, sf_dir, "documents")
+    lab = _qc_labeled(d).localCheckpoint(eager=True)
+    train = lab.where(F.abs(F.col("s")) > _QC_MARGIN).select(
+        "doc_id", "x",
+        F.when(F.col("s") > _QC_MARGIN, 1).otherwise(0).alias("y"),
+    )
+    w = logistic_train(
+        train.select("x", F.col("y").cast("double").alias("y")),
+        "x", "y", _QC_DIMS, iterations=_QC_ITERS, lr=_QC_LR,
+    )
+    scored = logistic_predict(train, "x", "doc_id", w, _QC_DIMS).join(
+        train.select("doc_id", "y"), "doc_id"
+    )
+    ths = spark.createDataFrame(
+        [(t,) for t in _QC_THRESHOLDS], "threshold double"
+    )
+    counts = (
+        scored.crossJoin(F.broadcast(ths))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when((F.col("score") > F.col("threshold"))
+                         & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint").alias("tp"),
+            F.sum(F.when((F.col("score") > F.col("threshold"))
+                         & (F.col("y") == 0), 1).otherwise(0))
+            .cast("bigint").alias("fp"),
+            F.sum(F.when((F.col("score") <= F.col("threshold"))
+                         & (F.col("y") == 1), 1).otherwise(0))
+            .cast("bigint").alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    ).otherwise(0.0)
+    return counts.select(
+        "threshold", "tp", "fp", "fn",
+        F.round(prec, LOGIT_DP).alias("precision"),
+        F.round(rec, LOGIT_DP).alias("recall"),
+    ).orderBy("threshold")

@@ -120,3 +120,20 @@ def test_model_save_load_serve_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, logistic_predict(ids, "x", "id", w, 2).collect()))
     b = sorted(map(tuple, logistic_predict(ids, "x", "id", lw, 2).collect()))
     assert a == b
+
+
+def test_threshold_sweep_monotone_and_consistent(spark, sf_dir):
+    """r11: the evaluation sweep — recall non-increasing in the
+    threshold, tp+fn constant (= the positive count), and the t=0 row
+    consistent with the certified accuracy query's positive class."""
+    from rippledb_spark.queries.pipeline9 import classifier_threshold_sweep
+
+    rows = classifier_threshold_sweep(spark, sf_dir).collect()
+    assert [r["threshold"] for r in rows] == [-1.0, -0.5, 0.0, 0.5, 1.0]
+    n_pos = {r["tp"] + r["fn"] for r in rows}
+    assert len(n_pos) == 1 and n_pos.pop() > 0
+    recalls = [r["recall"] for r in rows]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+    # lower thresholds predict positive at least as often
+    preds = [r["tp"] + r["fp"] for r in rows]
+    assert all(a >= b for a, b in zip(preds, preds[1:]))
