@@ -23,12 +23,16 @@ What's implemented (all public, ISO/IEC 11172-2):
 - P reconstruction (r11): skipped-macroblock copy (§2.4.4.4), full-pel
   forward MC at even vectors (the chroma-exact class — MC copy is then
   numerically LOSSLESS, which is what lets the GOP oracle stay closed-
-  form), intra-refresh macroblocks inside P pictures.
+  form), intra-refresh macroblocks inside P pictures;
+- P residual blocks (r12): coded_block_pattern VLC (Table B.3),
+  dct_coeff_first's '1s' short code (Table B.5b), non-intra dequant
+  ((2·QF+Sign)·scale·W)/16 with truncation toward zero, oddification
+  and clamp (§2.4.4.2), loadable non-intra quantizer matrix, and
+  IDCT-add of the residual onto the MC prediction.
 
 Loud refusals (the honest boundary, never silent): B pictures
-(bidirectional MC), P residual blocks (coded_block_pattern — would
-need the Table B.3 CBP VLC + non-intra dequant), half-pel vectors and
-odd full-pel vectors (both need pixel interpolation).
+(bidirectional MC), half-pel vectors and odd full-pel vectors (both
+need pixel interpolation).
 
 The ENCODER here exists to synthesize certified fixtures: intra-only
 streams whose blocks are DC-only (block-constant pixel content) — the
@@ -318,9 +322,11 @@ def encode_mpeg1_intra(
 # --- decoder (full intra path) ---------------------------------------------
 
 
-def _decode_ac_coeff(bits: _Bits) -> tuple[int, int] | None:
-    """One dct_coeff_next: → (run, signed level), or None at EOB."""
-    s = ""
+def _decode_ac_coeff(bits: _Bits, prefix: str = "") -> tuple[int, int] | None:
+    """One dct_coeff_next: → (run, signed level), or None at EOB.
+    ``prefix`` seeds the code walk with bits already consumed by the
+    caller (the dct_coeff_first '0…' continuation, §2.4.3.7)."""
+    s = prefix
     for _ in range(17):
         s += str(bits.bit())
         if s == _AC_EOB:
@@ -355,6 +361,70 @@ _MOTION_TABLE = {
 }
 _MOTION_DEC = {v: k for k, v in _MOTION_TABLE.items()}
 
+# Table B.3: coded_block_pattern VLC (cbp 1..63 → bitstring). Bit 32
+# = block 0 (top-left luma) … bit 1 = block 5 (Cr), §2.4.3.6.
+_CBP_TABLE = {
+    60: "111", 4: "1101", 8: "1100", 16: "1011", 32: "1010",
+    12: "10011", 48: "10010", 20: "10001", 40: "10000",
+    28: "01111", 44: "01110", 52: "01101", 56: "01100",
+    1: "01011", 61: "01010", 2: "01001", 62: "01000",
+    24: "001111", 36: "001110", 3: "001101", 63: "001100",
+    5: "0010111", 9: "0010110", 17: "0010101", 33: "0010100",
+    6: "0010011", 10: "0010010", 18: "0010001", 34: "0010000",
+    7: "00011111", 11: "00011110", 19: "00011101", 35: "00011100",
+    13: "00011011", 49: "00011010", 21: "00011001", 41: "00011000",
+    14: "00010111", 50: "00010110", 22: "00010101", 42: "00010100",
+    15: "00010011", 51: "00010010", 23: "00010001", 43: "00010000",
+    25: "00001111", 37: "00001110", 26: "00001101", 38: "00001100",
+    29: "00001011", 45: "00001010", 53: "00001001", 57: "00001000",
+    30: "00000111", 46: "00000110", 54: "00000101", 58: "00000100",
+    31: "000000111", 47: "000000110", 55: "000000101", 59: "000000100",
+    27: "000000011", 39: "000000010",
+}
+_CBP_DEC = {v: k for k, v in _CBP_TABLE.items()}
+
+# default non-intra quantizer matrix (§2.4.2.3): flat 16
+_NON_INTRA_Q = [16] * 64
+
+
+def _dequant_non_intra(level: int, qscale: int, w: int) -> int:
+    """Non-intra coefficient reconstruction (§2.4.4.2): ((2·QF +
+    Sign(QF))·qscale·W)/16 with truncation toward zero, oddification
+    toward zero, clamp to [−2048, 2047]; QF = 0 reconstructs 0."""
+    if level == 0:
+        return 0
+    sign = 1 if level > 0 else -1
+    prod = (2 * level + sign) * qscale * w
+    rec = prod // 16 if prod >= 0 else -((-prod) // 16)
+    if rec and rec % 2 == 0:
+        rec -= sign
+    return max(-2048, min(2047, rec))
+
+
+def _decode_non_intra_block(bits: _Bits) -> list[int]:
+    """One non-intra block → 64 quantized levels in zigzag order.
+    dct_coeff_first (Table B.5b): '1s' codes (0, ±1) and EOB cannot
+    occur; every other first code equals its dct_coeff_next twin."""
+    zz = [0] * 64
+    if bits.bit():
+        run, level = 0, -1 if bits.bit() else 1
+    else:
+        nxt = _decode_ac_coeff(bits, prefix="0")
+        if nxt is None:
+            raise ValueError("mpeg1: EOB as dct_coeff_first")
+        run, level = nxt
+    k = run
+    zz[k] = level
+    while True:
+        nxt = _decode_ac_coeff(bits)
+        if nxt is None:
+            return zz
+        run, level = nxt
+        k += run + 1
+        if k > 63:
+            raise ValueError("mpeg1: AC index overflow (non-intra)")
+        zz[k] = level
+
 
 def _decode_p_mb_type(bits: _Bits) -> tuple[int, int, int, int]:
     """P-picture macroblock_type (Table B.2b) →
@@ -386,10 +456,15 @@ def _decode_motion(bits: _Bits, f_size: int, mv_pred: list[int], axis: int) -> i
     if mag == 0:
         delta = 0
     else:
+        # Table B.4: the sign is the FINAL bit of the motion_code
+        # codeword itself, so it precedes motion_r (the f_size residual)
+        # in the stream. Reading it after the residual only worked for
+        # f_code=1 streams, where motion_r is absent (ADVICE r11).
+        sign = bits_sign(bits)
         if f_size:
             residual = bits.bits(f_size)
             mag = ((mag - 1) << f_size) + residual + 1
-        delta = -mag if bits_sign(bits) else mag
+        delta = -mag if sign else mag
     f = 1 << f_size
     v = mv_pred[axis] + delta
     if v < -16 * f:
@@ -407,12 +482,12 @@ def bits_sign(bits: _Bits) -> int:
 def decode_mpeg1_frames(payload: bytes) -> dict:
     """Parse an MPEG-1 video elementary stream → {width, height,
     us_per_frame, n_frames, frames: [(Y, Cb, Cr) plane bytes]}.
-    Supported pictures: I (full intra path) and zero-residual P —
-    skipped-macroblock copy, full-pel forward motion compensation
-    (even vectors; odd/half-pel needs interpolation and refuses
-    loudly), and intra-refresh macroblocks. P residual blocks
-    (coded_block_pattern) and B pictures raise loudly (module
-    docstring)."""
+    Supported pictures: I (full intra path) and P — skipped-macroblock
+    copy, full-pel forward motion compensation (even vectors; odd/
+    half-pel needs interpolation and refuses loudly), intra-refresh
+    macroblocks, and residual-coded blocks (coded_block_pattern +
+    non-intra dequant + IDCT-add, r12). B pictures raise loudly
+    (module docstring)."""
     import numpy as np
 
     bits = _Bits(payload)
@@ -434,9 +509,13 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
             intra_q[r * 8 + c] = q[k]
     else:
         intra_q = list(_INTRA_Q)
-    if bits.bit():  # load_non_intra (values unused on the intra path)
-        for _ in range(64):
-            bits.bits(8)
+    if bits.bit():  # load_non_intra_quantizer_matrix
+        q = [bits.bits(8) for _ in range(64)]
+        non_intra_q = [0] * 64
+        for k, (r, c) in enumerate(_Z):
+            non_intra_q[r * 8 + c] = q[k]
+    else:
+        non_intra_q = list(_NON_INTRA_Q)
     us = _RATE_US.get(rate_code)
     if us is None:
         raise ValueError(f"mpeg1: bad picture_rate code {rate_code}")
@@ -542,12 +621,6 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                 else:
                     # macroblock_type, P-picture (Table B.2b)
                     mc, cbp, intra_mb, quant = _decode_p_mb_type(bits)
-                    if cbp:
-                        raise ValueError(
-                            "mpeg1: P-picture residual blocks "
-                            "(coded_block_pattern) are not supported — "
-                            "zero-residual MC and intra refresh only"
-                        )
                     if quant:
                         qscale = bits.bits(5)
                     if not intra_mb:
@@ -583,6 +656,36 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                             prev_pad[1][cy:cy + 8, cx:cx + 8]
                         Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
                             prev_pad[2][cy:cy + 8, cx:cx + 8]
+                        if cbp:
+                            # r12: residual-coded P blocks — Table B.3
+                            # pattern, non-intra dequant, IDCT-ADD onto
+                            # the MC prediction written above (§2.4.4.2)
+                            pattern = _vlc_decode(bits, _CBP_DEC, 9)
+                            for bi, (comp, bx, by) in enumerate((
+                                ("y", 2 * mx, 2 * my),
+                                ("y", 2 * mx + 1, 2 * my),
+                                ("y", 2 * mx, 2 * my + 1),
+                                ("y", 2 * mx + 1, 2 * my + 1),
+                                ("cb", mx, my), ("cr", mx, my),
+                            )):
+                                if not pattern & (32 >> bi):
+                                    continue
+                                zz = _decode_non_intra_block(bits)
+                                Fq = np.zeros((8, 8), dtype=np.float64)
+                                for idx, (r, c) in enumerate(_Z):
+                                    if zz[idx]:
+                                        Fq[r, c] = _dequant_non_intra(
+                                            zz[idx], qscale,
+                                            non_intra_q[r * 8 + c],
+                                        )
+                                resid = M.T @ Fq @ M
+                                tgt = {"y": Y, "cb": Cb, "cr": Cr}[comp]
+                                sl = tgt[by * 8:by * 8 + 8,
+                                         bx * 8:bx * 8 + 8]
+                                tgt[by * 8:by * 8 + 8,
+                                    bx * 8:bx * 8 + 8] = np.clip(
+                                    np.round(sl + resid), 0, 255
+                                ).astype(np.int32)
                         continue
                     mv_pred = [0, 0]  # intra MB resets the MV predictor
                 for comp, bx, by in (
@@ -647,16 +750,72 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
     }
 
 
-def _encode_motion(bits: _Bits, delta: int) -> None:
-    """Encode one MV differential with f_code=1 (wrapped into the
-    principal range [−16, 15] — the decoder's modulo-32 wrap recovers
-    the intended vector, §2.4.4.2; Table B.4 magnitude + sign bit,
-    1 = negative)."""
-    delta = ((delta + 16) % 32) - 16
+def _encode_motion(bits: _Bits, delta: int, f_size: int = 0) -> None:
+    """Encode one MV differential (wrapped into the principal range
+    [−16f, 16f−1], f = 1<<f_size — the decoder's modulo-32f wrap
+    recovers the intended vector, §2.4.4.2). Bit order per Table B.4:
+    motion_code magnitude VLC, then its sign bit (1 = negative), THEN
+    the f_size-bit motion_r residual — the sign belongs to the
+    motion_code codeword, so it precedes motion_r (ADVICE r11)."""
+    f = 1 << f_size
+    delta = ((delta + 16 * f) % (32 * f)) - 16 * f
     mag = abs(delta)
-    bits.wstr(_MOTION_TABLE[mag])
-    if mag:
-        bits.w(1 if delta < 0 else 0, 1)
+    if mag == 0:
+        bits.wstr(_MOTION_TABLE[0])
+        return
+    code = ((mag - 1) >> f_size) + 1
+    bits.wstr(_MOTION_TABLE[code])
+    bits.w(1 if delta < 0 else 0, 1)
+    if f_size:
+        bits.w((mag - 1) & (f - 1), f_size)
+
+
+def _encode_run_level(bits: _Bits, run: int, level: int,
+                      first: bool = False) -> None:
+    """One non-intra (run, level) pair: Table B.5b's '1s' short code
+    for a leading (0, ±1), the shared B.5c VLC + sign otherwise, and
+    the 6+8(+8)-bit escape for pairs outside the table."""
+    if level == 0:
+        raise ValueError("mpeg1 fixture: zero level is not codable")
+    mag = abs(level)
+    if first and run == 0 and mag == 1:
+        bits.wstr("1")
+        bits.w(1 if level < 0 else 0, 1)
+        return
+    code = _AC_TABLE.get((run, mag))
+    if code is not None:
+        bits.wstr(code)
+        bits.w(1 if level < 0 else 0, 1)
+        return
+    if not 0 <= run <= 63:
+        raise ValueError(f"mpeg1 fixture: escape run {run} out of range")
+    bits.wstr(_AC_ESCAPE)
+    bits.w(run, 6)
+    if -127 <= level <= 127:
+        bits.w(level & 0xFF, 8)
+    elif 128 <= level <= 255:
+        bits.w(0, 8)
+        bits.w(level, 8)
+    elif -255 <= level <= -128:
+        bits.w(128, 8)
+        bits.w(level + 256, 8)
+    else:
+        raise ValueError(f"mpeg1 fixture: escape level {level} out of range")
+
+
+def _encode_non_intra_block(bits: _Bits, coeffs: list[tuple[int, int]]) -> None:
+    """Write one coded block: (zigzag index, level) pairs → runs +
+    dct_coeff_first/next VLCs + EOB."""
+    pairs = sorted(coeffs)
+    if not pairs:
+        raise ValueError("mpeg1 fixture: a coded block needs ≥1 coefficient")
+    prev = -1
+    for i, (k, level) in enumerate(pairs):
+        if not 0 <= k <= 63 or k <= prev:
+            raise ValueError("mpeg1 fixture: bad zigzag index sequence")
+        _encode_run_level(bits, k - prev - 1, level, first=(i == 0))
+        prev = k
+    bits.wstr(_AC_EOB)
 
 
 def encode_mpeg1_ip(
@@ -665,17 +824,25 @@ def encode_mpeg1_ip(
     iframe: tuple[bytes, bytes, bytes],
     p_motions: list[list[tuple[int, int] | None]],
     rate_code: int = 3,
+    f_code: int = 1,
 ) -> bytes:
     """Fixture synthesizer for I+P streams: one leading I picture
     (block-constant planes — encode_mpeg1_intra's contract) followed by
     one zero-residual P picture per ``p_motions`` entry. Each entry
     lists, per macroblock in raster order, its FULL-PEL forward motion
     vector (dx, dy) — both even, the supported chroma-exact class — or
-    ``None`` to skip (copy in place). The first and last macroblock of
-    a slice cannot be skipped (§2.4.2.7): ``None`` there is coerced to
-    a coded (0, 0) vector, which reconstructs identically."""
+    ``None`` to skip (copy in place), or ``(dx, dy, resid)`` (r12)
+    where ``resid`` maps block index 0-5 (Y0 Y1 Y2 Y3 Cb Cr) to a
+    non-empty list of (zigzag index, quantized level) residual
+    coefficients — emitted as a pred-mc-cbp macroblock with the Table
+    B.3 pattern. The first and last macroblock of a slice cannot be
+    skipped (§2.4.2.7): ``None`` there is coerced to a coded (0, 0)
+    vector, which reconstructs identically."""
     if width % 16 or height % 16:
         raise ValueError("mpeg1 fixture dims must be multiples of 16")
+    if not 1 <= f_code <= 7:
+        raise ValueError(f"mpeg1 fixture: bad forward_f_code {f_code}")
+    f_size = f_code - 1
     mbw, mbh = width // 16, height // 16
     n_mb = mbw * mbh
     base = encode_mpeg1_intra(width, height, [iframe], rate_code=rate_code)
@@ -688,7 +855,7 @@ def encode_mpeg1_ip(
         bits.w(2, 3)        # P picture
         bits.w(0xFFFF, 16)  # vbv delay
         bits.w(1, 1)        # full_pel_forward_vector
-        bits.w(1, 3)        # forward_f_code = 1
+        bits.w(f_code, 3)   # forward_f_code
         bits.w(0, 1)        # extra_bit_picture
         bits.start_code(0x01)
         bits.w(8, 5)        # quantizer_scale
@@ -711,15 +878,28 @@ def encode_mpeg1_ip(
                 inc -= 33
             bits.wstr(_MBA_TABLE[inc])
             pending = 0
-            dx, dy = mv
+            dx, dy = mv[0], mv[1]
+            resid = mv[2] if len(mv) > 2 else None
             if dx % 2 or dy % 2:
                 raise ValueError(
                     "fixture vectors must be even (chroma-exact class)"
                 )
-            bits.wstr("001")  # macroblock_type: pred-mc (no residual)
-            _encode_motion(bits, dx - mv_pred[0])
-            _encode_motion(bits, dy - mv_pred[1])
+            if resid:
+                bits.wstr("1")  # macroblock_type: pred-mc-cbp
+            else:
+                bits.wstr("001")  # macroblock_type: pred-mc (no residual)
+            _encode_motion(bits, dx - mv_pred[0], f_size)
+            _encode_motion(bits, dy - mv_pred[1], f_size)
             mv_pred = [dx, dy]
+            if resid:
+                pattern = 0
+                for bi in resid:
+                    if not 0 <= bi <= 5:
+                        raise ValueError("mpeg1 fixture: block index 0-5")
+                    pattern |= 32 >> bi
+                bits.wstr(_CBP_TABLE[pattern])
+                for bi in sorted(resid):
+                    _encode_non_intra_block(bits, resid[bi])
     bits.start_code(_END)
     bits.align()
     return bytes(bits.buf)

@@ -3194,3 +3194,62 @@ def synthesize_mpeg1_gops(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synth_mpeg1_residual_level(media_id: int, mb: int, bi: int) -> int:
+    """Signed quantized DC level for luma block ``bi`` (0-3) of
+    macroblock ``mb`` in the residual-GOP fixture: magnitude
+    1 + (id + 3·mb + bi) % 5, sign alternating on (mb + bi) parity.
+    With qscale 8 and the flat non-intra matrix the §2.4.4.2
+    reconstruction is ±(16·L + 7) — (2L+1)·8 is even, so oddification
+    always fires — and the block-constant residual is rec/8."""
+    level = 1 + (media_id + 3 * mb + bi) % 5
+    return level if (mb + bi) % 2 == 0 else -level
+
+
+def synthesize_mpeg1_residual_gops(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of I+P MPEG-1 streams exercising
+    the r12 residual path: one I picture (the GOP fixture's
+    block-constant planes) followed by ONE P picture in which EVERY
+    macroblock is coded pred-mc-cbp with vector (0, 0) and a DC-only
+    residual on each of its four luma blocks (Table B.3 cbp = 60;
+    chroma rides the MC copy untouched). DC-only residuals on
+    block-constant predictions keep every decoded pixel closed-form:
+    pixel = clip(round(y0 + rec/8)) with rec = ±(16·L + 7) — rec is
+    odd, so the rounding never lands on a tie and both engines agree
+    exactly."""
+    import pandas as pd
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, _, rate = synth_mpeg1_gop_dims(mid)
+                mbw = w // 16
+                mbs = []
+                for mb in range(mbw * (h // 16)):
+                    resid = {
+                        bi: [(0, synth_mpeg1_residual_level(mid, mb, bi))]
+                        for bi in range(4)
+                    }
+                    mbs.append((0, 0, resid))
+                payloads.append(
+                    encode_mpeg1_ip(
+                        w, h, synth_mpeg1_gop_iframe(mid), [mbs],
+                        rate_code=rate,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/mpeg;codec=mpeg1",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

@@ -82,7 +82,14 @@ def least_squares_3(
                 "requires n·max(|f_i|·|f_j|) < 2^63)"
             ) from e
         raise
-    if g["n"] == 0 or any(g[k] is None for k in ("a00", "b0", "yy", "sy")):
+    # every aggregate must be non-null: a fully-NULL feature or label
+    # column yields NULL sums/maxes for just its own aggregates, so
+    # checking only a00/b0/yy/sy misses features 1-2 (ADVICE r11).
+    all_aggs = (
+        ["a00", "a01", "a02", "a11", "a12", "a22", "b0", "b1", "b2",
+         "yy", "sy", "my"] + [f"mf{i}" for i in range(3)]
+    )
+    if g["n"] == 0 or any(g[k] is None for k in all_aggs):
         raise ValueError(
             "least_squares_3: empty (or fully null) input — nothing to fit"
         )

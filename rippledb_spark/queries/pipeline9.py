@@ -807,6 +807,109 @@ def mpeg1_gop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mpeg1_p_residual_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 3),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 * (2 + doc_id % 2) AS BIGINT) AS w,
+             CAST(32 AS BIGINT) AS h,
+             CAST(CASE 1 + doc_id % 5
+                  WHEN 1 THEN 41708 WHEN 2 THEN 41666 WHEN 3 THEN 40000
+                  WHEN 4 THEN 33366 ELSE 33333 END AS BIGINT) AS us
+      FROM ids
+    ),
+    blk AS (
+      SELECT doc_id, w, r, c,
+             (41 * doc_id + 11 * (r * (w // 8) + c)) % 256 AS y0,
+             ((r // 2) * (w // 16) + c // 2) AS mb,
+             ((r % 2) * 2 + c % 2) AS bi
+      FROM dims, UNNEST(range(0, 4)) AS ur(r),
+           LATERAL UNNEST(range(0, w // 8)) AS uc(c)
+    ),
+    blk2 AS (
+      SELECT doc_id, w, r, c, y0,
+             CAST(LEAST(255, GREATEST(0, FLOOR(
+               y0 + (1 - 2 * ((mb + bi) % 2))
+                  * (16 * (1 + (doc_id + 3 * mb + bi) % 5) + 7) / 8.0
+               + 0.5))) AS BIGINT) AS y1
+      FROM blk
+    ),
+    ysum AS (
+      SELECT doc_id, 64 * SUM(y0 + y1) AS y_sum FROM blk2 GROUP BY doc_id
+    ),
+    csum AS (
+      SELECT doc_id,
+             2 * 64 * SUM((17 * doc_id + 5 * (r * (w // 16) + c)) % 256)
+               AS cb_sum,
+             2 * 64 * SUM((19 * doc_id + 3 * (r * (w // 16) + c)) % 256)
+               AS cr_sum
+      FROM dims, UNNEST(range(0, 2)) AS ur(r),
+           LATERAL UNNEST(range(0, w // 16)) AS uc(c)
+      GROUP BY doc_id
+    ),
+    res AS (
+      SELECT b.doc_id,
+             SUM((i * 4 + j + 1) * (b.y0 + b.y1)) AS resized_wsum
+      FROM generate_series(0, 3) AS gi(i),
+           generate_series(0, 3) AS gj(j), blk2 b
+      WHERE b.r = i AND b.c = (((j * b.w) // 4) // 8)
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(2 AS BIGINT) AS n_frames_sampled,
+           d.us AS us_per_frame,
+           CAST(2 * d.w * d.h AS BIGINT) AS total_pixels,
+           CAST(y.y_sum AS BIGINT) AS y_sum,
+           CAST(c.cb_sum AS BIGINT) AS cb_sum,
+           CAST(c.cr_sum AS BIGINT) AS cr_sum,
+           CAST(r.resized_wsum AS BIGINT) AS resized_wsum
+    FROM dims d
+    JOIN ysum y ON y.doc_id = d.doc_id
+    JOIN csum c ON c.doc_id = d.doc_id
+    JOIN res r ON r.doc_id = d.doc_id
+    ORDER BY media_id
+    """,
+)
+def mpeg1_p_residual_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 RESIDUAL-CODED P pictures decoded for real (r12 — closes
+    the r11 refusal, VERDICT ask #2): each stream is an I picture plus
+    one P picture in which EVERY macroblock is pred-mc-cbp — Table B.3
+    coded_block_pattern, dct_coeff_first's '1s'/table codes, non-intra
+    dequant ((2·QF+Sign)·qscale·W)/16 with truncation toward zero +
+    oddification (§2.4.4.2), and IDCT-ADD of the residual onto the MC
+    prediction. DC-only residuals on block-constant predictions keep
+    the whole decode closed-form: rec = ±(16·L+7) is odd, so
+    round(y0 + rec/8) never ties and both engines agree bit-for-bit on
+    every pixel of every frame. Each luma block carries a DIFFERENT
+    signed level keyed by (macroblock, block index), and resized_wsum
+    weights pixels by position — a wrong CBP bit order, a swapped
+    dequant sign, a missed oddification, or residuals landing on the
+    wrong block all break the row. B pictures and half-pel vectors
+    keep refusing loudly. Reference comparison: n/a (no media surface).
+
+    100 TB shape: identical to the other video paths — Arrow
+    mapInPandas where the payload lives, 1→n_frames expansion in the
+    kernel, one media-keyed agg."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 3)
+    media = MM9.synthesize_mpeg1_residual_gops(d, "doc_id")
+    stats = MM9.mpeg1_frame_pixel_stats(media, every_n=1, out_w=4, out_h=4)
+    return (
+        stats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.min("us_per_frame").alias("us_per_frame"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("y_sum").alias("y_sum"),
+            F.sum("cb_sum").alias("cb_sum"),
+            F.sum("cr_sum").alias("cr_sum"),
+            F.sum("resized_wsum").alias("resized_wsum"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Classifier evaluation: threshold sweep (r11)
 # ---------------------------------------------------------------------------

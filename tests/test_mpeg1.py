@@ -252,30 +252,136 @@ def test_p_picture_refusals():
         decode_mpeg1_frames(bytes(bits.buf))
 
 
-def test_p_picture_residual_refuses_loudly():
-    """A P macroblock carrying coded_block_pattern must refuse (the
-    documented boundary), not decode garbage."""
+def test_p_residual_dc_and_ac_matches_independent_idct():
+    """r12: residual-coded P macroblocks — Table B.3 CBP, the
+    dct_coeff_first '1s' short code, escape coding, non-intra dequant
+    (trunc-toward-zero + oddification), and IDCT-add onto the MC
+    prediction — all against an independent numpy mirror."""
+    import numpy as np
+
     from rippledb_spark.operators.mpeg1 import (
-        _Bits,
-        _MBA_TABLE,
-        encode_mpeg1_intra,
+        _Z,
+        _dct_matrix,
+        _dequant_non_intra,
+        encode_mpeg1_ip,
     )
 
-    w, h = 16, 16
-    Y = _bc_plane(w, h, lambda b: 100)
-    C = _bc_plane(8, 8, lambda b: 128)
-    base = encode_mpeg1_intra(w, h, [(Y, C, C)])
-    bits = _Bits(base[:-4])
-    bits.start_code(0x00)
-    bits.w(1, 10); bits.w(2, 3); bits.w(0xFFFF, 16)
-    bits.w(1, 1); bits.w(1, 3); bits.w(0, 1)
-    bits.start_code(0x01)
-    bits.w(8, 5); bits.w(0, 1)
-    bits.wstr(_MBA_TABLE[1])
-    bits.wstr("01")  # pred-cbp: pattern-bearing type
-    bits.start_code(0xB7); bits.align()
-    with pytest.raises(ValueError, match="coded_block_pattern"):
-        decode_mpeg1_frames(bytes(bits.buf))
+    w, h = 32, 16
+    Y = _bc_plane(w, h, lambda b: 100 + 10 * b)
+    Cb = _bc_plane(16, 8, lambda b: 90)
+    Cr = _bc_plane(16, 8, lambda b: 60)
+    # MB0 holds with a DC residual on each luma block; MB1 MC-copies
+    # MB0 and carries an AC residual (leading ±1 short code, a mid
+    # coefficient, and an out-of-table escape) plus a chroma DC.
+    resid0 = {bi: [(0, 3)] for bi in range(4)}
+    resid1 = {0: [(0, -1), (5, 4), (20, 47)], 4: [(0, 2)]}
+    es = encode_mpeg1_ip(
+        w, h, (Y, Cb, Cr), [[(0, 0, resid0), (-16, 0, resid1)]]
+    )
+    v = decode_mpeg1_frames(es)
+    assert v["n_frames"] == 2
+    M = _dct_matrix()
+
+    def resid_block(coeffs, q=8):
+        F = np.zeros((8, 8))
+        for k, lv in coeffs:
+            r, c = _Z[k]
+            F[r, c] = _dequant_non_intra(lv, q, 16)
+        return M.T @ F @ M
+
+    Y0 = np.frombuffer(Y, np.uint8).reshape(h, w).astype(np.float64)
+    exp = Y0.copy()
+    for by in range(2):
+        for bx in range(2):
+            exp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] += resid_block([(0, 3)])
+    exp[:, 16:32] = Y0[:, 0:16]
+    exp[0:8, 16:24] += resid_block([(0, -1), (5, 4), (20, 47)])
+    exp = np.clip(np.round(exp), 0, 255)
+    Y1 = np.frombuffer(v["frames"][1][0], np.uint8).reshape(h, w)
+    assert (Y1 == exp).all()
+    Cb0 = np.frombuffer(Cb, np.uint8).reshape(8, 16).astype(np.float64)
+    expc = Cb0.copy()
+    expc[:, 8:16] = Cb0[:, 0:8]
+    expc[0:8, 8:16] += resid_block([(0, 2)])
+    expc = np.clip(np.round(expc), 0, 255)
+    Cb1 = np.frombuffer(v["frames"][1][1], np.uint8).reshape(8, 16)
+    assert (Cb1 == expc).all()
+    # Cr untouched by any pattern bit: pure MC copy
+    Cr0 = np.frombuffer(Cr, np.uint8).reshape(8, 16)
+    Cr1 = np.frombuffer(v["frames"][1][2], np.uint8).reshape(8, 16)
+    assert (Cr1[:, 8:] == Cr0[:, :8]).all()
+
+
+def test_non_intra_dequant_rules():
+    """§2.4.4.2 fine print: truncation toward ZERO, oddification
+    toward zero, ±2048 clamp, zero passthrough."""
+    from rippledb_spark.operators.mpeg1 import _dequant_non_intra
+
+    assert _dequant_non_intra(0, 8, 16) == 0
+    # (2·3+1)·8·16/16 = 56 even → 55
+    assert _dequant_non_intra(3, 8, 16) == 55
+    # negative mirrors: (2·(−3)−1)·8 = −56 → −55
+    assert _dequant_non_intra(-3, 8, 16) == -55
+    # truncation toward zero: (2·(−1)−1)·3·17/16 = −153/16 → −9 (floor
+    # would give −10); odd already
+    assert _dequant_non_intra(-1, 3, 17) == -9
+    # clamp
+    assert _dequant_non_intra(127, 31, 16) == 2047
+    assert _dequant_non_intra(-127, 31, 16) == -2048
+
+
+def test_motion_f_code2_sign_before_residual():
+    """ADVICE r11: Table B.4 puts the sign INSIDE the motion_code
+    codeword, before the f_size residual. Pin the bit order by hand
+    and round-trip an f_code=2 stream whose vectors need residuals."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import (
+        _Bits,
+        _decode_motion,
+        _encode_motion,
+        encode_mpeg1_ip,
+    )
+
+    # delta −6 at f_size=1: magnitude code 3 = '00010', then sign 1
+    # (negative), THEN the 1-bit residual 1 — mag ((3−1)<<1)+1+1 = 6
+    b = _Bits()
+    _encode_motion(b, -6, 1)
+    b.align()
+    s = "".join(format(x, "08b") for x in b.buf)
+    assert s.startswith("00010" + "1" + "1")
+    b.pos = 0
+    assert _decode_motion(b, 1, [0, 0], 0) == -6
+    for f_size in (0, 1, 2, 3):
+        f = 1 << f_size
+        for delta in (-6, 6, -1, 5, 16 * f - 1, -16 * f):
+            if not -16 * f <= delta <= 16 * f - 1:
+                continue
+            b = _Bits()
+            _encode_motion(b, delta, f_size)
+            b.align()
+            b.pos = 0
+            assert _decode_motion(b, f_size, [0, 0], 0) == delta
+    # full stream at f_code=2 (every coded vector carries a residual)
+    w, h = 48, 16
+    Y = _bc_plane(w, h, lambda b: 20 + 17 * b)
+    C = _bc_plane(24, 8, lambda b: 128)
+    mvs = [(0, 0), (-16, 0), (-16, 0)]
+    v = decode_mpeg1_frames(encode_mpeg1_ip(w, h, (Y, C, C), [mvs], f_code=2))
+    Y0 = np.frombuffer(Y, np.uint8).reshape(h, w)
+    Y1 = np.frombuffer(v["frames"][1][0], np.uint8).reshape(h, w)
+    assert (Y1[:, 16:] == Y0[:, :-16]).all()
+    assert (Y1[:, :16] == Y0[:, :16]).all()
+
+
+def test_cbp_table_is_prefix_free_and_complete():
+    from rippledb_spark.operators.mpeg1 import _CBP_TABLE
+
+    assert sorted(_CBP_TABLE) == list(range(1, 64))
+    codes = sorted(_CBP_TABLE.values(), key=len)
+    for i, a in enumerate(codes):
+        for b in codes[i + 1:]:
+            assert not b.startswith(a), (a, b)
 
 
 def test_intra_refresh_inside_p_picture():

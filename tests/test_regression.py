@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from rippledb_spark.operators.regression import (
     least_squares_3,
@@ -88,6 +89,19 @@ def test_least_squares_empty_input_refuses_loudly(spark):
     ).where("y < 0")
     with pytest.raises(ValueError, match="empty"):
         least_squares_3(nz, ["one", "x1", "x2"], "y")
+
+
+def test_least_squares_partially_null_columns_refuse_loudly(spark):
+    # ADVICE r11: an entirely-NULL feature 1/2 or label column used to
+    # slip past the a00/b0/yy/sy check and surface as a raw TypeError
+    # from the max-abs extraction — every column must refuse the same way.
+    for null_col in ("x1", "x2", "y"):
+        df = spark.createDataFrame(
+            [(1, 2, 3, 4), (1, 5, 6, 7)],
+            "one bigint, x1 bigint, x2 bigint, y bigint",
+        ).withColumn(null_col, F.lit(None).cast("bigint"))
+        with pytest.raises(ValueError, match="null"):
+            least_squares_3(df, ["one", "x1", "x2"], "y")
 
 
 def test_least_squares_overflow_guard(spark):
