@@ -275,12 +275,12 @@ def main() -> None:
     # no longer own the number. The respread record in BENCH_DETAIL.json
     # cites which queries re-ran and both spreads.
     RESPREAD_AT, RESPREAD_EXTRA = 3.0, 3
-    # r11 (verdict ask #4): warc_roundtrip_accounting and
-    # html_text_extraction regressed >1.25x r9→r10 with no code change —
-    # below the 3x spread trigger, so no solo evidence was recorded.
-    # Force the solo re-run treatment for them this round regardless of
-    # spread, so BENCH_r11 carries direct confirm-or-refute samples.
-    FORCE_RESPREAD = {"warc_roundtrip_accounting", "html_text_extraction"}
+    # r12 (verdict ask #3): image_resize_accounting (1.33x) and
+    # dedup_semantic_embedding (1.23x) regressed r10→r11 with untouched
+    # code — below the 3x spread trigger, so no solo evidence was
+    # recorded. Force the solo re-run treatment this round, the same
+    # respread that resolved the r10 warc/html drift in BENCH_r11.
+    FORCE_RESPREAD = {"image_resize_accounting", "dedup_semantic_embedding"}
     runs: dict[str, list[float]] = {
         name: [p[name] for p in warm_passes] for name in HEADLINE
     }

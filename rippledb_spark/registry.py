@@ -160,6 +160,11 @@ HEADLINE: tuple[str, ...] = (
     # round-11 addition: real MPEG-1 I-frame decode (the video member of
     # the Arrow frame-expansion family with actual entropy coding + IDCT)
     "mpeg1_frame_accounting",
+    # round-12 addition: the multiclass trained-model representative —
+    # char-bigram featurization + K-class softmax GD; one wall for the
+    # whole lang-ID train+serve story (the binary twin is
+    # quality_classifier_accounting)
+    "langid_classifier_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
@@ -233,5 +238,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.pipeline7  # noqa: F401
     import rippledb_spark.queries.pipeline8  # noqa: F401
     import rippledb_spark.queries.pipeline9  # noqa: F401
+    import rippledb_spark.queries.pipeline10  # noqa: F401
 
     _LOADED = True
