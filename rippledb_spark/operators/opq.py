@@ -41,6 +41,7 @@ from rippledb_spark.operators.pca import (
     pca_top_components,
     pca_top_components_sql,
 )
+from rippledb_spark.operators.clustering import kmeans_assignments_sql
 from rippledb_spark.operators.pca import _dot
 from rippledb_spark.operators.pq import ADC_DP, _dist2, pq_adc_sql, pq_codes
 
@@ -99,6 +100,27 @@ def pq_rotated_topk(
     rdf = rot.select(F.col("id").alias("pid"), "rv").localCheckpoint(
         eager=True
     )
+    return _adc_with_original_exact(
+        rdf, df, vec_col, id_col, r, m, k, iterations, n_queries, topk
+    )
+
+
+def _adc_with_original_exact(
+    rdf: DataFrame,
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    r: int,
+    m: int,
+    k: int,
+    iterations: int,
+    n_queries: int,
+    topk: int,
+) -> DataFrame:
+    """ADC top-k in a rotated (pid, rv[r]) space with ``in_exact_topk``
+    judged against the ORIGINAL vectors — the shared tail of the
+    rotated and alternating pipelines (one definition, so the recall
+    comparison between variants can never drift on mechanics)."""
     codes, books = pq_codes(rdf, "rv", "pid", r, m=m, k=k, iterations=iterations)
     d0 = r // m
     rqueries = rdf.orderBy("pid").limit(n_queries).select(
@@ -295,6 +317,59 @@ def load_rotated_index(spark, path: str):
     )
 
 
+def rotate_with_frozen(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    means: DataFrame,
+    comps: DataFrame,
+    dims: int,
+) -> DataFrame:
+    """Rotate vectors with a FROZEN trained rotation — center with the
+    TRAINING means (never the batch's own: re-deriving means from a
+    batch would silently shift the rotation origin) and project onto
+    the stored components with the same 6dp index-ordered folds as
+    training. → DataFrame(id_col, rv array<double>[r]). This is the
+    single serving-side rotation definition: rotated_query_topk routes
+    queries through it, and the streaming crawl sink (r12) encodes new
+    corpus batches with it, so query-side and index-side rotation
+    cannot drift."""
+    mu = means.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mu"))),
+            lambda s: s["mu"],
+        ).alias("mu")
+    )
+    pc = comps.groupBy("component").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "loading"))),
+            lambda s: s["loading"],
+        ).alias("pc")
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), as_double_array(vec_col).alias("__v"))
+        .where(F.size("__v") == dims)
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "__id", F.zip_with("__v", "mu", lambda a, b: a - b).alias("c")
+        )
+        .crossJoin(F.broadcast(pc))
+        .select(
+            "__id",
+            "component",
+            F.round(_dot(F.col("c"), F.col("pc")), 6).alias("coord"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("component", "coord"))),
+                lambda s: s["coord"],
+            ).alias("rv")
+        )
+        .select(F.col("__id").alias(id_col), "rv")
+    )
+
+
 def rotated_query_topk(
     queries: DataFrame,
     means: DataFrame,
@@ -318,36 +393,403 @@ def rotated_query_topk(
     read."""
     from rippledb_spark.operators.pq import pq_query_topk
 
-    mu = means.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "mu"))),
-            lambda s: s["mu"],
-        ).alias("mu")
-    )
-    pc = comps.groupBy("component").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "loading"))),
-            lambda s: s["loading"],
-        ).alias("pc")
-    )
-    rq = (
-        queries.where(F.size("qv") == dims)
-        .crossJoin(F.broadcast(mu))
-        .select(
-            "q_pid", F.zip_with("qv", "mu", lambda a, b: a - b).alias("c")
-        )
-        .crossJoin(F.broadcast(pc))
-        .select(
-            "q_pid",
-            "component",
-            F.round(_dot(F.col("c"), F.col("pc")), 6).alias("coord"),
-        )
-        .groupBy("q_pid")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("component", "coord"))),
-                lambda s: s["coord"],
-            ).alias("qv")
-        )
+    rq = rotate_with_frozen(queries, "qv", "q_pid", means, comps, dims).select(
+        "q_pid", F.col("rv").alias("qv")
     )
     return pq_query_topk(rq, books, codes, dims=r, m=m, topk=topk)
+
+
+# --- full OPQ alternation (r12, VERDICT ask #4): rotation ↔ codebook ----
+# Non-parametric OPQ (Ge et al. 2013 §3.1) alternates (a) PQ codebook
+# training at fixed rotation with (b) the orthogonal-Procrustes rotation
+# update at fixed codebooks: R* = argmax trace(R·M), M = Σ y·x̂ᵀ. The
+# textbook solver is an SVD; here the Procrustes step is solved by
+# CYCLIC GIVENS coordinate descent instead — for each coordinate pair
+# (a, b), the trace-optimal plane rotation has the closed form
+# θ = atan2(M[a][b] − M[b][a], M[a][a] + M[b][b]), and a sweep applies
+# every pair once via a round-robin schedule of DISJOINT pairs (the
+# Jacobi-style iteration for the polar factor; each Givens step is
+# trace-non-decreasing, so sweeps converge to the same stationary
+# points as the SVD solution). This form keeps the house replayable-
+# iterate contract — every cos/sin is a 6dp grid value and the DuckDB
+# twin replays the identical sweep — where a cross-engine SVD would
+# not. The alternation runs INSIDE the OPQ-lite R-dim subspace: the
+# PCA truncation is unchanged, the R×R rotation re-balances variance
+# across the m PQ subspaces (the thing -lite cannot do: after PCA the
+# leading subspace holds nearly all the energy and the trailing
+# codebooks quantize noise).
+
+OPQ_GRID = 1_000_000  # the ×10⁶ BIGINT moment grid (classifier.py's)
+
+
+def _round_half_away(x: float, dp: int = 6) -> float:
+    """DuckDB ROUND semantics (half away from zero) for the driver-side
+    sweep — Python's round() is half-even and would disagree at exact
+    grid boundaries."""
+    import math
+
+    p = 10.0**dp
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def givens_schedule(r: int) -> list[list[tuple[int, int]]]:
+    """Round-robin (circle-method) schedule of the r(r−1)/2 coordinate
+    pairs: r−1 steps of r/2 DISJOINT pairs — disjoint so each step's
+    rotations commute and the SQL twin applies a whole step in one CTE.
+    Requires even r (PQ subspace splits already force that)."""
+    if r % 2:
+        raise ValueError("givens_schedule needs even r")
+    rest = list(range(1, r))
+    steps = []
+    for _ in range(r - 1):
+        cur = [0] + rest
+        pairs = [
+            (min(cur[i], cur[r - 1 - i]), max(cur[i], cur[r - 1 - i]))
+            for i in range(r // 2)
+        ]
+        steps.append(pairs)
+        rest = [rest[-1]] + rest[:-1]
+    return steps
+
+
+def polar_sweeps(
+    M: list[list[float]], schedule: list[list[tuple[int, int]]], sweeps: int = 1
+) -> list[list[float]]:
+    """Driver-side Procrustes coordinate descent on the BOUNDED r×r
+    moment matrix (the regression.py pattern: collect d² moments, do
+    tiny deterministic arithmetic, let the SQL twin replay it): returns
+    the accumulated rotation G with every cos/sin 6dp-rounded. Both M
+    and G rows rotate in schedule order, so trace(G·M) is non-
+    decreasing step by step."""
+    import math
+
+    r = len(M)
+    M = [row[:] for row in M]
+    G = [[1.0 if i == j else 0.0 for j in range(r)] for i in range(r)]
+    for _ in range(sweeps):
+        for pairs in schedule:
+            for a, b in pairs:
+                th = math.atan2(M[a][b] - M[b][a], M[a][a] + M[b][b])
+                c = _round_half_away(math.cos(th))
+                s = _round_half_away(math.sin(th))
+                for X in (M, G):
+                    ra = [c * X[a][j] - s * X[b][j] for j in range(r)]
+                    rb = [s * X[a][j] + c * X[b][j] for j in range(r)]
+                    X[a], X[b] = ra, rb
+    return G
+
+
+def opq_alternating_rotate(
+    rdf: DataFrame,
+    r: int,
+    m: int = 4,
+    k: int = 8,
+    pq_iterations: int = 2,
+    rounds: int = 2,
+    sweeps: int = 1,
+) -> DataFrame:
+    """Run ``rounds`` full-OPQ alternations over an OPQ-lite rotated
+    frame (pid, rv[r]) → the further-rotated frame (pid, rv[r]). Each
+    round: certified pq_codes codebooks on the current frame → per-
+    vector reconstruction x̂ → ONE ×10⁶-BIGINT moment pass for
+    M = Σ y·x̂ᵀ (r² integers collected, the bounded regression.py
+    moment shape) → Givens polar sweep(s) → one broadcast corpus pass
+    applying G with 6dp index-ordered folds."""
+    if r % m:
+        raise ValueError(f"r {r} not divisible into {m} subspaces")
+    spark = rdf.sparkSession
+    schedule = givens_schedule(r)
+    cur = rdf
+    for _ in range(rounds):
+        codes, books = pq_codes(
+            cur, "rv", "pid", r, m=m, k=k, iterations=pq_iterations
+        )
+        xhat = (
+            codes.join(books, ["s", "cid"])
+            .groupBy("pid")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("s", "c"))),
+                        lambda st: st["c"],
+                    )
+                ).alias("xh")
+            )
+        )
+        mm = (
+            cur.join(xhat, "pid")
+            .select(F.posexplode("rv").alias("i", "yi"), "xh")
+            .select("i", "yi", F.posexplode("xh").alias("j", "xj"))
+            .select(
+                "i",
+                "j",
+                F.round(F.col("yi") * F.col("xj") * OPQ_GRID)
+                .cast("bigint")
+                .alias("cv"),
+            )
+            .groupBy("i", "j")
+            .agg(F.sum("cv").alias("mm"))
+        )
+        M = [[0.0] * r for _ in range(r)]
+        for row in mm.collect():  # bounded: r² integer moments
+            M[row["i"]][row["j"]] = float(row["mm"])
+        G = polar_sweeps(M, schedule, sweeps)
+        grows = spark.createDataFrame(
+            [(i, G[i]) for i in range(r)], "i int, grow array<double>"
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(grows))
+            .select(
+                "pid",
+                "i",
+                F.round(_dot(F.col("grow"), F.col("rv")), 6).alias("coord"),
+            )
+            .groupBy("pid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "coord"))),
+                    lambda s: s["coord"],
+                ).alias("rv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cur
+
+
+def opq_alternating_sql(
+    table: str,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    r: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    pca_iterations: int = 6,
+    rounds: int = 2,
+    sweeps: int = 1,
+    n_queries: int = 3,
+    topk: int = 5,
+    prefix: str = "opq",
+) -> str:
+    """DuckDB CTE twin of the full chain: OPQ-lite rotation →
+    ``rounds`` alternations (per-subspace k-means chains, x̂ assembly,
+    the ×10⁶ moment grid, the unrolled Givens sweep updating M and G
+    relation-by-relation, one applied rotation) → final ADC with the
+    ORIGINAL-space exact twin. Yields ``{prefix}f_topk``."""
+    if r % m:
+        raise ValueError(f"r {r} not divisible into {m} subspaces")
+    d0 = r // m
+    schedule = givens_schedule(r)
+    parts = [
+        pca_top_components_sql(
+            table, vec_col, id_col, dims,
+            n_components=r, iterations=pca_iterations,
+        ),
+        f"""{prefix}_cent AS (
+      SELECT {id_col} AS pid,
+             list_transform(range(1, {dims} + 1), kk -> v[kk] - mu[kk]) AS c
+      FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+            WHERE len({vec_col}) = {dims}),
+           pc_mu_arr
+    )""",
+        f"""{prefix}_pc AS (
+      SELECT component, list(loading ORDER BY dim) AS pc
+      FROM pca_components GROUP BY component
+    )""",
+        f"""{prefix}_y0 AS MATERIALIZED (
+      SELECT pid, list(coord ORDER BY component) AS rv FROM (
+        SELECT ce.pid, p.component,
+               ROUND(list_dot_product(ce.c, p.pc), 6) AS coord
+        FROM {prefix}_cent ce, {prefix}_pc p
+      ) GROUP BY pid
+    )""",
+    ]
+    for t in range(1, rounds + 1):
+        rp = f"{prefix}r{t}"
+        yprev = f"{prefix}_y{t - 1}"
+        for s in range(m):
+            lo, hi = s * d0 + 1, (s + 1) * d0
+            sub = f"(SELECT pid, rv[{lo}:{hi}] AS sub_v FROM {yprev})"
+            parts.append(
+                kmeans_assignments_sql(
+                    sub, "sub_v", "pid", dims=d0, k=k,
+                    iterations=iterations, prefix=f"{rp}s{s}",
+                )
+            )
+        book_union = " UNION ALL ".join(
+            f"SELECT {s} AS s, cid, c FROM {rp}s{s}_c{iterations - 1}"
+            for s in range(m)
+        )
+        code_union = " UNION ALL ".join(
+            f"SELECT pid, {s} AS s, cid FROM {rp}s{s}_final"
+            for s in range(m)
+        )
+        parts.append(f"{rp}_books AS ({book_union})")
+        parts.append(f"{rp}_codes AS ({code_union})")
+        parts.append(
+            f"""{rp}_xhat AS (
+      SELECT pid, flatten(list(c ORDER BY s)) AS xh FROM (
+        SELECT co.pid, co.s, b.c
+        FROM {rp}_codes co JOIN {rp}_books b
+          ON b.s = co.s AND b.cid = co.cid
+      ) GROUP BY pid
+    )"""
+        )
+        parts.append(
+            f"""{rp}_m0 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(SUM(CAST(ROUND(y.rv[CAST(i AS INT) + 1]
+                   * x.xh[CAST(j AS INT) + 1] * {OPQ_GRID}) AS BIGINT))
+                  AS DOUBLE) AS mm
+      FROM {yprev} y JOIN {rp}_xhat x USING (pid),
+           UNNEST(range(0, {r})) ui(i), UNNEST(range(0, {r})) uj(j)
+      GROUP BY i, j
+    )"""
+        )
+        parts.append(
+            f"""{rp}_g0 AS (
+      SELECT i, j, CASE WHEN i = j THEN 1.0 ELSE 0.0 END AS g
+      FROM UNNEST(range(0, {r})) ui(i), UNNEST(range(0, {r})) uj(j)
+    )"""
+        )
+        u = 0
+        for _sw in range(sweeps):
+            for pairs in schedule:
+                u += 1
+                vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+                parts.append(
+                    f"""{rp}_ang{u} AS (
+      SELECT pr.a, pr.b,
+             ROUND(cos(atan2(
+               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.b)
+               - (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.a),
+               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.a)
+               + (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.b)
+             )), 6) AS c,
+             ROUND(sin(atan2(
+               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.b)
+               - (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.a),
+               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.a)
+               + (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.b)
+             )), 6) AS s
+      FROM (VALUES {vals}) pr(a, b)
+    )"""
+                )
+                for rel in ("m", "g"):
+                    col = "mm" if rel == "m" else "g"
+                    parts.append(
+                        f"""{rp}_{rel}{u} AS MATERIALIZED (
+      SELECT x.i, x.j,
+             CASE WHEN aa.a IS NOT NULL
+                  THEN aa.c * x.{col} - aa.s * xb.{col}
+                  WHEN ab.b IS NOT NULL
+                  THEN ab.s * xa.{col} + ab.c * x.{col}
+                  ELSE x.{col} END AS {col}
+      FROM {rp}_{rel}{u - 1} x
+      LEFT JOIN {rp}_ang{u} aa ON aa.a = x.i
+      LEFT JOIN {rp}_ang{u} ab ON ab.b = x.i
+      LEFT JOIN {rp}_{rel}{u - 1} xb ON aa.a IS NOT NULL
+        AND xb.i = aa.b AND xb.j = x.j
+      LEFT JOIN {rp}_{rel}{u - 1} xa ON ab.b IS NOT NULL
+        AND xa.i = ab.a AND xa.j = x.j
+    )"""
+                    )
+        parts.append(
+            f"""{rp}_grows AS (
+      SELECT i, list(g ORDER BY j) AS grow FROM {rp}_g{u} GROUP BY i
+    )"""
+        )
+        parts.append(
+            f"""{prefix}_y{t} AS MATERIALIZED (
+      SELECT pid, list(coord ORDER BY i) AS rv FROM (
+        SELECT y.pid, gr.i,
+               ROUND(list_dot_product(gr.grow, y.rv), 6) AS coord
+        FROM {yprev} y, {rp}_grows gr
+      ) GROUP BY pid
+    )"""
+        )
+    parts.append(
+        pq_adc_sql(
+            f"{prefix}_y{rounds}", "rv", "pid", r, m=m, k=k,
+            iterations=iterations, n_queries=n_queries, topk=topk,
+            prefix=f"{prefix}f",
+            exact_source=(
+                f"(SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v"
+                f" FROM {table} WHERE len({vec_col}) = {dims})",
+                "v",
+                "pid",
+            ),
+        )
+    )
+    return ",\n    ".join(parts)
+
+
+def pq_alternating_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    r: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    pca_iterations: int = 6,
+    rounds: int = 2,
+    sweeps: int = 1,
+    n_queries: int = 3,
+    topk: int = 5,
+) -> DataFrame:
+    """Full-OPQ ANN with the original-space recall twin: OPQ-lite
+    rotation → ``rounds`` codebook↔rotation alternations →
+    DataFrame(q_pid, rank, pid, adc_d2, in_exact_topk) — the same
+    output shape as :func:`pq_rotated_topk`, so the recall triple
+    (plain / lite / full) is a like-for-like comparison."""
+    if r % m:
+        raise ValueError(f"r {r} not divisible into {m} subspaces")
+    rot = rotate_vectors(df, vec_col, id_col, dims, r, pca_iterations)
+    rdf = rot.select(F.col("id").alias("pid"), "rv").localCheckpoint(
+        eager=True
+    )
+    rdf2 = opq_alternating_rotate(
+        rdf, r, m=m, k=k, pq_iterations=iterations, rounds=rounds,
+        sweeps=sweeps,
+    )
+    return _adc_with_original_exact(
+        rdf2, df, vec_col, id_col, r, m, k, iterations, n_queries, topk
+    )
+
+
+def pq_distortion_grid(
+    frame: DataFrame, r: int, m: int, k: int, iterations: int
+) -> DataFrame:
+    """→ 1-row DataFrame(dist_grid bigint): the corpus quantization
+    distortion Σ‖y − x̂‖² on the ×10⁶ BIGINT grid (per-vector squared
+    error is a 6dp index-ordered fold, grid-rounded before the sum, so
+    both engines fold identical integers). This is the objective the
+    OPQ alternation minimizes — the certificate that rides the
+    registered row, because top-k recall at certification sample sizes
+    (nq·topk flags) is too granular to witness a distortion win."""
+    codes, books = pq_codes(frame, "rv", "pid", r, m=m, k=k, iterations=iterations)
+    xhat = (
+        codes.join(books, ["s", "cid"])
+        .groupBy("pid")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "c"))),
+                    lambda st: st["c"],
+                )
+            ).alias("xh")
+        )
+    )
+    err = F.aggregate(
+        F.zip_with("rv", "xh", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        frame.join(xhat, "pid")
+        .select(F.round(err * OPQ_GRID).cast("bigint").alias("e"))
+        .agg(F.sum("e").cast("bigint").alias("dist_grid"))
+    )

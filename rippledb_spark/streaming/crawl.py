@@ -305,6 +305,33 @@ def train_crawl_ivfpq_index(
     )
 
 
+def train_crawl_rotated_index(
+    corpus: DataFrame, dims: int = 16, r: int = 8, m: int = 2, k: int = 4,
+    iterations: int = 2, pca_iterations: int = 4,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the ROTATED crawl index once (r12 — OPQ-lite rotation in
+    front of the flat PQ codebooks, operators/opq.train_rotated_index)
+    on a corpus snapshot's kept rows; → (means, comps, books), each
+    eagerly checkpointed for reuse inside the foreachBatch closure.
+    Same freeze-after-training contract as the other trainers: the
+    rotation origin (means) and basis (comps) NEVER move once frozen —
+    every future batch rotates through rotate_with_frozen, so the codes
+    the sink maintains and the queries rotated_query_topk serves live
+    in one fixed space."""
+    from rippledb_spark.operators.opq import train_rotated_index
+
+    emb = corpus_text_embedding(corpus.where(F.col("keep")), dims=dims)
+    means, comps, _, books = train_rotated_index(
+        emb, "emb", "uri", dims, r=r, m=m, k=k,
+        iterations=iterations, pca_iterations=pca_iterations,
+    )
+    return (
+        means.localCheckpoint(eager=True),
+        comps.localCheckpoint(eager=True),
+        books.localCheckpoint(eager=True),
+    )
+
+
 def crawl_accounting(corpus: DataFrame) -> DataFrame:
     """Per-host accounting of a gated corpus — the report a filtering
     run emits per crawl segment (host = the URI's authority)."""
@@ -338,6 +365,8 @@ def start_crawl_corpus_sink(
     pq_dims: int = 16,
     pq_m: int = 2,
     pq_coarse: DataFrame | None = None,
+    pq_rotation: tuple[DataFrame, DataFrame] | None = None,
+    pq_r: int = 8,
     frontier_path: str | None = None,
     frontier_redirects: DataFrame | None = None,
     frontier_robots: DataFrame | None = None,
@@ -402,6 +431,19 @@ def start_crawl_corpus_sink(
         raise ValueError(
             "pq_path requires pq_books — train once with "
             "train_crawl_pq_books and pass the frozen codebook"
+        )
+    if pq_rotation is not None and pq_coarse is not None:
+        raise ValueError(
+            "pq_rotation and pq_coarse are mutually exclusive — the "
+            "rotated index is the flat-PQ variant (rotated IVF routing "
+            "is not offered; pick one)"
+        )
+    if pq_rotation is not None:
+        # freeze the rotation once (the pq_books pattern): every batch
+        # rotates through the SAME origin and basis
+        pq_rotation = (
+            pq_rotation[0].localCheckpoint(eager=True),
+            pq_rotation[1].localCheckpoint(eager=True),
         )
     frontier_map = None
     if frontier_path is not None:
@@ -492,6 +534,45 @@ def start_crawl_corpus_sink(
                 # a torn first write can never leave a codes table
                 # without its codebooks
                 pq_coarse.write.mode("overwrite").parquet(f"{pq_path}/coarse")
+                pq_books.write.mode("overwrite").parquet(f"{pq_path}/books")
+            elif pq_rotation is not None:
+                # rotated form (r12): rotate each batch's vectors with
+                # the FROZEN means/basis (opq.rotate_with_frozen — the
+                # same definition rotated_query_topk routes queries
+                # through), PQ-encode in the R-dim rotated space, and
+                # keep pq_path in the opq.save_rotated_index layout so
+                # opq.load_rotated_index + rotated_query_topk serve ANN
+                # straight off the crawl snapshot
+                from rippledb_spark.operators.opq import rotate_with_frozen
+
+                means, comps = pq_rotation
+                rv = rotate_with_frozen(
+                    emb, "emb", "uri", means, comps, pq_dims
+                ).select(F.col("uri").alias("pid"), "rv")
+                codes = pq_encode(
+                    rv, "rv", "pid", pq_books, dims=pq_r, m=pq_m
+                )
+                if snapshot_ready(spark, f"{pq_path}/codes"):
+                    codes = (
+                        spark.read.parquet(f"{pq_path}/codes")
+                        .join(
+                            F.broadcast(
+                                touched.select(F.col("uri").alias("pid"))
+                            ),
+                            "pid",
+                            "left_anti",
+                        )
+                        .unionByName(codes)
+                    )
+                (
+                    codes.localCheckpoint(eager=True)
+                    .write.mode("overwrite")
+                    .parquet(f"{pq_path}/codes")
+                )
+                # frozen rotation + codebooks rewritten per batch, so a
+                # torn first write can never leave codes without them
+                means.write.mode("overwrite").parquet(f"{pq_path}/means")
+                comps.write.mode("overwrite").parquet(f"{pq_path}/rotation")
                 pq_books.write.mode("overwrite").parquet(f"{pq_path}/books")
             else:
                 codes = pq_encode(

@@ -575,3 +575,74 @@ def test_rotated_index_save_load_serve_roundtrip(spark, sf_dir, tmp_path_factory
     a = sorted(map(tuple, mem.collect()))
     b = sorted(map(tuple, frozen.collect()))
     assert a == b and len(a) == 15
+
+
+def test_givens_schedule_covers_all_pairs_disjointly():
+    from rippledb_spark.operators.opq import givens_schedule
+
+    for r in (4, 8):
+        steps = givens_schedule(r)
+        assert len(steps) == r - 1
+        seen = set()
+        for pairs in steps:
+            flat = [x for p in pairs for x in p]
+            assert len(flat) == len(set(flat)) == r  # disjoint, full cover
+            seen |= set(pairs)
+        assert len(seen) == r * (r - 1) // 2  # every pair exactly once
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="even"):
+        givens_schedule(5)
+
+
+def test_polar_sweep_increases_trace_and_stays_orthogonal():
+    """The Givens coordinate-descent Procrustes step: trace(G·M) must
+    not decrease, and G must stay orthogonal to within the 6dp cos/sin
+    grid (r steps × 1e-6 per entry)."""
+    from rippledb_spark.operators.opq import givens_schedule, polar_sweeps
+
+    # a deliberately non-symmetric moment matrix
+    M = [
+        [4.0, 1.0, -2.0, 0.5],
+        [-1.0, 3.0, 0.7, 2.0],
+        [2.0, -0.5, 1.0, -1.0],
+        [0.3, 1.5, -0.2, 2.5],
+    ]
+    G = polar_sweeps(M, givens_schedule(4), sweeps=2)
+
+    def trace_gm(g, m):
+        return sum(
+            sum(g[i][k] * m[k][i] for k in range(4)) for i in range(4)
+        )
+
+    ident = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+    assert trace_gm(G, M) >= trace_gm(ident, M)
+    # near-orthogonality: G·Gᵀ ≈ I within the grid tolerance
+    for i in range(4):
+        for j in range(4):
+            dot = sum(G[i][k] * G[j][k] for k in range(4))
+            assert abs(dot - (1.0 if i == j else 0.0)) < 1e-4
+
+
+def test_opq_alternation_reduces_distortion(spark, sf_dir):
+    """r12 (full OPQ): the alternation's certified win is the objective
+    it optimizes — corpus quantization distortion Σ‖y − x̂‖² must be
+    strictly LOWER than OPQ-lite's on the planted anisotropic corpus
+    (measured 256.81 → 256.40 at sf0.001 after 2 rounds, monotone per
+    round). Recall is reported but NOT pinned ≥ lite: at the
+    certification sample size (nq·topk = 15 flags) recall granularity
+    is 1/15 and the planted fixture's PCA rotation is already
+    near-optimal, so the recall triple can tie or wobble by a flag or
+    two in either direction — the distortion grid is the witness that
+    cannot. Both rotated variants must still beat plain PQ's recall
+    (the Ge et al. claim)."""
+    from rippledb_spark.queries.pipeline10 import pq_opq_alternating_topk
+
+    rows = pq_opq_alternating_topk(spark, sf_dir).collect()
+    assert len(rows) == 15
+    r0 = rows[0]
+    assert r0["distortion_full"] < r0["distortion_lite"]
+    assert r0["recall_full"] > r0["recall_plain"]
+    assert r0["recall_lite"] > r0["recall_plain"]
+    got = sum(1.0 for r in rows if r["in_exact_topk"]) / len(rows)
+    assert abs(got - r0["recall_full"]) < 1e-6

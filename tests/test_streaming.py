@@ -1584,3 +1584,214 @@ def test_streaming_crawl_classifier_gate_matches_batch(spark, tmp_path):
     keeps = {r[0]: r[-1] for r in got}  # uri -> keep (CORPUS_COLS order)
     assert keeps["https://news.example.com/roast"] is True
     assert keeps["https://spam.example.net/junk"] is False
+
+
+def test_streaming_triple_cdc_sink_matches_batch_apply_diff(spark, tmp_path):
+    """r12: the version-feed consumer — a foreachBatch sink folds
+    diff batches into a live triple snapshot; after the stream drains
+    the snapshot is SET-EQUAL to the batch apply_diff chain (and to
+    the target version directly)."""
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.store import TripleStore
+    from rippledb_spark.streaming.sinks import start_triple_cdc_sink
+
+    v0 = TripleStore.from_rows(
+        spark,
+        [("a", "p", "x"), ("b", "p", "y"), ("c", "q", "z")],
+    )
+    v1 = v0.remove([("b", "p", "y")]).insert(
+        [("d", "p", "w"), ("e", "q", "x")]
+    )
+    v2 = v1.remove([("e", "q", "x"), ("c", "q", "z")]).insert(
+        [("f", "r", "v")]
+    )
+    d01 = v0.diff(v1)
+    d12 = v1.diff(v2)
+
+    feed_dir = tmp_path / "cdc_feed"
+    feed_dir.mkdir()
+    # the incremental-consumer cadence: the feed directory GROWS between
+    # availableNow runs; the checkpoint hands each new step to its own
+    # micro-batch in arrival order
+    d01.coalesce(1).write.parquet(str(feed_dir / "step1"))
+    schema = spark.read.parquet(str(feed_dir / "step1")).schema
+    snap = str(tmp_path / "cdc_snapshot")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    # bootstrap: the consumer starts from the base version's snapshot
+    # (the feed describes changes FROM v0, not from the empty store)
+    v0.df.write.parquet(snap)
+
+    def _drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(feed_dir / "step*")
+        )
+        start_triple_cdc_sink(stream, snap, ckpt).awaitTermination(120)
+
+    _drain()
+    mid = TripleStore(spark, spark.read.parquet(snap))
+    assert mid.diff(v1).count() == 0  # snapshot live at version 1
+    d12.coalesce(1).write.parquet(str(feed_dir / "step2"))
+    _drain()
+
+    folded = TripleStore(spark, spark.read.parquet(snap))
+    batch = v0.apply_diff(d01).apply_diff(d12)
+    assert folded.diff(batch).count() == 0  # streaming == batch fold
+    assert folded.diff(v2).count() == 0  # == the target version
+    assert folded.count() == v2.count() == 3
+
+    # multi-step batch with a version column: e inserted in step 1 and
+    # deleted in step 2 must end ABSENT — the ordered fold guarantees it
+    both = d01.withColumn("v", F.lit(1)).unionByName(
+        d12.withColumn("v", F.lit(2))
+    )
+    onefile = tmp_path / "cdc_feed_one"
+    onefile.mkdir()
+    both.coalesce(1).write.parquet(str(onefile / "all"))
+    stream2 = (
+        spark.readStream.schema(
+            spark.read.parquet(str(onefile / "all")).schema
+        )
+        .parquet(str(onefile / "all"))
+    )
+    snap2 = str(tmp_path / "cdc_snapshot2")
+    v0.df.write.parquet(snap2)
+    q2 = start_triple_cdc_sink(
+        stream2, snap2, str(tmp_path / "cdc_ckpt2"), version_col="v"
+    )
+    q2.awaitTermination(120)
+    folded2 = TripleStore(spark, spark.read.parquet(snap2))
+    assert folded2.diff(v2).count() == 0
+    assert folded2.pattern("e", None, None).count() == 0
+
+
+def _warc_fixture_rich(tmp_path):
+    """Six distinct Gopher-passing pages across two .warc members plus
+    one junk page — enough kept vectors for a non-degenerate PCA
+    rotation (the 2-doc _warc_fixture corpus is rank-1 after
+    centering, which a power-iteration deflation rightly refuses)."""
+
+    def record(uri, html):
+        payload = html.encode()
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            b"Content-Type: text/html\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    themes = [
+        ("harbor", "fishermen", "nets", "gulls", "herring", "pier"),
+        ("valley", "farmers", "plows", "crows", "barley", "barn"),
+        ("desert", "nomads", "tents", "hawks", "dates", "oasis"),
+        ("forest", "rangers", "trails", "owls", "acorns", "cabin"),
+        ("glacier", "climbers", "ropes", "terns", "lichen", "ridge"),
+        ("meadow", "shepherds", "crooks", "larks", "clover", "fence"),
+    ]
+    pages = []
+    for n, (a, b, c, dd, e, f) in enumerate(themes):
+        pages.append(
+            (
+                f"https://site{n}.example.org/page",
+                f"<html><body><p>the morning light settles over a quiet"
+                f" {a} while weathered {b} haul heavy {c} across wooden"
+                f" decks and hungry {dd} wheel above the stone breakwater"
+                f" waiting for scraps of {e} that spill from every crate"
+                f" as the tide turns slowly toward evening when lanterns"
+                f" begin to glow along the crooked {f} where children"
+                f" count returning sails before supper and trade stories"
+                f" about distant storms that never quite reached this"
+                f" coast</p></body></html>",
+            )
+        )
+    junk = "<p>" + "buy now " * 120 + "</p>"
+    d = tmp_path / "warc_stream_rich"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        b"".join(record(u, h) for u, h in pages[:3])
+        + record("https://spam.example.net/junk", junk)
+    )
+    (d / "b.warc").write_bytes(
+        b"".join(record(u, h) for u, h in pages[3:])
+    )
+    return str(d)
+
+
+def test_streaming_crawl_rotated_pq_serving_matches_batch(spark, tmp_path):
+    """r12 (verdict ask #6): the crawl sink's ROTATED-PQ index — OPQ
+    rotation frozen at train time, each micro-batch rotating its own
+    kept winners through rotate_with_frozen before encoding — must (a)
+    maintain codes equal to the batch twin's rotate+encode of the final
+    corpus snapshot, and (b) serve rotated_query_topk off
+    load_rotated_index(pq_path) identically to the batch rotated-ADC
+    over the same snapshot — proving the rotation survives the
+    save/load/serve path inside the streaming pipeline."""
+    from rippledb_spark.operators.opq import (
+        load_rotated_index,
+        rotate_with_frozen,
+        rotated_query_topk,
+    )
+    from rippledb_spark.operators.pq import pq_encode, pq_query_topk
+    from rippledb_spark.sources.warc import WARC_SCHEMA, read_warc, warc_pandas_batches
+    from rippledb_spark.streaming import crawl as SC
+
+    warc_dir = _warc_fixture_rich(tmp_path)
+    snap = str(tmp_path / "rpq_corpus")
+    pq_snap = str(tmp_path / "rpq_index")
+    ckpt = str(tmp_path / "rpq_ckpt")
+
+    batch_corpus = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    means, comps, books = SC.train_crawl_rotated_index(
+        batch_corpus, dims=8, r=2, m=2, k=2
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, ckpt,
+        pq_path=pq_snap, pq_books=books, pq_dims=8, pq_m=2,
+        pq_rotation=(means, comps), pq_r=2,
+    )
+    q.awaitTermination(180)
+
+    # (a) codes == batch rotate+encode of the final corpus snapshot
+    want_src = spark.read.parquet(snap).where(F.col("keep"))
+    rv = rotate_with_frozen(
+        SC.corpus_text_embedding(want_src, dims=8),
+        "emb", "uri", means, comps, 8,
+    ).select(F.col("uri").alias("pid"), "rv")
+    want_codes = sorted(
+        map(tuple, pq_encode(rv, "rv", "pid", books, dims=2, m=2).collect())
+    )
+    got_codes = sorted(
+        map(tuple, spark.read.parquet(f"{pq_snap}/codes").collect())
+    )
+    assert got_codes == want_codes and len(got_codes) > 0
+    uris = {r[0] for r in got_codes}
+    assert "https://spam.example.net/junk" not in uris
+
+    # (b) frozen serving off the SAVED index == batch rotated-ADC
+    queries = SC.corpus_text_embedding(
+        want_src.orderBy("uri").limit(2), dims=8
+    ).select(F.col("uri").alias("q_pid"), F.col("emb").alias("qv"))
+    l_means, l_comps, l_codes, l_books = load_rotated_index(spark, pq_snap)
+    got = sorted(map(tuple, rotated_query_topk(
+        queries, l_means, l_comps, l_codes, l_books,
+        dims=8, r=2, m=2, topk=3,
+    ).collect()))
+    rq = rotate_with_frozen(queries, "qv", "q_pid", means, comps, 8).select(
+        "q_pid", F.col("rv").alias("qv")
+    )
+    want = sorted(map(tuple, pq_query_topk(
+        rq, books,
+        pq_encode(rv, "rv", "pid", books, dims=2, m=2),
+        dims=2, m=2, topk=3,
+    ).collect()))
+    assert got == want and len(got) > 0
