@@ -1,12 +1,12 @@
-"""MPEG-1 video decode: I pictures (full intra path) and zero-residual
-P pictures (motion compensation) — ISO/IEC 11172-2, the "real video
-codec" of the multimodal tier (closes the documented stub in
-operators/multimodal.py for the intra + forward-MC paths; H.264/VP9
-keep refusing loudly — they genuinely need codec libraries).
+"""MPEG-1 video decode: I, P and B pictures — ISO/IEC 11172-2, the
+"real video codec" of the multimodal tier (closes the documented stub
+in operators/multimodal.py for every picture type the format uses in
+practice; H.264/VP9 keep refusing loudly — they genuinely need codec
+libraries).
 
 What's implemented (all public, ISO/IEC 11172-2):
 - bitstream walk: sequence header (§2.4.2.3), GOP (§2.4.2.4), picture
-  (§2.4.2.5, I and P), slice (§2.4.2.6), macroblock (§2.4.2.7),
+  (§2.4.2.5, I, P and B), slice (§2.4.2.6), macroblock (§2.4.2.7),
   block (§2.4.2.8);
 - entropy decode: macroblock_address_increment VLC (Table B.1, incl.
   escape/stuffing), I- and P-picture macroblock_type (Tables B.2a/
@@ -28,11 +28,21 @@ What's implemented (all public, ISO/IEC 11172-2):
   dct_coeff_first's '1s' short code (Table B.5b), non-intra dequant
   ((2·QF+Sign)·scale·W)/16 with truncation toward zero, oddification
   and clamp (§2.4.4.2), loadable non-intra quantizer matrix, and
-  IDCT-add of the residual onto the MC prediction.
+  IDCT-add of the residual onto the MC prediction;
+- half-pel motion compensation (r12): (a+b+1)>>1 / (a+b+c+d+2)>>2
+  interpolation (§2.4.4.2's round-half-away integer division),
+  full_pel_forward_vector=0 streams, and the trunc-toward-zero
+  luma→chroma vector halving — so odd and half-pel vectors decode
+  instead of refusing;
+- B pictures (r12): Table B.2c macroblock types, independent forward/
+  backward vector predictors, bidirectional interpolated prediction
+  ((f+b+1)>>1, §2.4.4.3), skip = repeat the previous macroblock's mode
+  and RETAINED vectors (§2.4.4.4 — unlike P's reset-and-copy), two-
+  anchor reference bookkeeping, and coded→DISPLAY order re-emission
+  (anchors held pending until the next anchor releases them).
 
-Loud refusals (the honest boundary, never silent): B pictures
-(bidirectional MC), half-pel vectors and odd full-pel vectors (both
-need pixel interpolation).
+Loud refusals (the honest boundary, never silent): D pictures
+(ptype 4 — the obsolete DC-only type real encoders never emit).
 
 The ENCODER here exists to synthesize certified fixtures: intra-only
 streams whose blocks are DC-only (block-constant pixel content) — the
@@ -479,15 +489,114 @@ def bits_sign(bits: _Bits) -> int:
     return bits.bit()
 
 
+def _mc_fetch(plane, y0: int, x0: int, h: int, w: int, hy: int, hx: int):
+    """One motion-compensated prediction block with optional half-pel
+    interpolation (§2.4.4.2): the two-point average is (a+b+1)>>1 and
+    the four-point average (a+b+c+d+2)>>2 — the spec's integer division
+    rounding to nearest with halves away from zero (operands are
+    non-negative pixels, so the shift forms are exact)."""
+    H, W = plane.shape
+    if not (0 <= y0 and y0 + h + (1 if hy else 0) <= H
+            and 0 <= x0 and x0 + w + (1 if hx else 0) <= W):
+        raise ValueError("mpeg1: MC source out of frame")
+    a = plane[y0:y0 + h, x0:x0 + w]
+    if not hx and not hy:
+        return a.copy()
+    if hx and hy:
+        b = plane[y0:y0 + h, x0 + 1:x0 + 1 + w]
+        c = plane[y0 + 1:y0 + 1 + h, x0:x0 + w]
+        d = plane[y0 + 1:y0 + 1 + h, x0 + 1:x0 + 1 + w]
+        return (a + b + c + d + 2) >> 2
+    if hx:
+        return (a + plane[y0:y0 + h, x0 + 1:x0 + 1 + w] + 1) >> 1
+    return (a + plane[y0 + 1:y0 + 1 + h, x0:x0 + w] + 1) >> 1
+
+
+def _mc_blocks(src_pad, mx: int, my: int, dx: int, dy: int, full_pel: int):
+    """One macroblock's motion-compensated prediction from a reference
+    picture → (y 16×16, cb 8×8, cr 8×8). Vectors are in full pels when
+    ``full_pel`` else half pels; chroma vectors are the luma vector / 2
+    with truncation toward zero (§2.4.4.2)."""
+    hx = dx << 1 if full_pel else dx
+    hy = dy << 1 if full_pel else dy
+    cvx = hx // 2 if hx >= 0 else -((-hx) // 2)
+    cvy = hy // 2 if hy >= 0 else -((-hy) // 2)
+    yb = _mc_fetch(src_pad[0], my * 16 + (hy >> 1), mx * 16 + (hx >> 1),
+                   16, 16, hy & 1, hx & 1)
+    cy, cx = my * 8 + (cvy >> 1), mx * 8 + (cvx >> 1)
+    cb = _mc_fetch(src_pad[1], cy, cx, 8, 8, cvy & 1, cvx & 1)
+    cr = _mc_fetch(src_pad[2], cy, cx, 8, 8, cvy & 1, cvx & 1)
+    return yb, cb, cr
+
+
+def _decode_add_residuals(
+    bits: _Bits, Y, Cb, Cr, mx: int, my: int, qscale: int,
+    non_intra_q: list[int], M,
+) -> None:
+    """coded_block_pattern + its coded blocks: Table B.3 VLC, non-intra
+    dequant, IDCT, clip-ADD onto the prediction already written into
+    the frame planes (shared by P and B macroblocks)."""
+    import numpy as np
+
+    pattern = _vlc_decode(bits, _CBP_DEC, 9)
+    for bi, (comp, bx, by) in enumerate((
+        ("y", 2 * mx, 2 * my), ("y", 2 * mx + 1, 2 * my),
+        ("y", 2 * mx, 2 * my + 1), ("y", 2 * mx + 1, 2 * my + 1),
+        ("cb", mx, my), ("cr", mx, my),
+    )):
+        if not pattern & (32 >> bi):
+            continue
+        zz = _decode_non_intra_block(bits)
+        Fq = np.zeros((8, 8), dtype=np.float64)
+        for idx, (r, c) in enumerate(_Z):
+            if zz[idx]:
+                Fq[r, c] = _dequant_non_intra(
+                    zz[idx], qscale, non_intra_q[r * 8 + c]
+                )
+        resid = M.T @ Fq @ M
+        tgt = {"y": Y, "cb": Cb, "cr": Cr}[comp]
+        sl = tgt[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+        tgt[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+            np.round(sl + resid), 0, 255
+        ).astype(np.int32)
+
+
+def _decode_b_mb_type(bits: _Bits) -> tuple[int, int, int, int, int]:
+    """B-picture macroblock_type (Table B.2c) →
+    (motion_forward, motion_backward, pattern, intra, quant)."""
+    if bits.bit():
+        if bits.bit():
+            return 1, 1, 1, 0, 0     # 11: interp-mc-cbp
+        return 1, 1, 0, 0, 0         # 10: interp-mc
+    if bits.bit():
+        if bits.bit():
+            return 0, 1, 1, 0, 0     # 011: bwd-mc-cbp
+        return 0, 1, 0, 0, 0         # 010: bwd-mc
+    if bits.bit():
+        if bits.bit():
+            return 1, 0, 1, 0, 0     # 0011: fwd-mc-cbp
+        return 1, 0, 0, 0, 0         # 0010: fwd-mc
+    if bits.bit():
+        if bits.bit():
+            return 0, 0, 0, 1, 0     # 00011: intra
+        return 1, 1, 1, 0, 1         # 00010: interp-mc-cbp + quant
+    if bits.bit():
+        if bits.bit():
+            return 1, 0, 1, 0, 1     # 000011: fwd-mc-cbp + quant
+        return 0, 1, 1, 0, 1         # 000010: bwd-mc-cbp + quant
+    if bits.bit():
+        return 0, 0, 0, 1, 1         # 000001: intra + quant
+    raise ValueError("mpeg1: bad B-MB type prefix")
+
+
 def decode_mpeg1_frames(payload: bytes) -> dict:
     """Parse an MPEG-1 video elementary stream → {width, height,
     us_per_frame, n_frames, frames: [(Y, Cb, Cr) plane bytes]}.
-    Supported pictures: I (full intra path) and P — skipped-macroblock
-    copy, full-pel forward motion compensation (even vectors; odd/
-    half-pel needs interpolation and refuses loudly), intra-refresh
-    macroblocks, and residual-coded blocks (coded_block_pattern +
-    non-intra dequant + IDCT-add, r12). B pictures raise loudly
-    (module docstring)."""
+    Supported pictures: I (full intra path), P (skip copy, full/half-
+    pel forward MC, intra refresh, residual blocks — r12) and B (r12:
+    forward/backward/interpolated prediction, retained-vector skip,
+    residuals; frames return in DISPLAY order). D pictures raise
+    loudly (module docstring)."""
     import numpy as np
 
     bits = _Bits(payload)
@@ -522,7 +631,24 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     M = _dct_matrix()
     frames: list[tuple[bytes, bytes, bytes]] = []
-    prev_pad = None  # padded planes of the last decoded picture
+    # reference bookkeeping (r12, B pictures): the two most recent
+    # ANCHORS (I/P) in coded order. P predicts from anchor_new; a B
+    # picture predicts forward from anchor_old and backward from
+    # anchor_new (coded order puts the future anchor BEFORE its Bs).
+    # Emission is DISPLAY order: an anchor is held pending and emitted
+    # when the next anchor arrives (its Bs emit in between); the last
+    # pending anchor flushes at stream end.
+    anchor_old = anchor_new = None
+    pending: tuple[bytes, bytes, bytes] | None = None
+
+    def _emit(planes) -> tuple[bytes, bytes, bytes]:
+        Yp, Cbp, Crp = planes
+        return (
+            Yp[:height, :width].astype(np.uint8).tobytes(),
+            Cbp[:height // 2, :width // 2].astype(np.uint8).tobytes(),
+            Crp[:height // 2, :width // 2].astype(np.uint8).tobytes(),
+        )
+
     code = bits.next_start_code()
     while code is not None and code != _END:
         if code == _GOP:
@@ -534,34 +660,69 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
             continue
         bits.bits(10)  # temporal reference
         ptype = bits.bits(3)
-        if ptype not in (1, 2):
+        if ptype not in (1, 2, 3):
             raise ValueError(
-                f"mpeg1: picture type {ptype} — only I and zero-residual "
-                "P pictures are supported; B needs bidirectional motion "
-                "compensation"
+                f"mpeg1: picture type {ptype} — I, P and B pictures are "
+                "supported (D pictures are not)"
             )
         bits.bits(16)  # vbv delay
-        full_pel, f_size = 0, 0
-        if ptype == 2:
-            if prev_pad is None:
-                raise ValueError("mpeg1: P picture before any I picture")
-            full_pel = bits.bit()
+        full_pel_f, f_size_f = 0, 0
+        full_pel_b, f_size_b = 0, 0
+        if ptype in (2, 3):
+            if anchor_new is None:
+                raise ValueError(
+                    "mpeg1: P picture before any I picture"
+                    if ptype == 2
+                    else "mpeg1: B picture before any I picture"
+                )
+            full_pel_f = bits.bit()
             f_code = bits.bits(3)
             if not 1 <= f_code <= 7:
                 raise ValueError(f"mpeg1: bad forward_f_code {f_code}")
-            f_size = f_code - 1
+            f_size_f = f_code - 1
+        if ptype == 3:
+            if anchor_old is None:
+                raise ValueError(
+                    "mpeg1: B picture needs two reference anchors"
+                )
+            full_pel_b = bits.bit()
+            b_code = bits.bits(3)
+            if not 1 <= b_code <= 7:
+                raise ValueError(f"mpeg1: bad backward_f_code {b_code}")
+            f_size_b = b_code - 1
         while bits.bit():  # extra_information_picture
             bits.bits(8)
         if ptype == 2:
             # prefill with the reference picture: skipped MBs are then
             # already reconstructed (skip ≡ copy with MV 0, §2.4.4.4)
-            Y = prev_pad[0].copy()
-            Cb = prev_pad[1].copy()
-            Cr = prev_pad[2].copy()
+            Y = anchor_new[0].copy()
+            Cb = anchor_new[1].copy()
+            Cr = anchor_new[2].copy()
         else:
             Y = np.zeros((mbh * 16, mbw * 16), dtype=np.int32)
             Cb = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
             Cr = np.zeros((mbh * 8, mbw * 8), dtype=np.int32)
+        def _b_predict(bmx: int, bmy: int, mode: tuple[int, int]) -> None:
+            # one B macroblock's prediction: forward from anchor_old,
+            # backward from anchor_new, interpolated = (f + b + 1) >> 1
+            # (§2.4.4.3's round-half-away average of two predictions)
+            bmf, bmb = mode
+            parts = []
+            if bmf:
+                parts.append(_mc_blocks(anchor_old, bmx, bmy,
+                                        mv_pred[0], mv_pred[1], full_pel_f))
+            if bmb:
+                parts.append(_mc_blocks(anchor_new, bmx, bmy,
+                                        mv_pred_b[0], mv_pred_b[1],
+                                        full_pel_b))
+            if len(parts) == 2:
+                blocks = tuple((a + b + 1) >> 1 for a, b in zip(*parts))
+            else:
+                blocks = parts[0]
+            Y[bmy * 16:bmy * 16 + 16, bmx * 16:bmx * 16 + 16] = blocks[0]
+            Cb[bmy * 8:bmy * 8 + 8, bmx * 8:bmx * 8 + 8] = blocks[1]
+            Cr[bmy * 8:bmy * 8 + 8, bmx * 8:bmx * 8 + 8] = blocks[2]
+
         code = bits.next_start_code()
         while code is not None and 0x01 <= code <= 0xAF:  # slices
             svp = code  # slice_vertical_position (1-based MB row)
@@ -570,6 +731,8 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                 bits.bits(8)
             preds = {"y": 128, "cb": 128, "cr": 128}
             mv_pred = [0, 0]
+            mv_pred_b = [0, 0]
+            b_prev: tuple[int, int] | None = None
             mb_addr = (svp - 1) * mbw - 1
             while True:
                 # peek for start code: slices are byte-aligned; detect
@@ -605,10 +768,23 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                     break
                 mb_addr += inc
                 if inc > 1:
-                    # skipped MBs: DC and MV predictors reset (§2.4.4.1,
-                    # §2.4.4.4); reconstruction already in the prefill
+                    # skipped MBs: DC predictors reset (§2.4.4.1). In P,
+                    # MV predictors reset too and the prefill already
+                    # holds the copy (§2.4.4.4). In B, predictors are
+                    # RETAINED and each skipped MB repeats the previous
+                    # macroblock's prediction mode and vectors.
                     preds = {"y": 128, "cb": 128, "cr": 128}
-                    mv_pred = [0, 0]
+                    if ptype == 2:
+                        mv_pred = [0, 0]
+                    elif ptype == 3:
+                        if b_prev is None:
+                            raise ValueError(
+                                "mpeg1: B-picture skip with no previous "
+                                "coded prediction (slice start or after "
+                                "intra — illegal per §2.4.4.4)"
+                            )
+                        for sk in range(mb_addr - inc + 1, mb_addr):
+                            _b_predict(sk % mbw, sk // mbw, b_prev)
                 mx, my = mb_addr % mbw, mb_addr // mbw
                 if ptype == 1:
                     # macroblock_type, I-picture (Table B.2a)
@@ -618,7 +794,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         if not bits.bit():
                             raise ValueError("mpeg1: bad I-MB type")
                         qscale = bits.bits(5)  # '01' intra+quant
-                else:
+                elif ptype == 2:
                     # macroblock_type, P-picture (Table B.2b)
                     mc, cbp, intra_mb, quant = _decode_p_mb_type(bits)
                     if quant:
@@ -626,68 +802,56 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                     if not intra_mb:
                         preds = {"y": 128, "cb": 128, "cr": 128}
                         if mc:
-                            dx = _decode_motion(bits, f_size, mv_pred, 0)
-                            dy = _decode_motion(bits, f_size, mv_pred, 1)
+                            dx = _decode_motion(bits, f_size_f, mv_pred, 0)
+                            dy = _decode_motion(bits, f_size_f, mv_pred, 1)
                         else:
                             dx = dy = 0
                             mv_pred = [0, 0]
-                        hx = dx << 1 if full_pel else dx
-                        hy = dy << 1 if full_pel else dy
-                        if (hx | hy) & 1:
-                            raise ValueError(
-                                "mpeg1: half-pel motion is not supported "
-                                "(full-pel MC only — interpolation absent)"
-                            )
-                        px, py = hx >> 1, hy >> 1
-                        if px % 2 or py % 2:
-                            raise ValueError(
-                                "mpeg1: odd full-pel luma vectors need "
-                                "half-pel CHROMA interpolation — only even "
-                                "vectors are supported"
-                            )
-                        sy, sx = my * 16 + py, mx * 16 + px
-                        if not (0 <= sy and sy + 16 <= Y.shape[0]
-                                and 0 <= sx and sx + 16 <= Y.shape[1]):
-                            raise ValueError("mpeg1: MC source out of frame")
-                        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = \
-                            prev_pad[0][sy:sy + 16, sx:sx + 16]
-                        cy, cx = my * 8 + py // 2, mx * 8 + px // 2
-                        Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
-                            prev_pad[1][cy:cy + 8, cx:cx + 8]
-                        Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = \
-                            prev_pad[2][cy:cy + 8, cx:cx + 8]
+                        # r12: half-pel MC (§2.4.4.2) — _mc_blocks does
+                        # the half-pel split and the trunc-toward-zero
+                        # chroma vector halving
+                        yb, cbb, crb = _mc_blocks(
+                            anchor_new, mx, my, dx, dy, full_pel_f
+                        )
+                        Y[my * 16:my * 16 + 16, mx * 16:mx * 16 + 16] = yb
+                        Cb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = cbb
+                        Cr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = crb
                         if cbp:
                             # r12: residual-coded P blocks — Table B.3
                             # pattern, non-intra dequant, IDCT-ADD onto
                             # the MC prediction written above (§2.4.4.2)
-                            pattern = _vlc_decode(bits, _CBP_DEC, 9)
-                            for bi, (comp, bx, by) in enumerate((
-                                ("y", 2 * mx, 2 * my),
-                                ("y", 2 * mx + 1, 2 * my),
-                                ("y", 2 * mx, 2 * my + 1),
-                                ("y", 2 * mx + 1, 2 * my + 1),
-                                ("cb", mx, my), ("cr", mx, my),
-                            )):
-                                if not pattern & (32 >> bi):
-                                    continue
-                                zz = _decode_non_intra_block(bits)
-                                Fq = np.zeros((8, 8), dtype=np.float64)
-                                for idx, (r, c) in enumerate(_Z):
-                                    if zz[idx]:
-                                        Fq[r, c] = _dequant_non_intra(
-                                            zz[idx], qscale,
-                                            non_intra_q[r * 8 + c],
-                                        )
-                                resid = M.T @ Fq @ M
-                                tgt = {"y": Y, "cb": Cb, "cr": Cr}[comp]
-                                sl = tgt[by * 8:by * 8 + 8,
-                                         bx * 8:bx * 8 + 8]
-                                tgt[by * 8:by * 8 + 8,
-                                    bx * 8:bx * 8 + 8] = np.clip(
-                                    np.round(sl + resid), 0, 255
-                                ).astype(np.int32)
+                            _decode_add_residuals(
+                                bits, Y, Cb, Cr, mx, my, qscale,
+                                non_intra_q, M,
+                            )
                         continue
                     mv_pred = [0, 0]  # intra MB resets the MV predictor
+                else:
+                    # macroblock_type, B-picture (Table B.2c, r12)
+                    mf, mb_, cbp, intra_mb, quant = _decode_b_mb_type(bits)
+                    if quant:
+                        qscale = bits.bits(5)
+                    if not intra_mb:
+                        preds = {"y": 128, "cb": 128, "cr": 128}
+                        if mf:
+                            _decode_motion(bits, f_size_f, mv_pred, 0)
+                            _decode_motion(bits, f_size_f, mv_pred, 1)
+                        if mb_:
+                            _decode_motion(bits, f_size_b, mv_pred_b, 0)
+                            _decode_motion(bits, f_size_b, mv_pred_b, 1)
+                        b_prev = (mf, mb_)
+                        _b_predict(mx, my, b_prev)
+                        if cbp:
+                            _decode_add_residuals(
+                                bits, Y, Cb, Cr, mx, my, qscale,
+                                non_intra_q, M,
+                            )
+                        continue
+                    # intra MB in B resets BOTH predictors, and skip may
+                    # not follow it (§2.4.4.2, §2.4.4.4)
+                    mv_pred = [0, 0]
+                    mv_pred_b = [0, 0]
+                    b_prev = None
                 for comp, bx, by in (
                     ("y", 2 * mx, 2 * my), ("y", 2 * mx + 1, 2 * my),
                     ("y", 2 * mx, 2 * my + 1), ("y", 2 * mx + 1, 2 * my + 1),
@@ -733,14 +897,19 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                     else:
                         Cr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
             code = bits.next_start_code()
-        prev_pad = (Y, Cb, Cr)
-        frames.append(
-            (
-                Y[:height, :width].astype(np.uint8).tobytes(),
-                Cb[:height // 2, :width // 2].astype(np.uint8).tobytes(),
-                Cr[:height // 2, :width // 2].astype(np.uint8).tobytes(),
-            )
-        )
+        if ptype == 3:
+            # B pictures emit immediately (display order) and never
+            # become references
+            frames.append(_emit((Y, Cb, Cr)))
+        else:
+            # a new anchor releases the pending one (its Bs, already
+            # emitted, display between them)
+            if pending is not None:
+                frames.append(pending)
+            pending = _emit((Y, Cb, Cr))
+            anchor_old, anchor_new = anchor_new, (Y, Cb, Cr)
+    if pending is not None:
+        frames.append(pending)
     return {
         "width": width,
         "height": height,
@@ -825,81 +994,178 @@ def encode_mpeg1_ip(
     p_motions: list[list[tuple[int, int] | None]],
     rate_code: int = 3,
     f_code: int = 1,
+    full_pel: bool = True,
 ) -> bytes:
     """Fixture synthesizer for I+P streams: one leading I picture
     (block-constant planes — encode_mpeg1_intra's contract) followed by
     one zero-residual P picture per ``p_motions`` entry. Each entry
-    lists, per macroblock in raster order, its FULL-PEL forward motion
-    vector (dx, dy) — both even, the supported chroma-exact class — or
-    ``None`` to skip (copy in place), or ``(dx, dy, resid)`` (r12)
+    lists, per macroblock in raster order, its forward motion vector
+    (dx, dy) — in FULL pels when ``full_pel`` (even vectors are the
+    chroma-exact lossless class; odd vectors interpolate chroma), or
+    in HALF pels when ``full_pel=False`` (odd components interpolate
+    luma too) — or ``None`` to skip (copy in place), or
+    ``(dx, dy, resid)`` (r12)
     where ``resid`` maps block index 0-5 (Y0 Y1 Y2 Y3 Cb Cr) to a
     non-empty list of (zigzag index, quantized level) residual
     coefficients — emitted as a pred-mc-cbp macroblock with the Table
     B.3 pattern. The first and last macroblock of a slice cannot be
     skipped (§2.4.2.7): ``None`` there is coerced to a coded (0, 0)
     vector, which reconstructs identically."""
+    pictures = [("P", tref, mvs)
+                for tref, mvs in enumerate(p_motions, start=1)]
+    return encode_mpeg1_ipb(
+        width, height, iframe, pictures,
+        rate_code=rate_code, f_code=f_code, full_pel=full_pel,
+    )
+
+
+def _write_mba(bits: _Bits, inc: int) -> None:
+    while inc > 33:
+        bits.wstr(_MBA_ESCAPE)
+        inc -= 33
+    bits.wstr(_MBA_TABLE[inc])
+
+
+def _write_resid(bits: _Bits, resid: dict) -> None:
+    pattern = 0
+    for bi in resid:
+        if not 0 <= bi <= 5:
+            raise ValueError("mpeg1 fixture: block index 0-5")
+        pattern |= 32 >> bi
+    bits.wstr(_CBP_TABLE[pattern])
+    for bi in sorted(resid):
+        _encode_non_intra_block(bits, resid[bi])
+
+
+def _write_p_picture(bits: _Bits, tref: int, mvs: list, f_code: int,
+                     full_pel: bool) -> None:
+    bits.start_code(_PIC)
+    bits.w(tref % 1024, 10)
+    bits.w(2, 3)        # P picture
+    bits.w(0xFFFF, 16)  # vbv delay
+    bits.w(1 if full_pel else 0, 1)  # full_pel_forward_vector
+    bits.w(f_code, 3)   # forward_f_code
+    bits.w(0, 1)        # extra_bit_picture
+    bits.start_code(0x01)
+    bits.w(8, 5)        # quantizer_scale
+    bits.w(0, 1)        # extra_bit_slice
+    f_size = f_code - 1
+    coerced = list(mvs)
+    if coerced[0] is None:
+        coerced[0] = (0, 0)
+    if coerced[-1] is None:
+        coerced[-1] = (0, 0)
+    mv_pred = [0, 0]
+    pending = 0
+    for mv in coerced:
+        if mv is None:
+            pending += 1
+            mv_pred = [0, 0]  # skip resets the predictor
+            continue
+        _write_mba(bits, pending + 1)
+        pending = 0
+        dx, dy = mv[0], mv[1]
+        resid = mv[2] if len(mv) > 2 else None
+        if resid:
+            bits.wstr("1")  # macroblock_type: pred-mc-cbp
+        else:
+            bits.wstr("001")  # macroblock_type: pred-mc (no residual)
+        _encode_motion(bits, dx - mv_pred[0], f_size)
+        _encode_motion(bits, dy - mv_pred[1], f_size)
+        mv_pred = [dx, dy]
+        if resid:
+            _write_resid(bits, resid)
+
+
+def _write_b_picture(bits: _Bits, tref: int, mbs: list, f_code: int,
+                     full_pel: bool) -> None:
+    """One B picture (r12): each entry is ``None`` (skip — repeats the
+    previous macroblock's mode and vectors, so the first/last entry
+    must be coded, §2.4.4.4) or ``(fwd, bwd)`` / ``(fwd, bwd, resid)``
+    with fwd/bwd = (dx, dy) or None — at least one present; both →
+    interpolated prediction."""
+    bits.start_code(_PIC)
+    bits.w(tref % 1024, 10)
+    bits.w(3, 3)        # B picture
+    bits.w(0xFFFF, 16)  # vbv delay
+    bits.w(1 if full_pel else 0, 1)  # full_pel_forward_vector
+    bits.w(f_code, 3)   # forward_f_code
+    bits.w(1 if full_pel else 0, 1)  # full_pel_backward_vector
+    bits.w(f_code, 3)   # backward_f_code
+    bits.w(0, 1)        # extra_bit_picture
+    bits.start_code(0x01)
+    bits.w(8, 5)        # quantizer_scale
+    bits.w(0, 1)        # extra_bit_slice
+    f_size = f_code - 1
+    if mbs[0] is None or mbs[-1] is None:
+        raise ValueError(
+            "mpeg1 fixture: a B slice's first and last macroblock must "
+            "be coded (skip repeats the previous prediction, §2.4.4.4)"
+        )
+    mvf, mvb = [0, 0], [0, 0]
+    pending = 0
+    for mb in mbs:
+        if mb is None:
+            pending += 1
+            continue  # B skip retains predictors
+        _write_mba(bits, pending + 1)
+        pending = 0
+        fwd, bwd = mb[0], mb[1]
+        resid = mb[2] if len(mb) > 2 else None
+        if fwd is None and bwd is None:
+            raise ValueError(
+                "mpeg1 fixture: B macroblock needs fwd and/or bwd"
+            )
+        if fwd is not None and bwd is not None:
+            bits.wstr("11" if resid else "10")
+        elif bwd is not None:
+            bits.wstr("011" if resid else "010")
+        else:
+            bits.wstr("0011" if resid else "0010")
+        if fwd is not None:
+            _encode_motion(bits, fwd[0] - mvf[0], f_size)
+            _encode_motion(bits, fwd[1] - mvf[1], f_size)
+            mvf = list(fwd)
+        if bwd is not None:
+            _encode_motion(bits, bwd[0] - mvb[0], f_size)
+            _encode_motion(bits, bwd[1] - mvb[1], f_size)
+            mvb = list(bwd)
+        if resid:
+            _write_resid(bits, resid)
+
+
+def encode_mpeg1_ipb(
+    width: int,
+    height: int,
+    iframe: tuple[bytes, bytes, bytes],
+    pictures: list[tuple[str, int, list]],
+    rate_code: int = 3,
+    f_code: int = 1,
+    full_pel: bool = True,
+) -> bytes:
+    """Fixture synthesizer for I+P+B streams (r12): one leading I
+    picture (temporal reference 0), then ``pictures`` in CODED order —
+    ("P", tref, p_mbs) entries shaped like encode_mpeg1_ip's and
+    ("B", tref, b_mbs) entries shaped like _write_b_picture's. The
+    decoder returns DISPLAY order, so temporal references should
+    reflect the intended display positions (anchors ahead of their
+    Bs in coded order)."""
     if width % 16 or height % 16:
         raise ValueError("mpeg1 fixture dims must be multiples of 16")
     if not 1 <= f_code <= 7:
         raise ValueError(f"mpeg1 fixture: bad forward_f_code {f_code}")
-    f_size = f_code - 1
-    mbw, mbh = width // 16, height // 16
-    n_mb = mbw * mbh
+    n_mb = (width // 16) * (height // 16)
     base = encode_mpeg1_intra(width, height, [iframe], rate_code=rate_code)
     bits = _Bits(base[: len(base) - 4])  # drop the sequence_end code
-    for tref, mvs in enumerate(p_motions, start=1):
-        if len(mvs) != n_mb:
-            raise ValueError(f"p_motions entry needs {n_mb} macroblocks")
-        bits.start_code(_PIC)
-        bits.w(tref % 1024, 10)
-        bits.w(2, 3)        # P picture
-        bits.w(0xFFFF, 16)  # vbv delay
-        bits.w(1, 1)        # full_pel_forward_vector
-        bits.w(f_code, 3)   # forward_f_code
-        bits.w(0, 1)        # extra_bit_picture
-        bits.start_code(0x01)
-        bits.w(8, 5)        # quantizer_scale
-        bits.w(0, 1)        # extra_bit_slice
-        coerced = list(mvs)
-        if coerced[0] is None:
-            coerced[0] = (0, 0)
-        if coerced[-1] is None:
-            coerced[-1] = (0, 0)
-        mv_pred = [0, 0]
-        pending = 0
-        for mv in coerced:
-            if mv is None:
-                pending += 1
-                mv_pred = [0, 0]  # skip resets the predictor
-                continue
-            inc = pending + 1
-            while inc > 33:
-                bits.wstr(_MBA_ESCAPE)
-                inc -= 33
-            bits.wstr(_MBA_TABLE[inc])
-            pending = 0
-            dx, dy = mv[0], mv[1]
-            resid = mv[2] if len(mv) > 2 else None
-            if dx % 2 or dy % 2:
-                raise ValueError(
-                    "fixture vectors must be even (chroma-exact class)"
-                )
-            if resid:
-                bits.wstr("1")  # macroblock_type: pred-mc-cbp
-            else:
-                bits.wstr("001")  # macroblock_type: pred-mc (no residual)
-            _encode_motion(bits, dx - mv_pred[0], f_size)
-            _encode_motion(bits, dy - mv_pred[1], f_size)
-            mv_pred = [dx, dy]
-            if resid:
-                pattern = 0
-                for bi in resid:
-                    if not 0 <= bi <= 5:
-                        raise ValueError("mpeg1 fixture: block index 0-5")
-                    pattern |= 32 >> bi
-                bits.wstr(_CBP_TABLE[pattern])
-                for bi in sorted(resid):
-                    _encode_non_intra_block(bits, resid[bi])
+    for kind, tref, mbs in pictures:
+        if len(mbs) != n_mb:
+            raise ValueError(f"each picture needs {n_mb} macroblocks")
+        if kind == "P":
+            _write_p_picture(bits, tref, mbs, f_code, full_pel)
+        elif kind == "B":
+            _write_b_picture(bits, tref, mbs, f_code, full_pel)
+        else:
+            raise ValueError(f"mpeg1 fixture: unknown picture kind {kind}")
     bits.start_code(_END)
     bits.align()
     return bytes(bits.buf)

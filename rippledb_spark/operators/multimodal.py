@@ -3253,3 +3253,60 @@ def synthesize_mpeg1_residual_gops(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synthesize_mpeg1_ipb_gops(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of I+P+B MPEG-1 streams exercising
+    the r12 B-picture path: coded order I(0) P(2) B(1), display order
+    I B P. The P picture shifts macroblock row 0 right by one MB (the
+    gop fixture's motion); the B picture's prediction MODE varies per
+    macroblock by (id + mb) % 3 — forward-only (== I), backward-only
+    (== P), or interpolated ((I + P + 1) >> 1, exact integers on
+    block-constant anchors) — so one certified row exercises Table
+    B.2c types, both vector predictors, bidirectional averaging, AND
+    the coded→display reordering (the order-weighted sum breaks if
+    frames come back in coded order)."""
+    import pandas as pd
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ipb
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, _, rate = synth_mpeg1_gop_dims(mid)
+                mbw = w // 16
+                p_mbs = []
+                for my in range(2):
+                    for mx in range(mbw):
+                        p_mbs.append(
+                            (-16, 0) if my == 0 and mx > 0 else (0, 0)
+                        )
+                b_mbs = []
+                for mb in range(2 * mbw):
+                    m = (mid + mb) % 3
+                    if m == 0:
+                        b_mbs.append(((0, 0), None))
+                    elif m == 1:
+                        b_mbs.append((None, (0, 0)))
+                    else:
+                        b_mbs.append(((0, 0), (0, 0)))
+                payloads.append(
+                    encode_mpeg1_ipb(
+                        w, h, synth_mpeg1_gop_iframe(mid),
+                        [("P", 2, p_mbs), ("B", 1, b_mbs)],
+                        rate_code=rate,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/mpeg;codec=mpeg1",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

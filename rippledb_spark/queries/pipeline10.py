@@ -554,3 +554,134 @@ def pq_opq_alternating_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dl))
         .orderBy("q_pid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 B pictures (operators/mpeg1.py, r12 — the last picture type)
+# ---------------------------------------------------------------------------
+
+from rippledb_spark.operators import multimodal as MM10  # noqa: E402
+
+
+@query(
+    "mpeg1_b_frame_accounting",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 5),
+    dims AS (
+      SELECT doc_id,
+             CAST(16 * (2 + doc_id % 2) AS BIGINT) AS w,
+             CAST(32 AS BIGINT) AS h,
+             CAST(CASE 1 + doc_id % 5
+                  WHEN 1 THEN 41708 WHEN 2 THEN 41666 WHEN 3 THEN 40000
+                  WHEN 4 THEN 33366 ELSE 33333 END AS BIGINT) AS us
+      FROM ids
+    ),
+    yb AS (
+      SELECT doc_id, w, r, c,
+             (41 * doc_id + 11 * (r * (w // 8) + c)) % 256 AS iv,
+             (41 * doc_id + 11 * (r * (w // 8) +
+                 CASE WHEN r < 2
+                      THEN 2 * GREATEST(c // 2 - 1, 0) + c % 2
+                      ELSE c END)) % 256 AS pv,
+             (doc_id + ((r // 2) * (w // 16) + c // 2)) % 3 AS m
+      FROM dims, UNNEST(range(0, 4)) AS ur(r),
+           LATERAL UNNEST(range(0, w // 8)) AS uc(c)
+    ),
+    yb2 AS (
+      SELECT doc_id, w, r, c, iv, pv,
+             CASE m WHEN 0 THEN iv WHEN 1 THEN pv
+                    ELSE (iv + pv + 1) // 2 END AS bv
+      FROM yb
+    ),
+    ysum AS (
+      SELECT doc_id,
+             64 * SUM(iv + bv + pv) AS y_sum,
+             64 * SUM(1 * iv + 2 * bv + 3 * pv) AS order_wsum
+      FROM yb2 GROUP BY doc_id
+    ),
+    cbk AS (
+      SELECT doc_id, w, r, c,
+             (17 * doc_id + 5 * (r * (w // 16) + c)) % 256 AS biv,
+             (17 * doc_id + 5 * (r * (w // 16) +
+                 CASE WHEN r = 0 THEN GREATEST(c - 1, 0) ELSE c END))
+               % 256 AS bpv,
+             (19 * doc_id + 3 * (r * (w // 16) + c)) % 256 AS riv,
+             (19 * doc_id + 3 * (r * (w // 16) +
+                 CASE WHEN r = 0 THEN GREATEST(c - 1, 0) ELSE c END))
+               % 256 AS rpv,
+             (doc_id + (r * (w // 16) + c)) % 3 AS m
+      FROM dims, UNNEST(range(0, 2)) AS ur(r),
+           LATERAL UNNEST(range(0, w // 16)) AS uc(c)
+    ),
+    csum AS (
+      SELECT doc_id,
+             64 * SUM(biv
+               + CASE m WHEN 0 THEN biv WHEN 1 THEN bpv
+                        ELSE (biv + bpv + 1) // 2 END
+               + bpv) AS cb_sum,
+             64 * SUM(riv
+               + CASE m WHEN 0 THEN riv WHEN 1 THEN rpv
+                        ELSE (riv + rpv + 1) // 2 END
+               + rpv) AS cr_sum
+      FROM cbk GROUP BY doc_id
+    ),
+    res AS (
+      SELECT b.doc_id,
+             SUM((i * 4 + j + 1) * (b.iv + b.bv + b.pv)) AS resized_wsum
+      FROM generate_series(0, 3) AS gi(i),
+           generate_series(0, 3) AS gj(j), yb2 b
+      WHERE b.r = i AND b.c = (((j * b.w) // 4) // 8)
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(3 AS BIGINT) AS n_frames_sampled,
+           d.us AS us_per_frame,
+           CAST(3 * d.w * d.h AS BIGINT) AS total_pixels,
+           CAST(y.y_sum AS BIGINT) AS y_sum,
+           CAST(c.cb_sum AS BIGINT) AS cb_sum,
+           CAST(c.cr_sum AS BIGINT) AS cr_sum,
+           CAST(r.resized_wsum AS BIGINT) AS resized_wsum,
+           CAST(y.order_wsum AS BIGINT) AS order_wsum
+    FROM dims d
+    JOIN ysum y ON y.doc_id = d.doc_id
+    JOIN csum c ON c.doc_id = d.doc_id
+    JOIN res r ON r.doc_id = d.doc_id
+    ORDER BY media_id
+    """,
+)
+def mpeg1_b_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 B PICTURES decoded for real (r12 — the last picture
+    type; closes the final codec boundary beside the P-residual and
+    half-pel extensions): each stream is coded-order I P B where the B
+    picture's prediction mode varies per macroblock — forward-only,
+    backward-only, interpolated (f+b+1)>>1 — against the two anchors,
+    and frames return in DISPLAY order I B P. Interpolation of
+    block-constant anchors is exact integer arithmetic, so the oracle
+    recomputes every pixel of all three frames in closed form;
+    ``order_wsum`` weights each frame's luma sum by its display index,
+    so a decoder that returned coded order (or mixed up the anchors)
+    breaks the row even where plain sums would not. D pictures keep
+    refusing loudly. Reference comparison: n/a (no media surface).
+
+    100 TB shape: identical to the other video paths — Arrow
+    mapInPandas where the payload lives, 1→n_frames expansion in the
+    kernel, one media-keyed agg."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 5)
+    media = MM10.synthesize_mpeg1_ipb_gops(d, "doc_id")
+    stats = MM10.mpeg1_frame_pixel_stats(media, every_n=1, out_w=4, out_h=4)
+    return (
+        stats.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.min("us_per_frame").alias("us_per_frame"),
+            F.sum("n_pixels").alias("total_pixels"),
+            F.sum("y_sum").alias("y_sum"),
+            F.sum("cb_sum").alias("cb_sum"),
+            F.sum("cr_sum").alias("cr_sum"),
+            F.sum("resized_wsum").alias("resized_wsum"),
+            F.sum((F.col("frame_no") + 1) * F.col("y_sum"))
+            .cast("bigint")
+            .alias("order_wsum"),
+        )
+        .orderBy("media_id")
+    )

@@ -141,6 +141,45 @@ def apply_classifier_gate(corpus: DataFrame, model: DataFrame) -> DataFrame:
     )
 
 
+def apply_langid_gate(
+    corpus: DataFrame,
+    model: DataFrame,
+    allowed: tuple[int, ...] = (0,),
+    dims: int = 16,
+    k: int = 4,
+) -> DataFrame:
+    """AND a FROZEN trained language-ID gate into ``keep`` (r12 —
+    operators/langid.py): featurize each row's stripped text with the
+    same char-ngram hashing the certified training queries use, argmax
+    the broadcast flat K·d weights, and keep only rows whose predicted
+    language is in ``allowed`` — ANDed on top of whatever quality
+    decision already stands (rule-based or trained), giving the CCNet
+    language×quality composition. Pure per-document work + one
+    broadcast; composes
+    into foreachBatch exactly like the quality gate, and the streaming
+    == batch twin is pinned in test_streaming."""
+    from rippledb_spark.operators.langid import (
+        char_ngram_hash_features,
+        softmax_predict,
+    )
+
+    feats = char_ngram_hash_features(
+        corpus.select("uri", F.coalesce("text", F.lit("")).alias("text")),
+        "text",
+        "uri",
+        dims=dims,
+    )
+    pred = softmax_predict(feats, "x", "uri", model, dims, k)
+    return (
+        corpus.join(pred, "uri")
+        .withColumn(
+            "keep",
+            F.col("keep") & F.col("pred").isin(*[int(a) for a in allowed]),
+        )
+        .select(*CORPUS_COLS)
+    )
+
+
 # <script type="application/ld+json"> islands — the way schema.org
 # structured data ships inside crawled HTML. Java regex, (?is) =
 # case-insensitive + DOTALL so islands span lines; group 1 is the body.
@@ -372,6 +411,10 @@ def start_crawl_corpus_sink(
     frontier_robots: DataFrame | None = None,
     frontier_max_hops: int = 16,
     quality_model: DataFrame | None = None,
+    langid_model: DataFrame | None = None,
+    langid_allowed: tuple[int, ...] = (0,),
+    langid_dims: int = 16,
+    langid_k: int = 4,
 ):
     """Start the foreachBatch crawl pipeline: gate each WARC micro-batch
     (gate_crawl_records) and upsert by canonical URI into the parquet
@@ -468,12 +511,21 @@ def start_crawl_corpus_sink(
         # freeze the model frame once (the pq_books pattern): every
         # micro-batch broadcasts the same 1-row weights
         quality_model = quality_model.localCheckpoint(eager=True)
+    if langid_model is not None:
+        langid_model = langid_model.localCheckpoint(eager=True)
 
     def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gated = gate_crawl_records(batch_df)
         if quality_model is not None:
+            # the quality gate REPLACES keep, so it must run before the
+            # langid gate (which ANDs into keep) — the conjunction is
+            # the CCNet language×quality composition either way
             gated = apply_classifier_gate(gated, quality_model)
+        if langid_model is not None:
+            gated = apply_langid_gate(
+                gated, langid_model, langid_allowed, langid_dims, langid_k
+            )
         if snapshot_ready(spark, path):
             target = spark.read.parquet(path)
             rest = [c for c in CORPUS_COLS if c != "uri"]

@@ -130,3 +130,23 @@ def test_refusals(spark):
         softmax_train(df, "x", "y", 1, 2, iterations=0)
     with pytest.raises(ValueError, match="dims"):
         char_ngram_hash_features(df, "x", "y", dims=1)
+
+
+def test_softmax_model_save_load_serve_roundtrip(spark, tmp_path):
+    """The generic classifier save/load persists the flat K·d softmax
+    weight row too — frozen lang-ID serving after a reload must equal
+    in-memory serving (the train-once / gate-forever pattern)."""
+    from rippledb_spark.operators.classifier import load_model, save_model
+
+    feats = _feats(spark, n=40).localCheckpoint(eager=True)
+    w = softmax_train(feats, "x", "y", 16, 4, iterations=4, lr=2.0)
+    path = str(tmp_path / "langid_model")
+    save_model(path, w)
+    w2 = load_model(spark, path)
+    got = sorted(
+        map(tuple, softmax_predict(feats, "x", "doc_id", w2, 16, 4).collect())
+    )
+    want = sorted(
+        map(tuple, softmax_predict(feats, "x", "doc_id", w, 16, 4).collect())
+    )
+    assert got == want and len(got) == 40

@@ -224,9 +224,11 @@ def test_p_picture_refusals():
     w, h = 32, 32
     Y = _bc_plane(w, h, lambda b: 100)
     C = _bc_plane(16, 16, lambda b: 128)
-    # odd vectors refuse at encode (chroma-exact class)
-    with pytest.raises(ValueError, match="even"):
-        encode_mpeg1_ip(w, h, (Y, C, C), [[(2, 1)] * 4])
+    # MC source out of frame refuses at decode (vector past the edge)
+    with pytest.raises(ValueError, match="out of frame"):
+        decode_mpeg1_frames(
+            encode_mpeg1_ip(w, h, (Y, C, C), [[(-2, 0)] * 4])
+        )
     # P before I refuses at decode
     bits = _Bits()
     bits.start_code(0xB3)
@@ -247,6 +249,18 @@ def test_p_picture_refusals():
     bits.w(0, 1); bits.w(0, 1)
     bits.start_code(0x00)
     bits.w(0, 10); bits.w(3, 3); bits.w(0xFFFF, 16)
+    bits.start_code(0xB7); bits.align()
+    # r12: B decodes now, but not without its two reference anchors
+    with pytest.raises(ValueError, match="B picture before"):
+        decode_mpeg1_frames(bytes(bits.buf))
+    # D pictures (ptype 4) keep refusing loudly
+    bits = _Bits()
+    bits.start_code(0xB3)
+    bits.w(w, 12); bits.w(h, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(0, 1); bits.w(0, 1)
+    bits.start_code(0x00)
+    bits.w(0, 10); bits.w(4, 3); bits.w(0xFFFF, 16)
     bits.start_code(0xB7); bits.align()
     with pytest.raises(ValueError, match="picture type"):
         decode_mpeg1_frames(bytes(bits.buf))
@@ -431,3 +445,182 @@ def test_intra_refresh_inside_p_picture():
     Y0 = np.frombuffer(Y, dtype=np.uint8).reshape(h, w)
     assert (Y1[:, :16] == 200).all()          # refreshed MB
     assert (Y1[:, 16:] == Y0[:, 16:]).all()   # copied MB
+
+
+def test_half_pel_and_odd_vector_mc_matches_independent_mirror():
+    """r12: half-pel motion compensation — odd FULL-pel vectors (chroma
+    interpolates, luma shifts whole pels) and half-pel streams
+    (full_pel_forward_vector=0; luma interpolates too) — both against
+    an independent numpy mirror of §2.4.4.2's round-half-away
+    averages."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
+
+    w, h = 32, 16
+    Y = _bc_plane(w, h, lambda b: 37 + 23 * b)
+    Cb = _bc_plane(16, 8, lambda b: 80 + 9 * b)
+    Cr = _bc_plane(16, 8, lambda b: 50 + 5 * b)
+    Y0 = np.frombuffer(Y, np.uint8).reshape(h, w).astype(np.int64)
+    Cb0 = np.frombuffer(Cb, np.uint8).reshape(8, 16).astype(np.int64)
+
+    # odd full-pel vector (-1, 0) on MB1: luma shifts one whole pel,
+    # chroma vector trunc(-2/2) = -1 half-pels → horizontal average
+    v = decode_mpeg1_frames(
+        encode_mpeg1_ip(w, h, (Y, Cb, Cr), [[(0, 0), (-1, 0)]])
+    )
+    Y1 = np.frombuffer(v["frames"][1][0], np.uint8).reshape(h, w)
+    assert (Y1[:, 16:] == Y0[:, 15:31]).all()  # whole-pel luma shift
+    assert (Y1[:, :16] == Y0[:, :16]).all()
+    Cb1 = np.frombuffer(v["frames"][1][1], np.uint8).reshape(8, 16)
+    # chroma: ix = -1>>1 = -1, half flag 1 → (p[x-1] + p[x] + 1) >> 1
+    want = (Cb0[:, 7:15] + Cb0[:, 8:16] + 1) >> 1
+    assert (Cb1[:, 8:] == want).all()
+
+    # half-pel stream: vector (-1, 0) in HALF pels on MB1 → luma
+    # horizontal average at x-0.5; chroma trunc(-1/2) = 0 → copy
+    v2 = decode_mpeg1_frames(
+        encode_mpeg1_ip(
+            w, h, (Y, Cb, Cr), [[(0, 0), (-1, 0)]], full_pel=False
+        )
+    )
+    Y2 = np.frombuffer(v2["frames"][1][0], np.uint8).reshape(h, w)
+    wanty = (Y0[:, 15:31] + Y0[:, 16:32] + 1) >> 1
+    assert (Y2[:, 16:] == wanty).all()
+    Cb2 = np.frombuffer(v2["frames"][1][1], np.uint8).reshape(8, 16)
+    assert (Cb2[:, 8:] == Cb0[:, 8:]).all()
+
+    # vertical + diagonal half-pel on a 32x32 frame's second MB row:
+    # MB2 takes (0, -1) (two-point vertical average), MB3 takes
+    # (-1, -1) (the 4-point average (a+b+c+d+2)>>2)
+    h2 = 32
+    Yt = _bc_plane(w, h2, lambda b: (29 * b + 11) % 256)
+    Ct = _bc_plane(16, 16, lambda b: 128)
+    Yt0 = np.frombuffer(Yt, np.uint8).reshape(h2, w).astype(np.int64)
+    v3 = decode_mpeg1_frames(
+        encode_mpeg1_ip(
+            w, h2, (Yt, Ct, Ct),
+            [[(0, 0), (0, 0), (0, -1), (-1, -1)]], full_pel=False,
+        )
+    )
+    Y3 = np.frombuffer(v3["frames"][1][0], np.uint8).reshape(h2, w)
+    want2 = (Yt0[15:31, 0:16] + Yt0[16:32, 0:16] + 1) >> 1
+    assert (Y3[16:32, 0:16] == want2).all()
+    want3 = (
+        Yt0[15:31, 15:31] + Yt0[15:31, 16:32]
+        + Yt0[16:32, 15:31] + Yt0[16:32, 16:32] + 2
+    ) >> 2
+    assert (Y3[16:32, 16:32] == want3).all()
+
+
+def test_b_pictures_decode_with_display_reorder():
+    """r12: B pictures — Table B.2c types, forward/backward/interp
+    prediction, independent MV predictors, skip-repeats-prediction, a
+    residual-coded B macroblock, and coded→display reordering — all
+    against numpy mirrors of §2.4.4.3's (f+b+1)>>1 average."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import (
+        _Z,
+        _dct_matrix,
+        _dequant_non_intra,
+        encode_mpeg1_ipb,
+    )
+
+    w, h = 32, 16
+    Y = _bc_plane(w, h, lambda b: 40 + 20 * b)
+    Cb = _bc_plane(16, 8, lambda b: 100 + 3 * b)
+    Cr = _bc_plane(16, 8, lambda b: 60 + 7 * b)
+    Y0 = np.frombuffer(Y, np.uint8).reshape(h, w).astype(np.int64)
+
+    # coded order I(0) P(2) B(1); P shifts its right MB from the left
+    # half; B: MB0 interpolates both anchors at (0,0), MB1 takes the
+    # backward anchor with a forward-shifted vector AND a DC residual
+    p_mbs = [(0, 0), (-16, 0)]
+    resid = {0: [(0, 3)]}
+    b_mbs = [((0, 0), (0, 0)), (None, (-16, 0), resid)]
+    es = encode_mpeg1_ipb(
+        w, h, (Y, Cb, Cr), [("P", 2, p_mbs), ("B", 1, b_mbs)]
+    )
+    v = decode_mpeg1_frames(es)
+    assert v["n_frames"] == 3  # display: I, B, P
+    I_ = np.frombuffer(v["frames"][0][0], np.uint8).reshape(h, w)
+    B_ = np.frombuffer(v["frames"][1][0], np.uint8).reshape(h, w)
+    P_ = np.frombuffer(v["frames"][2][0], np.uint8).reshape(h, w)
+    assert (I_ == Y0).all()
+    expP = Y0.copy()
+    expP[:, 16:] = Y0[:, :16]
+    assert (P_ == expP).all()
+    M = _dct_matrix()
+    Fq = np.zeros((8, 8))
+    Fq[_Z[0][0], _Z[0][1]] = _dequant_non_intra(3, 8, 16)
+    rblk = M.T @ Fq @ M
+    expB = np.zeros_like(Y0, dtype=np.float64)
+    expB[:, :16] = (Y0[:, :16] + expP[:, :16] + 1) >> 1  # interp MB0
+    expB[:, 16:] = expP[:, :16]  # bwd MC with (-16, 0) reads P's left half
+    expB[0:8, 16:24] += rblk  # the residual-coded Y0 block of MB1
+    expB = np.clip(np.round(expB), 0, 255)
+    assert (B_ == expB).all()
+
+    # skip in B repeats the previous macroblock's mode and vectors
+    w2 = 48
+    Y2 = _bc_plane(w2, h, lambda b: 10 + 11 * b)
+    C2 = _bc_plane(24, 8, lambda b: 128)
+    v2 = decode_mpeg1_frames(
+        encode_mpeg1_ipb(
+            w2, h, (Y2, C2, C2),
+            [("P", 2, [(0, 0)] * 3),
+             ("B", 1, [((0, 0), (0, 0)), None, ((0, 0), (0, 0))])],
+        )
+    )
+    Y20 = np.frombuffer(Y2, np.uint8).reshape(h, w2)
+    B2 = np.frombuffer(v2["frames"][1][0], np.uint8).reshape(h, w2)
+    assert (B2 == Y20).all()  # P == I, so every B MB interpolates to I
+
+    # fixture refusals: skip at slice edge, empty prediction
+    with pytest.raises(ValueError, match="first and last"):
+        encode_mpeg1_ipb(
+            w, h, (Y, Cb, Cr), [("B", 1, [None, ((0, 0), None)])]
+        )
+    with pytest.raises(ValueError, match="fwd and/or bwd"):
+        encode_mpeg1_ipb(
+            w, h, (Y, Cb, Cr), [("B", 1, [(None, None), (None, None)])]
+        )
+
+
+def test_b_picture_fwd_only_and_two_anchor_bookkeeping():
+    """A longer GOP: I P1 P2 with a B between P1 and P2 — the B's
+    forward anchor must be P1 (not I), its backward anchor P2, and
+    display order must interleave correctly."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ipb
+
+    w, h = 32, 16
+    Y = _bc_plane(w, h, lambda b: 25 + 31 * b)
+    C = _bc_plane(16, 8, lambda b: 128)
+    Y0 = np.frombuffer(Y, np.uint8).reshape(h, w).astype(np.int64)
+    # coded: I(0) P1(1) P2(3) B(2); P1 shifts right MB, P2 shifts again;
+    # B forward-only from P1 at (0,0) → B == P1 exactly
+    p1 = [(0, 0), (-16, 0)]
+    p2 = [(0, 0), (-16, 0)]
+    b = [((0, 0), None), ((0, 0), None)]
+    v = decode_mpeg1_frames(
+        encode_mpeg1_ipb(
+            w, h, (Y, C, C),
+            [("P", 1, p1), ("P", 3, p2), ("B", 2, b)],
+        )
+    )
+    assert v["n_frames"] == 4  # display: I, P1, B, P2
+    I_ = np.frombuffer(v["frames"][0][0], np.uint8).reshape(h, w)
+    P1 = np.frombuffer(v["frames"][1][0], np.uint8).reshape(h, w)
+    B_ = np.frombuffer(v["frames"][2][0], np.uint8).reshape(h, w)
+    P2 = np.frombuffer(v["frames"][3][0], np.uint8).reshape(h, w)
+    assert (I_ == Y0).all()
+    expP1 = Y0.copy()
+    expP1[:, 16:] = Y0[:, :16]
+    assert (P1 == expP1).all()
+    expP2 = expP1.copy()
+    expP2[:, 16:] = expP1[:, :16]
+    assert (P2 == expP2).all()
+    assert (B_ == expP1).all()  # fwd-only from its true forward anchor

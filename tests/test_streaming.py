@@ -1795,3 +1795,69 @@ def test_streaming_crawl_rotated_pq_serving_matches_batch(spark, tmp_path):
         dims=2, m=2, topk=3,
     ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_crawl_langid_gate_matches_batch(spark, tmp_path):
+    """r12: the trained lang-ID gate inside the crawl sink — a FROZEN
+    softmax model ANDs its language decision into keep per micro-batch;
+    the drained snapshot must equal the batch twin (gate_crawl_records
+    → apply_langid_gate) row for row."""
+    from rippledb_spark.operators.langid import (
+        char_ngram_hash_features,
+        softmax_train,
+    )
+    from rippledb_spark.sources.warc import WARC_SCHEMA, read_warc, warc_pandas_batches
+    from rippledb_spark.streaming import crawl as SC
+
+    # planted 4-language trainer (the certified query's fixture shape)
+    words = [
+        "".join(chr(97 + 6 * k + (v + i) % 6) for i in range(3))
+        for k in range(4)
+        for v in range(6)
+    ]
+    rows = []
+    for did in range(40):
+        lang = did % 4
+        text = " ".join(
+            words[lang * 6 + (7 * did + 13 * i) % 6]
+            for i in range(12 + did % 5)
+        )
+        rows.append((did, lang, text))
+    train = spark.createDataFrame(rows, "doc_id long, y int, text string")
+    feats = char_ngram_hash_features(train, "text", "doc_id", dims=16).join(
+        train.select("doc_id", "y"), "doc_id"
+    )
+    model = softmax_train(feats, "x", "y", 16, 4, iterations=4, lr=2.0)
+
+    warc_dir = _warc_fixture_rich(tmp_path)
+    batch_corpus = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    allowed = (0, 2)
+    want = sorted(
+        map(
+            tuple,
+            SC.apply_langid_gate(batch_corpus, model, allowed).collect(),
+        )
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    snap = str(tmp_path / "lid_corpus")
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, str(tmp_path / "lid_ckpt"),
+        langid_model=model, langid_allowed=allowed,
+    )
+    q.awaitTermination(180)
+    snap_df = spark.read.parquet(snap)
+    got = sorted(map(tuple, snap_df.collect()))
+    assert got == want and len(got) > 0
+    # the junk page fails the Gopher gate regardless of language, so
+    # the AND composition must keep it False
+    junk = snap_df.where(
+        F.col("uri") == "https://spam.example.net/junk"
+    ).collect()
+    assert len(junk) == 1 and junk[0]["keep"] is False
