@@ -3310,3 +3310,52 @@ def synthesize_mpeg1_ipb_gops(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)
+
+
+def synthesize_mpeg1_halfpel_gops(df: DataFrame, id_col: str) -> DataFrame:
+    """Id-keyed table → media table of I+P MPEG-1 streams exercising
+    the r12 HALF-PEL path with full_pel_forward_vector=0 (vectors in
+    half-pel units): macroblock row 0 takes (−1, 0) — horizontal luma
+    interpolation, chroma copy (trunc(−1/2) = 0) — except column 0's
+    (0, 0); row 1 column 0 takes (0, −1) — vertical luma interpolation
+    — and the rest (−2, 0) — a full-pel luma shift whose chroma vector
+    trunc(−2/2) = −1 interpolates CHROMA horizontally. On block-
+    constant content every interpolated pixel is the exact integer
+    (a+b+1)>>1 of two block constants (edge rows/columns) or the
+    constant itself (interiors), so the SQL oracle recomputes every
+    pixel of both frames in closed form."""
+    import pandas as pd
+
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h, _, rate = synth_mpeg1_gop_dims(mid)
+                mbw = w // 16
+                mbs = []
+                for my in range(2):
+                    for mx in range(mbw):
+                        if my == 0:
+                            mbs.append((0, 0) if mx == 0 else (-1, 0))
+                        else:
+                            mbs.append((0, -1) if mx == 0 else (-2, 0))
+                payloads.append(
+                    encode_mpeg1_ip(
+                        w, h, synth_mpeg1_gop_iframe(mid), [mbs],
+                        rate_code=rate, full_pel=False,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/mpeg;codec=mpeg1",
+                }
+            )
+
+    return src.mapInPandas(batch_fn, schema=MEDIA_SCHEMA)

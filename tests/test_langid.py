@@ -150,3 +150,17 @@ def test_softmax_model_save_load_serve_roundtrip(spark, tmp_path):
         map(tuple, softmax_predict(feats, "x", "doc_id", w, 16, 4).collect())
     )
     assert got == want and len(got) == 40
+
+
+def test_registered_query_recovers_planted_languages(spark, sf_dir):
+    """The certified query itself (train on the balanced half, score
+    the WHOLE corpus) must recover the planted languages — the ≥0.9
+    accuracy certificate the registry row rides."""
+    from rippledb_spark.queries.pipeline10 import langid_classifier_accounting
+
+    rows = langid_classifier_accounting(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert rows[0]["accuracy"] >= 0.9
+    assert sum(r["n_true"] for r in rows) == sum(r["n_pred"] for r in rows)
+    for r in rows:
+        assert r["recall"] >= 0.9
