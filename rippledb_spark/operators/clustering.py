@@ -157,27 +157,36 @@ def kmeans_assignments_sql(
     k: int = 4,
     iterations: int = 2,
     prefix: str = "km",
+    init_rel: str | None = None,
 ) -> str:
     """DuckDB CTE chain unrolling the identical Lloyd rounds; yields a
     relation ``{prefix}_final`` with columns (pid, cid, d2). ``prefix``
     namespaces the relations so several chains (e.g. one per product-
     quantization subspace) compose inside one WITH; the final-round
     codebook is the ``{prefix}_c{iterations-1}`` relation (cid, c) —
-    the SQL twin of :func:`kmeans_centroids`."""
+    the SQL twin of :func:`kmeans_centroids`. ``init_rel`` (r12) names
+    a relation exposing (cid, c) that WARM-STARTS the chain in place
+    of the lowest-pid init — the OPQ alternation's monotonicity device
+    (Lloyd from the previous round's codebooks can only reduce
+    error)."""
     if k <= 0 or iterations <= 0:
         raise ValueError("k and iterations must be positive")
     d2 = (
         "(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.c)"
         " + list_dot_product(c.c, c.c))"
     )
-    parts = [
-        f"{prefix}_pts AS (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v"
-        f" FROM {table})",
-        f"""{prefix}_c0 AS (
+    if init_rel is not None:
+        c0 = f"{prefix}_c0 AS (SELECT cid, c FROM {init_rel})"
+    else:
+        c0 = f"""{prefix}_c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY pid) - 1 AS BIGINT) AS cid,
              v AS c
       FROM (SELECT * FROM {prefix}_pts ORDER BY pid LIMIT {k})
-    )""",
+    )"""
+    parts = [
+        f"{prefix}_pts AS (SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v"
+        f" FROM {table})",
+        c0,
     ]
     prev_c = f"{prefix}_c0"
     for r in range(1, iterations + 1):

@@ -116,12 +116,16 @@ def _adc_with_original_exact(
     iterations: int,
     n_queries: int,
     topk: int,
+    init_books: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k in a rotated (pid, rv[r]) space with ``in_exact_topk``
     judged against the ORIGINAL vectors — the shared tail of the
     rotated and alternating pipelines (one definition, so the recall
     comparison between variants can never drift on mechanics)."""
-    codes, books = pq_codes(rdf, "rv", "pid", r, m=m, k=k, iterations=iterations)
+    codes, books = pq_codes(
+        rdf, "rv", "pid", r, m=m, k=k, iterations=iterations,
+        init_books=init_books,
+    )
     d0 = r // m
     rqueries = rdf.orderBy("pid").limit(n_queries).select(
         F.col("pid").alias("q_pid"), F.col("rv").alias("qv")
@@ -479,6 +483,32 @@ def polar_sweeps(
     return G
 
 
+def _apply_rotation_rows(cur: DataFrame, G: list[list[float]], r: int) -> DataFrame:
+    """One broadcast corpus pass applying an r×r rotation to (pid, rv)
+    with 6dp index-ordered folds — the SAME arithmetic at train time
+    and at frozen-serving time (alternating_query_topk), so query-side
+    and index-side coordinates cannot drift."""
+    spark = cur.sparkSession
+    grows = spark.createDataFrame(
+        [(i, G[i]) for i in range(r)], "i int, grow array<double>"
+    )
+    return (
+        cur.crossJoin(F.broadcast(grows))
+        .select(
+            "pid",
+            "i",
+            F.round(_dot(F.col("grow"), F.col("rv")), 6).alias("coord"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "coord"))),
+                lambda s: s["coord"],
+            ).alias("rv")
+        )
+    )
+
+
 def opq_alternating_rotate(
     rdf: DataFrame,
     r: int,
@@ -487,7 +517,8 @@ def opq_alternating_rotate(
     pq_iterations: int = 2,
     rounds: int = 2,
     sweeps: int = 1,
-) -> DataFrame:
+    return_state: bool = False,
+):
     """Run ``rounds`` full-OPQ alternations over an OPQ-lite rotated
     frame (pid, rv[r]) → the further-rotated frame (pid, rv[r]). Each
     round: certified pq_codes codebooks on the current frame → per-
@@ -497,13 +528,22 @@ def opq_alternating_rotate(
     applying G with 6dp index-ordered folds."""
     if r % m:
         raise ValueError(f"r {r} not divisible into {m} subspaces")
-    spark = rdf.sparkSession
     schedule = givens_schedule(r)
     cur = rdf
+    rotations: list[list[list[float]]] = []
+    prev_books: DataFrame | None = None
     for _ in range(rounds):
+        # WARM-started codebooks (r12): round t seeds Lloyd from round
+        # t−1's books — with the Procrustes step's guarantee (rotating
+        # y cannot increase error vs the FIXED books) this makes the
+        # whole alternation monotone in quantization error, where a
+        # cold lowest-pid re-init each round could (and at sf0.01 did)
+        # land worse than OPQ-lite
         codes, books = pq_codes(
-            cur, "rv", "pid", r, m=m, k=k, iterations=pq_iterations
+            cur, "rv", "pid", r, m=m, k=k, iterations=pq_iterations,
+            init_books=prev_books,
         )
+        prev_books = books.localCheckpoint(eager=True)
         xhat = (
             codes.join(books, ["s", "cid"])
             .groupBy("pid")
@@ -534,25 +574,10 @@ def opq_alternating_rotate(
         for row in mm.collect():  # bounded: r² integer moments
             M[row["i"]][row["j"]] = float(row["mm"])
         G = polar_sweeps(M, schedule, sweeps)
-        grows = spark.createDataFrame(
-            [(i, G[i]) for i in range(r)], "i int, grow array<double>"
-        )
-        cur = (
-            cur.crossJoin(F.broadcast(grows))
-            .select(
-                "pid",
-                "i",
-                F.round(_dot(F.col("grow"), F.col("rv")), 6).alias("coord"),
-            )
-            .groupBy("pid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "coord"))),
-                    lambda s: s["coord"],
-                ).alias("rv")
-            )
-            .localCheckpoint(eager=True)
-        )
+        rotations.append(G)
+        cur = _apply_rotation_rows(cur, G, r).localCheckpoint(eager=True)
+    if return_state:
+        return cur, rotations, prev_books
     return cur
 
 
@@ -615,6 +640,10 @@ def opq_alternating_sql(
                 kmeans_assignments_sql(
                     sub, "sub_v", "pid", dims=d0, k=k,
                     iterations=iterations, prefix=f"{rp}s{s}",
+                    init_rel=(
+                        None if t == 1
+                        else f"{prefix}r{t - 1}s{s}_c{iterations - 1}"
+                    ),
                 )
             )
         book_union = " UNION ALL ".join(
@@ -714,6 +743,10 @@ def opq_alternating_sql(
             f"{prefix}_y{rounds}", "rv", "pid", r, m=m, k=k,
             iterations=iterations, n_queries=n_queries, topk=topk,
             prefix=f"{prefix}f",
+            init_rels=[
+                f"{prefix}r{rounds}s{s}_c{iterations - 1}"
+                for s in range(m)
+            ],
             exact_source=(
                 f"(SELECT {id_col} AS pid, CAST({vec_col} AS DOUBLE[]) AS v"
                 f" FROM {table} WHERE len({vec_col}) = {dims})",
@@ -751,17 +784,19 @@ def pq_alternating_topk(
     rdf = rot.select(F.col("id").alias("pid"), "rv").localCheckpoint(
         eager=True
     )
-    rdf2 = opq_alternating_rotate(
+    rdf2, _, last_books = opq_alternating_rotate(
         rdf, r, m=m, k=k, pq_iterations=iterations, rounds=rounds,
-        sweeps=sweeps,
+        sweeps=sweeps, return_state=True,
     )
     return _adc_with_original_exact(
-        rdf2, df, vec_col, id_col, r, m, k, iterations, n_queries, topk
+        rdf2, df, vec_col, id_col, r, m, k, iterations, n_queries, topk,
+        init_books=last_books,
     )
 
 
 def pq_distortion_grid(
-    frame: DataFrame, r: int, m: int, k: int, iterations: int
+    frame: DataFrame, r: int, m: int, k: int, iterations: int,
+    init_books: DataFrame | None = None,
 ) -> DataFrame:
     """→ 1-row DataFrame(dist_grid bigint): the corpus quantization
     distortion Σ‖y − x̂‖² on the ×10⁶ BIGINT grid (per-vector squared
@@ -770,7 +805,10 @@ def pq_distortion_grid(
     OPQ alternation minimizes — the certificate that rides the
     registered row, because top-k recall at certification sample sizes
     (nq·topk flags) is too granular to witness a distortion win."""
-    codes, books = pq_codes(frame, "rv", "pid", r, m=m, k=k, iterations=iterations)
+    codes, books = pq_codes(
+        frame, "rv", "pid", r, m=m, k=k, iterations=iterations,
+        init_books=init_books,
+    )
     xhat = (
         codes.join(books, ["s", "cid"])
         .groupBy("pid")
@@ -793,3 +831,120 @@ def pq_distortion_grid(
         .select(F.round(err * OPQ_GRID).cast("bigint").alias("e"))
         .agg(F.sum("e").cast("bigint").alias("dist_grid"))
     )
+
+
+# --- alternating-index persistence + frozen serving (r12): the full-OPQ
+#     counterpart of the rotated-index save/load story -------------------
+
+
+def train_alternating_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dims: int,
+    r: int = 8,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+    pca_iterations: int = 6,
+    rounds: int = 2,
+    sweeps: int = 1,
+):
+    """Train the full-OPQ index → (means, comps, givens, codes, books):
+    the five frames :func:`save_alternating_index` persists. ``givens``
+    is the per-round rotation TRAJECTORY as a (round, i, grow) frame —
+    frozen serving must replay round-by-round (each round's output was
+    6dp-rounded before the next rotation, so folding the rounds into
+    one matrix would change the grid points and drift from the stored
+    codes)."""
+    means = _corpus_means(df, vec_col, dims).localCheckpoint(eager=True)
+    comps = pca_top_components(
+        df, vec_col, dims, n_components=r, iterations=pca_iterations
+    ).localCheckpoint(eager=True)
+    rdf = rotate_vectors(
+        df, vec_col, id_col, dims, r, comps=comps
+    ).select(F.col("id").alias("pid"), "rv").localCheckpoint(eager=True)
+    final, rotations, last_books = opq_alternating_rotate(
+        rdf, r, m=m, k=k, pq_iterations=iterations, rounds=rounds,
+        sweeps=sweeps, return_state=True,
+    )
+    spark = df.sparkSession
+    givens = spark.createDataFrame(
+        [
+            (t, i, G[i])
+            for t, G in enumerate(rotations)
+            for i in range(r)
+        ],
+        "round int, i int, grow array<double>",
+    )
+    codes, books = pq_codes(
+        final, "rv", "pid", r, m=m, k=k, iterations=iterations,
+        init_books=last_books,
+    )
+    return means, comps, givens, codes, books
+
+
+def save_alternating_index(
+    path: str,
+    means: DataFrame,
+    comps: DataFrame,
+    givens: DataFrame,
+    codes: DataFrame,
+    books: DataFrame,
+) -> None:
+    """Persist the alternating index: the rotated-index layout plus
+    ``givens/`` (rounds·r rows — the frozen rotation trajectory)."""
+    save_rotated_index(path, means, comps, codes, books)
+    givens.write.mode("overwrite").parquet(f"{path}/givens")
+
+
+def load_alternating_index(spark, path: str):
+    """→ (means, comps, givens, codes, books) ready for
+    :func:`alternating_query_topk`."""
+    means, comps, codes, books = load_rotated_index(spark, path)
+    return means, comps, spark.read.parquet(f"{path}/givens"), codes, books
+
+
+def apply_frozen_rotations(rdf: DataFrame, givens: DataFrame, r: int) -> DataFrame:
+    """Replay a stored rotation trajectory over (pid, rv) — rounds in
+    ascending order, each a broadcast r-row pass with the training-time
+    6dp folds. The collect is bounded: rounds·r rows of r doubles."""
+    rows = givens.collect()
+    rounds: dict[int, list] = {}
+    for row in rows:
+        rounds.setdefault(row["round"], [None] * r)[row["i"]] = list(row["grow"])
+    cur = rdf
+    for t in sorted(rounds):
+        cur = _apply_rotation_rows(cur, rounds[t], r)
+    return cur
+
+
+def alternating_query_topk(
+    queries: DataFrame,
+    means: DataFrame,
+    comps: DataFrame,
+    givens: DataFrame,
+    codes: DataFrame,
+    books: DataFrame,
+    dims: int,
+    r: int,
+    m: int,
+    topk: int = 5,
+) -> DataFrame:
+    """Serve ANN queries against a FROZEN alternating index: center
+    with the TRAINING means, project onto the stored components, replay
+    the stored Givens trajectory round-by-round, then the flat-PQ ADC
+    serving path. ``queries`` is DataFrame(q_pid, qv in the ORIGINAL
+    space); → (q_pid, rank, pid, adc_d2). The frame order matches
+    train/load_alternating_index, so
+    ``alternating_query_topk(q, *load_alternating_index(spark, path),
+    ...)`` is the natural call."""
+    from rippledb_spark.operators.pq import pq_query_topk
+
+    rq = rotate_with_frozen(queries, "qv", "q_pid", means, comps, dims).select(
+        F.col("q_pid").alias("pid"), "rv"
+    )
+    rq = apply_frozen_rotations(rq, givens, r).select(
+        F.col("pid").alias("q_pid"), F.col("rv").alias("qv")
+    )
+    return pq_query_topk(rq, books, codes, dims=r, m=m, topk=topk)

@@ -69,6 +69,7 @@ def pq_codes(
     m: int = 4,
     k: int = 8,
     iterations: int = 2,
+    init_books: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (codes, codebooks): ``codes`` is DataFrame(pid, s, cid) — one
     row per (vector, subspace) with the vector's code; ``codebooks`` is
@@ -93,21 +94,28 @@ def pq_codes(
         F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
     )
     sub = _subspace_rows(full, dims, m).localCheckpoint(eager=False)
-    # init: the k lowest-id vectors seed EVERY subspace (the per-s init
-    # set is the same pid set), so one bounded limit feeds all m
-    init = (
-        full.orderBy("pid")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("pid")) - 1)
-            .cast("bigint")
-            .alias("cid"),
-            "v",
+    if init_books is not None:
+        # WARM start (r12 — the OPQ alternation's monotonicity device):
+        # seed every subspace from a prior (s, cid, c) codebook instead
+        # of the lowest-pid vectors; Lloyd from a prior codebook can
+        # only reduce quantization error
+        cents = init_books.select("s", "cid", "c")
+    else:
+        # init: the k lowest-id vectors seed EVERY subspace (the per-s
+        # init set is the same pid set), so one bounded limit feeds all m
+        init = (
+            full.orderBy("pid")
+            .limit(k)
+            .select(
+                (F.row_number().over(Window.orderBy("pid")) - 1)
+                .cast("bigint")
+                .alias("cid"),
+                "v",
+            )
         )
-    )
-    cents = _subspace_rows(init.select(F.col("cid").alias("pid"), "v"), dims, m).select(
-        "s", F.col("pid").alias("cid"), F.col("sv").alias("c")
-    )
+        cents = _subspace_rows(
+            init.select(F.col("cid").alias("pid"), "v"), dims, m
+        ).select("s", F.col("pid").alias("cid"), F.col("sv").alias("c"))
     for _ in range(iterations - 1):
         a = sub.join(F.broadcast(cents), "s").select(
             "pid", "s", "sv", "cid", _dist2(F.col("sv"), F.col("c")).alias("d2")
@@ -954,6 +962,7 @@ def pq_adc_sql(
     topk: int = 5,
     prefix: str = "pq",
     exact_source: tuple[str, str, str] | None = None,
+    init_rels: list[str] | None = None,
 ) -> str:
     """DuckDB CTE-chain twin of :func:`pq_adc_topk`; yields a relation
     ``{prefix}_topk`` with the same five columns. One namespaced k-means
@@ -969,6 +978,8 @@ def pq_adc_sql(
     ORIGINAL space; default: same relation as the quantized input."""
     if dims % m:
         raise ValueError(f"dims {dims} not divisible into {m} subspaces")
+    if init_rels is not None and len(init_rels) != m:
+        raise ValueError("init_rels must name one relation per subspace")
     d0 = dims // m
     parts = []
     for s in range(m):
@@ -981,6 +992,7 @@ def pq_adc_sql(
             kmeans_assignments_sql(
                 sub, "sub_v", id_col, dims=d0, k=k,
                 iterations=iterations, prefix=f"{prefix}{s}",
+                init_rel=None if init_rels is None else init_rels[s],
             )
         )
     book_union = " UNION ALL ".join(

@@ -624,25 +624,124 @@ def test_polar_sweep_increases_trace_and_stays_orthogonal():
             assert abs(dot - (1.0 if i == j else 0.0)) < 1e-4
 
 
-def test_opq_alternation_reduces_distortion(spark, sf_dir):
-    """r12 (full OPQ): the alternation's certified win is the objective
-    it optimizes — corpus quantization distortion Σ‖y − x̂‖² must be
-    strictly LOWER than OPQ-lite's on the planted anisotropic corpus
-    (measured 256.81 → 256.40 at sf0.001 after 2 rounds, monotone per
-    round). Recall is reported but NOT pinned ≥ lite: at the
-    certification sample size (nq·topk = 15 flags) recall granularity
-    is 1/15 and the planted fixture's PCA rotation is already
-    near-optimal, so the recall triple can tie or wobble by a flag or
-    two in either direction — the distortion grid is the witness that
-    cannot. Both rotated variants must still beat plain PQ's recall
-    (the Ge et al. claim)."""
+def test_opq_alternation_distortion_chain_is_monotone(spark, sf_dir):
+    """r12 (full OPQ with WARM-started codebooks): the alternation's
+    certified win is the objective it optimizes — the quantization-
+    error chain lite → round 1 → round 2 must be NON-INCREASING and
+    the end-to-end drop substantial (measured −17% at sf0.001, −11% at
+    sf0.01; the pre-warm-start cold re-init managed 0.16% and at
+    sf0.01 went the wrong way). The comparison is deliberately a
+    SINGLE-SESSION Spark one, not a hashed oracle column: the corpus
+    error sum sits on a ×10⁶ grid where one k-means-mean ulp flips
+    exact-integer equality across run contexts. Recall is reported on
+    the registered row but not pinned ≥ lite (15-flag granularity on a
+    PCA-near-optimal fixture); both rotated variants must still beat
+    plain PQ's recall (the Ge et al. claim)."""
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.opq import (
+        opq_alternating_rotate,
+        pq_distortion_grid,
+        rotate_vectors,
+    )
+    from rippledb_spark.queries.pipeline9 import _aniso_vectors
     from rippledb_spark.queries.pipeline10 import pq_opq_alternating_topk
+    from rippledb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    av = _aniso_vectors(e).localCheckpoint(eager=True)
+    rot = rotate_vectors(av, "av", "vec_id", 64, 8, pca_iterations=6)
+    rdf = rot.select(F.col("id").alias("pid"), "rv").localCheckpoint(
+        eager=True
+    )
+    chain = [pq_distortion_grid(rdf, 8, 4, 8, 2).collect()[0]["dist_grid"]]
+    for rounds in (1, 2):
+        cur, _, books = opq_alternating_rotate(
+            rdf, 8, m=4, k=8, pq_iterations=2, rounds=rounds,
+            return_state=True,
+        )
+        chain.append(
+            pq_distortion_grid(cur, 8, 4, 8, 2, init_books=books)
+            .collect()[0]["dist_grid"]
+        )
+    assert chain[0] >= chain[1] >= chain[2], chain
+    assert chain[2] < 0.95 * chain[0], chain  # a real win, not grid noise
 
     rows = pq_opq_alternating_topk(spark, sf_dir).collect()
     assert len(rows) == 15
     r0 = rows[0]
-    assert r0["distortion_full"] < r0["distortion_lite"]
     assert r0["recall_full"] > r0["recall_plain"]
     assert r0["recall_lite"] > r0["recall_plain"]
     got = sum(1.0 for r in rows if r["in_exact_topk"]) / len(rows)
     assert abs(got - r0["recall_full"]) < 1e-6
+
+
+def test_alternating_index_save_load_serve_roundtrip(spark, sf_dir, tmp_path_factory):
+    """r12: the full-OPQ index's frozen-serving path — save the five
+    frames (rotated layout + the Givens trajectory), reload, serve
+    original-space queries; results identical to in-memory serving,
+    and the trajectory replay must reproduce the TRAINING-time rotated
+    coordinates exactly (codes were built from them)."""
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.functions.vector import as_double_array
+    from rippledb_spark.operators.opq import (
+        alternating_query_topk,
+        apply_frozen_rotations,
+        load_alternating_index,
+        rotate_with_frozen,
+        save_alternating_index,
+        train_alternating_index,
+    )
+    from rippledb_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    means, comps, givens, codes, books = train_alternating_index(
+        e, "embedding", "vec_id", 64, r=4, m=2, k=4,
+        iterations=2, pca_iterations=3, rounds=2,
+    )
+    assert givens.count() == 2 * 4  # rounds x r rotation rows
+    path = str(tmp_path_factory.mktemp("altidx"))
+    save_alternating_index(path, means, comps, givens, codes, books)
+    queries = (
+        e.orderBy("vec_id")
+        .limit(3)
+        .select(
+            F.col("vec_id").alias("q_pid"),
+            as_double_array("embedding").alias("qv"),
+        )
+    )
+    mem = alternating_query_topk(
+        queries, means, comps, givens, codes, books,
+        dims=64, r=4, m=2, topk=5,
+    )
+    frozen = alternating_query_topk(
+        queries, *load_alternating_index(spark, path),
+        dims=64, r=4, m=2, topk=5,
+    )
+    a = sorted(map(tuple, mem.collect()))
+    b = sorted(map(tuple, frozen.collect()))
+    assert a == b and len(a) == 15
+    # self-queries through the frozen path land on the SAME rotated
+    # coordinates the index was built from: each query's own code row
+    # must be its nearest reconstruction — rank-1 ADC distance equals
+    # the pid's own quantization distance (sanity: replay == training)
+    rv_serve = apply_frozen_rotations(
+        rotate_with_frozen(queries, "qv", "q_pid", means, comps, 64)
+        .select(F.col("q_pid").alias("pid"), "rv"),
+        givens, 4,
+    )
+    got = {r["pid"]: list(r["rv"]) for r in rv_serve.collect()}
+    # training-time rotated vectors for the same pids
+    from rippledb_spark.operators.opq import opq_alternating_rotate, rotate_vectors
+
+    rdf = rotate_vectors(e, "embedding", "vec_id", 64, 4, pca_iterations=3)
+    full = opq_alternating_rotate(
+        rdf.select(F.col("id").alias("pid"), "rv"), 4, m=2, k=4,
+        pq_iterations=2, rounds=2,
+    )
+    want = {
+        r["pid"]: list(r["rv"])
+        for r in full.where(F.col("pid").isin(list(got))).collect()
+    }
+    assert got == want
