@@ -1,8 +1,7 @@
-"""MPEG-1 video decode: I, P and B pictures — ISO/IEC 11172-2, the
-"real video codec" of the multimodal tier (closes the documented stub
-in operators/multimodal.py for every picture type the format uses in
-practice; H.264/VP9 keep refusing loudly — they genuinely need codec
-libraries).
+"""MPEG-1 video decode: I, P, B and D pictures — the COMPLETE ISO/IEC
+11172-2 picture-type surface, the "real video codec" of the multimodal
+tier (closes the documented stub in operators/multimodal.py; H.264/VP9
+keep refusing loudly — they genuinely need codec libraries).
 
 What's implemented (all public, ISO/IEC 11172-2):
 - bitstream walk: sequence header (§2.4.2.3), GOP (§2.4.2.4), picture
@@ -39,10 +38,13 @@ What's implemented (all public, ISO/IEC 11172-2):
   ((f+b+1)>>1, §2.4.4.3), skip = repeat the previous macroblock's mode
   and RETAINED vectors (§2.4.4.4 — unlike P's reset-and-copy), two-
   anchor reference bookkeeping, and coded→DISPLAY order re-emission
-  (anchors held pending until the next anchor releases them).
+  (anchors held pending until the next anchor releases them);
+- D pictures (r12): the obsolete DC-only type — Table B.2d's single
+  macroblock code, DC-only blocks (no AC, no EOB), the
+  end_of_macroblock bit (§2.4.3.1).
 
-Loud refusals (the honest boundary, never silent): D pictures
-(ptype 4 — the obsolete DC-only type real encoders never emit).
+Loud refusals (the honest boundary, never silent): invalid picture
+type codes (5-7); at the module boundary, H.264/VP9 payloads.
 
 The ENCODER here exists to synthesize certified fixtures: intra-only
 streams whose blocks are DC-only (block-constant pixel content) — the
@@ -660,11 +662,8 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
             continue
         bits.bits(10)  # temporal reference
         ptype = bits.bits(3)
-        if ptype not in (1, 2, 3):
-            raise ValueError(
-                f"mpeg1: picture type {ptype} — I, P and B pictures are "
-                "supported (D pictures are not)"
-            )
+        if ptype not in (1, 2, 3, 4):
+            raise ValueError(f"mpeg1: invalid picture type {ptype}")
         bits.bits(16)  # vbv delay
         full_pel_f, f_size_f = 0, 0
         full_pel_b, f_size_b = 0, 0
@@ -794,6 +793,11 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         if not bits.bit():
                             raise ValueError("mpeg1: bad I-MB type")
                         qscale = bits.bits(5)  # '01' intra+quant
+                elif ptype == 4:
+                    # macroblock_type, D-picture (Table B.2d): the one
+                    # code '1' (r12 — the obsolete DC-only picture type)
+                    if not bits.bit():
+                        raise ValueError("mpeg1: bad D-MB type")
                 elif ptype == 2:
                     # macroblock_type, P-picture (Table B.2b)
                     mc, cbp, intra_mb, quant = _decode_p_mb_type(bits)
@@ -862,6 +866,17 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                     diff = _dc_diff_value(size, bits.bits(size) if size else 0)
                     dc = preds[comp] + diff
                     preds[comp] = dc
+                    if ptype == 4:
+                        # D blocks carry ONLY the DC (no AC, no EOB):
+                        # recon = dc·8, IDCT constant = dc — exact
+                        pix = max(0, min(255, dc))
+                        if comp == "y":
+                            Y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+                        elif comp == "cb":
+                            Cb[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+                        else:
+                            Cr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+                        continue
                     zz = [0] * 64
                     zz[0] = dc * 8  # intra DC: recon = dc·8 (§2.4.4.1)
                     k = 0
@@ -896,6 +911,11 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         Cb[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
                     else:
                         Cr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+                if ptype == 4 and not bits.bit():
+                    # §2.4.3.1: D macroblocks end with end_of_macroblock=1
+                    raise ValueError(
+                        "mpeg1: missing end_of_macroblock in D picture"
+                    )
             code = bits.next_start_code()
         if ptype == 3:
             # B pictures emit immediately (display order) and never
@@ -1166,6 +1186,73 @@ def encode_mpeg1_ipb(
             _write_b_picture(bits, tref, mbs, f_code, full_pel)
         else:
             raise ValueError(f"mpeg1 fixture: unknown picture kind {kind}")
+    bits.start_code(_END)
+    bits.align()
+    return bytes(bits.buf)
+
+
+def encode_mpeg1_d(
+    width: int,
+    height: int,
+    frames: list[tuple[bytes, bytes, bytes]],
+    rate_code: int = 3,
+) -> bytes:
+    """Fixture synthesizer for D-only streams (r12 — ISO 11172-2's
+    obsolete DC-only picture type, kept for a COMPLETE picture-type
+    surface): each frame is block-constant 4:2:0 planes; every
+    macroblock is the single D type ('1'), carries the six DC
+    differentials and ends with end_of_macroblock=1 — no AC, no EOB.
+    DC-only content round-trips exactly (recon = dc)."""
+    if width % 16 or height % 16:
+        raise ValueError("mpeg1 fixture dims must be multiples of 16")
+    if rate_code not in _RATE_US:
+        raise ValueError(f"bad picture_rate code {rate_code}")
+    bits = _Bits()
+    bits.start_code(_SEQ)
+    bits.w(width, 12)
+    bits.w(height, 12)
+    bits.w(1, 4)
+    bits.w(rate_code, 4)
+    bits.w(0x3FFFF, 18)
+    bits.w(1, 1)
+    bits.w(0, 10)
+    bits.w(0, 1)
+    bits.w(0, 1)
+    bits.w(0, 1)
+    mbw, mbh = width // 16, height // 16
+    cw = width // 2
+    for tref, (py, pcb, pcr) in enumerate(frames):
+        bits.start_code(_PIC)
+        bits.w(tref, 10)
+        bits.w(4, 3)       # D picture
+        bits.w(0xFFFF, 16)
+        bits.w(0, 1)       # extra_bit_picture
+        bits.start_code(0x01)
+        bits.w(8, 5)       # quantizer_scale (unused: DC path)
+        bits.w(0, 1)
+        preds = {"y": 128, "cb": 128, "cr": 128}
+        for my in range(mbh):
+            for mx in range(mbw):
+                bits.wstr(_MBA_TABLE[1])
+                bits.wstr("1")  # macroblock_type: the one D code
+                for comp, bx, by in (
+                    ("y", 2 * mx, 2 * my), ("y", 2 * mx + 1, 2 * my),
+                    ("y", 2 * mx, 2 * my + 1), ("y", 2 * mx + 1, 2 * my + 1),
+                    ("cb", mx, my), ("cr", mx, my),
+                ):
+                    if comp == "y":
+                        plane, pw = py, width
+                    else:
+                        plane, pw = (pcb if comp == "cb" else pcr), cw
+                    val = plane[(by * 8) * pw + bx * 8]
+                    diff = val - preds[comp]
+                    preds[comp] = val
+                    size, amp = _dc_diff_bits(diff)
+                    tab = _DC_SIZE_LUMA if comp == "y" else _DC_SIZE_CHROMA
+                    bits.wstr(tab[size])
+                    if size:
+                        bits.w(amp, size)
+                bits.w(1, 1)  # end_of_macroblock
     bits.start_code(_END)
     bits.align()
     return bytes(bits.buf)

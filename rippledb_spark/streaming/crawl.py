@@ -453,6 +453,13 @@ def start_crawl_corpus_sink(
     With ``quality_model`` set (r11), the keep decision comes from the
     FROZEN trained classifier (apply_classifier_gate) instead of the
     Gopher rules — train once on labeled data, gate the stream forever.
+    With ``langid_model`` set (r12), the frozen softmax lang-ID model
+    additionally ANDs its language decision into keep
+    (apply_langid_gate — the CCNet language×quality composition). With
+    ``pq_rotation`` set (r12, a (means, comps) pair from
+    train_crawl_rotated_index), the ANN snapshot is the ROTATED-PQ
+    variant: batches rotate through the frozen basis before encoding
+    and ``pq_path`` persists in the opq.load_rotated_index layout.
     Both side-merges are union + dropDuplicates on the full row/key:
     idempotent under replay and batch-split-invariant because the
     extraction itself is per-fetch. Returns the StreamingQuery.
