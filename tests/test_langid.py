@@ -164,3 +164,19 @@ def test_registered_query_recovers_planted_languages(spark, sf_dir):
     assert sum(r["n_true"] for r in rows) == sum(r["n_pred"] for r in rows)
     for r in rows:
         assert r["recall"] >= 0.9
+
+
+def test_softmax_serving_plan_is_shuffle_free(spark):
+    """The serving path's plan shape: one broadcast of the flat K·d
+    weights against the corpus, NO shuffle exchange — the property that
+    makes the gate free at 100 TB (the r11 classifier's serving pin,
+    multiclass edition)."""
+    feats = _feats(spark, n=40).localCheckpoint(eager=True)
+    w = softmax_train(feats, "x", "y", 16, 4, iterations=2, lr=2.0)
+    pred = softmax_predict(
+        feats.select("doc_id", "x"), "x", "doc_id",
+        w.localCheckpoint(eager=True), 16, 4,
+    )
+    plan = pred._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "Broadcast" in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
