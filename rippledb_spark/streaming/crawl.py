@@ -371,6 +371,32 @@ def train_crawl_rotated_index(
     )
 
 
+def train_crawl_alternating_index(
+    corpus: DataFrame, dims: int = 16, r: int = 8, m: int = 2, k: int = 4,
+    iterations: int = 2, pca_iterations: int = 4, rounds: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train the FULL-OPQ crawl index once (r12 — the alternating
+    sibling of train_crawl_rotated_index): → (means, comps, givens,
+    books), each eagerly checkpointed. ``givens`` is the per-round
+    rotation trajectory the sink persists beside the index and replays
+    (via opq.apply_frozen_rotations) when encoding every future batch —
+    the same freeze-after-training contract as the other trainers."""
+    from rippledb_spark.operators.opq import train_alternating_index
+
+    emb = corpus_text_embedding(corpus.where(F.col("keep")), dims=dims)
+    means, comps, givens, _, books = train_alternating_index(
+        emb, "emb", "uri", dims, r=r, m=m, k=k,
+        iterations=iterations, pca_iterations=pca_iterations,
+        rounds=rounds,
+    )
+    return (
+        means.localCheckpoint(eager=True),
+        comps.localCheckpoint(eager=True),
+        givens.localCheckpoint(eager=True),
+        books.localCheckpoint(eager=True),
+    )
+
+
 def crawl_accounting(corpus: DataFrame) -> DataFrame:
     """Per-host accounting of a gated corpus — the report a filtering
     run emits per crawl segment (host = the URI's authority)."""
@@ -406,6 +432,7 @@ def start_crawl_corpus_sink(
     pq_coarse: DataFrame | None = None,
     pq_rotation: tuple[DataFrame, DataFrame] | None = None,
     pq_r: int = 8,
+    pq_givens: DataFrame | None = None,
     frontier_path: str | None = None,
     frontier_redirects: DataFrame | None = None,
     frontier_robots: DataFrame | None = None,
@@ -488,6 +515,11 @@ def start_crawl_corpus_sink(
             "rotated index is the flat-PQ variant (rotated IVF routing "
             "is not offered; pick one)"
         )
+    if pq_givens is not None and pq_rotation is None:
+        raise ValueError(
+            "pq_givens requires pq_rotation — the Givens trajectory "
+            "refines the PCA rotation, it cannot stand alone"
+        )
     if pq_rotation is not None:
         # freeze the rotation once (the pq_books pattern): every batch
         # rotates through the SAME origin and basis
@@ -495,6 +527,8 @@ def start_crawl_corpus_sink(
             pq_rotation[0].localCheckpoint(eager=True),
             pq_rotation[1].localCheckpoint(eager=True),
         )
+    if pq_givens is not None:
+        pq_givens = pq_givens.localCheckpoint(eager=True)
     frontier_map = None
     if frontier_path is not None:
         if frontier_redirects is None or frontier_robots is None:
@@ -602,12 +636,20 @@ def start_crawl_corpus_sink(
                 # keep pq_path in the opq.save_rotated_index layout so
                 # opq.load_rotated_index + rotated_query_topk serve ANN
                 # straight off the crawl snapshot
-                from rippledb_spark.operators.opq import rotate_with_frozen
+                from rippledb_spark.operators.opq import (
+                    apply_frozen_rotations,
+                    rotate_with_frozen,
+                )
 
                 means, comps = pq_rotation
                 rv = rotate_with_frozen(
                     emb, "emb", "uri", means, comps, pq_dims
                 ).select(F.col("uri").alias("pid"), "rv")
+                if pq_givens is not None:
+                    # full-OPQ variant (r12): replay the frozen Givens
+                    # trajectory round-by-round, exactly as
+                    # alternating_query_topk will at serve time
+                    rv = apply_frozen_rotations(rv, pq_givens, pq_r)
                 codes = pq_encode(
                     rv, "rv", "pid", pq_books, dims=pq_r, m=pq_m
                 )
@@ -633,6 +675,10 @@ def start_crawl_corpus_sink(
                 means.write.mode("overwrite").parquet(f"{pq_path}/means")
                 comps.write.mode("overwrite").parquet(f"{pq_path}/rotation")
                 pq_books.write.mode("overwrite").parquet(f"{pq_path}/books")
+                if pq_givens is not None:
+                    pq_givens.write.mode("overwrite").parquet(
+                        f"{pq_path}/givens"
+                    )
             else:
                 codes = pq_encode(
                     emb, "emb", "uri", pq_books, dims=pq_dims, m=pq_m

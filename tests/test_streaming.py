@@ -1861,3 +1861,82 @@ def test_streaming_crawl_langid_gate_matches_batch(spark, tmp_path):
         F.col("uri") == "https://spam.example.net/junk"
     ).collect()
     assert len(junk) == 1 and junk[0]["keep"] is False
+
+
+def test_streaming_crawl_alternating_pq_serving_matches_batch(spark, tmp_path):
+    """r12: the crawl sink's FULL-OPQ index — the frozen Givens
+    trajectory replays per micro-batch on top of the PCA rotation —
+    must (a) maintain codes equal to the batch twin's
+    rotate→replay→encode of the final corpus snapshot, and (b) serve
+    alternating_query_topk off load_alternating_index(pq_path)
+    identically to the batch alternating ADC on the same snapshot."""
+    from rippledb_spark.operators.opq import (
+        alternating_query_topk,
+        apply_frozen_rotations,
+        load_alternating_index,
+        rotate_with_frozen,
+    )
+    from rippledb_spark.operators.pq import pq_encode, pq_query_topk
+    from rippledb_spark.sources.warc import WARC_SCHEMA, read_warc, warc_pandas_batches
+    from rippledb_spark.streaming import crawl as SC
+
+    warc_dir = _warc_fixture_rich(tmp_path)
+    snap = str(tmp_path / "apq_corpus")
+    pq_snap = str(tmp_path / "apq_index")
+    ckpt = str(tmp_path / "apq_ckpt")
+
+    batch_corpus = SC.gate_crawl_records(read_warc(spark, warc_dir))
+    means, comps, givens, books = SC.train_crawl_alternating_index(
+        batch_corpus, dims=8, r=2, m=2, k=2, rounds=1
+    )
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(warc_dir)
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, ckpt,
+        pq_path=pq_snap, pq_books=books, pq_dims=8, pq_m=2,
+        pq_rotation=(means, comps), pq_r=2, pq_givens=givens,
+    )
+    q.awaitTermination(180)
+
+    # (a) codes == batch rotate → trajectory replay → encode
+    want_src = spark.read.parquet(snap).where(F.col("keep"))
+    rv = apply_frozen_rotations(
+        rotate_with_frozen(
+            SC.corpus_text_embedding(want_src, dims=8),
+            "emb", "uri", means, comps, 8,
+        ).select(F.col("uri").alias("pid"), "rv"),
+        givens, 2,
+    )
+    want_codes = sorted(
+        map(tuple, pq_encode(rv, "rv", "pid", books, dims=2, m=2).collect())
+    )
+    got_codes = sorted(
+        map(tuple, spark.read.parquet(f"{pq_snap}/codes").collect())
+    )
+    assert got_codes == want_codes and len(got_codes) > 0
+
+    # (b) frozen serving off the SAVED index == batch alternating ADC
+    queries = SC.corpus_text_embedding(
+        want_src.orderBy("uri").limit(2), dims=8
+    ).select(F.col("uri").alias("q_pid"), F.col("emb").alias("qv"))
+    got = sorted(map(tuple, alternating_query_topk(
+        queries, *load_alternating_index(spark, pq_snap),
+        dims=8, r=2, m=2, topk=3,
+    ).collect()))
+    rq = apply_frozen_rotations(
+        rotate_with_frozen(queries, "qv", "q_pid", means, comps, 8)
+        .select(F.col("q_pid").alias("pid"), "rv"),
+        givens, 2,
+    ).select(F.col("pid").alias("q_pid"), F.col("rv").alias("qv"))
+    want = sorted(map(tuple, pq_query_topk(
+        rq, books,
+        pq_encode(rv, "rv", "pid", books, dims=2, m=2),
+        dims=2, m=2, topk=3,
+    ).collect()))
+    assert got == want and len(got) > 0
