@@ -69,12 +69,16 @@ def char_ngram_hash_features(
     if n < 1:
         raise ValueError("n must be >= 1")
     cells = dims - 1
-    grams = df.select(
+    # texts shorter than n grams are pre-filtered: Spark's
+    # sequence(1, 0) is DESCENDING [1, 0], which would synthesize two
+    # junk grams per short row that only the tg>0 guard discards later
+    # (wasted hash+shuffle work and a hidden coupling; the SQL twin's
+    # range(1, 1) is simply empty)
+    grams = df.where(F.length(text_col) >= n).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(
-                    F.length(text_col) - (n - 1), F.lit(0))),
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
                 lambda i: F.substr(F.col(text_col), i, F.lit(n)),
             )
         ).alias("g"),
@@ -338,7 +342,10 @@ def softmax_train_sql(
     flat weights DOUBLE[]) and ``{prefix}_scored`` (y, pred) — every
     6dp iterate, the max-shifted softmax, the ×10⁶-BIGINT gradient
     grid, and the exp-free argmax replay the Spark arithmetic
-    exactly."""
+    exactly. One asymmetry, by SQL's nature: softmax_train raises on an
+    empty corpus, while this chain yields empty relations — an oracle
+    whose feats filter matches nothing surfaces as a row-count mismatch
+    at the gate rather than a loud refusal."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     parts = [

@@ -66,6 +66,8 @@ Reference comparison: n/a (no binary/media surface in the reference;
 
 from __future__ import annotations
 
+import numpy as np
+
 from rippledb_spark.operators.jpeg import _Z, _dct_matrix
 
 # --- fixed VLC tables (ISO 11172-2 Annex B) --------------------------------
@@ -538,8 +540,6 @@ def _decode_add_residuals(
     """coded_block_pattern + its coded blocks: Table B.3 VLC, non-intra
     dequant, IDCT, clip-ADD onto the prediction already written into
     the frame planes (shared by P and B macroblocks)."""
-    import numpy as np
-
     pattern = _vlc_decode(bits, _CBP_DEC, 9)
     for bi, (comp, bx, by) in enumerate((
         ("y", 2 * mx, 2 * my), ("y", 2 * mx + 1, 2 * my),
@@ -595,12 +595,11 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
     """Parse an MPEG-1 video elementary stream → {width, height,
     us_per_frame, n_frames, frames: [(Y, Cb, Cr) plane bytes]}.
     Supported pictures: I (full intra path), P (skip copy, full/half-
-    pel forward MC, intra refresh, residual blocks — r12) and B (r12:
+    pel forward MC, intra refresh, residual blocks — r12), B (r12:
     forward/backward/interpolated prediction, retained-vector skip,
-    residuals; frames return in DISPLAY order). D pictures raise
-    loudly (module docstring)."""
-    import numpy as np
-
+    residuals; frames return in DISPLAY order) and D (r12: DC-only;
+    per ISO 11172-2 §2.4.1 a sequence with D pictures contains ONLY D
+    pictures — mixing refuses loudly, as do invalid type codes)."""
     bits = _Bits(payload)
     code = bits.next_start_code()
     if code != _SEQ:
@@ -642,6 +641,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
     # pending anchor flushes at stream end.
     anchor_old = anchor_new = None
     pending: tuple[bytes, bytes, bytes] | None = None
+    saw_d = saw_ipb = False
 
     def _emit(planes) -> tuple[bytes, bytes, bytes]:
         Yp, Cbp, Crp = planes
@@ -664,6 +664,18 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
         ptype = bits.bits(3)
         if ptype not in (1, 2, 3, 4):
             raise ValueError(f"mpeg1: invalid picture type {ptype}")
+        # §2.4.1: a sequence containing D pictures contains ONLY D
+        # pictures — a D frame must never become a P/B reference, so
+        # mixing refuses loudly instead of silently predicting from it
+        if ptype == 4:
+            saw_d = True
+        else:
+            saw_ipb = True
+        if saw_d and saw_ipb:
+            raise ValueError(
+                "mpeg1: D pictures cannot mix with I/P/B in one "
+                "sequence (§2.4.1 — a D frame is never a reference)"
+            )
         bits.bits(16)  # vbv delay
         full_pel_f, f_size_f = 0, 0
         full_pel_b, f_size_b = 0, 0
@@ -920,6 +932,10 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
         if ptype == 3:
             # B pictures emit immediately (display order) and never
             # become references
+            frames.append(_emit((Y, Cb, Cr)))
+        elif ptype == 4:
+            # D pictures emit in coded order and are NEVER references
+            # (the mixing guard above keeps the sequence D-only)
             frames.append(_emit((Y, Cb, Cr)))
         else:
             # a new anchor releases the pending one (its Bs, already

@@ -689,20 +689,17 @@ def opq_alternating_sql(
                 vals = ", ".join(f"({a}, {b})" for a, b in pairs)
                 parts.append(
                     f"""{rp}_ang{u} AS (
-      SELECT pr.a, pr.b,
-             ROUND(cos(atan2(
-               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.b)
-               - (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.a),
-               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.a)
-               + (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.b)
-             )), 6) AS c,
-             ROUND(sin(atan2(
-               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.b)
-               - (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.a),
-               (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.a)
-               + (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.b)
-             )), 6) AS s
-      FROM (VALUES {vals}) pr(a, b)
+      SELECT a, b, ROUND(cos(th), 6) AS c, ROUND(sin(th), 6) AS s
+      FROM (
+        SELECT pr.a, pr.b,
+               atan2(
+                 (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.b)
+                 - (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.a),
+                 (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.a AND j = pr.a)
+                 + (SELECT mm FROM {rp}_m{u - 1} WHERE i = pr.b AND j = pr.b)
+               ) AS th
+        FROM (VALUES {vals}) pr(a, b)
+      )
     )"""
                 )
                 for rel in ("m", "g"):

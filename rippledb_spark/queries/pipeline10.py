@@ -642,8 +642,9 @@ def mpeg1_b_frame_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes every pixel of all three frames in closed form;
     ``order_wsum`` weights each frame's luma sum by its display index,
     so a decoder that returned coded order (or mixed up the anchors)
-    breaks the row even where plain sums would not. D pictures keep
-    refusing loudly. Reference comparison: n/a (no media surface).
+    breaks the row even where plain sums would not. (D pictures decode
+    too as of r12 — D-only sequences, pinned in pytest; mixing D with
+    I/P/B refuses.) Reference comparison: n/a (no media surface).
 
     100 TB shape: identical to the other video paths — Arrow
     mapInPandas where the payload lives, 1→n_frames expansion in the

@@ -782,9 +782,10 @@ def mpeg1_gop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     every decoded pixel of every frame (shifted row, held row, chroma)
     in closed form; a wrong wrap, a swapped sign bit, a missed
     predictor reset, or an off-by-one-MB copy breaks y_sum/cb_sum/
-    cr_sum, and any pixel reordering breaks resized_wsum. B pictures
-    and residual-coded P blocks keep refusing loudly. Reference
-    comparison: n/a (no binary surface).
+    cr_sum, and any pixel reordering breaks resized_wsum. (B pictures,
+    residual blocks and half-pel vectors decode as of r12 — certified
+    by their own rows in queries/pipeline10.) Reference comparison:
+    n/a (no binary surface).
 
     100 TB shape: identical to the other video paths — Arrow
     mapInPandas where the payload lives, 1→n_frames expansion in the
@@ -886,8 +887,9 @@ def mpeg1_p_residual_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     signed level keyed by (macroblock, block index), and resized_wsum
     weights pixels by position — a wrong CBP bit order, a swapped
     dequant sign, a missed oddification, or residuals landing on the
-    wrong block all break the row. B pictures and half-pel vectors
-    keep refusing loudly. Reference comparison: n/a (no media surface).
+    wrong block all break the row. (B pictures and half-pel vectors
+    decode as of r12 — certified by their own pipeline10 rows.)
+    Reference comparison: n/a (no media surface).
 
     100 TB shape: identical to the other video paths — Arrow
     mapInPandas where the payload lives, 1→n_frames expansion in the

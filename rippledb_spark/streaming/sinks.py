@@ -256,10 +256,17 @@ def start_triple_cdc_sink(
         if version_col is None:
             steps = [batch_df]
         else:
-            versions = sorted(
+            versions = [
                 r[0]
                 for r in batch_df.select(version_col).distinct().collect()
-            )  # bounded: one row per version STEP in the batch
+            ]  # bounded: one row per version STEP in the batch
+            if any(v is None for v in versions):
+                raise ValueError(
+                    "start_triple_cdc_sink: NULL in the version column — "
+                    "an unordered step cannot be folded safely (a NULL-"
+                    "filtered step would silently drop its changes)"
+                )
+            versions.sort()
             steps = [
                 batch_df.where(F.col(version_col) == v) for v in versions
             ]

@@ -647,15 +647,55 @@ def test_d_pictures_decode_exactly():
     assert v["n_frames"] == 2
     for f in range(2):
         assert v["frames"][f] == frames[f]
-    # a D macroblock without its end_of_macroblock bit refuses loudly
-    es = bytearray(encode_mpeg1_d(w, h, frames[:1]))
-    # flip the first end_of_macroblock bit: find it by re-encoding with
-    # a broken writer is overkill — corrupt by clearing every bit after
-    # the first MB's DC data is fragile; instead assert the invalid
-    # picture type path still refuses
+    # a D macroblock without its end_of_macroblock bit refuses loudly:
+    # hand-write one MB whose end bit is 0
+    from rippledb_spark.operators.mpeg1 import (
+        _DC_SIZE_CHROMA,
+        _DC_SIZE_LUMA,
+        _MBA_TABLE,
+        _dc_diff_bits,
+    )
+
     bits = _Bits()
     bits.start_code(0xB3)
-    bits.w(w, 12); bits.w(h, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(16, 12); bits.w(16, 12); bits.w(1, 4); bits.w(3, 4)
+    bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
+    bits.w(0, 1); bits.w(0, 1)
+    bits.start_code(0x00)
+    bits.w(0, 10); bits.w(4, 3); bits.w(0xFFFF, 16); bits.w(0, 1)
+    bits.start_code(0x01)
+    bits.w(8, 5); bits.w(0, 1)
+    bits.wstr(_MBA_TABLE[1]); bits.wstr("1")  # the one D MB type
+    preds = {"y": 128, "cb": 128, "cr": 128}
+    for comp in ("y", "y", "y", "y", "cb", "cr"):
+        size, amp = _dc_diff_bits(100 - preds[comp])
+        preds[comp] = 100
+        tab = _DC_SIZE_LUMA if comp == "y" else _DC_SIZE_CHROMA
+        bits.wstr(tab[size])
+        if size:
+            bits.w(amp, size)
+    bits.w(0, 1)  # end_of_macroblock = 0: ILLEGAL
+    bits.start_code(0xB7); bits.align()
+    with pytest.raises(ValueError, match="end_of_macroblock"):
+        decode_mpeg1_frames(bytes(bits.buf))
+    # D frames are never references: mixing D with I/P/B refuses
+    ies = encode_mpeg1_intra(16, 16, [(
+        _bc_plane(16, 16, lambda b: 50),
+        _bc_plane(8, 8, lambda b: 128),
+        _bc_plane(8, 8, lambda b: 128),
+    )])
+    des = encode_mpeg1_d(16, 16, [(
+        _bc_plane(16, 16, lambda b: 60),
+        _bc_plane(8, 8, lambda b: 128),
+        _bc_plane(8, 8, lambda b: 128),
+    )])
+    mixed = ies[:-4] + des[des.index(b"\x00\x00\x01\x00"):]
+    with pytest.raises(ValueError, match="cannot mix"):
+        decode_mpeg1_frames(mixed)
+    # invalid picture type codes (5-7) refuse
+    bits = _Bits()
+    bits.start_code(0xB3)
+    bits.w(16, 12); bits.w(16, 12); bits.w(1, 4); bits.w(3, 4)
     bits.w(0x3FFFF, 18); bits.w(1, 1); bits.w(0, 10); bits.w(0, 1)
     bits.w(0, 1); bits.w(0, 1)
     bits.start_code(0x00)
