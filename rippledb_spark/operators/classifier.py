@@ -42,6 +42,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rippledb_spark.functions.vector import as_double_array
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
 
 LOGIT_DP = 6
 _SCALE = 1_000_000
@@ -133,6 +136,10 @@ def logistic_train(
         # when batched to every-4th-round; the per-round 1-row
         # materialization is the cheaper side of the trade)
         wrow = wrow.localCheckpoint(eager=True)
+    # release superseded per-iterate checkpoint blocks (BENCH_r12: leaked
+    # trainer garbage drifted LATER session queries 2x; the final wrow
+    # stays referenced and is untouched)
+    _release_iteration_garbage(wrow)
     return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
 
 

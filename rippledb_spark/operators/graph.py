@@ -12,29 +12,15 @@ graph algorithms.
 
 from __future__ import annotations
 
-import gc
 from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from rippledb_spark.errors import QueryError
-
-
-def _release_iteration_garbage(df: DataFrame) -> None:
-    """Free the block-manager garbage an iterative loop leaves behind.
-
-    Each iteration's ``localCheckpoint`` caches an RDD with no public
-    unpersist handle; the context cleaner only reclaims them after a driver
-    GC. Left alone, repeated iterative calls accumulate dead blocks and
-    per-call latency drifts up 2-3× (measured). One explicit collection
-    costs ~100 ms and keeps steady-state flat.
-    """
-    gc.collect()
-    try:
-        df.sparkSession._jvm.System.gc()
-    except Exception:
-        pass  # non-JVM-backed session (e.g. Spark Connect): cleaner handles it
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
 
 
 def _iteration_partitions(

@@ -34,6 +34,9 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
 from rippledb_spark.operators.graph import _truncate
 from rippledb_spark.operators.sketches import (
     HLL_M,
@@ -234,6 +237,9 @@ def exact_harmonic_centrality(
         )
         state = state.unionByName(new).localCheckpoint(eager=True)
         frontier = new
+    # release superseded per-round state checkpoints (BENCH_r12 trainer-
+    # garbage lesson); the final state stays referenced
+    _release_iteration_garbage(state)
     # integer-exact: Σ 1/d accumulates as Σ lcm/d (an exact integer for
     # every d ≤ rounds) over one division — no float-sum order anywhere
     L = math.lcm(*range(1, rounds + 1))
@@ -434,6 +440,7 @@ def exact_neighborhood_function(
         )
         state = state.unionByName(new).localCheckpoint(eager=True)
         frontier = new
+    _release_iteration_garbage(state)
     per_d = state.groupBy("d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )

@@ -54,6 +54,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rippledb_spark.functions.vector import as_double_array
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
 from rippledb_spark.operators.classifier import LOGIT_DP, _SCALE, _dot
 
 
@@ -276,6 +279,9 @@ def softmax_train(
         # eager per-iterate checkpoint: the classifier.py lesson — a lazy
         # 1-row lineage nests every prior round inside the next plan
         wrow = wrow.localCheckpoint(eager=True)
+    # release superseded per-iterate checkpoint blocks (BENCH_r12: leaked
+    # trainer garbage drifted LATER session queries 2x)
+    _release_iteration_garbage(wrow)
     return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
 
 

@@ -36,6 +36,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from rippledb_spark.functions.vector import as_double_array
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
 from rippledb_spark.operators.pca import (
     pca_project,
     pca_top_components,
@@ -576,6 +579,10 @@ def opq_alternating_rotate(
         G = polar_sweeps(M, schedule, sweeps)
         rotations.append(G)
         cur = _apply_rotation_rows(cur, G, r).localCheckpoint(eager=True)
+    # release superseded per-round checkpoint blocks (BENCH_r12: leaked
+    # trainer garbage drifted LATER session queries 2x; the returned
+    # frame/books stay referenced and are untouched)
+    _release_iteration_garbage(cur)
     if return_state:
         return cur, rotations, prev_books
     return cur

@@ -38,6 +38,9 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from rippledb_spark.functions.vector import as_double_array
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
 
 PCA_DP = 6
 
@@ -147,6 +150,10 @@ def power_iteration_top(
     sgn = F.signum(
         F.element_at(F.col("v"), F.array_position(absv, F.array_max(absv)).cast("int"))
     )
+    # release superseded per-iterate checkpoint blocks (BENCH_r12: leaked
+    # trainer garbage drifted LATER session queries 2x; the final vrow
+    # stays referenced through the returned lineage and is untouched)
+    _release_iteration_garbage(vrow)
     lam = _dot(F.col("v"), F.col("w")) / _dot(F.col("v"), F.col("v"))
     resid = F.sqrt(
         F.aggregate(

@@ -37,6 +37,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from rippledb_spark.operators._itergc import (
+    release_iteration_garbage as _release_iteration_garbage,
+)
+
 UNI_DP = 6
 MAXLEN = 12  # loud-refusal bound on word length (DP unroll depth)
 NEG = -1000000000.0  # "piece absent" sentinel (never on a viable path)
@@ -304,6 +308,10 @@ def unigram_train(
     stats = stats_rounds[0]
     for s in stats_rounds[1:]:
         stats = stats.unionByName(s)
+    # release superseded per-round seg/vocab checkpoint blocks (BENCH_r12:
+    # leaked trainer garbage drifted LATER session queries 2x; the final
+    # vocab checkpoint stays referenced and is untouched)
+    _release_iteration_garbage(vocab)
     return vocab, stats
 
 
@@ -478,7 +486,7 @@ def unigram_apply_sql(
     hashes the document's full piece sequence in word order."""
     parts = _unigram_parts(rounds, lmax, min_count)
     parts.append(
-        """uni_docw AS MATERIALIZED (
+        r"""uni_docw AS MATERIALIZED (
       SELECT doc_id, i, word FROM (
         SELECT doc_id,
                UNNEST(string_split_regex(trim(text), '\s+')) AS word,
