@@ -169,6 +169,37 @@ def _ann_phase_split(spark, sf_dir) -> dict[str, dict[str, float]]:
     }
     return out
 
+def _bpe_phase_split(spark, sf_dir) -> dict[str, float]:
+    """Sequential vs batched BPE merge learning sub-walls (r13, verdict
+    missing #1): same corpus, same 8 merges, same min_pair_count — the
+    batched learner must land the identical merge list (asserted here:
+    a bench that silently measured two different trajectories would be
+    meaningless) in fewer pair-count jobs. Reported: each wall and the
+    batched job count (sequential's is merges+1 by construction)."""
+    from rippledb_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_batched,
+    )
+    from rippledb_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    t0 = time.perf_counter()
+    seq, _ = learn_bpe_merges(d, "text", n_merges=8, min_pair_count=2)
+    seq_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    bat, _, rounds = learn_bpe_merges_batched(
+        d, "text", n_merges=8, min_pair_count=2, scan=32
+    )
+    bat_sec = round(time.perf_counter() - t0, 3)
+    assert bat == seq, "batched BPE diverged from sequential in bench"
+    return {
+        "sequential_sec": seq_sec,
+        "batched_sec": bat_sec,
+        "merges": len(seq),
+        "batched_jobs": rounds,
+    }
+
+
 # Headline set: one query per operator family, timed round-over-round. The
 # list lives in the registry (tier metadata shared with the certification
 # scheduler and ledger); bench.py is a consumer.
@@ -386,6 +417,12 @@ def main() -> None:
             + " ".join(f"{k} {v:.3f}s" for k, v in ph.items()),
             file=sys.stderr,
         )
+    bpe_phases = _bpe_phase_split(spark, sf_dir)
+    print(
+        "# bpe phases: "
+        + " ".join(f"{k} {v}" for k, v in bpe_phases.items()),
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     probe_load = round(sorted(warm_loads)[len(warm_loads) // 2], 3)
@@ -408,6 +445,7 @@ def main() -> None:
         },
         "respread": respread,  # spread>3x queries: extra solo re-runs
         "ann_phases": ann_phases,  # train vs frozen-index query sub-walls
+        "bpe_phases": bpe_phases,  # sequential vs batched merge learning
         "sf": sf,
         "cold_sec": round(sum(cold.values()), 3),
     }
@@ -463,6 +501,9 @@ def main() -> None:
         "ann_phases": {
             k: list(ph.values()) for k, ph in ann_phases.items()
         },
+        # [sequential_sec, batched_sec, merges, batched_jobs] — the
+        # batched-BPE win receipt (labeled dict in BENCH_DETAIL.json)
+        "bpe_phases": list(bpe_phases.values()),
     }
     if "bulk_load" in record:
         compact["bulk_ratio"] = round(

@@ -21,22 +21,41 @@ whatever runs next in the session.
 from __future__ import annotations
 
 import gc
+import time
 
 from pyspark.sql import DataFrame
+
+# Minimum spacing between the System.gc() calls WE trigger. The Python
+# collect below is cheap (~10-50 ms) and is the load-bearing step: it
+# drops the Py4J proxies so the JVM side becomes weakly reachable — after
+# that, EITHER our next System.gc() or the session's periodic cleaner GC
+# (spark.cleaner.periodicGC.interval = 2min, session.py) reclaims the
+# blocks. A full System.gc() on a busy multi-GB heap costs 0.5-2 s, and
+# r13 measured that paying it on EVERY trainer exit added ~45 s to a
+# 57-query bench pass — so the JVM side is rate-limited; staleness is
+# bounded by max(this interval, the periodic cleaner) either way.
+_JVM_GC_MIN_INTERVAL_S = 60.0
+_last_jvm_gc = 0.0
 
 
 def release_iteration_garbage(df: DataFrame) -> None:
     """Free the block-manager garbage an iterative loop leaves behind.
 
     One driver ``gc.collect()`` drops the Python-side references to the
-    superseded per-iteration checkpoints, then a JVM ``System.gc()`` lets
-    the context cleaner unpersist their blocks immediately instead of at
-    the next periodic GC. The DataFrame argument is only used to reach
-    the live session; the *returned* checkpoint stays referenced and is
+    superseded per-iteration checkpoints (without this, even the JVM's
+    periodic GC cannot reclaim them — the proxies pin the JVM objects);
+    a rate-limited JVM ``System.gc()`` then lets the context cleaner
+    unpersist promptly. The DataFrame argument is only used to reach the
+    live session; the *returned* checkpoint stays referenced and is
     untouched.
     """
+    global _last_jvm_gc
     gc.collect()
+    now = time.monotonic()
+    if now - _last_jvm_gc < _JVM_GC_MIN_INTERVAL_S:
+        return
     try:
         df.sparkSession._jvm.System.gc()
+        _last_jvm_gc = now
     except Exception:
         pass  # non-JVM-backed session (e.g. Spark Connect): cleaner handles it

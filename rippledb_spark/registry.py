@@ -165,6 +165,11 @@ HEADLINE: tuple[str, ...] = (
     # whole lang-ID train+serve story (the binary twin is
     # quality_classifier_accounting)
     "langid_classifier_accounting",
+    # round-13 addition: perceptual image near-dup (real PNG decode →
+    # aHash column expressions → banded Hamming blocking) — one wall for
+    # the new multimodal-dedup family (audio fingerprints share the
+    # blocking operator, so this key times it for both modalities)
+    "image_phash_dedup_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
@@ -239,5 +244,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.pipeline8  # noqa: F401
     import rippledb_spark.queries.pipeline9  # noqa: F401
     import rippledb_spark.queries.pipeline10  # noqa: F401
+    import rippledb_spark.queries.pipeline11  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,226 @@
+"""Perceptual image/audio near-dup tier (operators/imagehash.py,
+operators/audiohash.py, r13): hash bits against naive closed-form
+recomputation, banded-blocking exhaustiveness (pigeonhole), and the
+planted group/variant structure of the synthesizers."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from rippledb_spark.operators import audiohash as AH
+from rippledb_spark.operators import imagehash as IH
+
+
+def _ids_df(spark, n=40):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def _naive_group_pixels(mid, groups=50, variants=5):
+    g, v = mid % groups, (mid // groups) % variants
+    w, h = 4 + g % 13, 3 + g % 7
+    px = [
+        (31 * g + 7 * k + (3 if k % variants == v else 0)) % 256
+        for k in range(w * h)
+    ]
+    return w, h, px
+
+
+def _naive_resize(w, h, px, ow, oh):
+    return [
+        px[((i * h) // oh) * w + (j * w) // ow]
+        for i in range(oh)
+        for j in range(ow)
+    ]
+
+
+def _pack(bits):
+    hi = lo = 0
+    for k, b in enumerate(bits):
+        if k < 32:
+            hi = hi * 2 + b
+        else:
+            lo = lo * 2 + b
+    return hi, lo
+
+
+def _naive_ahash(mid):
+    w, h, px = _naive_group_pixels(mid)
+    r = _naive_resize(w, h, px, 8, 8)
+    tot = sum(r)
+    return _pack([1 if p * 64 >= tot else 0 for p in r])
+
+
+def _naive_dhash(mid):
+    w, h, px = _naive_group_pixels(mid)
+    r = _naive_resize(w, h, px, 9, 8)
+    return _pack(
+        [1 if r[i * 9 + j] > r[i * 9 + j + 1] else 0
+         for i in range(8) for j in range(8)]
+    )
+
+
+def _naive_audio_hash(mid, groups=50, variants=5):
+    g, v = mid % groups, (mid // groups) % variants
+    e = []
+    for f in range(AH.N_FRAMES):
+        a = (31 * g + 13 * f) % 97 + (20 if f == v else 0)
+        e.append(sum((a * (k - 16)) ** 2 for k in range(AH.FRAME_LEN)))
+    return _pack([1 if e[f] > e[f + 1] else 0 for f in range(64)])
+
+
+def test_ahash_matches_naive_closed_form(spark):
+    media = IH.synthesize_group_pngs(_ids_df(spark), "doc_id")
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.ahash_images(media).collect()
+    }
+    assert len(got) == 40
+    for mid, hv in got.items():
+        assert hv == _naive_ahash(mid), f"ahash mismatch at {mid}"
+        assert 0 <= hv[0] < 2**32 and 0 <= hv[1] < 2**32
+
+
+def test_dhash_matches_naive_closed_form(spark):
+    media = IH.synthesize_group_pngs(_ids_df(spark), "doc_id")
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.dhash_images(media).collect()
+    }
+    for mid, hv in got.items():
+        assert hv == _naive_dhash(mid), f"dhash mismatch at {mid}"
+
+
+def test_audio_fingerprint_matches_naive_closed_form(spark):
+    media = AH.synthesize_group_wavs(_ids_df(spark), "doc_id")
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in AH.audio_fingerprints(media).collect()
+    }
+    assert len(got) == 40
+    for mid, hv in got.items():
+        assert hv == _naive_audio_hash(mid), f"audio fp mismatch at {mid}"
+
+
+def _hamming(a, b):
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def test_hamming_pairs_exhaustive_at_radius_3(spark):
+    # hand-built hashes: every pair with hamming <= 3 MUST appear
+    # (pigeonhole over 4x16-bit bands), nothing above 3 may appear
+    base = (0x12345678, 0x9ABCDEF0)
+    rows = [
+        (0, base[0], base[1]),
+        (1, base[0] ^ 0b1, base[1]),  # hamming 1 vs id 0
+        (2, base[0] ^ 0b11, base[1] ^ 0b1),  # hamming 3 vs id 0
+        (3, base[0] ^ 0xF, base[1] ^ 0xF),  # hamming 8 vs id 0
+        (4, 0x0F0F0F0F, 0xF0F0F0F0),  # far from everything
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, hash_hi long, hash_lo long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in IH.hamming_pairs(hashes).collect()
+    }
+    by_id = {r[0]: (r[1], r[2]) for r in rows}
+    want = {
+        (a, b): _hamming(by_id[a], by_id[b])
+        for a in by_id
+        for b in by_id
+        if a < b and _hamming(by_id[a], by_id[b]) <= 3
+    }
+    assert got == want
+
+
+def test_hamming_pairs_validates_bands(spark):
+    hashes = spark.createDataFrame(
+        [(0, 1, 1)], "media_id long, hash_hi long, hash_lo long"
+    )
+    with pytest.raises(ValueError):
+        IH.hamming_pairs(hashes, bands=3)
+    with pytest.raises(ValueError):
+        IH.hamming_pairs(hashes, bands=1)
+
+
+def test_hamming_pairs_warns_beyond_pigeonhole(spark):
+    hashes = spark.createDataFrame(
+        [(0, 1, 1)], "media_id long, hash_hi long, hash_lo long"
+    )
+    with pytest.warns(UserWarning, match="no longer exhaustive"):
+        IH.hamming_pairs(hashes, bands=4, max_hamming=4)
+
+
+def test_planted_group_structure_images(spark):
+    # ids 0..99 over 50 groups: id and id+50 share a group (variants 0
+    # and 1). Ground truth from the naive closed form — the pair set
+    # must match EXACTLY (pigeonhole exhaustiveness on real data)
+    media = IH.synthesize_group_pngs(
+        spark.range(100).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in IH.hamming_pairs(IH.ahash_images(media)).collect()
+    }
+    naive = {m: _naive_ahash(m) for m in range(100)}
+    want = {
+        (a, b): _hamming(naive[a], naive[b])
+        for a in range(100)
+        for b in range(a + 1, 100)
+        if _hamming(naive[a], naive[b]) <= 3
+    }
+    assert pairs == want
+    # the planted signal dominates: most same-group pairs are near-dups
+    found = [1 for i in range(50) if (i, i + 50) in pairs]
+    assert len(found) >= 40
+
+
+def test_planted_group_structure_audio(spark):
+    media = AH.synthesize_group_wavs(
+        spark.range(100).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in IH.hamming_pairs(AH.audio_fingerprints(media)).collect()
+    }
+    naive = {m: _naive_audio_hash(m) for m in range(100)}
+    want = {
+        (a, b): _hamming(naive[a], naive[b])
+        for a in range(100)
+        for b in range(a + 1, 100)
+        if _hamming(naive[a], naive[b]) <= 3
+    }
+    assert pairs == want
+    # variants boost one frame each (bits {v-1, v} touched): same-group
+    # pairs sit within hamming 4, most within 3 and found
+    found = [1 for i in range(50) if (i, i + 50) in pairs]
+    assert len(found) >= 35
+
+
+def test_near_dup_drops_greedy_min_keeps(spark):
+    # hand-built: ids 0/1/2 share one exact hash (0 is representative),
+    # id 3 is hamming-1 from it (dropped vs rep 0), id 4 is far (kept)
+    rows = [
+        (0, 100, 200),
+        (1, 100, 200),
+        (2, 100, 200),
+        (3, 101, 200),  # hamming 1 from (100, 200)
+        (4, 0x0F0F0F0F, 0xF0F0F0F0),
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, hash_hi long, hash_lo long"
+    )
+    drops = {r["media_id"] for r in IH.near_dup_drops(hashes).collect()}
+    assert drops == {1, 2, 3}
+
+
+def test_resize_pixels_corrupt_payload_survives(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"not a png"), "image/png")],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = IH.resize_pixels(media, 8, 8).collect()
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False
+    assert IH.ahash_images(media).count() == 0

@@ -550,3 +550,25 @@ def test_unigram_serving_join_is_broadcastable(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_hamming_pairs_plan_shape(spark):
+    """r13 perceptual-hash blocking: the pair stage must be the banded
+    EQUI-join (hash-partitionable on (band, bv)) — never a cartesian or
+    nested-loop product, and no single-partition exchange anywhere."""
+    from rippledb_spark.operators.imagehash import hamming_pairs
+
+    hashes = spark.range(64).select(
+        F.col("id").alias("media_id"),
+        (F.col("id") * 7919 % 4294967296).alias("hash_hi"),
+        (F.col("id") * 104729 % 4294967296).alias("hash_lo"),
+    )
+    plan = (
+        hamming_pairs(hashes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
