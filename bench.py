@@ -311,7 +311,16 @@ def main() -> None:
     # code — below the 3x spread trigger, so no solo evidence was
     # recorded. Force the solo re-run treatment this round, the same
     # respread that resolved the r10 warc/html drift in BENCH_r11.
-    FORCE_RESPREAD = {"image_resize_accounting", "dedup_semantic_embedding"}
+    # r13: the r12 verdict's drift keys (trainer garbage + the rerank
+    # serving path) get the same forced solo confirmation until their
+    # round-over-round record is flat again
+    FORCE_RESPREAD = {
+        "image_resize_accounting",
+        "dedup_semantic_embedding",
+        "quality_classifier_accounting",
+        "langid_classifier_accounting",
+        "ivfpq_rerank_topk",
+    }
     runs: dict[str, list[float]] = {
         name: [p[name] for p in warm_passes] for name in HEADLINE
     }

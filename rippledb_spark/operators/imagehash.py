@@ -271,6 +271,147 @@ def hamming_pairs(
     ).where(F.col("hamming") <= max_hamming)
 
 
+def synthesize_group_avis(
+    df: DataFrame, id_col: str, groups: int = 50, variants: int = 5
+) -> DataFrame:
+    """Id-keyed table → media table of REAL AVI videos with PLANTED
+    near-duplicate structure (the video member of the group-PNG/WAV
+    family): group g = id % groups fixes dimensions (4 + g % 5 ×
+    3 + g % 3), frame count (1 + g % 4), codec (DIB for even g, RLE8
+    for odd — both decode paths exercised), and the base per-frame
+    field; variant v = (id / groups) % variants adds +3 at source
+    pixels p ≡ v (mod variants) in EVERY frame. Closed form:
+    pix[f][p] = (31·g + 11·f + 7·(p/3) + 3·[p ≡ v mod variants]) mod 256."""
+    import pandas as pd
+
+    from rippledb_spark.operators.multimodal import encode_avi
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g = mid % groups
+                v = (mid // groups) % variants
+                w, h, nf = 4 + g % 5, 3 + g % 3, 1 + g % 4
+                frames = [
+                    bytes(
+                        (31 * g + 11 * f + 7 * (p // 3)
+                         + (3 if p % variants == v else 0)) % 256
+                        for p in range(w * h)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(
+                    encode_avi(w, h, frames, us_per_frame=40000,
+                               rle=bool(g % 2))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "video/x-msvideo",
+                }
+            )
+
+    return src.mapInPandas(
+        batch_fn, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def video_frame_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Binary AVI payloads → (media_id, frame_no, n_frames, decode_ok,
+    px array<int>): full RIFF walk + frame decode (DIB / RLE8 / MJPEG)
+    + per-frame nearest resample inside Arrow ``mapInPandas``. Corrupt
+    payloads survive as one decode_ok = false row."""
+    import pandas as pd
+
+    from rippledb_spark.operators.multimodal import decode_avi_frames
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_no": [], "n_frames": [],
+                "decode_ok": [], "px": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    d = decode_avi_frames(bytes(payload))
+                    for f, raw in enumerate(d["frames"]):
+                        rs = resize_nearest(
+                            d["width"], d["height"], raw, out_w, out_h
+                        )
+                        out["media_id"].append(mid)
+                        out["frame_no"].append(f)
+                        out["n_frames"].append(len(d["frames"]))
+                        out["decode_ok"].append(True)
+                        out["px"].append([int(b) for b in rs])
+                except ValueError:
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(None)
+                    out["n_frames"].append(None)
+                    out["decode_ok"].append(False)
+                    out["px"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        batch_fn,
+        schema="media_id long, frame_no int, n_frames int, "
+        "decode_ok boolean, px array<int>",
+    )
+
+
+def video_ahash(media: DataFrame) -> DataFrame:
+    """→ (media_id, hash_hi, hash_lo): TEMPORAL-MAJORITY aHash — the
+    standard per-frame-phash + temporal-aggregation video fingerprint
+    shape: each decoded frame gets its 8×8 aHash bit vector, and video
+    bit k = 1 iff at least half the frames set it (2·Σ_f b ≥ n_frames;
+    the ≥ tie goes to 1, identically in SQL). Robust to a few edited
+    frames the way aHash is robust to a few edited pixels. Per-frame
+    work is one exploded (media, k) integer aggregation — no collect."""
+    p = video_frame_pixels(media, 8, 8).where(F.col("decode_ok"))
+    tot = F.aggregate(
+        "px", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    bits = F.transform(
+        "px",
+        lambda x: F.when(x.cast("long") * 64 >= F.col("tot"), 1)
+        .otherwise(0)
+        .cast("long"),
+    )
+    perframe = (
+        p.withColumn("tot", tot)
+        .withColumn("bits", bits)
+        .select("media_id", "n_frames", F.posexplode("bits").alias("k", "b"))
+    )
+    maj = perframe.groupBy("media_id", "k").agg(
+        F.when(F.sum("b") * 2 >= F.first("n_frames"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("mb")
+    )
+    return maj.groupBy("media_id").agg(
+        _pack_bits(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "mb"))),
+                lambda s: s["mb"],
+            ),
+            0,
+            32,
+        ).alias("hash_hi"),
+        _pack_bits(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "mb"))),
+                lambda s: s["mb"],
+            ),
+            32,
+            64,
+        ).alias("hash_lo"),
+    )
+
+
 def near_dup_drops(
     hashes: DataFrame,
     bands: int = PHASH_BANDS,
@@ -377,6 +518,44 @@ def dhash_sql(groups: int = 50, variants: int = 5) -> str:
       WHERE l.k % 9 < 8
     ),
     ih_dhash AS ({_pack_sql("b", "ih_dbits")})"""
+
+
+def video_ahash_sql(groups: int = 50, variants: int = 5) -> str:
+    """DuckDB twin of synthesize_group_avis → video_ahash (per-frame
+    closed-form resized pixels → per-frame aHash bits → temporal
+    majority → packing): yields ``vh_ahash(media_id, hash_hi, hash_lo)``."""
+    return f"""vh_img AS (
+      SELECT doc_id AS media_id,
+             doc_id % {groups} AS g,
+             (doc_id // {groups}) % {variants} AS v,
+             4 + (doc_id % {groups}) % 5 AS sw,
+             3 + (doc_id % {groups}) % 3 AS sh,
+             1 + (doc_id % {groups}) % 4 AS nf
+      FROM documents
+    ),
+    vh_px AS (
+      SELECT media_id, f.f, nf, i.i * 8 + j.j AS k,
+             (31 * g + 11 * f.f
+              + 7 * ((((i.i * sh) // 8) * sw + (j.j * sw) // 8) // 3)
+              + CASE WHEN (((i.i * sh) // 8) * sw + (j.j * sw) // 8)
+                          % {variants} = v THEN 3 ELSE 0 END) % 256 AS p
+      FROM vh_img,
+           generate_series(0, 3) AS f(f),
+           generate_series(0, 7) AS i(i),
+           generate_series(0, 7) AS j(j)
+      WHERE f.f < nf
+    ),
+    vh_tot AS (
+      SELECT media_id, f, SUM(p) AS tot FROM vh_px GROUP BY media_id, f
+    ),
+    vh_mbits AS (
+      SELECT px.media_id, k,
+             CASE WHEN 2 * SUM(CASE WHEN p * 64 >= tot THEN 1 ELSE 0 END)
+                       >= MIN(nf) THEN 1 ELSE 0 END AS b
+      FROM vh_px px JOIN vh_tot t ON t.media_id = px.media_id AND t.f = px.f
+      GROUP BY px.media_id, k
+    ),
+    vh_ahash AS ({_pack_sql("b", "vh_mbits")})"""
 
 
 def hamming_pairs_sql(

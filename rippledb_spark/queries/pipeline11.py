@@ -184,6 +184,52 @@ def image_phash_survivors_accounting(
 
 
 @query(
+    "video_phash_dedup_accounting",
+    oracle=f"""
+    WITH {IH.video_ahash_sql()},
+    {IH.hamming_pairs_sql("vh_ahash")}
+    SELECT CAST(id_a % 50 AS BIGINT) AS grp,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(hamming) AS BIGINT) AS hamming_total,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN id_b % 50 <> id_a % 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_group
+    FROM ih_pairs GROUP BY id_a % 50 ORDER BY grp
+    """,
+)
+def video_phash_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO perceptual near-dup (r13 — the third modality on the same
+    blocking operator): synthesize group-keyed AVIs (DIB and RLE8 paths
+    both exercised), decode every frame for real, aHash each frame, and
+    fingerprint the video as the TEMPORAL MAJORITY of its per-frame bit
+    vectors (2·Σ b ≥ n_frames), then banded-Hamming pairs + per-group
+    accounting exactly as the image and audio tiers. The oracle replays
+    frame synthesis → resample → per-frame bits → majority → packing →
+    banding → pairs in SQL — a single mis-decoded RLE8 run in any frame
+    of any video shifts some group's row."""
+    d = load(spark, sf_dir, "documents")
+    media = IH.synthesize_group_avis(d, "doc_id")
+    pairs = IH.hamming_pairs(IH.video_ahash(media))
+    return (
+        pairs.groupBy((F.col("id_a") % 50).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("hamming").cast("bigint").alias("hamming_total"),
+            F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(
+                F.when(F.col("id_b") % 50 != F.col("id_a") % 50, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_cross_group"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
     "audio_fingerprint_dedup_accounting",
     oracle=f"""
     WITH {AH.audio_fingerprint_sql()},

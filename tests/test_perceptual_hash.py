@@ -199,6 +199,45 @@ def test_planted_group_structure_audio(spark):
     assert len(found) >= 35
 
 
+def _naive_video_hash(mid, groups=50, variants=5):
+    g, v = mid % groups, (mid // groups) % variants
+    w, h, nf = 4 + g % 5, 3 + g % 3, 1 + g % 4
+    frame_bits = []
+    for f in range(nf):
+        px = [
+            (31 * g + 11 * f + 7 * (p // 3)
+             + (3 if p % variants == v else 0)) % 256
+            for p in range(w * h)
+        ]
+        r = _naive_resize(w, h, px, 8, 8)
+        tot = sum(r)
+        frame_bits.append([1 if p * 64 >= tot else 0 for p in r])
+    maj = [
+        1 if 2 * sum(fb[k] for fb in frame_bits) >= nf else 0
+        for k in range(64)
+    ]
+    return _pack(maj)
+
+
+def test_video_ahash_matches_naive_closed_form(spark):
+    media = IH.synthesize_group_avis(_ids_df(spark), "doc_id")
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(media).collect()
+    }
+    assert len(got) == 40
+    for mid, hv in got.items():
+        assert hv == _naive_video_hash(mid), f"video hash mismatch at {mid}"
+
+
+def test_video_ahash_corrupt_payload_dropped(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"RIFFxxxxnope"), "video/x-msvideo")],
+        "media_id long, payload binary, media_type string",
+    )
+    assert IH.video_ahash(media).count() == 0
+
+
 def test_near_dup_drops_greedy_min_keeps(spark):
     # hand-built: ids 0/1/2 share one exact hash (0 is representative),
     # id 3 is hamming-1 from it (dropped vs rep 0), id 4 is far (kept)
