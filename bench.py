@@ -192,11 +192,19 @@ def _bpe_phase_split(spark, sf_dir) -> dict[str, float]:
     )
     bat_sec = round(time.perf_counter() - t0, 3)
     assert bat == seq, "batched BPE diverged from sequential in bench"
+    t0 = time.perf_counter()
+    greedy, _, greedy_rounds = learn_bpe_merges_batched(
+        d, "text", n_merges=8, min_pair_count=2, scan=32, exact=False
+    )
+    greedy_sec = round(time.perf_counter() - t0, 3)
+    assert len(greedy) == len(seq), "greedy BPE lost merges in bench"
     return {
         "sequential_sec": seq_sec,
         "batched_sec": bat_sec,
         "merges": len(seq),
         "batched_jobs": rounds,
+        "greedy_sec": greedy_sec,
+        "greedy_jobs": greedy_rounds,
     }
 
 

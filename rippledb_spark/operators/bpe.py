@@ -123,6 +123,7 @@ def learn_bpe_merges_batched(
     n_merges: int = 6,
     min_pair_count: int = 2,
     scan: int = 32,
+    exact: bool = True,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, int]:
     """Learn ``n_merges`` BPE merges with BATCHED rounds — EXACTLY the
     sequential :func:`learn_bpe_merges` trajectory, in far fewer Spark
@@ -167,11 +168,23 @@ def learn_bpe_merges_batched(
       is kept — a batch of one IS the sequential step, so progress is
       guaranteed and the worst case degrades to the sequential learner.
 
+    ``exact=False`` — GREEDY batch mode, the classic batched-BPE
+    trade: accept EVERY scanned input-disjoint, collision-free pair (no
+    count cap, no self-pair cutoff). The trajectory may then deviate
+    from sequential's where top pairs interact through counts — it is
+    still deterministic, still a valid BPE merge order, and EQUAL to
+    sequential whenever no scanned pair conflicts (pinned by test); the
+    job count drops by ~the scan width on natural text, which is what a
+    32k-merge production vocabulary needs. Measured on the sf0.01/0.1
+    documents corpora (tools/scale_probe_bpe_batched.py): exact mode
+    batches little at depth (English char bigrams share 'e','t','a' at
+    the top — counts genuinely interact, mean batch ~1.1-1.2, wall still
+    1.3-2x from amortized checkpoints), greedy mode batches near the
+    scan width.
+
     Scale shape: identical per-round plan to the sequential learner
     (distinct-word scan → bounded pair-count shuffle); the collect grows
-    from 1 row to ``scan`` rows (driver-trivial). For a 32k-merge vocab
-    the job count drops by the mean batch size — on natural text most
-    rounds batch several merges because top pairs rarely share symbols.
+    from 1 row to ``scan`` rows (driver-trivial).
     """
     if scan < 2:
         raise ValueError("scan must be >= 2")
@@ -226,12 +239,14 @@ def learn_bpe_merges_batched(
                 or res in created
                 or res in acc_results
             ):
+                if not exact:
+                    continue  # greedy mode: skip, keep scanning
                 caps.append(int(r["cnt"]))  # first conflict caps the batch
                 break
             accepted.append(r)
             acc_syms.update((a, b))
             acc_results.add(res)
-            if a == b:
+            if exact and a == b:
                 # a SELF-pair closes the batch: merging (a,a) creates
                 # (aa,aa) adjacencies whose count is bounded only by
                 # cnt(a,a) itself — the one created-pair shape the strict
@@ -244,7 +259,7 @@ def learn_bpe_merges_batched(
                 if i + 1 < len(eligible):
                     caps.append(int(eligible[i + 1]["cnt"]))
                 break
-        if len(rows) == scan:
+        if exact and len(rows) == scan:
             # the ranked list may continue past the scan horizon; every
             # unscanned pair counts <= the last scanned row
             caps.append(int(rows[-1]["cnt"]))

@@ -237,12 +237,16 @@ def hamming_pairs(
             for i in range(half)
         ]
     )
+    # lazy checkpoint: BOTH sides of the self-join read the same
+    # materialized RDD, so the upstream (often an Arrow decode pipeline —
+    # plan-checked: without this the MapInPandas stages ran twice, once
+    # per join branch, with no exchange reuse) computes exactly once
     banded = hashes.select(
         F.col("media_id"),
         "hash_hi",
         "hash_lo",
         F.posexplode(bandvals).alias("band", "bv"),
-    )
+    ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -70,6 +70,29 @@ def main() -> None:
         f"batched(scan=2, 16 merges): exact, {worst_rounds} jobs, "
         f"{time.perf_counter() - t0:.1f}s"
     )
+
+    # greedy mode (exact=False): the production 32k-vocab path — batches
+    # near the scan width; trajectory may reorder interacting merges
+    t0 = time.perf_counter()
+    greedy, _, greedy_rounds = learn_bpe_merges_batched(
+        d, "text", n_merges=64, min_pair_count=2, scan=32, exact=False
+    )
+    greedy_sec = time.perf_counter() - t0
+    assert len(greedy) == 64
+    assert greedy_rounds * 4 <= len(greedy), (
+        f"greedy mode failed to batch: {greedy_rounds} jobs for 64 merges"
+    )
+    overlap = len({(m[1], m[2]) for m in greedy} & {(m[1], m[2]) for m in seq})
+    print(
+        f"greedy(scan=32): 64 merges in {greedy_rounds} jobs "
+        f"(mean batch {64 / greedy_rounds:.1f}), {greedy_sec:.1f}s "
+        f"({seq_sec / max(greedy_sec, 1e-9):.2f}x vs sequential); "
+        f"{overlap}/64 merges shared with the exact trajectory"
+    )
+    print(
+        f"32k-vocab projection (greedy): ~{int(32000 / (64 / greedy_rounds))}"
+        " jobs"
+    )
     print("PROBE OK")
 
 
