@@ -367,15 +367,31 @@ def video_frame_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     )
 
 
-def video_ahash(media: DataFrame) -> DataFrame:
+def video_ahash(media: DataFrame, max_frames: int | None = None) -> DataFrame:
     """→ (media_id, hash_hi, hash_lo): TEMPORAL-MAJORITY aHash — the
     standard per-frame-phash + temporal-aggregation video fingerprint
     shape: each decoded frame gets its 8×8 aHash bit vector, and video
     bit k = 1 iff at least half the frames set it (2·Σ_f b ≥ n_frames;
     the ≥ tie goes to 1, identically in SQL). Robust to a few edited
     frames the way aHash is robust to a few edited pixels. Per-frame
-    work is one exploded (media, k) integer aggregation — no collect."""
+    work is one exploded (media, k) integer aggregation — no collect.
+
+    ``max_frames``: the long-video scale valve — keep only frames at
+    index ≡ 0 (mod ceil(n_frames / max_frames)), a DETERMINISTIC stride
+    keyed on frame index, so two copies of the same video sample the
+    same frames and the blocking guarantee survives (sampling is
+    duplicate-invariant). The majority then runs over the sampled count."""
     p = video_frame_pixels(media, 8, 8).where(F.col("decode_ok"))
+    if max_frames is not None:
+        if max_frames < 1:
+            raise ValueError("max_frames must be >= 1")
+        stride = F.ceil(F.col("n_frames") / F.lit(max_frames)).cast("int")
+        p = p.where(F.col("frame_no") % stride == 0).withColumn(
+            "n_frames",
+            # majority denominator = frames actually sampled:
+            # ceil(n_frames / stride)
+            F.ceil(F.col("n_frames") / stride).cast("int"),
+        )
     tot = F.aggregate(
         "px", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
     )

@@ -162,6 +162,79 @@ def test_greedy_mode_batches_wide_on_natural_text(spark, sf_dir):
     assert bad == 0
 
 
+def _py_greedy_bpe(texts, n_merges, min_pair_count=2, scan=32):
+    """Independent pure-Python reference of the GREEDY batched learner:
+    dict-based pair counting, the same ranked walk (input-disjoint +
+    collision-free, no cap), the same left-to-right non-overlapping
+    replace. A Spark/driver divergence in either the counting or the
+    walk shows up as a trajectory mismatch."""
+    words = {}
+    for t in texts:
+        for w in t.split():
+            w = w.replace("\x1f", "")
+            if w:
+                words[w] = words.get(w, 0) + 1
+    syms = {w: list(w) for w in words}
+    merges, created = [], set()
+    while len(merges) < n_merges:
+        counts = {}
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + words[w]
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:scan]
+        eligible = [(p, c) for p, c in ranked if c >= min_pair_count]
+        if not eligible:
+            break
+        acc, acc_syms, acc_res = [], set(), set()
+        for (a, b), c in eligible:
+            res = a + b
+            if a in acc_syms or b in acc_syms or res in created or res in acc_res:
+                continue
+            acc.append(((a, b), c))
+            acc_syms.update((a, b))
+            acc_res.add(res)
+        acc = acc[: n_merges - len(merges)]
+        for (a, b), c in acc:
+            merges.append((len(merges) + 1, a, b, c))
+            created.add(a + b)
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+    return merges
+
+
+def test_greedy_mode_matches_pure_python_reference(spark, sf_dir):
+    # cross-engine pin for the greedy trajectory itself (the exact mode
+    # has the DuckDB sequential oracle; greedy gets this independent
+    # dict-based replay)
+    from rippledb_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    texts = [r["text"] for r in d.select("text").collect()]
+    want = _py_greedy_bpe(texts, n_merges=24, scan=32)
+    got, _, _ = learn_bpe_merges_batched(
+        d, "text", n_merges=24, min_pair_count=2, scan=32, exact=False
+    )
+    assert got == want
+
+
+def test_greedy_reference_also_matches_on_crafted_conflicts(spark):
+    texts = ["abc abc abc", "aaaa aa", "the cat sat on the mat"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    want = _py_greedy_bpe(texts, n_merges=10, scan=8)
+    got, _, _ = learn_bpe_merges_batched(
+        df, "text", n_merges=10, min_pair_count=2, scan=8, exact=False
+    )
+    assert got == want
+
+
 def test_batched_rounds_counter_counts_jobs(spark):
     df = spark.createDataFrame([("ab ab cd cd",)], "text string")
     _, _, rounds = learn_bpe_merges_batched(df, "text", n_merges=2, scan=8)

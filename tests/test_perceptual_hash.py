@@ -230,6 +230,36 @@ def test_video_ahash_matches_naive_closed_form(spark):
         assert hv == _naive_video_hash(mid), f"video hash mismatch at {mid}"
 
 
+def test_video_ahash_frame_sampling_deterministic(spark):
+    media = IH.synthesize_group_avis(_ids_df(spark), "doc_id")
+    # sampling with a budget >= every video's frame count (nf <= 4) is
+    # the identity — stride 1 everywhere
+    full = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(media).collect()
+    }
+    capped = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(media, max_frames=4).collect()
+    }
+    assert capped == full
+    # max_frames=1 keeps exactly frame 0: equal to the naive frame-0 hash
+    one = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(media, max_frames=1).collect()
+    }
+    for mid, hv in one.items():
+        g, v = mid % 50, (mid // 50) % 5
+        w, h = 4 + g % 5, 3 + g % 3
+        px = [
+            (31 * g + 7 * (p // 3) + (3 if p % 5 == v else 0)) % 256
+            for p in range(w * h)
+        ]
+        r = _naive_resize(w, h, px, 8, 8)
+        tot = sum(r)
+        assert hv == _pack([1 if p * 64 >= tot else 0 for p in r]), mid
+
+
 def test_video_ahash_corrupt_payload_dropped(spark):
     media = spark.createDataFrame(
         [(1, bytearray(b"RIFFxxxxnope"), "video/x-msvideo")],
