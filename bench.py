@@ -518,8 +518,10 @@ def main() -> None:
         "ann_phases": {
             k: list(ph.values()) for k, ph in ann_phases.items()
         },
-        # [sequential_sec, batched_sec, merges, batched_jobs] — the
-        # batched-BPE win receipt (labeled dict in BENCH_DETAIL.json)
+        # [sequential_sec, batched_sec, merges, batched_jobs, greedy_sec,
+        # greedy_jobs] — the batched-BPE win receipt, all six of
+        # _bpe_phase_split's entries in order (labeled dict in
+        # BENCH_DETAIL.json)
         "bpe_phases": list(bpe_phases.values()),
     }
     if "bulk_load" in record:

@@ -264,7 +264,18 @@ def learn_bpe_merges_batched(
             # unscanned pair counts <= the last scanned row
             caps.append(int(rows[-1]["cnt"]))
         cap = max(caps) if caps else -1
-        batch = [r for r in accepted if r["cnt"] > cap] or accepted[:1]
+        # termination guard (theoretical): if EVERY scanned pair collided
+        # with a created symbol (exact mode: rank-1's result collides;
+        # greedy mode: all scanned collide), `accepted` is empty and an
+        # empty batch would re-run the identical recount forever. Fall
+        # back to merging the rank-1 pair outright — exactly what the
+        # sequential learner (which has no collision guard) does — so a
+        # round ALWAYS applies at least one merge.
+        batch = (
+            [r for r in accepted if r["cnt"] > cap]
+            or accepted[:1]
+            or eligible[:1]
+        )
         batch = batch[: n_merges - len(merges)]
         syms_col = F.col("syms")
         for r in batch:

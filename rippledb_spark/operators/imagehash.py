@@ -451,8 +451,17 @@ def near_dup_drops(
        near-dup representative pair (greedy min-keeps, the house rule
        of the text dedups in operators/dedup.py).
     """
-    reps = hashes.groupBy("hash_hi", "hash_lo").agg(
-        F.min("media_id").alias("media_id")
+    # lazy checkpoints (the same fix hamming_pairs carries internally):
+    # `hashes` feeds reps' groupBy AND exact_drops' probe side, and `reps`
+    # feeds exact_drops' build side AND the banded pair join — without
+    # materialization each consumer re-runs the upstream pipeline (often a
+    # full Arrow decode) once per branch. Both frames are 3 columns per
+    # item, so pinning them is cheap at any corpus size.
+    hashes = hashes.localCheckpoint(eager=False)
+    reps = (
+        hashes.groupBy("hash_hi", "hash_lo")
+        .agg(F.min("media_id").alias("media_id"))
+        .localCheckpoint(eager=False)
     )
     exact_drops = (
         hashes.join(
