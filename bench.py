@@ -262,15 +262,33 @@ def main() -> None:
         lambda pdf: pdf[["id"]].head(1), schema="id long"
     ).collect()
 
+    # Per-query block sweep (r14 — the residual source behind r13's
+    # steady_state:false respread flags): every query that checkpoints
+    # (trainers, hamming_pairs' banded frames, streaming twins) leaves
+    # its blocks registered until a DRIVER GC lets the context cleaner
+    # run; over a 58-key pass that is hundreds of MB of dead storage
+    # squeezing the unified memory pool, so late-session runs pay extra
+    # GC/spill (r13 measured 35-45% on the forced-solo extras). The
+    # queries are self-contained — after the noop write returns, every
+    # RDD the query persisted is unreachable by construction — so the
+    # session frees them deterministically, the way a long-lived serving
+    # session should after each request.
+    from rippledb_spark.operators._itergc import (
+        persistent_rdd_ids,
+        unpersist_rdd_ids,
+    )
+
     def run_pass() -> dict[str, float]:
         t: dict[str, float] = {}
         for name in HEADLINE:
+            base = persistent_rdd_ids(spark)
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             # noop sink forces FULL evaluation of every output column —
             # a count() would let Catalyst prune the projections being timed.
             df.write.format("noop").mode("overwrite").save()
             t[name] = round(time.perf_counter() - t0, 3)
+            unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - base)
         return t
 
     # Pass 1 warms codegen/JIT and the page cache (cold numbers reported as
@@ -348,11 +366,13 @@ def main() -> None:
         extra_probe_before = _probe(spark)
         extra: list[float] = []
         for _ in range(RESPREAD_EXTRA):
+            base = persistent_rdd_ids(spark)
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             extra.append(round(time.perf_counter() - t0, 3))
+            unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - base)
             if (max(raw + extra) / max(min(raw + extra), 1e-9)) < 2.0:
                 break
         extra_probe_after = _probe(spark)

@@ -38,6 +38,87 @@ _JVM_GC_MIN_INTERVAL_S = 60.0
 _last_jvm_gc = 0.0
 
 
+def persistent_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently persisted in the session's block
+    manager (the JVM-side registry behind ``localCheckpoint`` blocks)."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+    except Exception:
+        return set()  # non-JVM-backed session (e.g. Spark Connect)
+
+
+def unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    """Explicitly unpersist the given RDD ids (non-blocking). The public
+    handle ``localCheckpoint`` lacks: a checkpointed DataFrame's blocks
+    CAN be freed deterministically through the persistent-RDD registry —
+    the frame is unusable afterwards, so this must only ever see
+    SUPERSEDED frames (a prior iterate, a consumed ephemeral)."""
+    if not ids:
+        return
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jmap.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:
+        pass  # non-JVM-backed session: the context cleaner handles it
+
+
+class CheckpointRotator:
+    """Deterministic block release for per-iteration ``localCheckpoint``
+    loops (r14 — the residual behind BENCH_r13's ``steady_state: false``
+    respread flags: the r13 gc.collect()+rate-limited System.gc() path
+    frees trainer garbage only when a JVM GC happens to run, so
+    late-session solo runs still paid 35-45% over the in-pass median).
+
+    Usage::
+
+        rot = CheckpointRotator(df.sparkSession)
+        for _ in range(iterations):
+            frame = rot.rotate(frame)        # checkpoint + free the
+                                             # PREVIOUS round's blocks
+        rot.close()                          # free pre-loop scratch
+                                             # (keeps the last rotate)
+
+    ``rotate`` eagerly checkpoints its argument(s) and unpersists the
+    blocks of the frames IT checkpointed on the previous call — which
+    are superseded by construction. ``close`` additionally frees every
+    other RDD persisted since the rotator was built (pre-loop feature
+    checkpoints) EXCEPT the last rotate's output, which the caller
+    returns. Driver-side single-threaded usage only: the created-id
+    diff would misattribute blocks persisted concurrently by another
+    thread."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._base = persistent_rdd_ids(spark)
+        self._live: set[int] = set()  # last rotate's still-needed ids
+        self._scratch: set[int] = set()  # everything else created since
+
+    def rotate(self, *dfs: DataFrame):
+        before = persistent_rdd_ids(self._spark)
+        out = [df.localCheckpoint(eager=True) for df in dfs]
+        created = persistent_rdd_ids(self._spark) - before
+        # anything persisted since the last rotate that ISN'T this
+        # round's checkpoint (e.g. an in-loop eager side-frame) becomes
+        # scratch, freed at close; the previous round's frames are
+        # superseded NOW
+        unpersist_rdd_ids(self._spark, self._live)
+        self._scratch |= (before - self._base) - self._live
+        self._base = before | created
+        self._live = created
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def close(self) -> None:
+        """Free pre-loop/scratch blocks; the last rotate's output stays."""
+        now = persistent_rdd_ids(self._spark)
+        self._scratch |= now - self._base
+        unpersist_rdd_ids(self._spark, self._scratch - self._live)
+        self._scratch = set()
+
+
 def release_iteration_garbage(df: DataFrame) -> None:
     """Free the block-manager garbage an iterative loop leaves behind.
 

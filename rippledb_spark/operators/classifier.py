@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 
 from rippledb_spark.functions.vector import as_double_array
 from rippledb_spark.operators._itergc import (
-    release_iteration_garbage as _release_iteration_garbage,
+    CheckpointRotator as _CheckpointRotator,
 )
 
 LOGIT_DP = 6
@@ -81,6 +81,12 @@ def logistic_train(
         raise ValueError("iterations must be >= 1")
     if dims < 1:
         raise ValueError("dims must be >= 1")
+    # rotator (r14): per-iterate checkpoints AND the corpus-sized feats
+    # checkpoint below are freed DETERMINISTICALLY (rotate supersedes the
+    # prior iterate; close() frees feats on the way out) instead of
+    # waiting for a driver GC — the residual behind BENCH_r13's
+    # steady_state:false trainer respread flags
+    rot = _CheckpointRotator(df.sparkSession)
     feats = (
         df.select(
             as_double_array(vec_col).alias("x"),
@@ -134,12 +140,12 @@ def logistic_train(
         # lineage nests every prior round's aggregation inside the next
         # round's broadcast AND gradient plans — measured 2-3x slower
         # when batched to every-4th-round; the per-round 1-row
-        # materialization is the cheaper side of the trade)
-        wrow = wrow.localCheckpoint(eager=True)
-    # release superseded per-iterate checkpoint blocks (BENCH_r12: leaked
-    # trainer garbage drifted LATER session queries 2x; the final wrow
-    # stays referenced and is untouched)
-    _release_iteration_garbage(wrow)
+        # materialization is the cheaper side of the trade). rotate()
+        # unpersists the PREVIOUS iterate's blocks in the same breath.
+        wrow = rot.rotate(wrow)
+    # free feats + any scratch deterministically (the final wrow is the
+    # last rotate's output and stays persisted for the caller)
+    rot.close()
     return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
 
 

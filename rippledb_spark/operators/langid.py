@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame
 
 from rippledb_spark.functions.vector import as_double_array
 from rippledb_spark.operators._itergc import (
-    release_iteration_garbage as _release_iteration_garbage,
+    CheckpointRotator as _CheckpointRotator,
 )
 from rippledb_spark.operators.classifier import LOGIT_DP, _SCALE, _dot
 
@@ -218,6 +218,9 @@ def softmax_train(
         raise ValueError("iterations must be >= 1")
     if dims < 1 or k < 2:
         raise ValueError("need dims >= 1 and k >= 2")
+    # rotator (r14): deterministic release of per-iterate + feats blocks
+    # on exit, replacing the GC-dependent path (see classifier.py)
+    rot = _CheckpointRotator(df.sparkSession)
     feats = (
         df.select(
             as_double_array(vec_col).alias("x"),
@@ -277,11 +280,11 @@ def softmax_train(
             )
         )
         # eager per-iterate checkpoint: the classifier.py lesson — a lazy
-        # 1-row lineage nests every prior round inside the next plan
-        wrow = wrow.localCheckpoint(eager=True)
-    # release superseded per-iterate checkpoint blocks (BENCH_r12: leaked
-    # trainer garbage drifted LATER session queries 2x)
-    _release_iteration_garbage(wrow)
+        # 1-row lineage nests every prior round inside the next plan;
+        # rotate() frees the previous iterate's blocks in the same breath
+        wrow = rot.rotate(wrow)
+    # free feats + scratch deterministically (final wrow stays persisted)
+    rot.close()
     return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
 
 
