@@ -58,6 +58,73 @@ from rippledb_spark.operators.multimodal import (
     resize_nearest,
 )
 
+#: containers decode_image_pixels dispatches on (prefix match on the
+#: normalized content type) — the decoders all pre-exist in
+#: operators/multimodal.py + operators/jpeg.py; r13 shipped them but the
+#: perceptual tier only consumed PNG (the r13 VERDICT's #1 gap: real
+#: corpora are JPEG-dominated)
+IMAGE_DECODE_TYPES = (
+    "image/png",
+    "image/jpeg",
+    "image/gif",
+    "image/bmp",
+    "image/x-ms-bmp",
+    "image/tiff",
+)
+
+
+def _palette_luma(indices: bytes, palette) -> bytes:
+    """Index field + (r, g, b) palette → 8-bit luminance, with the
+    integer Rec.601 weights (299·r + 587·g + 114·b) // 1000 — exact
+    division since the weights sum to 1000, so an identity-gray palette
+    (i, i, i) maps index i to luma i with NO rounding drift."""
+    pal = (list(palette) + [(0, 0, 0)] * 256)[:256]
+    lut = bytes((299 * r + 587 * g + 114 * b) // 1000 for r, g, b in pal)
+    return indices.translate(lut)
+
+
+def decode_image_pixels(payload: bytes, media_type: str) -> tuple[int, int, bytes]:
+    """Container-dispatching grayscale decode → (width, height, row-major
+    luma bytes): PNG (chunk walk → zlib → unfilter), baseline JPEG (full
+    entropy + dequant + IDCT), GIF (first frame's LZW indices → palette
+    luma), BMP (BI_RGB / BI_RLE8 indices → palette luma), TIFF (strip
+    reassembly, PackBits/LZW, predictor 2). Unknown or malformed
+    containers raise ValueError — the caller's per-row decode_ok contract
+    turns that into a survivable false row at corpus scale."""
+    mt = (media_type or "").strip().lower()
+    if mt.startswith("image/png"):
+        return decode_png_pixels(payload)
+    if mt.startswith("image/jpeg"):
+        from rippledb_spark.operators.jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
+    if mt.startswith("image/gif"):
+        from rippledb_spark.operators.multimodal import (
+            decode_gif_pixels,
+            gif_global_palette,
+        )
+
+        fr = decode_gif_pixels(payload)
+        if not fr:
+            raise ValueError("GIF has no frames")
+        f0 = fr[0]
+        return (
+            f0["width"],
+            f0["height"],
+            _palette_luma(f0["pixels"], gif_global_palette(payload)),
+        )
+    if mt.startswith(("image/bmp", "image/x-ms-bmp")):
+        from rippledb_spark.operators.multimodal import decode_bmp
+
+        d = decode_bmp(payload)
+        return d["width"], d["height"], _palette_luma(d["indices"], d["palette"])
+    if mt.startswith("image/tiff"):
+        from rippledb_spark.operators.multimodal import decode_tiff
+
+        d = decode_tiff(payload)
+        return d["width"], d["height"], d["pixels"]
+    raise ValueError(f"no image decoder for media type {media_type!r}")
+
 PHASH_BANDS = 4  # 16-bit bands over the 64-bit hash
 PHASH_MAX_HAMMING = 3  # pigeonhole-exact for 4 bands
 
@@ -109,15 +176,125 @@ def synthesize_group_pngs(
     )
 
 
-def resize_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Binary PNG payloads → (media_id, decode_ok, src_width,
-    src_height, px array<int>[out_w·out_h]): the full decode pipeline
-    (chunk walk → CRC → zlib inflate → unfilter) + nearest-neighbor
-    resample inside Arrow ``mapInPandas``, emitting the resampled
-    pixels as a column so HASHING stays JVM-side (pure expressions, no
-    Python in that stage). Corrupt payloads survive as decode_ok =
-    false rows with a NULL array (corpus-scale contract)."""
+#: the five containers the mixed-format corpus cycles through — index
+#: order is load-bearing (fmt = (id // (groups·variants)) % 5 in both
+#: the synthesizer and the oracle's accounting)
+MIXED_FORMATS = (
+    "image/png",
+    "image/jpeg",
+    "image/gif",
+    "image/bmp",
+    "image/tiff",
+)
+
+
+def synthesize_mixed_format_images(
+    df: DataFrame, id_col: str, groups: int = 25, variants: int = 4
+) -> DataFrame:
+    """Id-keyed table → media table cycling through ALL FIVE image
+    containers (PNG / baseline JPEG / GIF / BMP / TIFF) with planted
+    CROSS-FORMAT duplicate structure: group g = id % groups fixes
+    dimensions (8·(1 + g % 3) × 8·(1 + g % 2)) and the base field,
+    variant v = (id / groups) % variants perturbs blocks ≡ v (mod
+    variants) by +9, format = (id / (groups·variants)) % 5 — so every
+    (g, v) pixel field ships in five different containers, and a
+    format-dispatching decoder MUST pair them at Hamming 0.
+
+    Pixels are BLOCK-CONSTANT per 8×8 grid cell — pix(x, y) =
+    (53·(g+1)·(blk+1)² + 17·blk + 9·[blk ≡ v mod variants]) mod 256
+    with blk = (y/8)·(w/8) + (x/8) — because that is the content class
+    where baseline JPEG with all-ones quant tables is numerically
+    lossless (operators/jpeg.py module docstring); the other four
+    containers are lossless for any content. The quadratic-in-blk mix
+    matters: aHash is INVARIANT to uniform brightness shifts, so a
+    per-group constant offset alone cannot separate groups — the
+    measured profile of this field (16-30 blocks/image, DuckDB census)
+    is zero cross-GROUP pairs at Hamming ≤ 3, ~500 same-group
+    near-pairs at 1-3, and all 1000 cross-format duplicates at 0. GIF
+    uses the identity-gray 256-entry table (encode_gif_gray), BMP an
+    identity-gray palette (RLE8 for odd g), TIFF alternates
+    LZW/uncompressed — so the decode side exercises every container's
+    real compression path while the pixel field stays one closed-form
+    the SQL oracle replays."""
     import pandas as pd
+
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray
+    from rippledb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif_gray,
+        encode_tiff,
+    )
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    identity_pal = [(i, i, i) for i in range(256)]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, types = [], []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g = mid % groups
+                v = (mid // groups) % variants
+                fmt = (mid // (groups * variants)) % len(MIXED_FORMATS)
+                w, h = 8 * (4 + g % 3), 8 * (4 + g % 2)
+                bw = w // 8
+
+                def val(x: int, y: int) -> int:
+                    blk = (y // 8) * bw + x // 8
+                    return (
+                        53 * (g + 1) * (blk + 1) * (blk + 1)
+                        + 17 * blk
+                        + (9 if blk % variants == v else 0)
+                    ) % 256
+
+                px = bytes(val(x, y) for y in range(h) for x in range(w))
+                mt = MIXED_FORMATS[fmt]
+                if fmt == 0:
+                    payloads.append(encode_png(w, h, px))
+                elif fmt == 1:
+                    payloads.append(encode_jpeg_gray(w, h, px))
+                elif fmt == 2:
+                    payloads.append(encode_gif_gray(w, h, px))
+                elif fmt == 3:
+                    payloads.append(
+                        encode_bmp(w, h, px, identity_pal, rle8=bool(g % 2))
+                    )
+                else:
+                    payloads.append(encode_tiff(w, h, px, lzw=bool(g % 2)))
+                types.append(mt)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": types,
+                }
+            )
+
+    return src.mapInPandas(
+        batch_fn, schema="media_id long, payload binary, media_type string"
+    )
+
+
+def resize_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Binary image payloads → (media_id, decode_ok, src_width,
+    src_height, px array<int>[out_w·out_h]): the full FORMAT-DISPATCHED
+    decode (PNG / baseline JPEG / GIF / BMP / TIFF by the row's
+    ``media_type`` — :func:`decode_image_pixels`; r14, closing the r13
+    VERDICT's PNG-only gap) + nearest-neighbor resample inside Arrow
+    ``mapInPandas``, emitting the resampled pixels as a column so
+    HASHING stays JVM-side (pure expressions, no Python in that stage).
+    One mixed-format corpus dedups in ONE pass. Corrupt or
+    unknown-typed payloads survive as decode_ok = false rows with a
+    NULL array (corpus-scale contract). A missing ``media_type`` column
+    is treated as PNG (the r13 call shape)."""
+    import pandas as pd
+
+    has_type = "media_type" in media.columns
+    src = media.select(
+        "media_id",
+        "payload",
+        F.col("media_type") if has_type else F.lit("image/png").alias("media_type"),
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -128,9 +305,11 @@ def resize_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 "src_height": [],
                 "px": [],
             }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for mid, payload, mt in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
                 try:
-                    w, h, raw = decode_png_pixels(bytes(payload))
+                    w, h, raw = decode_image_pixels(bytes(payload), mt)
                     rs = resize_nearest(w, h, raw, out_w, out_h)
                     row = (True, w, h, [int(b) for b in rs])
                 except ValueError:
@@ -142,7 +321,7 @@ def resize_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 out["px"].append(row[3])
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batch_fn, schema=_PIXEL_SCHEMA)
+    return src.mapInPandas(batch_fn, schema=_PIXEL_SCHEMA)
 
 
 def _pack_bits(bits_col, lo: int, hi: int):
@@ -529,6 +708,44 @@ def ahash_sql(groups: int = 50, variants: int = 5) -> str:
     ih_ahash AS ({_pack_sql(
         "CASE WHEN p * 64 >= tot THEN 1 ELSE 0 END",
         "(SELECT px.media_id, k, p, tot FROM ih_px px JOIN ih_tot USING (media_id))",
+    )})"""
+
+
+def mixed_ahash_sql(groups: int = 25, variants: int = 4) -> str:
+    """DuckDB twin of synthesize_mixed_format_images → ahash_images:
+    the container NEVER enters the pixel formula (that is the planted
+    claim — five containers, one field), so the oracle recomputes the
+    resized 8×8 field from the block-constant closed form and packs the
+    aHash bits exactly as :func:`ahash_sql` does. Yields
+    ``mx_ahash(media_id, hash_hi, hash_lo)``."""
+    return f"""mx_img AS (
+      SELECT doc_id AS media_id,
+             doc_id % {groups} AS g,
+             (doc_id // {groups}) % {variants} AS v,
+             8 * (4 + (doc_id % {groups}) % 3) AS sw,
+             8 * (4 + (doc_id % {groups}) % 2) AS sh
+      FROM documents
+    ),
+    mx_px AS (
+      SELECT media_id,
+             k,
+             (53 * (g + 1) * (blk + 1) * (blk + 1) + 17 * blk
+              + CASE WHEN blk % {variants} = v THEN 9 ELSE 0 END) % 256 AS p
+      FROM (
+        SELECT media_id, g, v, i.i * 8 + j.j AS k,
+               (((i.i * sh) // 8) // 8) * (sw // 8)
+                 + ((j.j * sw) // 8) // 8 AS blk
+        FROM mx_img,
+             generate_series(0, 7) AS i(i),
+             generate_series(0, 7) AS j(j)
+      )
+    ),
+    mx_tot AS (
+      SELECT media_id, SUM(p) AS tot FROM mx_px GROUP BY media_id
+    ),
+    mx_ahash AS ({_pack_sql(
+        "CASE WHEN p * 64 >= tot THEN 1 ELSE 0 END",
+        "(SELECT px.media_id, k, p, tot FROM mx_px px JOIN mx_tot USING (media_id))",
     )})"""
 
 

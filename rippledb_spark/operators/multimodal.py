@@ -914,6 +914,72 @@ def encode_gif(
     return bytes(out)
 
 
+def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Single-frame GIF89a with a 256-entry IDENTITY-GRAY global color
+    table (entry i = (i, i, i)), so the LZW index field IS the grayscale
+    pixel field byte for byte. Compression is the same fixed-width trick
+    as :func:`encode_gif`, lifted to min-code-size 8: a CLEAR (256)
+    before every pixel code keeps the table at its initial state, so
+    every code is 9 bits and any conforming decoder accepts the stream.
+    The r14 mixed-format perceptual-hash corpus uses this so one pixel
+    field round-trips EXACTLY through a GIF container."""
+    if width <= 0 or height <= 0:
+        raise ValueError("gif frame dimensions must be positive")
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 2^(7+1)=256 entries
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    codes: list[int] = []
+    for px in pixels:
+        codes.extend((256, px))  # CLEAR, pixel index (9-bit codes)
+    codes.append(257)  # END
+    buf, nbits, acc = bytearray(), 0, 0
+    for code in codes:
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    out.append(8)  # LZW minimum code size
+    for i in range(0, len(buf), 255):
+        block = buf[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # data sub-block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def gif_global_palette(payload: bytes) -> list[tuple[int, int, int]]:
+    """The GIF's global color table as (r, g, b) tuples (padded to 256
+    entries), or the spec's black/white default when the stream carries
+    none — the lookup :func:`~rippledb_spark.operators.imagehash.
+    decode_image_pixels` needs to turn index fields into luminance."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad magic")
+    packed = payload[10]
+    pal: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if 13 + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        pal = [
+            (payload[13 + 3 * i], payload[14 + 3 * i], payload[15 + 3 * i])
+            for i in range(n)
+        ]
+    else:
+        pal = [(0, 0, 0), (255, 255, 255)]
+    while len(pal) < 256:
+        pal.append((0, 0, 0))
+    return pal
+
+
 def decode_gif_frames(payload: bytes) -> list[dict]:
     """Structural frame walk of a GIF87a/89a stream → one dict per frame:
     {frame_no, left, top, width, height, delay_cs, data} where ``data``

@@ -293,3 +293,96 @@ def test_resize_pixels_corrupt_payload_survives(spark):
     rows = IH.resize_pixels(media, 8, 8).collect()
     assert len(rows) == 1 and rows[0]["decode_ok"] is False
     assert IH.ahash_images(media).count() == 0
+
+
+# --- r14: format-dispatching decode + mixed-format corpus --------------------
+
+
+def _mixed_field(mid, groups=25, variants=4):
+    g, v = mid % groups, (mid // groups) % variants
+    w, h = 8 * (4 + g % 3), 8 * (4 + g % 2)
+    bw = w // 8
+    px = bytes(
+        (53 * (g + 1) * ((y // 8) * bw + x // 8 + 1) ** 2
+         + 17 * ((y // 8) * bw + x // 8)
+         + (9 if ((y // 8) * bw + x // 8) % variants == v else 0)) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    return w, h, px
+
+
+def test_decode_image_pixels_dispatch_exact_all_formats():
+    """Every container's REAL decode path reproduces the one planted
+    pixel field byte for byte (the exactness the mixed-format oracle
+    rides on): PNG zlib/unfilter, baseline JPEG entropy+IDCT on
+    block-constant content, GIF LZW indices through the identity-gray
+    table, BMP BI_RGB and BI_RLE8 via palette luma, TIFF strips with
+    and without LZW."""
+    from rippledb_spark.operators.imagehash import decode_image_pixels
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray
+    from rippledb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_gif_gray,
+        encode_png,
+        encode_tiff,
+    )
+
+    pal = [(i, i, i) for i in range(256)]
+    for mid in (0, 7, 31, 99, 260, 481):
+        w, h, px = _mixed_field(mid)
+        payloads = [
+            ("image/png", encode_png(w, h, px)),
+            ("image/jpeg", encode_jpeg_gray(w, h, px)),
+            ("image/gif", encode_gif_gray(w, h, px)),
+            ("image/bmp", encode_bmp(w, h, px, pal, rle8=bool(mid % 2))),
+            ("image/tiff", encode_tiff(w, h, px, lzw=bool(mid % 2))),
+        ]
+        for mt, payload in payloads:
+            dw, dh, dec = decode_image_pixels(payload, mt)
+            assert (dw, dh) == (w, h), mt
+            assert bytes(dec) == px, f"{mt} did not round-trip id {mid}"
+
+
+def test_decode_image_pixels_unknown_type_refuses():
+    from rippledb_spark.operators.imagehash import decode_image_pixels
+
+    with pytest.raises(ValueError, match="no image decoder"):
+        decode_image_pixels(b"\x00" * 32, "image/webp")
+
+
+def test_palette_luma_weights():
+    """Non-identity palettes go through integer Rec.601 luma (exact for
+    identity-gray by weight-sum-1000 construction)."""
+    from rippledb_spark.operators.imagehash import _palette_luma
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)] + [(7, 7, 7)] * 253
+    out = _palette_luma(bytes([0, 1, 2, 3]), pal)
+    assert list(out) == [
+        299 * 255 // 1000, 587 * 255 // 1000, 114 * 255 // 1000, 7
+    ]
+
+
+def test_mixed_format_cross_container_duplicates_pair_at_zero(spark):
+    """Cross-format same-(g,v) duplicates — one pixel field in five
+    containers — must ALL pair at Hamming 0 through the one-pass
+    dispatching decode (the r14 planted claim)."""
+    # ids g + 100*fmt for g in {0, 1}: 2 (g,v) combos x 5 formats
+    ids = [g + 100 * f for g in (0, 1) for f in range(5)]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = IH.synthesize_mixed_format_images(df, "doc_id")
+    # all five containers present
+    assert set(
+        r["media_type"] for r in media.select("media_type").distinct().collect()
+    ) == set(IH.MIXED_FORMATS)
+    pairs = IH.hamming_pairs(IH.ahash_images(media)).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for g in (0, 1):
+        same = sorted(g + 100 * f for f in range(5))
+        for i, a in enumerate(same):
+            for b in same[i + 1 :]:
+                assert got.get((a, b)) == 0, (a, b, got.get((a, b)))
+    # and nothing pairs across the two groups
+    assert not any(
+        (a % 25) != (b % 25) for (a, b) in got
+    ), "cross-group leakage in the planted mixed corpus"
