@@ -386,3 +386,59 @@ def test_mixed_format_cross_container_duplicates_pair_at_zero(spark):
     assert not any(
         (a % 25) != (b % 25) for (a, b) in got
     ), "cross-group leakage in the planted mixed corpus"
+
+
+# --- r14: MPEG-1 video fingerprint adapter -----------------------------------
+
+
+def _naive_mpeg1_video_ahash(mid, groups=50, variants=5):
+    g, v = mid % groups, (mid // groups) % variants
+    w, h = 16 * (2 + g % 2), 16 * (2 + g % 3)
+    nf = 1 + g % 3
+    bw = w // 8
+    per_frame_bits = []
+    for f in range(nf):
+        px = [
+            (53 * (g + 1) * ((y // 8) * bw + x // 8 + 1) ** 2
+             + 17 * ((y // 8) * bw + x // 8) + 11 * f
+             + (9 if ((y // 8) * bw + x // 8) % variants == v else 0)) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        r = _naive_resize(w, h, px, 8, 8)
+        tot = sum(r)
+        per_frame_bits.append([1 if p * 64 >= tot else 0 for p in r])
+    maj = [
+        1 if 2 * sum(fb[k] for fb in per_frame_bits) >= nf else 0
+        for k in range(64)
+    ]
+    return _pack(maj)
+
+
+def test_mpeg1_video_ahash_matches_naive(spark):
+    """The REAL MPEG-1 decode (slice walk, DC prediction, dequant,
+    IDCT) feeding video_ahash must land the closed-form hash for every
+    (dims, frame-count) shape in the planted family."""
+    ids = [0, 1, 2, 3, 4, 5, 53, 107, 251]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = IH.synthesize_group_mpeg1(df, "doc_id")
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(media).collect()
+    }
+    assert set(got) == set(ids)
+    for mid in ids:
+        assert got[mid] == _naive_mpeg1_video_ahash(mid), mid
+
+
+def test_video_dispatch_unknown_and_corrupt(spark):
+    from rippledb_spark.operators.imagehash import decode_video_gray_frames
+
+    with pytest.raises(ValueError, match="no video decoder"):
+        decode_video_gray_frames(b"\x00" * 16, "video/webm")
+    media = spark.createDataFrame(
+        [(1, bytearray(b"junk"), "video/mpeg;codec=mpeg1")],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = IH.video_frame_pixels(media, 8, 8).collect()
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False
