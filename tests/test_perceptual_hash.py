@@ -442,3 +442,114 @@ def test_video_dispatch_unknown_and_corrupt(spark):
     )
     rows = IH.video_frame_pixels(media, 8, 8).collect()
     assert len(rows) == 1 and rows[0]["decode_ok"] is False
+
+
+# --- r14: dual audio fingerprint ---------------------------------------------
+
+
+def _naive_wav_samples(mid, groups=50, variants=5):
+    g, v = mid % groups, (mid // groups) % variants
+    return [
+        ((31 * g + 13 * (t // 32)) % 97 + (20 if t // 32 == v else 0))
+        * (t % 32 - 16)
+        for t in range(2080)
+    ]
+
+
+def test_audio_dual_fingerprints_match_naive(spark):
+    ids = [0, 3, 57, 101, 263]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = AH.synthesize_group_wavs(df, "doc_id")
+    got = {
+        r["media_id"]: r
+        for r in AH.audio_fingerprints_dual(media).collect()
+    }
+    for mid in ids:
+        s = _naive_wav_samples(mid)
+        e1 = [sum(x * x for x in s[f * 32 : f * 32 + 32]) for f in range(65)]
+        e2 = [sum(x * x for x in s[f * 16 : f * 16 + 16]) for f in range(130)]
+        b1 = [1 if e1[k] > e1[k + 1] else 0 for k in range(64)]
+        b2 = [1 if e2[2 * k + 1] > e2[2 * k + 2] else 0 for k in range(64)]
+        hi1, lo1 = _pack(b1)
+        hi2, lo2 = _pack(b2)
+        r = got[mid]
+        assert (r["hash_hi"], r["hash_lo"]) == (hi1, lo1), mid
+        assert (r["hash2_hi"], r["hash2_lo"]) == (hi2, lo2), mid
+
+
+def test_audio_dual_pairs_gate_and_recall(spark):
+    """Same-(g,v) clips pair at (0, 0); the dual gate only ever REMOVES
+    pairs the fp1 blocking found (it is a post-filter — no new pairs),
+    and same-group pairs survive it on the planted corpus."""
+    ids = [0, 50, 100, 7, 57]  # group 0 x 3 variants, group 7 x 2
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = AH.synthesize_group_wavs(df, "doc_id")
+    rows = AH.audio_dual_pairs(media).collect()
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in IH.hamming_pairs(
+            AH.audio_fingerprints(media)
+        ).collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in rows} == base
+    same_group = [r for r in rows if r["id_a"] % 50 == r["id_b"] % 50]
+    assert same_group and all(r["dual"] for r in same_group)
+    exact = [r for r in rows if r["hamming"] == 0]
+    assert all(r["hamming2"] == 0 for r in exact)
+
+
+# --- r14: DCT pHash -----------------------------------------------------------
+
+
+def test_dct_phash_matches_naive(spark):
+    """The Arrow-stage integer DCT (T @ px @ T.T) + JVM median/packing
+    must land the pure-Python closed-form hash bit for bit."""
+    from rippledb_spark.operators import dctphash as DP
+
+    ids = [0, 5, 49, 123, 250]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = IH.synthesize_group_pngs(df, "doc_id")
+    got = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in DP.dct_phash_images(media).collect()
+    }
+    T = [DP.DCT_BASIS[u * 32 + i] for u in range(8) for i in range(32)]
+    for mid in ids:
+        w, h, px = _naive_group_pixels(mid)
+        rs = _naive_resize(w, h, px, 32, 32)
+        r_stage = [
+            sum(T[u * 32 + i] * rs[i * 32 + j] for i in range(32))
+            for u in range(8)
+            for j in range(32)
+        ]
+        c = [
+            sum(T[v * 32 + j] * r_stage[u * 32 + j] for j in range(32))
+            for u in range(8)
+            for v in range(8)
+        ]
+        s = sorted(c)
+        m = s[31] + s[32]
+        bits = [1 if 2 * x > m else 0 for x in c]
+        assert got[mid] == _pack(bits), mid
+
+
+def test_dct_phash_corrupt_and_formats(spark):
+    """Corrupt rows drop; the DCT tier rides the SAME format dispatch
+    as the aHash tier (a JPEG and a PNG of one field hash identically)."""
+    from rippledb_spark.operators import dctphash as DP
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray
+    from rippledb_spark.operators.multimodal import encode_png
+
+    w, h, px = _mixed_field(3)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(w, h, px)), "image/png"),
+            (2, bytearray(encode_jpeg_gray(w, h, px)), "image/jpeg"),
+            (3, bytearray(b"junk"), "image/png"),
+        ],
+        "media_id long, payload binary, media_type string",
+    )
+    rows = {r["media_id"]: (r["hash_hi"], r["hash_lo"])
+            for r in DP.dct_phash_images(media).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1] == rows[2]
