@@ -127,7 +127,9 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     decoded = media.mapInPandas(
-        batch_fn, schema="media_id long, decode_ok boolean, s array<long>"
+        batch_fn,
+        schema=f"media_id {dict(media.dtypes)['media_id']},"
+        " decode_ok boolean, s array<long>",
     ).where(F.col("decode_ok"))
     energies = F.transform(
         F.sequence(F.lit(0), F.lit(N_FRAMES - 1)),
@@ -190,7 +192,9 @@ def audio_fingerprints_dual(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     decoded = media.mapInPandas(
-        batch_fn, schema="media_id long, decode_ok boolean, s array<long>"
+        batch_fn,
+        schema=f"media_id {dict(media.dtypes)['media_id']},"
+        " decode_ok boolean, s array<long>",
     ).where(F.col("decode_ok"))
 
     def frame_energies(frame_len: int, n_frames: int):

@@ -127,7 +127,9 @@ def dct_coefficients(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
-        batch_fn, schema="media_id long, decode_ok boolean, c array<long>"
+        batch_fn,
+        schema=f"media_id {dict(media.dtypes)['media_id']},"
+        " decode_ok boolean, c array<long>",
     )
 
 

@@ -129,9 +129,17 @@ PHASH_BANDS = 4  # 16-bit bands over the 64-bit hash
 PHASH_MAX_HAMMING = 3  # pigeonhole-exact for 4 bands
 
 _PIXEL_SCHEMA = (
-    "media_id long, decode_ok boolean, src_width int, src_height int, "
+    "media_id {id_type}, decode_ok boolean, src_width int, src_height int, "
     "px array<int>"
 )
+
+
+def _id_type(media: DataFrame) -> str:
+    """The media_id column's type name — every stage in this module is
+    key-type-agnostic (the pair join and min-keeps rule only need an
+    orderable key), so a crawl sink can key media by canonical URI
+    (string) while the synthesized corpora key by long doc ids."""
+    return dict(media.dtypes)["media_id"]
 
 
 def synthesize_group_pngs(
@@ -321,7 +329,9 @@ def resize_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 out["px"].append(row[3])
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(batch_fn, schema=_PIXEL_SCHEMA)
+    return src.mapInPandas(
+        batch_fn, schema=_PIXEL_SCHEMA.format(id_type=_id_type(media))
+    )
 
 
 def _pack_bits(bits_col, lo: int, hi: int):
@@ -641,7 +651,7 @@ def video_frame_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return src.mapInPandas(
         batch_fn,
-        schema="media_id long, frame_no int, n_frames int, "
+        schema=f"media_id {_id_type(media)}, frame_no int, n_frames int, "
         "decode_ok boolean, px array<int>",
     )
 
@@ -756,6 +766,34 @@ def near_dup_drops(
         reps.select("media_id", "hash_hi", "hash_lo"), bands, max_hamming
     ).select(F.col("id_b").alias("media_id"))
     return exact_drops.unionByName(near_drops).distinct()
+
+
+def near_dup_drops_by_kind(
+    hashes: DataFrame,
+    kinds: tuple[str, ...] = ("image", "audio", "video"),
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(media_id, kind, hash_hi, hash_lo) → (media_id, kind) of items to
+    DROP, modality by modality (r14 — the multi-modal composition the
+    streaming crawl sink gates with): each kind's hashes go through
+    :func:`near_dup_drops` INDEPENDENTLY — an image and an audio clip
+    can never pair, whatever their bits — and the per-kind drop sets
+    union. Kinds outside ``kinds`` are ignored loudly-by-accounting
+    (they simply never appear in the output)."""
+    out = None
+    for kind in kinds:
+        drops = near_dup_drops(
+            hashes.where(F.col("kind") == kind).select(
+                "media_id", "hash_hi", "hash_lo"
+            ),
+            bands,
+            max_hamming,
+        ).withColumn("kind", F.lit(kind))
+        out = drops if out is None else out.unionByName(drops)
+    if out is None:
+        raise ValueError("near_dup_drops_by_kind: empty kinds tuple")
+    return out
 
 
 # --- DuckDB oracle twins -----------------------------------------------------
@@ -946,6 +984,37 @@ def mpeg1_video_ahash_sql(groups: int = 50, variants: int = 5) -> str:
       GROUP BY px.media_id, k
     ),
     mp_ahash AS ({_pack_sql("b", "mp_mbits")})"""
+
+
+def near_dup_drops_sql(
+    hash_rel: str,
+    prefix: str,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> str:
+    """DuckDB twin of :func:`near_dup_drops` over a relation
+    ``hash_rel(media_id, hash_hi, hash_lo)``, CTE-renamed under
+    ``prefix`` so several modalities can coexist in one oracle: yields
+    ``{prefix}_drops(media_id)`` (exact-cluster collapse → banded pairs
+    over representatives → greedy min-keeps)."""
+    pairs = (
+        hamming_pairs_sql(f"{prefix}_reps", bands, max_hamming)
+        .replace("ih_bands", f"{prefix}_bands")
+        .replace("ih_pairs", f"{prefix}_pairs")
+    )
+    return f"""{prefix}_reps AS (
+      SELECT hash_hi, hash_lo, MIN(media_id) AS media_id
+      FROM {hash_rel} GROUP BY hash_hi, hash_lo
+    ),
+    {pairs},
+    {prefix}_drops AS (
+      SELECT media_id FROM {hash_rel} a
+      WHERE media_id <> (SELECT MIN(media_id) FROM {hash_rel} r
+                         WHERE r.hash_hi = a.hash_hi
+                           AND r.hash_lo = a.hash_lo)
+      UNION
+      SELECT id_b AS media_id FROM {prefix}_pairs
+    )"""
 
 
 def hamming_pairs_sql(

@@ -425,6 +425,7 @@ def start_crawl_corpus_sink(
     trigger_available_now: bool = True,
     triples_path: str | None = None,
     media_path: str | None = None,
+    media_dedup_path: str | None = None,
     pq_path: str | None = None,
     pq_books: DataFrame | None = None,
     pq_dims: int = 16,
@@ -452,6 +453,15 @@ def start_crawl_corpus_sink(
     graph growing beside the text corpus (r8). With ``media_path`` set,
     it also decodes each batch's media fetches (crawl_media_features:
     PNG/GIF/JPEG/WAV/AVI by Content-Type) into a feature snapshot.
+    With ``media_dedup_path`` set (r14), the SAME foreachBatch runs the
+    perceptual/audio dedup SCREEN beside the text gates: each batch's
+    media fetches are fingerprinted (crawl_media_hashes — dispatched
+    aHash / audio frame-energy / video temporal aHash, keyed by
+    canonical URI), merged into a ``/hashes`` snapshot, and the global
+    drop decision (imagehash.near_dup_drops_by_kind, min-URI-keeps over
+    banded Hamming pairs per modality) is re-derived from the full
+    snapshot into ``/drops`` — so the final state equals the batch twin
+    under any batch split or replay.
     With ``pq_path`` + ``pq_books`` set (r9), it maintains a PQ-codes
     ANN snapshot beside the corpus — exactly how production keeps
     vector search fresh: the codebook (train_crawl_pq_books) is trained
@@ -706,6 +716,46 @@ def start_crawl_corpus_sink(
                 .write.mode("overwrite")
                 .parquet(triples_path)
             )
+        if media_dedup_path is not None:
+            # perceptual/audio dedup screen (r14): maintain a HASH
+            # snapshot keyed by (uri, kind) — hashes are pure functions
+            # of payload bytes, so the merge (struct-max per key over
+            # snapshot ∪ batch) is replay-idempotent and batch-split-
+            # invariant — then derive the DROP decision from the FULL
+            # merged snapshot every batch (min-URI-keeps over the banded
+            # Hamming pairs, per modality). Deriving from the snapshot,
+            # not the batch, is what makes the final drops table equal a
+            # batch run over all members at once: the greedy keeps rule
+            # is a global decision, so it must always see the global
+            # hash set. At corpus scale the recompute is one banded
+            # equi-join over 3-column rows; the judge-of-record twin is
+            # pinned in tests/test_streaming.py.
+            from rippledb_spark.operators.imagehash import (
+                near_dup_drops_by_kind,
+            )
+
+            mh = crawl_media_hashes(batch_df)
+            if snapshot_ready(spark, f"{media_dedup_path}/hashes"):
+                mh = (
+                    spark.read.parquet(f"{media_dedup_path}/hashes")
+                    .unionByName(mh)
+                    .groupBy("media_id", "kind")
+                    .agg(F.max(F.struct("hash_hi", "hash_lo")).alias("__h"))
+                    .select(
+                        "media_id",
+                        "kind",
+                        F.col("__h.hash_hi").alias("hash_hi"),
+                        F.col("__h.hash_lo").alias("hash_lo"),
+                    )
+                )
+            mh = mh.localCheckpoint(eager=True)
+            mh.write.mode("overwrite").parquet(f"{media_dedup_path}/hashes")
+            (
+                near_dup_drops_by_kind(mh)
+                .localCheckpoint(eager=True)
+                .write.mode("overwrite")
+                .parquet(f"{media_dedup_path}/drops")
+            )
         if media_path is not None:
             # set-merge on the full row (features are a pure function of
             # the payload, so replays and duplicate fetches coincide)
@@ -759,6 +809,60 @@ def start_crawl_corpus_sink(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def crawl_media_hashes(warc_df: DataFrame) -> DataFrame:
+    """Crawl records → (media_id, kind, hash_hi, hash_lo): the
+    perceptual/audio fingerprints of every decodable media fetch (r14 —
+    the dedup SCREEN the r13 sink lacked: image/audio/video payloads
+    streamed through ungated while the batch operators existed). Keyed
+    by canonical URI (the hash stages are key-type-agnostic); images go
+    through the format-dispatched aHash (PNG/JPEG/GIF/BMP/TIFF in one
+    pass), WAVs through the frame-energy fingerprint, AVIs and MPEG-1
+    streams through the temporal-majority video aHash. A hash is a pure
+    function of the payload bytes, so the stage is batch-agnostic by
+    construction — same row whether two fetches share a micro-batch or
+    span ten. Undecodable payloads drop out inside each stage
+    (decode_ok = false), exactly the feature stage's contract."""
+    from rippledb_spark.operators.audiohash import audio_fingerprints
+    from rippledb_spark.operators.imagehash import (
+        IMAGE_DECODE_TYPES,
+        ahash_images,
+        video_ahash,
+    )
+
+    recs = warc_df.select(
+        url_normalize("target_uri").alias("media_id"),
+        F.lower(F.trim(F.col("content_type"))).alias("media_type"),
+        "payload",
+    ).where(F.col("media_id").isNotNull())
+    img = ahash_images(
+        recs.where(F.col("media_type").isin(*IMAGE_DECODE_TYPES))
+    ).withColumn("kind", F.lit("image"))
+    aud = audio_fingerprints(
+        recs.where(F.col("media_type").isin("audio/wav", "audio/x-wav"))
+    ).withColumn("kind", F.lit("audio"))
+    vid = video_ahash(
+        recs.where(
+            F.col("media_type").isin("video/x-msvideo")
+            | F.col("media_type").startswith("video/mpeg")
+        )
+    ).withColumn("kind", F.lit("video"))
+    return (
+        img.unionByName(aud)
+        .unionByName(vid)
+        # one row per (uri, kind): duplicate fetches of one URI collapse
+        # to the struct-max hash — deterministic and batch-split-
+        # invariant, the same latest-wins shape as the corpus merge
+        .groupBy("media_id", "kind")
+        .agg(F.max(F.struct("hash_hi", "hash_lo")).alias("__h"))
+        .select(
+            "media_id",
+            "kind",
+            F.col("__h.hash_hi").alias("hash_hi"),
+            F.col("__h.hash_lo").alias("hash_lo"),
+        )
+    )
 
 
 MEDIA_FEATURES_SCHEMA = (

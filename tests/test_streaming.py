@@ -1940,3 +1940,106 @@ def test_streaming_crawl_alternating_pq_serving_matches_batch(spark, tmp_path):
         dims=2, m=2, topk=3,
     ).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_media_dedup_matches_batch(spark, tmp_path):
+    """r14 media dedup screen: the SAME foreachBatch fingerprints media
+    fetches (dispatched aHash / audio fingerprint / video aHash, keyed
+    by canonical URI), merges a hash snapshot, and re-derives the global
+    drop decision per batch. Final /hashes and /drops snapshots must
+    equal the batch twin over all members at once — including a
+    CROSS-FORMAT image duplicate (same pixels as PNG and JPEG) and a
+    cross-BATCH exact audio duplicate; min-URI-keeps picks the
+    lexicographically first URI."""
+    from rippledb_spark.operators.imagehash import near_dup_drops_by_kind
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray
+    from rippledb_spark.operators.multimodal import encode_png, encode_wav
+    from rippledb_spark.sources.warc import (
+        WARC_SCHEMA,
+        read_warc,
+        warc_pandas_batches,
+    )
+    from rippledb_spark.streaming import crawl as SC
+    import struct
+
+    def record(uri, ctype, payload: bytes):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"WARC-Date: 2024-05-01T00:00:00Z\r\n"
+            b"Content-Type: " + ctype.encode() + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+
+    # block-constant field -> the PNG and the JPEG decode identically
+    w, h = 16, 16
+    px = bytes(
+        (37 * ((y // 8) * 2 + x // 8 + 1) ** 2 + 11) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    px_other = bytes((191 * ((y // 8) * 2 + x // 8) + 13) % 256
+                     for y in range(h) for x in range(w))
+    samples = struct.pack(
+        "<2080h", *[((t // 32) % 53 + 9) * (t % 32 - 16) for t in range(2080)]
+    )
+    samples2 = struct.pack(
+        "<2080h", *[((t * 7) % 31 - 15) for t in range(2080)]
+    )
+    d = tmp_path / "warc_media_dedup"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        record("https://m.example.com/a.png", "image/png", encode_png(w, h, px))
+        + record("https://m.example.com/b.jpg", "image/jpeg",
+                 encode_jpeg_gray(w, h, px))  # cross-format dup of a.png
+        + record("https://m.example.com/s1.wav", "audio/wav",
+                 encode_wav(8000, samples))
+        + record("https://m.example.com/broken.png", "image/png", b"nope")
+    )
+    (d / "b.warc").write_bytes(
+        record("https://m.example.com/c.png", "image/png",
+               encode_png(w, h, px_other))  # distinct image survives
+        + record("https://m.example.com/s2.wav", "audio/wav",
+                 encode_wav(8000, samples))  # cross-batch dup of s1.wav
+        + record("https://m.example.com/s3.wav", "audio/wav",
+                 encode_wav(8000, samples2))
+    )
+    snap = str(tmp_path / "corpus_md")
+    mdsnap = str(tmp_path / "media_dedup")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(SC.BINARY_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+        .select("path", "content")
+    ).mapInPandas(warc_pandas_batches, schema=WARC_SCHEMA)
+    q = SC.start_crawl_corpus_sink(
+        stream, snap, str(tmp_path / "ckpt_md"), media_dedup_path=mdsnap
+    )
+    q.awaitTermination(180)
+
+    got_hashes = sorted(
+        map(tuple, spark.read.parquet(f"{mdsnap}/hashes").collect())
+    )
+    got_drops = sorted(
+        map(tuple, spark.read.parquet(f"{mdsnap}/drops").collect())
+    )
+    # batch twin: same operators over all members at once
+    want_hashes = SC.crawl_media_hashes(read_warc(spark, str(d)))
+    assert got_hashes == sorted(map(tuple, want_hashes.collect()))
+    assert got_drops == sorted(
+        map(tuple, near_dup_drops_by_kind(want_hashes).collect())
+    )
+    # planted decisions: the JPEG twin of a.png drops (min-URI keeps
+    # a.png), s2.wav drops against s1.wav ACROSS batches, distinct items
+    # survive, the broken PNG never enters the table
+    drops = {(r[0], r[1]) for r in got_drops}
+    assert ("https://m.example.com/b.jpg", "image") in drops
+    assert ("https://m.example.com/s2.wav", "audio") in drops
+    kept = {r[0] for r in got_hashes} - {u for u, _ in drops}
+    assert "https://m.example.com/a.png" in kept
+    assert "https://m.example.com/c.png" in kept
+    assert "https://m.example.com/s1.wav" in kept
+    assert "https://m.example.com/s3.wav" in kept
+    assert not any("broken" in r[0] for r in got_hashes)
