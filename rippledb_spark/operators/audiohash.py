@@ -101,62 +101,84 @@ def synthesize_group_wavs(
     )
 
 
-def audio_fingerprints(media: DataFrame) -> DataFrame:
-    """Binary WAV payloads → (media_id, hash_hi, hash_lo): decode PCM
-    in Arrow ``mapInPandas`` (emitting the sample array), then frame
-    energies + delta bits + packing as pure column expressions. Clips
-    shorter than N_SAMPLES refuse per-row (decode_ok = false, dropped —
-    a fingerprint over a different frame count is not comparable);
-    longer clips fingerprint their first N_SAMPLES."""
+def _decoded_energies(media: DataFrame) -> DataFrame:
+    """Shared decode stage → (media_id, e array<long>[65], e2
+    array<long>[130]): PCM decode AND the exact integer frame energies
+    (Σ s² per 32- and 16-sample frame, numpy int64 — |s| ≤ 32767 so a
+    frame sum ≤ 3.4e10 ≪ 2^63) in ONE Arrow ``mapInPandas`` pass. The
+    energies moved here from JVM fold expressions in r14 for the
+    let-binding reason documented in operators/dctphash.py: the energy
+    array referenced inside the delta-bit ``transform`` gets re-inlined
+    per bit by projection collapse — 128 recomputes of the full
+    65-frame fold per row, measured ~3.5 s over 5000 clips vs ~0.5 s
+    here. Delta bits and packing stay JVM expressions over the
+    CONCRETE arrays this stage emits. Clips shorter than N_SAMPLES
+    refuse per-row (decode_ok = false, dropped); longer clips
+    fingerprint their first N_SAMPLES."""
+    import numpy as np
     import pandas as pd
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "decode_ok": [], "s": []}
+            out = {"media_id": [], "decode_ok": [], "e": [], "e2": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     _rate, arr = decode_wav_samples(bytes(payload))
                     if len(arr) < N_SAMPLES:
                         raise ValueError("clip shorter than fingerprint window")
-                    row = (True, [int(x) for x in arr[:N_SAMPLES]])
+                    sq = (
+                        np.asarray(arr[:N_SAMPLES], dtype=np.int64) ** 2
+                    )
+                    e = sq.reshape(N_FRAMES, FRAME_LEN).sum(axis=1)
+                    e2 = sq.reshape(N_FRAMES2, FRAME_LEN2).sum(axis=1)
+                    row = (True, [int(x) for x in e], [int(x) for x in e2])
                 except ValueError:
-                    row = (False, None)
+                    row = (False, None, None)
                 out["media_id"].append(mid)
                 out["decode_ok"].append(row[0])
-                out["s"].append(row[1])
+                out["e"].append(row[1])
+                out["e2"].append(row[2])
             yield pd.DataFrame(out)
 
-    decoded = media.mapInPandas(
+    return media.mapInPandas(
         batch_fn,
         schema=f"media_id {dict(media.dtypes)['media_id']},"
-        " decode_ok boolean, s array<long>",
+        " decode_ok boolean, e array<long>, e2 array<long>",
     ).where(F.col("decode_ok"))
-    energies = F.transform(
-        F.sequence(F.lit(0), F.lit(N_FRAMES - 1)),
-        lambda f: F.aggregate(
-            F.slice("s", f * FRAME_LEN + 1, FRAME_LEN),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x * x,
-        ),
-    )
-    bits = F.transform(
+
+
+def _delta_bits(energy_col: str, stride: int, offset: int):
+    """64 delta bits over a CONCRETE energy array column: bit k =
+    e[stride·k + offset - 1] > e[stride·k + offset] (0-based), i.e.
+    (1, 1) gives the fp1 adjacent-frame compare and (2, 2) the fp2
+    cross-boundary half-frame compare. Cheap per access — the column
+    is materialized, so projection collapse has nothing to re-inline."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(63)),
         lambda k: F.when(
-            F.element_at("e", (k + 1).cast("int"))
-            > F.element_at("e", (k + 2).cast("int")),
+            F.element_at(energy_col, (stride * k + offset).cast("int"))
+            > F.element_at(energy_col, (stride * k + offset + 1).cast("int")),
             1,
         )
         .otherwise(0)
         .cast("long"),
     )
-    return (
-        decoded.withColumn("e", energies)
-        .withColumn("bits", bits)
-        .select(
-            "media_id",
-            _pack_bits(F.col("bits"), 0, 32).alias("hash_hi"),
-            _pack_bits(F.col("bits"), 32, 64).alias("hash_lo"),
-        )
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Binary WAV payloads → (media_id, hash_hi, hash_lo): decode PCM
+    and frame energies in Arrow ``mapInPandas`` (``_decoded_energies``
+    — see its docstring for why the energy fold lives there since r14),
+    then delta bits + packing as column expressions over the concrete
+    energy array. Clips shorter than N_SAMPLES refuse per-row
+    (decode_ok = false, dropped — a fingerprint over a different frame
+    count is not comparable); longer clips fingerprint their first
+    N_SAMPLES."""
+    decoded = _decoded_energies(media)
+    return decoded.select(
+        "media_id",
+        _pack_bits(_delta_bits("e", 1, 1), 0, 32).alias("hash_hi"),
+        _pack_bits(_delta_bits("e", 1, 1), 32, 64).alias("hash_lo"),
     )
 
 
@@ -171,75 +193,15 @@ def audio_fingerprints_dual(media: DataFrame) -> DataFrame:
     the two halves carry unequal time-weight, so this is a genuinely
     different, ratio-shifted threshold — measured: cross-group pairs
     2408 → 1808 at the dual gate while same-group recall stays 100%).
-    Both fingerprints come from ONE decode pass; all framing/energy/
-    packing is pure column expressions."""
-    import pandas as pd
-
-    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"media_id": [], "decode_ok": [], "s": []}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    _rate, arr = decode_wav_samples(bytes(payload))
-                    if len(arr) < N_SAMPLES:
-                        raise ValueError("clip shorter than fingerprint window")
-                    row = (True, [int(x) for x in arr[:N_SAMPLES]])
-                except ValueError:
-                    row = (False, None)
-                out["media_id"].append(mid)
-                out["decode_ok"].append(row[0])
-                out["s"].append(row[1])
-            yield pd.DataFrame(out)
-
-    decoded = media.mapInPandas(
-        batch_fn,
-        schema=f"media_id {dict(media.dtypes)['media_id']},"
-        " decode_ok boolean, s array<long>",
-    ).where(F.col("decode_ok"))
-
-    def frame_energies(frame_len: int, n_frames: int):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_frames - 1)),
-            lambda f: F.aggregate(
-                F.slice("s", f * frame_len + 1, frame_len),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x * x,
-            ),
-        )
-
-    bits1 = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda k: F.when(
-            F.element_at("e", (k + 1).cast("int"))
-            > F.element_at("e", (k + 2).cast("int")),
-            1,
-        )
-        .otherwise(0)
-        .cast("long"),
-    )
-    # fp2 bit k compares E16[2k+1] vs E16[2k+2]; element_at is 1-based
-    bits2 = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda k: F.when(
-            F.element_at("e2", (2 * k + 2).cast("int"))
-            > F.element_at("e2", (2 * k + 3).cast("int")),
-            1,
-        )
-        .otherwise(0)
-        .cast("long"),
-    )
-    return (
-        decoded.withColumn("e", frame_energies(FRAME_LEN, N_FRAMES))
-        .withColumn("e2", frame_energies(FRAME_LEN2, N_FRAMES2))
-        .withColumn("b1", bits1)
-        .withColumn("b2", bits2)
-        .select(
-            "media_id",
-            _pack_bits(F.col("b1"), 0, 32).alias("hash_hi"),
-            _pack_bits(F.col("b1"), 32, 64).alias("hash_lo"),
-            _pack_bits(F.col("b2"), 0, 32).alias("hash2_hi"),
-            _pack_bits(F.col("b2"), 32, 64).alias("hash2_lo"),
-        )
+    Both fingerprints come from ONE decode pass; delta bits and packing
+    are column expressions over the concrete energy arrays."""
+    decoded = _decoded_energies(media)
+    return decoded.select(
+        "media_id",
+        _pack_bits(_delta_bits("e", 1, 1), 0, 32).alias("hash_hi"),
+        _pack_bits(_delta_bits("e", 1, 1), 32, 64).alias("hash_lo"),
+        _pack_bits(_delta_bits("e2", 2, 2), 0, 32).alias("hash2_hi"),
+        _pack_bits(_delta_bits("e2", 2, 2), 32, 64).alias("hash2_lo"),
     )
 
 

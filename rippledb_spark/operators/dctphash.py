@@ -85,13 +85,19 @@ DCT_BASIS: tuple[int, ...] = (
 assert len(DCT_BASIS) == DCT_K * DCT_N
 
 
-def dct_coefficients(media: DataFrame) -> DataFrame:
+def dct_bits(media: DataFrame) -> DataFrame:
     """Binary image payloads (any dispatched container) → (media_id,
-    decode_ok, c array<long>[64]): decode → 32×32 nearest resample →
-    the 8×8 low-frequency block of the integer-scaled DCT-II, all in
-    one Arrow ``mapInPandas`` pass. The DCT is the exact int64 matmul
-    ``T @ px @ Tᵀ`` (no floats anywhere — max |c| ≈ 1.1e12 ≪ 2^63).
-    Corrupt payloads survive as decode_ok = false rows."""
+    decode_ok, bits array<long>[64]): decode → 32×32 nearest resample →
+    the 8×8 low-frequency block of the integer-scaled DCT-II → the
+    exact median test (2·c > m32 + m33), all in one Arrow
+    ``mapInPandas`` pass. The DCT is the exact int64 matmul
+    ``T @ px @ Tᵀ`` (no floats anywhere — max |c| ≈ 1.1e12 ≪ 2^63);
+    the median comes from one 64-element integer sort. The threshold
+    lives here rather than in JVM expressions for the same let-binding
+    reason as the DCT (module docstring): a median column referenced
+    inside a ``transform`` lambda gets re-inlined per bit by projection
+    collapse — measured 9.7 s vs 0.6 s over 5000 images. Corrupt
+    payloads survive as decode_ok = false rows."""
     import numpy as np
     import pandas as pd
 
@@ -105,7 +111,7 @@ def dct_coefficients(media: DataFrame) -> DataFrame:
 
     def batch_fn(batches):
         for pdf in batches:
-            out = {"media_id": [], "decode_ok": [], "c": []}
+            out = {"media_id": [], "decode_ok": [], "bits": []}
             for mid, payload, mt in zip(
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
@@ -117,42 +123,34 @@ def dct_coefficients(media: DataFrame) -> DataFrame:
                         .astype(np.int64)
                         .reshape(DCT_N, DCT_N)
                     )
-                    c = T @ px @ T.T
-                    row = (True, [int(x) for x in c.ravel()])
+                    c = (T @ px @ T.T).ravel()
+                    s = np.sort(c)
+                    m = int(s[31]) + int(s[32])
+                    row = (True, [int(2 * x > m) for x in c])
                 except ValueError:
                     row = (False, None)
                 out["media_id"].append(mid)
                 out["decode_ok"].append(row[0])
-                out["c"].append(row[1])
+                out["bits"].append(row[1])
             yield pd.DataFrame(out)
 
     return src.mapInPandas(
         batch_fn,
         schema=f"media_id {dict(media.dtypes)['media_id']},"
-        " decode_ok boolean, c array<long>",
+        " decode_ok boolean, bits array<long>",
     )
 
 
 def dct_phash_images(media: DataFrame) -> DataFrame:
     """Binary image payloads → (media_id, hash_hi, hash_lo): the
-    integer DCT pHash. Coefficients from :func:`dct_coefficients`
-    (one Arrow pass); the exact median test (2·c > m32 + m33), bit
-    thresholding, and packing are pure column expressions."""
-    p = dct_coefficients(media).where(F.col("decode_ok"))
-    sorted_c = F.array_sort(F.col("c"))
-    m = F.element_at(sorted_c, 32) + F.element_at(sorted_c, 33)
-    bits = F.transform(
-        "c",
-        lambda c: F.when(c * 2 > F.col("m"), 1).otherwise(0).cast("long"),
-    )
-    return (
-        p.withColumn("m", m)
-        .withColumn("bits", bits)
-        .select(
-            "media_id",
-            _pack_bits(F.col("bits"), 0, 32).alias("hash_hi"),
-            _pack_bits(F.col("bits"), 32, 64).alias("hash_lo"),
-        )
+    integer DCT pHash. Thresholded bits from :func:`dct_bits` (one
+    Arrow pass); the house 64-bit packing is the shared JVM fold over
+    the concrete bits column."""
+    p = dct_bits(media).where(F.col("decode_ok"))
+    return p.select(
+        "media_id",
+        _pack_bits(F.col("bits"), 0, 32).alias("hash_hi"),
+        _pack_bits(F.col("bits"), 32, 64).alias("hash_lo"),
     )
 
 

@@ -170,6 +170,15 @@ HEADLINE: tuple[str, ...] = (
     # the new multimodal-dedup family (audio fingerprints share the
     # blocking operator, so this key times it for both modalities)
     "image_phash_dedup_accounting",
+    # round-14 additions: the DCT pHash family (Arrow int64 matmul +
+    # shared banded blocking) and the dual audio fingerprint (finer-grid
+    # post-filter on the blocked candidates). The heavier r14 rows
+    # (mixed-format 5-container decode ~55 s, the sink-composition
+    # accounting ~105 s, MPEG-1 fingerprint ~28 s at sf0.1) certify on
+    # the oracle gate but stay long-tail: their walls are synthesis +
+    # pure-Python container decode, not engine throughput.
+    "image_dct_phash_pairs_accounting",
+    "audio_dual_fingerprint_dedup_accounting",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
