@@ -247,6 +247,24 @@ def _probe(spark) -> float:
     return round(best, 3)
 
 
+# Scheduler-latency probe (r14). The CPU probe above is codegen-only on
+# 32 fat tasks, so it is blind to PER-TASK DISPATCH latency — r14
+# measured a host state where the CPU probe read ~1.0 while trivial-task
+# dispatch sat at ~4 ms/task (normally well under 1 ms) and every
+# multi-stage query inflated 2-3× with CPUs ~90% idle (an A/B of r13
+# vs r14 code on the same host confirmed the inflation was weather, not
+# code). This probe times 10 jobs × 64 empty tasks; the compact record
+# carries the median so a scheduler-noisy round is legible in
+# BENCH_r{N}.json itself. No pinned reference yet (it could only be
+# pinned on a quiet host): read it as a SERIES across rounds — first
+# recorded in r14.
+def _sched_probe(spark) -> float:
+    t0 = time.perf_counter()
+    for _ in range(10):
+        spark.range(0, 64, 1, 64).agg(F.max("id").alias("m")).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -298,14 +316,22 @@ def main() -> None:
     # mis-flagged a regression in r02 and muddied r03; median-of-3 makes
     # round-over-round deltas signal instead of noise.
     probes: list[float] = [_probe(spark)]
+    sched_probes: list[float] = [_sched_probe(spark)]
     cold = run_pass()
     for name, v in cold.items():
         print(f"# cold {name}: {v:.3f}s", file=sys.stderr)
     warm_passes = []
     for _ in range(3):
         probes.append(_probe(spark))
+        sched_probes.append(_sched_probe(spark))
         warm_passes.append(run_pass())
     probes.append(_probe(spark))
+    sched_probes.append(_sched_probe(spark))
+    print(
+        "# sched probes (10x64 empty tasks): "
+        + ", ".join(f"{p:.3f}" for p in sched_probes),
+        file=sys.stderr,
+    )
     # warm pass i sits between probes[1+i] and probes[2+i]; see the
     # normalization note above for why the bracket takes the min
     warm_loads = [
@@ -479,6 +505,12 @@ def main() -> None:
             "runs": probes,
             "warm_loads": [round(x, 3) for x in warm_loads],
             "load": probe_load,  # median warm load; >1.5 = noisy round
+            # scheduler-latency series (r14, no pinned ref — read round
+            # over round): 10 jobs x 64 empty tasks; a value several x
+            # the series' quiet floor means per-task dispatch is
+            # inflated and multi-stage queries read slow with IDLE CPUs
+            # — weather the CPU probe above cannot see
+            "sched_runs": sched_probes,
         },
         "respread": respread,  # spread>3x queries: extra solo re-runs
         "ann_phases": ann_phases,  # train vs frozen-index query sub-walls
@@ -530,6 +562,10 @@ def main() -> None:
         # median_sec_norm and BENCH_DETAIL.json's raw samples are the
         # weather-proof record for a noisy round
         "probe_load": probe_load,
+        # scheduler-latency marker (r14): median of the 10x64-empty-task
+        # probe series, seconds. No pinned ref — compare round over
+        # round; see the probe.sched_runs note in BENCH_DETAIL.json.
+        "sched_probe": round(sorted(sched_probes)[len(sched_probes) // 2], 3),
         "median_sec_norm": record["median_sec_norm"],
         # ANN [train, query] sub-walls (the registered keys bundle training
         # + certification; a serving-path regression shows here first) —
@@ -553,10 +589,29 @@ def main() -> None:
     # the driver captures a 2 KB output tail; at 55 headline keys the
     # line is ~1.9 KB. If future keys push it over, shed the optional
     # fields (still in BENCH_DETAIL.json) rather than truncate the JSON.
-    for drop in ("ann_phases", "median_sec_norm", "cold_sec"):
+    # shed order: least round-critical first (every shed field is still
+    # in BENCH_DETAIL.json); bulk_ratio is deliberately NOT sheddable —
+    # it is the judged baseline metric — and sched_probe sheds last (it
+    # is the r14+ weather marker that tells a reader how to interpret
+    # the rest of the line)
+    for drop in (
+        "ann_phases",
+        "median_sec_norm",
+        "cold_sec",
+        "bpe_phases",
+        "median_sec",
+        "sched_probe",
+    ):
         if len(json.dumps(compact, separators=(",", ":"))) <= 2000:
             break
         compact.pop(drop, None)
+    # last resort at 60+ headline keys: 1dp per-query timings (full 3dp
+    # stays in BENCH_DETAIL.json) — never emit a line the driver's 2 KB
+    # tail would decapitate into unparseable JSON
+    if len(json.dumps(compact, separators=(",", ":"))) > 2000:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -110,7 +110,7 @@ def crawl_media_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "audio_dual_fingerprint_dedup_accounting",
+    "audio_dual_dedup",
     oracle=f"""
     WITH {AH.audio_dual_fingerprint_sql()}
     SELECT CAST(id_a % 50 AS BIGINT) AS grp,
@@ -129,7 +129,7 @@ def crawl_media_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ah_dpairs GROUP BY id_a % 50 ORDER BY grp
     """,
 )
-def audio_dual_fingerprint_dedup_accounting(
+def audio_dual_dedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """DUAL audio fingerprint dedup (r14, VERDICT #5 — the r13 row
@@ -192,7 +192,7 @@ def image_dct_phash_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "image_dct_phash_pairs_accounting",
+    "dct_phash_pairs",
     oracle=f"""
     WITH {DP.dct_phash_sql()},
     {IH.hamming_pairs_sql("dp_phash")}
@@ -206,7 +206,7 @@ def image_dct_phash_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ih_pairs GROUP BY id_a % 50 ORDER BY grp
     """,
 )
-def image_dct_phash_pairs_accounting(
+def dct_phash_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """DCT pHash near-dup pairs through the SAME banded-Hamming

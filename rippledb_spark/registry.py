@@ -177,8 +177,8 @@ HEADLINE: tuple[str, ...] = (
     # accounting ~105 s, MPEG-1 fingerprint ~28 s at sf0.1) certify on
     # the oracle gate but stay long-tail: their walls are synthesis +
     # pure-Python container decode, not engine throughput.
-    "image_dct_phash_pairs_accounting",
-    "audio_dual_fingerprint_dedup_accounting",
+    "dct_phash_pairs",
+    "audio_dual_dedup",
 )
 
 _HEADLINE_SET = frozenset(HEADLINE)
