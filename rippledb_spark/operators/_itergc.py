@@ -117,6 +117,13 @@ class CheckpointRotator:
         self._scratch |= now - self._base
         unpersist_rdd_ids(self._spark, self._scratch - self._live)
         self._scratch = set()
+        # the unpersists above cover CHECKPOINT blocks deterministically;
+        # per-iteration BROADCASTS (the GD loops broadcast their iterate
+        # every round) still need the context cleaner, which needs the
+        # Python proxies dropped first — the same cheap collect the r13
+        # release path did (the JVM side is then reclaimed by the
+        # session's periodic cleaner GC)
+        gc.collect()
 
 
 def release_iteration_garbage(df: DataFrame) -> None:

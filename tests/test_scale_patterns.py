@@ -572,3 +572,25 @@ def test_phash_hamming_pairs_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_near_dup_drops_decodes_once(spark):
+    """r14 (VERDICT "what's wrong" #2): near_dup_drops consumes its
+    hashes frame through LAZY localCheckpoints, so the upstream decode
+    pipeline (an Arrow MapInPandas) appears in NO branch of the final
+    plan — each union branch reads the one materialized frame instead
+    of re-deriving it (pre-fix the groupBy over the decode ran once per
+    branch)."""
+    from rippledb_spark.operators import imagehash as IH
+
+    media = IH.synthesize_group_pngs(
+        spark.range(8).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    plan = (
+        IH.near_dup_drops(IH.ahash_images(media))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in plan, "decode pipeline re-derived in a branch"
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
