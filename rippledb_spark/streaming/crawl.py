@@ -877,6 +877,8 @@ _MEDIA_TYPES = (
     "image/gif",
     "image/jpeg",
     "image/tiff",
+    "image/bmp",  # r14: the dedup screen dispatched BMP; features now too
+    "image/x-ms-bmp",
     "audio/wav",
     "audio/x-wav",
     "video/x-msvideo",
@@ -946,6 +948,14 @@ def crawl_media_features(warc_df: DataFrame) -> DataFrame:
                                    channels=len(d["components"]), n_frames=1)
                     elif mt == "image/tiff":
                         d = decode_tiff(data)
+                        row.update(width=d["width"], height=d["height"],
+                                   channels=1, n_frames=1)
+                    elif mt in ("image/bmp", "image/x-ms-bmp"):
+                        from rippledb_spark.operators.multimodal import (
+                            decode_bmp,
+                        )
+
+                        d = decode_bmp(data)
                         row.update(width=d["width"], height=d["height"],
                                    channels=1, n_frames=1)
                     elif mt in ("audio/wav", "audio/x-wav"):
