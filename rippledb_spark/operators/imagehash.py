@@ -514,6 +514,56 @@ def synthesize_group_avis(
     )
 
 
+def synthesize_group_animated_gifs(
+    df: DataFrame, id_col: str, groups: int = 50, variants: int = 5
+) -> DataFrame:
+    """Id-keyed table → media table of REAL animated gray GIFs with the
+    SAME planted structure and pixel closed form as
+    :func:`synthesize_group_avis` (r14 — the fourth video container on
+    one fingerprint pipeline): group g fixes dims (4 + g % 5 ×
+    3 + g % 3) and frame count (1 + g % 4), variant v perturbs source
+    pixels ≡ v (mod variants) by +3 in every frame, pix[f][p] = (31·g +
+    11·f + 7·(p/3) + 3·[p ≡ v]) mod 256. GIF is lossless (identity-gray
+    table), so the AVI corpus's DuckDB twin — video_ahash_sql — is the
+    oracle VERBATIM; a green row therefore certifies the animated-GIF
+    decode path (multi-frame LZW + palette luma) lands bit-identical
+    fingerprints to the closed form."""
+    import pandas as pd
+
+    from rippledb_spark.operators.multimodal import encode_gif_gray
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g = mid % groups
+                v = (mid // groups) % variants
+                w, h, nf = 4 + g % 5, 3 + g % 3, 1 + g % 4
+                frames = [
+                    bytes(
+                        (31 * g + 11 * f + 7 * (p // 3)
+                         + (3 if p % variants == v else 0)) % 256
+                        for p in range(w * h)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_gif_gray(w, h, b"", frames=frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return src.mapInPandas(
+        batch_fn, schema="media_id long, payload binary, media_type string"
+    )
+
+
 def synthesize_group_mpeg1(
     df: DataFrame, id_col: str, groups: int = 50, variants: int = 5
 ) -> DataFrame:
@@ -602,6 +652,30 @@ def decode_video_gray_frames(payload: bytes, media_type: str):
 
         d = decode_mpeg1_frames(payload)
         return d["width"], d["height"], [y for y, _cb, _cr in d["frames"]]
+    if mt.startswith("image/gif"):
+        # ANIMATED GIFs are videos in practice (the web's most common
+        # short-loop container); full-frame animations only — frames
+        # with offsets/partial updates would need compositing state and
+        # refuse loudly rather than fingerprint wrong
+        from rippledb_spark.operators.multimodal import (
+            decode_gif_pixels,
+            gif_global_palette,
+        )
+
+        frames = decode_gif_pixels(payload)
+        if not frames:
+            raise ValueError("GIF has no frames")
+        w, h = frames[0]["width"], frames[0]["height"]
+        pal = gif_global_palette(payload)
+        out = []
+        for fr in frames:
+            if (fr["width"], fr["height"]) != (w, h) or fr["left"] or fr["top"]:
+                raise ValueError(
+                    "animated GIF with partial-frame updates: compositing "
+                    "is not supported for fingerprinting"
+                )
+            out.append(_palette_luma(fr["pixels"], pal))
+        return w, h, out
     raise ValueError(f"no video decoder for media type {media_type!r}")
 
 

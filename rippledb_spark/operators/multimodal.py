@@ -914,44 +914,54 @@ def encode_gif(
     return bytes(out)
 
 
-def encode_gif_gray(width: int, height: int, pixels: bytes) -> bytes:
-    """Single-frame GIF89a with a 256-entry IDENTITY-GRAY global color
-    table (entry i = (i, i, i)), so the LZW index field IS the grayscale
-    pixel field byte for byte. Compression is the same fixed-width trick
-    as :func:`encode_gif`, lifted to min-code-size 8: a CLEAR (256)
-    before every pixel code keeps the table at its initial state, so
-    every code is 9 bits and any conforming decoder accepts the stream.
-    The r14 mixed-format perceptual-hash corpus uses this so one pixel
-    field round-trips EXACTLY through a GIF container."""
+def encode_gif_gray(
+    width: int, height: int, pixels: bytes, frames: list[bytes] | None = None
+) -> bytes:
+    """GIF89a with a 256-entry IDENTITY-GRAY global color table (entry
+    i = (i, i, i)), so the LZW index field IS the grayscale pixel field
+    byte for byte. Compression is the same fixed-width trick as
+    :func:`encode_gif`, lifted to min-code-size 8: a CLEAR (256) before
+    every pixel code keeps the table at its initial state, so every
+    code is 9 bits and any conforming decoder accepts the stream. The
+    r14 mixed-format perceptual-hash corpus uses this so one pixel
+    field round-trips EXACTLY through a GIF container; pass ``frames``
+    (each width×height) for an ANIMATED gray GIF — the fourth video
+    container the fingerprint tier dedups (frame delay fixed 10 cs)."""
+    fields = frames if frames is not None else [pixels]
     if width <= 0 or height <= 0:
         raise ValueError("gif frame dimensions must be positive")
-    if len(pixels) != width * height:
-        raise ValueError("pixel buffer does not match dimensions")
+    if not fields:
+        raise ValueError("gif needs at least one frame")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 2^(7+1)=256 entries
     out += bytes(v for i in range(256) for v in (i, i, i))
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    codes: list[int] = []
-    for px in pixels:
-        codes.extend((256, px))  # CLEAR, pixel index (9-bit codes)
-    codes.append(257)  # END
-    buf, nbits, acc = bytearray(), 0, 0
-    for code in codes:
-        acc |= code << nbits
-        nbits += 9
-        while nbits >= 8:
+    for k, field in enumerate(fields):
+        if len(field) != width * height:
+            raise ValueError(f"frame {k}: pixel buffer does not match dims")
+        # Graphic Control Extension (animation delay)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", 10) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        codes: list[int] = []
+        for px in field:
+            codes.extend((256, px))  # CLEAR, pixel index (9-bit codes)
+        codes.append(257)  # END
+        buf, nbits, acc = bytearray(), 0, 0
+        for code in codes:
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                buf.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
             buf.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        buf.append(acc & 0xFF)
-    out.append(8)  # LZW minimum code size
-    for i in range(0, len(buf), 255):
-        block = buf[i : i + 255]
-        out.append(len(block))
-        out += block
-    out.append(0)  # data sub-block terminator
+        out.append(8)  # LZW minimum code size
+        for i in range(0, len(buf), 255):
+            block = buf[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # data sub-block terminator
     out.append(0x3B)  # trailer
     return bytes(out)
 

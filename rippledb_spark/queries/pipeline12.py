@@ -254,6 +254,38 @@ def mpeg1_phash_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gif_phash_dedup_accounting",
+    oracle=f"""
+    WITH {IH.video_ahash_sql()},
+    {IH.hamming_pairs_sql("vh_ahash")}
+    SELECT CAST(id_a % 50 AS BIGINT) AS grp,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(hamming) AS BIGINT) AS hamming_total,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN id_b % 50 <> id_a % 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_group
+    FROM ih_pairs GROUP BY id_a % 50 ORDER BY grp
+    """,
+)
+def gif_phash_dedup_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF perceptual near-dup (r14 — the fourth video
+    container on the one fingerprint pipeline, and the web's most
+    common short-loop format): synthesize group-keyed animated gray
+    GIFs with the SAME planted structure and pixel closed form as the
+    AVI corpus, decode every frame for real (multi-frame LZW walk +
+    identity-gray palette luma), temporal-majority aHash, banded pairs,
+    per-group accounting. GIF is lossless, so the ORACLE is the AVI
+    corpus's twin VERBATIM (video_ahash_sql) — a green row certifies
+    the animated-GIF decode path reproduces the exact same fingerprints
+    the closed form (and therefore the AVI container) yields."""
+    d = load(spark, sf_dir, "documents")
+    media = IH.synthesize_group_animated_gifs(d, "doc_id")
+    pairs = IH.hamming_pairs(IH.video_ahash(media))
+    return _per_group_pair_accounting(pairs, 50)
+
+
+@query(
     "image_phash_mixed_formats_accounting",
     oracle=f"""
     WITH {IH.mixed_ahash_sql()},

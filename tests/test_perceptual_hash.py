@@ -553,3 +553,38 @@ def test_dct_phash_corrupt_and_formats(spark):
             for r in DP.dct_phash_images(media).collect()}
     assert set(rows) == {1, 2}
     assert rows[1] == rows[2]
+
+
+# --- r14: animated-GIF video fingerprint --------------------------------------
+
+
+def test_animated_gif_video_ahash_matches_avi_twin(spark):
+    """The animated-GIF corpus shares the AVI corpus's pixel closed
+    form, so the two containers must land IDENTICAL fingerprints per
+    media_id — the strongest cross-container check available for the
+    video tier."""
+    ids = [0, 1, 2, 7, 53, 107]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    gif_h = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(
+            IH.synthesize_group_animated_gifs(df, "doc_id")
+        ).collect()
+    }
+    avi_h = {
+        r["media_id"]: (r["hash_hi"], r["hash_lo"])
+        for r in IH.video_ahash(
+            IH.synthesize_group_avis(df, "doc_id")
+        ).collect()
+    }
+    assert gif_h == avi_h and set(gif_h) == set(ids)
+
+
+def test_animated_gif_partial_frame_refuses(spark):
+    from rippledb_spark.operators.imagehash import decode_video_gray_frames
+    from rippledb_spark.operators.multimodal import encode_gif
+
+    # encode_gif with two frames of DIFFERENT dims -> partial update
+    payload = encode_gif([(4, 3, 10), (2, 2, 10)])
+    with pytest.raises(ValueError, match="partial-frame"):
+        decode_video_gray_frames(payload, "image/gif")
