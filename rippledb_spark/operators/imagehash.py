@@ -202,7 +202,7 @@ def synthesize_mixed_format_images(
     """Id-keyed table → media table cycling through ALL FIVE image
     containers (PNG / baseline JPEG / GIF / BMP / TIFF) with planted
     CROSS-FORMAT duplicate structure: group g = id % groups fixes
-    dimensions (8·(1 + g % 3) × 8·(1 + g % 2)) and the base field,
+    dimensions (8·(4 + g % 3) × 8·(4 + g % 2)) and the base field,
     variant v = (id / groups) % variants perturbs blocks ≡ v (mod
     variants) by +9, format = (id / (groups·variants)) % 5 — so every
     (g, v) pixel field ships in five different containers, and a

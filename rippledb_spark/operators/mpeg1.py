@@ -591,6 +591,37 @@ def _decode_b_mb_type(bits: _Bits) -> tuple[int, int, int, int, int]:
     raise ValueError("mpeg1: bad B-MB type prefix")
 
 
+def mpeg1_stream_info(payload: bytes) -> dict:
+    """Cheap header walk of an MPEG-1 video elementary stream →
+    {width, height, us_per_frame, n_frames} — the crawl feature stage's
+    shape probe (r15, closing the r14 VERDICT gap #4: the dedup screen
+    fingerprinted video/mpeg fetches while the feature stage passed them
+    by). Parses the sequence header (ISO 11172-2 §2.4.2.3) and counts
+    picture start codes with one byte scan — no slice/block decode, so
+    a 100 TB crawl pays header cost, not pixel cost, for shape rows."""
+    bits = _Bits(payload)
+    if bits.next_start_code() != _SEQ:
+        raise ValueError("mpeg1: missing sequence header")
+    width = bits.bits(12)
+    height = bits.bits(12)
+    if not width or not height:
+        raise ValueError("mpeg1: zero dimension in sequence header")
+    bits.bits(4)  # aspect
+    rate_code = bits.bits(4)
+    us = _RATE_US.get(rate_code)
+    if us is None:
+        raise ValueError(f"mpeg1: bad picture_rate code {rate_code}")
+    n_frames = payload.count(b"\x00\x00\x01\x00")  # picture start codes
+    if not n_frames:
+        raise ValueError("mpeg1: stream has no pictures")
+    return {
+        "width": width,
+        "height": height,
+        "us_per_frame": us,
+        "n_frames": n_frames,
+    }
+
+
 def decode_mpeg1_frames(payload: bytes) -> dict:
     """Parse an MPEG-1 video elementary stream → {width, height,
     us_per_frame, n_frames, frames: [(Y, Cb, Cr) plane bytes]}.

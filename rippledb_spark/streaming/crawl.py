@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from rippledb_spark.functions.html import strip_html
 from rippledb_spark.functions.url import url_normalize
+from rippledb_spark.operators._itergc import (
+    persistent_rdd_ids,
+    unpersist_rdd_ids,
+)
 from rippledb_spark.operators.quality import repetition_metrics
 from rippledb_spark.sources.warc import WARC_SCHEMA, warc_pandas_batches
 from rippledb_spark.streaming.sinks import snapshot_ready
@@ -566,6 +570,23 @@ def start_crawl_corpus_sink(
         langid_model = langid_model.localCheckpoint(eager=True)
 
     def _gate_and_merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Deterministic block release per micro-batch (r15, ADVICE): every
+        # branch below eagerly localCheckpoints frames that are superseded
+        # the moment their parquet write returns (next batch re-reads the
+        # snapshot from parquet) — but localCheckpoint has no public
+        # unpersist handle, so over a long-running stream the dead blocks
+        # accumulate until a driver GC lets the context cleaner run (the
+        # same nondeterministic-release residual CheckpointRotator removed
+        # from the trainers). foreachBatch runs batches serially, so the
+        # created-ids diff attributes exactly this batch's blocks.
+        spark = batch_df.sparkSession
+        base = persistent_rdd_ids(spark)
+        try:
+            _merge_batch(batch_df, batch_id)
+        finally:
+            unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - base)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         gated = gate_crawl_records(batch_df)
         if quality_model is not None:
@@ -811,6 +832,17 @@ def start_crawl_corpus_sink(
     return writer.start()
 
 
+def _bare_media_type(col: str):
+    """Content-Type header → bare lowered media type: parameters split
+    off at ';' (RFC 2045 §5.1 — 'image/png; charset=binary' labels a
+    PNG), whitespace trimmed. The decode stages dispatch on the bare
+    type; without this the exact-match isin filters below silently
+    passed parameterized headers by — decodable media skipping the
+    dedup screen while still being counted by the feature stage (r15,
+    ADVICE)."""
+    return F.lower(F.trim(F.element_at(F.split(F.col(col), ";"), 1)))
+
+
 def crawl_media_hashes(warc_df: DataFrame) -> DataFrame:
     """Crawl records → (media_id, kind, hash_hi, hash_lo): the
     perceptual/audio fingerprints of every decodable media fetch (r14 —
@@ -833,7 +865,7 @@ def crawl_media_hashes(warc_df: DataFrame) -> DataFrame:
 
     recs = warc_df.select(
         url_normalize("target_uri").alias("media_id"),
-        F.lower(F.trim(F.col("content_type"))).alias("media_type"),
+        _bare_media_type("content_type").alias("media_type"),
         "payload",
     ).where(F.col("media_id").isNotNull())
     img = ahash_images(
@@ -882,6 +914,7 @@ _MEDIA_TYPES = (
     "audio/wav",
     "audio/x-wav",
     "video/x-msvideo",
+    "video/mpeg",  # r15: the dedup screen fingerprinted MPEG-1; features now too
 )
 
 
@@ -911,7 +944,7 @@ def crawl_media_features(warc_df: DataFrame) -> DataFrame:
 
     recs = warc_df.select(
         url_normalize("target_uri").alias("uri"),
-        F.lower(F.trim(F.col("content_type"))).alias("media_type"),
+        _bare_media_type("content_type").alias("media_type"),
         "payload",
     ).where(F.col("uri").isNotNull() & F.col("media_type").isin(*_MEDIA_TYPES))
 
@@ -961,6 +994,14 @@ def crawl_media_features(warc_df: DataFrame) -> DataFrame:
                     elif mt in ("audio/wav", "audio/x-wav"):
                         rate, ch, _bits, n = decode_wav_header(data)
                         row.update(channels=ch, sample_rate=rate, n_samples=n)
+                    elif mt == "video/mpeg":
+                        from rippledb_spark.operators.mpeg1 import (
+                            mpeg1_stream_info,
+                        )
+
+                        v = mpeg1_stream_info(data)
+                        row.update(width=v["width"], height=v["height"],
+                                   channels=1, n_frames=v["n_frames"])
                     else:  # video/x-msvideo
                         v = decode_avi_frames(data)
                         row.update(width=v["width"], height=v["height"],

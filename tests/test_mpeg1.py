@@ -703,3 +703,23 @@ def test_d_pictures_decode_exactly():
     bits.start_code(0xB7); bits.align()
     with pytest.raises(ValueError, match="invalid picture type"):
         decode_mpeg1_frames(bytes(bits.buf))
+
+
+def test_stream_info_header_walk():
+    """mpeg1_stream_info (r15): shape fields from the sequence header +
+    a picture-start-code count — no pixel decode — and loud refusals on
+    streams the feature stage must not mis-shape."""
+    from rippledb_spark.operators.mpeg1 import mpeg1_stream_info
+
+    es = encode_mpeg1_intra(32, 48, [(
+        _const_planes(32, 48, lambda b: 40 + b)[0],
+        bytes([128]) * (16 * 24),
+        bytes([128]) * (16 * 24),
+    )] * 3)
+    info = mpeg1_stream_info(es)
+    assert (info["width"], info["height"], info["n_frames"]) == (32, 48, 3)
+    assert info["us_per_frame"] > 0
+    with pytest.raises(ValueError, match="sequence header"):
+        mpeg1_stream_info(b"\x00\x00\x01\xb7")
+    with pytest.raises(ValueError, match="no pictures"):
+        mpeg1_stream_info(es[: es.index(b"\x00\x00\x01\x00")])

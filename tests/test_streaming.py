@@ -1045,11 +1045,16 @@ def test_streaming_crawl_media_features_match_batch(spark, tmp_path):
             b"\r\n" + payload + b"\r\n\r\n"
         )
 
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
+
     png = encode_png(6, 4, bytes(range(24)))
     gif = encode_gif([(4, 3, 10), (4, 3, 20)])
     jpg = encode_jpeg_gray(16, 8, bytes(128))
     wav = encode_wav(8000, bytes(64))
     avi = encode_avi(5, 4, [bytes(20)], rle=False)
+    mpg = encode_mpeg1_intra(
+        16, 16, [(bytes([64]) * 256, bytes([128]) * 64, bytes([128]) * 64)] * 2
+    )
     d = tmp_path / "warc_media"
     d.mkdir()
     (d / "a.warc").write_bytes(
@@ -1059,9 +1064,12 @@ def test_streaming_crawl_media_features_match_batch(spark, tmp_path):
         + record("https://m.example.com/page.html", "text/html", b"<p>x</p>")
     )
     (d / "b.warc").write_bytes(
-        record("https://m.example.com/p.jpg", "image/jpeg", jpg)
+        # parameterized Content-Type must reach the stage (r15: bare-type
+        # normalization — exact isin previously passed it by)
+        record("https://m.example.com/p.jpg", "image/jpeg; charset=binary", jpg)
         + record("https://m.example.com/s.wav", "audio/wav", wav)
         + record("https://m.example.com/v.avi", "video/x-msvideo", avi)
+        + record("https://m.example.com/m.mpg", "video/mpeg", mpg)
     )
     snap = str(tmp_path / "corpus_m")
     msnap = str(tmp_path / "media_m")
@@ -1083,15 +1091,19 @@ def test_streaming_crawl_media_features_match_batch(spark, tmp_path):
         map(tuple, want.dropDuplicates().collect())
     )
     by_uri = {r["uri"]: r for r in got.collect()}
-    assert len(by_uri) == 6  # the html record never enters the stage
+    assert len(by_uri) == 7  # the html record never enters the stage
     assert by_uri["https://m.example.com/i.png"]["width"] == 6
     assert by_uri["https://m.example.com/i.png"]["decode_ok"] is True
     assert by_uri["https://m.example.com/a.gif"]["n_frames"] == 2
     assert by_uri["https://m.example.com/broken.png"]["decode_ok"] is False
     assert by_uri["https://m.example.com/p.jpg"]["width"] == 16
+    assert by_uri["https://m.example.com/p.jpg"]["media_type"] == "image/jpeg"
     assert by_uri["https://m.example.com/s.wav"]["sample_rate"] == 8000
     assert by_uri["https://m.example.com/s.wav"]["n_samples"] == 32
     assert by_uri["https://m.example.com/v.avi"]["n_frames"] == 1
+    assert by_uri["https://m.example.com/m.mpg"]["width"] == 16
+    assert by_uri["https://m.example.com/m.mpg"]["n_frames"] == 2
+    assert by_uri["https://m.example.com/m.mpg"]["decode_ok"] is True
 
 
 def test_streaming_crawl_reader_matches_batch_reader(spark, tmp_path):
@@ -1993,6 +2005,10 @@ def test_streaming_media_dedup_matches_batch(spark, tmp_path):
         record("https://m.example.com/a.png", "image/png", encode_png(w, h, px))
         + record("https://m.example.com/b.jpg", "image/jpeg",
                  encode_jpeg_gray(w, h, px))  # cross-format dup of a.png
+        # parameterized Content-Type must reach the screen (r15: bare-type
+        # normalization) — an exact dup that would previously slip through
+        + record("https://m.example.com/z.png", "image/png; charset=binary",
+                 encode_png(w, h, px))
         + record("https://m.example.com/s1.wav", "audio/wav",
                  encode_wav(8000, samples))
         + record("https://m.example.com/broken.png", "image/png", b"nope")
@@ -2036,6 +2052,7 @@ def test_streaming_media_dedup_matches_batch(spark, tmp_path):
     # survive, the broken PNG never enters the table
     drops = {(r[0], r[1]) for r in got_drops}
     assert ("https://m.example.com/b.jpg", "image") in drops
+    assert ("https://m.example.com/z.png", "image") in drops
     assert ("https://m.example.com/s2.wav", "audio") in drops
     kept = {r[0] for r in got_hashes} - {u for u, _ in drops}
     assert "https://m.example.com/a.png" in kept
