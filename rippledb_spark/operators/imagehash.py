@@ -83,6 +83,108 @@ def _palette_luma(indices: bytes, palette) -> bytes:
     return indices.translate(lut)
 
 
+def composite_gif_luma_frames(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """REAL GIF compositing → (screen_w, screen_h, [row-major luma bytes
+    per displayed frame]) — r15, replacing the r14 partial-frame refusal
+    (real web GIFs routinely ship offset rects, local color tables,
+    transparency, and disposal methods; refusing them dropped the
+    web's most common short-loop container from the dedup screen).
+
+    GIF89a compositing model, implemented exactly:
+
+    - the canvas is the LOGICAL SCREEN; areas no frame has painted show
+      the background color (mapped through the global table) — tracked
+      with a sentinel so a stream whose frames cover the screen never
+      needs a background at all;
+    - each frame's indices map through ITS color table — the local
+      table when present, else the global one; a frame with neither
+      refuses (fingerprinting colors the stream never defined would be
+      wrong-but-plausible — the r14 ADVICE finding), as does an index
+      beyond the table and a rect outside the screen;
+    - GCE transparency: pixels equal to the transparent index leave the
+      canvas untouched;
+    - disposal after display: 0/1 leave, 2 restores the rect to
+      background, 3 restores the pre-frame canvas, >3 (reserved)
+      refuses.
+
+    Luma is the exact integer Rec.601 map of :func:`_palette_luma`, so
+    full-frame identity-gray streams composite to byte-identical output
+    of the r14 path (pinned by the gif_phash row's unchanged oracle)."""
+    import numpy as np
+
+    from rippledb_spark.operators.multimodal import (
+        decode_gif_pixels,
+        gif_screen_info,
+    )
+
+    info = gif_screen_info(payload)
+    W, H = info["width"], info["height"]
+    if not W or not H:
+        raise ValueError("GIF logical screen has a zero dimension")
+    frames = decode_gif_pixels(payload)
+    if not frames:
+        raise ValueError("GIF has no frames")
+
+    def luma_lut(pal) -> "np.ndarray":
+        return np.array(
+            [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in pal],
+            dtype=np.int16,
+        )
+
+    gct = info["palette"]
+    bg_luma = None
+    if gct is not None and info["bg_index"] < len(gct):
+        bg_luma = int(luma_lut(gct)[info["bg_index"]])
+    canvas = np.full((H, W), -1, dtype=np.int16)  # -1 = background sentinel
+    out: list[bytes] = []
+    for fr in frames:
+        left, top, w, h = fr["left"], fr["top"], fr["width"], fr["height"]
+        if left + w > W or top + h > H:
+            raise ValueError(
+                f"GIF frame {fr['frame_no']}: rect exceeds the logical screen"
+            )
+        pal = fr["local_palette"] if fr["local_palette"] is not None else gct
+        if pal is None:
+            raise ValueError(
+                f"GIF frame {fr['frame_no']}: no local color table and no "
+                "global color table"
+            )
+        idx = np.frombuffer(fr["pixels"], dtype=np.uint8).reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError(
+                f"GIF frame {fr['frame_no']}: index beyond the color table"
+            )
+        disposal = fr["disposal"]
+        if disposal > 3:
+            raise ValueError(
+                f"GIF frame {fr['frame_no']}: reserved disposal method "
+                f"{disposal}"
+            )
+        region = canvas[top : top + h, left : left + w]
+        saved = region.copy() if disposal == 3 else None
+        luma = luma_lut(pal)[idx]
+        if fr["transparent_idx"] is not None:
+            opaque = idx != fr["transparent_idx"]
+            region[opaque] = luma[opaque]
+        else:
+            region[:] = luma
+        if (canvas < 0).any():
+            if bg_luma is None:
+                raise ValueError(
+                    "GIF shows background pixels but carries no global "
+                    "color table to define the background color"
+                )
+            shown = np.where(canvas < 0, bg_luma, canvas)
+        else:
+            shown = canvas
+        out.append(shown.astype(np.uint8).tobytes())
+        if disposal == 2:
+            region[:] = -1
+        elif disposal == 3:
+            region[:] = saved
+    return W, H, out
+
+
 def decode_image_pixels(payload: bytes, media_type: str) -> tuple[int, int, bytes]:
     """Container-dispatching grayscale decode → (width, height, row-major
     luma bytes): PNG (chunk walk → zlib → unfilter), baseline JPEG (full
@@ -99,20 +201,11 @@ def decode_image_pixels(payload: bytes, media_type: str) -> tuple[int, int, byte
 
         return decode_jpeg_gray(payload)
     if mt.startswith("image/gif"):
-        from rippledb_spark.operators.multimodal import (
-            decode_gif_pixels,
-            gif_global_palette,
-        )
-
-        fr = decode_gif_pixels(payload)
-        if not fr:
-            raise ValueError("GIF has no frames")
-        f0 = fr[0]
-        return (
-            f0["width"],
-            f0["height"],
-            _palette_luma(f0["pixels"], gif_global_palette(payload)),
-        )
+        # frame 0 COMPOSITED on the logical screen (r15): a first frame
+        # smaller than the screen was previously hashed as a silent crop,
+        # and local color tables / transparency were ignored
+        w, h, frames = composite_gif_luma_frames(payload)
+        return w, h, frames[0]
     if mt.startswith(("image/bmp", "image/x-ms-bmp")):
         from rippledb_spark.operators.multimodal import decode_bmp
 
@@ -564,6 +657,120 @@ def synthesize_group_animated_gifs(
     )
 
 
+def synthesize_composited_gifs(
+    df: DataFrame, id_col: str, groups: int = 50, variants: int = 5
+) -> DataFrame:
+    """Id-keyed table → media table of REAL animated GIFs exercising the
+    full r15 compositing surface — offset partial-frame updates, local
+    color tables, and disposal methods — with PLANTED near-duplicate
+    structure the SQL oracle replays:
+
+    - group g = id % groups fixes the logical screen (8·(2 + g % 3) ×
+      8·(2 + g % 2)) and frame count nf = 1 + g % 4; variant
+      v = (id / groups) % variants perturbs blocks ≡ v (mod variants)
+      by +9;
+    - frame 0 covers the screen with the block-constant field
+      val(0, blk); frame j ≥ 1 is an 8×8 TILE at block t_j = (g + j)
+      mod nblocks painted val(j, t_j), where val(j, blk) = (53·(g+1)·
+      (blk+1)² + 17·blk + 11·j + 9·[blk ≡ v]) mod 256 (the house
+      quadratic mix — aHash is brightness-shift invariant, so a linear
+      per-group offset could not separate groups);
+    - ODD tiles ship a ROTATED identity-gray LOCAL table (entry i =
+      ((i + s) mod 256)·(1,1,1), s = (5g + j) mod 256) with indices
+      pre-rotated so the composited luma is still val(j, t_j) — a
+      decoder that ignored the local table lands (val − s) and goes
+      red — and dispose with method 3 (restore previous), so their
+      tile is visible ONLY in its own displayed frame;
+    - EVEN tiles use the global identity table and disposal 1 (leave).
+
+    Displayed frame f therefore shows val(J, blk) with J the unique
+    j ≤ f hitting blk whose tile is still visible (j even, or j == f),
+    else val(0, blk) — the closed form composite_gif_ahash_sql replays.
+    Tiles are distinct within a stream (nf − 1 ≤ 3 consecutive residues
+    mod nblocks ≥ 16), so J is at most one j."""
+    import pandas as pd
+
+    from rippledb_spark.operators.multimodal import encode_gif_frames
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    identity = [(i, i, i) for i in range(256)]
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g = mid % groups
+                v = (mid // groups) % variants
+                sw, sh = 8 * (4 + g % 3), 8 * (4 + g % 2)
+                bw, nblocks = sw // 8, (sw // 8) * (sh // 8)
+                nf = 1 + g % 4
+
+                def val(j: int, blk: int) -> int:
+                    return (
+                        53 * (g + 1) * (blk + 1) * (blk + 1)
+                        + 17 * blk
+                        + 11 * j
+                        + (9 if blk % variants == v else 0)
+                    ) % 256
+
+                frames = [
+                    dict(
+                        width=sw,
+                        height=sh,
+                        indices=bytes(
+                            val(0, (y // 8) * bw + x // 8)
+                            for y in range(sh)
+                            for x in range(sw)
+                        ),
+                        disposal=1,
+                    )
+                ]
+                for j in range(1, nf):
+                    t = (g + j) % nblocks
+                    value = val(j, t)
+                    if j % 2:
+                        s = (5 * g + j) % 256
+                        frames.append(
+                            dict(
+                                left=(t % bw) * 8,
+                                top=(t // bw) * 8,
+                                width=8,
+                                height=8,
+                                indices=bytes([(value - s) % 256]) * 64,
+                                local_palette=[
+                                    (((i + s) % 256),) * 3 for i in range(256)
+                                ],
+                                disposal=3,
+                            )
+                        )
+                    else:
+                        frames.append(
+                            dict(
+                                left=(t % bw) * 8,
+                                top=(t // bw) * 8,
+                                width=8,
+                                height=8,
+                                indices=bytes([value]) * 64,
+                                disposal=1,
+                            )
+                        )
+                payloads.append(
+                    encode_gif_frames(sw, sh, frames, global_palette=identity)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return src.mapInPandas(
+        batch_fn, schema="media_id long, payload binary, media_type string"
+    )
+
+
 def synthesize_group_mpeg1(
     df: DataFrame, id_col: str, groups: int = 50, variants: int = 5
 ) -> DataFrame:
@@ -654,28 +861,12 @@ def decode_video_gray_frames(payload: bytes, media_type: str):
         return d["width"], d["height"], [y for y, _cb, _cr in d["frames"]]
     if mt.startswith("image/gif"):
         # ANIMATED GIFs are videos in practice (the web's most common
-        # short-loop container); full-frame animations only — frames
-        # with offsets/partial updates would need compositing state and
-        # refuse loudly rather than fingerprint wrong
-        from rippledb_spark.operators.multimodal import (
-            decode_gif_pixels,
-            gif_global_palette,
-        )
-
-        frames = decode_gif_pixels(payload)
-        if not frames:
-            raise ValueError("GIF has no frames")
-        w, h = frames[0]["width"], frames[0]["height"]
-        pal = gif_global_palette(payload)
-        out = []
-        for fr in frames:
-            if (fr["width"], fr["height"]) != (w, h) or fr["left"] or fr["top"]:
-                raise ValueError(
-                    "animated GIF with partial-frame updates: compositing "
-                    "is not supported for fingerprinting"
-                )
-            out.append(_palette_luma(fr["pixels"], pal))
-        return w, h, out
+        # short-loop container). r15: full compositing — offsets, partial
+        # rects, local color tables, transparency, disposal methods 0-3 —
+        # replaces the r14 partial-frame refusal; structurally wrong
+        # streams (reserved disposal, missing tables, out-of-screen
+        # rects) still refuse loudly rather than fingerprint wrong.
+        return composite_gif_luma_frames(payload)
     raise ValueError(f"no video decoder for media type {media_type!r}")
 
 
@@ -1058,6 +1249,60 @@ def mpeg1_video_ahash_sql(groups: int = 50, variants: int = 5) -> str:
       GROUP BY px.media_id, k
     ),
     mp_ahash AS ({_pack_sql("b", "mp_mbits")})"""
+
+
+def composite_gif_ahash_sql(groups: int = 50, variants: int = 5) -> str:
+    """DuckDB twin of synthesize_composited_gifs → video_ahash: replay
+    the COMPOSITED closed form — displayed frame f shows val(J, blk)
+    with J the unique tile-update j ≤ f still visible under the planted
+    disposal pattern (j even → persists, j odd → visible only at
+    j == f), else the base field val(0, blk) — then per-frame aHash
+    bits, temporal majority, and the house packing. Yields
+    ``cg_ahash(media_id, hash_hi, hash_lo)``. One mis-honored local
+    palette, offset, or disposal restore on the Spark side flips a
+    fingerprint and the row goes red."""
+    return f"""cg_img AS (
+      SELECT doc_id AS media_id,
+             doc_id % {groups} AS g,
+             (doc_id // {groups}) % {variants} AS v,
+             8 * (4 + (doc_id % {groups}) % 3) AS sw,
+             8 * (4 + (doc_id % {groups}) % 2) AS sh,
+             1 + (doc_id % {groups}) % 4 AS nf
+      FROM documents
+    ),
+    cg_cell AS (
+      SELECT media_id, g, v, nf, sw, sh, ii.x * 8 + jj.x AS k,
+             (((ii.x * sh) // 8) // 8) * (sw // 8)
+               + ((jj.x * sw) // 8) // 8 AS blk
+      FROM cg_img,
+           generate_series(0, 7) AS ii(x),
+           generate_series(0, 7) AS jj(x)
+    ),
+    cg_px AS (
+      SELECT media_id, ff.x AS f, nf, k,
+             (53 * (g + 1) * (blk + 1) * (blk + 1) + 17 * blk
+              + 11 * COALESCE((
+                  SELECT MAX(j.x) FROM generate_series(1, 3) AS j(x)
+                  WHERE j.x < nf AND j.x <= ff.x
+                    AND (g + j.x) % ((sw // 8) * (sh // 8)) = blk
+                    AND (j.x % 2 = 0 OR j.x = ff.x)
+                ), 0)
+              + CASE WHEN blk % {variants} = v THEN 9 ELSE 0 END) % 256 AS p
+      FROM cg_cell, generate_series(0, 3) AS ff(x)
+      WHERE ff.x < nf
+    ),
+    cg_tot AS (
+      SELECT media_id, f, SUM(p) AS tot FROM cg_px GROUP BY media_id, f
+    ),
+    cg_mbits AS (
+      SELECT px.media_id, k,
+             CASE WHEN 2 * SUM(CASE WHEN p * 64 >= tot THEN 1 ELSE 0 END)
+                       >= MIN(nf) THEN 1 ELSE 0 END AS b
+      FROM cg_px px JOIN cg_tot t
+        ON t.media_id = px.media_id AND t.f = px.f
+      GROUP BY px.media_id, k
+    ),
+    cg_ahash AS ({_pack_sql("b", "cg_mbits")})"""
 
 
 def near_dup_drops_sql(

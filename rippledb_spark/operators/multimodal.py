@@ -990,6 +990,143 @@ def gif_global_palette(payload: bytes) -> list[tuple[int, int, int]]:
     return pal
 
 
+def gif_screen_info(payload: bytes) -> dict:
+    """Logical Screen Descriptor fields the compositor needs: {width,
+    height, bg_index, palette} where ``palette`` is the global color
+    table as (r, g, b) tuples or None when the stream carries none —
+    unlike :func:`gif_global_palette` this does NOT substitute the
+    black/white default, so a caller can refuse rather than guess
+    (r15: fingerprinting a palette it never saw violates the module's
+    refuse-loudly contract)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: bad magic")
+    width, height, packed, bg_index, _aspect = struct.unpack(
+        "<HHBBB", payload[6:13]
+    )
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if 13 + 3 * n > len(payload):
+            raise ValueError("truncated GIF global color table")
+        palette = [
+            (payload[13 + 3 * i], payload[14 + 3 * i], payload[15 + 3 * i])
+            for i in range(n)
+        ]
+    return {
+        "width": width,
+        "height": height,
+        "bg_index": bg_index,
+        "palette": palette,
+    }
+
+
+def _gif_lzw_fixed(field: bytes, min_code_size: int) -> bytes:
+    """The fixed-width LZW trick shared by every encoder here (a CLEAR
+    before each pixel code keeps the table at its initial state, so
+    every code is min_code_size+1 bits and any conforming decoder
+    accepts the stream), packaged as sub-blocks with the min-code-size
+    prefix and terminator."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    codes: list[int] = []
+    for px in field:
+        codes.extend((clear, px))
+    codes.append(end)
+    buf, nbits, acc = bytearray(), 0, 0
+    for code in codes:
+        acc |= code << nbits
+        nbits += min_code_size + 1
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    out = bytearray([min_code_size])
+    for i in range(0, len(buf), 255):
+        block = buf[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_palette_bytes(palette: list[tuple[int, int, int]]) -> tuple[bytes, int]:
+    """(flat rgb bytes, size-field exponent) for a color table whose
+    length must be a power of two in 2..256 (the GIF size field stores
+    the exponent)."""
+    n = len(palette)
+    if n < 2 or n > 256 or n & (n - 1):
+        raise ValueError("gif color table length must be a power of 2 in 2..256")
+    return bytes(v for rgb in palette for v in rgb), n.bit_length() - 2
+
+
+def encode_gif_frames(
+    width: int,
+    height: int,
+    frames: list[dict],
+    global_palette: list[tuple[int, int, int]] | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """GIF89a with the FULL per-frame compositing surface (r15 — the
+    synthesizer for real-web GIF structure the fingerprint tier now
+    composites): logical screen width×height, optional global color
+    table, and per frame a dict {left, top, width, height, indices,
+    local_palette, disposal, transparent_idx, delay_cs} — offsets and
+    partial rects, a local color table overriding the global one,
+    disposal methods 0-3, and GCE transparency. Compression is the
+    fixed-width LZW trick at the palette's natural code size. Refuses
+    structurally wrong input loudly (rect outside the screen, index
+    beyond the frame's table, no table anywhere)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("gif logical screen dimensions must be positive")
+    if not frames:
+        raise ValueError("gif needs at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    if global_palette is not None:
+        flat, exp = _gif_palette_bytes(global_palette)
+        out += bytes([0x80 | exp, bg_index, 0])
+        out += flat
+    else:
+        out += bytes([0x00, bg_index, 0])
+    for k, fr in enumerate(frames):
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        w, h = fr["width"], fr["height"]
+        if w <= 0 or h <= 0:
+            raise ValueError(f"frame {k}: dimensions must be positive")
+        if left + w > width or top + h > height:
+            raise ValueError(f"frame {k}: rect exceeds the logical screen")
+        field = fr["indices"]
+        if len(field) != w * h:
+            raise ValueError(f"frame {k}: index field does not match dims")
+        local = fr.get("local_palette")
+        pal = local if local is not None else global_palette
+        if pal is None:
+            raise ValueError(f"frame {k}: no local table and no global table")
+        if field and max(field) >= len(pal):
+            raise ValueError(f"frame {k}: index beyond the color table")
+        disposal = fr.get("disposal", 0)
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"frame {k}: disposal {disposal} out of range")
+        tidx = fr.get("transparent_idx")
+        gce_packed = (disposal << 2) | (1 if tidx is not None else 0)
+        out += bytes([0x21, 0xF9, 0x04, gce_packed])
+        out += struct.pack("<H", fr.get("delay_cs", 10))
+        out += bytes([tidx if tidx is not None else 0, 0x00])
+        if local is not None:
+            flat, exp = _gif_palette_bytes(local)
+            out += b"\x2c" + struct.pack("<HHHH", left, top, w, h)
+            out += bytes([0x80 | exp])
+            out += flat
+        else:
+            out += b"\x2c" + struct.pack("<HHHH", left, top, w, h) + b"\x00"
+        # natural code size for the frame's table (≥2 per spec)
+        mcs = max(2, (len(pal) - 1).bit_length())
+        out += _gif_lzw_fixed(field, mcs)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def decode_gif_frames(payload: bytes) -> list[dict]:
     """Structural frame walk of a GIF87a/89a stream → one dict per frame:
     {frame_no, left, top, width, height, delay_cs, data} where ``data``
@@ -1020,7 +1157,7 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             p += n
 
     frames: list[dict] = []
-    delay_cs = 0
+    delay_cs, disposal, transparent_idx = 0, 0, None
     while True:
         if pos >= len(payload):
             raise ValueError("GIF missing trailer")
@@ -1036,6 +1173,10 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
             body, pos = sub_blocks(pos)
             if label == 0xF9 and len(body) >= 3:  # Graphic Control
                 (delay_cs,) = struct.unpack("<H", body[1:3])
+                disposal = (body[0] >> 2) & 0x07
+                transparent_idx = (
+                    body[3] if len(body) >= 4 and body[0] & 0x01 else None
+                )
             continue
         if intro == 0x2C:  # image descriptor
             if pos + 9 > len(payload):
@@ -1044,8 +1185,23 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                 "<HHHHB", payload[pos : pos + 9]
             )
             pos += 9
+            local_palette = None
             if ipacked & 0x80:
-                pos += 3 * (2 << (ipacked & 0x07))  # local color table
+                n = 2 << (ipacked & 0x07)
+                if pos + 3 * n > len(payload):
+                    raise ValueError("truncated GIF local color table")
+                # r15: exposed instead of skipped — a frame's indices map
+                # through ITS table, not the global one; dropping it made
+                # wrong-but-plausible luma (the r14 ADVICE finding)
+                local_palette = [
+                    (
+                        payload[pos + 3 * i],
+                        payload[pos + 3 * i + 1],
+                        payload[pos + 3 * i + 2],
+                    )
+                    for i in range(n)
+                ]
+                pos += 3 * n
             if pos >= len(payload):
                 raise ValueError("truncated GIF image data")
             min_code_size = payload[pos]
@@ -1059,12 +1215,16 @@ def decode_gif_frames(payload: bytes) -> list[dict]:
                     "width": w,
                     "height": h,
                     "delay_cs": delay_cs,
+                    "disposal": disposal,
+                    "transparent_idx": transparent_idx,
+                    "local_palette": local_palette,
                     "min_code_size": min_code_size,
                     "interlace": bool(ipacked & 0x40),
                     "data": data,
                 }
             )
-            delay_cs = 0  # GCE applies to the one following image
+            # GCE state applies to the one following image
+            delay_cs, disposal, transparent_idx = 0, 0, None
             continue
         raise ValueError(f"unknown GIF block introducer 0x{intro:02x}")
 

@@ -1,0 +1,52 @@
+"""Round-15 pipeline queries: GIF compositing (offset partial frames,
+local color tables, disposal methods) through the one video-fingerprint
+pipeline, progressive JPEG through the one image pipeline, and the
+strengthened sink dedup gates — the r14 VERDICT's ranked asks, each
+oracle-certified."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from rippledb_spark.operators import imagehash as IH
+from rippledb_spark.queries.pipeline12 import _per_group_pair_accounting
+from rippledb_spark.registry import query
+from rippledb_spark.tables import load
+
+
+@query(
+    "gif_composite_phash_accounting",
+    oracle=f"""
+    WITH {IH.composite_gif_ahash_sql()},
+    {IH.hamming_pairs_sql("cg_ahash")}
+    SELECT CAST(id_a % 50 AS BIGINT) AS grp,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(hamming) AS BIGINT) AS hamming_total,
+           CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(SUM(CASE WHEN id_b % 50 <> id_a % 50 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_group
+    FROM ih_pairs GROUP BY id_a % 50 ORDER BY grp
+    """,
+)
+def gif_composite_phash_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITED animated-GIF perceptual near-dup (r15, VERDICT #4:
+    real web GIFs ship offset partial-frame updates, local color
+    tables, and disposal methods — the r14 path refused them, dropping
+    the web's most common short-loop container from the dedup screen):
+    synthesize group-keyed GIFs whose frames 1..nf-1 are 8×8 TILES at
+    planted offsets — odd tiles through a ROTATED identity-gray LOCAL
+    palette with disposal 3 (restore previous), even tiles through the
+    global table with disposal 1 — composite every displayed frame for
+    real (imagehash.composite_gif_luma_frames), temporal-majority aHash
+    (the SAME video_ahash every container rides), banded pairs,
+    per-group accounting. The oracle replays the composited closed form
+    — which tile is visible in which displayed frame under the disposal
+    pattern, and the local-table rotation cancelling against the
+    pre-rotated indices — so one ignored offset, palette, or restore
+    flips a fingerprint and the row goes red."""
+    d = load(spark, sf_dir, "documents")
+    media = IH.synthesize_composited_gifs(d, "doc_id")
+    pairs = IH.hamming_pairs(IH.video_ahash(media))
+    return _per_group_pair_accounting(pairs, 50)

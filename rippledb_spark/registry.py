@@ -255,5 +255,6 @@ def _load_query_modules() -> None:
     import rippledb_spark.queries.pipeline10  # noqa: F401
     import rippledb_spark.queries.pipeline11  # noqa: F401
     import rippledb_spark.queries.pipeline12  # noqa: F401
+    import rippledb_spark.queries.pipeline13  # noqa: F401
 
     _LOADED = True

@@ -580,11 +580,133 @@ def test_animated_gif_video_ahash_matches_avi_twin(spark):
     assert gif_h == avi_h and set(gif_h) == set(ids)
 
 
-def test_animated_gif_partial_frame_refuses(spark):
+def test_animated_gif_partial_frame_composites(spark):
+    """r15: a partial second frame COMPOSITES over the logical screen
+    (the r14 refusal is gone) — both displayed frames come back at
+    screen dims, the smaller update overlaid on the persisted canvas."""
     from rippledb_spark.operators.imagehash import decode_video_gray_frames
-    from rippledb_spark.operators.multimodal import encode_gif
+    from rippledb_spark.operators.multimodal import encode_gif_frames
 
-    # encode_gif with two frames of DIFFERENT dims -> partial update
-    payload = encode_gif([(4, 3, 10), (2, 2, 10)])
-    with pytest.raises(ValueError, match="partial-frame"):
-        decode_video_gray_frames(payload, "image/gif")
+    ident = [(i, i, i) for i in range(256)]
+    base = bytes((11 * k) % 256 for k in range(12))
+    payload = encode_gif_frames(4, 3, [
+        dict(width=4, height=3, indices=base, disposal=1),
+        dict(left=1, top=1, width=2, height=2, indices=bytes([250]) * 4,
+             disposal=0),
+    ], global_palette=ident)
+    w, h, frames = decode_video_gray_frames(payload, "image/gif")
+    assert (w, h) == (4, 3) and len(frames) == 2
+    assert frames[0] == base
+    exp = bytearray(base)
+    for y, x in ((1, 1), (1, 2), (2, 1), (2, 2)):
+        exp[y * 4 + x] = 250
+    assert frames[1] == bytes(exp)
+
+
+def test_gif_compositor_palettes_disposal_transparency():
+    """The r15 compositing model end to end against hand-built frames:
+    local color tables override the global one, transparent indices
+    leave the canvas, disposal 2 restores the rect to background and
+    3 to the pre-frame canvas, and never-painted areas show the
+    background color."""
+    from rippledb_spark.operators.imagehash import composite_gif_luma_frames
+    from rippledb_spark.operators.multimodal import encode_gif_frames
+
+    ident = [(i, i, i) for i in range(256)]
+    base = bytes((7 * k) % 256 for k in range(12 * 8))
+    shift = 40
+    rotated = [((i + shift) % 256,) * 3 for i in range(256)]
+    # tile indices: 255 transparent, others map through the ROTATED
+    # local table to luma 200 — a decoder using the global table would
+    # land (200 - 40) and mismatch
+    tile = bytes(((200 - shift) % 256) if (i % 4) else 255 for i in range(16))
+    payload = encode_gif_frames(12, 8, [
+        dict(width=12, height=8, indices=base, disposal=1),
+        dict(left=4, top=4, width=4, height=4, indices=tile,
+             local_palette=rotated, disposal=3, transparent_idx=255),
+        dict(left=0, top=0, width=4, height=4, indices=bytes([9]) * 16,
+             disposal=2),
+        dict(left=8, top=0, width=4, height=4, indices=bytes([33]) * 16,
+             disposal=1),
+    ], global_palette=ident, bg_index=5)
+    w, h, frames = composite_gif_luma_frames(payload)
+    assert (w, h, len(frames)) == (12, 8, 4)
+    assert frames[0] == base
+    exp1 = bytearray(base)
+    for i in range(16):
+        if i % 4:
+            exp1[(4 + i // 4) * 12 + 4 + i % 4] = 200
+    assert frames[1] == bytes(exp1)  # local palette + transparency
+    exp2 = bytearray(base)  # disposal 3 wiped the frame-1 tile
+    for i in range(16):
+        exp2[(i // 4) * 12 + i % 4] = 9
+    assert frames[2] == bytes(exp2)
+    exp3 = bytearray(base)  # disposal 2 -> origin rect shows BACKGROUND
+    for i in range(16):
+        exp3[(i // 4) * 12 + i % 4] = 5
+    for i in range(16):
+        exp3[(i // 4) * 12 + 8 + i % 4] = 33
+    assert frames[3] == bytes(exp3)
+
+
+def test_gif_compositor_refusals():
+    """Structurally wrong streams refuse loudly instead of
+    fingerprinting wrong (the refuse-loudly contract the r14 ADVICE
+    flagged as violated by the silent global-palette fallback)."""
+    import pytest
+
+    from rippledb_spark.operators.imagehash import composite_gif_luma_frames
+    from rippledb_spark.operators.multimodal import encode_gif_frames
+
+    ident = [(i, i, i) for i in range(256)]
+    small = [(0, 0, 0), (255, 255, 255)]
+
+    # background needed but no global table to define it
+    p = encode_gif_frames(6, 4, [dict(width=2, height=2, indices=bytes(4),
+                                      local_palette=ident)])
+    with pytest.raises(ValueError, match="no global color table"):
+        composite_gif_luma_frames(p)
+    # frame with neither local nor global table
+    p = bytearray(encode_gif_frames(2, 2, [dict(width=2, height=2,
+                                                indices=bytes(4),
+                                                local_palette=small)]))
+    # strip the local-table flag + 6 table bytes out of the descriptor
+    i = p.index(0x2C)
+    assert p[i + 9] == 0x80
+    p[i + 9] = 0x00
+    del p[i + 10 : i + 16]
+    with pytest.raises(ValueError, match="no local color table"):
+        composite_gif_luma_frames(bytes(p))
+    # index beyond the frame's table
+    p = bytearray(encode_gif_frames(2, 2, [dict(width=2, height=2,
+                                                indices=bytes([1]) * 4,
+                                                local_palette=small)],
+                                    global_palette=small))
+    with pytest.raises(ValueError, match="beyond the color table"):
+        # rewrite the global table to 2 entries but plant index 3 via a
+        # hand-made frame: easier — encode with indices in range, then
+        # decode a stream built directly with a 2-entry table and a
+        # field of 3s through the raw fixed-width encoder
+        from rippledb_spark.operators.multimodal import _gif_lzw_fixed
+        import struct as _s
+
+        raw = bytearray(b"GIF89a") + _s.pack("<HH", 2, 2)
+        raw += bytes([0x80, 0, 0]) + b"\x00\x00\x00\xff\xff\xff"
+        raw += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        raw += b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+        raw += _gif_lzw_fixed(bytes([3]) * 4, 2)
+        raw += b"\x3b"
+        composite_gif_luma_frames(bytes(raw))
+    # rect outside the logical screen
+    with pytest.raises(ValueError, match="exceeds the logical screen"):
+        encode_gif_frames(4, 4, [dict(left=2, top=0, width=4, height=2,
+                                      indices=bytes(8))],
+                          global_palette=ident)
+    # reserved disposal method (hand-patch the GCE)
+    p = bytearray(encode_gif_frames(2, 2, [dict(width=2, height=2,
+                                                indices=bytes(4))],
+                                    global_palette=ident))
+    gce = bytes(p).index(b"\x21\xf9")
+    p[gce + 3] = 5 << 2
+    with pytest.raises(ValueError, match="reserved disposal"):
+        composite_gif_luma_frames(bytes(p))
