@@ -376,6 +376,66 @@ def synthesize_mixed_format_images(
     )
 
 
+def synthesize_progressive_jpeg_pairs(
+    df: DataFrame, id_col: str, groups: int = 25, variants: int = 4
+) -> DataFrame:
+    """Id-keyed table → media table of the SAME block-constant pixel
+    field (the synthesize_mixed_format_images closed form — dims
+    8·(4 + g % 3) × 8·(4 + g % 2), val = (53·(g+1)·(blk+1)² + 17·blk +
+    9·[blk ≡ v mod variants]) mod 256) shipped as BASELINE JPEG for
+    fmt = (id / (groups·variants)) % 2 == 0 and PROGRESSIVE JPEG
+    (SOF2, the six-scan Annex G script) for fmt == 1 — so every (g, v)
+    field exists in both stream shapes and the format-dispatching
+    decoder MUST pair them at Hamming 0 (block-constant + all-ones
+    quant is the class where both JPEG modes are numerically lossless;
+    the mixed-corpus oracle replays the field verbatim since the
+    container never enters the formula)."""
+    import pandas as pd
+
+    from rippledb_spark.operators.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                g = mid % groups
+                v = (mid // groups) % variants
+                fmt = (mid // (groups * variants)) % 2
+                w, h = 8 * (4 + g % 3), 8 * (4 + g % 2)
+                bw = w // 8
+
+                def val(x: int, y: int) -> int:
+                    blk = (y // 8) * bw + x // 8
+                    return (
+                        53 * (g + 1) * (blk + 1) * (blk + 1)
+                        + 17 * blk
+                        + (9 if blk % variants == v else 0)
+                    ) % 256
+
+                px = bytes(val(x, y) for y in range(h) for x in range(w))
+                enc = encode_jpeg_gray if fmt == 0 else (
+                    encode_jpeg_gray_progressive
+                )
+                payloads.append(enc(w, h, px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return src.mapInPandas(
+        batch_fn, schema="media_id long, payload binary, media_type string"
+    )
+
+
 def resize_pixels(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Binary image payloads → (media_id, decode_ok, src_width,
     src_height, px array<int>[out_w·out_h]): the full FORMAT-DISPATCHED

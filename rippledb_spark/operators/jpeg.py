@@ -1,6 +1,10 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec) — dependency-free
-(struct + numpy): a full sequential-DCT encoder and decoder pair covering
-the stream shapes real web JPEGs use.
+"""JPEG (ITU-T T.81 / ISO 10918-1, public spec) — dependency-free
+(struct + numpy): encoder and decoder pairs for BOTH stream shapes real
+web JPEGs use — baseline sequential (SOF0) and progressive (SOF2,
+Annex G Huffman: spectral selection + successive approximation; r15,
+closing the r14 VERDICT missing #1 — a large share of real web JPEGs
+are progressive and previously refused as decode_ok = false, invisible
+to both features and dedup).
 
 Scope (the baseline profile):
 
@@ -34,8 +38,22 @@ tolerance tests instead. RGB conversion is NOT part of any oracle (its
 half-way rounding is engine-sensitive); oracles certify the decoded
 Y/Cb/Cr planes.
 
-Progressive/arithmetic/hierarchical modes, 12-bit precision, and
-sampling factors above 2 are out of scope — decode refuses them loudly.
+Progressive additions (r15): SOF2 marker walk over MULTIPLE scans; DC
+first/refine scans (interleaved or single-component; the DC point
+transform is an arithmetic shift, so refinement bit-ORs reconstruct
+negative coefficients exactly); single-component AC first/refine scans
+over any spectral band with EOBn block runs (G.1.2.2-3, the
+libjpeg-structured correction-bit walk); DRI/RSTn inside any scan.
+The progressive ENCODER transmits the same quantized coefficients as
+the baseline one under the standard six-scan script, so progressive
+and baseline encodes of one pixel field decode BIT-IDENTICALLY — for
+any content, which pytest pins, and in particular for the
+block-constant oracle class above. Its AC scans ship a deliberately
+flat fixed Huffman table (PROG_AC_BITS) the way the GIF encoder ships
+fixed-width LZW: deterministic and conforming over optimal.
+
+Arithmetic coding, hierarchical mode, 12-bit precision, and sampling
+factors above 2 remain out of scope — decode refuses them loudly.
 """
 
 from __future__ import annotations
@@ -411,116 +429,29 @@ def encode_jpeg_color(
     )
 
 
-def decode_jpeg_planes(payload: bytes) -> dict:
-    """Baseline JFIF bytes → {width, height, components: [{id, h, v,
-    width, height, plane}]} with each component's plane decoded at ITS
-    OWN resolution (ceil(width·h/hmax) × ceil(height·v/vmax)) — the full
-    entropy + dequantize + IDCT path, restart markers included, NO
-    upsampling or color conversion (see jpeg_to_rgb). Raises ValueError
-    on structural violations or non-baseline streams."""
-    import numpy as np
-
-    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG: missing SOI")
-    pos = 2
-    quant: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    width = height = None
-    sof_comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
-    scan_comps: list[tuple[int, int, int]] = []  # (id, td, ta)
-    restart_interval = 0
-    scan_at = None
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at {pos}, got {payload[pos]:02X}")
-        marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
-            break
-        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        body = payload[pos + 4 : pos + 2 + seglen]
-        if len(body) != seglen - 2:
-            raise ValueError("truncated JPEG segment")
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            at = 0
-            while at < len(body):
-                pq, tq = body[at] >> 4, body[at] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables are not baseline")
-                zz = list(body[at + 1 : at + 65])
-                tbl = [0] * 64
-                for k, (r, c) in enumerate(_Z):
-                    tbl[r * 8 + c] = zz[k]
-                quant[tq] = tbl
-                at += 65
-        elif marker == 0xC4:  # DHT (possibly several tables per segment)
-            at = 0
-            while at < len(body):
-                tc, th = body[at] >> 4, body[at] & 0xF
-                bits = list(body[at + 1 : at + 17])
-                nv = sum(bits)
-                values = list(body[at + 17 : at + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, values)
-                at += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
-            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8:
-                raise ValueError(f"{precision}-bit JPEG is not baseline")
-            if ncomp not in (1, 3):
-                raise ValueError(
-                    f"{ncomp}-component JPEG: grayscale and YCbCr only"
-                )
-            if len(body) < 6 + 3 * ncomp:
-                raise ValueError("truncated JPEG SOF component list")
-            for ci in range(ncomp):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                h, v = hv >> 4, hv & 0xF
-                if not (1 <= h <= 2 and 1 <= v <= 2):
-                    raise ValueError(
-                        f"sampling factor {h}x{v} out of the supported 1..2"
-                    )
-                sof_comps.append((cid, h, v, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """First position ≥ start holding a marker that ENDS entropy data —
+    any FF xx with xx not in {00 (stuffing), D0-D7 (restarts)}. T.81
+    B.1.1.5: entropy segments contain no other markers."""
+    pos = start
+    n = len(payload)
+    while True:
+        pos = payload.find(b"\xff", pos)
+        if pos < 0 or pos + 1 >= n:
             raise ValueError(
-                f"SOF{marker - 0xC0}: progressive/extended JPEG is not baseline"
+                "truncated JPEG: entropy data missing terminating marker"
             )
-        elif marker == 0xDD:
-            (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            if ns != len(sof_comps):
-                raise ValueError(
-                    "partial-scan JPEG (SOS components != SOF components)"
-                    " is not baseline-interleaved"
-                )
-            for ci in range(ns):
-                cid, tables = body[1 + 2 * ci : 3 + 2 * ci]
-                scan_comps.append((cid, tables >> 4, tables & 0xF))
-            scan_at = pos + 2 + seglen
-            break
-        # APPn / COM / others: skipped by length
-        pos += 2 + seglen
-    if scan_at is None or width is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    by_id = {cid: (h, v, tq) for cid, h, v, tq in sof_comps}
-    order = []
-    for cid, td, ta in scan_comps:
-        if cid not in by_id:
-            raise ValueError(f"SOS names unknown component {cid}")
-        h, v, tq = by_id[cid]
-        if tq not in quant or (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("JPEG scan references missing DQT/DHT tables")
-        order.append((cid, h, v, tq, td, ta))
+        nxt = payload[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+            continue
+        return pos
 
-    hmax = max(h for _, h, _, _, _, _ in order)
-    vmax = max(v for _, _, v, _, _, _ in order)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    r = _BitReader(payload, scan_at)
-    coefs = [
-        np.zeros((mcus_y * v, mcus_x * h, 8, 8), dtype=np.float64)
-        for _, h, v, _, _, _ in order
-    ]
+
+def _decode_scan_baseline(r, order, huff, coefs, mcus_x, mcus_y,
+                          restart_interval):
+    """The sequential interleaved scan (SOF0): every component's full
+    zigzag per MCU, DC differentials + AC run/size, restart resets."""
     prev = [0] * len(order)
     rst = 0
     since_restart = 0
@@ -568,9 +499,683 @@ def decode_jpeg_planes(payload: bytes) -> dict:
                         blk[_Z_ROWS, _Z_COLS] = zz
             since_restart += 1
 
+
+def _decode_scan_progressive_dc(r, scan, huff, coefs, comp_blocks,
+                                mcus_x, mcus_y, restart_interval, Ah, Al):
+    """Progressive DC scan (T.81 G.2): Ah == 0 sends the point-
+    transformed DC differentials (arithmetic shift, so refinement
+    bit-ORs reconstruct negatives exactly); Ah > 0 sends one raw bit
+    per block — bit Al of the coefficient. Interleaved over MCUs when
+    the scan names several components, else over the one component's
+    own block grid."""
+
+    def receive_extend(size: int) -> int:
+        if size == 0:
+            return 0
+        raw = r.bits(size)
+        return raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
+
+    prev = [0] * len(scan)
+    rst = 0
+    since_restart = 0
+
+    def one_block(si: int, by: int, bx: int) -> None:
+        ci, td, _ta = scan[si]
+        blk = coefs[ci]
+        if by >= blk.shape[0] or bx >= blk.shape[1]:
+            return  # MCU padding outside the component grid
+        if Ah == 0:
+            size = r.huff(huff[(0, td)])
+            prev[si] += receive_extend(size)
+            blk[by, bx, 0, 0] = prev[si] << Al
+        else:
+            if r.bit():
+                blk[by, bx, 0, 0] |= 1 << Al
+
+    if len(scan) > 1:
+        samplings = [
+            (coefs[ci].shape[1] // mcus_x, coefs[ci].shape[0] // mcus_y)
+            for ci, _, _ in scan
+        ]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and since_restart == restart_interval:
+                    r.restart(rst)
+                    rst = (rst + 1) & 7
+                    prev = [0] * len(scan)
+                    since_restart = 0
+                for si, (h, v) in enumerate(samplings):
+                    for by in range(v):
+                        for bx in range(h):
+                            one_block(si, my * v + by, mx * h + bx)
+                since_restart += 1
+    else:
+        bw, bh = comp_blocks[scan[0][0]]
+        for byx in range(bw * bh):
+            if restart_interval and since_restart == restart_interval:
+                r.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0] * len(scan)
+                since_restart = 0
+            one_block(0, byx // bw, byx % bw)
+            since_restart += 1
+
+
+def _decode_scan_progressive_ac(r, scan, huff, coefs, comp_blocks,
+                                restart_interval, Ss, Se, Ah, Al):
+    """Progressive AC scan (T.81 G.2, single component by G.1.1.1.1):
+    Ah == 0 is the FIRST pass over the band — run/size symbols on the
+    point-transformed values, EOBn codes spanning 2^n + extra whole
+    blocks; Ah > 0 is the REFINEMENT pass — newly-significant ±1·2^Al
+    coefficients threaded through runs of zero-history positions, with
+    one correction bit for every nonzero-history position passed (the
+    libjpeg-structured walk of G.1.2.3)."""
+    ci, _td, ta = scan[0]
+    ac_tbl = huff[(1, ta)]
+    blk3 = coefs[ci]
+    bw, bh = comp_blocks[ci]
+    eobrun = 0
+    rst = 0
+    since_restart = 0
+    p1, m1 = 1 << Al, -(1 << Al)
+
+    def receive_extend(size: int) -> int:
+        raw = r.bits(size)
+        return raw if raw >= (1 << (size - 1)) else raw - (1 << size) + 1
+
+    for byx in range(bw * bh):
+        if restart_interval and since_restart == restart_interval:
+            r.restart(rst)
+            rst = (rst + 1) & 7
+            eobrun = 0
+            since_restart = 0
+        since_restart += 1
+        blk = blk3[byx // bw, byx % bw]
+        if Ah == 0:
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                sym = r.huff(ac_tbl)
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.bits(run)
+                    break
+                k += run
+                if k > Se:
+                    raise ValueError("AC run past the scan's spectral band")
+                blk[_Z[k]] = receive_extend(size) << Al
+                k += 1
+        else:
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    sym = r.huff(ac_tbl)
+                    run, size = sym >> 4, sym & 0xF
+                    newval = 0
+                    if size == 0:
+                        if run != 15:  # EOBn: run of whole blocks
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    elif size == 1:
+                        newval = p1 if r.bit() else m1
+                    else:
+                        raise ValueError(
+                            "AC refinement symbol with size > 1"
+                        )
+                    while k <= Se:
+                        z = _Z[k]
+                        if blk[z]:
+                            # correction bit for an already-nonzero coef
+                            if r.bit() and not (int(blk[z]) & p1):
+                                blk[z] += p1 if blk[z] > 0 else m1
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if newval and k <= Se:
+                        blk[_Z[k]] = newval
+                    k += 1
+            if eobrun:
+                # remainder of the band: correction bits only
+                while k <= Se:
+                    z = _Z[k]
+                    if blk[z]:
+                        if r.bit() and not (int(blk[z]) & p1):
+                            blk[z] += p1 if blk[z] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
+# --- progressive encoding (T.81 Annex G, Huffman) ---------------------------
+
+# The Annex K AC table carries no EOBn symbols beyond EOB0, so
+# progressive scans ship their OWN AC table: every symbol a progressive
+# AC scan can emit — EOBn (n ≤ 14), ZRL, and (run, size ≤ 10) — as a
+# FLAT canonical 8-bit code (176 symbols < 255, Kraft-valid, the
+# all-ones code unused as T.81 C.2 requires). Deliberately
+# compression-suboptimal and deterministic, the fixed-width-LZW trick
+# of the GIF encoder applied to Huffman: any conforming decoder
+# accepts it, and no frequency pass can perturb the bytes.
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALUES = [
+    (run << 4) | size for run in range(16) for size in range(11)
+]
+
+_PROG_AC_ENC = _canonical_codes(PROG_AC_BITS, PROG_AC_VALUES)
+
+
+def _sos_header(comps: list[tuple[int, int, int]], Ss: int, Se: int,
+                Ah: int, Al: int) -> bytes:
+    body = bytes([len(comps)])
+    for cid, td, ta in comps:
+        body += bytes((cid, (td << 4) | ta))
+    return _seg(0xFFDA, body + bytes((Ss, Se, (Ah << 4) | Al)))
+
+
+def _emit_eobrun(w: "_BitWriter", eobrun: int, buffered: list[int]) -> int:
+    """Flush a pending EOBn run (category-coded length + extra bits) and
+    the correction bits buffered behind it (G.1.2.3's BE mechanism).
+    Returns 0 (the new run length)."""
+    if eobrun > 0:
+        cat = eobrun.bit_length() - 1
+        code, ln = _PROG_AC_ENC[cat << 4]
+        w.write(code, ln)
+        if cat:
+            w.write(eobrun - (1 << cat), cat)
+        for b in buffered:
+            w.write(b, 1)
+        buffered.clear()
+    return 0
+
+
+def _enc_scan_dc_first(w: "_BitWriter", qbs, samplings, mcus_x: int,
+                       mcus_y: int, Al: int, ri: int = 0) -> None:
+    prev = [0] * len(qbs)
+    rst = since = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and since == ri:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                prev = [0] * len(qbs)
+                since = 0
+            since += 1
+            for ci, (qb, (h, v)) in enumerate(zip(qbs, samplings)):
+                for by in range(v):
+                    for bx in range(h):
+                        dc = int(qb[my * v + by, mx * h + bx, 0, 0]) >> Al
+                        diff = dc - prev[ci]
+                        prev[ci] = dc
+                        size = _category(diff)
+                        code, ln = _DC_ENC[size]
+                        w.write(code, ln)
+                        if size:
+                            w.write(_amplitude(diff, size), size)
+
+
+def _enc_scan_dc_refine(w: "_BitWriter", qbs, samplings, mcus_x: int,
+                        mcus_y: int, Al: int, ri: int = 0) -> None:
+    rst = since = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and since == ri:
+                w.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                since = 0
+            since += 1
+            for qb, (h, v) in zip(qbs, samplings):
+                for by in range(v):
+                    for bx in range(h):
+                        w.write((int(qb[my * v + by, mx * h + bx, 0, 0])
+                                 >> Al) & 1, 1)
+
+
+def _enc_scan_ac_first(w: "_BitWriter", qb, bw: int, bh: int, Ss: int,
+                       Se: int, Al: int, ri: int = 0) -> None:
+    eobrun = 0
+    rst = since = 0
+    for byx in range(bw * bh):
+        if ri and since == ri:
+            eobrun = _emit_eobrun(w, eobrun, [])
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            since = 0
+        since += 1
+        blk = qb[byx // bw, byx % bw]
+        t = []
+        for k in range(Ss, Se + 1):
+            v = int(blk[_Z[k]])
+            # AC point transform divides TOWARD ZERO (G.1.2.2) — unlike
+            # the DC arithmetic shift
+            t.append(v // (1 << Al) if v >= 0 else -((-v) >> Al))
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(w, eobrun, [])
+            continue
+        eobrun = _emit_eobrun(w, eobrun, [])
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _PROG_AC_ENC[0xF0]  # ZRL
+                w.write(code, ln)
+                run -= 16
+            size = _category(v)
+            code, ln = _PROG_AC_ENC[(run << 4) | size]
+            w.write(code, ln)
+            w.write(_amplitude(v, size), size)
+            run = 0
+        if nz[-1] < Se - Ss:
+            eobrun += 1
+    _emit_eobrun(w, eobrun, [])
+
+
+def _enc_scan_ac_refine(w: "_BitWriter", qb, bw: int, bh: int, Ss: int,
+                        Se: int, Al: int, ri: int = 0) -> None:
+    """G.1.2.3: newly-significant ±1·2^Al coefficients threaded through
+    zero-history runs, correction bits for already-significant positions
+    buffered behind the code that closes them (BR within a block, BE
+    behind a pending EOB run)."""
+    eobrun = 0
+    be: list[int] = []  # correction bits buffered behind the EOB run
+    rst = since = 0
+    for byx in range(bw * bh):
+        if ri and since == ri:
+            eobrun = _emit_eobrun(w, eobrun, be)
+            w.marker(0xD0 + rst)
+            rst = (rst + 1) & 7
+            since = 0
+        since += 1
+        blk = qb[byx // bw, byx % bw]
+        t = [abs(int(blk[_Z[k]])) >> Al for k in range(Ss, Se + 1)]
+        signs = [int(blk[_Z[k]]) < 0 for k in range(Ss, Se + 1)]
+        eob = -1  # last newly-significant position
+        for i, v in enumerate(t):
+            if v == 1:
+                eob = i
+        run = 0
+        br: list[int] = []  # correction bits since the last emitted code
+        for i in range(eob + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            if v > 1:
+                br.append(v & 1)
+                continue
+            # newly significant (v == 1)
+            while run > 15:
+                eobrun = _emit_eobrun(w, eobrun, be)
+                code, ln = _PROG_AC_ENC[0xF0]
+                w.write(code, ln)
+                run -= 16
+                for b in br:
+                    w.write(b, 1)
+                br.clear()
+            eobrun = _emit_eobrun(w, eobrun, be)
+            code, ln = _PROG_AC_ENC[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(0 if signs[i] else 1, 1)
+            for b in br:
+                w.write(b, 1)
+            br.clear()
+            run = 0
+        # tail: zero-history runs and correction bits beyond the last
+        # newly-significant coefficient ride the EOB run
+        tail = [v & 1 for v in t[eob + 1 :] if v > 1]
+        if run > 0 or tail or eob + 1 <= Se - Ss:
+            eobrun += 1
+            be.extend(tail)
+            if eobrun == 0x7FFF or len(be) > 900:
+                eobrun = _emit_eobrun(w, eobrun, be)
+    _emit_eobrun(w, eobrun, be)
+
+
+def _progressive_tail(qbs, samplings, comp_ids, quant_ids, mcus_x: int,
+                      mcus_y: int, comp_blocks, ri: int = 0) -> bytes:
+    """The standard grayscale/color progressive scan script over
+    already-quantized blocks: DC first (Al=1, interleaved) → DC refine →
+    per-component AC first in two spectral bands (Al=1) → per-component
+    AC refine over 1..63 — all four Annex G scan types on the wire."""
+    out = b""
+    w = _BitWriter()
+    _enc_scan_dc_first(w, qbs, samplings, mcus_x, mcus_y, 1, ri)
+    out += _sos_header([(cid, 0, 0) for cid in comp_ids], 0, 0, 0, 1)
+    out += w.flush()
+    w = _BitWriter()
+    _enc_scan_dc_refine(w, qbs, samplings, mcus_x, mcus_y, 0, ri)
+    out += _sos_header([(cid, 0, 0) for cid in comp_ids], 0, 0, 1, 0)
+    out += w.flush()
+    for ci, cid in enumerate(comp_ids):
+        bw_, bh_ = comp_blocks[ci]
+        for (ss, se) in ((1, 5), (6, 63)):
+            w = _BitWriter()
+            _enc_scan_ac_first(w, qbs[ci], bw_, bh_, ss, se, 1, ri)
+            out += _sos_header([(cid, 0, 1)], ss, se, 0, 1)
+            out += w.flush()
+    for ci, cid in enumerate(comp_ids):
+        bw_, bh_ = comp_blocks[ci]
+        w = _BitWriter()
+        _enc_scan_ac_refine(w, qbs[ci], bw_, bh_, 1, 63, 0, ri)
+        out += _sos_header([(cid, 0, 1)], 1, 63, 1, 0)
+        out += w.flush()
+    return out
+
+
+def _progressive_headers(width: int, height: int, comps,
+                         qtabs: list[list[int]]) -> bytes:
+    """SOI + JFIF + DQT + SOF2 + the Annex K DHT pair (scans follow)."""
+    out = b"\xff\xd8"
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, q in enumerate(qtabs):
+        out += _seg(0xFFDB, bytes([tq]) + _zz_table(q))
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, h, v, tq in comps:
+        sof += bytes((cid, (h << 4) | v, tq))
+    out += _seg(0xFFC2, sof)
+    out += _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALUES))
+    out += _seg(0xFFC4, b"\x11" + bytes(PROG_AC_BITS) + bytes(PROG_AC_VALUES))
+    return out
+
+
+def encode_jpeg_gray_progressive(width: int, height: int, pixels: bytes,
+                                 quant: list[int] | None = None,
+                                 restart_interval: int = 0) -> bytes:
+    """8-bit grayscale pixels → PROGRESSIVE JFIF bytes (SOF2) under the
+    standard six-scan script (DC first/refine + two AC spectral bands,
+    first then refine — all four Annex G scan types). Same quantized
+    coefficients as :func:`encode_jpeg_gray`, transmitted progressively
+    — so with the default all-ones table on block-constant content the
+    decoded pixels are bit-identical to the baseline encode's (the
+    oracle-exactness class of the module docstring)."""
+    import numpy as np
+
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("dimensions out of JPEG range")
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
+        raise ValueError("quant table must be 64 values in 1..255")
+    mcus_x, mcus_y = -(-width // 8), -(-height // 8)
+    Q = np.array(q, dtype=np.float64).reshape(8, 8)
+    qb = _plane_qblocks(pixels, width, height, mcus_x, mcus_y, Q)
+    hdr = _progressive_headers(width, height, [(1, 1, 1, 0)], [q])
+    if restart_interval:
+        hdr += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    return (
+        hdr
+        + _progressive_tail(
+            [qb], [(1, 1)], [1], [0], mcus_x, mcus_y,
+            [(mcus_x, mcus_y)], restart_interval,
+        )
+        + b"\xff\xd9"
+    )
+
+
+def encode_jpeg_color_progressive(
+    width: int,
+    height: int,
+    y: bytes,
+    cb: bytes,
+    cr: bytes,
+    sampling: tuple[int, int] = (2, 2),
+    quant_y: list[int] | None = None,
+    quant_c: list[int] | None = None,
+) -> bytes:
+    """YCbCr planes → PROGRESSIVE JFIF bytes (SOF2) — the interleaved-DC
+    + per-component-AC scan script over the same subsampled layouts as
+    :func:`encode_jpeg_color` (4:4:4 / 4:2:2 / 4:2:0)."""
+    import numpy as np
+
+    hy, vy = sampling
+    if (hy, vy) not in ((1, 1), (2, 1), (2, 2)):
+        raise ValueError("sampling must be (1,1), (2,1) or (2,2)")
+    if width <= 0 or height <= 0 or width > 0xFFFF or height > 0xFFFF:
+        raise ValueError("dimensions out of JPEG range")
+    cw, ch = -(-width // hy), -(-height // vy)
+    if len(y) != width * height:
+        raise ValueError("luma plane does not match dimensions")
+    if len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError(f"chroma planes must be {cw}x{ch} for {hy}x{vy}")
+    qy = list(quant_y) if quant_y is not None else [1] * 64
+    qc = list(quant_c) if quant_c is not None else [1] * 64
+    for q in (qy, qc):
+        if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
+            raise ValueError("quant tables must be 64 values in 1..255")
+    mcus_x = -(-width // (8 * hy))
+    mcus_y = -(-height // (8 * vy))
+    QY = np.array(qy, dtype=np.float64).reshape(8, 8)
+    QC = np.array(qc, dtype=np.float64).reshape(8, 8)
+    qb_y = _plane_qblocks(y, width, height, mcus_x * hy, mcus_y * vy, QY)
+    qb_cb = _plane_qblocks(cb, cw, ch, mcus_x, mcus_y, QC)
+    qb_cr = _plane_qblocks(cr, cw, ch, mcus_x, mcus_y, QC)
+    comp_blocks = [
+        (-(-width // 8), -(-height // 8)),
+        (-(-cw // 8), -(-ch // 8)),
+        (-(-cw // 8), -(-ch // 8)),
+    ]
+    return (
+        _progressive_headers(
+            width, height, [(1, hy, vy, 0), (2, 1, 1, 1), (3, 1, 1, 1)],
+            [qy, qc],
+        )
+        + _progressive_tail(
+            [qb_y, qb_cb, qb_cr], [(hy, vy), (1, 1), (1, 1)],
+            [1, 2, 3], [0, 1, 1], mcus_x, mcus_y, comp_blocks,
+        )
+        + b"\xff\xd9"
+    )
+
+
+def decode_jpeg_planes(payload: bytes) -> dict:
+    """JFIF bytes → {width, height, components: [{id, h, v, width,
+    height, plane}]} with each component's plane decoded at ITS OWN
+    resolution (ceil(width·h/hmax) × ceil(height·v/vmax)) — the full
+    entropy + dequantize + IDCT path, restart markers included, NO
+    upsampling or color conversion (see jpeg_to_rgb).
+
+    Decodes BOTH stream shapes real web JPEGs use: baseline sequential
+    (SOF0, one interleaved scan) and PROGRESSIVE (SOF2 — r15, closing
+    the r14 VERDICT missing #1: a large share of real web JPEGs are
+    progressive and previously refused): spectral selection and
+    successive approximation in any spec-legal scan script — DC
+    first/refine (interleaved or not), per-component AC first/refine
+    with EOBn runs, DRI/RSTn inside any scan. Raises ValueError on
+    structural violations or on modes outside these two (arithmetic
+    coding, hierarchical, 12-bit)."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    mode = None  # 0xC0 baseline | 0xC2 progressive
+    sof_comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    restart_interval = 0
+    coefs: list = []
+    comp_blocks: list[tuple[int, int]] = []  # per component (bw, bh)
+    mcus_x = mcus_y = 0
+    hmax = vmax = 1
+    n_scans = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {payload[pos]:02X}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables are not supported")
+                zz = list(body[at + 1 : at + 65])
+                tbl = [0] * 64
+                for k, (rr, cc) in enumerate(_Z):
+                    tbl[rr * 8 + cc] = zz[k]
+                quant[tq] = tbl
+                at += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0xF
+                bits = list(body[at + 1 : at + 17])
+                nv = sum(bits)
+                values = list(body[at + 17 : at + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, values)
+                at += 17 + nv
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline | SOF2 progressive
+            mode = marker
+            precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise ValueError(f"{precision}-bit JPEG is not supported")
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"{ncomp}-component JPEG: grayscale and YCbCr only"
+                )
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF component list")
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                h, v = hv >> 4, hv & 0xF
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise ValueError(
+                        f"sampling factor {h}x{v} out of the supported 1..2"
+                    )
+                sof_comps.append((cid, h, v, tq))
+            hmax = max(h for _, h, _, _ in sof_comps)
+            vmax = max(v for _, _, v, _ in sof_comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            coefs = [
+                np.zeros((mcus_y * v, mcus_x * h, 8, 8), dtype=np.int64)
+                for _, h, v, _ in sof_comps
+            ]
+            comp_blocks = [
+                (
+                    -(-(-(-width * h // hmax)) // 8),
+                    -(-(-(-height * v // vmax)) // 8),
+                )
+                for _, h, v, _ in sof_comps
+            ]
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"SOF{marker - 0xC0}: only baseline (SOF0) and progressive "
+                "(SOF2) JPEG are supported"
+            )
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — decode the scan, then keep walking
+            if mode is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
+            by_id = {cid: i for i, (cid, _, _, _) in enumerate(sof_comps)}
+            scan: list[tuple[int, int, int]] = []  # (comp index, td, ta)
+            for ci in range(ns):
+                cid, tables = body[1 + 2 * ci : 3 + 2 * ci]
+                if cid not in by_id:
+                    raise ValueError(f"SOS names unknown component {cid}")
+                scan.append((by_id[cid], tables >> 4, tables & 0xF))
+            Ss, Se, AhAl = body[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0xF
+            scan_at = pos + 2 + seglen
+            scan_end = _find_scan_end(payload, scan_at)
+            r = _BitReader(payload[:scan_end], scan_at)
+            if mode == 0xC0:
+                if (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                    raise ValueError("baseline scan with progressive params")
+                if ns != len(sof_comps):
+                    raise ValueError(
+                        "partial-scan JPEG (SOS components != SOF "
+                        "components) is not baseline-interleaved"
+                    )
+                order = []
+                for idx, td, ta in scan:
+                    cid, h, v, tq = sof_comps[idx]
+                    if (
+                        tq not in quant
+                        or (0, td) not in huff
+                        or (1, ta) not in huff
+                    ):
+                        raise ValueError(
+                            "JPEG scan references missing DQT/DHT tables"
+                        )
+                    order.append((cid, h, v, tq, td, ta))
+                _decode_scan_baseline(
+                    r, order, huff, coefs, mcus_x, mcus_y, restart_interval
+                )
+            else:  # progressive
+                if Ss == 0:
+                    if Se != 0:
+                        raise ValueError(
+                            "progressive scan mixes DC and AC (Ss=0, Se>0)"
+                        )
+                    if Ah == 0:
+                        for _idx, td, _ta in scan:
+                            if (0, td) not in huff:
+                                raise ValueError(
+                                    "DC scan references a missing DHT table"
+                                )
+                    _decode_scan_progressive_dc(
+                        r, scan, huff, coefs, comp_blocks, mcus_x, mcus_y,
+                        restart_interval, Ah, Al,
+                    )
+                else:
+                    if ns != 1:
+                        raise ValueError(
+                            "progressive AC scan must be single-component"
+                        )
+                    if not Ss <= Se <= 63:
+                        raise ValueError("bad spectral band in AC scan")
+                    if (1, scan[0][2]) not in huff:
+                        raise ValueError(
+                            "AC scan references a missing DHT table"
+                        )
+                    _decode_scan_progressive_ac(
+                        r, scan, huff, coefs, comp_blocks,
+                        restart_interval, Ss, Se, Ah, Al,
+                    )
+            n_scans += 1
+            pos = scan_end
+            continue
+        # APPn / COM / others: skipped by length
+        pos += 2 + seglen
+    if width is None or not n_scans:
+        raise ValueError("JPEG missing SOF/SOS")
+
     M = _dct_matrix()
     components = []
-    for ci, (cid, h, v, tq, _, _) in enumerate(order):
+    for ci, (cid, h, v, tq) in enumerate(sof_comps):
+        if tq not in quant:
+            raise ValueError("JPEG component references a missing DQT table")
         Q = np.array(quant[tq], dtype=np.float64).reshape(8, 8)
         spatial = np.einsum("xu,ijuv,yv->ijxy", M.T, coefs[ci] * Q, M.T)
         bh, bw = spatial.shape[:2]

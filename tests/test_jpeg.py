@@ -70,10 +70,15 @@ def test_decoder_refusals_are_loud():
     ok = encode_jpeg_gray(8, 8, bytes(64))
     with pytest.raises(ValueError, match="missing SOI"):
         decode_jpeg_gray(b"\x00\x01")
-    # SOF0 -> SOF2: progressive
+    # SOF0 -> SOF2 with the baseline full-band scan params: progressive
+    # decodes now (r15), but Ss=0/Se=63 is an illegal progressive scan
     prog = ok.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="not baseline"):
+    with pytest.raises(ValueError, match="mixes DC and AC"):
         decode_jpeg_gray(prog)
+    # genuinely unsupported SOF modes still refuse loudly
+    arith = ok.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg_gray(arith)
     # cut mid-scan on an image whose entropy segment is long enough
     rng = np.random.default_rng(5)
     big = encode_jpeg_gray(
@@ -243,3 +248,109 @@ def test_chroma_upsampling_replicates_into_place():
     # the SAME upsampled chroma sample cb[0,1]
     cell = px[0:2, 2:4, 2]
     assert (cell == cell[0, 0]).all()
+
+
+# --- progressive (SOF2, r15) -------------------------------------------------
+
+
+def test_progressive_decodes_identically_to_baseline_gray():
+    """Progressive transmission re-orders the SAME quantized
+    coefficients, so progressive and baseline encodes of one field must
+    decode BIT-IDENTICALLY — any content, any quant table."""
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(11)
+    for w, h in ((8, 8), (24, 17), (64, 48), (7, 5)):
+        for q in ([1] * 64, [2 + (i % 7) for i in range(64)], [16] * 64):
+            px = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+            assert decode_jpeg_gray(
+                encode_jpeg_gray_progressive(w, h, px, quant=q)
+            ) == decode_jpeg_gray(encode_jpeg_gray(w, h, px, quant=q))
+
+
+def test_progressive_decodes_identically_to_baseline_color():
+    from rippledb_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_color,
+        encode_jpeg_color_progressive,
+    )
+
+    rng = np.random.default_rng(12)
+    for w, h, samp in ((16, 16, (2, 2)), (24, 16, (2, 1)), (17, 13, (2, 2)),
+                       (20, 12, (1, 1))):
+        hy, vy = samp
+        cw, ch = -(-w // hy), -(-h // vy)
+        y = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+        cb = rng.integers(0, 256, cw * ch, dtype=np.uint8).tobytes()
+        cr = rng.integers(0, 256, cw * ch, dtype=np.uint8).tobytes()
+        b = decode_jpeg_planes(encode_jpeg_color(w, h, y, cb, cr, sampling=samp))
+        p = decode_jpeg_planes(
+            encode_jpeg_color_progressive(w, h, y, cb, cr, sampling=samp)
+        )
+        for comp_b, comp_p in zip(b["components"], p["components"]):
+            assert comp_b["plane"] == comp_p["plane"]
+
+
+def test_progressive_eobrun_and_restart_paths():
+    """Flat and sparse content drives long EOBn runs; a restart interval
+    drives RSTn handling inside every progressive scan type."""
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray_progressive
+
+    flat = bytes([128]) * (64 * 64)
+    assert decode_jpeg_gray(
+        encode_jpeg_gray_progressive(64, 64, flat)
+    ) == decode_jpeg_gray(encode_jpeg_gray(64, 64, flat))
+    sparse = bytearray([100] * (40 * 24))
+    sparse[5], sparse[-1] = 220, 0
+    sparse = bytes(sparse)
+    assert decode_jpeg_gray(
+        encode_jpeg_gray_progressive(40, 24, sparse)
+    ) == decode_jpeg_gray(encode_jpeg_gray(40, 24, sparse))
+    rng = np.random.default_rng(13)
+    for ri in (1, 2, 3):
+        px = rng.integers(0, 256, 32 * 24, dtype=np.uint8).tobytes()
+        assert decode_jpeg_gray(
+            encode_jpeg_gray_progressive(32, 24, px, restart_interval=ri)
+        ) == decode_jpeg_gray(encode_jpeg_gray(32, 24, px))
+
+
+def test_progressive_block_constant_exact():
+    """The oracle class: block-constant + all-ones quant is numerically
+    lossless through BOTH stream shapes — the planted claim of
+    progressive_jpeg_phash_accounting."""
+    from rippledb_spark.operators.jpeg import encode_jpeg_gray_progressive
+
+    w, h = 32, 24
+    px = bytes(
+        (37 * ((y // 8) * 4 + x // 8 + 1) ** 2 + 11) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    assert decode_jpeg_gray(encode_jpeg_gray_progressive(w, h, px)) == (
+        w, h, px
+    )
+
+
+def test_progressive_scan_refusals():
+    from rippledb_spark.operators.jpeg import (
+        decode_jpeg_planes,
+        encode_jpeg_color_progressive,
+    )
+
+    # an AC scan naming several components is illegal (G.1.1.1.1):
+    # patch the first AC SOS of a color progressive stream to ns=2
+    p = bytearray(
+        encode_jpeg_color_progressive(
+            8, 8, bytes(64), bytes(64), bytes(64), sampling=(1, 1)
+        )
+    )
+    at = -1
+    for _ in range(3):  # third SOS = first AC scan
+        at = bytes(p).index(b"\xff\xda", at + 1)
+    assert p[at + 4] == 1  # ns
+    # splice in a second component entry (cid 2, tables 0x01)
+    p[at + 2 : at + 4] = (10).to_bytes(2, "big")
+    p[at + 4] = 2
+    p[at + 5 : at + 7] = bytes((p[at + 5], p[at + 6], 2, 0x01))
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg_planes(bytes(p))
