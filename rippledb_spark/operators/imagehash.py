@@ -1093,28 +1093,127 @@ def near_dup_drops(
     return exact_drops.unionByName(near_drops).distinct()
 
 
+def near_dup_drops_dual(
+    hashes: DataFrame,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+    max_hamming2: int = 2,
+) -> DataFrame:
+    """(media_id, hash_hi, hash_lo, hash2_hi, hash2_lo) → (media_id) to
+    DROP under the DUAL gate (r15, VERDICT wrong #1: the certified
+    second fingerprints — DCT for images, the finer-grid audio fp2 —
+    existed only in standalone queries while production drops ran on
+    the coarse hash alone): a pair drops its higher id iff the fp1
+    Hamming distance ≤ ``max_hamming`` AND the fp2 distance ≤
+    ``max_hamming2``. Blocking stays on fp1 (pigeonhole-exact, and the
+    fp2 gate only ever REMOVES pairs, so exactness carries to the
+    composed predicate); fp2 is two id-equi-joins on the already-small
+    pair list. The exact-collapse groups on the FULL (fp1, fp2)
+    fingerprint — items whose fp1 collides but whose fp2 diverges stay
+    distinct representatives and must survive the gate. A NULL fp2 on
+    either side passes the gate (a modality without a second
+    fingerprint degrades to :func:`near_dup_drops`)."""
+    hashes = hashes.localCheckpoint(eager=False)
+    reps = (
+        hashes.groupBy("hash_hi", "hash_lo", "hash2_hi", "hash2_lo")
+        .agg(F.min("media_id").alias("media_id"))
+        .localCheckpoint(eager=False)
+    )
+    exact_drops = (
+        hashes.alias("h")
+        .join(
+            reps.select(
+                "hash_hi",
+                "hash_lo",
+                "hash2_hi",
+                "hash2_lo",
+                F.col("media_id").alias("rep_id"),
+            ).alias("r"),
+            [
+                F.col("h.hash_hi") == F.col("r.hash_hi"),
+                F.col("h.hash_lo") == F.col("r.hash_lo"),
+                F.col("h.hash2_hi").eqNullSafe(F.col("r.hash2_hi")),
+                F.col("h.hash2_lo").eqNullSafe(F.col("r.hash2_lo")),
+            ],
+        )
+        .where(F.col("h.media_id") != F.col("rep_id"))
+        .select(F.col("h.media_id").alias("media_id"))
+    )
+    pairs = hamming_pairs(
+        reps.select("media_id", "hash_hi", "hash_lo"), bands, max_hamming
+    )
+    fp2 = reps.select("media_id", "hash2_hi", "hash2_lo")
+    a2 = fp2.select(
+        F.col("media_id").alias("id_a"),
+        F.col("hash2_hi").alias("h2hi_a"),
+        F.col("hash2_lo").alias("h2lo_a"),
+    )
+    b2 = fp2.select(
+        F.col("media_id").alias("id_b"),
+        F.col("hash2_hi").alias("h2hi_b"),
+        F.col("hash2_lo").alias("h2lo_b"),
+    )
+    hamming2 = F.bit_count(
+        F.col("h2hi_a").bitwiseXOR(F.col("h2hi_b"))
+    ) + F.bit_count(F.col("h2lo_a").bitwiseXOR(F.col("h2lo_b")))
+    near_drops = (
+        pairs.join(a2, "id_a")
+        .join(b2, "id_b")
+        .where(hamming2.isNull() | (hamming2 <= max_hamming2))
+        .select(F.col("id_b").alias("media_id"))
+    )
+    return exact_drops.unionByName(near_drops).distinct()
+
+
+#: per-kind fp2 confirm radii the crawl sink gates with: audio = the
+#: certified dual-fingerprint gate (audiohash.MAX_HAMMING2); image = the
+#: DCT confirm tier (dctphash.DCT_CONFIRM_MAX_HAMMING — see its
+#: derivation note); video carries no second fingerprint yet
+MEDIA_CONFIRM_RADII: dict[str, int] = {"image": 16, "audio": 2}
+
+
 def near_dup_drops_by_kind(
     hashes: DataFrame,
     kinds: tuple[str, ...] = ("image", "audio", "video"),
     bands: int = PHASH_BANDS,
     max_hamming: int = PHASH_MAX_HAMMING,
+    confirm: dict[str, int] | None = None,
 ) -> DataFrame:
-    """(media_id, kind, hash_hi, hash_lo) → (media_id, kind) of items to
-    DROP, modality by modality (r14 — the multi-modal composition the
-    streaming crawl sink gates with): each kind's hashes go through
-    :func:`near_dup_drops` INDEPENDENTLY — an image and an audio clip
-    can never pair, whatever their bits — and the per-kind drop sets
-    union. Kinds outside ``kinds`` are ignored loudly-by-accounting
-    (they simply never appear in the output)."""
+    """(media_id, kind, hash_hi, hash_lo[, hash2_hi, hash2_lo]) →
+    (media_id, kind) of items to DROP, modality by modality (r14 — the
+    multi-modal composition the streaming crawl sink gates with): each
+    kind's hashes go through :func:`near_dup_drops` INDEPENDENTLY — an
+    image and an audio clip can never pair, whatever their bits — and
+    the per-kind drop sets union. Kinds outside ``kinds`` are ignored
+    loudly-by-accounting (they simply never appear in the output).
+
+    r15: when the frame carries the second-fingerprint columns, each
+    kind with a ``confirm`` radius (default :data:`MEDIA_CONFIRM_RADII`)
+    goes through the DUAL gate (:func:`near_dup_drops_dual`) instead —
+    the strong fingerprints now decide the drops that used to run on
+    the coarse hash alone."""
+    dual_cols = "hash2_hi" in hashes.columns and "hash2_lo" in hashes.columns
+    radii = MEDIA_CONFIRM_RADII if confirm is None else confirm
     out = None
     for kind in kinds:
-        drops = near_dup_drops(
-            hashes.where(F.col("kind") == kind).select(
-                "media_id", "hash_hi", "hash_lo"
-            ),
-            bands,
-            max_hamming,
-        ).withColumn("kind", F.lit(kind))
+        r2 = radii.get(kind) if dual_cols else None
+        if r2 is not None:
+            drops = near_dup_drops_dual(
+                hashes.where(F.col("kind") == kind).select(
+                    "media_id", "hash_hi", "hash_lo", "hash2_hi", "hash2_lo"
+                ),
+                bands,
+                max_hamming,
+                r2,
+            ).withColumn("kind", F.lit(kind))
+        else:
+            drops = near_dup_drops(
+                hashes.where(F.col("kind") == kind).select(
+                    "media_id", "hash_hi", "hash_lo"
+                ),
+                bands,
+                max_hamming,
+            ).withColumn("kind", F.lit(kind))
         out = drops if out is None else out.unionByName(drops)
     if out is None:
         raise ValueError("near_dup_drops_by_kind: empty kinds tuple")
@@ -1393,6 +1492,46 @@ def near_dup_drops_sql(
                            AND r.hash_lo = a.hash_lo)
       UNION
       SELECT id_b AS media_id FROM {prefix}_pairs
+    )"""
+
+
+def near_dup_drops_dual_sql(
+    hash_rel: str,
+    prefix: str,
+    max_hamming2: int,
+    bands: int = PHASH_BANDS,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> str:
+    """DuckDB twin of :func:`near_dup_drops_dual` over a relation
+    ``hash_rel(media_id, hash_hi, hash_lo, hash2_hi, hash2_lo)``:
+    exact-collapse on the FULL dual fingerprint (null-safe), fp1-banded
+    pairs over representatives, the fp2 confirm gate (NULL passes), and
+    greedy min-keeps. Yields ``{prefix}_drops(media_id)``."""
+    pairs = (
+        hamming_pairs_sql(f"{prefix}_reps", bands, max_hamming)
+        .replace("ih_bands", f"{prefix}_bands")
+        .replace("ih_pairs", f"{prefix}_pairs")
+    )
+    return f"""{prefix}_reps AS (
+      SELECT hash_hi, hash_lo, hash2_hi, hash2_lo,
+             MIN(media_id) AS media_id
+      FROM {hash_rel} GROUP BY hash_hi, hash_lo, hash2_hi, hash2_lo
+    ),
+    {pairs},
+    {prefix}_drops AS (
+      SELECT a.media_id FROM {hash_rel} a
+      JOIN {prefix}_reps r
+        ON r.hash_hi = a.hash_hi AND r.hash_lo = a.hash_lo
+       AND r.hash2_hi IS NOT DISTINCT FROM a.hash2_hi
+       AND r.hash2_lo IS NOT DISTINCT FROM a.hash2_lo
+      WHERE a.media_id <> r.media_id
+      UNION
+      SELECT p.id_b AS media_id FROM {prefix}_pairs p
+      JOIN {prefix}_reps ra ON ra.media_id = p.id_a
+      JOIN {prefix}_reps rb ON rb.media_id = p.id_b
+      WHERE ra.hash2_hi IS NULL OR rb.hash2_hi IS NULL
+         OR bit_count(xor(ra.hash2_hi, rb.hash2_hi))
+            + bit_count(xor(ra.hash2_lo, rb.hash2_lo)) <= {max_hamming2}
     )"""
 
 

@@ -761,12 +761,20 @@ def start_crawl_corpus_sink(
                     spark.read.parquet(f"{media_dedup_path}/hashes")
                     .unionByName(mh)
                     .groupBy("media_id", "kind")
-                    .agg(F.max(F.struct("hash_hi", "hash_lo")).alias("__h"))
+                    .agg(
+                        F.max(
+                            F.struct(
+                                "hash_hi", "hash_lo", "hash2_hi", "hash2_lo"
+                            )
+                        ).alias("__h")
+                    )
                     .select(
                         "media_id",
                         "kind",
                         F.col("__h.hash_hi").alias("hash_hi"),
                         F.col("__h.hash_lo").alias("hash_lo"),
+                        F.col("__h.hash2_hi").alias("hash2_hi"),
+                        F.col("__h.hash2_lo").alias("hash2_lo"),
                     )
                 )
             mh = mh.localCheckpoint(eager=True)
@@ -844,22 +852,25 @@ def _bare_media_type(col: str):
 
 
 def crawl_media_hashes(warc_df: DataFrame) -> DataFrame:
-    """Crawl records → (media_id, kind, hash_hi, hash_lo): the
-    perceptual/audio fingerprints of every decodable media fetch (r14 —
-    the dedup SCREEN the r13 sink lacked: image/audio/video payloads
-    streamed through ungated while the batch operators existed). Keyed
-    by canonical URI (the hash stages are key-type-agnostic); images go
-    through the format-dispatched aHash (PNG/JPEG/GIF/BMP/TIFF in one
-    pass), WAVs through the frame-energy fingerprint, AVIs and MPEG-1
-    streams through the temporal-majority video aHash. A hash is a pure
-    function of the payload bytes, so the stage is batch-agnostic by
-    construction — same row whether two fetches share a micro-batch or
-    span ten. Undecodable payloads drop out inside each stage
-    (decode_ok = false), exactly the feature stage's contract."""
-    from rippledb_spark.operators.audiohash import audio_fingerprints
+    """Crawl records → (media_id, kind, hash_hi, hash_lo, hash2_hi,
+    hash2_lo): the perceptual/audio fingerprints of every decodable
+    media fetch (r14 — the dedup SCREEN the r13 sink lacked). Keyed by
+    canonical URI (the hash stages are key-type-agnostic); images carry
+    the format-dispatched aHash PLUS the DCT pHash from one decode
+    (r15 — the strong fingerprints now ride the snapshot so the drop
+    derivation can apply the confirm gates instead of deciding on the
+    coarse hash alone), WAVs the dual frame-energy fingerprints, AVIs /
+    MPEG-1 streams the temporal-majority video aHash (no second
+    fingerprint yet — NULL fp2, which the dual gate passes through). A
+    hash is a pure function of the payload bytes, so the stage is
+    batch-agnostic by construction — same row whether two fetches share
+    a micro-batch or span ten. Undecodable payloads drop out inside
+    each stage (decode_ok = false), exactly the feature stage's
+    contract."""
+    from rippledb_spark.operators.audiohash import audio_fingerprints_dual
+    from rippledb_spark.operators.dctphash import dual_image_hashes
     from rippledb_spark.operators.imagehash import (
         IMAGE_DECODE_TYPES,
-        ahash_images,
         video_ahash,
     )
 
@@ -868,18 +879,23 @@ def crawl_media_hashes(warc_df: DataFrame) -> DataFrame:
         _bare_media_type("content_type").alias("media_type"),
         "payload",
     ).where(F.col("media_id").isNotNull())
-    img = ahash_images(
+    img = dual_image_hashes(
         recs.where(F.col("media_type").isin(*IMAGE_DECODE_TYPES))
     ).withColumn("kind", F.lit("image"))
-    aud = audio_fingerprints(
+    aud = audio_fingerprints_dual(
         recs.where(F.col("media_type").isin("audio/wav", "audio/x-wav"))
     ).withColumn("kind", F.lit("audio"))
-    vid = video_ahash(
-        recs.where(
-            F.col("media_type").isin("video/x-msvideo")
-            | F.col("media_type").startswith("video/mpeg")
+    vid = (
+        video_ahash(
+            recs.where(
+                F.col("media_type").isin("video/x-msvideo")
+                | F.col("media_type").startswith("video/mpeg")
+            )
         )
-    ).withColumn("kind", F.lit("video"))
+        .withColumn("hash2_hi", F.lit(None).cast("long"))
+        .withColumn("hash2_lo", F.lit(None).cast("long"))
+        .withColumn("kind", F.lit("video"))
+    )
     return (
         img.unionByName(aud)
         .unionByName(vid)
@@ -887,12 +903,18 @@ def crawl_media_hashes(warc_df: DataFrame) -> DataFrame:
         # to the struct-max hash — deterministic and batch-split-
         # invariant, the same latest-wins shape as the corpus merge
         .groupBy("media_id", "kind")
-        .agg(F.max(F.struct("hash_hi", "hash_lo")).alias("__h"))
+        .agg(
+            F.max(
+                F.struct("hash_hi", "hash_lo", "hash2_hi", "hash2_lo")
+            ).alias("__h")
+        )
         .select(
             "media_id",
             "kind",
             F.col("__h.hash_hi").alias("hash_hi"),
             F.col("__h.hash_lo").alias("hash_lo"),
+            F.col("__h.hash2_hi").alias("hash2_hi"),
+            F.col("__h.hash2_lo").alias("hash2_lo"),
         )
     )
 

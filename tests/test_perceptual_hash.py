@@ -710,3 +710,63 @@ def test_gif_compositor_refusals():
     p[gce + 3] = 5 << 2
     with pytest.raises(ValueError, match="reserved disposal"):
         composite_gif_luma_frames(bytes(p))
+
+
+def test_near_dup_drops_dual_gate_semantics(spark):
+    """The r15 dual gate: identical fp1 with DIVERGENT fp2 must NOT
+    collapse or drop (that is the false-drop class the gate exists to
+    kill); identical full fingerprints collapse; fp1-near pairs drop
+    only when fp2 confirms; a NULL fp2 passes (video degrades to the
+    coarse rule)."""
+    rows = [
+        # a/b: identical fp1, fp2 wildly apart -> BOTH survive
+        (0, 100, 200, 0x0F0F0F0F, 0x33CC33CC),
+        (1, 100, 200, 0x70F0F0F0, 0x0C33CC33),
+        # c/d: identical full fingerprint -> d collapses onto c
+        (2, 500, 600, 7, 9),
+        (3, 500, 600, 7, 9),
+        # e/f: fp1 hamming 1, fp2 hamming 1 (confirmed) -> f drops
+        (4, 0x1000, 0x2000, 0x44, 0x55),
+        (5, 0x1001, 0x2000, 0x44, 0x54),
+        # g/h: fp1 hamming 1, NULL fp2 on one side -> passes, h drops
+        (6, 0x700000, 0x800000, None, None),
+        (7, 0x700001, 0x800000, 0x1, 0x2),
+    ]
+    hashes = spark.createDataFrame(
+        rows,
+        "media_id long, hash_hi long, hash_lo long,"
+        " hash2_hi long, hash2_lo long",
+    )
+    got = sorted(
+        r["media_id"] for r in IH.near_dup_drops_dual(
+            hashes, max_hamming2=2
+        ).collect()
+    )
+    assert got == [3, 5, 7]
+    # the by-kind dispatcher: dual columns present -> image/audio gate,
+    # absent confirm entry (video) -> coarse rule
+    kinds = hashes.withColumn("kind", F.lit("image"))
+    by_kind = sorted(
+        r["media_id"]
+        for r in IH.near_dup_drops_by_kind(
+            kinds, kinds=("image",), confirm={"image": 2}
+        ).collect()
+    )
+    assert by_kind == [3, 5, 7]
+    video = hashes.withColumn("kind", F.lit("video"))
+    coarse = sorted(
+        r["media_id"]
+        for r in IH.near_dup_drops_by_kind(video, kinds=("video",)).collect()
+    )
+    # coarse rule: fp2 ignored entirely -> 1 drops against 0 too
+    assert coarse == [1, 3, 5, 7]
+
+
+def test_media_confirm_radii_match_source_constants():
+    from rippledb_spark.operators.audiohash import MAX_HAMMING2
+    from rippledb_spark.operators.dctphash import DCT_CONFIRM_MAX_HAMMING
+
+    assert IH.MEDIA_CONFIRM_RADII == {
+        "image": DCT_CONFIRM_MAX_HAMMING,
+        "audio": MAX_HAMMING2,
+    }
