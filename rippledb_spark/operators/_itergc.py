@@ -22,8 +22,59 @@ from __future__ import annotations
 
 import gc
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+
+
+def iteration_partitions(
+    spark, n_rows: int, rows_per_partition: int = 2_000_000
+) -> int:
+    """Shuffle-partition count for an iterative loop over ``n_rows`` rows:
+    cardinality-proportional, floored at defaultParallelism/4 so a small
+    graph still spreads over the cluster."""
+    floor = max(4, spark.sparkContext.defaultParallelism // 4)
+    return max(floor, -(-n_rows // rows_per_partition))
+
+
+@contextmanager
+def iteration_conf(spark, n_rows: int, rows_per_partition: int = 2_000_000):
+    """Tune the session for a fixed-shape iterative loop, restoring on exit.
+
+    Two per-iteration constant factors dominate iterative DataFrame loops
+    on small-to-medium state (measured on the sf0.1 pagerank: 3.3 s → 1.8 s
+    for 6 iterations; lived in operators/graph.py until r15 — shared here
+    so the GD/power-iteration trainers run their loops under the same
+    conf):
+
+    - **AQE off**: adaptive execution re-plans and materializes query
+      stages every iteration, but the loop body's shape never changes —
+      the re-planning is pure overhead here. (AQE's skew/coalesce wins
+      apply to one-shot queries; a loop can size its shuffles once.)
+    - **Shuffle partitions sized to the data**: the default partition
+      count is sized for the session's general workload; an iteration's
+      shuffle state is exactly ``n_rows`` rows, so partitions =
+      ``n_rows / rows_per_partition`` (floored at defaultParallelism/4 so
+      a small graph still spreads over the cluster). At 100 TB the same
+      formula scales the count UP — this is a cardinality rule, not a
+      small-cluster constant.
+
+    Session-global confs are mutated for the loop's duration (Spark reads
+    them at action time); restored in ``finally``. Callers running
+    concurrent queries on the same session during an iterative call would
+    see the tuned values — acceptable for a batch analytics engine.
+    """
+    conf = spark.conf
+    parts = iteration_partitions(spark, n_rows, rows_per_partition)
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_sp = conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(parts))
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
 
 # Minimum spacing between the System.gc() calls WE trigger. The Python
 # collect below is cheap (~10-50 ms) and is the load-bearing step: it

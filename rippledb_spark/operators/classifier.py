@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from rippledb_spark.functions.vector import as_double_array
 from rippledb_spark.operators._itergc import (
     CheckpointRotator as _CheckpointRotator,
+    iteration_conf as _iteration_conf,
 )
 
 LOGIT_DP = 6
@@ -81,11 +82,10 @@ def logistic_train(
         raise ValueError("iterations must be >= 1")
     if dims < 1:
         raise ValueError("dims must be >= 1")
-    # rotator (r14): per-iterate checkpoints AND the corpus-sized feats
-    # checkpoint below are freed DETERMINISTICALLY (rotate supersedes the
-    # prior iterate; close() frees feats on the way out) instead of
-    # waiting for a driver GC — the residual behind BENCH_r13's
-    # steady_state:false trainer respread flags
+    # rotator: the corpus-sized feats checkpoint below is freed
+    # DETERMINISTICALLY on the way out (close()) instead of waiting for
+    # a driver GC — the residual behind BENCH_r13's steady_state:false
+    # trainer respread flags
     rot = _CheckpointRotator(df.sparkSession)
     feats = (
         df.select(
@@ -99,54 +99,69 @@ def logistic_train(
     if n == 0:
         raise ValueError("logistic_train: empty training corpus")
     spark = df.sparkSession
-    wrow = spark.range(1).select(
-        F.array_repeat(F.lit(0.0), dims).alias("w")
-    )
-    for _ in range(iterations):
-        scored = feats.crossJoin(F.broadcast(wrow)).select(
-            "y",
-            "x",
-            _sigmoid(F.round(_dot(F.col("w"), F.col("x")), LOGIT_DP)).alias("p"),
-        )
-        contrib = scored.select(
-            F.posexplode("x").alias("j", "xj"), "y", "p"
-        ).select(
-            "j",
-            F.round((F.col("y") - F.col("p")) * F.col("xj") * _SCALE)
-            .cast("bigint")
-            .alias("c"),
-        )
-        grad = contrib.groupBy("j").agg(F.sum("c").alias("gs"))
-        wrow = (
-            grad.crossJoin(F.broadcast(wrow))
-            .select(
-                "j",
-                F.round(
-                    F.element_at("w", (F.col("j") + 1).cast("int"))
-                    + F.lit(lr) * F.col("gs")
-                    / (F.lit(float(_SCALE)) * F.lit(float(n))),
-                    LOGIT_DP,
-                ).alias("wj"),
-            )
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "wj"))),
-                    lambda s: s["wj"],
-                ).alias("w")
-            )
-        )
-        # EAGER checkpoint per iterate (the pca.py lesson: a lazy 1-row
-        # lineage nests every prior round's aggregation inside the next
-        # round's broadcast AND gradient plans — measured 2-3x slower
-        # when batched to every-4th-round; the per-round 1-row
-        # materialization is the cheaper side of the trade). rotate()
-        # unpersists the PREVIOUS iterate's blocks in the same breath.
-        wrow = rot.rotate(wrow)
-    # free feats + any scratch deterministically (the final wrow is the
-    # last rotate's output and stays persisted for the caller)
+    # r15 (guide §2.4/§5): the iterate is d doubles — driver-held, and
+    # embedded as LITERALS in each round's plan instead of riding a
+    # broadcast-joined 1-row frame. The r14 loop paid, per round: two
+    # BroadcastExchange jobs (iterate into the gradient plan and into
+    # the update plan), a 1-row shuffle (groupBy().collect_list) and an
+    # eager localCheckpoint job — ~4 scheduler round-trips moving 96
+    # bytes. Now each round is ONE job: gradient agg + the SAME
+    # element_at/round update expression over the d-row gradient frame,
+    # collected as d bounded rows (the BPE ≤32-row driver-collect
+    # precedent). Every float op (sigmoid, ×10⁶ grid, round-HALF_UP
+    # update) still evaluates in the JVM with the identical expression
+    # tree, so iterates are bit-identical to the r14 path.
+    w = [0.0] * dims
+    # iteration_conf (r15): AQE re-plans and stage-materializes every
+    # round's d-row gradient shuffle — pure overhead for a loop whose
+    # shape never changes (same lesson as the graph loops); measured
+    # jobs-per-train drop ~2x with values bit-identical (integer agg)
+    with _iteration_conf(spark, dims):
+        for _ in range(iterations):
+            w = _gd_round(feats, w, dims, lr, n)
+    # free feats deterministically
     rot.close()
-    return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
+    return spark.range(1).select(
+        F.array(*[F.lit(x) for x in w]).alias("w"),
+        F.lit(n).cast("bigint").alias("n"),
+    )
+
+
+def _gd_round(
+    feats: DataFrame, w: list[float], dims: int, lr: float, n: int
+) -> list[float]:
+    """One full-batch GD round: gradient aggregation AND the
+    element_at/round weight update in ONE job over the checkpointed
+    feature frame, the current iterate embedded as a literal array.
+    Returns the new iterate (d bounded rows collected)."""
+    wlit = F.array(*[F.lit(x) for x in w])
+    scored = feats.select(
+        "y",
+        "x",
+        _sigmoid(F.round(_dot(wlit, F.col("x")), LOGIT_DP)).alias("p"),
+    )
+    contrib = scored.select(
+        F.posexplode("x").alias("j", "xj"), "y", "p"
+    ).select(
+        "j",
+        F.round((F.col("y") - F.col("p")) * F.col("xj") * _SCALE)
+        .cast("bigint")
+        .alias("c"),
+    )
+    grad = contrib.groupBy("j").agg(F.sum("c").alias("gs"))
+    rows = grad.select(
+        "j",
+        F.round(
+            F.element_at(wlit, (F.col("j") + 1).cast("int"))
+            + F.lit(lr) * F.col("gs")
+            / (F.lit(float(_SCALE)) * F.lit(float(n))),
+            LOGIT_DP,
+        ).alias("wj"),
+    ).collect()  # bounded: d rows (the model vector)
+    # exactly the r14 assembly: sort by j, take the computed wj's — a j
+    # with no gradient rows cannot happen (posexplode emits every j for
+    # every row and n > 0)
+    return [r["wj"] for r in sorted(rows, key=lambda r: r["j"])]
 
 
 def logistic_metrics(

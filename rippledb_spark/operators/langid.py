@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from rippledb_spark.functions.vector import as_double_array
 from rippledb_spark.operators._itergc import (
     CheckpointRotator as _CheckpointRotator,
+    iteration_conf as _iteration_conf,
 )
 from rippledb_spark.operators.classifier import LOGIT_DP, _SCALE, _dot
 
@@ -218,8 +219,8 @@ def softmax_train(
         raise ValueError("iterations must be >= 1")
     if dims < 1 or k < 2:
         raise ValueError("need dims >= 1 and k >= 2")
-    # rotator (r14): deterministic release of per-iterate + feats blocks
-    # on exit, replacing the GC-dependent path (see classifier.py)
+    # rotator: deterministic release of the feats checkpoint on exit,
+    # replacing the GC-dependent path (see classifier.py)
     rot = _CheckpointRotator(df.sparkSession)
     feats = (
         df.select(
@@ -233,59 +234,69 @@ def softmax_train(
     if n == 0:
         raise ValueError("softmax_train: empty training corpus")
     spark = df.sparkSession
-    wrow = spark.range(1).select(
-        F.array_repeat(F.lit(0.0), k * dims).alias("w")
-    )
-    for _ in range(iterations):
-        zed = feats.crossJoin(F.broadcast(wrow)).select(
-            "y", "x", _class_logits(F.col("w"), F.col("x"), k, dims).alias("z")
-        )
-        probs = zed.select("y", "x", _softmax_from_logits(F.col("z")).alias("p"))
-        byx = probs.select("y", "p", F.posexplode("x").alias("j", "xj"))
-        contrib = byx.select(
-            "j", "xj", "y", F.posexplode("p").alias("c", "pc")
-        ).select(
-            (F.col("c") * dims + F.col("j")).alias("key"),
-            F.round(
-                (
-                    F.when(F.col("y") == F.col("c"), F.lit(1.0)).otherwise(
-                        F.lit(0.0)
-                    )
-                    - F.col("pc")
-                )
-                * F.col("xj")
-                * _SCALE
-            )
-            .cast("bigint")
-            .alias("cv"),
-        )
-        grad = contrib.groupBy("key").agg(F.sum("cv").alias("gs"))
-        wrow = (
-            grad.crossJoin(F.broadcast(wrow))
-            .select(
-                "key",
-                F.round(
-                    F.element_at("w", (F.col("key") + 1).cast("int"))
-                    + F.lit(lr) * F.col("gs")
-                    / (F.lit(float(_SCALE)) * F.lit(float(n))),
-                    LOGIT_DP,
-                ).alias("wv"),
-            )
-            .groupBy()
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("key", "wv"))),
-                    lambda s: s["wv"],
-                ).alias("w")
-            )
-        )
-        # eager per-iterate checkpoint: the classifier.py lesson — a lazy
-        # 1-row lineage nests every prior round inside the next plan;
-        # rotate() frees the previous iterate's blocks in the same breath
-        wrow = rot.rotate(wrow)
-    # free feats + scratch deterministically (final wrow stays persisted)
+    # r15 (guide §2.4/§5, the classifier.py rewrite shared verbatim):
+    # the K·d iterate is driver-held and embedded as literals, so each
+    # GD round is ONE job — gradient agg + the identical
+    # element_at/round update over the K·d-row gradient frame, collected
+    # as K·d bounded rows — instead of two BroadcastExchanges, a 1-row
+    # shuffle and an eager checkpoint per round. All float arithmetic
+    # stays in the JVM expression tree; iterates are bit-identical.
+    w = [0.0] * (k * dims)
+    # iteration_conf (r15): AQE's per-round re-planning/stage jobs are
+    # pure overhead for the fixed-shape K·d-key gradient shuffle (see
+    # classifier.py)
+    with _iteration_conf(spark, k * dims):
+        for _ in range(iterations):
+            w = _softmax_round(feats, w, dims, k, lr, n)
+    # free feats deterministically
     rot.close()
-    return wrow.select("w", F.lit(n).cast("bigint").alias("n"))
+    return spark.range(1).select(
+        F.array(*[F.lit(x) for x in w]).alias("w"),
+        F.lit(n).cast("bigint").alias("n"),
+    )
+
+
+def _softmax_round(
+    feats: DataFrame, w: list[float], dims: int, k: int, lr: float, n: int
+) -> list[float]:
+    """One full-batch softmax-GD round: gradient aggregation AND the
+    element_at/round weight update in ONE job over the checkpointed
+    feature frame, the current flat iterate embedded as a literal
+    array. Returns the new iterate (K·d bounded rows collected)."""
+    wlit = F.array(*[F.lit(x) for x in w])
+    zed = feats.select(
+        "y", "x", _class_logits(wlit, F.col("x"), k, dims).alias("z")
+    )
+    probs = zed.select("y", "x", _softmax_from_logits(F.col("z")).alias("p"))
+    byx = probs.select("y", "p", F.posexplode("x").alias("j", "xj"))
+    contrib = byx.select(
+        "j", "xj", "y", F.posexplode("p").alias("c", "pc")
+    ).select(
+        (F.col("c") * dims + F.col("j")).alias("key"),
+        F.round(
+            (
+                F.when(F.col("y") == F.col("c"), F.lit(1.0)).otherwise(
+                    F.lit(0.0)
+                )
+                - F.col("pc")
+            )
+            * F.col("xj")
+            * _SCALE
+        )
+        .cast("bigint")
+        .alias("cv"),
+    )
+    grad = contrib.groupBy("key").agg(F.sum("cv").alias("gs"))
+    rows = grad.select(
+        "key",
+        F.round(
+            F.element_at(wlit, (F.col("key") + 1).cast("int"))
+            + F.lit(lr) * F.col("gs")
+            / (F.lit(float(_SCALE)) * F.lit(float(n))),
+            LOGIT_DP,
+        ).alias("wv"),
+    ).collect()  # bounded: K·d rows (the flat weight matrix)
+    return [r["wv"] for r in sorted(rows, key=lambda r: r["key"])]
 
 
 def softmax_predict(

@@ -39,7 +39,9 @@ from pyspark.sql import DataFrame
 
 from rippledb_spark.functions.vector import as_double_array
 from rippledb_spark.operators._itergc import (
-    release_iteration_garbage as _release_iteration_garbage,
+    iteration_conf as _iteration_conf,
+    persistent_rdd_ids as _persistent_rdd_ids,
+    unpersist_rdd_ids as _unpersist_rdd_ids,
 )
 
 PCA_DP = 6
@@ -86,22 +88,6 @@ def covariance_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
     )
 
 
-def _matvec(rows: DataFrame, vrow: DataFrame) -> DataFrame:
-    """(i, row) matrix frame × broadcast 1-row (v) → 1-row (w) array,
-    components index-ordered."""
-    return (
-        rows.crossJoin(F.broadcast(vrow))
-        .select("i", _dot(F.col("row"), F.col("v")).alias("w"))
-        .groupBy()
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "w"))),
-                lambda s: s["w"],
-            ).alias("w")
-        )
-    )
-
-
 def power_iteration_top(
     cov: DataFrame, dims: int, iterations: int = 8
 ) -> DataFrame:
@@ -113,6 +99,8 @@ def power_iteration_top(
     self-verifying convergence certificate."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    spark = cov.sparkSession
+    base_ids = _persistent_rdd_ids(spark)
     rows = (
         cov.groupBy("i")
         .agg(
@@ -123,37 +111,59 @@ def power_iteration_top(
         )
         .localCheckpoint(eager=True)
     )
-    spark = cov.sparkSession
     v0 = round(1.0 / dims**0.5, PCA_DP)
-    vrow = spark.range(1).select(
-        F.array_repeat(F.lit(v0), dims).alias("v")
-    )
-    for _ in range(iterations):
-        w = _matvec(rows, vrow)
-        # EAGER checkpoint: the iterate is ONE row, but a lazy lineage
-        # would nest every prior round's fold expressions inside the
-        # next round's plan — codegen size (and compile wall) grows
-        # multiplicatively with the round count (measured 163 s for the
-        # 2-component sf0.001 query before this; ~15 s after)
-        vrow = w.select(
-            F.transform(
+    # r15 (guide §2.4/§5): the iterate is d doubles — driver-held,
+    # embedded as literals each round. The r14 loop paid, per round, a
+    # BroadcastExchange of the 1-row iterate, a 1-row shuffle
+    # (groupBy().collect_list) and an eager localCheckpoint job; now one
+    # round is ONE job over the d-row matrix checkpoint — C·v and the
+    # round(x/‖·‖) normalization in the SAME plan — with the d new
+    # components collected (bounded driver traffic, the BPE precedent).
+    # Every float op still evaluates in the JVM with the identical
+    # expression tree, so iterates stay bit-identical to the r14 path.
+    v = [v0] * dims
+
+    def matvec_vals(vlit):
+        return (
+            rows.select("i", _dot(F.col("row"), vlit).alias("w"))
+            .groupBy()
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda s: s["w"],
+                ).alias("w")
+            )
+            .select(
+                F.transform(
+                    "w",
+                    lambda x: F.round(
+                        x / F.sqrt(_dot(F.col("w"), F.col("w"))), PCA_DP
+                    ),
+                ).alias("v"),
                 "w",
-                lambda x: F.round(
-                    x / F.sqrt(_dot(F.col("w"), F.col("w"))), PCA_DP
-                ),
-            ).alias("v")
-        ).localCheckpoint(eager=True)
-    # sign fix + Rayleigh + residual off the FINAL iterate
-    w = _matvec(rows, vrow)
-    both = vrow.crossJoin(w)
+            )
+            .collect()[0]
+        )
+
+    # iteration_conf (r15): AQE's per-round stage jobs are pure
+    # overhead for the fixed-shape d-row matvec (see classifier.py)
+    with _iteration_conf(spark, dims):
+        for _ in range(iterations):
+            v = list(matvec_vals(F.array(*[F.lit(x) for x in v]))["v"])
+        # sign fix + Rayleigh + residual off the FINAL iterate — C·v
+        # once more, then the certificate expressions over literal
+        # (v, w): no lineage back to `rows`, so the matrix checkpoint is
+        # freed deterministically below (replacing the GC release)
+        vlit = F.array(*[F.lit(x) for x in v])
+        wvals = list(matvec_vals(vlit)["w"])
+    _unpersist_rdd_ids(spark, _persistent_rdd_ids(spark) - base_ids)
+    both = spark.range(1).select(
+        vlit.alias("v"), F.array(*[F.lit(x) for x in wvals]).alias("w")
+    )
     absv = F.transform("v", lambda x: F.abs(x))
     sgn = F.signum(
         F.element_at(F.col("v"), F.array_position(absv, F.array_max(absv)).cast("int"))
     )
-    # release superseded per-iterate checkpoint blocks (BENCH_r12: leaked
-    # trainer garbage drifted LATER session queries 2x; the final vrow
-    # stays referenced through the returned lineage and is untouched)
-    _release_iteration_garbage(vrow)
     lam = _dot(F.col("v"), F.col("w")) / _dot(F.col("v"), F.col("v"))
     resid = F.sqrt(
         F.aggregate(
