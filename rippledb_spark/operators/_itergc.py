@@ -99,12 +99,39 @@ def persistent_rdd_ids(spark) -> set[int]:
         return set()  # non-JVM-backed session (e.g. Spark Connect)
 
 
+# Session-lifetime cache blocks the per-query sweeps must never free.
+# The r14 sweep assumed "after the noop write returns, every RDD the
+# query persisted is unreachable by construction" — false for the
+# derived triple/quad stores, whose persist is a deliberate cross-query
+# cache (the reference queries an already-loaded graph). Worse than
+# losing the cache: JavaRDD.unpersist sets the storage level to NONE,
+# so the relation never RE-caches — after the first sweep every
+# reference to the store recomputed the full derivation (measured r15:
+# path_quantified_containment 54.7 s, six re-derivations; pinned and
+# warm it is ~0.6 s). Stores register their cache ids here via
+# ``pin_persisted``; ``unpersist_rdd_ids`` skips them.
+PINNED_RDD_IDS: set[int] = set()
+
+
+def pin_persisted(spark, df) -> None:
+    """Materialize ``df``'s (already ``persist()``-ed) cache NOW and pin
+    the resulting block-manager ids against the per-query sweeps. Eager
+    so the id diff is observable — and so store build cost lands at store
+    construction (the reference's Graph::new lifecycle), not smeared over
+    whichever query happens to touch the relation first."""
+    before = persistent_rdd_ids(spark)
+    df.count()
+    PINNED_RDD_IDS.update(persistent_rdd_ids(spark) - before)
+
+
 def unpersist_rdd_ids(spark, ids: set[int]) -> None:
     """Explicitly unpersist the given RDD ids (non-blocking). The public
     handle ``localCheckpoint`` lacks: a checkpointed DataFrame's blocks
     CAN be freed deterministically through the persistent-RDD registry —
     the frame is unusable afterwards, so this must only ever see
-    SUPERSEDED frames (a prior iterate, a consumed ephemeral)."""
+    SUPERSEDED frames (a prior iterate, a consumed ephemeral) — never
+    the pinned session-lifetime store caches (``PINNED_RDD_IDS``)."""
+    ids = ids - PINNED_RDD_IDS
     if not ids:
         return
     try:

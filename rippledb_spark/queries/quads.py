@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rippledb_spark.operators._itergc import pin_persisted
 from rippledb_spark.quadstore import QuadStore
 from rippledb_spark.registry import query
 from rippledb_spark.tables import load
@@ -177,7 +178,10 @@ def _qstore(spark: SparkSession, sf_dir: str) -> QuadStore:
     Derivation is duplicate-free by construction → plain constructor."""
     key = (id(spark), sf_dir)
     if key not in _QSTORE_CACHE:
-        _QSTORE_CACHE[key] = derive_quads(spark, sf_dir).persist()
+        df = derive_quads(spark, sf_dir).persist()
+        # Pin against the per-query block sweeps — see queries/triples.
+        pin_persisted(spark, df)
+        _QSTORE_CACHE[key] = df
     return QuadStore(spark, _QSTORE_CACHE[key])
 
 

@@ -32,6 +32,7 @@ import shutil
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from rippledb_spark.operators._itergc import pin_persisted
 from rippledb_spark.registry import query
 from rippledb_spark.store import TripleStore
 from rippledb_spark.plans.sparql import Sparql
@@ -184,7 +185,14 @@ def _store(spark: SparkSession, sf_dir: str) -> TripleStore:
     """
     key = (id(spark), sf_dir)
     if key not in _STORE_CACHE:
-        _STORE_CACHE[key] = derive_triples(spark, sf_dir).persist()
+        df = derive_triples(spark, sf_dir).persist()
+        # Pin against the per-query block sweeps (bench.py/opt_measure):
+        # this cache IS reachable across queries by design, and an
+        # unpinned sweep would not just drop it but set its storage
+        # level to NONE so it never re-caches (r15 measurement: every
+        # later store query then re-derives per reference).
+        pin_persisted(spark, df)
+        _STORE_CACHE[key] = df
     return TripleStore(spark, _STORE_CACHE[key])
 
 

@@ -9,8 +9,10 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from rippledb_spark.operators._itergc import (
+    PINNED_RDD_IDS,
     CheckpointRotator,
     persistent_rdd_ids,
+    pin_persisted,
     unpersist_rdd_ids,
 )
 
@@ -67,3 +69,23 @@ def test_rotate_multi_frame(spark):
     rot.close()
     assert a.count() == 3 and b.count() == 4
     unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - base)
+
+
+def test_pin_persisted_survives_sweep(spark):
+    """A pinned session-lifetime cache (the triple/quad store lifecycle)
+    must survive the per-query block sweep AND stay cached — an unpinned
+    JavaRDD.unpersist would set the storage level to NONE so the relation
+    never re-caches, silently re-deriving per reference thereafter."""
+    base = persistent_rdd_ids(spark)
+    df = spark.range(1000).select((F.col("id") * 2).alias("v")).persist()
+    try:
+        pin_persisted(spark, df)
+        pinned = persistent_rdd_ids(spark) - base
+        assert pinned and pinned <= PINNED_RDD_IDS
+        # the bench's per-query sweep: everything new since `base`
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - base)
+        assert pinned <= persistent_rdd_ids(spark)  # blocks still live
+        assert df.count() == 1000
+    finally:
+        PINNED_RDD_IDS.difference_update(persistent_rdd_ids(spark) - base)
+        unpersist_rdd_ids(spark, persistent_rdd_ids(spark) - base)
