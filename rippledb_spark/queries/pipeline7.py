@@ -693,7 +693,15 @@ def pretraining_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFra
     canon = kept.groupBy(F.md5("text").alias("__h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    docs = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    # r15 (guide §2.4): the two fan-out frames below each feed TWO
+    # consumers, and Spark evaluates each consumer's subtree
+    # independently — without a cut, the gate+dedup upstream re-ran per
+    # consumer (the before plan carried 72 parquet scans of documents;
+    # after: 2 cuts, one evaluation each — solo 8.1 → 3.8 s best-of-3).
+    # Values are untouched; the bench sweeps the blocks after the run.
+    docs = kept.join(canon.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+        eager=False
+    )
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     agg = counts.agg(
         F.sum(F.sqrt(F.col("n").cast("double"))).alias("t"),
@@ -710,11 +718,17 @@ def pretraining_pipeline_accounting(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("epochs"),
     )
     j = docs.join(F.broadcast(w), "lang")
-    rep = MX.apply_mixture_epochs(j, "epochs", "doc_id").withColumn(
-        "rid",
-        F.concat_ws(
-            "#", F.col("doc_id").cast("string"), F.col("epoch_idx").cast("string")
-        ),
+    rep = (
+        MX.apply_mixture_epochs(j, "epochs", "doc_id")
+        .withColumn(
+            "rid",
+            F.concat_ws(
+                "#",
+                F.col("doc_id").cast("string"),
+                F.col("epoch_idx").cast("string"),
+            ),
+        )
+        .localCheckpoint(eager=False)
     )
     sh = epoch_shuffle_shards(rep, "rid", 8, seed=1)
     tok = rep.select(
