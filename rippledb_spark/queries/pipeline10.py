@@ -189,8 +189,14 @@ def langid_classifier_accounting(
     broadcast back; serving is broadcast + argmax, shuffle-free."""
     d = load(spark, sf_dir, "documents")
     feats, w = _lid_train(d)
-    scored = softmax_predict(feats, "x", "doc_id", w, _LID_DIMS, _LID_K).join(
-        feats.select("doc_id", "y"), "doc_id"
+    # r15 (guide §2.4): scored feeds THREE consumers (per-class, per-
+    # prediction, total accuracy) and each would re-run the serving
+    # argmax + join; one lazy cut makes serving compute once. Values
+    # untouched; the bench sweeps the blocks after the run.
+    scored = (
+        softmax_predict(feats, "x", "doc_id", w, _LID_DIMS, _LID_K)
+        .join(feats.select("doc_id", "y"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     per = scored.groupBy(F.col("y").alias("lang")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true"),
