@@ -41,7 +41,11 @@ from rippledb_spark.operators.imagehash import (
     _pack_sql,
     hamming_pairs_sql,
 )
-from rippledb_spark.operators.multimodal import decode_wav_samples, encode_wav
+from rippledb_spark.operators.multimodal import (
+    decode_wav_samples,
+    encode_wav,
+    spread_media_ids,
+)
 
 N_FRAMES = 65  # 64 delta bits need 65 energies
 FRAME_LEN = 32  # samples per frame
@@ -69,7 +73,9 @@ def synthesize_group_wavs(
     import numpy as np
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
     # r15: per-clip sample generation vectorized (numpy integer ops ≡
     # the former per-t Python loop: same closed form, same little-endian
     # s16 bytes; |sample| ≤ 116·16 so int16 never overflows) — the loop

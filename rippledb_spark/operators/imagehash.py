@@ -56,6 +56,7 @@ from rippledb_spark.operators.multimodal import (
     decode_png_pixels,
     encode_png,
     resize_nearest,
+    spread_media_ids,
 )
 
 #: containers decode_image_pixels dispatches on (prefix match on the
@@ -249,7 +250,9 @@ def synthesize_group_pngs(
     3·[k ≡ v mod variants]) mod 256 — closed-form for the SQL oracle."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -326,7 +329,9 @@ def synthesize_mixed_format_images(
         encode_tiff,
     )
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
     identity_pal = [(i, i, i) for i in range(256)]
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -397,7 +402,9 @@ def synthesize_progressive_jpeg_pairs(
         encode_jpeg_gray_progressive,
     )
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -676,7 +683,9 @@ def synthesize_group_avis(
 
     from rippledb_spark.operators.multimodal import encode_avi
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -729,7 +738,9 @@ def synthesize_group_animated_gifs(
 
     from rippledb_spark.operators.multimodal import encode_gif_gray
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -796,7 +807,9 @@ def synthesize_composited_gifs(
 
     from rippledb_spark.operators.multimodal import encode_gif_frames
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
     identity = [(i, i, i) for i in range(256)]
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -896,7 +909,9 @@ def synthesize_group_mpeg1(
 
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

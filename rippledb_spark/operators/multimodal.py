@@ -79,6 +79,48 @@ FEATURE_SCHEMA = T.StructType(
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def spread_media_ids(src: DataFrame, heavy: bool = False) -> DataFrame:
+    """Hash-spread a small id-keyed fixture relation across the
+    session's cores before a per-row Arrow kernel (r15, guide §2.5).
+
+    The id tables driving the media synthesizers are projections of a
+    single small parquet split, so without this every downstream
+    synth+decode ``mapInPandas`` chain (synth and decode pipeline in
+    ONE stage — no exchange between them) ran in ONE task regardless
+    of core count: the guide's "input skew" shape with payload-heavy
+    per-row Python work. Repartitioning on the id column is
+    deterministic (hash placement, no round-robin retry hazard), moves
+    only the 8-byte ids through the exchange (guide §8: decide/spread
+    with small rows, never shuffle payloads), and is scale-adaptive:
+    both widths derive from ``defaultParallelism`` — the session's
+    total core count under any master — so the driver's lower-core
+    bench run sees proportionally fewer partitions.
+
+    ``heavy`` picks the width by measured per-row kernel cost (the
+    empirical loop of guide §1.1, min-of-N interleaved A/B at sf0.1):
+
+    - ``heavy=True`` → all cores. For entropy-decode kernels in
+      interpreted Python (MPEG-1 VLC ≈ 5 ms/row measured, JPEG
+      Huffman, GIF LZW, TIFF LZW, the audio fingerprint chain) the
+      kernel dwarfs per-task setup: mpeg1_frame_accounting 2.68 s →
+      1.32 s min-of-6 at full width.
+    - ``heavy=False`` (default) → a quarter of the cores (≥ 2). Light
+      kernels (zlib/frombuffer-bound, ≤ 0.1 ms/row — the whole
+      image_resize kernel is 0.24 s single-threaded at sf0.1) are
+      overhead-dominated: each extra task pays chained Python-eval
+      setup serialized at the worker factory, and full width measured
+      WORSE than quarter width on every light key
+      (image_resize 1.63 vs 0.92 s, avi 1.45 vs 0.84 s min).
+
+    Real crawl media never passes through here — it arrives via
+    binaryFile/crawl scans that are already file-split; this spread
+    exists for the id→payload fixture generators only.
+    """
+    sc = src.sparkSession.sparkContext
+    n = sc.defaultParallelism if heavy else max(2, sc.defaultParallelism // 4)
+    return src.repartition(n, src.columns[0])
+
+
 # ---------------------------------------------------------------------------
 # Codecs (pure stdlib; encode for test synthesis, decode for the pipeline)
 # ---------------------------------------------------------------------------
@@ -1357,7 +1399,9 @@ def synthesize_gifs(df: DataFrame, id_col: str) -> DataFrame:
     in mapInPandas like synthesize_media."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1393,7 +1437,9 @@ def synthesize_pattern_gifs(df: DataFrame, id_col: str) -> DataFrame:
     mapInPandas like synthesize_gifs."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1432,7 +1478,9 @@ def synthesize_pattern_pngs(df: DataFrame, id_col: str) -> DataFrame:
     like synthesize_media."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1461,9 +1509,11 @@ def synthesize_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     data lives, not on the driver)."""
     import pandas as pd
 
-    src = df.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.col(text_col).cast("string").alias("text"),
+    src = spread_media_ids(
+        df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
     )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2128,7 +2178,9 @@ def synthesize_avis(df: DataFrame, id_col: str) -> DataFrame:
     mapInPandas like the PNG/GIF synthesizers."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2253,7 +2305,9 @@ def synthesize_mjpeg_avis(df: DataFrame, id_col: str) -> DataFrame:
     per-batch in mapInPandas like the other synthesizers."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2324,7 +2378,9 @@ def synthesize_color_jpegs(df: DataFrame, id_col: str) -> DataFrame:
 
     from rippledb_spark.operators.jpeg import encode_jpeg_color
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2488,7 +2544,9 @@ def synthesize_pcm_wavs(df: DataFrame, id_col: str) -> DataFrame:
     like the other synthesizers."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2541,7 +2599,9 @@ def synthesize_tiffs(df: DataFrame, id_col: str) -> DataFrame:
     synthesizers."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2659,7 +2719,9 @@ def synthesize_tiffs_lzw(df: DataFrame, id_col: str) -> DataFrame:
     other synthesizers."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2779,7 +2841,9 @@ def synthesize_bmps(df: DataFrame, id_col: str) -> DataFrame:
     BI_RGB bottom-up / BI_RLE8 / top-down (synth_bmp_params)."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2891,7 +2955,9 @@ def synthesize_g711_adpcm_wavs(df: DataFrame, id_col: str) -> DataFrame:
     the other synthesizers. Sample rate is G.711's native 8000 Hz."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3094,7 +3160,9 @@ def synthesize_color_pngs(df: DataFrame, id_col: str) -> DataFrame:
     mapInPandas like the other synthesizers."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3245,7 +3313,9 @@ def synthesize_mpeg1_streams(df: DataFrame, id_col: str) -> DataFrame:
 
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3332,7 +3402,9 @@ def synthesize_trns_pngs(df: DataFrame, id_col: str) -> DataFrame:
     alpha 255) is exercised on every image."""
     import pandas as pd
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3399,7 +3471,9 @@ def synthesize_mpeg1_gops(df: DataFrame, id_col: str) -> DataFrame:
 
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3458,7 +3532,9 @@ def synthesize_mpeg1_residual_gops(df: DataFrame, id_col: str) -> DataFrame:
 
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3506,7 +3582,9 @@ def synthesize_mpeg1_ipb_gops(df: DataFrame, id_col: str) -> DataFrame:
 
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_ipb
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3564,7 +3642,9 @@ def synthesize_mpeg1_halfpel_gops(df: DataFrame, id_col: str) -> DataFrame:
 
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_ip
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = spread_media_ids(
+        df.select(F.col(id_col).cast("long").alias("media_id")), heavy=True
+    )
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

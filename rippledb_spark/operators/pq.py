@@ -42,6 +42,7 @@ from rippledb_spark.operators.clustering import (
     kmeans_assignments_sql,
     kmeans_centroids,
 )
+from rippledb_spark.operators.skew import spread_for_compute
 
 ADC_DP = 6
 
@@ -93,7 +94,16 @@ def pq_codes(
     full = df.select(
         F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
     )
-    sub = _subspace_rows(full, dims, m).localCheckpoint(eager=False)
+    # r15 (guide §2.5): the training frame is a small-bytes sample —
+    # one scan split locally, and AQE would coalesce it to one
+    # partition — so every Lloyd round's map side (the interpreted
+    # dist2 array-folds against the broadcast codebook) serialized
+    # onto one core. Hash-spread it across the session's cores at the
+    # materialization boundary; keyed aggs downstream are
+    # placement-independent, so codes/books are bit-identical.
+    sub = spread_for_compute(
+        _subspace_rows(full, dims, m), "pid", "s"
+    ).localCheckpoint(eager=False)
     if init_books is not None:
         # WARM start (r12 — the OPQ alternation's monotonicity device):
         # seed every subspace from a prior (s, cid, c) codebook instead
@@ -285,8 +295,14 @@ def ivfpq_index(
     tiebreaks), so the whole index replays in DuckDB."""
     if dims % m:
         raise ValueError(f"dims {dims} not divisible into {m} subspaces")
-    full = df.select(
-        F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+    # r15: spread the training sample before the coarse Lloyd loop and
+    # the per-vector routing argmin (see pq_codes — same single-split /
+    # AQE-coalescing serialization, guide §2.5)
+    full = spread_for_compute(
+        df.select(
+            F.col(id_col).alias("pid"), as_double_array(vec_col).alias("v")
+        ),
+        "pid",
     ).localCheckpoint(eager=False)
     coarse = (
         kmeans_centroids(full, "v", "pid", k=ncells, iterations=iterations)

@@ -26,6 +26,38 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def spread_for_compute(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition a small-bytes / CPU-heavy frame across the
+    session's cores before iterative or per-row-expensive consumption
+    (r15, guide §2.5).
+
+    Bytes are the wrong proxy for work when per-row compute dominates:
+    a sub-MiB corpus frame is one scan split (and AQE's byte-based
+    coalescing collapses tiny shuffle outputs back to one partition),
+    so every map pass over it — interpreted array-fold distances in a
+    Lloyd round, Arrow decode kernels — serializes onto one core while
+    the rest idle. An explicit keyed repartition at the frame's
+    materialization boundary pins real parallelism: AQE respects
+    user-specified partition counts, the exchange moves only the small
+    frame itself, and placement is deterministic (hash on ``keys``).
+    Scale-adaptive: ``defaultParallelism`` is the session's total core
+    count under any master, so the driver's reduced-core bench run and
+    a real cluster each get their own right number.
+
+    Keyless call → round-robin ``repartition(n)``: safe here because
+    (a) the input is a deterministic scan/checkpoint and Spark's
+    sort-before-repartition (on by default, SPARK-23207) makes the
+    row→partition assignment reproducible under task retry, and (b)
+    every consumer below a keyless spread is an order-insensitive
+    keyed aggregation, so placement cannot change values either way.
+    """
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if not keys:
+        return df.repartition(n)
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def _salt(df: DataFrame, n_salts: int) -> Column:
     """Deterministic per-row salt in [0, n_salts) from a full-row hash —
     no RNG state, stable across retries (important for task re-execution)."""

@@ -594,3 +594,30 @@ def test_near_dup_drops_decodes_once(spark):
     )
     assert "MapInPandas" not in plan, "decode pipeline re-derived in a branch"
     assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_media_synthesizers_spread_across_cores(spark):
+    """r15: every id→payload fixture generator hash-spreads its tiny id
+    input across defaultParallelism BEFORE the heavyweight Arrow kernel
+    (guide §2.5 input skew) — the synth+decode mapInPandas chain used to
+    run in ONE task because the id table is a single parquet split. The
+    spread must (a) yield defaultParallelism partitions, and (b) change
+    no payload byte (hash placement only re-routes rows)."""
+    from rippledb_spark.operators import multimodal as MM
+    from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
+
+    ids = spark.range(40).select(F.col("id").alias("doc_id")).coalesce(1)
+    media = MM.synthesize_mpeg1_streams(ids, "doc_id")
+    assert (
+        media.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    rows = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert len(rows) == 40
+    w, h, nf, rate = MM.synth_mpeg1_dims(7)
+    assert rows[7] == encode_mpeg1_intra(
+        w,
+        h,
+        [MM.synth_mpeg1_planes(7, f) for f in range(nf)],
+        rate_code=rate,
+    )
