@@ -87,6 +87,12 @@ def logistic_train(
     # a driver GC — the residual behind BENCH_r13's steady_state:false
     # trainer respread flags
     rot = _CheckpointRotator(df.sparkSession)
+    # r15 note: the keyless feats spread that pays off for the K-class
+    # softmax trainer (langid.py) was measured HERE and reverted — a
+    # logistic round is one dot per row, dispatch-bound not
+    # compute-bound, and 32-task rounds x 16 iterations cost more in
+    # scheduling than the map spread saves (back-to-back A/B:
+    # 4.01 -> 5.11 s min on quality_classifier_accounting).
     feats = (
         df.select(
             as_double_array(vec_col).alias("x"),

@@ -58,6 +58,9 @@ from rippledb_spark.operators._itergc import (
     CheckpointRotator as _CheckpointRotator,
     iteration_conf as _iteration_conf,
 )
+from rippledb_spark.operators.skew import (
+    spread_for_compute as _spread_for_compute,
+)
 from rippledb_spark.operators.classifier import LOGIT_DP, _SCALE, _dot
 
 
@@ -222,12 +225,15 @@ def softmax_train(
     # rotator: deterministic release of the feats checkpoint on exit,
     # replacing the GC-dependent path (see classifier.py)
     rot = _CheckpointRotator(df.sparkSession)
+    # r15: keyless spread before the checkpoint (see classifier.py —
+    # same rationale, measured -27%/round here)
     feats = (
-        df.select(
-            as_double_array(vec_col).alias("x"),
-            F.col(label_col).cast("int").alias("y"),
+        _spread_for_compute(
+            df.select(
+                as_double_array(vec_col).alias("x"),
+                F.col(label_col).cast("int").alias("y"),
+            ).where(F.size("x") == dims)
         )
-        .where(F.size("x") == dims)
         .localCheckpoint(eager=True)  # iterations re-scan, never re-derive
     )
     n = feats.count()  # bounded: ONE scalar (the corpus size)
