@@ -34,6 +34,9 @@ Reference comparison: n/a (no numeric surface in the reference;
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -45,6 +48,47 @@ from rippledb_spark.operators._itergc import (
 )
 
 PCA_DP = 6
+
+# Driver-side power iteration applies when the covariance side is at most
+# this many dims: the collect is d² cells (512² = 262,144 rows of three
+# scalars ≈ a few MB — bounded by the DECOMPOSITION's width, not the
+# corpus, so the bound holds at any corpus scale). Wider matrices keep
+# the distributed per-round loop.
+PCA_DRIVER_MAX_DIMS = 512
+
+
+def _round6_py(x: float) -> float:
+    """Bit-parity twin of the JVM's ``F.round(col, 6)`` on DOUBLE.
+
+    Spark's Round(double, s) evaluates
+    ``BigDecimal.valueOf(x).setScale(s, HALF_UP).toDouble`` —
+    BigDecimal.valueOf goes through Double.toString's shortest
+    round-trip decimal form. Python's ``repr(float)`` is likewise the
+    shortest round-trip decimal. Two round-trip decimal strings of the
+    SAME double can only quantize differently at 6dp if a 6dp half-up
+    boundary falls strictly inside the double's 1-ulp round-trip
+    interval, which needs ulp(x) ≳ 1e-7, i.e. |x| ≳ 4.5e8 — far above
+    any covariance/eigen value this module produces (unit-scale
+    embeddings). decimal.ROUND_HALF_UP matches java HALF_UP (both round
+    half away from zero). NaN/±Inf pass through, as in the JVM
+    expression. test_pca.py pins this against F.round on the real
+    iterate trajectory plus boundary values.
+    """
+    if x != x or x in (float("inf"), float("-inf")):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _fold_dot_py(a: list[float], b: list[float]) -> float:
+    """Python twin of :func:`_dot`: the same left fold in index order —
+    ((0.0 + a0·b0) + a1·b1) + … — so every IEEE add/mul happens in the
+    identical sequence and the result is bit-identical to the JVM's."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
 
 
 def _dot(a, b):
@@ -88,6 +132,59 @@ def covariance_matrix(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
     )
 
 
+def _eigen_certificate(spark, v: list[float], w: list[float]) -> DataFrame:
+    """Assemble the 1-row (loadings, eigenvalue, residual) frame from the
+    final iterate ``v`` and ``w = C·v`` as JVM expressions over literal
+    arrays. Shared verbatim by the driver-side and distributed iteration
+    paths, so the sign-fix / Rayleigh / residual arithmetic is ONE code
+    path regardless of where the iterates were computed."""
+    vlit = F.array(*[F.lit(x) for x in v])
+    both = spark.range(1).select(
+        vlit.alias("v"), F.array(*[F.lit(x) for x in w]).alias("w")
+    )
+    absv = F.transform("v", lambda x: F.abs(x))
+    sgn = F.signum(
+        F.element_at(F.col("v"), F.array_position(absv, F.array_max(absv)).cast("int"))
+    )
+    lam = _dot(F.col("v"), F.col("w")) / _dot(F.col("v"), F.col("v"))
+    resid = F.sqrt(
+        F.aggregate(
+            F.zip_with("w", "v", lambda wi, vi: (wi - lam * vi) * (wi - lam * vi)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return both.select(
+        F.transform("v", lambda x: F.round(sgn * x, PCA_DP)).alias("loadings"),
+        F.round(lam, PCA_DP).alias("eigenvalue"),
+        F.round(resid, PCA_DP).alias("residual"),
+    )
+
+
+def _collect_dense_matrix(cov: DataFrame, dims: int) -> list[list[float]] | None:
+    """Collect the (i, j, cij) frame as a dense dims×dims row-major
+    matrix, or None when the frame is not exactly dense (missing /
+    duplicate / null cells, out-of-range indices) — those shapes keep
+    the distributed path so its null/ragged semantics are preserved."""
+    cells = cov.select("i", "j", "cij").collect()
+    if len(cells) != dims * dims:
+        return None
+    mat: list[list] = [[None] * dims for _ in range(dims)]
+    for r in cells:
+        i, j, c = r[0], r[1], r[2]
+        if (
+            not isinstance(i, int)
+            or not isinstance(j, int)
+            or not (0 <= i < dims)
+            or not (0 <= j < dims)
+            or not isinstance(c, float)
+            or mat[i][j] is not None
+        ):
+            return None
+        mat[i][j] = c
+    return mat
+
+
 def power_iteration_top(
     cov: DataFrame, dims: int, iterations: int = 8
 ) -> DataFrame:
@@ -96,10 +193,35 @@ def power_iteration_top(
     ``iterations`` rounds of 6dp-rounded power iteration from the
     uniform start, sign-fixed (largest-|loading| component positive,
     first index on ties). ``residual`` = 6dp-rounded ‖C·v − λ·v‖ — the
-    self-verifying convergence certificate."""
+    self-verifying convergence certificate.
+
+    r15 (guide §2.4 "remove shuffles outright", §5 "the driver should do
+    almost no data work"): when the matrix fits the d ≤
+    PCA_DRIVER_MAX_DIMS bound, the whole iteration runs DRIVER-SIDE over
+    the collected d² cells — the matrix is O(d²) decomposition state,
+    not corpus data, and each round of the former distributed loop was
+    one scheduler round-trip to move it. One collect replaces
+    ``iterations + 1`` jobs. Bit-parity with the JVM loop: the fold dot
+    replays the identical IEEE op sequence (_fold_dot_py), sqrt/division
+    are correctly-rounded IEEE either way, and the per-round 6dp
+    rounding goes through _round6_py (= BigDecimal HALF_UP semantics);
+    the certificate tail is the SAME JVM expression tree both ways
+    (_eigen_certificate). test_pca.py pins driver == distributed on
+    real corpora."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = cov.sparkSession
+    if dims <= PCA_DRIVER_MAX_DIMS:
+        mat = _collect_dense_matrix(cov, dims)
+        if mat is not None:
+            v0 = round(1.0 / dims**0.5, PCA_DP)
+            v = [v0] * dims
+            for _ in range(iterations):
+                w = [_fold_dot_py(row, v) for row in mat]
+                nrm = math.sqrt(_fold_dot_py(w, w))
+                v = [_round6_py(wi / nrm) for wi in w]
+            w = [_fold_dot_py(row, v) for row in mat]
+            return _eigen_certificate(spark, v, w)
     base_ids = _persistent_rdd_ids(spark)
     rows = (
         cov.groupBy("i")
@@ -154,29 +276,9 @@ def power_iteration_top(
         # once more, then the certificate expressions over literal
         # (v, w): no lineage back to `rows`, so the matrix checkpoint is
         # freed deterministically below (replacing the GC release)
-        vlit = F.array(*[F.lit(x) for x in v])
-        wvals = list(matvec_vals(vlit)["w"])
+        wvals = list(matvec_vals(F.array(*[F.lit(x) for x in v]))["w"])
     _unpersist_rdd_ids(spark, _persistent_rdd_ids(spark) - base_ids)
-    both = spark.range(1).select(
-        vlit.alias("v"), F.array(*[F.lit(x) for x in wvals]).alias("w")
-    )
-    absv = F.transform("v", lambda x: F.abs(x))
-    sgn = F.signum(
-        F.element_at(F.col("v"), F.array_position(absv, F.array_max(absv)).cast("int"))
-    )
-    lam = _dot(F.col("v"), F.col("w")) / _dot(F.col("v"), F.col("v"))
-    resid = F.sqrt(
-        F.aggregate(
-            F.zip_with("w", "v", lambda wi, vi: (wi - lam * vi) * (wi - lam * vi)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return both.select(
-        F.transform("v", lambda x: F.round(sgn * x, PCA_DP)).alias("loadings"),
-        F.round(lam, PCA_DP).alias("eigenvalue"),
-        F.round(resid, PCA_DP).alias("residual"),
-    )
+    return _eigen_certificate(spark, v, wvals)
 
 
 def pca_top_component(

@@ -217,3 +217,70 @@ def test_pca_components_param_refusal(spark):
         pca_top_components(df, "vec", 4, n_components=0)
     with pytest.raises(ValueError, match="n_components"):
         pca_top_components_sql("t", "v", "id", dims=4, n_components=5)
+
+
+def test_driver_iteration_matches_distributed_bitexact(spark, monkeypatch):
+    """r15: power_iteration_top runs driver-side for d ≤
+    PCA_DRIVER_MAX_DIMS. The driver path must be BIT-identical to the
+    distributed JVM loop — same fold order, same per-round 6dp rounding
+    (_round6_py ≡ F.round), same certificate tail — on real planted
+    corpora, including the full deflation sequence."""
+    from rippledb_spark.operators import pca as pca_mod
+    from rippledb_spark.operators.pca import pca_top_components
+
+    for planted in (_planted, _planted2):
+        _, df = planted(spark)
+        driver = sorted(
+            map(tuple, pca_top_components(df, "vec", 4, n_components=2,
+                                          iterations=6).collect())
+        )
+        monkeypatch.setattr(pca_mod, "PCA_DRIVER_MAX_DIMS", -1)
+        dist = sorted(
+            map(tuple, pca_top_components(df, "vec", 4, n_components=2,
+                                          iterations=6).collect())
+        )
+        monkeypatch.undo()
+        assert driver == dist  # exact float equality, no tolerance
+
+
+def test_round6_py_matches_jvm_round(spark):
+    """_round6_py must replay F.round(x, 6) on DOUBLE bit-for-bit over
+    the magnitudes this module produces (|x| ≲ 1e6), including half-up
+    boundaries, negatives, and shortest-repr edge cases."""
+    import pyspark.sql.functions as F
+
+    from rippledb_spark.operators.pca import _round6_py
+
+    vals = []
+    # 6dp half boundaries and near-boundaries, both signs
+    for base in (0.0000005, 0.1234565, 0.9999995, 1.0000005, 123.4567895):
+        for s in (1.0, -1.0):
+            for eps in (0.0, 1e-12, -1e-12, 1e-9, -1e-9):
+                vals.append(s * (base + eps))
+    # deterministic pseudo-random sweep across magnitudes
+    x = 0.5
+    for k in range(4000):
+        x = (x * 1103515245.0 + 12345.0) % 1.0
+        vals.append((x - 0.5) * (10.0 ** (k % 8 - 3)))
+    vals.extend([0.0, -0.0, 1.0, -1.0, 1e-7, -1e-7, 5e-7, -5e-7])
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    want = [_round6_py(v) for v in vals]
+    assert got == want  # exact equality
+
+
+def test_power_iteration_ragged_matrix_falls_back(spark):
+    """A cov frame that is not dense d×d must keep the distributed
+    path's semantics (the driver path refuses and falls back)."""
+    from rippledb_spark.operators.pca import (
+        _collect_dense_matrix,
+        power_iteration_top,
+    )
+
+    _, df = _planted(spark)
+    cov = covariance_matrix(df, "vec", 4)
+    ragged = cov.where("NOT (i = 3 AND j = 3)")
+    assert _collect_dense_matrix(ragged, 4) is None
+    # still executes (falls back to the distributed loop)
+    out = power_iteration_top(ragged, 4, iterations=2).collect()
+    assert len(out) == 1
