@@ -236,26 +236,36 @@ def mixture_epochs_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
     )
-    lt = tok.groupBy("lang").agg(F.sum("n_tok").alias("lang_tok"))
+    # ONE per-lang aggregation feeds both the weight table and the
+    # n_docs output column (r15, guide §2.4: lt and src were separate
+    # groupBy(lang) passes over the same corpus scan — integer sums and
+    # counts fuse into one exchange with bit-identical results).
+    # Lazy checkpoint: lt is one row per language and fans out to tot,
+    # the weight table AND the final join — without the cut each
+    # reference re-ran the corpus aggregation (plan audit: 10 scans of
+    # documents; 4 after).
+    lt = tok.groupBy("lang").agg(
+        F.sum("n_tok").alias("lang_tok"), F.count(F.lit(1)).alias("n_docs")
+    ).localCheckpoint(eager=False)
     tot = lt.agg(
         F.count(F.lit(1)).alias("n_langs"), F.sum("lang_tok").alias("all_tok")
     )
     w = lt.crossJoin(F.broadcast(tot)).select(
         "lang",
+        "n_docs",
         F.round(
             (F.col("all_tok") / F.col("n_langs").cast("double")) / F.col("lang_tok"),
             6,
         ).alias("wt"),
     )
-    j = tok.join(F.broadcast(w), "lang")
+    j = tok.join(F.broadcast(w.drop("n_docs")), "lang")
     rep = MX.apply_mixture_epochs(j, "wt", "doc_id")
-    src = tok.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     em = rep.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_emitted"),
         F.sum("n_tok").alias("emitted_tokens"),
     )
     return (
-        src.join(w, "lang")
+        w
         .join(em, "lang", "left")
         .select(
             "lang",
