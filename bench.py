@@ -255,9 +255,33 @@ def _probe(spark) -> float:
 # vs r14 code on the same host confirmed the inflation was weather, not
 # code). This probe times 10 jobs × 64 empty tasks; the compact record
 # carries the median so a scheduler-noisy round is legible in
-# BENCH_r{N}.json itself. No pinned reference yet (it could only be
-# pinned on a quiet host): read it as a SERIES across rounds — first
-# recorded in r14.
+# BENCH_r{N}.json itself.
+#
+# Quiet-floor reference (pinned r15, the round's first quiet window —
+# VERDICT r14 ask #3). Measured on this host fully idle, 20 consecutive
+# probes in one warm session: the first ~5 samples read 1.0-1.5 s (JIT
+# warm-up of the probe path itself), then the series settles at a
+# steady-state median of 0.77 s (min 0.60) — so r14's "well under 1"
+# floor is real, but only AFTER warm-up, which is why a probe taken
+# right after session start (or between heavy bench passes, where the
+# bench's own GC/JIT inflates dispatch ~1.5-2×) never shows it.
+# Operationally: compare the series MIN (least contaminated sample)
+# against the ref. On a clean host the in-bench series min lands
+# ≤ 2×ref (r15 quiet-window bench: min 1.14); in the r14/r15 degraded
+# states it never went below 1.6 and routinely read 2-22.
+SCHED_REF_SEC = 0.77
+# clean-host flag thresholds: CPU probe quiet (median warm load ~1.0)
+# AND in-bench sched series min within 2× the pinned idle floor. The
+# ref is an ENVIRONMENT pin — measured at local[32]; the idle floor at
+# local[8] reads ~1.4× higher (0.93 min / 1.09 median, measured the
+# same day), so the verdict is only emitted when the session runs the
+# pinned core count (the driver's reduced-core scaling pass gets
+# clean_host null and is read from its raw sched series instead).
+SCHED_REF_CORES = 32
+CLEAN_PROBE_LOAD_AT = 1.05
+CLEAN_SCHED_AT = 2.0 * SCHED_REF_SEC
+
+
 def _sched_probe(spark) -> float:
     t0 = time.perf_counter()
     for _ in range(10):
@@ -505,12 +529,24 @@ def main() -> None:
             "runs": probes,
             "warm_loads": [round(x, 3) for x in warm_loads],
             "load": probe_load,  # median warm load; >1.5 = noisy round
-            # scheduler-latency series (r14, no pinned ref — read round
-            # over round): 10 jobs x 64 empty tasks; a value several x
-            # the series' quiet floor means per-task dispatch is
+            # scheduler-latency series: 10 jobs x 64 empty tasks; a
+            # value several x the quiet floor means per-task dispatch is
             # inflated and multi-stage queries read slow with IDLE CPUs
             # — weather the CPU probe above cannot see
             "sched_runs": sched_probes,
+            # pinned idle steady-state reference + clean-host verdict
+            # (r15 — see SCHED_REF_SEC above for the measurement; null
+            # when the session's core count is not the ref's pin)
+            "sched_ref_sec": SCHED_REF_SEC,
+            "sched_floor": min(sched_probes),
+            "clean_host": (
+                bool(
+                    probe_load <= CLEAN_PROBE_LOAD_AT
+                    and min(sched_probes) <= CLEAN_SCHED_AT
+                )
+                if spark.sparkContext.defaultParallelism == SCHED_REF_CORES
+                else None
+            ),
         },
         "respread": respread,  # spread>3x queries: extra solo re-runs
         "ann_phases": ann_phases,  # train vs frozen-index query sub-walls
@@ -563,9 +599,14 @@ def main() -> None:
         # weather-proof record for a noisy round
         "probe_load": probe_load,
         # scheduler-latency marker (r14): median of the 10x64-empty-task
-        # probe series, seconds. No pinned ref — compare round over
-        # round; see the probe.sched_runs note in BENCH_DETAIL.json.
+        # probe series, seconds; see the probe.sched_runs note in
+        # BENCH_DETAIL.json.
         "sched_probe": round(sorted(sched_probes)[len(sched_probes) // 2], 3),
+        # r15 (VERDICT r14 ask #3): pinned idle quiet-floor reference for
+        # the sched series and the clean-host verdict — read this round's
+        # deltas at face value only when clean_host is true
+        "sched_ref": SCHED_REF_SEC,
+        "clean_host": record["probe"]["clean_host"],
         "median_sec_norm": record["median_sec_norm"],
         # ANN [train, query] sub-walls (the registered keys bundle training
         # + certification; a serving-path regression shows here first) —
@@ -599,19 +640,26 @@ def main() -> None:
         "median_sec_norm",
         "cold_sec",
         "bpe_phases",
-        "median_sec",
-        "sched_probe",
     ):
         if len(json.dumps(compact, separators=(",", ":"))) <= 2000:
             break
         compact.pop(drop, None)
-    # last resort at 60+ headline keys: 1dp per-query timings (full 3dp
-    # stays in BENCH_DETAIL.json) — never emit a line the driver's 2 KB
-    # tail would decapitate into unparseable JSON
+    # at 60+ headline keys: 1dp per-query timings (full 3dp stays in
+    # BENCH_DETAIL.json) — never emit a line the driver's 2 KB tail
+    # would decapitate into unparseable JSON. This fires BEFORE the
+    # median/weather fields shed: losing a decimal is cheaper than
+    # losing the round-over-round total or the fields that tell a
+    # reader whether the numbers are trustworthy.
     if len(json.dumps(compact, separators=(",", ":"))) > 2000:
         compact["queries"] = {
             k: round(v, 1) for k, v in compact["queries"].items()
         }
+    # last resort: shed the remaining optional fields (all still in
+    # BENCH_DETAIL.json), least round-critical first
+    for drop in ("median_sec", "sched_ref", "clean_host", "sched_probe"):
+        if len(json.dumps(compact, separators=(",", ":"))) <= 2000:
+            break
+        compact.pop(drop, None)
     print(json.dumps(compact, separators=(",", ":")))
 
 
