@@ -289,6 +289,45 @@ def _sched_probe(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def shed_to_budget(compact: dict, budget: int = 2000) -> dict:
+    """Fit the stdout line inside the driver's capture tail.
+
+    The driver captures only the last ``budget`` (2 KB) bytes of output;
+    a longer line is decapitated into unparseable JSON (BENCH_r05
+    "parsed": null). Shedding order, least round-critical first (every
+    shed field is still in BENCH_DETAIL.json):
+
+    1. optional receipts: ann_phases, median_sec_norm, cold_sec,
+       bpe_phases;
+    2. per-query precision 2dp → 1dp (never the keys themselves — the
+       round contract forbids removing or renaming ``queries`` entries);
+    3. last resort: median_sec, then the weather markers (sched_ref,
+       clean_host, sched_probe — kept latest because they say whether
+       the rest of the line is trustworthy).
+
+    ``metric``/``value``/``unit``/``queries``/``sf``/``probe_load`` and
+    ``bulk_ratio`` (the judged baseline metric) are never shed.
+    Mutates and returns ``compact``.
+    """
+
+    def size() -> int:
+        return len(json.dumps(compact, separators=(",", ":")))
+
+    for drop in ("ann_phases", "median_sec_norm", "cold_sec", "bpe_phases"):
+        if size() <= budget:
+            return compact
+        compact.pop(drop, None)
+    if size() > budget:
+        compact["queries"] = {
+            k: round(v, 1) for k, v in compact["queries"].items()
+        }
+    for drop in ("median_sec", "sched_ref", "clean_host", "sched_probe"):
+        if size() <= budget:
+            return compact
+        compact.pop(drop, None)
+    return compact
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -627,40 +666,7 @@ def main() -> None:
             / sum(b["ref_sec"] for b in record["bulk_load"].values()),
             3,
         )
-    # the driver captures a 2 KB output tail; at 55 headline keys the
-    # line is ~1.9 KB. If future keys push it over, shed the optional
-    # fields (still in BENCH_DETAIL.json) rather than truncate the JSON.
-    # shed order: least round-critical first (every shed field is still
-    # in BENCH_DETAIL.json); bulk_ratio is deliberately NOT sheddable —
-    # it is the judged baseline metric — and sched_probe sheds last (it
-    # is the r14+ weather marker that tells a reader how to interpret
-    # the rest of the line)
-    for drop in (
-        "ann_phases",
-        "median_sec_norm",
-        "cold_sec",
-        "bpe_phases",
-    ):
-        if len(json.dumps(compact, separators=(",", ":"))) <= 2000:
-            break
-        compact.pop(drop, None)
-    # at 60+ headline keys: 1dp per-query timings (full 3dp stays in
-    # BENCH_DETAIL.json) — never emit a line the driver's 2 KB tail
-    # would decapitate into unparseable JSON. This fires BEFORE the
-    # median/weather fields shed: losing a decimal is cheaper than
-    # losing the round-over-round total or the fields that tell a
-    # reader whether the numbers are trustworthy.
-    if len(json.dumps(compact, separators=(",", ":"))) > 2000:
-        compact["queries"] = {
-            k: round(v, 1) for k, v in compact["queries"].items()
-        }
-    # last resort: shed the remaining optional fields (all still in
-    # BENCH_DETAIL.json), least round-critical first
-    for drop in ("median_sec", "sched_ref", "clean_host", "sched_probe"):
-        if len(json.dumps(compact, separators=(",", ":"))) <= 2000:
-            break
-        compact.pop(drop, None)
-    print(json.dumps(compact, separators=(",", ":")))
+    print(json.dumps(shed_to_budget(compact), separators=(",", ":")))
 
 
 if __name__ == "__main__":
