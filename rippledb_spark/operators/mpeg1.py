@@ -70,6 +70,32 @@ import numpy as np
 
 from rippledb_spark.operators.jpeg import _Z, _dct_matrix
 
+# zigzag index k → flat (row-major) position r*8+c, as a numpy index
+# array for one-shot unscan assignments (r16)
+_ZFLAT = np.array([r * 8 + c for r, c in _Z], dtype=np.int64)
+_ZFLAT_L = _ZFLAT.tolist()
+
+# DC-only intra blocks (the certified fixture class) reconstruct to a
+# CONSTANT pixel: with only F[0,0] = dcv set, the orthonormal IDCT
+# M.T @ F @ M evaluates every cell as fl(fl(M[0,x]·dcv)·M[0,y]) plus
+# additions of exact ±0.0 (every other product term is a multiply by
+# 0.0), and row 0 of the DCT matrix is ONE repeated value c = 0.5/√2 —
+# so the whole block is the scalar clip(rint(fl(fl(c·dcv)·c)), 0, 255),
+# computed here without the per-block matmul/round/clip dispatch and
+# memoized on dcv. Bit-parity with the matmul path is pinned by
+# tests/test_mpeg1.py::test_dc_only_idct_shortcut_bitexact.
+_DC_C0 = float(0.5 / np.sqrt(2.0))
+_DC_PIX: dict[int, int] = {}
+
+
+def _dc_only_pix(dcv: int) -> int:
+    v = _DC_PIX.get(dcv)
+    if v is None:
+        b = (_DC_C0 * dcv) * _DC_C0
+        r = round(b)  # Python round = half-even on floats, like np.rint
+        v = _DC_PIX[dcv] = 0 if r < 0 else (255 if r > 255 else r)
+    return v
+
 # --- fixed VLC tables (ISO 11172-2 Annex B) --------------------------------
 
 # Table B.1: macroblock_address_increment (value → bitstring)
@@ -155,47 +181,93 @@ _SEQ, _GOP, _PIC, _END = 0xB3, 0xB8, 0x00, 0xB7
 
 class _Bits:
     """MSB-first bit writer/reader over a plain byte buffer (MPEG has
-    no byte stuffing — unlike JPEG's FF 00)."""
+    no byte stuffing — unlike JPEG's FF 00).
+
+    r16: both directions are bulk now (guide §4.2 — the interpreted
+    per-BIT loops were the measured per-row cost of the whole MPEG-1
+    family). Writes accumulate whole codewords into an int; reads go
+    through a lazily built word table (`_words`): one 64-bit window per
+    byte offset, so any ≤ 57-bit field is one list index + shift + mask
+    instead of n method calls. Bit accounting is integer-exact, so the
+    bitstreams and decoded symbols are byte-identical to the serial
+    forms (pinned by the round-trip suite)."""
 
     def __init__(self, data: bytes = b""):
         self.buf = bytearray(data)
         self.acc = 0
         self.nb = 0
         self.pos = 0  # read cursor (bits)
+        self._rw: list[int] | None = None  # read word table (lazy)
+        self._rn = 0  # readable bits when _rw was built
 
     # -- write --
     def w(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nb += 1
-            if self.nb == 8:
-                self.buf.append(self.acc)
-                self.acc, self.nb = 0, 0
+        acc = (self.acc << n) | (value & ((1 << n) - 1))
+        nb = self.nb + n
+        buf = self.buf
+        while nb >= 8:
+            nb -= 8
+            buf.append((acc >> nb) & 0xFF)
+        self.acc = acc & ((1 << nb) - 1)
+        self.nb = nb
+        self._rw = None
 
     def wstr(self, bits: str) -> None:
-        for b in bits:
-            self.w(int(b), 1)
+        if bits:
+            self.w(int(bits, 2), len(bits))
 
     def align(self) -> None:
-        while self.nb:
-            self.w(0, 1)
+        if self.nb:
+            self.w(0, 8 - self.nb)
 
     def start_code(self, code: int) -> None:
         self.align()
         self.buf += bytes((0, 0, 1, code))
+        self._rw = None
 
     # -- read --
+    def _words(self) -> list[int]:
+        """words[i] = the 8 bytes at byte offset i, big-endian (zero
+        padded past the end): peek(n ≤ 57) at bit pos p is then
+        words[p>>3] >> (64 - (p&7) - n)."""
+        pad = bytes(self.buf) + b"\x00" * 8
+        n = len(self.buf) + 1
+        a = np.frombuffer(pad, dtype=np.uint8)
+        w = np.zeros(n, dtype=np.uint64)
+        for k in range(8):
+            w |= a[k : k + n].astype(np.uint64) << np.uint64(56 - 8 * k)
+        self._rw = out = w.tolist()
+        self._rn = (n - 1) << 3
+        return out
+
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits without consuming, zero-padded past the end
+        (callers bounds-check against ``_rn`` before consuming)."""
+        rw = self._rw
+        if rw is None:
+            rw = self._words()
+        p = self.pos
+        return (rw[p >> 3] >> (64 - (p & 7) - n)) & ((1 << n) - 1)
+
     def bit(self) -> int:
-        byte = self.buf[self.pos >> 3]
-        b = (byte >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
+        rw = self._rw
+        if rw is None:
+            rw = self._words()
+        p = self.pos
+        if p >= self._rn:
+            raise IndexError("mpeg1: bit read past end of stream")
+        self.pos = p + 1
+        return (rw[p >> 3] >> (63 - (p & 7))) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        rw = self._rw
+        if rw is None:
+            rw = self._words()
+        p = self.pos
+        if p + n > self._rn:
+            raise IndexError("mpeg1: bit read past end of stream")
+        self.pos = p + n
+        return (rw[p >> 3] >> (64 - (p & 7) - n)) & ((1 << n) - 1)
 
     def balign(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -204,17 +276,47 @@ class _Bits:
         """Align and scan to the next 00 00 01 xx; returns xx with the
         cursor just past it, or None at end of data."""
         self.balign()
-        i = self.pos >> 3
-        while i + 3 < len(self.buf):
-            if self.buf[i] == 0 and self.buf[i + 1] == 0 and self.buf[i + 2] == 1:
-                self.pos = (i + 4) << 3
-                return self.buf[i + 3]
-            i += 1
-        return None
+        i = self.buf.find(b"\x00\x00\x01", self.pos >> 3)
+        if i < 0 or i + 3 >= len(self.buf):
+            return None
+        self.pos = (i + 4) << 3
+        return self.buf[i + 3]
+
+
+def _lut_from_codes(entries: dict[str, object], width: int) -> list:
+    """{bitstring: payload} → flat LUT of size 2**width: every index
+    whose leading bits spell a codeword maps to (payload, code length);
+    indexes matching no codeword map to None. Prefix-free inputs make
+    the fill unambiguous, and zero padding past the real bit stream
+    cannot mis-decode: a resolved code of length ≤ the remaining real
+    bits used only real bits, and a longer one fails the caller's
+    bounds check exactly where the serial walk would have run out."""
+    lut: list = [None] * (1 << width)
+    for code, payload in entries.items():
+        ln = len(code)
+        base = int(code, 2) << (width - ln)
+        for i in range(1 << (width - ln)):
+            lut[base + i] = (payload, ln)
+    return lut
+
+
+_VLC_LUTS: dict[int, list] = {}
 
 
 def _vlc_decode(bits: _Bits, table: dict[str, int], maxlen: int) -> int:
-    """Decode one prefix code from a {bitstring: symbol} table."""
+    """Decode one prefix code from a {bitstring: symbol} table
+    (LUT-dispatched; the serial walk remains as the miss path so
+    malformed streams raise the identical error)."""
+    lut = _VLC_LUTS.get(id(table))
+    if lut is None:
+        lut = _VLC_LUTS[id(table)] = _lut_from_codes(table, maxlen)
+    ent = lut[bits.peek(maxlen)]
+    if ent is not None:
+        sym, ln = ent
+        p = bits.pos
+        if p + ln <= bits._rn:
+            bits.pos = p + ln
+            return sym
     s = ""
     for _ in range(maxlen):
         s += str(bits.bit())
@@ -227,6 +329,15 @@ _AC_DEC = {code: rl for rl, code in _AC_TABLE.items()}
 _DC_LUMA_DEC = {v: k for k, v in _DC_SIZE_LUMA.items()}
 _DC_CHROMA_DEC = {v: k for k, v in _DC_SIZE_CHROMA.items()}
 _MBA_DEC = {v: k for k, v in _MBA_TABLE.items()}
+
+# 11-bit LUT over macroblock_address_increment codes; stuffing/escape
+# carry negative sentinels (both are exactly 11 bits, codes ≤ 11 — the
+# decode loop restarts its budget after each, like the serial walk did).
+_MBA_LUT = _lut_from_codes(
+    {**{code: sym for sym, code in _MBA_TABLE.items()},
+     _MBA_STUFFING: -1, _MBA_ESCAPE: -2},
+    11,
+)
 
 
 def _dc_diff_bits(diff: int) -> tuple[int, int]:
@@ -296,30 +407,36 @@ def encode_mpeg1_intra(
         bits.w(0, 1)       # extra_bit_slice
         preds = {"y": 128, "cb": 128, "cr": 128}
         cw = width // 2
+
+        def dc_grid(plane: bytes, pw: int, ph: int) -> list[list[int]]:
+            """Verify every 8×8 block is constant (one vectorized
+            comparison per plane — r16, replacing the per-row Python
+            scan) and return the per-block DC values as nested lists."""
+            a = np.frombuffer(plane, dtype=np.uint8).reshape(ph, pw)
+            b = a.reshape(ph // 8, 8, pw // 8, 8)
+            if not (b == b[:, :1, :, :1]).all():
+                raise ValueError(
+                    "encode_mpeg1_intra: non-block-constant "
+                    "content — this encoder is the DC-only "
+                    "fixture synthesizer (module docstring)"
+                )
+            return b[:, 0, :, 0].tolist()
+
+        gy = dc_grid(py, width, height)
+        gcb = dc_grid(pcb, cw, height // 2)
+        gcr = dc_grid(pcr, cw, height // 2)
         for my in range(mbh):
             for mx in range(mbw):
                 bits.wstr(_MBA_TABLE[1])
                 bits.wstr("1")  # macroblock_type: intra
                 # 4 luma blocks then Cb, Cr (§2.4.2.7 block order)
-                for comp, bx, by in (
-                    ("y", 2 * mx, 2 * my), ("y", 2 * mx + 1, 2 * my),
-                    ("y", 2 * mx, 2 * my + 1), ("y", 2 * mx + 1, 2 * my + 1),
-                    ("cb", mx, my), ("cr", mx, my),
+                for comp, grid, bx, by in (
+                    ("y", gy, 2 * mx, 2 * my), ("y", gy, 2 * mx + 1, 2 * my),
+                    ("y", gy, 2 * mx, 2 * my + 1),
+                    ("y", gy, 2 * mx + 1, 2 * my + 1),
+                    ("cb", gcb, mx, my), ("cr", gcr, mx, my),
                 ):
-                    if comp == "y":
-                        plane, pw = py, width
-                    else:
-                        plane, pw = (pcb if comp == "cb" else pcr), cw
-                    x0, y0 = bx * 8, by * 8
-                    val = plane[y0 * pw + x0]
-                    for yy in range(8):
-                        row = plane[(y0 + yy) * pw + x0:(y0 + yy) * pw + x0 + 8]
-                        if any(p != val for p in row):
-                            raise ValueError(
-                                "encode_mpeg1_intra: non-block-constant "
-                                "content — this encoder is the DC-only "
-                                "fixture synthesizer (module docstring)"
-                            )
+                    val = grid[by][bx]
                     diff = val - preds[comp]
                     preds[comp] = val
                     size, amp = _dc_diff_bits(diff)
@@ -336,32 +453,83 @@ def encode_mpeg1_intra(
 # --- decoder (full intra path) ---------------------------------------------
 
 
-def _decode_ac_coeff(bits: _Bits, prefix: str = "") -> tuple[int, int] | None:
-    """One dct_coeff_next: → (run, signed level), or None at EOB.
-    ``prefix`` seeds the code walk with bits already consumed by the
-    caller (the dct_coeff_first '0…' continuation, §2.4.3.7)."""
+def _ac_escape_tail(bits: _Bits) -> tuple[int, int]:
+    """The 6-bit-run + 8/16-bit-level ESCAPE continuation (shared by the
+    serial and LUT decode paths — consumed AFTER the escape prefix)."""
+    run = bits.bits(6)
+    lv = bits.bits(8)
+    if lv == 0:            # forbidden/extended: +128..255
+        lv = bits.bits(8)
+    elif lv == 128:        # extended negative: -256+(next 8)
+        lv = bits.bits(8) - 256
+    elif lv > 128:
+        lv -= 256
+    if lv == 0:
+        raise ValueError("mpeg1: escape level 0")
+    return run, lv
+
+
+def _decode_ac_coeff_serial(
+    bits: _Bits, prefix: str = ""
+) -> tuple[int, int] | None:
+    """Bit-serial dct_coeff_next walk — the LUT miss path, kept verbatim
+    so malformed streams raise the exact pre-r16 errors."""
     s = prefix
     for _ in range(17):
         s += str(bits.bit())
         if s == _AC_EOB:
             return None
         if s == _AC_ESCAPE:
-            run = bits.bits(6)
-            lv = bits.bits(8)
-            if lv == 0:            # forbidden/extended: +128..255
-                lv = bits.bits(8)
-            elif lv == 128:        # extended negative: -256+(next 8)
-                lv = bits.bits(8) - 256
-            elif lv > 128:
-                lv -= 256
-            if lv == 0:
-                raise ValueError("mpeg1: escape level 0")
-            return run, lv
+            return _ac_escape_tail(bits)
         key = _AC_DEC.get(s)
         if key is not None:
             sign = bits.bit()
             return key[0], -key[1] if sign else key[1]
     raise ValueError(f"mpeg1: invalid AC VLC prefix {s!r}")
+
+
+def _build_ac_lut(strip_leading_zero: bool) -> list:
+    """14-bit LUT over dct_coeff codes WITH their sign bit folded in
+    (max code 13 bits + sign = 14). ``strip_leading_zero`` builds the
+    dct_coeff_first '0…' continuation variant (§2.4.3.7): only codes
+    starting '0', with that bit already consumed by the caller. EOB
+    ('10') exists only in the unstripped table; payload markers 'EOB' /
+    'ESC' are resolved by identity in the decode loop."""
+    entries: dict[str, object] = {}
+    for (run, mag), code in _AC_TABLE.items():
+        if strip_leading_zero and not code.startswith("0"):
+            continue
+        c = code[1:] if strip_leading_zero else code
+        entries[c + "0"] = (run, mag)
+        entries[c + "1"] = (run, -mag)
+    if not strip_leading_zero:
+        entries[_AC_EOB] = "EOB"
+    entries[_AC_ESCAPE[1:] if strip_leading_zero else _AC_ESCAPE] = "ESC"
+    return _lut_from_codes(entries, 14)
+
+
+_AC_LUT = _build_ac_lut(False)
+_AC_LUT_P0 = _build_ac_lut(True)
+
+
+def _decode_ac_coeff(bits: _Bits, prefix: str = "") -> tuple[int, int] | None:
+    """One dct_coeff_next: → (run, signed level), or None at EOB.
+    ``prefix`` seeds the code walk with bits already consumed by the
+    caller (the dct_coeff_first '0…' continuation, §2.4.3.7)."""
+    lut = _AC_LUT if not prefix else _AC_LUT_P0
+    ent = lut[bits.peek(14)]
+    if ent is not None:
+        payload, ln = ent
+        p = bits.pos
+        if p + ln <= bits._rn:
+            if type(payload) is tuple:
+                bits.pos = p + ln
+                return payload
+            bits.pos = p + ln
+            if payload == "EOB":
+                return None
+            return _ac_escape_tail(bits)
+    return _decode_ac_coeff_serial(bits, prefix)
 
 
 # Table B.4: motion_code VLC (magnitude → bitstring; sign bit follows
@@ -781,27 +949,29 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                 # 23+ zero bits (next start code) to end the slice
                 save = bits.pos
                 try:
-                    # the 11-bit prefix budget is PER CODE: each decoded
-                    # escape/stuffing restarts it (r11 review fix — the
-                    # old shared budget was consumed by the 11-bit escape
-                    # itself, so escapes silently ended the slice)
+                    # LUT walk (r16) — the 11-bit prefix budget is PER
+                    # CODE: each decoded escape/stuffing restarts it
+                    # (r11 review fix); any decode failure (invalid
+                    # prefix / read past end) ends the slice exactly as
+                    # the serial walk's errors did.
+                    if bits._rw is None:
+                        bits._words()
                     inc = 0
-                    sym = None
-                    while sym is None:
-                        s = ""
-                        while len(s) < 11:
-                            s += str(bits.bit())
-                            if s == _MBA_STUFFING:
-                                s = ""  # discarded; budget restarts
-                            elif s == _MBA_ESCAPE:
-                                inc += 33
-                                s = ""  # increment continues; restart
-                            elif s in _MBA_DEC:
-                                sym = _MBA_DEC[s]
-                                break
-                        if sym is None and s:
-                            raise ValueError("mpeg1: bad MBA prefix " + s)
-                    inc += sym
+                    while True:
+                        ent = _MBA_LUT[bits.peek(11)]
+                        if ent is None:
+                            raise ValueError("mpeg1: bad MBA prefix")
+                        sym, ln = ent
+                        if bits.pos + ln > bits._rn:
+                            raise IndexError("mpeg1: MBA past end")
+                        bits.pos += ln
+                        if sym == -1:
+                            continue  # stuffing: discarded
+                        if sym == -2:
+                            inc += 33  # escape: increment continues
+                            continue
+                        inc += sym
+                        break
                 except (ValueError, IndexError):
                     bits.pos = save
                     break
@@ -920,8 +1090,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         else:
                             Cr[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
                         continue
-                    zz = [0] * 64
-                    zz[0] = dc * 8  # intra DC: recon = dc·8 (§2.4.4.1)
+                    nz: list | None = None  # (flat index, rec) nonzero ACs
                     k = 0
                     while True:
                         nxt = _decode_ac_coeff(bits)
@@ -931,7 +1100,7 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         k += run + 1
                         if k > 63:
                             raise ValueError("mpeg1: AC index overflow")
-                        w = intra_q[_Z[k][0] * 8 + _Z[k][1]]
+                        w = intra_q[_ZFLAT_L[k]]
                         prod = 2 * level * qscale * w
                         # §2.4.4.1 "/" truncates toward ZERO — Python's
                         # floor division is wrong for negative products
@@ -942,12 +1111,25 @@ def decode_mpeg1_frames(payload: bytes) -> dict:
                         if rec and rec % 2 == 0:
                             rec -= 1 if rec > 0 else -1
                         rec = max(-2048, min(2047, rec))
-                        zz[k] = rec
-                    F = np.zeros((8, 8), dtype=np.float64)
-                    for idx, (r, c) in enumerate(_Z):
-                        F[r, c] = zz[idx]
-                    blk = M.T @ F @ M
-                    pix = np.clip(np.round(blk), 0, 255).astype(np.int32)
+                        if rec:  # a zero adds nothing to F
+                            if nz is None:
+                                nz = []
+                            nz.append((_ZFLAT_L[k], rec))
+                    if nz is None:
+                        # DC-only block: the IDCT of F with only F[0,0]
+                        # set is the constant fl(fl(c·dc·8)·c), c =
+                        # M[0,0] (the DC row of M is one repeated value)
+                        # — bit-identical to the matmul, scalar-computed
+                        # and memoized (r16; pinned by
+                        # test_dc_only_idct_shortcut_bitexact)
+                        pix = _dc_only_pix(dc * 8)
+                    else:
+                        F = np.zeros((8, 8), dtype=np.float64)
+                        F.flat[0] = dc * 8  # intra DC: recon = dc·8
+                        for fi, rec in nz:
+                            F.flat[fi] = rec
+                        blk = M.T @ F @ M
+                        pix = np.clip(np.round(blk), 0, 255).astype(np.int32)
                     if comp == "y":
                         Y[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
                     elif comp == "cb":

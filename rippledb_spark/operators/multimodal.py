@@ -3285,15 +3285,19 @@ def synth_mpeg1_planes(
     the content class where MPEG-1 intra coding is numerically exact
     (DC-only blocks, recon = dc·8 — operators/mpeg1.py docstring), so a
     SQL oracle recomputes every decoded pixel from id arithmetic."""
+    import numpy as np
+
     w, h, _, _ = synth_mpeg1_dims(media_id)
 
     def plane(pw: int, ph: int, a: int, fs: int, step: int) -> bytes:
         bw = pw // 8
-        return bytes(
-            (a * media_id + fs * frame_no + step * ((y // 8) * bw + (x // 8)))
-            % 256
-            for y in range(ph)
-            for x in range(pw)
+        block = (np.arange(ph, dtype=np.int64)[:, None] // 8) * bw + (
+            np.arange(pw, dtype=np.int64)[None, :] // 8
+        )
+        return (
+            ((a * media_id + fs * frame_no + step * block) % 256)
+            .astype(np.uint8)
+            .tobytes()
         )
 
     return (

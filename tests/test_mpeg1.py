@@ -723,3 +723,56 @@ def test_stream_info_header_walk():
         mpeg1_stream_info(b"\x00\x00\x01\xb7")
     with pytest.raises(ValueError, match="no pictures"):
         mpeg1_stream_info(es[: es.index(b"\x00\x00\x01\x00")])
+
+
+def test_dc_only_idct_shortcut_bitexact():
+    """r16: the DC-only intra block shortcut (_dc_only_pix) must equal
+    the full matmul IDCT + round/clip/astype chain EXACTLY for every
+    reachable DC reconstruction value. The shortcut's premise is that
+    the DCT matrix's DC row is one repeated float and the matmul adds
+    only exact zeros — both asserted here, plus the end-to-end scalar
+    for a dense dcv sweep (positive, negative, clipped, zero)."""
+    import numpy as np
+
+    from rippledb_spark.operators.mpeg1 import _DC_C0, _dc_only_pix
+    from rippledb_spark.operators.jpeg import _dct_matrix
+
+    M = _dct_matrix()
+    assert all(M[0, x] == _DC_C0 for x in range(8))
+    for dcv in list(range(-4096, 4097, 7)) + [-4096, -8, 0, 8, 2040, 4096]:
+        F = np.zeros((8, 8), dtype=np.float64)
+        F[0, 0] = dcv
+        blk = M.T @ F @ M
+        ref = np.clip(np.round(blk), 0, 255).astype(np.int32)
+        assert (ref == ref[0, 0]).all(), dcv  # constant block
+        assert _dc_only_pix(dcv) == int(ref[0, 0]), dcv
+
+
+def test_fast_bit_reader_matches_serial_semantics():
+    """r16: the word-table read path — values, bounds errors, and
+    interleaved write-then-read invalidation."""
+    import pytest
+
+    from rippledb_spark.operators.mpeg1 import _Bits
+
+    b = _Bits(bytes([0b10110100, 0b01111111, 0xFF]))
+    assert b.bit() == 1
+    assert b.bits(5) == 0b01101
+    assert b.peek(10) == 0b0001111111
+    assert b.bits(10) == 0b0001111111
+    assert b.bits(8) == 0xFF
+    with pytest.raises(IndexError):
+        b.bit()
+    b.pos = 23
+    with pytest.raises(IndexError):
+        b.bits(2)  # crosses the end
+    assert b.bits(1) == 1  # last real bit still readable
+    # writes invalidate the read table
+    w = _Bits()
+    w.w(0b1011, 4)
+    w.align()
+    w.pos = 0
+    assert w.bits(8) == 0b10110000
+    w.w(0xAB, 8)
+    w.pos = 8
+    assert w.bits(8) == 0xAB
