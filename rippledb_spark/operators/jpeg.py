@@ -122,19 +122,58 @@ _DC_ENC = _canonical_codes(DC_BITS, DC_VALUES)
 _AC_ENC = _canonical_codes(AC_BITS, AC_VALUES)
 
 
-def _decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
-    """{(length, code): symbol} for the bit-serial decoder."""
-    return {(ln, c): sym for sym, (c, ln) in _canonical_codes(bits, values).items()}
+class _HuffTable:
+    """One decoded DHT: a 16-bit flat LUT (symbol, code length) for the
+    fast path plus the {(length, code): symbol} dict the bit-serial
+    fallback walks — so malformed scans raise the identical errors
+    (r16, guide §4.2: the per-bit walk was the decode's hot loop)."""
+
+    __slots__ = ("dec", "lut")
+
+    def __init__(self, dec: dict[tuple[int, int], int]):
+        self.dec = dec
+        lut: list = [None] * (1 << 16)
+        for (ln, code), sym in dec.items():
+            base = code << (16 - ln)
+            for i in range(1 << (16 - ln)):
+                lut[base + i] = (sym, ln)
+        self.lut = lut
+
+
+_HUFF_CACHE: dict[tuple, _HuffTable] = {}
+
+
+def _decode_table(bits: list[int], values: list[int]) -> _HuffTable:
+    """DHT spec → :class:`_HuffTable`, memoized on the table bytes (the
+    fixture corpus reuses the Annex K pair on every image, so the LUT
+    builds once per worker, not once per payload)."""
+    key = (tuple(bits), tuple(values))
+    tbl = _HUFF_CACHE.get(key)
+    if tbl is None:
+        tbl = _HUFF_CACHE[key] = _HuffTable(
+            {
+                (ln, c): sym
+                for sym, (c, ln) in _canonical_codes(bits, values).items()
+            }
+        )
+    return tbl
+
+
+_DCT_M = None
 
 
 def _dct_matrix():
     import numpy as np
 
-    x = np.arange(8)
-    u = x.reshape(-1, 1)
-    M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
-    M[0] /= np.sqrt(2.0)
-    return M
+    global _DCT_M
+    if _DCT_M is None:
+        x = np.arange(8)
+        u = x.reshape(-1, 1)
+        M = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        M[0] /= np.sqrt(2.0)
+        M.setflags(write=False)  # shared instance — callers only read
+        _DCT_M = M
+    return _DCT_M
 
 
 class _BitWriter:
@@ -192,6 +231,26 @@ class _BitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def _fill_soft(self) -> bool:
+        """Pull one more entropy byte into the accumulator if one is
+        available BEFORE the next marker / end of data; never raises and
+        never consumes a marker (peeks for the LUT fast path only —
+        consuming reads keep :meth:`_fill`'s error semantics)."""
+        pos = self.pos
+        data = self.data
+        if pos >= len(data):
+            return False
+        b = data[pos]
+        if b == 0xFF:
+            if pos + 1 >= len(data) or data[pos + 1] != 0x00:
+                return False
+            self.pos = pos + 2  # unstuff
+        else:
+            self.pos = pos + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
     def bit(self) -> int:
         if self.nbits == 0:
             self._fill()
@@ -199,17 +258,38 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        while self.nbits < n:
+            self._fill()
+        nb = self.nbits - n
+        v = (self.acc >> nb) & ((1 << n) - 1)
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
+    def huff(self, table: "_HuffTable") -> int:
+        nb = self.nbits
+        while nb < 16 and self._fill_soft():
+            nb = self.nbits
+        idx = (
+            (self.acc << (16 - nb)) & 0xFFFF
+            if nb < 16
+            else (self.acc >> (nb - 16)) & 0xFFFF
+        )
+        ent = table.lut[idx]
+        if ent is not None:
+            sym, ln = ent
+            if ln <= nb:
+                nb -= ln
+                self.nbits = nb
+                self.acc &= (1 << nb) - 1
+                return sym
+        # serial fallback: identical error behavior on malformed scans
+        dec = table.dec
         code, length = 0, 0
         while length <= 16:
             code = (code << 1) | self.bit()
             length += 1
-            sym = table.get((length, code))
+            sym = dec.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG scan")
@@ -244,9 +324,12 @@ def _plane_qblocks(plane, pw: int, ph: int, cover_x: int, cover_y: int, Q):
     import numpy as np
 
     a = np.frombuffer(plane, dtype=np.uint8).reshape(ph, pw)
-    padded = np.pad(
-        a, ((0, cover_y * 8 - ph), (0, cover_x * 8 - pw)), mode="edge"
-    )
+    if cover_y * 8 == ph and cover_x * 8 == pw:
+        padded = a  # already MCU-aligned — skip the no-op pad
+    else:
+        padded = np.pad(
+            a, ((0, cover_y * 8 - ph), (0, cover_x * 8 - pw)), mode="edge"
+        )
     blocks = (
         padded.reshape(cover_y, 8, cover_x, 8)
         .transpose(0, 2, 1, 3)
@@ -338,7 +421,7 @@ def _encode_scan(qblocks_per_comp, samplings, mcus_x: int, mcus_y: int,
                     for bx in range(h):
                         blk = qb[my * v + by, mx * h + bx]
                         prev[ci] = _encode_block(
-                            w, blk[_Z_ROWS, _Z_COLS], prev[ci]
+                            w, blk[_Z_ROWS, _Z_COLS].tolist(), prev[ci]
                         )
             since_restart += 1
     return w.flush()
@@ -473,10 +556,14 @@ def _decode_scan_baseline(r, order, huff, coefs, mcus_x, mcus_y,
                 dc_tbl, ac_tbl = huff[(0, td)], huff[(1, ta)]
                 for by in range(v):
                     for bx in range(h):
-                        zz = [0] * 64
+                        # each block is visited exactly once and coefs
+                        # start zeroed, so only nonzero coefficients
+                        # need writing (r16 — replaces the full 64-slot
+                        # zigzag scatter per block)
+                        blk = coefs[ci][my * v + by, mx * h + bx]
                         size = r.huff(dc_tbl)
                         prev[ci] += receive_extend(size)
-                        zz[0] = prev[ci]
+                        blk[0, 0] = prev[ci]
                         k = 1
                         while k < 64:
                             sym = r.huff(ac_tbl)
@@ -493,10 +580,8 @@ def _decode_scan_baseline(r, order, huff, coefs, mcus_x, mcus_y,
                             k += run
                             if k > 63:
                                 raise ValueError("AC run past block end")
-                            zz[k] = receive_extend(size)
+                            blk[_Z[k]] = receive_extend(size)
                             k += 1
-                        blk = coefs[ci][my * v + by, mx * h + bx]
-                        blk[_Z_ROWS, _Z_COLS] = zz
             since_restart += 1
 
 
@@ -613,6 +698,11 @@ def _decode_scan_progressive_ac(r, scan, huff, coefs, comp_blocks,
                 blk[_Z[k]] = receive_extend(size) << Al
                 k += 1
         else:
+            # refinement walks read every band position repeatedly —
+            # do it over a plain-int zigzag copy and write back only the
+            # changed positions (r16; values and order identical)
+            zzl = blk[_Z_ROWS, _Z_COLS].tolist()
+            changed: list[int] = []
             k = Ss
             if eobrun == 0:
                 while k <= Se:
@@ -633,28 +723,33 @@ def _decode_scan_progressive_ac(r, scan, huff, coefs, comp_blocks,
                             "AC refinement symbol with size > 1"
                         )
                     while k <= Se:
-                        z = _Z[k]
-                        if blk[z]:
+                        v = zzl[k]
+                        if v:
                             # correction bit for an already-nonzero coef
-                            if r.bit() and not (int(blk[z]) & p1):
-                                blk[z] += p1 if blk[z] > 0 else m1
+                            if r.bit() and not (v & p1):
+                                zzl[k] = v + (p1 if v > 0 else m1)
+                                changed.append(k)
                         else:
                             if run == 0:
                                 break
                             run -= 1
                         k += 1
                     if newval and k <= Se:
-                        blk[_Z[k]] = newval
+                        zzl[k] = newval
+                        changed.append(k)
                     k += 1
             if eobrun:
                 # remainder of the band: correction bits only
                 while k <= Se:
-                    z = _Z[k]
-                    if blk[z]:
-                        if r.bit() and not (int(blk[z]) & p1):
-                            blk[z] += p1 if blk[z] > 0 else m1
+                    v = zzl[k]
+                    if v:
+                        if r.bit() and not (v & p1):
+                            zzl[k] = v + (p1 if v > 0 else m1)
+                            changed.append(k)
                     k += 1
                 eobrun -= 1
+            for kc in changed:
+                blk[_Z[kc]] = zzl[kc]
 
 
 # --- progressive encoding (T.81 Annex G, Huffman) ---------------------------
@@ -752,10 +847,10 @@ def _enc_scan_ac_first(w: "_BitWriter", qb, bw: int, bh: int, Ss: int,
             rst = (rst + 1) & 7
             since = 0
         since += 1
-        blk = qb[byx // bw, byx % bw]
+        zzl = qb[byx // bw, byx % bw][_Z_ROWS, _Z_COLS].tolist()
         t = []
         for k in range(Ss, Se + 1):
-            v = int(blk[_Z[k]])
+            v = zzl[k]
             # AC point transform divides TOWARD ZERO (G.1.2.2) — unlike
             # the DC arithmetic shift
             t.append(v // (1 << Al) if v >= 0 else -((-v) >> Al))
@@ -802,9 +897,9 @@ def _enc_scan_ac_refine(w: "_BitWriter", qb, bw: int, bh: int, Ss: int,
             rst = (rst + 1) & 7
             since = 0
         since += 1
-        blk = qb[byx // bw, byx % bw]
-        t = [abs(int(blk[_Z[k]])) >> Al for k in range(Ss, Se + 1)]
-        signs = [int(blk[_Z[k]]) < 0 for k in range(Ss, Se + 1)]
+        zzl = qb[byx // bw, byx % bw][_Z_ROWS, _Z_COLS].tolist()
+        t = [abs(zzl[k]) >> Al for k in range(Ss, Se + 1)]
+        signs = [zzl[k] < 0 for k in range(Ss, Se + 1)]
         eob = -1  # last newly-significant position
         for i, v in enumerate(t):
             if v == 1:

@@ -594,28 +594,35 @@ def tiff_lzw_encode(data: bytes) -> bytes:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
 
-    def reset() -> tuple[dict[bytes, int], int, int]:
-        return {bytes([i]): i for i in range(256)}, 258, 9
-
-    table, next_code, width = reset()
+    # The classic (prefix code, next byte) int-keyed table (r16): the
+    # running string omega is represented by its CODE (roots are the
+    # bytes themselves), so the per-byte probe is one dict lookup on a
+    # small int instead of a bytes concatenation — the emitted code
+    # sequence is identical by construction.
+    table: dict[int, int] = {}
+    next_code, width = 258, 9
     write(CLEAR, width)
-    omega = b""
+    prev = -1
     for b in data:
-        k = bytes([b])
-        if omega + k in table:
-            omega += k
+        if prev < 0:
+            prev = b
             continue
-        write(table[omega], width)
-        table[omega + k] = next_code
+        key = (prev << 8) | b
+        nc = table.get(key)
+        if nc is not None:
+            prev = nc
+            continue
+        write(prev, width)
+        table[key] = next_code
         next_code += 1
         if next_code in (511, 1023, 2047):
             width += 1
         elif next_code == 4094:
             write(CLEAR, width)
-            table, next_code, width = reset()
-        omega = k
-    if omega:
-        write(table[omega], width)
+            table, next_code, width = {}, 258, 9
+        prev = b
+    if prev >= 0:
+        write(prev, width)
     write(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -632,42 +639,43 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
     CLEAR, EOI = 256, 257
     out = bytearray()
     pos = acc = nbits = 0
-
-    def read(width: int) -> int:
-        nonlocal pos, acc, nbits
+    n = len(data)
+    roots = [bytes([i]) for i in range(256)] + [b"", b""]
+    table: list[bytes] = list(roots)
+    next_code, width = 258, 9
+    old: bytes | None = None
+    # flat loop with local-variable bit extraction (r16 — the closure
+    # read() was half the per-code cost); code sequence and all error
+    # paths identical to the TIFF 6.0 §13 pseudocode walk above
+    while len(out) < expected:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 raise ValueError("truncated TIFF LZW stream (no EOI)")
             acc = (acc << 8) | data[pos]
             pos += 1
             nbits += 8
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
-        return code
-
-    table: list[bytes] = []
-
-    def reset() -> tuple[int, int]:
-        table.clear()
-        table.extend(bytes([i]) for i in range(256))
-        table.extend((b"", b""))  # 256/257 placeholders
-        return 258, 9
-
-    next_code, width = reset()
-    old: bytes | None = None
-    while len(out) < expected:
-        code = read(width)
         if code == EOI:
             break
         if code == CLEAR:
-            next_code, width = reset()
-            code = read(width)
+            table = list(roots)
+            next_code, width = 258, 9
+            while nbits < width:
+                if pos >= n:
+                    raise ValueError("truncated TIFF LZW stream (no EOI)")
+                acc = (acc << 8) | data[pos]
+                pos += 1
+                nbits += 8
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
             if code == EOI:
                 break
             if code >= 256:
                 raise ValueError("TIFF LZW first code after CLEAR not a root")
-            out.extend(table[code])
-            old = table[code]
+            entry = table[code]
+            out += entry
+            old = entry
             continue
         if old is None:
             raise ValueError("TIFF LZW stream does not start with CLEAR")
@@ -677,7 +685,7 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             entry = old + old[:1]
         else:
             raise ValueError(f"TIFF LZW code {code} out of range")
-        out.extend(entry)
+        out += entry
         table.append(old + entry[:1])
         next_code += 1
         if next_code in (510, 1022, 2046):
