@@ -115,9 +115,30 @@ def spread_media_ids(src: DataFrame, heavy: bool = False) -> DataFrame:
     Real crawl media never passes through here — it arrives via
     binaryFile/crawl scans that are already file-split; this spread
     exists for the id→payload fixture generators only.
+
+    Corpus-size gate (r16, VERDICT r15 #2): the width is additionally
+    capped by the optimizer's size estimate of ``src`` (metadata only —
+    no job), so a below-one-task's-work id frame skips the exchange
+    outright instead of paying it for nothing. The cap is deliberately
+    loose: an r16 width sweep at sf0.1 (none/2/4/8, min-of-4 solo,
+    32 cores) measured the r15 widths already optimal-or-tied on every
+    light key (frames 1.05/1.07/0.94/0.97 s, features 0.60/0.67/0.57/
+    0.58, image_resize 1.88/1.05/0.84/0.69, avi 0.91/0.78/0.70/0.53),
+    i.e. the r15 VERDICT's "skip the spread to recover multimodal_
+    frames" hypothesis did NOT reproduce solo — so the gate only fires
+    when the estimate says the whole frame is under ~one task of rows,
+    where the exchange provably buys nothing. Unknown estimates (non-
+    relation sources) keep the full width.
     """
+    from rippledb_spark.operators.skew import _MIN_ROWS_PER_TASK, _estimated_rows
+
     sc = src.sparkSession.sparkContext
     n = sc.defaultParallelism if heavy else max(2, sc.defaultParallelism // 4)
+    rows = _estimated_rows(src)
+    if rows is not None:
+        n = min(n, max(1, rows // _MIN_ROWS_PER_TASK))
+    if n <= 1:
+        return src
     return src.repartition(n, src.columns[0])
 
 

@@ -53,9 +53,43 @@ def spread_for_compute(df: DataFrame, *keys: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     n = sc.defaultParallelism
+    rows = _estimated_rows(df)
+    if rows is not None:
+        n = min(n, max(1, rows // _MIN_ROWS_PER_TASK))
+    if n <= 1:
+        return df
     if not keys:
         return df.repartition(n)
     return df.repartition(n, *[F.col(k) for k in keys])
+
+
+# Measured on the fixture id projections (r16): the optimizer's
+# sizeInBytes for a projected long-id frame runs ~23 stat-bytes/row.
+_ID_STAT_BYTES_PER_ROW = 23
+# Below this many estimated rows per task the exchange + per-task Python
+# chain setup outweighs any kernel parallelism (≈ one light-kernel
+# task's work; heavy kernels hit the same wall-clock floor ~50× earlier,
+# so one shared conservative constant serves both). The r16 width sweep
+# (multimodal.spread_media_ids docstring) pins the sf0.1 widths as
+# already optimal — this gate exists to SKIP provably-pointless
+# exchanges on sub-task inputs, not to retune widths.
+_MIN_ROWS_PER_TASK = 48
+
+
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Optimizer row estimate for a small keyed frame — metadata only,
+    no job. None when the plan has no usable size estimate (the huge
+    defaults LogicalRDD / checkpoint leaves report are treated as
+    unknown, which keeps the full spread width)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    if size <= 0 or size >= (1 << 40):
+        return None
+    return size // _ID_STAT_BYTES_PER_ROW
 
 
 def _salt(df: DataFrame, n_salts: int) -> Column:

@@ -606,12 +606,14 @@ def test_media_synthesizers_spread_across_cores(spark):
     from rippledb_spark.operators import multimodal as MM
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
 
-    ids = spark.range(40).select(F.col("id").alias("doc_id")).coalesce(1)
-    media = MM.synthesize_mpeg1_streams(ids, "doc_id")
+    big = spark.range(4000).select(F.col("id").alias("doc_id")).coalesce(1)
+    media = MM.synthesize_mpeg1_streams(big, "doc_id")
     assert (
         media.rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
     )
+    ids = spark.range(40).select(F.col("id").alias("doc_id")).coalesce(1)
+    media = MM.synthesize_mpeg1_streams(ids, "doc_id")
     rows = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
     assert len(rows) == 40
     w, h, nf, rate = MM.synth_mpeg1_dims(7)
@@ -621,3 +623,41 @@ def test_media_synthesizers_spread_across_cores(spark):
         [MM.synth_mpeg1_planes(7, f) for f in range(nf)],
         rate_code=rate,
     )
+
+
+def test_spread_gates_on_estimated_input_size(spark):
+    """r16 (VERDICT r15 #2): the spread width is capped by the
+    optimizer's size estimate — a below-one-task's-work frame skips the
+    exchange outright (identity plan), an unknown-size frame keeps the
+    full width, and the sf0.1-scale estimate keeps the measured r15
+    widths."""
+    from rippledb_spark.operators.multimodal import spread_media_ids
+    from rippledb_spark.operators.skew import (
+        _estimated_rows,
+        spread_for_compute,
+    )
+
+    tiny = spark.range(40).select(F.col("id").alias("media_id")).coalesce(1)
+    est = _estimated_rows(tiny)
+    assert est is not None and est < 48
+    spread = spread_media_ids(tiny, heavy=True)
+    assert "Exchange" not in spread._jdf.queryExecution().executedPlan().toString()
+    assert spread_for_compute(tiny, "media_id") is tiny
+
+    big = spark.range(4000).select(F.col("id").alias("media_id"))
+    assert (
+        spread_media_ids(big, heavy=True).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # checkpointed leaf: LogicalRDD still carries the estimate — the
+    # gate keeps working across the langid/pq checkpoint boundaries
+    ck = tiny.localCheckpoint(eager=True)
+    assert _estimated_rows(ck) is not None and _estimated_rows(ck) < 48
+    assert spread_for_compute(ck, "media_id") is ck
+
+    # unreadable / absurd estimates are treated as unknown → full width
+    class _Stub:
+        _jdf = None  # attribute access works, call raises → None
+
+    assert _estimated_rows(_Stub()) is None
