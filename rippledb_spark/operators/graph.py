@@ -715,12 +715,69 @@ def personalized_pagerank(
     return out
 
 
+def _scc_driver(
+    pairs: list[tuple], max_iterations: int
+) -> list[tuple] | None:
+    """Driver-side twin of the semi-naive closure + mutual-reachability
+    min-label below, for edge lists that fit the driver (r16 — the
+    distributed loop costs ~3 scheduler jobs per round, which dominated
+    the event-transition SCC query at 31 jobs for a ~10-node graph).
+
+    Replicates the distributed semantics EXACTLY: the closure grows one
+    edge-step per round, a round with an empty frontier converges, and
+    exceeding ``max_iterations`` with a live frontier raises the same
+    ValueError (so a round budget that under-covers the graph fails
+    identically on both paths). Returns None when the closure outgrows
+    ``_SCC_DRIVER_MAX_CLOSURE`` — the caller falls back to the
+    distributed form, which spills."""
+    clo = set(pairs)
+    frontier = set(pairs)
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    it = 0
+    converged = False
+    while it < max_iterations:
+        it += 1
+        grown = set()
+        for a, b in frontier:
+            for c in adj.get(b, ()):
+                if a != c:
+                    grown.add((a, c))
+        new_frontier = grown - clo
+        if not new_frontier:
+            converged = True
+            break
+        clo |= new_frontier
+        if len(clo) > _SCC_DRIVER_MAX_CLOSURE:
+            return None
+        frontier = new_frontier
+    if not converged and pairs:
+        raise ValueError(
+            f"transitive closure did not converge in {max_iterations} "
+            "rounds — SCCs from a partial closure would be wrong; raise "
+            "max_iterations (or use scc_forward_backward for long-path "
+            "graphs whose closure is too large)"
+        )
+    nodes = {a for a, _ in pairs} | {b for _, b in pairs}
+    best = {v: v for v in nodes}
+    for a, b in clo:
+        if (b, a) in clo and a < best[b]:
+            best[b] = a
+    return sorted(best.items())
+
+
+_SCC_DRIVER_MAX_EDGES = 4096
+_SCC_DRIVER_MAX_CLOSURE = 1_000_000
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
+    driver_max_edges: int = _SCC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Strongly connected components over DIRECTED edges →
     DataFrame(node, scc): scc(v) is the lexicographically smallest node
@@ -749,7 +806,32 @@ def strongly_connected_components(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
+    if driver_max_edges > 0:
+        # bounded-graph fast path (r16): the closure form's documented
+        # contract is closure-friendly graphs (entity types, state
+        # machines, schema graphs) — when the DEDUPED edge list fits the
+        # driver bound, ONE limit-collect job replaces the checkpoint,
+        # the count, and ~3 scheduler jobs per closure round. Labels,
+        # round semantics and the non-convergence ValueError are the
+        # distributed form's, bit for bit (pinned by
+        # test_scc_driver_path_matches_distributed).
+        sample = e.limit(driver_max_edges + 1).collect()
+        if len(sample) <= driver_max_edges:
+            labeled = _scc_driver(
+                [(r["a"], r["b"]) for r in sample], max_iterations
+            )
+            if labeled is not None:
+                import pyspark.sql.types as T
+
+                dt = e.schema["a"].dataType
+                schema = T.StructType(
+                    [T.StructField("node", dt), T.StructField("scc", dt)]
+                )
+                return edges.sparkSession.createDataFrame(labeled, schema)
+        # over the bound (or the closure outgrew the driver): fall
+        # through to the distributed loop below
     e = _truncate(e, checkpoint_dir)
+    n_edges = e.count()
     nodes = _truncate(
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -760,7 +842,6 @@ def strongly_connected_components(
     frontier = e
     it = 0
     converged = False
-    n_edges = e.count()
     with _iteration_conf(edges.sparkSession, n_edges):
         while it < max_iterations:
             it += 1

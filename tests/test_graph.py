@@ -469,3 +469,36 @@ def test_scc_forward_backward_raises_on_bounds(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     with pytest.raises(ValueError, match="BFS did not converge"):
         scc_forward_backward(df, max_bfs_iterations=3)
+
+
+def test_scc_driver_path_matches_distributed(spark):
+    """r16: the bounded-graph driver fast path must return the exact
+    labels (and the exact non-convergence error) of the distributed
+    closure form — compared here on a mixed graph (two cycles, a
+    bridge, a tail) by forcing the distributed path via
+    driver_max_edges=0."""
+    import pytest
+
+    from rippledb_spark.operators.graph import strongly_connected_components
+
+    edges = [
+        ("b", "a"), ("a", "b"),            # 2-cycle
+        ("c", "d"), ("d", "e"), ("e", "c"),  # 3-cycle
+        ("b", "c"),                          # bridge (one-way)
+        ("e", "f"), ("f", "g"),              # tail
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["scc"])
+        for r in strongly_connected_components(
+            df, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist and len(fast) == 7
+    # round-budget semantics identical: 1 round cannot close the 3-cycle
+    with pytest.raises(ValueError, match="did not converge"):
+        strongly_connected_components(df, max_iterations=1)
