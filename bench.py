@@ -279,6 +279,13 @@ SCHED_REF_SEC = 0.77
 # clean_host null and is read from its raw sched series instead).
 SCHED_REF_CORES = 32
 CLEAN_PROBE_LOAD_AT = 1.05
+# Margin note (ADVICE r15): 2.0×ref = 1.54 sits ~4% under the worst
+# observed DEGRADED floor (1.6; degraded sessions routinely read 2-22)
+# and ~35% above the r15 clean-window floors (0.999-1.14). r16 observed
+# a mildly-loaded-but-usable session at floor 1.39 — tightening to
+# 1.8×ref would have flipped that run to not-clean while every truly
+# degraded session stays excluded at either value, so the multiplier
+# stays 2.0; re-examine if the degraded band ever drifts below ~1.6.
 CLEAN_SCHED_AT = 2.0 * SCHED_REF_SEC
 
 
@@ -289,40 +296,103 @@ def _sched_probe(spark) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _scale_probe(spark, sf_dir: str, mult: int = 16) -> dict:
+    """Row-multiplied scaling receipt (VERDICT r15 #6, BENCH_DETAIL
+    only — additions-only to the record, not the stdout line).
+
+    At sf0.1 the corpora are sub-MB, so per-task dispatch, not data, is
+    the marginal cost and the driver's low-core/high-core ratios all
+    read ≈1 — the bench cannot DEMONSTRATE parallel scaling. This probe
+    replicates the id table ``mult``× (ids remapped ``id*mult + r``, so
+    per-row payloads stay id-deterministic and distinct) and times one
+    pass of two genuinely data-parallel kernels — the MPEG-1
+    synth+decode chain and the PNG aHash chain — at the session's core
+    count. The driver runs the bench at two core counts; these probe
+    seconds then carry a meaningful ratio. Derived in-session from the
+    parquet inputs every run (nothing cached or persisted across runs);
+    failures are recorded, never fatal."""
+    from rippledb_spark.operators import imagehash as IH
+    from rippledb_spark.operators import multimodal as MM
+    from rippledb_spark.tables import load
+
+    out: dict = {"mult": mult}
+    ids = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .crossJoin(spark.range(mult).select(F.col("id").alias("__r")))
+        .select((F.col("doc_id") * mult + F.col("__r")).alias("doc_id"))
+    )
+    probes = {
+        "mpeg1_frames_x": lambda: MM.mpeg1_frame_pixel_stats(
+            MM.synthesize_mpeg1_streams(ids, "doc_id")
+        )
+        .groupBy("media_id")
+        .agg(F.sum("y_sum").alias("s")),
+        "png_ahash_x": lambda: IH.ahash_images(
+            IH.synthesize_group_pngs(ids, "doc_id")
+        )
+        .groupBy((F.col("media_id") % 50).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n")),
+    }
+    for name, build in probes.items():
+        try:
+            spark.sparkContext.setJobDescription(f"scale_probe {name}")
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a probe must never kill the bench
+            out[name] = f"error: {exc}"[:200]
+        finally:
+            spark.sparkContext.setJobDescription(None)
+    return out
+
+
 def shed_to_budget(compact: dict, budget: int = 2000) -> dict:
     """Fit the stdout line inside the driver's capture tail.
 
     The driver captures only the last ``budget`` (2 KB) bytes of output;
     a longer line is decapitated into unparseable JSON (BENCH_r05
-    "parsed": null). Shedding order, least round-critical first (every
-    shed field is still in BENCH_DETAIL.json):
+    "parsed": null). The print's trailing newline counts against that
+    tail, so the fit test is ``len(line) + 1 <= budget`` (ADVICE r15:
+    a line of exactly ``budget`` bytes would lose its first byte).
+
+    Shedding order, least round-critical first (every shed field is
+    still in BENCH_DETAIL.json):
 
     1. optional receipts: ann_phases, median_sec_norm, cold_sec,
        bpe_phases;
-    2. per-query precision 2dp → 1dp (never the keys themselves — the
+    2. redundant/re-derivable scalars: median_sec (the per-query medians
+       live in BENCH_DETAIL), then sched_ref (a pinned constant,
+       documented at SCHED_REF_SEC) — shed BEFORE per-query precision,
+       because 1dp quantization manufactured 6 phantom "regressions" in
+       PERF_r15 (VERDICT r15 #3/#5: keep 2dp alive at 61+ keys);
+    3. per-query precision 2dp → 1dp (never the keys themselves — the
        round contract forbids removing or renaming ``queries`` entries);
-    3. last resort: median_sec, then the weather markers (sched_ref,
-       clean_host, sched_probe — kept latest because they say whether
-       the rest of the line is trustworthy).
+    4. last resort: the live weather markers (clean_host, sched_probe —
+       kept latest because they say whether the rest of the line is
+       trustworthy).
 
     ``metric``/``value``/``unit``/``queries``/``sf``/``probe_load`` and
     ``bulk_ratio`` (the judged baseline metric) are never shed.
     Mutates and returns ``compact``.
     """
 
-    def size() -> int:
-        return len(json.dumps(compact, separators=(",", ":")))
+    def fits() -> bool:
+        return len(json.dumps(compact, separators=(",", ":"))) + 1 <= budget
 
-    for drop in ("ann_phases", "median_sec_norm", "cold_sec", "bpe_phases"):
-        if size() <= budget:
+    for drop in (
+        "ann_phases", "median_sec_norm", "cold_sec", "bpe_phases",
+        "median_sec", "sched_ref",
+    ):
+        if fits():
             return compact
         compact.pop(drop, None)
-    if size() > budget:
+    if not fits() and "queries" in compact:
         compact["queries"] = {
             k: round(v, 1) for k, v in compact["queries"].items()
         }
-    for drop in ("median_sec", "sched_ref", "clean_host", "sched_probe"):
-        if size() <= budget:
+    for drop in ("clean_host", "sched_probe"):
+        if fits():
             return compact
         compact.pop(drop, None)
     return compact
@@ -549,6 +619,14 @@ def main() -> None:
         + " ".join(f"{k} {v}" for k, v in bpe_phases.items()),
         file=sys.stderr,
     )
+    scale_probe = _scale_probe(spark, sf_dir)
+    print(
+        "# scale probe (x{}): ".format(scale_probe["mult"])
+        + " ".join(
+            f"{k} {v}" for k, v in scale_probe.items() if k != "mult"
+        ),
+        file=sys.stderr,
+    )
 
     total = round(sum(timings.values()), 3)
     probe_load = round(sorted(warm_loads)[len(warm_loads) // 2], 3)
@@ -590,6 +668,9 @@ def main() -> None:
         "respread": respread,  # spread>3x queries: extra solo re-runs
         "ann_phases": ann_phases,  # train vs frozen-index query sub-walls
         "bpe_phases": bpe_phases,  # sequential vs batched merge learning
+        # row-multiplied scaling receipt (r16, VERDICT r15 #6): compare
+        # across the driver's two core counts — detail-record only
+        "scale_probe": scale_probe,
         "sf": sf,
         "cold_sec": round(sum(cold.values()), 3),
     }

@@ -68,28 +68,68 @@ def test_query_keys_never_dropped_only_precision():
     assert set(out["queries"]) == keys_before
 
 
-def test_weather_markers_outlive_per_query_precision():
-    # Choose the budget from the fixture's own sizes so the test pins
-    # PRIORITIES, not byte coincidences: exactly wide enough for the
-    # receipt-shed + 1dp form (markers and median_sec retained), but
-    # too narrow for the receipt-shed 2dp form.
+def test_scalars_shed_before_per_query_precision():
+    # r16 (VERDICT r15 #5): median_sec and sched_ref shed BEFORE the
+    # per-query values demote to 1dp — 1dp quantization manufactured 6
+    # phantom PERF_r15 regressions. Budget chosen from the fixture's own
+    # sizes so the test pins PRIORITIES, not byte coincidences: wide
+    # enough for the receipts+scalars-shed 2dp form, too narrow with
+    # median_sec/sched_ref kept.
     comp = _compact(61)
+    shed2 = {
+        k: v
+        for k, v in comp.items()
+        if k not in RECEIPT_FIELDS + ("median_sec", "sched_ref")
+    }
+    budget = len(_dumps(shed2)) + 1
     no_receipts = {k: v for k, v in comp.items() if k not in RECEIPT_FIELDS}
-    one_dp = dict(
-        no_receipts,
-        queries={k: round(v, 1) for k, v in no_receipts["queries"].items()},
-    )
-    budget = len(_dumps(one_dp))
-    assert len(_dumps(no_receipts)) > budget  # 2dp must not fit
+    assert len(_dumps(no_receipts)) + 1 > budget
     out = shed_to_budget(_compact(61), budget=budget)
-    assert out["sched_ref"] == 0.77
+    assert "median_sec" not in out and "sched_ref" not in out
     assert out["clean_host"] is True
     assert out["sched_probe"] == 1.257
-    assert out["median_sec"] == 67.916
-    assert all(round(v, 1) == v for v in out["queries"].values())
+    # 2dp survived the squeeze
+    assert any(round(v, 1) != v for v in out["queries"].values())
     for dropped in RECEIPT_FIELDS:
         assert dropped not in out
-    assert len(_dumps(out)) <= budget
+    assert len(_dumps(out)) + 1 <= budget
+
+
+def test_weather_markers_outlive_per_query_precision():
+    # the LIVE weather markers (clean_host, sched_probe) survive even
+    # when precision must demote: budget = exactly the 1dp form's size.
+    comp = _compact(61)
+    kept = {
+        k: v
+        for k, v in comp.items()
+        if k not in RECEIPT_FIELDS + ("median_sec", "sched_ref")
+    }
+    one_dp = dict(
+        kept, queries={k: round(v, 1) for k, v in kept["queries"].items()}
+    )
+    budget = len(_dumps(one_dp)) + 1
+    assert len(_dumps(kept)) + 1 > budget  # 2dp must not fit
+    out = shed_to_budget(_compact(61), budget=budget)
+    assert out["clean_host"] is True
+    assert out["sched_probe"] == 1.257
+    assert all(round(v, 1) == v for v in out["queries"].values())
+    assert len(_dumps(out)) + 1 <= budget
+
+
+def test_newline_counts_against_budget():
+    # ADVICE r15: a line of exactly `budget` bytes plus print()'s
+    # newline loses its first byte in a `budget`-byte tail capture — the
+    # fit test must reserve one byte.
+    comp = _compact(61)
+    out = shed_to_budget(comp, budget=len(_dumps(_compact(61))))
+    assert len(_dumps(out)) + 1 <= len(_dumps(_compact(61)))
+
+
+def test_total_on_queryless_record():
+    # ADVICE r15: the function must stay total for any dict input —
+    # a record without a queries dict must not raise.
+    out = shed_to_budget({"metric": "m", "value": 1.0}, budget=10)
+    assert out == {"metric": "m", "value": 1.0}
 
 
 def test_small_record_sheds_nothing():
