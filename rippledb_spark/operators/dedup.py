@@ -577,9 +577,21 @@ def duplicated_substring_runs(
         raise ValueError("window length n must be >= 2")
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(content_col), " ").alias("__t"),
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(content_col).alias("__c")
+    )
+    # The window-fingerprint explode (one md5 per token offset) is
+    # CPU-bound per scan task, and a small corpus arrives as ONE file
+    # split — so without this the whole seed pass ran on one core
+    # (r16, guide §2.5; the quality.py gram-explode branch). At real
+    # scale the scan already has thousands of splits and this branch
+    # never fires (metadata-only check, no job).
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < want:
+        src = src.repartition(want, "doc_id")
+    base = src.select(
+        "doc_id",
+        F.split(F.col("__c"), " ").alias("__t"),
     ).select("doc_id", "__t", F.size("__t").cast("bigint").alias("n_tokens"))
     pos = (
         base.filter(F.col("n_tokens") >= n)

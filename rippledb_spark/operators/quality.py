@@ -100,9 +100,12 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.expr(
             f"CAST(size(filter(t, w -> w rlike '{_ALPHA_RE}')) AS BIGINT)"
         ).alias("n_alpha"),
+        # distinct stopwords present = |stopword_list ∩ t|:
+        # array_intersect builds one hash set per row (O(|stop|+|t|))
+        # and dedups — value-identical to the old per-stopword
+        # array_contains HOF scan (O(|stop|·|t|) interpreted), r16
         F.expr(
-            f"CAST(size(filter(array({stop_arr}), s -> array_contains(t, s)))"
-            " AS BIGINT)"
+            f"CAST(size(array_intersect(array({stop_arr}), t)) AS BIGINT)"
         ).alias("n_stopwords_distinct"),
     )
 
