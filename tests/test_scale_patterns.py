@@ -606,7 +606,7 @@ def test_media_synthesizers_spread_across_cores(spark):
     from rippledb_spark.operators import multimodal as MM
     from rippledb_spark.operators.mpeg1 import encode_mpeg1_intra
 
-    big = spark.range(4000).select(F.col("id").alias("doc_id")).coalesce(1)
+    big = spark.range(16000).select(F.col("id").alias("doc_id")).coalesce(1)
     media = MM.synthesize_mpeg1_streams(big, "doc_id")
     assert (
         media.rdd.getNumPartitions()
@@ -644,7 +644,7 @@ def test_spread_gates_on_estimated_input_size(spark):
     assert "Exchange" not in spread._jdf.queryExecution().executedPlan().toString()
     assert spread_for_compute(tiny, "media_id") is tiny
 
-    big = spark.range(4000).select(F.col("id").alias("media_id"))
+    big = spark.range(16000).select(F.col("id").alias("media_id"))
     assert (
         spread_media_ids(big, heavy=True).rdd.getNumPartitions()
         == spark.sparkContext.defaultParallelism
